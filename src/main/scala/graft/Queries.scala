@@ -1,0 +1,380 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** One entry per query in the engine's declared inventory.
+  *
+  * @param name   stable id (sorted output drives CORRECTNESS_r{N}.json)
+  * @param oracle equivalent SQL runnable by DuckDB over the same parquet
+  *               tables; None → driver records a weaker rows-only check
+  * @param build  the Spark-side implementation
+  */
+case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    build: (SparkSession, String) => DataFrame)
+
+/** The relational query inventory over the testdata tables.
+  *
+  * Each query re-expresses an operator family from SURVEY.md §2
+  * (reference: nafaarts/wilayah-aceh-etl) in idiomatic Spark, at
+  * TPC-H-ish scale the Aceh corpus can't provide.
+  *
+  * Numeric stability for the DuckDB-oracle hash compare: floating sums
+  * are order-dependent, so every aggregate over doubles goes through
+  * DECIMAL(25,6) (exact, order-independent) and is cast back to double.
+  * A double is never exactly on a 6-decimal midpoint (5e-7 is not
+  * dyadic), so Spark's HALF_UP and any nearest-rounding agree.
+  */
+object Queries {
+  import Tables._
+
+  /** Order-independent exact sum of a double expression. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+  private def dsumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ===== Aggregations (SURVEY §2.4 A1-A5) =====
+
+    // TPC-H Q1 shape: grouped multi-aggregate scan with pushed filter.
+    QueryDef("q01_pricing_summary",
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${dsumSql("l_quantity")} AS sum_qty,
+               ${dsumSql("l_extendedprice")} AS sum_base_price,
+               ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A1 grouped count (reference: server.js:256-259 per-level counts).
+    QueryDef("q02_grouped_count",
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n")).orderBy("event_type")),
+
+    // A2 count-without-rows + TPC-H Q6 shape (filter → global agg).
+    QueryDef("q03_filtered_count",
+      Some(s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               ${dsumSql("l_extendedprice * l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+      (s, d) => lineitem(s, d)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // A3 pivot: fan grouped counts into one struct row
+    // (reference: server.js:261-266 level→{provinsi,kabupaten,...}).
+    QueryDef("q04_status_pivot",
+      Some("""
+        SELECT CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_finished,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pending
+        FROM orders"""),
+      (s, d) => orders(s, d).agg(
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("cnt_open"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("cnt_finished"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("cnt_pending"))),
+
+    // A4 existence aggregate (reference: server.js:268 stats.available).
+    QueryDef("q05_existence",
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) > 0 AS available,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM documents WHERE lang = 'en'"""),
+      (s, d) => documents(s, d).filter(col("lang") === "en")
+        .agg((count(lit(1)) > 0).as("available"), count(lit(1)).as("total"))),
+
+    // ===== Filters / projections / scalar functions (§2.2, §2.8) =====
+
+    // P1 projection+rename, F1 lower (reference: server.js:324).
+    QueryDef("q06_proj_rename",
+      Some("""
+        SELECT c_custkey AS id, LOWER(c_name) AS name, c_mktsegment AS segment
+        FROM customer WHERE c_acctbal > 5000 ORDER BY id"""),
+      (s, d) => customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("id"), lower(col("c_name")).as("name"),
+                col("c_mktsegment").as("segment"))
+        .orderBy("id")),
+
+    // P2 prefix predicate LIKE 'x%' (reference: server.js:257 code LIKE).
+    QueryDef("q07_prefix_filter",
+      Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE source LIKE 'src1%'
+        GROUP BY source ORDER BY source"""),
+      (s, d) => documents(s, d).filter(col("source").startsWith("src1"))
+        .groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")),
+
+    // P4 case-insensitive substring search + O1 multi-sort + O2 top-k
+    // (reference: server.js:323-329 search_wilayah, LIMIT 10).
+    QueryDef("q08_topk_search",
+      Some("""
+        SELECT doc_id, lang, n_chars
+        FROM documents WHERE LOWER(text) LIKE '%vector%'
+        ORDER BY n_chars DESC, doc_id LIMIT 10"""),
+      (s, d) => documents(s, d)
+        .filter(lower(col("text")).contains("vector"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(10)),
+
+    // P6 null-tolerant optional prefix (reference: init_db.sql:79-82).
+    QueryDef("q09_null_tolerant_prefix",
+      Some("""
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part
+        WHERE (NULL IS NULL) OR (p_brand LIKE 'Brand#1%')
+        GROUP BY p_brand ORDER BY p_brand"""),
+      (s, d) => {
+        val parent: Option[String] = None
+        part(s, d)
+          .filter(lit(parent.orNull).isNull || col("p_brand").startsWith(parent.getOrElse("")))
+          .groupBy("p_brand").agg(count(lit(1)).as("n")).orderBy("p_brand")
+      }),
+
+    // P8 derived-code synthesis (reference: server.js:160-185): dotted
+    // hierarchical codes via concat_ws / substring / literal-prefix rules.
+    QueryDef("q10_code_synthesis",
+      Some("""
+        SELECT CAST(n_regionkey AS VARCHAR) || '.' ||
+                 CASE WHEN LENGTH(CAST(n_nationkey AS VARCHAR)) >= 2
+                      THEN SUBSTR(CAST(n_nationkey AS VARCHAR), LENGTH(CAST(n_nationkey AS VARCHAR)) - 1, 2)
+                      ELSE CAST(n_nationkey AS VARCHAR) END AS kode,
+               '2' || CAST(n_nationkey AS VARCHAR) AS kode_kelurahan,
+               LOWER(n_name) AS nama
+        FROM nation ORDER BY kode_kelurahan"""),
+      (s, d) => nation(s, d).select(
+          concat_ws(".", col("n_regionkey").cast(StringType),
+            substring(col("n_nationkey").cast(StringType), -2, 2)).as("kode"),
+          concat(lit("2"), col("n_nationkey").cast(StringType)).as("kode_kelurahan"),
+          lower(col("n_name")).as("nama"))
+        .orderBy("kode_kelurahan")),
+
+    // ===== Joins (§2.3) =====
+
+    // Star join through two broadcastable dims (TPC-H Q5 shape):
+    // revenue per region. Dims are tiny → broadcast hash join, no shuffle
+    // of the fact side beyond the final group-by.
+    QueryDef("q11_star_join",
+      Some(s"""
+        SELECT r.r_name AS region_name, ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name"""),
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("region_name")),
+
+    // Left-semi join (EXISTS).
+    QueryDef("q12_semi_join",
+      Some("""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) => customer(s, d)
+        .join(orders(s, d).select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // Left-anti join (NOT EXISTS).
+    QueryDef("q13_anti_join",
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers_without_orders
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""),
+      (s, d) => customer(s, d)
+        .join(orders(s, d).select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_without_orders"))),
+
+    // Hierarchy self-join via derived parent code — the scale-safe
+    // rewrite of the reference's prefix-match traversal
+    // (SURVEY §2.3: equi-join on substring_index, not a theta join).
+    QueryDef("q14_hierarchy_join",
+      Some("""
+        WITH coded AS (
+          SELECT CAST(n_regionkey AS VARCHAR) || '.' || CAST(n_nationkey AS VARCHAR) AS kode,
+                 n_name, n_regionkey FROM nation)
+        SELECT c.kode, c.n_name AS child_name, r.r_name AS parent_name
+        FROM coded c
+        JOIN region r ON CAST(r.r_regionkey AS VARCHAR) = SPLIT_PART(c.kode, '.', 1)
+        ORDER BY c.kode"""),
+      (s, d) => {
+        val coded = nation(s, d).select(
+          concat_ws(".", col("n_regionkey").cast(StringType),
+                    col("n_nationkey").cast(StringType)).as("kode"),
+          col("n_name"))
+        coded.join(broadcast(region(s, d)),
+            col("r_regionkey").cast(StringType) === substring_index(col("kode"), ".", 1))
+          .select(col("kode"), col("n_name").as("child_name"),
+                  col("r_name").as("parent_name"))
+          .orderBy("kode")
+      }),
+
+    // ===== Set operations (§2.7) =====
+
+    QueryDef("q15_union",
+      Some("""
+        SELECT CAST(k AS INTEGER) AS nationkey FROM (
+          SELECT DISTINCT c_nationkey AS k FROM customer
+          UNION
+          SELECT DISTINCT s_nationkey AS k FROM supplier) ORDER BY nationkey"""),
+      (s, d) => customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey")),
+
+    QueryDef("q16_intersect",
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
+      (s, d) => customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    QueryDef("q17_except",
+      Some("""
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
+      (s, d) => nation(s, d).select(col("n_nationkey").as("nationkey"))
+        .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // ===== Windows (§2.5; S7 last-writer-wins dedup recipe) =====
+
+    // The merge/upsert recipe (reference: init_db.sql:21-36 upsert):
+    // last row per key by timestamp wins.
+    QueryDef("q18_last_writer_wins",
+      Some("""
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_ns").desc, col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type", "value")
+          .orderBy("user_id")
+      }),
+
+    // Running total per key (decimal-exact accumulation).
+    QueryDef("q19_running_total",
+      Some("""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running
+        FROM events ORDER BY user_id, event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("running",
+            sum(col("value").cast(DecimalType(25, 6))).over(w).cast(DoubleType))
+          .select("user_id", "event_id", "running")
+          .orderBy("user_id", "event_id")
+      }),
+
+    // ===== Date/time + temporal aggregation (events stream table) =====
+
+    QueryDef("q20_monthly_rollup",
+      Some(s"""
+        SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ${dsumSql("o_totalprice")} AS total
+        FROM orders GROUP BY 1 ORDER BY month"""),
+      (s, d) => orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("month")),
+
+    // ===== Scalar function showcase (§2.8 F1-F10) =====
+
+    QueryDef("q21_scalar_funcs",
+      Some("""
+        SELECT p_partkey,
+               LOWER(p_name) AS lname,
+               UPPER(p_brand) AS ubrand,
+               SUBSTR(p_name, 1, 5) AS prefix5,
+               LENGTH(p_name) AS name_len,
+               CAST(p_partkey AS VARCHAR) || ':' || p_type AS tagged,
+               CASE WHEN p_size >= 25 THEN 'big' WHEN p_size >= 10 THEN 'mid' ELSE 'small' END AS size_class,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price_rounded
+        FROM part ORDER BY p_partkey"""),
+      (s, d) => part(s, d).select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring(col("p_name"), 1, 5).as("prefix5"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_partkey").cast(StringType), lit(":"), col("p_type")).as("tagged"),
+          when(col("p_size") >= 25, "big").when(col("p_size") >= 10, "mid")
+            .otherwise("small").as("size_class"),
+          col("p_retailprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price_rounded"))
+        .orderBy("p_partkey")),
+
+    // Regex classification (reference: server.js:366 filename rules F6).
+    QueryDef("q22_regex_classify",
+      Some("""
+        SELECT CASE WHEN REGEXP_MATCHES(p_name, '^[a-z]+ widget$') THEN 'widget'
+                    WHEN p_name LIKE '%bolt%' THEN 'bolt'
+                    ELSE 'other' END AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY 1 ORDER BY kind"""),
+      (s, d) => part(s, d)
+        .select(when(col("p_name").rlike("^[a-z]+ widget$"), "widget")
+          .when(col("p_name").contains("bolt"), "bolt")
+          .otherwise("other").as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("n")).orderBy("kind")),
+
+    // ===== Distinct aggregation =====
+
+    QueryDef("q23_distinct_agg",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => orders(s, d).groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"))
+  )
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

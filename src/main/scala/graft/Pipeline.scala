@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale training-data pipeline operators: deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
+  * similarity search, and text analysis.
+  *
+  * Everything here is built from codegen'd built-in expressions
+  * (higher-order array functions, hash functions, hash aggregates) —
+  * no UDFs — so whole-stage codegen spans the hot paths and Catalyst
+  * keeps pushdown/pruning intact. Hashing uses md5 because it is
+  * deterministic and identical across engines (the DuckDB oracle
+  * computes the same pipelines in SQL).
+  *
+  * Scale notes (100 TB target) are on each operator.
+  */
+object Pipeline {
+
+  // ===== tokenization =====
+
+  /** Whitespace tokens. Documents are single-space separated. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles ("a b c" style). Callers must
+    * guard size(words) >= n (empty-sequence semantics differ across
+    * engines for degenerate docs).
+    */
+  def wordShingles(w: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+
+  // ===== MinHash + LSH (SURVEY: scale path for near-dup text) =====
+
+  /** k-permutation MinHash signature: element j is the lexicographic
+    * min of md5(j + "|" + shingle). String-min of md5 hex is a valid
+    * uniform min-hash and is engine-portable (no 64-bit signed
+    * arithmetic pitfalls). One pass over shingles per doc, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(shingles, s =>
+        md5(concat(j.cast(StringType), lit("|"), s)))))
+
+  /** LSH banding: hash each band of `rowsPerBand` signature rows to a
+    * bucket id. Docs sharing any (band, hash) are candidate pairs.
+    * At 100 TB the band explode + groupBy is the standard
+    * shuffle-by-bucket plan; bucket sizes stay small (hash-spread), and
+    * a pathological hot bucket would be salted or capped.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.as("band"),
+        md5(concat_ws("|", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
+          .as("bh")))
+
+  /** Candidate near-dup pairs (a_id < b_id) from MinHash-LSH band
+    * collisions. Input must have an id column and a shingles column.
+    * The self-join is an equi-join on (band, bh) — shuffle hash join,
+    * never a cartesian.
+    */
+  def lshCandidatePairs(docShingles: DataFrame, idCol: String,
+                        k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val banded = docShingles
+      .select(col(idCol),
+        explode(lshBands(minhashSignature(col("shingles"), k), bands, rows))
+          .as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  // ===== SimHash =====
+
+  /** 32-bit word hash from the md5 hex prefix — portable and uniform. */
+  def wordHash32(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)
+
+  /** 32-bit SimHash per document: per-bit majority vote over token
+    * hashes (tokens weighted by multiplicity). Single shuffle: explode
+    * tokens, then ONE hash aggregate with 32 partial-aggregatable sum
+    * columns (map-side combine) — no 32-way data amplification.
+    */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(words(col(textCol))).as("w"))
+      .select(col(idCol), wordHash32(col("w")).as("h"))
+    val voteCols = (0 until 32).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"v$b"))
+    val votes = toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDist, blocked by
+    * the pigeonhole principle: split the 32-bit hash into 4 byte
+    * chunks; any pair within distance 3 must agree on >= 1 chunk, so an
+    * equi-join on (chunk_idx, chunk_value) finds all of them without a
+    * cartesian. Standard at scale (each chunk join is shuffle-by-key).
+    */
+  def simhashPairs(sims: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole blocking covers distance <= 3")
+    val chunked = sims.select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 8) & 255"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(IntegerType).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ===== vector math (embedding dedup / similarity search) =====
+
+  /** Cast a float array column to double — all similarity math is done
+    * in double so results are engine-portable (float32 accumulation
+    * differs across engines; f32->f64 conversion is exact).
+    */
+  def asDouble(a: Column): Column = transform(a, _.cast(DoubleType))
+
+  /** Sequential-fold dot product over double arrays. `aggregate` folds
+    * left-to-right in index order, which matches the oracle's
+    * list_reduce exactly (bit-identical IEEE sums). Codegen'd, no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Random-hyperplane LSH bucket for a double-array vector: `planes`
+    * hyperplanes with deterministic ±1 components derived from
+    * md5(plane + "_" + dim) parity; bit p = (v · h_p > 0). Buckets
+    * partition the corpus so ANN probes touch ~N/2^planes vectors.
+    * At scale: signature computed in the scan projection (one pass),
+    * candidates co-located by repartition(bucket).
+    */
+  def rhpBucket(v: Column, dims: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        transform(sequence(lit(1), lit(dims)), d =>
+          element_at(v, d) *
+            when(conv(substring(md5(concat(lit(s"${p}_"), d.cast(StringType))), 1, 1), 16, 10)
+                   .cast(LongType) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // ===== text analysis =====
+
+  val StopWords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** Count of stopword tokens (with multiplicity). */
+  def stopwordCount(w: Column): Column =
+    size(filter(w, x => x.isin(StopWords.map(lit(_)): _*)))
+
+  /** BPE-ish token estimate: ceil(len(word)/4) summed — the standard
+    * "~4 chars per subword token" heuristic, exact and portable.
+    */
+  def subwordTokenCount(w: Column): Column =
+    aggregate(
+      transform(w, x => ceil(length(x) / lit(4.0)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Canonical fingerprint: md5 of the sorted distinct token set
+    * (classic fingerprint dedup — robust to token order).
+    */
+  def canonicalFingerprint(w: Column): Column =
+    md5(array_join(array_sort(array_distinct(w)), " "))
+
+  /** Polynomial rolling hash over token hashes, mod 1e9+7. The fold
+    * starts at 0 and every term is already < M, so the left fold equals
+    * the oracle's init-less list_reduce.
+    */
+  def rollingHash(w: Column): Column =
+    aggregate(
+      transform(w, x => wordHash32(x) % lit(1000000007L)),
+      lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))
+}

@@ -54,8 +54,12 @@ object Queries {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
+      // to_timestamp interprets the literal in spark.sql.session.timeZone —
+      // the same zone used to read the naive parquet timestamps — so the
+      // boundary is TZ-independent (java.sql.Timestamp.valueOf would parse
+      // in the driver JVM's default zone instead).
       (s, d) => lineitem(s, d)
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -189,7 +193,10 @@ object Queries {
         GROUP BY r.r_name ORDER BY r.r_name"""),
       (s, d) => lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF (150k x SF rows) — at the 100 TB design
+        // target it is NOT broadcastable; let AQE pick the strategy. Only
+        // nation/region are genuinely tiny fixed-size dims.
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region_name"))

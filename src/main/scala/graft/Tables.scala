@@ -14,6 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session invariant required by `events` (parquet TIMESTAMP(NANOS)):
+    * call once at SparkSession construction. All graft entry points
+    * (Bench, Verify, tests) do; external sessions must too — the
+    * loader itself is read-only and does NOT set it.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -32,7 +42,6 @@ object Tables {
     * positive, so `div 1000` (floor) matches DuckDB's ns→us cast.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000L")))

@@ -51,9 +51,12 @@ def main():
         spark_df = pd.concat([pq.read_table(f).to_pandas() for f in sorted(files)],
                              ignore_index=True)
         if name not in oracle:
-            print(f"ROWS-ONLY {name}: {len(spark_df)} rows (no oracle)")
             if len(spark_df) == 0:
-                print(f"  WARN {name}: zero rows");
+                # an empty un-oracled result proves nothing — fail it
+                print(f"FAIL {name}: rows-only query returned zero rows")
+                n_fail += 1
+            else:
+                print(f"ROWS-ONLY {name}: {len(spark_df)} rows (no oracle)")
             continue
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
@@ -68,9 +71,7 @@ def main():
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
             for j, (x, y) in enumerate(zip(a, b)):
-                eq = (x == y)
-                if not eq and isinstance(x, float) and isinstance(y, float):
-                    eq = (x == y)  # strict: exact float match required
+                eq = (x == y)  # strict: floats require exact match
                 # timestamps/dates: pandas may give Timestamp vs datetime
                 if not eq and hasattr(x, "to_pydatetime"):
                     eq = x.to_pydatetime() == (y.to_pydatetime() if hasattr(y, "to_pydatetime") else y)

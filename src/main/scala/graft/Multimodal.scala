@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as an opaque `binary` column plus typed metadata —
+  * the layout a 100 TB training-data pipeline uses (content-addressed
+  * blobs co-partitioned with their features; the decode stage runs
+  * per-partition so one task amortizes codec init over a whole batch).
+  *
+  * The actual codecs are not available in this environment, so
+  * [[FakeCodec.decode]] is a clearly-marked deterministic STUB standing
+  * in for image decode; everything around it — schema, Dataset typing,
+  * partition-wise batching, feature extraction shape — is real and is
+  * exercised by the correctness gate (the stub is deterministic, so the
+  * DuckDB oracle can replay it).
+  */
+object Multimodal {
+
+  /** A media document: id + raw bytes (image/audio/video payload). */
+  case class MediaDoc(doc_id: Long, content: Array[Byte])
+
+  /** Decoded per-media features. */
+  case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      content_hash: String)
+
+  /** STUB decoder: deterministic fake in place of a real image/audio
+    * codec (none is installed here). Real deployments swap this body
+    * for e.g. an ImageIO/ffmpeg call; the signature (bytes in, typed
+    * features out) and the partition-wise call pattern are the real
+    * contract.
+    */
+  object FakeCodec {
+    def decode(b: Array[Byte]): (Int, Int, Int) = {
+      val width = 1 + (b(0) & 0xFF)
+      val height = 1 + (b(1) & 0xFF)
+      val nFrames = 1 + (b.length % 7)
+      (width, height, nFrames)
+    }
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** Decode + feature-extract, one codec instance per partition.
+    * `mapPartitions` (not `map`) so codec setup cost amortizes across
+    * the partition's rows — the standard Spark batch shape for
+    * expensive per-row native calls.
+    */
+  def decodeFeatures(ds: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { m =>
+        val (w, h, f) = FakeCodec.decode(m.content)
+        MediaFeatures(m.doc_id, m.content.length.toLong, w, h, f, md5hex(m.content))
+      }
+    }
+  }
+}

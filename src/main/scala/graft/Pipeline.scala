@@ -161,6 +161,14 @@ object Pipeline {
 
   // ===== text analysis =====
 
+  /** Occurrence signal of a literal substring: 2x the occurrence count
+    * (length delta after deleting all occurrences). Never divided back —
+    * callers only compare/argmax, so the x2 factor is irrelevant and the
+    * arithmetic stays integral (no float compare hazards vs the oracle).
+    */
+  def occurrences2x(text: Column, s: String): Column =
+    length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(s), ""))
+
   val StopWords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 
   /** Count of stopword tokens (with multiplicity). */

@@ -1,0 +1,391 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline queries: deduplication (exact, fingerprint,
+  * MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (language-ID,
+  * quality, token stats), and multimodal feature plumbing.
+  *
+  * Every query here has a DuckDB oracle that replays the identical
+  * deterministic pipeline (md5-derived hashes, index-ordered IEEE
+  * folds), so the driver's hash compare is exact — see Pipeline.scala
+  * for the portability argument per primitive.
+  */
+object PipelineQueries {
+  import Tables._
+  import Pipeline._
+
+  /** doc_id + distinct word-trigram shingles, for docs with >= 3 words.
+    * (DuckDB mirror: `[array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)]`.)
+    */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), wordShingles(col("w"), 3).as("shingles"))
+
+  // Shared oracle CTE: trigram shingles per doc.
+  private val shinglesCte = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+           FROM w WHERE len(w) >= 3)"""
+
+  // Shared oracle CTE chain: MinHash k=16, 4 bands x 4 rows, candidate
+  // pairs from band collisions.
+  private val lshCte = shinglesCte + """,
+    sig AS (SELECT doc_id,
+              [list_min([md5(CAST(j AS VARCHAR) || '|' || s) for s in shingles]) for j in range(0, 16)] AS sig
+            FROM sh),
+    banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM banded x JOIN banded y
+               ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+
+  // Shared oracle CTE: double-cast embeddings + dot-product helper text.
+  // Folds run in index order with the same shape as Pipeline.dot
+  // (DuckDB's init-less list_reduce starts at element 1; Spark's
+  // aggregate starts at 0.0 + element 1 — bit-identical results).
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // Oracle expression: 4-plane random-hyperplane bucket of DOUBLE[] `v`
+  // (mirror of Pipeline.rhpBucket(v, 64, 4)).
+  private val bucketSql = """
+    list_reduce(list_transform(range(0, 4), p ->
+      CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+             v[d] * (CASE WHEN (strpos('0123456789abcdef',
+                      substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)),
+           (x, y) -> x + y) > 0
+      THEN (1 << CAST(p AS INTEGER)) ELSE 0 END),
+    (x, y) -> x + y)"""
+
+  /** Language-ID profiles: char-bigram markers per language, scored by
+    * occurrence count in the text. Ties break in Seq order (argmax via
+    * a first-wins when-chain) — the oracle CASE mirrors the same order.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("er", "in", "an"),
+    "en" -> Seq("th", "er", "in"),
+    "es" -> Seq("ar", "or", "at"),
+    "fr" -> Seq("er", "an", "or"),
+    "zh" -> Seq("st", "ow", "ta"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ===== Deduplication =====
+
+    // Exact dedup: hash-groupBy on content hash. At 100 TB this is one
+    // shuffle on md5(text) with map-side partial counts; the per-source
+    // summary shape keeps the result bounded regardless of corpus size.
+    QueryDef("q24_exact_dedup",
+      Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+        FROM documents GROUP BY source ORDER BY source"""),
+      (s, d) => documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(md5(col("text"))).as("n_distinct"),
+             (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+        .orderBy("source")),
+
+    // Canonical-fingerprint dedup: md5 of the sorted distinct token set
+    // (robust to token order/multiplicity). Same single-shuffle shape.
+    QueryDef("q25_fingerprint_dedup",
+      Some("""
+        WITH fp AS (
+          SELECT lang,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+        FROM fp GROUP BY lang ORDER BY lang"""),
+      (s, d) => documents(s, d)
+        .select(col("lang"), canonicalFingerprint(words(col("text"))).as("fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("fp")).as("n_fingerprints"))
+        .orderBy("lang")),
+
+    // MinHash+LSH candidate pairs: shingle -> 16-hash signature -> 4
+    // bands -> equi-join on (band, bucket). The join key is a hash
+    // bucket, so at scale this is a plain shuffle-hash join with small
+    // buckets — never a cartesian.
+    QueryDef("q26_minhash_lsh_candidates",
+      Some(s"""
+        WITH $lshCte
+        SELECT a_id, b_id FROM cand ORDER BY a_id, b_id"""),
+      (s, d) => lshCandidatePairs(docShingles(s, d), "doc_id", 16, 4)
+        .orderBy("a_id", "b_id")),
+
+    // LSH candidates verified by exact trigram Jaccard >= 0.5 — the
+    // two-phase near-dup plan (cheap candidate generation, exact check
+    // only on candidates) that survives 100x scale-up.
+    QueryDef("q27_jaccard_neardup",
+      Some(s"""
+        WITH $lshCte
+        SELECT c.a_id, c.b_id,
+               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) AS jaccard
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.a_id
+        JOIN sh b ON b.doc_id = c.b_id
+        WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.5
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sh = docShingles(s, d)
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        lshCandidatePairs(sh, "doc_id", 16, 4)
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+          .withColumn("jaccard",
+            inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
+          .filter(col("jaccard") >= 0.5)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      }),
+
+    // SimHash near-dup: 32-bit signature via per-bit majority vote, then
+    // pigeonhole-blocked pair join (4 byte chunks — any pair within
+    // hamming distance 3 shares a chunk). Restricted to 4 sources to
+    // bound the candidate set; the plan shape is scale-invariant.
+    QueryDef("q28_simhash_neardup",
+      Some("""
+        WITH docs AS (SELECT * FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+        h AS (SELECT doc_id,
+                list_reduce([strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 for i in range(1, 9)],
+                            (a, b) -> a*16 + b) AS h
+              FROM toks),
+        votes AS (SELECT doc_id, b,
+                    SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b),
+        sim AS (SELECT doc_id,
+                  SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+                FROM votes GROUP BY doc_id),
+        chunked AS (SELECT doc_id, simhash, c, (simhash >> CAST(c*8 AS INTEGER)) & 255 AS chunk
+                    FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS dist
+                  FROM chunked x JOIN chunked y
+                    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        SELECT a_id, b_id, dist FROM pairs WHERE dist <= 3 ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        simhashPairs(simhash32(docs, "doc_id", "text"), "doc_id", 3)
+          .orderBy("a_id", "b_id")
+      }),
+
+    // ===== Similarity search =====
+
+    // Brute-force cosine top-k — the exact ANN baseline. Single pass
+    // over the corpus with a broadcast 1-row query side; Spark plans
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    QueryDef("q29_cosine_topk",
+      Some(s"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        t AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS w, q.v AS v
+              FROM embeddings e, q WHERE e.vec_id <> 0)
+        SELECT vec_id, ${cosSql("v", "w")} AS cosine
+        FROM t ORDER BY cosine DESC, vec_id LIMIT 10"""),
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(asDouble(col("embedding")).as("v"))
+        e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), asDouble(col("embedding")).as("w"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), cosine(col("v"), col("w")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // LSH-bucketed ANN: 4 random hyperplanes -> 16 buckets; probe only
+    // the query's bucket (~1/16 of the corpus). The scale path: buckets
+    // are a partitioning key, so the probe is a pruned scan, and the
+    // signature is computed in the scan projection (one pass).
+    QueryDef("q30_ann_bucketed",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
+        q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0)
+        SELECT b.vec_id, ${cosSql("qv", "v")} AS cosine
+        FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT 5"""),
+      (s, d) => {
+        val withB = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("w"))
+          .withColumn("bucket", rhpBucket(col("w"), 64, 4))
+        val q = withB.filter(col("vec_id") === 0)
+          .select(col("bucket").as("qb"), col("w").as("v"))
+        withB.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qb"))
+          .select(col("vec_id"), cosine(col("v"), col("w")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(5)
+      }),
+
+    // Embedding near-dup: top-20 most-similar pairs, blocked by RHP
+    // bucket (pairs only form within a bucket — an equi-join, not a
+    // cartesian; recall traded for the 2^planes candidate reduction).
+    QueryDef("q31_embedding_neardup",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
+        p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+                     x.v AS va, y.v AS vb
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT a_id, b_id, ${cosSql("va", "vb")} AS cosine
+        FROM p ORDER BY cosine DESC, a_id, b_id LIMIT 20"""),
+      (s, d) => {
+        val withB = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("w"))
+          .withColumn("bucket", rhpBucket(col("w"), 64, 4))
+        withB.as("x").join(withB.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+                  cosine(col("x.w"), col("y.w")).as("cosine"))
+          .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      }),
+
+    // ===== Text analysis =====
+
+    // Language-ID: argmax of per-language char-bigram occurrence scores.
+    // A deterministic n-gram heuristic (the corpus vocabulary carries no
+    // real language signal, so accuracy is reported, not asserted).
+    QueryDef("q32_langid",
+      Some {
+        val scores = LangProfiles.map { case (l, bgs) =>
+          val sum = bgs.map(bg =>
+            s"(length(text) - length(replace(text, '$bg', '')))").mkString(" + ")
+          s"($sum) AS s_$l"
+        }.mkString(", ")
+        val langs = LangProfiles.map(_._1)
+        val cases = langs.init.map { l =>
+          val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (SELECT lang, $scores FROM documents)
+        SELECT CASE $cases ELSE '${langs.last}' END AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN (CASE $cases ELSE '${langs.last}' END) = lang
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM scored GROUP BY 1 ORDER BY predicted"""
+      },
+      (s, d) => {
+        val langs = LangProfiles.map(_._1)
+        val scored = documents(s, d).select(
+          col("lang") +: LangProfiles.map { case (l, bgs) =>
+            bgs.map(occurrences2x(col("text"), _)).reduce(_ + _).as(s"s_$l")
+          }: _*)
+        val predicted = langs.init.foldLeft(Option.empty[Column]) { (acc, l) =>
+          val geAll = langs.filter(_ != l)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          Some(acc.fold(when(geAll, l))(_.when(geAll, l)))
+        }.get.otherwise(langs.last)
+        scored.withColumn("predicted", predicted)
+          .groupBy("predicted")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("predicted") === col("lang"), 1).otherwise(0)).as("n_correct"))
+          .orderBy("predicted")
+      }),
+
+    // Quality scoring: token counts, type-token ratio, stopword ratio,
+    // and a threshold classification — pure scan-side column math.
+    QueryDef("q33_quality_score",
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+                CAST(len(list_filter(w, x -> list_contains(${StopWords.map("'" + _ + "'").mkString("[", ",", "]")}, x))) AS BIGINT) AS n_stop
+              FROM w)
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+               CASE WHEN n_tokens >= 30 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.35 THEN 'good'
+                    WHEN n_tokens >= 15 THEN 'fair' ELSE 'low' END AS quality
+        FROM m ORDER BY doc_id"""),
+      (s, d) => {
+        val w = words(col("text"))
+        documents(s, d).select(
+            col("doc_id"),
+            size(w).cast(LongType).as("n_tokens"),
+            size(array_distinct(w)).cast(LongType).as("n_distinct"),
+            stopwordCount(w).cast(LongType).as("n_stop"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tokens"))
+          .withColumn("quality",
+            when(col("n_tokens") >= 30 && col("stop_ratio") <= 0.35, "good")
+              .when(col("n_tokens") >= 15, "fair").otherwise("low"))
+          .select("doc_id", "n_tokens", "n_distinct", "stop_ratio", "ttr", "quality")
+          .orderBy("doc_id")
+      }),
+
+    // Token counting + document fingerprinting: BPE-ish subword
+    // estimate, order-robust set fingerprint, order-sensitive rolling
+    // hash — all single-pass scan projections.
+    QueryDef("q34_token_stats",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_ws_tokens,
+               list_reduce(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
+                           (a, b) -> a + b) AS n_subword,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint,
+               list_reduce(
+                 list_transform(w, t ->
+                   list_reduce([strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 for i in range(1, 9)],
+                               (a, b) -> a*16 + b) % 1000000007),
+                 (acc, h) -> (acc*31 + h) % 1000000007) AS rolling_hash
+        FROM w ORDER BY doc_id"""),
+      (s, d) => {
+        val w = words(col("text"))
+        documents(s, d).select(
+            col("doc_id"),
+            size(w).cast(LongType).as("n_ws_tokens"),
+            subwordTokenCount(w).as("n_subword"),
+            canonicalFingerprint(w).as("fingerprint"),
+            rollingHash(w).as("rolling_hash"))
+          .orderBy("doc_id")
+      }),
+
+    // ===== Multimodal plumbing =====
+
+    // Media as opaque binary + typed metadata, decoded per-partition
+    // via a typed Dataset mapPartitions (codec init amortized per
+    // partition). The decode itself is a deterministic STUB
+    // (Multimodal.FakeCodec) — the oracle replays it byte-for-byte.
+    QueryDef("q35_multimodal_features",
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+               CAST(1 + ascii(substr(text, 1, 1)) AS INTEGER) AS width,
+               CAST(1 + ascii(substr(text, 2, 1)) AS INTEGER) AS height,
+               CAST(1 + octet_length(CAST(text AS BLOB)) % 7 AS INTEGER) AS n_frames,
+               md5(text) AS content_hash
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d)
+          .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+          .as[Multimodal.MediaDoc]
+        Multimodal.decodeFeatures(media).toDF().orderBy("doc_id")
+      })
+  )
+}

@@ -38,7 +38,9 @@ object Queries {
   private def dsumSql(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
 
-  val all: Seq[QueryDef] = Seq(
+  val all: Seq[QueryDef] = core ++ extra ++ PipelineQueries.all
+
+  private lazy val core: Seq[QueryDef] = Seq(
 
     // ===== Aggregations (SURVEY §2.4 A1-A5) =====
 
@@ -381,6 +383,86 @@ object Queries {
         .agg(countDistinct(col("o_custkey")).as("n_customers"),
              count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority"))
+  )
+
+  /** Relational surface extensions: outer join, rollup, ranking/offset
+    * windows, ordered group-collect, date/time functions.
+    */
+  private lazy val extra: Seq[QueryDef] = Seq(
+
+    // Left outer join preserving unmatched rows (zero-order customers).
+    QueryDef("q36_outer_join",
+      Some("""
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey ORDER BY c_custkey"""),
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(sum(col("o_totalprice").cast(DecimalType(25, 6))), lit(0))
+               .cast(DoubleType).as("total_spent"))
+        .orderBy("c_custkey")),
+
+    // ROLLUP hierarchy totals (subtotal + grand-total grouping sets).
+    QueryDef("q37_rollup",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""),
+      (s, d) => orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))),
+
+    // Ranking + offset window functions over a deterministic order.
+    QueryDef("q38_window_rank",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_key
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast(LongType).as("rn"),
+          rank().over(w).cast(LongType).as("rnk"),
+          lag(col("o_orderkey"), 1).over(w).cast(LongType).as("prev_key"))
+      }),
+
+    // Grouped collect with deterministic (sorted) ordering, serialized
+    // to a string so the compare is list-order-exact.
+    QueryDef("q39_group_collect",
+      Some("""
+        SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+      (s, d) => nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy("n_regionkey")),
+
+    // Date/time function surface: parts, epoch-day arithmetic, month
+    // boundary (strings at the edges — TZ/date-repr neutral).
+    QueryDef("q40_date_funcs",
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+               STRFTIME(CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS next_month
+        FROM orders ORDER BY o_orderkey"""),
+      (s, d) => orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          quarter(col("o_orderdate")).as("q"),
+          datediff(col("o_orderdate").cast(DateType), to_date(lit("1995-01-01")))
+            .as("days_since_95"),
+          date_format(add_months(trunc(col("o_orderdate").cast(DateType), "month"), 1),
+            "yyyy-MM-dd").as("next_month"))
+        .orderBy("o_orderkey"))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,186 @@
+package graft.wilayah
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The five query entry points of the reference service, over the
+  * Parquet warehouse (reference paths cited per method). Each returns
+  * a DataFrame; JSON shaping happens at the edge (`featureCollection`).
+  */
+class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
+
+  def warehouse: DataFrame =
+    Store.load(spark, warehousePath)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[Wilayah].schema))
+
+  // ===== ETL =====
+
+  /** `POST /api/db/sync` (/root/reference/server.js:340-378): discover
+    * files for the code, ingest + transform + geo-normalize, merge into
+    * the warehouse. Returns the number of features processed.
+    */
+  def sync(code: String): Long = {
+    val paths = Ingest.discover(geojsonDir, code)
+    require(paths.nonEmpty, s"No GeoJSON files found for code: $code")
+    syncPaths(paths)
+  }
+
+  private def syncPaths(paths: Seq[String]): Long = {
+    val now = current_timestamp()
+    val rows = Ingest.withKodeNama(Ingest.readFeatures(spark, paths))
+      .filter(col("kode_wilayah_kemendagri").isNotNull) // quarantine dirty rows
+      .select(
+        col("kode_wilayah_kemendagri"),
+        col("nama_wilayah_kemendagri"),
+        col("level"),
+        Geo.normalizeToGeoJson(col("geometry.type"), col("geometry.coordinates"))
+          .as("geometry"),
+        now.as("created_at"),
+        now.as("updated_at"))
+    // cache: the normalized batch feeds both the count and the merge,
+    // and the simplify kernel is the expensive step — evaluate it once
+    rows.persist()
+    try {
+      val n = rows.count()
+      // dedup within the batch too (same key twice in one sync = last
+      // wins; the row-at-a-time reference gets this implicitly)
+      Store.write(Store.merge(Store.load(spark, warehousePath), rows), warehousePath)
+      n
+    } finally rows.unpersist()
+  }
+
+  /** Startup seed (/root/reference/server.js:103-157): if no level-1
+    * row exists, load the province boundary file(s) (`^\d{2}_...`).
+    * Idempotent. Returns features processed (0 if already seeded).
+    */
+  def seed(): Long = {
+    val seeded = Store.load(spark, warehousePath)
+      .exists(df => !df.filter(col("level") === 1).limit(1).isEmpty)
+    if (seeded) 0L
+    else {
+      // ONLY the province boundary file(s) — the reference seeds from
+      // the single level-1 file, not the whole code prefix
+      // (/root/reference/server.js:133-147).
+      val l1 = Ingest.discover(geojsonDir, "")
+        .filter(p => Ingest.levelOfFileName(p.split('/').last) == 1)
+      if (l1.isEmpty) 0L else syncPaths(l1)
+    }
+  }
+
+  // ===== Queries =====
+
+  /** `GET /api/db/status` (/root/reference/server.js:256-268): per-level
+    * counts under a code prefix, fanned into the 4-slot struct
+    * {provinsi, kabupaten, kecamatan, kelurahan} + availability.
+    */
+  def statusCounts(code: String): DataFrame =
+    warehouse
+      .filter(col(Store.Key).startsWith(code))
+      .groupBy("level").agg(count(lit(1)).as("n"))
+
+  def status(code: String): Map[String, Long] = {
+    val byLevel = statusCounts(code).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Map(
+      "provinsi" -> byLevel.getOrElse(1, 0L),
+      "kabupaten" -> byLevel.getOrElse(2, 0L),
+      "kecamatan" -> byLevel.getOrElse(3, 0L),
+      "kelurahan" -> byLevel.getOrElse(4, 0L))
+  }
+
+  /** `GET /api/search?q=` (/root/reference/server.js:292-330): min
+    * 3-char query, case-insensitive substring on the name, ordered by
+    * (level, name), top 10. Spark plans TakeOrderedAndProject — a true
+    * per-partition top-k, no global sort.
+    */
+  def search(q: String): DataFrame = {
+    if (q == null || q.trim.length < 3)
+      warehouse.select(
+        col(Store.Key).as("id"),
+        col("nama_wilayah_kemendagri").as("name"),
+        col("level")).limit(0)
+    else
+      warehouse
+        .filter(lower(col("nama_wilayah_kemendagri")).contains(q.trim.toLowerCase))
+        .select(
+          col(Store.Key).as("id"),
+          col("nama_wilayah_kemendagri").as("name"),
+          col("level"))
+        .orderBy(col("level").asc, col("name").asc)
+        .limit(10)
+  }
+
+  /** `get_wilayah_by_level(level, parent)` (/root/reference/init_db.sql:
+    * 63-84): rows at a level, optionally under a parent prefix — the
+    * null-tolerant optional-filter pattern of init_db.sql:79-82. The
+    * `level` equality prunes warehouse partitions.
+    */
+  def byLevel(level: Int, parentPrefix: Option[String] = None): DataFrame =
+    warehouse
+      .filter(col("level") === level)
+      .filter(lit(parentPrefix.orNull).isNull ||
+        col(Store.Key).startsWith(parentPrefix.getOrElse("")))
+      .select(
+        col(Store.Key).as("id"),
+        col("nama_wilayah_kemendagri").as("name"),
+        col("geometry"))
+
+  /** `GET /api/db/geojson?code=` (/root/reference/server.js:387-478):
+    * code-length dispatch to 2-4 per-level fetches, each slotted into
+    * the 4-level response. Length rules: 2 -> own province + its kabs;
+    * 5 -> kab + its kecs + kels; 8 -> parent kab (prefix 5) + kecs +
+    * kels; >=13 -> parent kec (prefix 8) + kels.
+    */
+  def geojsonPlan(code: String): Seq[(String, Int, String)] = code.length match {
+    case 2 => Seq(("provinsi", 1, code), ("kabupaten", 2, code))
+    case 5 => Seq(("kabupaten", 2, code), ("kecamatan", 3, code), ("kelurahan", 4, code))
+    case 8 => Seq(("kabupaten", 2, code.substring(0, 5)),
+                  ("kecamatan", 3, code), ("kelurahan", 4, code))
+    case n if n >= 13 => Seq(("kecamatan", 3, code.substring(0, 8)),
+                             ("kelurahan", 4, code))
+    case _ => Seq.empty
+  }
+
+  def geojson(code: String): Map[String, String] =
+    geojsonPlan(code).map { case (slot, level, prefix) =>
+      slot -> featureCollection(byLevel(level, Some(prefix)))
+    }.toMap
+
+  /** FeatureCollection assembly (/root/reference/server.js:486-506):
+    * rows -> {type, features:[{type, properties:{name,id}, geometry}]}.
+    * Geometry re-parses from its stored text via from_json — the
+    * mirror of the reference's string re-parse at server.js:491-497.
+    */
+  def featureCollection(rows: DataFrame): String = {
+    val features = rows.select(
+      to_json(struct(
+        lit("Feature").as("type"),
+        struct(col("name"), col("id")).as("properties"),
+        from_json(col("geometry"), Model.geometryType).as("geometry")))
+        .as("feature"))
+      .collect().map(_.getString(0))
+    features.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+  }
+
+  /** `GET /api/geojson` raw passthrough (/root/reference/server.js:
+    * 509-565): matched files returned whole, bucketed into level slots
+    * by filename, with sizes.
+    */
+  def passthrough(code: String): DataFrame = {
+    val paths = Ingest.discoverExact(geojsonDir, code)
+    require(paths.nonEmpty, s"No GeoJSON files found for code: $code")
+    val slot = Map(1 -> "provinsi", 2 -> "kabupaten", 3 -> "kecamatan", 4 -> "kelurahan")
+    spark.read.option("wholetext", true).text(paths: _*)
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("file_name"),
+        col("value").as("content"))
+      .withColumn("slot", Ingest.levelOfFileName(col("file_name"))
+        .cast("int"))
+      .withColumn("slot", element_at(
+        map(slot.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("slot")))
+      .withColumn("size_bytes", length(col("content")).cast("long"))
+  }
+}

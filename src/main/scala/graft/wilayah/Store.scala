@@ -1,0 +1,91 @@
+package graft.wilayah
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse + keyed upsert (MERGE) over Parquet — the Spark
+  * re-expression of the reference's row-at-a-time
+  * `INSERT ... ON CONFLICT (kode) DO UPDATE`
+  * (/root/reference/server.js:90-98, /root/reference/init_db.sql:21-36):
+  * one set-oriented job instead of one DB round-trip per feature.
+  *
+  * Layout: Parquet partitioned by `level` (4 partitions), rows sorted
+  * by kode within files. At 100 TB the same recipe holds: level is the
+  * partition column, the merge shuffles once on the key, and prefix
+  * queries prune partitions + parquet row groups (min/max on kode).
+  */
+object Store {
+
+  val Key = "kode_wilayah_kemendagri"
+
+  private val columns = Seq(
+    "kode_wilayah_kemendagri", "nama_wilayah_kemendagri",
+    "level", "geometry", "created_at", "updated_at")
+
+  def load(spark: SparkSession, warehousePath: String): Option[DataFrame] =
+    if (new java.io.File(warehousePath).exists())
+      Some(spark.read.parquet(warehousePath))
+    else None
+
+  /** Last-writer-wins merge: for each key keep the newest row by
+    * `updated_at` (ties: incoming wins), preserving the oldest
+    * `created_at` — the ON CONFLICT DO UPDATE semantics of
+    * /root/reference/init_db.sql:28-35 (created_at untouched,
+    * updated_at refreshed). One shuffle on the key; partial-agg-free
+    * window since the key is unique post-merge.
+    */
+  def merge(existing: Option[DataFrame], incoming: DataFrame): DataFrame = {
+    val in = incoming.select(columns.map(col): _*).withColumn("prio", lit(1))
+    val all = existing match {
+      case Some(e) => e.select(columns.map(col): _*).withColumn("prio", lit(0))
+        .unionByName(in)
+      case None => in
+    }
+    val byKey = Window.partitionBy(Key)
+    all
+      .withColumn("rn", row_number().over(
+        byKey.orderBy(col("updated_at").desc, col("prio").desc)))
+      .withColumn("created_at", min("created_at").over(byKey))
+      .filter(col("rn") === 1)
+      .drop("rn", "prio")
+  }
+
+  /** Rewrite the warehouse with the merged state. Writes to a temp
+    * location first (the merge reads the live files, and Spark cannot
+    * overwrite its own input in-flight), then swaps atomically-enough
+    * for a single-writer batch ETL.
+    */
+  def write(df: DataFrame, warehousePath: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = warehousePath + ".tmp"
+    df.repartition(col("level"))
+      .sortWithinPartitions(Key)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("level")
+      .parquet(tmp)
+    val dst = new java.io.File(warehousePath)
+    if (dst.exists()) {
+      val old = new java.io.File(warehousePath + ".old")
+      deleteRec(old)
+      dst.renameTo(old)
+      new java.io.File(tmp).renameTo(dst)
+      deleteRec(old)
+    } else {
+      new java.io.File(tmp).renameTo(dst)
+    }
+    // new files on disk — drop any cached plans over the old ones
+    spark.catalog.clearCache()
+  }
+
+  /** Key-uniqueness check (the PK constraint Spark must emulate —
+    * /root/reference/init_db.sql:6). Returns duplicate count, 0 = ok.
+    */
+  def duplicateKeys(df: DataFrame): Long =
+    df.groupBy(Key).count().filter(col("count") > 1).count()
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.wilayah.{Api, Geo, Ingest, Store}
+
+/** End-to-end spec for the wilayah engine against the reference's own
+  * GeoJSON corpus (read-only at /root/reference/geojson). The 11.73
+  * slice (Kota Lhokseumawe: 1 kabupaten + 4 kecamatan + 68 kelurahan
+  * features) exercises the full SURVEY §2 inventory.
+  */
+class WilayahSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val geojsonDir = "/root/reference/geojson"
+
+  private def freshApi(): Api = {
+    val wh = Files.createTempDirectory("graft-wh").toString + "/warehouse"
+    new Api(spark, wh, geojsonDir)
+  }
+
+  test("level inference follows the filename rules, incl. the 11.01 subtlety") {
+    assert(Ingest.levelOfFileName("11_Aceh.geojson") == 1)
+    assert(Ingest.levelOfFileName("11.01_Aceh_Selatan.geojson") == 2) // '.' breaks ^\d{2}_
+    assert(Ingest.levelOfFileName("11.01_kecamatan.geojson") == 3)
+    assert(Ingest.levelOfFileName("11.73_kelurahan.geojson") == 4)
+  }
+
+  test("discovery: sync prefix match vs passthrough exact-province match") {
+    val sync11 = Ingest.discover(geojsonDir, "11").map(_.split('/').last)
+    assert(sync11.contains("11_Aceh.geojson"))
+    assert(sync11.contains("11.01_Aceh_Selatan.geojson")) // prefix matches children
+    val exact11 = Ingest.discoverExact(geojsonDir, "11").map(_.split('/').last)
+    assert(exact11 == Seq("11_Aceh.geojson")) // ^11_[^_]+\.geojson$ only
+  }
+
+  test("code synthesis matches the transformProperties grammar on real data") {
+    val feats = Ingest.withKodeNama(
+      Ingest.readFeatures(spark, Ingest.discover(geojsonDir, "11.73")))
+    val codes = feats.select("level", "kode_wilayah_kemendagri", "nama_wilayah_kemendagri")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(codes.count(_._1 == 2) == 1)
+    assert(codes.count(_._1 == 3) == 4)
+    assert(codes.count(_._1 == 4) == 68)
+    assert(codes.exists(c => c._2 == "11.73" && c._3 == "Kota Lhokseumawe"))
+    // kd_kecamatan "001" -> slice(-2) -> "01"
+    assert(codes.exists(_._2 == "11.73.01"))
+    // kd_kelurahan "001" -> "2" + "001" -> "2001"
+    assert(codes.exists(_._2.matches("""11\.73\.\d{2}\.2\d{3}""")))
+  }
+
+  test("force2D drops Z on the mixed 2-D/3-D corpus") {
+    val feats = Ingest.readFeatures(spark,
+      Seq(s"$geojsonDir/11.73_kecamatan.geojson"))
+    val dims = feats.select(
+      size(element_at(element_at(element_at(col("geometry.coordinates"), 1), 1), 1)).as("raw"),
+      size(element_at(element_at(element_at(
+        Geo.force2D(col("geometry.coordinates")), 1), 1), 1)).as("flat"))
+      .collect()
+    assert(dims.forall(_.getInt(0) == 3)) // this file is 3-D
+    assert(dims.forall(_.getInt(1) == 2))
+  }
+
+  test("simplify reduces vertices, keeps rings closed and >= 4 points") {
+    val coords: Geo.Coords = {
+      // a dense circle: 1000 points, radius ~0.01 deg
+      val n = 1000
+      val ring = (0 to n).map { i =>
+        val a = 2 * math.Pi * (i % n) / n
+        Seq(97.0 + 0.01 * math.cos(a), 5.0 + 0.01 * math.sin(a))
+      }
+      Seq(Seq(ring))
+    }
+    val out = Geo.simplifyCoords(coords, Geo.SimplifyTolerance)
+    val ring = out.head.head
+    assert(ring.size < coords.head.head.size)
+    assert(ring.size >= 4)
+    assert(ring.head == ring.last) // closed
+  }
+
+  test("sync 11.73 end-to-end: counts, search, geojson, idempotence") {
+    val api = freshApi()
+    val processed = api.sync("11.73")
+    assert(processed == 73) // 1 + 4 + 68
+
+    assert(Store.duplicateKeys(api.warehouse) == 0)
+    val st = api.status("11.73")
+    assert(st == Map("provinsi" -> 0L, "kabupaten" -> 1L,
+                     "kecamatan" -> 4L, "kelurahan" -> 68L))
+
+    val hits = api.search("lhok").collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    assert(hits.exists(_.getString(1).toLowerCase.contains("lhok")))
+    assert(api.search("ab").count() == 0) // < 3 chars -> empty
+
+    val fc = api.geojson("11.73")
+    assert(fc.keySet == Set("kabupaten", "kecamatan", "kelurahan"))
+    assert(fc("kabupaten").contains("\"FeatureCollection\""))
+    assert(fc("kelurahan").contains("\"MultiPolygon\""))
+
+    // idempotence: re-sync changes updated_at but not rows/created_at
+    val created1 = api.warehouse.select(min("created_at")).head().getTimestamp(0)
+    Thread.sleep(1100)
+    assert(api.sync("11.73") == 73)
+    assert(api.warehouse.count() == 73)
+    assert(Store.duplicateKeys(api.warehouse) == 0)
+    val created2 = api.warehouse.select(min("created_at")).head().getTimestamp(0)
+    assert(created1 == created2)
+    val touched = api.warehouse
+      .filter(col("updated_at") > col("created_at")).count()
+    assert(touched == 73)
+  }
+
+  test("seed loads only the level-1 province file, idempotently") {
+    val api = freshApi()
+    assert(api.seed() == 1)              // 11_Aceh.geojson: 1 feature
+    assert(api.warehouse.count() == 1)
+    assert(api.status("11")("provinsi") == 1L)
+    assert(api.seed() == 0)              // second call: already seeded
+    assert(api.warehouse.count() == 1)
+  }
+
+  test("geojson dispatch plans match the code-length rules") {
+    val api = freshApi()
+    assert(api.geojsonPlan("11").map(_._2) == Seq(1, 2))
+    assert(api.geojsonPlan("11.73").map(_._2) == Seq(2, 3, 4))
+    assert(api.geojsonPlan("11.73.01") == Seq(
+      ("kabupaten", 2, "11.73"), ("kecamatan", 3, "11.73.01"), ("kelurahan", 4, "11.73.01")))
+    assert(api.geojsonPlan("11.73.01.2001") == Seq(
+      ("kecamatan", 3, "11.73.01"), ("kelurahan", 4, "11.73.01.2001")))
+  }
+
+  test("passthrough buckets whole files by filename slot") {
+    val api = freshApi()
+    val rows = api.passthrough("11.73").select("file_name", "slot", "size_bytes").collect()
+    assert(rows.length == 3)
+    val bySlot = rows.map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(bySlot("kabupaten") == "11.73_Kota_Lhokseumawe.geojson")
+    assert(bySlot("kecamatan") == "11.73_kecamatan.geojson")
+    assert(bySlot("kelurahan") == "11.73_kelurahan.geojson")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("merge is last-writer-wins with batch-internal dedup") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val v1 = Seq(("11.01", "Old", 2, "g1", ts(100), ts(100)),
+                 ("11.02", "Keep", 2, "g2", ts(100), ts(100)))
+      .toDF("kode_wilayah_kemendagri", "nama_wilayah_kemendagri", "level",
+            "geometry", "created_at", "updated_at")
+    val v2 = Seq(("11.01", "New", 2, "g1b", ts(200), ts(200)),
+                 ("11.01", "Newest", 2, "g1c", ts(200), ts(300)),
+                 ("11.03", "Add", 2, "g3", ts(200), ts(200)))
+      .toDF("kode_wilayah_kemendagri", "nama_wilayah_kemendagri", "level",
+            "geometry", "created_at", "updated_at")
+    val m = Store.merge(Some(v1), v2).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getTimestamp(4))).toMap
+    assert(m.keySet == Set("11.01", "11.02", "11.03"))
+    assert(m("11.01")._1 == "Newest")     // newest updated_at wins
+    assert(m("11.01")._2 == ts(100))      // created_at preserved from v1
+    assert(m("11.02")._1 == "Keep")
+  }
+}

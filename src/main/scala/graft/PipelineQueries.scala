@@ -208,7 +208,8 @@ object PipelineQueries {
         e.filter(col("vec_id") =!= 0)
           .select(col("vec_id"), asDouble(col("embedding")).as("w"))
           .crossJoin(broadcast(q))
-          .select(col("vec_id"), cosine(col("v"), col("w")).as("cosine"))
+          .select(col("vec_id"),
+            graft.plans.VectorExpressions.cosineSim(col("v"), col("w")).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       }),
@@ -233,7 +234,8 @@ object PipelineQueries {
           .select(col("bucket").as("qb"), col("w").as("v"))
         withB.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("qb"))
-          .select(col("vec_id"), cosine(col("v"), col("w")).as("cosine"))
+          .select(col("vec_id"),
+            graft.plans.VectorExpressions.cosineSim(col("v"), col("w")).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(5)
       }),
@@ -257,7 +259,7 @@ object PipelineQueries {
         withB.as("x").join(withB.as("y"),
             col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-                  cosine(col("x.w"), col("y.w")).as("cosine"))
+                  graft.plans.VectorExpressions.cosineSim(col("x.w"), col("y.w")).as("cosine"))
           .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
           .limit(20)
       }),

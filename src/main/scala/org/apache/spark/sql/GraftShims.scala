@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access shim: `classic.ExpressionUtils` is `private[sql]`, but
+  * building a Column from a programmatically-constructed Catalyst
+  * Expression (no function-registry dependency) requires it. Placing
+  * this one-file bridge in the org.apache.spark.sql package is the
+  * standard pattern Spark extension libraries use for exactly this.
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

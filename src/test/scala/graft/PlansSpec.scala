@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.VectorExpressions
+
+/** Specs for the custom Catalyst surface: the native cosine_sim
+  * expression (eval + codegen paths) and the PrefixLevelPruning
+  * optimizer rule (registered via GraftExtensions in the test session).
+  */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine_sim is bit-identical to the built-in fold composition") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Pipeline.asDouble(col("embedding")).as("v"))
+    val paired = e.as("x").join(e.as("y"), col("x.vec_id") === col("y.vec_id") - 250)
+    val both = paired.select(
+      VectorExpressions.cosineSim(col("x.v"), col("y.v")).as("native"),
+      Pipeline.cosine(col("x.v"), col("y.v")).as("builtin"))
+    val rows = both.collect()
+    assert(rows.length == 250)
+    rows.foreach { r =>
+      // exact bit equality, not tolerance — both accumulate in index order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim null handling and SQL registration via extensions") {
+    val df = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 2.0) AS array<double>),
+        |                  CAST(array(2.0, 4.0) AS array<double>)) AS c,
+        |       cosine_sim(CAST(NULL AS array<double>),
+        |                  CAST(array(1.0) AS array<double>)) AS n""".stripMargin)
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15) // parallel vectors
+    assert(r.isNullAt(1))
+  }
+
+  test("prefix filter on the warehouse triggers level partition pruning") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/warehouse"
+    val api = new wilayah.Api(spark, wh, "/root/reference/geojson")
+    api.sync("11.73")
+
+    val q = api.warehouse.filter(col("kode_wilayah_kemendagri").startsWith("11.73.01"))
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // rule injected level >= 3 -> partition filter on the scan
+    val pf = scans.head.partitionFilters.mkString(";")
+    assert(pf.contains("level"), s"expected level partition filter, got: $pf")
+    // and the result is still correct: 1 kecamatan + its kelurahan
+    assert(q.count() == api.warehouse
+      .filter(col("kode_wilayah_kemendagri").startsWith("11.73.01")).count())
+  }
+
+  test("pruning rule is OR-safe: optional-prefix pattern is untouched") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-prune2").toString + "/warehouse"
+    val api = new wilayah.Api(spark, wh, "/root/reference/geojson")
+    api.sync("11.73")
+    val none: Option[String] = None
+    // null-tolerant optional prefix (P6): must match ALL rows
+    val q = api.warehouse.filter(
+      lit(none.orNull).isNull ||
+        col("kode_wilayah_kemendagri").startsWith("11.73.01.9999"))
+    assert(q.count() == api.warehouse.count())
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.wilayah.{Geo, Ingest, Model, Store}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming (its "sync" is a blocking batch loop,
+  * /root/reference/server.js:353-376, with a comment admitting a job
+  * queue belongs there). These operators are the Spark-native upgrade a
+  * continuously-fed corpus needs: incremental file ingest with the
+  * batch engine's exact merge semantics, watermarked event-time
+  * aggregation, streaming dedup, and custom keyed state.
+  */
+object Streams {
+
+  // ===== incremental GeoJSON ingest (streaming /api/db/sync) =====
+
+  /** Watch a directory for new GeoJSON files and merge each micro-batch
+    * into the warehouse with the SAME last-writer-wins recipe as batch
+    * sync (Store.merge) — foreachBatch reuses batch DataFrame code, so
+    * stream and batch cannot diverge. `maxFilesPerTrigger` bounds
+    * micro-batch size (at scale: predictable batch memory, steady
+    * shuffle sizes).
+    */
+  def ingestStream(
+      spark: SparkSession,
+      watchDir: String,
+      warehousePath: String,
+      maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val features = spark.readStream
+      .schema(Model.featureCollectionSchema)
+      .option("multiLine", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(watchDir)
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("file_name"),
+        explode(col("features")).as("f"))
+      .select(
+        col("file_name"),
+        Ingest.levelOfFileName(col("file_name")).as("level"),
+        col("f.properties").as("p"),
+        col("f.geometry").as("geometry"))
+
+    val rows = Ingest.withKodeNama(features)
+      .filter(col("kode_wilayah_kemendagri").isNotNull)
+      .select(
+        col("kode_wilayah_kemendagri"),
+        col("nama_wilayah_kemendagri"),
+        col("level"),
+        Geo.normalizeToGeoJson(col("geometry.type"), col("geometry.coordinates"))
+          .as("geometry"),
+        current_timestamp().as("created_at"),
+        current_timestamp().as("updated_at"))
+
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Store.write(Store.merge(Store.load(batch.sparkSession, warehousePath), batch),
+            warehousePath)
+      }
+      .start()
+  }
+
+  // ===== event-time analytics =====
+
+  /** Watermarked tumbling-window counts per event type: the canonical
+    * late-data-tolerant streaming aggregate. State is bounded by the
+    * watermark (10 min past window end gets dropped), so it runs
+    * indefinitely at any input rate.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Streaming exact dedup on a key with watermark-bounded state —
+    * the streaming form of the exact-dedup batch operator (q24):
+    * first occurrence wins, duplicates within the watermark horizon
+    * are dropped, state older than the watermark is evicted.
+    */
+  def streamingDedup(docs: DataFrame, idCol: String): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(idCol, "ts")
+
+  // ===== custom keyed state =====
+
+  case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class UserState(user_id: Long, n_events: Long, total: Double, last_ts: Timestamp)
+
+  /** Running per-user aggregate via mapGroupsWithState — the escape
+    * hatch for state machines the built-in aggregates can't express
+    * (sessionization, CDC-style upserts). Emits the updated state per
+    * key per micro-batch. (Production long-runners would add an
+    * event-time timeout for state eviction; a processing-time timeout
+    * makes the engine self-trigger empty batches forever, which is
+    * also why the test harness avoids it.)
+    */
+  def userRunningState(events: Dataset[KeyedEvent]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[KeyedEvent], state: GroupState[UserState]) =>
+          val evs = batch.toSeq
+          val prev = state.getOption.getOrElse(
+            UserState(userId, 0L, 0.0, new Timestamp(0)))
+          val next = UserState(
+            userId,
+            prev.n_events + evs.size,
+            prev.total + evs.map(_.value).sum,
+            evs.map(_.ts).maxByOption(_.getTime).getOrElse(prev.last_ts))
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedCounts(df).writeStream
+      .format("memory").queryName("win_counts").outputMode("update").start()
+    try {
+      in.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .groupBy("event_type").agg(sum("n").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.streamingDedup(df, "doc_id").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b"))
+      q.processAllAvailable()
+      in.addData((1L, ts(0), "a-dup2"), (3L, ts(2), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-user aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.KeyedEvent]
+    val q = Streams.userRunningState(in.toDS()).writeStream
+      .format("memory").queryName("user_state").outputMode("update").start()
+    try {
+      in.addData(Streams.KeyedEvent(1, ts(0), 10.0), Streams.KeyedEvent(1, ts(1), 5.0),
+                 Streams.KeyedEvent(2, ts(0), 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.KeyedEvent(1, ts(2), 1.5))
+      q.processAllAvailable()
+      val last = spark.table("user_state")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last(1L) == (3L, 16.5))
+      assert(last(2L) == (1L, 1.0))
+    } finally q.stop()
+  }
+
+  test("streaming GeoJSON ingest merges files into the warehouse incrementally") {
+    val watch = Files.createTempDirectory("graft-stream-in")
+    val wh = Files.createTempDirectory("graft-stream-wh").toString + "/warehouse"
+    val src = "/root/reference/geojson"
+
+    val q = Streams.ingestStream(spark, watch.toString, wh)
+    try {
+      // land the kabupaten file -> 1 row
+      Files.copy(Paths.get(s"$src/11.73_Kota_Lhokseumawe.geojson"),
+        watch.resolve("11.73_Kota_Lhokseumawe.geojson"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val api1 = new wilayah.Api(spark, wh, src)
+      assert(api1.warehouse.count() == 1)
+
+      // land the kecamatan file -> merged, now 5 rows, no dup keys
+      Files.copy(Paths.get(s"$src/11.73_kecamatan.geojson"),
+        watch.resolve("11.73_kecamatan.geojson"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val api2 = new wilayah.Api(spark, wh, src)
+      assert(api2.warehouse.count() == 5)
+      assert(wilayah.Store.duplicateKeys(api2.warehouse) == 0)
+      assert(api2.status("11.73") ==
+        Map("provinsi" -> 0L, "kabupaten" -> 1L, "kecamatan" -> 4L, "kelurahan" -> 0L))
+    } finally q.stop()
+  }
+}

@@ -21,8 +21,17 @@ object PipelineQueries {
   /** doc_id + distinct word-trigram shingles, for docs with >= 3 words.
     * (DuckDB mirror: `[array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)]`.)
     */
+  /** The testdata tables are single parquet files -> 1 input split, so
+    * CPU-heavy per-row pipelines (md5 minhash signatures, 64-dim folds)
+    * would run on one core. Spread rows across the cluster first — at
+    * real scale the many input files make this a no-op, locally it is
+    * the difference between 1 and 32 cores.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    spread(documents(s, d))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), wordShingles(col("w"), 3).as("shingles"))
@@ -183,8 +192,8 @@ object PipelineQueries {
                     ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
         SELECT a_id, b_id, dist FROM pairs WHERE dist <= 3 ORDER BY a_id, b_id"""),
       (s, d) => {
-        val docs = documents(s, d)
-          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        val docs = spread(documents(s, d)
+          .filter(col("source").isin("src0", "src1", "src2", "src3")))
         simhashPairs(simhash32(docs, "doc_id", "text"), "doc_id", 3)
           .orderBy("a_id", "b_id")
       }),
@@ -205,7 +214,7 @@ object PipelineQueries {
         val e = embeddings(s, d)
         val q = e.filter(col("vec_id") === 0)
           .select(asDouble(col("embedding")).as("v"))
-        e.filter(col("vec_id") =!= 0)
+        spread(e.filter(col("vec_id") =!= 0))
           .select(col("vec_id"), asDouble(col("embedding")).as("w"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
@@ -227,7 +236,7 @@ object PipelineQueries {
         FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
         ORDER BY cosine DESC, vec_id LIMIT 5"""),
       (s, d) => {
-        val withB = embeddings(s, d)
+        val withB = spread(embeddings(s, d))
           .select(col("vec_id"), asDouble(col("embedding")).as("w"))
           .withColumn("bucket", rhpBucket(col("w"), 64, 4))
         val q = withB.filter(col("vec_id") === 0)
@@ -253,7 +262,7 @@ object PipelineQueries {
         SELECT a_id, b_id, ${cosSql("va", "vb")} AS cosine
         FROM p ORDER BY cosine DESC, a_id, b_id LIMIT 20"""),
       (s, d) => {
-        val withB = embeddings(s, d)
+        val withB = spread(embeddings(s, d))
           .select(col("vec_id"), asDouble(col("embedding")).as("w"))
           .withColumn("bucket", rhpBucket(col("w"), 64, 4))
         withB.as("x").join(withB.as("y"),

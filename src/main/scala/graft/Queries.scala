@@ -38,7 +38,7 @@ object Queries {
   private def dsumSql(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
 
-  val all: Seq[QueryDef] = core ++ extra ++ PipelineQueries.all
+  val all: Seq[QueryDef] = core ++ extra ++ advanced ++ PipelineQueries.all
 
   private lazy val core: Seq[QueryDef] = Seq(
 
@@ -463,6 +463,100 @@ object Queries {
           date_format(add_months(trunc(col("o_orderdate").cast(DateType), "month"), 1),
             "yyyy-MM-dd").as("next_month"))
         .orderBy("o_orderkey"))
+  )
+
+  /** Advanced join + approximate-aggregate surface. */
+  private lazy val advanced: Seq[QueryDef] = Seq(
+
+    // As-of join (trades/quotes shape): for each purchase, the same
+    // user's latest click at-or-before it. DuckDB runs its native ASOF
+    // JOIN; the Spark side uses the scale-safe union+window rewrite —
+    // tag both streams, one shuffle on the key, last_value(ignoreNulls)
+    // over the time order. No range explosion, no per-row probe: the
+    // plan is a single sort-merge pass however large either side is.
+    // The carried value is the click's own timestamp, so equal-ts ties
+    // produce identical output regardless of tiebreak.
+    QueryDef("q41_asof_join",
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.ts AS last_click_ts
+        FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id"""),
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+                  lit(0).as("is_p"), lit(null).cast(LongType).as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+                  lit(null).cast(TimestampType).as("click_ts"),
+                  lit(1).as("is_p"), col("event_id"))
+        // clicks sort before purchases at equal ts, so `<=` is honored
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("last_click_ts", last("click_ts", ignoreNulls = true).over(w))
+          // inner as-of: purchases with no prior click drop out (also
+          // keeps nullable timestamps out of the compared output)
+          .filter(col("is_p") === 1 && col("last_click_ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("last_click_ts"))
+          .orderBy("event_id")
+      }),
+
+    // Range join: same-user clicks in the 5 minutes before each
+    // purchase. The equi key (user_id) carries the join — the range
+    // is a residual predicate on the sort-merge join, never a
+    // cartesian/nested-loop.
+    QueryDef("q42_range_join",
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_recent_clicks
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts < p.ts
+        GROUP BY p.event_id ORDER BY p.event_id"""),
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("ts") - expr("INTERVAL 5 MINUTES") &&
+              col("c_ts") < col("ts"),
+            "left")
+          .groupBy("event_id").agg(count(col("c_ts")).as("n_recent_clicks"))
+          .orderBy("event_id")
+      }),
+
+    // Approximate distinct (HLL). Sketch internals differ across
+    // engines, so the contract is accuracy, not equality: emit the
+    // exact count plus a within-10% flag — at this cardinality both
+    // engines' sparse HLL paths are near-exact, so the flag is a
+    // stable true on both sides.
+    QueryDef("q43_approx_distinct",
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               ABS(CAST(approx_count_distinct(user_id) AS BIGINT)
+                   - COUNT(DISTINCT user_id)) <= 0.1 * COUNT(DISTINCT user_id) AS approx_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+               <= lit(0.1) * countDistinct(col("user_id"))).as("approx_ok"))
+        .orderBy("event_type")),
+
+    // CUBE: all grouping-set combinations in one pass.
+    QueryDef("q44_cube",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"""),
+      (s, d) => orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n")))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -24,6 +24,9 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # pandas NaT (null timestamp): like NaN, NaT != NaT — normalize
+    if v is pd.NaT:
+        return "NaT"
     if hasattr(v, "as_py"):
         v = v.as_py()
     return v

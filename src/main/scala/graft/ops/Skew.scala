@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot-key workloads.
+  *
+  * At 100 TB a handful of hot keys (one viral document source, one
+  * dominant region code) can pin a single reducer. Two standard
+  * mitigations, both pure DataFrame recipes:
+  *
+  * - salted two-stage aggregation: shard each key across `salts`
+  *   partial groups, then combine — the hot key's work spreads over
+  *   `salts` reducers at the cost of one extra (tiny) shuffle stage.
+  * - salted broadcast join (for joins where one side is small but the
+  *   big side is skewed): explode the small side `salts` ways so the
+  *   big side can carry a random salt in its key.
+  *
+  * AQE's skewedJoin handles sort-merge join skew automatically; these
+  * recipes cover aggregation skew and pre-AQE plans.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: COUNT and SUM decompose over
+    * partial groups, so the result is exactly groupBy(key).agg(...).
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      salts: Int = 16): DataFrame = {
+    df
+      .withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(sum("_n").as("n"), sum("_s").as("total"))
+  }
+
+  /** Salted equi-join of a skewed big side against a small dimension:
+    * the dimension replicates `salts` times, the fact side picks a
+    * deterministic pseudo-random salt, and the join key becomes
+    * (key, salt) — splitting each hot key across `salts` tasks.
+    */
+  def saltedJoin(
+      bigSkewed: DataFrame,
+      smallDim: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    val saltedBig = bigSkewed.withColumn(
+      "_salt", pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+    val replicatedDim = smallDim.withColumn(
+      "_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -22,11 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: exercise parquet read, shuffle, window, codegen paths once.
+    // Warmup: one full untimed pass. First execution of each plan pays
+    // whole-stage-codegen compilation + JIT (measured: 8s cold vs 1.7s
+    // warm on the nested higher-order minhash expressions); steady-state
+    // timings are what a long-lived cluster session sees.
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-      Queries.byName.get("q18_last_writer_wins")
-        .foreach(_.build(spark, sfDir).count())
+      Queries.all.foreach(q =>
+        try q.build(spark, sfDir).count()
+        catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
 
     val results = Queries.all.sortBy(_.name).map { q =>

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the dedup/similarity operators — claims the
+  * exact-compare oracle can't express (recall vs ground truth,
+  * invariances, determinism).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shingleSets: Map[Long, Set[String]] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), Pipeline.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), Pipeline.wordShingles(col("w"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+
+  test("MinHash-LSH candidates achieve full recall on high-Jaccard pairs") {
+    val sets = shingleSets
+    val ids = sets.keys.toSeq.sorted
+    // brute-force ground truth: pairs with true trigram Jaccard >= 0.7
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size
+      union = sets(i).size + sets(j).size - inter
+      if union > 0 && inter.toDouble / union >= 0.7
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+
+    val candidates = Queries.byName("q26_minhash_lsh_candidates")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with k=16, b=4, r=4: P(candidate | J=0.7) = 1-(1-0.7^4)^4 ~ 0.74
+    // per band config... but the planted dups here are J >= 0.9 where
+    // recall is ~0.999; assert full recall on the >= 0.7 truth set,
+    // which holds deterministically on this fixed corpus.
+    val missed = truth -- candidates
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("SimHash is invariant to token order and near-equal for near-dup texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"), // same multiset
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")   // one token off
+    ).toDF("doc_id", "text")
+    val sims = Pipeline.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L)) // order-invariant (multiset vote)
+    val dist = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(dist <= 16, s"near-dup texts should have small hamming distance, got $dist")
+  }
+
+  test("brute-force top-k contains the bucketed ANN results' neighbors") {
+    val brute = Queries.byName("q29_cosine_topk").build(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Queries.byName("q30_ann_bucketed").build(spark, sf)
+      .collect().map(_.getLong(0))
+    // ANN probes 1/16 of the corpus: its results are genuine vectors
+    // (non-empty, distinct), and any overlap with brute top-10 is a
+    // bonus — assert structural sanity, not recall (none is guaranteed)
+    assert(ann.nonEmpty && ann.distinct.length == ann.length)
+    assert(brute.size == 10)
+  }
+
+  test("multimodal decode is deterministic and hash-faithful") {
+    val out = Queries.byName("q35_multimodal_features").build(spark, sf)
+    val row = out.filter(col("doc_id") === 0).head()
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    assert(row.getAs[Long]("byte_len") == text.getBytes("UTF-8").length.toLong)
+    assert(row.getAs[Int]("width") == 1 + text.charAt(0).toInt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("content_hash") == md)
+  }
+
+  test("language-ID is total and deterministic across runs") {
+    val a = Queries.byName("q32_langid").build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Queries.byName("q32_langid").build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.sum == Tables.documents(spark, sf).count())
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing deduplication API over any corpus DataFrame — the
+  * library surface for the operators PipelineQueries exercises as
+  * oracle-checked queries.
+  *
+  * All methods return the SURVIVING rows (canonical representative per
+  * duplicate group = lowest id), so callers can chain:
+  * `Dedup.near(Dedup.exact(docs, "doc_id", "text"), "doc_id", "text")`.
+  *
+  * Scale shape: every method is one hash-shuffle on a derived group
+  * key + one window/semi-join — no cartesians, no driver collects.
+  */
+object Dedup {
+
+  /** Exact dedup on content bytes: keep the lowest-id row per distinct
+    * value of `textCol`.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Order/multiplicity-robust dedup: canonical token-set fingerprint
+    * as the group key.
+    */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = Pipeline.canonicalFingerprint(Pipeline.words(col(textCol)))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Near-dup removal: MinHash-LSH candidates verified by exact n-gram
+    * Jaccard >= `threshold`; within each verified pair the higher id
+    * drops. Two-phase (cheap candidates, exact verify on candidates
+    * only) — the plan that survives 100x scale-up.
+    */
+  def near(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      minhashK: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val sh = df
+      .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= shingleN)
+      .select(col(idCol), Pipeline.wordShingles(col("_w"), shingleN).as("shingles"))
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    val losers = Pipeline.lshCandidatePairs(sh, idCol, minhashK, bands)
+      .join(sh.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+      .withColumn("_j",
+        inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
+      .filter(col("_j") >= threshold)
+      .select(col("b_id").as(idCol)) // a_id < b_id: keep the lower id
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -80,6 +80,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("content_hash") == md)
   }
 
+  test("every declared query carries a DuckDB oracle (no rows-only gaps)") {
+    assert(Queries.all.forall(_.oracle.isDefined))
+    assert(Queries.all.map(_.name).distinct.size == Queries.all.size)
+  }
+
+  test("Dedup.near removes exactly the verified near-dup pairs' higher ids") {
+    val docs = Tables.documents(spark, sf)
+    val survivors = Dedup.near(docs, "doc_id", "text", threshold = 0.5)
+    val dropped = docs.count() - survivors.count()
+    val pairs = Queries.byName("q27_jaccard_neardup").build(spark, sf)
+      .select("b_id").distinct().count()
+    assert(dropped == pairs)
+    // chaining exact -> near is stable (no exact dups at this SF)
+    assert(Dedup.exact(docs, "doc_id", "text").count() == docs.count())
+  }
+
   test("language-ID is total and deterministic across runs") {
     val a = Queries.byName("q32_langid").build(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -96,6 +96,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.exact(docs, "doc_id", "text").count() == docs.count())
   }
 
+  test("Similarity facade matches the query-shaped implementations") {
+    val e = Tables.embeddings(spark, sf)
+    val viaApi = Similarity.topK(e, "vec_id", "embedding", queryId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaQuery = Queries.byName("q29_cosine_topk").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaApi.toSeq == viaQuery.toSeq)
+
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", queryId = 0, k = 5)
+      .collect().map(_.getLong(0))
+    val annQuery = Queries.byName("q30_ann_bucketed").build(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(ann.toSeq == annQuery.toSeq)
+
+    val feats = Similarity.withTextFeatures(Tables.documents(spark, sf), "text")
+    assert(feats.columns.contains("rolling_hash"))
+    assert(feats.filter(col("n_tokens") =!= size(split(col("text"), " "))).count() == 0)
+  }
+
   test("language-ID is total and deterministic across runs") {
     val a = Queries.byName("q32_langid").build(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -15,6 +15,14 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.Encoders.product[Wilayah].schema))
 
+  /** Expose the warehouse to Spark SQL (`SELECT ... FROM <name>`), so
+    * the reference's SQL-shaped read paths can run verbatim as SQL —
+    * e.g. `SELECT level, COUNT(*) FROM wilayah WHERE
+    * kode_wilayah_kemendagri LIKE '11.73%' GROUP BY level`.
+    */
+  def registerView(name: String = "wilayah"): Unit =
+    warehouse.createOrReplaceTempView(name)
+
   // ===== ETL =====
 
   /** `POST /api/db/sync` (/root/reference/server.js:340-378): discover

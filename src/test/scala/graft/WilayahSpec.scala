@@ -141,6 +141,23 @@ class WilayahSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) > 0))
   }
 
+  test("warehouse registers as a SQL view and answers the status query in SQL") {
+    val api = freshApi()
+    api.sync("11.73")
+    api.registerView("wilayah")
+    val counts = spark.sql("""
+      SELECT level, COUNT(*) AS n FROM wilayah
+      WHERE kode_wilayah_kemendagri LIKE '11.73%' GROUP BY level""")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(2 -> 1L, 3 -> 4L, 4 -> 68L))
+    // the search path as SQL, incl. cosine_sim availability via extensions
+    val top = spark.sql("""
+      SELECT kode_wilayah_kemendagri AS id, nama_wilayah_kemendagri AS name
+      FROM wilayah WHERE LOWER(nama_wilayah_kemendagri) LIKE '%lhok%'
+      ORDER BY level, name LIMIT 10""").count()
+    assert(top > 0)
+  }
+
   test("merge is last-writer-wins with batch-internal dedup") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -46,6 +46,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to a cell;
+    * probing ranks cells by query-to-centroid cosine and scans only the
+    * `nProbe` nearest cells. Here the cell assignment comes from a
+    * provided column (e.g. a cluster id produced offline — at 100 TB
+    * the coarse quantizer is trained once and shipped as a literal);
+    * centroids are computed per cell with a single groupBy.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              queryId: Long, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val base = df.select(col(idCol), col(cellCol).as("_cell"),
+      asDouble(col(vecCol)).as("_v"))
+    // per-cell centroid: element-wise mean via posexplode + groupBy
+    val centroids = base
+      .select(col("_cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
+      .groupBy("_cell", "_d").agg(avg("_x").as("_m"))
+      .groupBy("_cell").agg(array_sort(collect_list(struct(col("_d"), col("_m"))))
+        .as("_dm"))
+      .select(col("_cell"), transform(col("_dm"), s => s.getField("_m")).as("_centroid"))
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("_v").as("_qv"))
+    val probedCells = centroids.crossJoin(broadcast(q))
+      .select(col("_cell"), cosineSim(col("_qv"), col("_centroid")).as("_cc"))
+      .orderBy(col("_cc").desc).limit(nProbe)
+      .select("_cell")
+    base.filter(col(idCol) =!= queryId)
+      .join(broadcast(probedCells), "_cell")
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosineSim(col("_qv"), col("_v")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Append text-analysis feature columns to a document DataFrame:
     * token counts, type-token ratio, stopword ratio, BPE-ish subword
     * estimate, canonical fingerprint, rolling hash — all scan-side

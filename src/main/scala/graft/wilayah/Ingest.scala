@@ -118,4 +118,14 @@ object Ingest {
       .withColumn("kode_wilayah_kemendagri", when(complete, kode))
       .withColumn("nama_wilayah_kemendagri", nama)
   }
+
+  /** Rows withKodeNama could not derive a key for (missing required
+    * properties for their level) — the quarantine stream. The reference
+    * silently writes `"undefined"`-laced codes instead
+    * (/root/reference/server.js:160-185 via JS string interpolation);
+    * we surface them for inspection and keep them out of the warehouse.
+    */
+  def quarantine(withCodes: DataFrame): DataFrame =
+    withCodes.filter(col("kode_wilayah_kemendagri").isNull)
+      .select(col("file_name"), col("level"), col("p").as("properties"))
 }

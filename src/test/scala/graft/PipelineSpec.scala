@@ -115,6 +115,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.filter(col("n_tokens") =!= size(split(col("text"), " "))).count() == 0)
   }
 
+  test("IVF ANN probes only the nearest cells and returns valid neighbours") {
+    val e = Tables.embeddings(spark, sf)
+    val res = Similarity.ivfTopK(e, "vec_id", "embedding", "label",
+      queryId = 0, k = 5, nProbe = 3)
+    val rows = res.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 5)
+    assert(rows.map(_._1).distinct.length == 5)
+    assert(rows.sliding(2).forall(p => p.head._2 >= p.last._2)) // sorted desc
+    // probed subset => every ANN cosine must appear in the exact ranking
+    val exact = Similarity.topK(e, "vec_id", "embedding", queryId = 0, k = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    rows.foreach { case (id, c) => assert(exact(id) == c) }
+  }
+
   test("language-ID is total and deterministic across runs") {
     val a = Queries.byName("q32_langid").build(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

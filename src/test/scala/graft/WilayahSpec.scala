@@ -111,6 +111,27 @@ class WilayahSpec extends AnyFunSuite {
     assert(touched == 73)
   }
 
+  test("dirty rows quarantine instead of producing undefined-laced codes") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-dirty")
+    // a level-4 file whose second feature is missing kd_kelurahan
+    val json = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"001","nm_kelurahan":"Ok"},
+       "geometry":{"type":"MultiPolygon","coordinates":[[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]]}},
+      {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","nm_kelurahan":"Broken"},
+       "geometry":{"type":"MultiPolygon","coordinates":[[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]]}}]}"""
+    Files.writeString(dir.resolve("11.73_kelurahan.geojson"), json)
+    val withCodes = wilayah.Ingest.withKodeNama(
+      wilayah.Ingest.readFeatures(spark, Seq(dir.toString + "/11.73_kelurahan.geojson")))
+    val good = withCodes.filter(col("kode_wilayah_kemendagri").isNotNull).collect()
+    val bad = wilayah.Ingest.quarantine(withCodes).collect()
+    assert(good.length == 1 && good.head.getAs[String]("kode_wilayah_kemendagri") == "11.73.01.2001")
+    assert(bad.length == 1 && bad.head.getAs[Int]("level") == 4)
+    // no "undefined"/partial codes ever surface
+    assert(!withCodes.collect().exists(r =>
+      Option(r.getAs[String]("kode_wilayah_kemendagri")).exists(_.contains("undefined"))))
+  }
+
   test("seed loads only the level-1 province file, idempotently") {
     val api = freshApi()
     assert(api.seed() == 1)              // 11_Aceh.geojson: 1 feature

@@ -78,6 +78,24 @@ class WilayahSpec extends AnyFunSuite {
     assert(ring.head == ring.last) // closed
   }
 
+  test("geometry round-trips: asGeoJson text re-parses to the same coordinates") {
+    import org.apache.spark.sql.functions.from_json
+    val feats = Ingest.readFeatures(spark, Seq(s"$geojsonDir/11.73_kecamatan.geojson"))
+    val flat = feats.select(Geo.force2D(col("geometry.coordinates")).as("c"))
+    val roundTrip = flat.select(
+      col("c"),
+      from_json(Geo.asGeoJson(col("c")), graft.wilayah.Model.geometryType)
+        .getField("coordinates").as("c2"))
+    assert(roundTrip.filter(col("c") =!= col("c2")).count() == 0)
+    // and the stored (simplified) text is valid GeoJSON for the read path
+    val stored = feats.select(
+      Geo.normalizeToGeoJson(col("geometry.type"), col("geometry.coordinates")).as("g"))
+    val parsed = stored.select(
+      from_json(col("g"), graft.wilayah.Model.geometryType).as("geom"))
+    assert(parsed.filter(col("geom.type") =!= "MultiPolygon").count() == 0)
+    assert(parsed.filter(size(col("geom.coordinates")) < 1).count() == 0)
+  }
+
   test("sync 11.73 end-to-end: counts, search, geojson, idempotence") {
     val api = freshApi()
     val processed = api.sync("11.73")

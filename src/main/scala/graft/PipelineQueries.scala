@@ -376,6 +376,24 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // BPE-ish regex tokenization: maximal vowel runs vs non-vowel runs.
+    // The two alternation branches match DISJOINT character classes, so
+    // leftmost-first (Java) and leftmost-longest (RE2/DuckDB) regex
+    // engines produce identical token streams — engine-portable by
+    // construction.
+    QueryDef("q45_regex_tokens",
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS BIGINT) AS n_subword_regex
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => documents(s, d).select(
+          col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0)))
+            .cast(LongType).as("n_subword_regex"))
+        .orderBy("doc_id")),
+
     // ===== Multimodal plumbing =====
 
     // Media as opaque binary + typed metadata, decoded per-partition

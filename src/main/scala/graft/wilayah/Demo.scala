@@ -1,6 +1,5 @@
 package graft.wilayah
 
-import org.apache.spark.sql.SparkSession
 
 /** Executable usage example: seed + sync + every query entry point,
   * against the corpus dir in arg0 (default /root/reference/geojson)
@@ -9,13 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Demo {
   def main(args: Array[String]): Unit = {
     val geojsonDir = args.headOption.getOrElse("/root/reference/geojson")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
     val wh = java.nio.file.Files.createTempDirectory("graft-demo").toString + "/warehouse"

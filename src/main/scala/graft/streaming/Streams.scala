@@ -30,7 +30,8 @@ object Streams {
       spark: SparkSession,
       watchDir: String,
       warehousePath: String,
-      maxFilesPerTrigger: Int = 8): StreamingQuery = {
+      maxFilesPerTrigger: Int = 8,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val features = spark.readStream
       .schema(Model.featureCollectionSchema)
       .option("multiLine", true)
@@ -56,14 +57,17 @@ object Streams {
         current_timestamp().as("created_at"),
         current_timestamp().as("updated_at"))
 
-    rows.writeStream
+    val writer = rows.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           Store.write(Store.merge(Store.load(batch.sparkSession, warehousePath), batch),
             warehousePath)
       }
-      .start()
+    // with a checkpoint the source offsets survive restarts: already-
+    // ingested files are not re-read, and a replayed in-flight batch is
+    // harmless because the merge is idempotent (last-writer-wins by key)
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
   // ===== event-time analytics =====

@@ -51,6 +51,10 @@ class PlansSpec extends AnyFunSuite {
     // rule injected level >= 3 -> partition filter on the scan
     val pf = scans.head.partitionFilters.mkString(";")
     assert(pf.contains("level"), s"expected level partition filter, got: $pf")
+    // and the prefix itself pushes to parquet (row-group min/max
+    // skipping on the kode-sorted files)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("StringStartsWith"), s"expected pushed prefix, got: $pushed")
     // and the result is still correct: 1 kecamatan + its kelurahan
     assert(q.count() == api.warehouse
       .filter(col("kode_wilayah_kemendagri").startsWith("11.73.01")).count())

@@ -66,6 +66,37 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed ingest stream survives restart without re-reading files") {
+    val watch = Files.createTempDirectory("graft-ckpt-in")
+    val wh = Files.createTempDirectory("graft-ckpt-wh").toString + "/warehouse"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val src = "/root/reference/geojson"
+
+    val q1 = Streams.ingestStream(spark, watch.toString, wh, checkpointDir = Some(ckpt))
+    try {
+      Files.copy(Paths.get(s"$src/11.73_Kota_Lhokseumawe.geojson"),
+        watch.resolve("11.73_Kota_Lhokseumawe.geojson"), StandardCopyOption.REPLACE_EXISTING)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val created1 = new wilayah.Api(spark, wh, src).warehouse
+      .select(min("created_at")).head().getTimestamp(0)
+
+    // restart from the same checkpoint; land one NEW file only
+    val q2 = Streams.ingestStream(spark, watch.toString, wh, checkpointDir = Some(ckpt))
+    try {
+      Files.copy(Paths.get(s"$src/11.73_kecamatan.geojson"),
+        watch.resolve("11.73_kecamatan.geojson"), StandardCopyOption.REPLACE_EXISTING)
+      q2.processAllAvailable()
+      val api = new wilayah.Api(spark, wh, src)
+      assert(api.warehouse.count() == 5)
+      assert(wilayah.Store.duplicateKeys(api.warehouse) == 0)
+      // the old file was NOT re-ingested: its row's timestamps unchanged
+      val created2 = api.warehouse.filter(col("level") === 2)
+        .select(min("created_at")).head().getTimestamp(0)
+      assert(created2 == created1)
+    } finally q2.stop()
+  }
+
   test("streaming GeoJSON ingest merges files into the warehouse incrementally") {
     val watch = Files.createTempDirectory("graft-stream-in")
     val wh = Files.createTempDirectory("graft-stream-wh").toString + "/warehouse"

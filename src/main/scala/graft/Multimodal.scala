@@ -49,6 +49,27 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
+  /** One sampled frame of a media document. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Frame sampling: emit every `every`-th frame of each media doc as
+    * its own row — the fan-out shape video pipelines use (one row per
+    * sampled frame, co-partitioned with the source doc). The frame
+    * "decode" is the same deterministic stub; the flatMap-per-partition
+    * plumbing and output schema are the real contract.
+    */
+  def sampleFrames(ds: Dataset[MediaDoc], every: Int = 2): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, nFrames) = FakeCodec.decode(m.content)
+        (0 until nFrames by every).iterator.map { i =>
+          Frame(m.doc_id, i, md5hex(m.content ++ Array(i.toByte)))
+        }
+      }
+    }
+  }
+
   /** Decode + feature-extract, one codec instance per partition.
     * `mapPartitions` (not `map`) so codec setup cost amortizes across
     * the partition's rows — the standard Spark batch shape for

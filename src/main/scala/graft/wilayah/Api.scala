@@ -151,10 +151,19 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
     case _ => Seq.empty
   }
 
-  def geojson(code: String): Map[String, String] =
-    geojsonPlan(code).map { case (slot, level, prefix) =>
-      slot -> featureCollection(byLevel(level, Some(prefix)))
-    }.toMap
+  /** The 2-4 per-level fetches are independent — run them as
+    * concurrent Spark jobs (the reference awaits them sequentially,
+    * /root/reference/server.js:429-476).
+    */
+  def geojson(code: String): Map[String, String] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = geojsonPlan(code).map { case (slot, level, prefix) =>
+      Future(slot -> featureCollection(byLevel(level, Some(prefix))))
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
 
   /** FeatureCollection assembly (/root/reference/server.js:486-506):
     * rows -> {type, features:[{type, properties:{name,id}, geometry}]}.

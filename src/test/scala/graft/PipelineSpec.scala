@@ -68,6 +68,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.size == 10)
   }
 
+  test("frame sampling fans out every Nth frame per media doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.BinaryType
+    val media = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      .as[Multimodal.MediaDoc]
+    val frames = Multimodal.sampleFrames(media, every = 2).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f.n_frames).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == (feats(id) + 1) / 2) // ceil(n/2) sampled at every=2
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until feats(id) by 2).toSeq)
+      assert(fs.map(_.frame_hash).distinct.length == fs.length)
+    }
+  }
+
   test("multimodal decode is deterministic and hash-faithful") {
     val out = Queries.byName("q35_multimodal_features").build(spark, sf)
     val row = out.filter(col("doc_id") === 0).head()

@@ -35,15 +35,26 @@ object Pipeline {
 
   // ===== MinHash + LSH (SURVEY: scale path for near-dup text) =====
 
-  /** k-permutation MinHash signature: element j is the lexicographic
-    * min of md5(j + "|" + shingle). String-min of md5 hex is a valid
-    * uniform min-hash and is engine-portable (no 64-bit signed
-    * arithmetic pitfalls). One pass over shingles per doc, no shuffle.
+  /** MinHash permutation constants: k affine maps h -> (a*h + b) mod P
+    * over the 32-bit base hash. P is prime and > 2^32; products stay
+    * under 2^53 (a < 2^21, h < 2^32), so the arithmetic is exact in
+    * signed 64-bit on every engine — no overflow divergence.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(shingles, s =>
-        md5(concat(j.cast(StringType), lit("|"), s)))))
+  val MinhashP: Long = (1L << 61) - 1 // Mersenne prime 2^61-1
+  def minhashA(j: Int): Long = 2L * j + 3L + (j.toLong * j * 7919L)
+  def minhashB(j: Int): Long = 104729L * (j + 1)
+
+  /** k-permutation MinHash signature from PRE-COMPUTED 32-bit shingle
+    * hashes: k cheap affine permutations (a_j*h + b_j mod P), min per
+    * permutation — one md5 per shingle total (computed by the caller in
+    * its own projection), 16x less hash work than hashing per
+    * (permutation, shingle). The standard scheme at scale.
+    */
+  def minhashSignatureFromHashes(hs: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(hs, h =>
+        pmod(lit(minhashA(j)) * h + lit(minhashB(j)), lit(MinhashP))))
+    }: _*)
 
   /** LSH banding: hash each band of `rowsPerBand` signature rows to a
     * bucket id. Docs sharing any (band, hash) are candidate pairs.
@@ -55,7 +66,9 @@ object Pipeline {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(
         b.as("band"),
-        md5(concat_ws("|", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
+        md5(concat_ws("|",
+          transform(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+            _.cast(StringType))))
           .as("bh")))
 
   /** Candidate near-dup pairs (a_id < b_id) from MinHash-LSH band
@@ -66,9 +79,14 @@ object Pipeline {
   def lshCandidatePairs(docShingles: DataFrame, idCol: String,
                         k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    // base hashes in their OWN projection: the signature references the
+    // alias k times, and CollapseProject keeps expensive multiply-
+    // referenced aliases un-inlined — so each shingle is md5'd once,
+    // not once per permutation
     val banded = docShingles
+      .select(col(idCol), transform(col("shingles"), wordHash32(_)).as("hs"))
       .select(col(idCol),
-        explode(lshBands(minhashSignature(col("shingles"), k), bands, rows))
+        explode(lshBands(minhashSignatureFromHashes(col("hs"), k), bands, rows))
           .as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
     banded.as("x").join(banded.as("y"),

@@ -43,12 +43,21 @@ object PipelineQueries {
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
            FROM w WHERE len(w) >= 3)"""
 
-  // Shared oracle CTE chain: MinHash k=16, 4 bands x 4 rows, candidate
-  // pairs from band collisions.
+  // Shared oracle CTE chain: MinHash k=16 (one md5 per shingle to a
+  // 32-bit base hash, then 16 affine permutations mod 2^61-1 —
+  // mirrors Pipeline.minhashSignatureFromHashes/minhashA/minhashB),
+  // 4 bands x 4 rows, candidate pairs from band collisions.
   private val lshCte = shinglesCte + """,
+    hs AS (SELECT doc_id,
+             list_transform(shingles, s ->
+               list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
+                           (a, b) -> a*16 + b)) AS hs
+           FROM sh),
     sig AS (SELECT doc_id,
-              [list_min([md5(CAST(j AS VARCHAR) || '|' || s) for s in shingles]) for j in range(0, 16)] AS sig
-            FROM sh),
+              [list_min(list_transform(hs, h ->
+                 ((2*j + 3 + j*j*7919) * h + 104729*(j+1)) % 2305843009213693951))
+               for j in range(0, 16)] AS sig
+            FROM hs),
     banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

@@ -159,20 +159,31 @@ object Pipeline {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Deterministic ±1 hyperplane component: parity of the first hex
+    * digit of md5(s"${plane}_${dim}") — the same value the DuckDB
+    * oracle derives in SQL. Computed ONCE at plan-build time (Catalyst
+    * cannot constant-fold through higher-order-function lambdas, so
+    * deriving these in-row would cost planes*dims md5 calls per row).
+    */
+  def rhpSign(plane: Int, dim: Int): Double = {
+    val d0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))(0)
+    if (((d0 >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+  }
+
   /** Random-hyperplane LSH bucket for a double-array vector: `planes`
-    * hyperplanes with deterministic ±1 components derived from
-    * md5(plane + "_" + dim) parity; bit p = (v · h_p > 0). Buckets
-    * partition the corpus so ANN probes touch ~N/2^planes vectors.
-    * At scale: signature computed in the scan projection (one pass),
-    * candidates co-located by repartition(bucket).
+    * hyperplanes with md5-parity ±1 components (embedded as literal
+    * arrays); bit p = (v · h_p > 0). Buckets partition the corpus so
+    * ANN probes touch ~N/2^planes vectors. At scale: signature computed
+    * in the scan projection (one pass), candidates co-located by
+    * repartition(bucket). Fold order matches the oracle's index-ordered
+    * sum exactly.
     */
   def rhpBucket(v: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
+      val signs = typedLit((1 to dims).map(d => rhpSign(p, d)))
       val proj = aggregate(
-        transform(sequence(lit(1), lit(dims)), d =>
-          element_at(v, d) *
-            when(conv(substring(md5(concat(lit(s"${p}_"), d.cast(StringType))), 1, 1), 16, 10)
-                   .cast(LongType) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(v, signs, (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -196,7 +196,7 @@ object Pipeline {
     * arithmetic stays integral (no float compare hazards vs the oracle).
     */
   def occurrences2x(text: Column, s: String): Column =
-    length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(s), ""))
+    length(text) - length(call_function("replace", text, lit(s), lit("")))
 
   val StopWords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 

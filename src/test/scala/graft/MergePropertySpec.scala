@@ -38,6 +38,34 @@ class MergePropertySpec extends AnyFunSuite {
   private def sample(seed: Long): List[Up] =
     genBatch.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
 
+  test("code synthesis grammar: generated properties yield well-formed codes") {
+    import org.apache.spark.sql.functions.col
+    val genProps = for {
+      prop <- Gen.listOfN(2, Gen.numChar).map(_.mkString)
+      dati <- Gen.listOfN(2, Gen.numChar).map(_.mkString)
+      kec <- Gen.listOfN(3, Gen.numChar).map(_.mkString)
+      kel <- Gen.listOfN(3, Gen.numChar).map(_.mkString)
+    } yield (prop, dati, kec, kel)
+    val expectedLen = Map(1 -> 2, 2 -> 5, 3 -> 8, 4 -> 13)
+    for (seed <- 1 to 10; level <- 1 to 4) {
+      val (p, d, kc, kl) = genProps(Gen.Parameters.default, Seed(seed)).get
+      import spark.implicits._
+      val df = Seq((level, p, d, kc, kl))
+        .toDF("level", "kd_propinsi", "kd_dati2", "kd_kecamatan", "kd_kelurahan")
+        .selectExpr("level",
+          "named_struct('kd_propinsi', kd_propinsi, 'nm_propinsi', 'N'," +
+          " 'kd_dati2', kd_dati2, 'nm_dati2', 'N'," +
+          " 'kd_kecamatan', kd_kecamatan, 'nm_kecamatan', 'N'," +
+          " 'kd_kelurahan', kd_kelurahan, 'nm_kelurahan', 'N') AS p")
+      val kode = graft.wilayah.Ingest.withKodeNama(df)
+        .select(col("kode_wilayah_kemendagri")).head().getString(0)
+      assert(kode.length == expectedLen(level), s"level $level: $kode")
+      assert(kode.matches("[0-9.]+"))
+      if (level >= 3) assert(kode.split('.')(2) == kc.takeRight(2))
+      if (level == 4) assert(kode.split('.')(3) == "2" + kl)
+    }
+  }
+
   test("merge of random upsert batches is last-writer-wins per key") {
     for (s <- 1 to 15) {
       val (b1, b2) = (sample(s * 2L), sample(s * 2L + 1))

@@ -25,6 +25,15 @@ object Demo {
     println(s"geojson slots: ${fc.keySet}")
     println(s"kabupaten FC head: ${fc("kabupaten").take(160)}...")
     println(s"seed again (idempotent): processed=${api.seed()}")
+
+    // ETL throughput: full-corpus sync (the reference's per-feature
+    // sequential upsert loop is the contrast, server.js:368-375)
+    val whFull = java.nio.file.Files.createTempDirectory("graft-demo-full").toString + "/warehouse"
+    val apiFull = new Api(spark, whFull, geojsonDir)
+    val t0 = System.nanoTime()
+    val n = apiFull.sync("11")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"full-corpus sync: $n features (67 MB GeoJSON, force2D+simplify+merge) in $secs%.1f s = ${n / secs}%.0f features/s")
     println("passthrough '11':")
     api.passthrough("11").select("file_name", "slot", "size_bytes").show(truncate = false)
     spark.stop()

@@ -36,6 +36,38 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Connected components over a near-dup pair list: label propagation
+    * to the minimum reachable id — each row gets a `cluster` column
+    * identifying its duplicate group (its own id when unpaired).
+    *
+    * The iterative shape is the scale-standard one: per iteration, one
+    * join + one min-aggregate, with `localCheckpoint` truncating plan
+    * lineage so the loop doesn't build an ever-deeper DAG. Iterations
+    * are bounded by the cluster diameter (near-dup clusters are
+    * shallow; runaway growth would indicate a degenerate threshold).
+    */
+  def clusters(pairs: DataFrame, allIds: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()
+    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neighborMin = edges.join(labels, col("b_id") === col("id"))
+        .groupBy(col("a_id")).agg(min("cluster").as("ncluster"))
+      val updated = labels.join(neighborMin, col("id") === col("a_id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("cluster")).count()
+      labels = updated.select(col("id"), col("next").as("cluster"))
+      iter += 1
+    }
+    labels.withColumnRenamed("id", idCol)
+  }
+
   /** Near-dup removal: MinHash-LSH candidates verified by exact n-gram
     * Jaccard >= `threshold`; within each verified pair the higher id
     * drops. Two-phase (cheap candidates, exact verify on candidates

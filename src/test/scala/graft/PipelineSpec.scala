@@ -145,6 +145,26 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach { case (id, c) => assert(exact(id) == c) }
   }
 
+  test("connected components label every duplicate group by its minimum id") {
+    import spark.implicits._
+    // two chains and a singleton: {1-2-3}, {10-11}, {99}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Dedup.clusters(pairs, ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+
+    // on the real corpus: every LSH-verified near-dup pair lands in one cluster
+    val realPairs = Queries.byName("q27_jaccard_neardup").build(spark, sf)
+      .select("a_id", "b_id")
+    val realIds = Tables.documents(spark, sf).select("doc_id")
+    val labels = Dedup.clusters(realPairs, realIds, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    realPairs.collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+  }
+
   test("language-ID is total and deterministic across runs") {
     val a = Queries.byName("q32_langid").build(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

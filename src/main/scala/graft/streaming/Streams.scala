@@ -96,6 +96,22 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(idCol, "ts")
 
+  /** Stream-stream join: purchases joined to same-user clicks in the
+    * preceding 5 minutes — the streaming form of the batch range join
+    * (q42). Watermarks on BOTH sides bound the join state: a click
+    * older than watermark - 5min can never match a future purchase and
+    * is evicted. Columns: purchases(p_ts, user_id, p_id),
+    * clicks(c_ts, c_user, c_id).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.withWatermark("p_ts", "10 minutes")
+      .join(clicks.withWatermark("c_ts", "10 minutes"),
+        expr("""
+          user_id = c_user AND
+          c_ts >= p_ts - INTERVAL 5 MINUTES AND
+          c_ts < p_ts"""))
+      .select(col("p_id"), col("user_id"), col("c_id"), col("p_ts"), col("c_ts"))
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -46,6 +46,26 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join matches clicks to later purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val q = Streams.purchaseClickJoin(
+        purchases.toDF().toDF("p_ts", "user_id", "p_id"),
+        clicks.toDF().toDF("c_ts", "c_user", "c_id"))
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      clicks.addData((ts(0), 1L, 100L), (ts(2), 1L, 101L), (ts(0), 2L, 200L))
+      purchases.addData((ts(4), 1L, 900L), (ts(30), 2L, 901L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 1: both clicks within [p_ts-5m, p_ts); user 2's click is 30m old
+      assert(rows == Set((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

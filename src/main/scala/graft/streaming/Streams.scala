@@ -117,6 +117,56 @@ object Streams {
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)
   case class UserState(user_id: Long, n_events: Long, total: Double, last_ts: Timestamp)
 
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+  // state classes must be encoder-visible (non-private): the state
+  // serializer is codegen'd and cannot call private accessors
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Sessionization via flatMapGroupsWithState + event-time timeout:
+    * events within `gapMinutes` of each other extend a session; a
+    * larger gap (or the watermark passing the gap horizon) closes and
+    * EMITS the session. The flatMap shape is what emit-on-close
+    * requires — zero or many outputs per key per batch — and the
+    * event-time timeout bounds state exactly like the watermark bounds
+    * a windowed aggregate.
+    */
+  def userSessions(events: Dataset[KeyedEvent], gapMinutes: Int = 5): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60_000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[KeyedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Running per-user aggregate via mapGroupsWithState — the escape
     * hatch for state machines the built-in aggregates can't express
     * (sessionization, CDC-style upserts). Emits the updated state per

@@ -86,6 +86,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap and watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.KeyedEvent]
+    val q = Streams.userSessions(in.toDS(), gapMinutes = 5).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session A: 3 events within gaps; then a 20-min jump starts B
+      in.addData(Streams.KeyedEvent(1, ts(0), 1.0), Streams.KeyedEvent(1, ts(3), 1.0),
+                 Streams.KeyedEvent(1, ts(6), 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.KeyedEvent(1, ts(26), 1.0))
+      q.processAllAvailable()
+      // the gap closes session A within-batch or via watermark advance
+      in.addData(Streams.KeyedEvent(2, ts(60), 1.0)) // push watermark forward
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Streams.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start.getTime)
+      assert(sessions.nonEmpty)
+      assert(sessions.head.n_events == 3)
+      assert(sessions.head.start == ts(0) && sessions.head.end == ts(6))
+    } finally q.stop()
+  }
+
   test("checkpointed ingest stream survives restart without re-reading files") {
     val watch = Files.createTempDirectory("graft-ckpt-in")
     val wh = Files.createTempDirectory("graft-ckpt-wh").toString + "/warehouse"

@@ -549,6 +549,27 @@ object Queries {
                <= lit(0.1) * countDistinct(col("user_id"))).as("approx_ok"))
         .orderBy("event_type")),
 
+    // Null semantics: NULLIF/COALESCE and null-safe comparison
+    // (IS DISTINCT FROM = negated <=>). The corpus has no nulls, so
+    // NULLIF manufactures them and the query proves they flow through
+    // aggregation boundaries identically in both engines.
+    QueryDef("q46_null_semantics",
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(NULLIF(event_type, 'click')) AS BIGINT) AS n_non_click_counted,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type IS DISTINCT FROM 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from,
+               COALESCE(NULLIF(MIN(event_type), 'click'), 'all_clicks') AS min_or_marker
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => events(s, d).groupBy("event_type")
+        .agg(count(nullif(col("event_type"), lit("click"))).as("n_non_click_counted"),
+             count(lit(1)).as("n_total"),
+             sum(when(!(col("event_type") <=> lit("click")), 1).otherwise(0))
+               .as("n_distinct_from"),
+             coalesce(nullif(min(col("event_type")), lit("click")), lit("all_clicks"))
+               .as("min_or_marker"))
+        .orderBy("event_type")),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

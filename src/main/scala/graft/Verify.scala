@@ -7,13 +7,25 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.fromEnv("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // dump queries 4 at a time: each writes its own directory, and the
+    // Spark scheduler interleaves the independent jobs — roughly halves
+    // the gate's wall-clock vs a sequential loop
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(dumps),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt from the full row content. Salts derived from
+    * partition ids or monotonically_increasing_id are NOT retry-stable:
+    * if only some reducers refetch a re-generated map output, rows can
+    * land in different salt groups than the surviving fetches saw —
+    * the classic shuffle-nondeterminism correctness bug. Hashing row
+    * content is stable under any recomputation (identical rows sharing
+    * a salt group is harmless — distinct rows still spread).
+    */
+  private def rowSalt(df: DataFrame, salts: Int) =
+    pmod(hash(df.columns.map(col): _*), lit(salts))
+
   /** Two-stage salted aggregation: COUNT and SUM decompose over
     * partial groups, so the result is exactly groupBy(key).agg(...).
     */
@@ -30,7 +41,7 @@ object Skew {
       valueCol: String,
       salts: Int = 16): DataFrame = {
     df
-      .withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("_salt", rowSalt(df, salts))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(keyCol))
@@ -47,8 +58,7 @@ object Skew {
       smallDim: DataFrame,
       key: String,
       salts: Int = 16): DataFrame = {
-    val saltedBig = bigSkewed.withColumn(
-      "_salt", pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+    val saltedBig = bigSkewed.withColumn("_salt", rowSalt(bigSkewed, salts))
     val replicatedDim = smallDim.withColumn(
       "_salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

@@ -77,9 +77,17 @@ object Geo {
     }
   }
 
-  /** Column form of [[simplifyCoords]] at the reference tolerance. */
+  /** Column form of [[simplifyCoords]] at the reference tolerance.
+    * A geometry JTS rejects (open ring, < 4 points) passes through
+    * UNSIMPLIFIED instead of failing the whole sync batch — geometry
+    * reduction is a storage optimization, not a correctness
+    * requirement, so degraded is better than dead.
+    */
   val simplifyUdf = udf((coords: Coords) =>
-    if (coords == null) null else simplifyCoords(coords, SimplifyTolerance))
+    if (coords == null) null
+    else
+      try simplifyCoords(coords, SimplifyTolerance)
+      catch { case _: Exception => coords })
 
   /** Full write-path normalization: Force2D -> SimplifyPreserveTopology
     * -> Multi -> GeoJSON text (the upsert expression at

@@ -96,6 +96,18 @@ class WilayahSpec extends AnyFunSuite {
     assert(parsed.filter(size(col("geom.coordinates")) < 1).count() == 0)
   }
 
+  test("a JTS-rejected ring degrades to unsimplified instead of failing the batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.size
+    // open triangle (not closed, 3 points): JTS createLinearRing throws
+    val bad: Geo.Coords = Seq(Seq(Seq(Seq(97.0, 5.0), Seq(97.1, 5.0), Seq(97.1, 5.1))))
+    val out = Seq(Tuple1(bad)).toDF("c")
+      .select(Geo.simplifyUdf(col("c")).as("s"))
+      .head().getSeq[Any](0)
+    assert(out.nonEmpty) // passed through, no task failure
+    intercept[Exception](Geo.simplifyCoords(bad, Geo.SimplifyTolerance))
+  }
+
   test("sync 11.73 end-to-end: counts, search, geojson, idempotence") {
     val api = freshApi()
     val processed = api.sync("11.73")

@@ -60,6 +60,21 @@ class PlansSpec extends AnyFunSuite {
       .filter(col("kode_wilayah_kemendagri").startsWith("11.73.01")).count())
   }
 
+  test("no query silently plans a cartesian or nested-loop join") {
+    // queries where a nested-loop is INTENTIONAL: a broadcast cross
+    // join against a literally-one-row build side (the ANN query
+    // vector) — constant work per probe row, safe at any scale
+    val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed")
+    Queries.all.foreach { q =>
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      if (!oneRowBuild(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
+
   test("pruning rule is OR-safe: optional-prefix pattern is untouched") {
     val wh = java.nio.file.Files.createTempDirectory("graft-prune2").toString + "/warehouse"
     val api = new wilayah.Api(spark, wh, "/root/reference/geojson")

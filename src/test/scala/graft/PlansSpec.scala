@@ -75,6 +75,17 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("hot scan paths stay inside whole-stage codegen") {
+    // queries whose per-row work is the cost: a missing codegen span
+    // here means an interpreted hot loop (10x slower at scale)
+    for (name <- Seq("q01_pricing_summary", "q21_scalar_funcs",
+                     "q24_exact_dedup", "q33_quality_score")) {
+      val plan = Queries.byName(name).build(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WholeStageCodegen"), s"$name lost codegen")
+    }
+  }
+
   test("pruning rule is OR-safe: optional-prefix pattern is untouched") {
     val wh = java.nio.file.Files.createTempDirectory("graft-prune2").toString + "/warehouse"
     val api = new wilayah.Api(spark, wh, "/root/reference/geojson")

@@ -78,12 +78,17 @@ class PlansSpec extends AnyFunSuite {
   test("hot scan paths stay inside whole-stage codegen") {
     // queries whose per-row work is the cost: a missing codegen span
     // here means an interpreted hot loop (10x slower at scale)
-    for (name <- Seq("q01_pricing_summary", "q21_scalar_funcs",
-                     "q24_exact_dedup", "q33_quality_score")) {
-      val plan = Queries.byName(name).build(spark, sf)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("WholeStageCodegen"), s"$name lost codegen")
-    }
+    // AQE defers codegen decisions to runtime (explain reports 0
+    // subtrees pre-execution), so inspect the static plan with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q01_pricing_summary", "q21_scalar_funcs",
+                       "q24_exact_dedup", "q33_quality_score")) {
+        val plan = Queries.byName(name).build(spark, sf)
+          .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+        assert(!plan.startsWith("Found 0 WholeStageCodegen"), s"$name lost codegen")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("pruning rule is OR-safe: optional-prefix pattern is untouched") {

@@ -570,6 +570,35 @@ object Queries {
                .as("min_or_marker"))
         .orderBy("event_type")),
 
+    // Array functions over grouped collections: sorted per-order
+    // quantity vectors with positional access. Outputs stay scalar
+    // (array cells and stringified doubles don't compare portably);
+    // out-of-bounds access yields NULL identically in both engines.
+    QueryDef("q47_array_ops",
+      Some("""
+        WITH a AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT l_orderkey,
+               CAST(len(qs) AS INTEGER) AS n_items,
+               qs[1] AS min_q,
+               qs[-1] AS max_q,
+               qs[2] AS second_q,
+               CAST(list_contains(qs, 1.0) AS BOOLEAN) AS has_unit
+        FROM a ORDER BY l_orderkey"""),
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          element_at(col("qs"), 1).as("min_q"),
+          element_at(col("qs"), -1).as("max_q"),
+          // ANSI mode (Spark 4 default) throws on out-of-bounds
+          // element_at; try_element_at returns NULL like DuckDB's qs[2]
+          try_element_at(col("qs"), lit(2)).as("second_q"),
+          array_contains(col("qs"), 1.0).as("has_unit"))
+        .orderBy("l_orderkey")),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

@@ -91,6 +91,39 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("GroupedTopK operator matches the window formulation and plans partial+final") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.{GroupedTopK, GroupedTopKExec}
+    val li = Tables.lineitem(spark, sf)
+
+    val custom = GroupedTopK.perKey(li, Seq("l_orderkey"), "l_extendedprice", k = 2)
+    // plan: final exec over partial exec (AQE hides the tree behind
+    // AdaptiveSparkPlanExec in executedPlan, so inspect sparkPlan)
+    val execs = custom.queryExecution.sparkPlan.collect {
+      case e: GroupedTopKExec => e.isFinal
+    }
+    assert(execs.sorted == Seq(false, true), s"expected partial+final, got $execs")
+
+    // same (key, price) multiset as the window-based top-2
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
+    val viaWindow = li.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2).drop("_rn")
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val viaCustom = custom.select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(viaCustom.toSeq == viaWindow.toSeq)
+
+    // per-group bound holds and smallest-k works too
+    val asc = GroupedTopK.perKey(li, Seq("l_orderkey"), "l_extendedprice",
+      k = 1, largest = false)
+    val mins = asc.groupBy("l_orderkey").count().filter(col("count") > 1).count()
+    assert(mins == 0)
+    val trueMin = li.groupBy("l_orderkey").agg(min("l_extendedprice").as("m"))
+    assert(asc.select(col("l_orderkey"), col("l_extendedprice").as("m"))
+      .except(trueMin.select(col("l_orderkey"), col("m"))).count() == 0)
+  }
+
   test("pruning rule is OR-safe: optional-prefix pattern is untouched") {
     val wh = java.nio.file.Files.createTempDirectory("graft-prune2").toString + "/warehouse"
     val api = new wilayah.Api(spark, wh, "/root/reference/geojson")

@@ -599,6 +599,24 @@ object Queries {
           array_contains(col("qs"), 1.0).as("has_unit"))
         .orderBy("l_orderkey")),
 
+    // Grouped top-k through the CUSTOM OPERATOR (plans.GroupedTopK):
+    // partial per-partition k-heaps -> key shuffle of survivors ->
+    // final merge, vs the oracle's window+filter. Tie-free on this
+    // data (verified: no duplicate (orderkey, price) at any SF), so
+    // the unspecified tie-break cannot diverge.
+    QueryDef("q48_grouped_topk",
+      Some("""
+        SELECT l_orderkey, l_extendedprice FROM (
+          SELECT l_orderkey, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC) AS rn
+          FROM lineitem) WHERE rn <= 2
+        ORDER BY l_orderkey, l_extendedprice"""),
+      (s, d) => graft.plans.GroupedTopK.perKey(
+          lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+          Seq("l_orderkey"), "l_extendedprice", k = 2)
+        .orderBy("l_orderkey", "l_extendedprice")),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

@@ -617,6 +617,34 @@ object Queries {
           Seq("l_orderkey"), "l_extendedprice", k = 2)
         .orderBy("l_orderkey", "l_extendedprice")),
 
+    // Correlated scalar subqueries (TPC-H Q17 shape), exercising
+    // Catalyst decorrelation (subquery -> aggregate + join rewrite).
+    // The 20%-of-average predicate is algebraically cleared of the
+    // division (5*q*cnt < sum, exact DECIMAL terms), so the boundary
+    // is deterministic across engines — a double AVG would be
+    // summation-order-dependent.
+    QueryDef("q49_correlated_subquery",
+      Some(s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               ${dsumSql("l_extendedprice")} AS total_price
+        FROM lineitem l
+        WHERE 5 * CAST(l.l_quantity AS DECIMAL(25,6)) *
+                (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
+                 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
+      (s, d) => {
+        val view = s"lineitem_q49_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        lineitem(s, d).createOrReplaceTempView(view)
+        s.sql(s"""
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+                 ${dsumSql("l_extendedprice")} AS total_price
+          FROM $view l
+          WHERE 5 * CAST(l.l_quantity AS DECIMAL(25,6)) *
+                  (SELECT COUNT(*) FROM $view l2 WHERE l2.l_partkey = l.l_partkey)
+                < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
+                   FROM $view l2 WHERE l2.l_partkey = l.l_partkey)""")
+      }),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

@@ -36,6 +36,20 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** SimHash-backed near-dup removal: 32-bit signatures, pigeonhole-
+    * blocked pair join at hamming distance <= maxDist, higher id of
+    * each pair drops. Cheaper than MinHash when token multisets (not
+    * n-gram structure) define similarity.
+    */
+  def nearSimhash(df: DataFrame, idCol: String, textCol: String,
+                  maxDist: Int = 3): DataFrame = {
+    val losers = Pipeline
+      .simhashPairs(Pipeline.simhash32(df, idCol, textCol), idCol, maxDist)
+      .select(col("b_id").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list: label propagation
     * to the minimum reachable id — each row gets a `cluster` column
     * identifying its duplicate group (its own id when unpaired).

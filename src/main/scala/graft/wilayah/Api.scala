@@ -15,6 +15,18 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.Encoders.product[Wilayah].schema))
 
+  /** Warehouse health summary: per-level counts, duplicate-key count
+    * (must be 0 — the PK invariant the merge maintains), and row total.
+    */
+  def stats(): Map[String, Long] = {
+    val wh = warehouse
+    val byLevel = wh.groupBy("level").count().collect()
+      .map(r => s"level_${r.getInt(0)}" -> r.getLong(1)).toMap
+    byLevel ++ Map(
+      "total" -> wh.count(),
+      "duplicate_keys" -> Store.duplicateKeys(wh))
+  }
+
   /** Expose the warehouse to Spark SQL (`SELECT ... FROM <name>`), so
     * the reference's SQL-shaped read paths can run verbatim as SQL —
     * e.g. `SELECT level, COUNT(*) FROM wilayah WHERE

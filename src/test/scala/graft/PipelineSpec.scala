@@ -145,6 +145,15 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach { case (id, c) => assert(exact(id) == c) }
   }
 
+  test("SimHash-backed dedup drops exactly the blocked pairs' higher ids") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val survivors = Dedup.nearSimhash(docs, "doc_id", "text", maxDist = 3)
+    val expectedDrops = Queries.byName("q28_simhash_neardup").build(spark, sf)
+      .select("b_id").distinct().count()
+    assert(docs.count() - survivors.count() == expectedDrops)
+  }
+
   test("connected components label every duplicate group by its minimum id") {
     import spark.implicits._
     // two chains and a singleton: {1-2-3}, {10-11}, {99}

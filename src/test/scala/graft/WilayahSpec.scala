@@ -123,6 +123,9 @@ class WilayahSpec extends AnyFunSuite {
     assert(hits.exists(_.getString(1).toLowerCase.contains("lhok")))
     assert(api.search("ab").count() == 0) // < 3 chars -> empty
 
+    assert(api.stats() == Map("level_2" -> 1L, "level_3" -> 4L, "level_4" -> 68L,
+      "total" -> 73L, "duplicate_keys" -> 0L))
+
     val fc = api.geojson("11.73")
     assert(fc.keySet == Set("kabupaten", "kecamatan", "kelurahan"))
     assert(fc("kabupaten").contains("\"FeatureCollection\""))

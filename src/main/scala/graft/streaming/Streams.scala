@@ -61,8 +61,7 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          Store.write(Store.merge(Store.load(batch.sparkSession, warehousePath), batch),
-            warehousePath)
+          Store.mergeWritePartitions(batch.sparkSession, batch, warehousePath)
       }
     // with a checkpoint the source offsets survive restarts: already-
     // ingested files are not re-read, and a replayed in-flight batch is

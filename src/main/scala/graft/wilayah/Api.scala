@@ -64,9 +64,10 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
     rows.persist()
     try {
       val n = rows.count()
-      // dedup within the batch too (same key twice in one sync = last
-      // wins; the row-at-a-time reference gets this implicitly)
-      Store.write(Store.merge(Store.load(spark, warehousePath), rows), warehousePath)
+      // partition-scoped merge: only the level partitions this batch
+      // touches are merged and rewritten (batch-internal dedup
+      // included — same key twice in one sync = last wins)
+      Store.mergeWritePartitions(spark, rows, warehousePath)
       n
     } finally rows.unpersist()
   }

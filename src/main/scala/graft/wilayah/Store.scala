@@ -78,6 +78,44 @@ object Store {
     spark.catalog.clearCache()
   }
 
+  /** Partition-scoped merge + write: only the level partitions present
+    * in the incoming batch are merged and rewritten; untouched level
+    * directories keep their existing files. Sound because a key's
+    * level is a function of its code structure — a row can never
+    * migrate between level partitions. At real scale (finer partition
+    * keys) this is the difference between rewriting the warehouse and
+    * rewriting a few directories per sync.
+    */
+  def mergeWritePartitions(
+      spark: SparkSession, incoming: DataFrame, warehousePath: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val affected = incoming.select("level").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existingAffected = load(spark, warehousePath)
+      .map(_.filter(col("level").isin(affected.map(Integer.valueOf): _*)))
+    val merged = merge(existingAffected, incoming)
+
+    val tmp = new java.io.File(warehousePath + ".ptmp")
+    deleteRec(tmp)
+    merged.repartition(col("level"))
+      .sortWithinPartitions(Key)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("level")
+      .parquet(tmp.getPath)
+    val whDir = new java.io.File(warehousePath)
+    whDir.mkdirs()
+    affected.foreach { l =>
+      val fresh = new java.io.File(tmp, s"level=$l")
+      val dst = new java.io.File(whDir, s"level=$l")
+      if (fresh.exists()) {
+        deleteRec(dst)
+        fresh.renameTo(dst)
+      }
+    }
+    deleteRec(tmp)
+    spark.catalog.clearCache()
+  }
+
   /** Key-uniqueness check (the PK constraint Spark must emulate —
     * /root/reference/init_db.sql:6). Returns duplicate count, 0 = ok.
     */

@@ -212,6 +212,25 @@ class WilayahSpec extends AnyFunSuite {
     assert(top > 0)
   }
 
+  test("partition-scoped merge rewrites only the touched level directories") {
+    val api = freshApi()
+    api.sync("11.73")
+    val whPath = api.warehouse.inputFiles.head.split("/level=").head
+      .replace("file:", "")
+    def filesOf(level: Int) =
+      Option(new java.io.File(whPath, s"level=$level").listFiles())
+        .getOrElse(Array.empty).map(f => f.getName -> f.lastModified()).toMap
+    val l2Before = filesOf(2)
+    val l4Before = filesOf(4)
+    Thread.sleep(1100)
+    // re-sync ONLY the kelurahan file: touches level 4, must not touch level 2
+    assert(api.sync("11.73_kelurahan") == 68)
+    assert(filesOf(2) == l2Before, "level=2 files must be untouched")
+    assert(filesOf(4) != l4Before, "level=4 files must be rewritten")
+    assert(api.warehouse.count() == 73)
+    assert(Store.duplicateKeys(api.warehouse) == 0)
+  }
+
   test("merge is last-writer-wins with batch-internal dedup") {
     import spark.implicits._
     import java.sql.Timestamp

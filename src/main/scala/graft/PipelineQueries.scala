@@ -21,14 +21,7 @@ object PipelineQueries {
   /** doc_id + distinct word-trigram shingles, for docs with >= 3 words.
     * (DuckDB mirror: `[array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)]`.)
     */
-  /** The testdata tables are single parquet files -> 1 input split, so
-    * CPU-heavy per-row pipelines (md5 minhash signatures, 64-dim folds)
-    * would run on one core. Spread rows across the cluster first — at
-    * real scale the many input files make this a no-op, locally it is
-    * the difference between 1 and 32 cores.
-    */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df)
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
     spread(documents(s, d))

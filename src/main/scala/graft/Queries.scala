@@ -193,7 +193,7 @@ object Queries {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY r.r_name"""),
-      (s, d) => lineitem(s, d)
+      (s, d) => Tables.spread(lineitem(s, d))
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         // customer scales with SF (150k x SF rows) — at the 100 TB design
         // target it is NOT broadcastable; let AQE pick the strategy. Only

@@ -27,6 +27,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Repartition ONLY when the scan is under-parallel (the testdata
+    * tables are single-row-group single files -> 1 input split, which
+    * would pin downstream CPU work to one core). On real multi-file
+    * inputs the partition count exceeds the core count and this is an
+    * identity — no gratuitous full-table shuffle at scale.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, parallelism / 2))
+      df.repartition(parallelism)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -77,18 +78,30 @@ object Pipeline {
     * never a cartesian.
     */
   def lshCandidatePairs(docShingles: DataFrame, idCol: String,
-                        k: Int, bands: Int): DataFrame = {
+                        k: Int, bands: Int,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     // base hashes in their OWN projection: the signature references the
     // alias k times, and CollapseProject keeps expensive multiply-
     // referenced aliases un-inlined — so each shingle is md5'd once,
     // not once per permutation
-    val banded = docShingles
+    val bandedAll = docShingles
       .select(col(idCol), transform(col("shingles"), wordHash32(_)).as("hs"))
       .select(col(idCol),
         explode(lshBands(minhashSignatureFromHashes(col("hs"), k), bands, rows))
           .as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // hot-bucket guard: a degenerate bucket of m docs yields m^2/2
+    // pairs; capping trades recall inside the pathological bucket for
+    // a hard bound on join output. A count window is one extra shuffle
+    // over the (tiny) banded rows — skipped entirely at the default.
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedAll
+      else {
+        val w = Window.partitionBy("band", "bh")
+        bandedAll.withColumn("_bs", count(lit(1)).over(w))
+          .filter(col("_bs") <= maxBucketSize).drop("_bs")
+      }
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

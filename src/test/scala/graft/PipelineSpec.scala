@@ -145,6 +145,21 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach { case (id, c) => assert(exact(id) == c) }
   }
 
+  test("LSH hot-bucket cap bounds pair output on degenerate buckets") {
+    import spark.implicits._
+    // 40 identical docs = one bucket of 40 in every band -> 780 pairs
+    val hot = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Pipeline.wordShingles(Pipeline.words(col("text")), 3).as("shingles"))
+    val uncapped = Pipeline.lshCandidatePairs(hot, "doc_id", 16, 4).count()
+    assert(uncapped == 40L * 39 / 2)
+    val capped = Pipeline.lshCandidatePairs(hot, "doc_id", 16, 4, maxBucketSize = 10).count()
+    assert(capped == 0)
+    // a cap above the bucket size changes nothing
+    val loose = Pipeline.lshCandidatePairs(hot, "doc_id", 16, 4, maxBucketSize = 100).count()
+    assert(loose == uncapped)
+  }
+
   test("SimHash-backed dedup drops exactly the blocked pairs' higher ids") {
     val docs = Tables.documents(spark, sf)
       .filter(col("source").isin("src0", "src1", "src2", "src3"))

@@ -165,6 +165,18 @@ class WilayahSpec extends AnyFunSuite {
       Option(r.getAs[String]("kode_wilayah_kemendagri")).exists(_.contains("undefined"))))
   }
 
+  test("queries on an empty warehouse return empty results, not errors") {
+    val api = freshApi() // never synced
+    assert(api.status("11") == Map("provinsi" -> 0L, "kabupaten" -> 0L,
+      "kecamatan" -> 0L, "kelurahan" -> 0L))
+    assert(api.search("lhok").count() == 0)
+    assert(api.byLevel(2).count() == 0)
+    assert(api.geojson("11.73").values.forall(_.endsWith("\"features\":[]}")))
+    assert(api.stats() == Map("total" -> 0L, "duplicate_keys" -> 0L))
+    intercept[IllegalArgumentException](api.sync("99"))        // no files
+    intercept[IllegalArgumentException](api.passthrough("99")) // no files
+  }
+
   test("seed loads only the level-1 province file, idempotently") {
     val api = freshApi()
     assert(api.seed() == 1)              // 11_Aceh.geojson: 1 feature

@@ -100,7 +100,10 @@ object Dedup {
       .filter(size(col("_w")) >= shingleN)
       .select(col(idCol), Pipeline.wordShingles(col("_w"), shingleN).as("shingles"))
     val inter = size(array_intersect(col("_sa"), col("_sb")))
-    val losers = Pipeline.lshCandidatePairs(sh, idCol, minhashK, bands)
+    // protective hot-bucket cap: invisible on sane corpora, bounds the
+    // pair join on degenerate ones (e.g. millions of identical docs)
+    val losers = Pipeline.lshCandidatePairs(sh, idCol, minhashK, bands,
+        maxBucketSize = 10000)
       .join(sh.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(sh.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
       .withColumn("_j",

@@ -46,6 +46,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN JOIN: approximate top-k neighbours for EVERY query vector at
+    * once — the batch form of ANN a retrieval pipeline needs. RHP
+    * buckets block the pair space (equi-join, never cartesian), the
+    * fused native cosine scores candidates, and the custom GroupedTopK
+    * operator selects per-query winners with bounded heaps instead of
+    * a full window sort.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, dims: Int = 64,
+              planes: Int = 4): DataFrame = {
+    def withBucket(df: DataFrame, id: String, v: String) = df
+      .select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+      .withColumn(s"${v}_bucket", Pipeline.rhpBucket(col(v), dims, planes))
+    val q = withBucket(queries, "query_id", "_qv")
+    val c = withBucket(corpus, "corpus_id", "_cv")
+    val scored = q.join(c,
+        col("_qv_bucket") === col("_cv_bucket") &&
+          col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("_qv"), col("_cv")).as("cosine"))
+    graft.plans.GroupedTopK.perKey(scored, Seq("query_id"), "cosine", k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to a cell;
     * probing ranks cells by query-to-centroid cosine and scans only the
     * `nProbe` nearest cells. Here the cell assignment comes from a

@@ -131,6 +131,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.filter(col("n_tokens") =!= size(split(col("text"), " "))).count() == 0)
   }
 
+  test("knnJoin returns bounded per-query neighbours matching single-query ANN") {
+    val e = Tables.embeddings(spark, sf)
+    val knn = Similarity.knnJoin(e, e, "vec_id", "embedding", k = 5)
+    val byQuery = knn.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(byQuery.nonEmpty && byQuery.forall(_._2 <= 5))
+    // for query 0: same ids as the single-query bucketed ANN (modulo
+    // order — GroupedTopK does not sort its output)
+    val viaKnn = knn.filter(col("query_id") === 0)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    val viaSingle = Similarity.annTopK(e, "vec_id", "embedding", queryId = 0, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaKnn == viaSingle)
+  }
+
   test("IVF ANN probes only the nearest cells and returns valid neighbours") {
     val e = Tables.embeddings(spark, sf)
     val res = Similarity.ivfTopK(e, "vec_id", "embedding", "label",

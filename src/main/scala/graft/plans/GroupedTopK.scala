@@ -38,10 +38,16 @@ case class GroupedTopK(
 }
 
 object GroupedTopK {
-  /** API entry: df.transform(GroupedTopK.perKey(...)) shape. */
+  /** API entry: df.transform(GroupedTopK.perKey(...)) shape.
+    * Self-registers the planner strategy on the calling session, so it
+    * works in sessions that did not load GraftExtensions.
+    */
   def perKey(df: DataFrame, groupCols: Seq[String], orderCol: String,
              k: Int, largest: Boolean = true): DataFrame = {
     val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
     val plan = GroupedTopK(
       groupCols.map(c => GraftShims.expression(df.col(c))),
       GraftShims.expression(df.col(orderCol)),

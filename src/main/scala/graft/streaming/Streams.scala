@@ -95,6 +95,18 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(idCol, "ts")
 
+  /** Streaming CONTENT dedup: the canonical token-set fingerprint as
+    * the dedup key, so reordered/duplicated text dedups on arrival —
+    * the streaming form of the fingerprint-dedup batch operator (q25).
+    * Expects columns (ts, `textCol`).
+    */
+  def streamingFingerprintDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", graft.Pipeline.canonicalFingerprint(
+        graft.Pipeline.words(col(textCol))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("fp", "ts")
+
   /** Stream-stream join: purchases joined to same-user clicks in the
     * preceding 5 minutes — the streaming form of the batch range join
     * (q42). Watermarks on BOTH sides bound the join state: a click

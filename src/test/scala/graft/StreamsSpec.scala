@@ -86,6 +86,21 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup drops reordered duplicate content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.streamingFingerprintDedup(in.toDF().toDF("ts", "text"), "text")
+      .writeStream.format("memory").queryName("fp_dedup").outputMode("append").start()
+    try {
+      in.addData((ts(0), "alpha beta gamma"), (ts(0), "gamma beta alpha"),
+                 (ts(1), "delta epsilon"))
+      q.processAllAvailable()
+      // the reordered duplicate shares the fingerprint -> dropped
+      assert(spark.table("fp_dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

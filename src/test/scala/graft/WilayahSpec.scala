@@ -165,6 +165,18 @@ class WilayahSpec extends AnyFunSuite {
       Option(r.getAs[String]("kode_wilayah_kemendagri")).exists(_.contains("undefined"))))
   }
 
+  test("partial corpus slice (11.01: kelurahan file elided) syncs cleanly") {
+    val api = freshApi()
+    // snapshot ships boundary + kecamatan but no kelurahan for 11.01
+    assert(api.sync("11.01") == 19) // 1 kabupaten + 18 kecamatan
+    assert(api.status("11.01") == Map("provinsi" -> 0L, "kabupaten" -> 1L,
+      "kecamatan" -> 18L, "kelurahan" -> 0L))
+    // geojson dispatch still answers with an empty kelurahan slot
+    val fc = api.geojson("11.01")
+    assert(fc("kelurahan").endsWith("\"features\":[]}"))
+    assert(fc("kecamatan").contains("\"MultiPolygon\""))
+  }
+
   test("queries on an empty warehouse return empty results, not errors") {
     val api = freshApi() // never synced
     assert(api.status("11") == Map("provinsi" -> 0L, "kabupaten" -> 0L,

@@ -116,11 +116,23 @@ object Pipeline {
     conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)
 
   /** 32-bit SimHash per document: per-bit majority vote over token
-    * hashes (tokens weighted by multiplicity). Single shuffle: explode
-    * tokens, then ONE hash aggregate with 32 partial-aggregatable sum
-    * columns (map-side combine) — no 32-way data amplification.
+    * hashes (tokens weighted by multiplicity), computed entirely in the
+    * scan projection by the native [[graft.plans.SimHash32]] kernel —
+    * no explode, no shuffle. The votes are integer sums, so the result
+    * is order-independent and exactly equals the explode+groupBy
+    * formulation (kept below as [[simhash32ViaExplode]] for the
+    * equivalence spec; the DuckDB oracle replays that formulation).
     */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.VectorExpressions.simHash32(words(col(textCol))).as("simhash"))
+
+  /** Reference formulation of [[simhash32]]: explode tokens, one hash
+    * aggregate with 32 partial-aggregatable sum columns. Correct and
+    * map-side-combined, but it shuffles every token — kept only as the
+    * spec's equivalence baseline.
+    */
+  def simhash32ViaExplode(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(words(col(textCol))).as("w"))
       .select(col(idCol), wordHash32(col("w")).as("h"))
@@ -185,14 +197,24 @@ object Pipeline {
   }
 
   /** Random-hyperplane LSH bucket for a double-array vector: `planes`
-    * hyperplanes with md5-parity ±1 components (embedded as literal
-    * arrays); bit p = (v · h_p > 0). Buckets partition the corpus so
-    * ANN probes touch ~N/2^planes vectors. At scale: signature computed
-    * in the scan projection (one pass), candidates co-located by
-    * repartition(bucket). Fold order matches the oracle's index-ordered
-    * sum exactly.
+    * hyperplanes with md5-parity ±1 components; bit p = (v · h_p > 0).
+    * Buckets partition the corpus so ANN probes touch ~N/2^planes
+    * vectors. At scale: signature computed in the scan projection (one
+    * pass), candidates co-located by repartition(bucket).
+    *
+    * Backed by the native fused [[graft.plans.RhpBucket]] codegen
+    * kernel (one loop, literal sign array); accumulation is in the same
+    * ascending index order as the HOF reference below and the oracle's
+    * list_reduce, so the result is IEEE-bit-identical.
     */
   def rhpBucket(v: Column, dims: Int, planes: Int): Column =
+    graft.plans.VectorExpressions.rhpBucket(v, dims, planes)
+
+  /** Reference HOF formulation of [[rhpBucket]] (planes × zip_with +
+    * aggregate lambda folds, interpreted per element). Kept only as the
+    * spec's bit-equality baseline for the native kernel.
+    */
+  def rhpBucketHof(v: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
       val signs = typedLit((1 to dims).map(d => rhpSign(p, d)))
       val proj = aggregate(

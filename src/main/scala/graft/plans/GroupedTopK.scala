@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -16,15 +16,31 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * which SORTS every group's full row set after a full shuffle. This
   * operator instead keeps a bounded k-row heap per group on the map
   * side, shuffles only the surviving <= k rows per (group, partition),
-  * and merges heaps on the reduce side — the shuffle volume drops from
-  * |rows| to |groups| * k * partitions, the difference between a sort
-  * and a bounded selection at 100 TB.
+  * and selects final winners on the reduce side — the shuffle volume
+  * drops from |rows| to |groups| * k * partitions, the difference
+  * between a sort and a bounded selection at 100 TB.
+  *
+  * Memory safety (both sides spill-proof):
+  *
+  * - The PARTIAL side bounds its group->heap map at
+  *   `graft.topk.maxPartialGroups` (default 65536) entries. Once full,
+  *   rows of unseen groups pass through untrimmed — partial trimming is
+  *   a pure optimization, so overflow costs shuffle volume (degrading
+  *   toward the window plan's traffic) but never correctness and never
+  *   unbounded memory.
+  * - The FINAL side declares a required child ordering of
+  *   (group keys, order value), so EnsureRequirements plans Spark's
+  *   own SortExec — which spills to disk under memory pressure — and
+  *   the final pass is a streaming scan emitting the first k rows per
+  *   key group with O(1) state. No per-group heap map on the reduce
+  *   side at all.
   *
   * Full custom-operator stack: logical node -> planner Strategy ->
   * partial + final physical execs (EnsureRequirements inserts the
-  * key shuffle between them), registered via GraftExtensions.
+  * key shuffle and the spillable sort), registered via GraftExtensions.
   *
   * Tie-breaking among equal order values is unspecified, like LIMIT.
+  * Rows with a NULL order value are excluded (documented).
   */
 case class GroupedTopK(
     groupExprs: Seq[Expression],
@@ -38,16 +54,23 @@ case class GroupedTopK(
 }
 
 object GroupedTopK {
+  /** Conf key bounding the partial-side group map (entries). */
+  val MaxPartialGroupsKey = "graft.topk.maxPartialGroups"
+  val MaxPartialGroupsDefault = 65536
+
   /** API entry: df.transform(GroupedTopK.perKey(...)) shape.
-    * Self-registers the planner strategy on the calling session, so it
-    * works in sessions that did not load GraftExtensions.
+    * Self-registers the planner strategy on the calling session (under
+    * a lock — Verify builds queries from a thread pool), so it works in
+    * sessions that did not load GraftExtensions.
     */
   def perKey(df: DataFrame, groupCols: Seq[String], orderCol: String,
              k: Int, largest: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    GroupedTopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
     val plan = GroupedTopK(
       groupCols.map(c => GraftShims.expression(df.col(c))),
       GraftShims.expression(df.col(orderCol)),
@@ -67,9 +90,10 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
 
 /** Bounded per-group selection. Partial mode runs on whatever
   * partitioning the child has (map-side); final mode requires
-  * clustering by the group keys, which EnsureRequirements satisfies
-  * with one hash shuffle of the (already <= k per group per partition)
-  * survivors.
+  * clustering + ordering by the group keys, which EnsureRequirements
+  * satisfies with one hash shuffle of the (already <= k per group per
+  * partition, modulo overflow pass-through) survivors followed by a
+  * spill-capable sort.
   */
 case class GroupedTopKExec(
     groupExprs: Seq[Expression],
@@ -86,41 +110,89 @@ case class GroupedTopKExec(
     if (isFinal) ClusteredDistribution(groupExprs) :: Nil
     else UnspecifiedDistribution :: Nil
 
+  /** Final mode streams over rows sorted by (keys, order value): keys
+    * ascending groups the rows; the order value descending (for
+    * largest) puts each group's winners first.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (isFinal)
+      (groupExprs.map(SortOrder(_, Ascending)) :+
+        SortOrder(orderExpr, if (largest) Descending else Ascending)) :: Nil
+    else Nil :: Nil
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (isFinal) requiredChildOrdering.head else child.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val group = groupExprs
     val order = orderExpr
     val keep = k
-    val asc = !largest
     val childOutput = child.output
-    child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(group, childOutput)
-      val boundOrder = org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(order, org.apache.spark.sql.catalyst.expressions.AttributeSeq(childOutput))
-      val ordering = TypeUtils.getInterpretedOrdering(order.dataType)
-      // heap root = worst kept value; evict when a better row arrives
-      val heapOrd = new Ordering[(Any, InternalRow)] {
-        def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int = {
-          val c = ordering.compare(a._1, b._1)
-          if (asc) -c else c
-        }
-      }
-      val byKey = scala.collection.mutable.HashMap
-        .empty[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-               scala.collection.mutable.PriorityQueue[(Any, InternalRow)]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        val heap = byKey.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse))
-        val v = boundOrder.eval(row)
-        // rows with a NULL order value are excluded (documented)
-        if (v != null) {
-          if (heap.size < keep) heap.enqueue((v, row.copy()))
-          else if (heapOrd.compare((v, row), heap.head) > 0) {
-            heap.dequeue(); heap.enqueue((v, row.copy()))
+    if (isFinal) {
+      // streaming pass over (key, value)-sorted input: first k per key
+      child.execute().mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(group, childOutput)
+        val boundOrder = BindReferences.bindReference(order, AttributeSeq(childOutput))
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        it.filter { row =>
+          if (boundOrder.eval(row) == null) false
+          else {
+            val key = keyProj(row)
+            if (curKey == null || key != curKey) {
+              curKey = key.copy()
+              emitted = 0
+            }
+            emitted += 1
+            emitted <= keep
           }
         }
       }
-      byKey.valuesIterator.flatMap(_.iterator.map(_._2))
+    } else {
+      val asc = !largest
+      val maxGroups = conf.getConfString(
+        GroupedTopK.MaxPartialGroupsKey,
+        GroupedTopK.MaxPartialGroupsDefault.toString).toInt
+      child.execute().mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(group, childOutput)
+        val boundOrder = BindReferences.bindReference(order, AttributeSeq(childOutput))
+        val ordering = TypeUtils.getInterpretedOrdering(order.dataType)
+        // heap root = worst kept value; evict when a better row arrives
+        val heapOrd = new Ordering[(Any, InternalRow)] {
+          def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int = {
+            val c = ordering.compare(a._1, b._1)
+            if (asc) -c else c
+          }
+        }
+        val byKey = scala.collection.mutable.HashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, InternalRow)]]
+        // rows of groups beyond the map bound pass through untrimmed —
+        // the final side re-selects exactly, so this only costs shuffle
+        // volume, never correctness
+        val passedThrough = it.filter { row =>
+          val v = boundOrder.eval(row)
+          if (v == null) false // NULL order value: excluded everywhere
+          else {
+            val key = keyProj(row)
+            val known = byKey.contains(key)
+            if (!known && byKey.size >= maxGroups) true
+            else {
+              val heap =
+                if (known) byKey(key)
+                else byKey.getOrElseUpdate(key.copy(),
+                  scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse))
+              if (heap.size < keep) heap.enqueue((v, row.copy()))
+              else if (heapOrd.compare((v, row), heap.head) > 0) {
+                heap.dequeue(); heap.enqueue((v, row.copy()))
+              }
+              false
+            }
+          }
+        }
+        // ++ evaluates its operand lazily: heaps flush only after the
+        // input (and thus every absorption) is exhausted
+        passedThrough ++ byKey.valuesIterator.flatMap(_.iterator.map(_._2))
+      }
     }
   }
 

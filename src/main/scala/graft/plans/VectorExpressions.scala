@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns — the hot kernel of the similarity-search /
@@ -82,6 +82,158 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH bucket: `planes` sign-projections of an
+  * `array<double>` vector folded into one codegen loop, with the ±1
+  * hyperplane components embedded as a literal flat array (sign for
+  * (plane p, dim d) at index p*dims + d-1 — the same md5-parity values
+  * Pipeline.rhpSign derives and the DuckDB oracle replays in SQL).
+  *
+  * Replaces the HOF composition (planes × zip_with+aggregate lambda
+  * folds, interpreted per element — the round-2 bench's #1 hot spot on
+  * q30/q31) with a single whole-stage-codegen kernel. Each plane's
+  * projection accumulates in ascending index order, so results are
+  * IEEE-bit-identical to the sequential HOF fold and the oracle —
+  * swapping this in cannot move a hash in the correctness gate.
+  *
+  * Precondition: vectors have >= dims elements (shorter inputs use the
+  * available prefix; the HOF form would yield NULL instead — callers
+  * pass fixed-width embedding columns, where the two agree).
+  */
+case class RhpBucket(child: Expression, dims: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rhp_bucket expects array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "rhp_bucket"
+
+  // flat [plane][dim] sign matrix; recomputed after deserialization
+  // (deterministic md5 parity), never shipped inside the plan string
+  @transient private lazy val signs: Array[Double] =
+    Array.tabulate(planes * dims)(i => graft.Pipeline.rhpSign(i / dims, i % dims + 1))
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val s = signs
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      val base = p * dims
+      var d = 0
+      while (d < n) { proj += v.getDouble(d) * s(base + d); d += 1 }
+      if (proj > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.addReferenceObj("rhpSigns", signs, "double[]")
+      val n = ctx.freshName("n")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val proj = ctx.freshName("proj")
+      val base = ctx.freshName("base")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $dims);
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $proj = 0.0;
+         |  final int $base = $p * $dims;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $proj += $a.getDouble($d) * $s[$base + $d];
+         |  }
+         |  if ($proj > 0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RhpBucket =
+    copy(child = newChild)
+}
+
+/** Shared kernel for [[SimHash32]]: one pass over the token array,
+  * md5-derived 32-bit hash per token (identical to Pipeline.wordHash32 =
+  * first 8 md5 hex digits as an unsigned int), ±1 vote per bit, bit set
+  * where votes are positive. Integer arithmetic throughout, so the
+  * result is order-independent and exactly equals the explode+groupBy
+  * formulation the DuckDB oracle replays.
+  */
+object SimHashUtil {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhash32(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    val md = mdPool.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val dig = md.digest(arr.getUTF8String(i).getBytes)
+        val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+          ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+}
+
+/** Native per-document SimHash over an `array<string>` token column.
+  *
+  * The round-2 formulation exploded every token into its own row and
+  * ran a 32-column hash aggregate — one full token shuffle per corpus
+  * pass. This computes the signature in the scan projection (one call
+  * per document, no explode, no shuffle): at 100 TB that removes the
+  * single largest data movement of the SimHash dedup path.
+  *
+  * Codegen calls the static [[SimHashUtil]] kernel, so the expression
+  * stays inside whole-stage codegen.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashUtil.simhash32(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.SimHashUtil.simhash32($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point — built programmatically, so it works in
     * ANY SparkSession (no function-registry registration required).
@@ -89,4 +241,12 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftShims.column(CosineSimilarity(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Native RHP bucket (see [[RhpBucket]]). */
+  def rhpBucket(v: Column, dims: Int, planes: Int): Column =
+    GraftShims.column(RhpBucket(GraftShims.expression(v), dims, planes))
+
+  /** Native SimHash signature (see [[SimHash32]]). */
+  def simHash32(tokens: Column): Column =
+    GraftShims.column(SimHash32(GraftShims.expression(tokens)))
 }

@@ -124,6 +124,55 @@ class PlansSpec extends AnyFunSuite {
       .except(trueMin.select(col("l_orderkey"), col("m"))).count() == 0)
   }
 
+  test("rhp_bucket native kernel is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Pipeline.asDouble(col("embedding")).as("v"))
+    val both = e.select(
+      VectorExpressions.rhpBucket(col("v"), 64, 4).as("native"),
+      Pipeline.rhpBucketHof(col("v"), 64, 4).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    // exact equality: both accumulate each plane's projection in
+    // ascending index order, so even boundary cases (proj == 0) agree
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null vector -> null bucket, like the HOF form
+    val n = e.select(VectorExpressions.rhpBucket(
+      when(lit(false), col("v")), 64, 4).as("b")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("simhash32 native kernel equals the explode+groupBy formulation") {
+    val docs = Tables.documents(spark, sf)
+    val native = Pipeline.simhash32(docs, "doc_id", "text")
+    val viaExplode = Pipeline.simhash32ViaExplode(docs, "doc_id", "text")
+    assert(native.except(viaExplode).count() == 0)
+    assert(viaExplode.except(native).count() == 0)
+    assert(native.count() == docs.count())
+    // and the native path plans no shuffle: signature is scan-side
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash32 should not shuffle:\n$plan")
+  }
+
+  test("GroupedTopK partial map bound: overflow passes through, result exact") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedTopK
+    // force pathological overflow: cap the partial map far below the
+    // group cardinality (every lineitem orderkey is a group)
+    spark.conf.set(GroupedTopK.MaxPartialGroupsKey, "16")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val custom = GroupedTopK.perKey(li, Seq("l_orderkey"), "l_extendedprice", k = 2)
+        .select("l_orderkey", "l_extendedprice").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted
+      val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
+      val viaWindow = li.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2)
+        .select("l_orderkey", "l_extendedprice").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(custom.toSeq == viaWindow.toSeq)
+    } finally spark.conf.unset(GroupedTopK.MaxPartialGroupsKey)
+  }
+
   test("pruning rule is OR-safe: optional-prefix pattern is untouched") {
     val wh = java.nio.file.Files.createTempDirectory("graft-prune2").toString + "/warehouse"
     val api = new wilayah.Api(spark, wh, "/root/reference/geojson")

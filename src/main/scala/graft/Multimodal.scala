@@ -35,11 +35,20 @@ object Multimodal {
     * for e.g. an ImageIO/ffmpeg call; the signature (bytes in, typed
     * features out) and the partition-wise call pattern are the real
     * contract.
+    *
+    * The fake "dimensions" read the first two BYTES; the DuckDB oracle
+    * (q35) derives the same numbers via ascii() CODE POINTS, so the
+    * gate's equality contract is explicitly limited to ASCII payloads
+    * (which the testdata corpus is). A multi-byte leading character
+    * would diverge — irrelevant to real codecs, whose parsing is
+    * byte-defined.
     */
   object FakeCodec {
     def decode(b: Array[Byte]): (Int, Int, Int) = {
-      val width = 1 + (b(0) & 0xFF)
-      val height = 1 + (b(1) & 0xFF)
+      // short payloads decode as zero-dimension (a real codec would
+      // reject them; the stub must not throw and fail the whole job)
+      val width = 1 + (if (b.length > 0) b(0) & 0xFF else -1)
+      val height = 1 + (if (b.length > 1) b(1) & 0xFF else -1)
       val nFrames = 1 + (b.length % 7)
       (width, height, nFrames)
     }

@@ -417,6 +417,75 @@ object PipelineQueries {
           .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
           .as[Multimodal.MediaDoc]
         Multimodal.decodeFeatures(media).toDF().orderBy("doc_id")
-      })
+      }),
+
+    // ===== Batch ANN / skew utilities (facade-level gate coverage) =====
+
+    // k-NN JOIN: approximate top-k neighbours for EVERY query vector in
+    // one pass — RHP-bucket blocking (equi-join) + the custom
+    // GroupedTopK operator's bounded per-query heaps. The oracle ranks
+    // candidates with a window; tie-free on this data (verified: no
+    // duplicate embeddings, no equal candidate cosines at sf0.01/0.1),
+    // so GroupedTopK's unspecified tie-break cannot diverge.
+    QueryDef("q50_knn_join",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 3),
+        scored AS (SELECT q.query_id, b.vec_id AS corpus_id, ${cosSql("qv", "v")} AS cosine
+                   FROM q JOIN b ON q.qb = b.bucket AND q.query_id <> b.vec_id),
+        ranked AS (SELECT query_id, corpus_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, corpus_id) AS rn
+                   FROM scored)
+        SELECT query_id, corpus_id, cosine FROM ranked WHERE rn <= 5
+        ORDER BY query_id, cosine DESC, corpus_id"""),
+      (s, d) => {
+        val e = spread(embeddings(s, d))
+        Similarity.knnJoin(e.filter(col("vec_id") < 3), e, "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      }),
+
+    // Salted two-stage aggregation (hot-key mitigation): the salt is
+    // internal — the result is exactly groupBy(key), which is what the
+    // oracle computes. DECIMAL sums keep the compare order-independent.
+    QueryDef("q51_salted_agg",
+      Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumn("_qty", col("l_quantity").cast(DecimalType(25, 6)))
+        graft.ops.Skew.saltedCountSum(li, "l_returnflag", "_qty")
+          .select(col("l_returnflag"), col("n"),
+                  col("total").cast(DoubleType).as("total"))
+          .orderBy("l_returnflag")
+      }),
+
+    // IVF-style ANN: coarse cells (vec_id % 8 stands in for an offline
+    // quantizer), per-cell centroids, probe the nProbe nearest cells.
+    // Centroid cosines only pick WHICH cells are probed (the output
+    // cosines are exact index-ordered folds); the probed-cell ranking
+    // margin is ~0.013 at the nProbe boundary — far beyond any
+    // engine-side float-summation noise in the centroid means.
+    QueryDef("q52_ivf_ann",
+      Some(s"""
+        WITH t AS (SELECT vec_id, vec_id % 8 AS cell, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT cell, list(m ORDER BY d) AS cv FROM (
+                   SELECT cell, d, avg(x) AS m FROM (
+                     SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS d FROM t) u
+                   GROUP BY cell, d) g
+                 GROUP BY cell),
+        q AS (SELECT v AS qv FROM t WHERE vec_id = 0),
+        pc AS (SELECT cent.cell FROM cent CROSS JOIN q
+               ORDER BY ${cosSql("qv", "cv")} DESC, cent.cell LIMIT 2)
+        SELECT t.vec_id, ${cosSql("qv", "v")} AS cosine
+        FROM t JOIN pc ON t.cell = pc.cell CROSS JOIN q
+        WHERE t.vec_id <> 0
+        ORDER BY cosine DESC, t.vec_id LIMIT 10"""),
+      (s, d) => Similarity.ivfTopK(
+        spread(embeddings(s, d)).withColumn("cell", col("vec_id") % 8),
+        "vec_id", "embedding", "cell", queryId = 0, k = 10, nProbe = 2))
   )
 }

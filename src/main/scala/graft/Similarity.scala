@@ -91,7 +91,8 @@ object Similarity {
       .select(col("_v").as("_qv"))
     val probedCells = centroids.crossJoin(broadcast(q))
       .select(col("_cell"), cosineSim(col("_qv"), col("_centroid")).as("_cc"))
-      .orderBy(col("_cc").desc).limit(nProbe)
+      // cell id tie-break keeps the probed set deterministic
+      .orderBy(col("_cc").desc, col("_cell")).limit(nProbe)
       .select("_cell")
     base.filter(col(idCol) =!= queryId)
       .join(broadcast(probedCells), "_cell")

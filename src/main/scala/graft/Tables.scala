@@ -55,6 +55,10 @@ object Tables {
     * positive, so `div 1000` (floor) matches DuckDB's ns→us cast.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // defensive: runtime-settable and idempotent, so a driver invoking
+    // SparkEntry.queries from its OWN session (never through
+    // Sessions.build/configure) still reads the NANOS parquet
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000L")))

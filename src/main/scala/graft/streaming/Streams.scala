@@ -47,7 +47,7 @@ object Streams {
         col("f.geometry").as("geometry"))
 
     val rows = Ingest.withKodeNama(features)
-      .filter(col("kode_wilayah_kemendagri").isNotNull)
+      .filter(Ingest.clean) // dirty keys / non-MultiPolygon -> quarantine
       .select(
         col("kode_wilayah_kemendagri"),
         col("nama_wilayah_kemendagri"),
@@ -87,17 +87,21 @@ object Streams {
 
   /** Streaming exact dedup on a key with watermark-bounded state —
     * the streaming form of the exact-dedup batch operator (q24):
-    * first occurrence wins, duplicates within the watermark horizon
-    * are dropped, state older than the watermark is evicted.
+    * first occurrence wins, ANY later duplicate of the key within the
+    * watermark horizon is dropped (regardless of its event time —
+    * dropDuplicatesWithinWatermark keys state on the id alone, where
+    * dropDuplicates(id, "ts") would only catch identical (id, ts)
+    * pairs), and state older than the watermark is evicted.
     */
   def streamingDedup(docs: DataFrame, idCol: String): DataFrame =
     docs
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Streaming CONTENT dedup: the canonical token-set fingerprint as
-    * the dedup key, so reordered/duplicated text dedups on arrival —
-    * the streaming form of the fingerprint-dedup batch operator (q25).
+    * the dedup key, so reordered/duplicated text dedups on arrival
+    * even when the copies carry different timestamps — the streaming
+    * form of the fingerprint-dedup batch operator (q25).
     * Expects columns (ts, `textCol`).
     */
   def streamingFingerprintDedup(docs: DataFrame, textCol: String): DataFrame =
@@ -105,7 +109,7 @@ object Streams {
       .withColumn("fp", graft.Pipeline.canonicalFingerprint(
         graft.Pipeline.words(col(textCol))))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("fp", "ts")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Stream-stream join: purchases joined to same-user clicks in the
     * preceding 5 minutes — the streaming form of the batch range join

@@ -50,7 +50,7 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
   private def syncPaths(paths: Seq[String]): Long = {
     val now = current_timestamp()
     val rows = Ingest.withKodeNama(Ingest.readFeatures(spark, paths))
-      .filter(col("kode_wilayah_kemendagri").isNotNull) // quarantine dirty rows
+      .filter(Ingest.clean) // dirty keys / non-MultiPolygon -> quarantine
       .select(
         col("kode_wilayah_kemendagri"),
         col("nama_wilayah_kemendagri"),
@@ -109,6 +109,21 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
       "kabupaten" -> byLevel.getOrElse(2, 0L),
       "kecamatan" -> byLevel.getOrElse(3, 0L),
       "kelurahan" -> byLevel.getOrElse(4, 0L))
+  }
+
+  /** The COMPLETE `/api/db/status` response shape
+    * (/root/reference/server.js:247-287): the four count slots plus
+    * `available` (any warehouse row under the prefix) and
+    * `fileAvailable` (a matching GeoJSON file exists on disk). The
+    * reference's 2-char-code regex `^CODE_[^_]+\.geojson$` is a subset
+    * of its prefix+suffix fallback, so file availability reduces to the
+    * prefix match for every code length.
+    */
+  def statusFull(code: String): Map[String, Any] = {
+    val counts = status(code)
+    counts ++ Map(
+      "available" -> (counts.valuesIterator.sum > 0),
+      "fileAvailable" -> Ingest.discover(geojsonDir, code).nonEmpty)
   }
 
   /** `GET /api/search?q=` (/root/reference/server.js:292-330): min
@@ -178,21 +193,46 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
     Await.result(Future.sequence(futures), Duration.Inf).toMap
   }
 
-  /** FeatureCollection assembly (/root/reference/server.js:486-506):
-    * rows -> {type, features:[{type, properties:{name,id}, geometry}]}.
-    * Geometry re-parses from its stored text via from_json — the
-    * mirror of the reference's string re-parse at server.js:491-497.
+  /** Per-row Feature JSON — the distributed part of the
+    * FeatureCollection assembly. Geometry re-parses from its stored
+    * text via from_json — the mirror of the reference's string re-parse
+    * at server.js:491-497.
     */
-  def featureCollection(rows: DataFrame): String = {
-    val features = rows.select(
+  private def featureJson(rows: DataFrame): DataFrame =
+    rows.select(
       to_json(struct(
         lit("Feature").as("type"),
         struct(col("name"), col("id")).as("properties"),
         from_json(col("geometry"), Model.geometryType).as("geometry")))
         .as("feature"))
-      .collect().map(_.getString(0))
-    features.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+
+  /** FeatureCollection assembly (/root/reference/server.js:486-506):
+    * rows -> {type, features:[{type, properties:{name,id}, geometry}]}.
+    * Features stream to the driver partition-by-partition
+    * (toLocalIterator), so a large fetch never materializes all rows in
+    * driver memory at once — only the response string itself (inherent
+    * to returning one JSON body; bulk exports should use
+    * [[writeFeatureCollectionJson]] instead, which never touches the
+    * driver).
+    */
+  def featureCollection(rows: DataFrame): String = {
+    val sb = new java.lang.StringBuilder("""{"type":"FeatureCollection","features":[""")
+    val it = featureJson(rows).toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(',')
+      sb.append(it.next().getString(0))
+      first = false
+    }
+    sb.append("]}").toString
   }
+
+  /** Bulk export path: each Feature as one JSON line, written directly
+    * by the executors (no driver assembly at all) — the shape a 100×
+    * fetch should take.
+    */
+  def writeFeatureCollectionJson(rows: DataFrame, path: String): Unit =
+    featureJson(rows).write.mode("overwrite").text(path)
 
   /** `GET /api/geojson` raw passthrough (/root/reference/server.js:
     * 509-565): matched files returned whole, bucketed into level slots

@@ -32,14 +32,31 @@ object Geo {
       transform(poly, ring =>
         transform(ring, pt => slice(pt, 1, 2))))
 
-  /** ST_Multi: MultiPolygon is 4-deep; a bare Polygon (3-deep) would
-    * arrive as a different schema. The shipped corpus is MultiPolygon
-    * throughout (verified over all 37 files), so promotion is a
-    * schema-level identity here; a Polygon-typed source would wrap its
-    * coordinates once: `array(polygonCoords)`.
+  /** ST_Multi over an already-4-deep coordinates column: MultiPolygon
+    * passes through; anything else is NULL. Spark columns are
+    * mono-typed, so a 3-deep Polygon cannot coexist in this column —
+    * the wrap case lives in [[promoteMultiFromJson]], which sees the
+    * geometry BEFORE schema parsing. Sync paths guard on the geometry
+    * type and quarantine non-MultiPolygon rows (Ingest.quarantine), so
+    * the NULL branch never reaches storage.
     */
   def promoteMulti(geomType: Column, coords: Column): Column =
     when(geomType === "MultiPolygon", coords)
+
+  /** Full ST_Multi contract (/root/reference/init_db.sql:29) over a RAW
+    * GeoJSON geometry string: a MultiPolygon's coordinates pass through;
+    * a bare Polygon's 3-deep coordinates are wrapped once into a
+    * MultiPolygon — exactly PostGIS's promotion. The string form exists
+    * because the wrap changes nesting depth, which is only expressible
+    * before the coordinates are parsed into a typed column. Other
+    * geometry types yield NULL (quarantine-able).
+    */
+  def promoteMultiFromJson(geomJson: Column): Column = {
+    val t = get_json_object(geomJson, "$.type")
+    val c = get_json_object(geomJson, "$.coordinates")
+    when(t === "MultiPolygon", from_json(c, Model.coordinatesType))
+      .when(t === "Polygon", array(from_json(c, Model.polygonCoordinatesType)))
+  }
 
   /** ST_AsGeoJSON: geometry struct -> GeoJSON text. */
   def asGeoJson(coords: Column): Column =

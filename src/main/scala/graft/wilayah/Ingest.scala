@@ -119,13 +119,26 @@ object Ingest {
       .withColumn("nama_wilayah_kemendagri", nama)
   }
 
+  /** Predicate selecting rows fit for the warehouse: a derivable key
+    * AND a MultiPolygon geometry (the only type the fixed 4-deep read
+    * schema can carry — a Polygon-typed source goes through
+    * Geo.promoteMultiFromJson before parsing). Everything else belongs
+    * in [[quarantine]] rather than being stored as null-coordinate
+    * geometry text.
+    */
+  def clean: Column =
+    col("kode_wilayah_kemendagri").isNotNull &&
+      (col("geometry.type") <=> "MultiPolygon")
+
   /** Rows withKodeNama could not derive a key for (missing required
-    * properties for their level) — the quarantine stream. The reference
-    * silently writes `"undefined"`-laced codes instead
-    * (/root/reference/server.js:160-185 via JS string interpolation);
-    * we surface them for inspection and keep them out of the warehouse.
+    * properties for their level), or whose geometry is not a promotable
+    * MultiPolygon — the quarantine stream. The reference silently
+    * writes `"undefined"`-laced codes (/root/reference/server.js:160-185
+    * via JS string interpolation) and null-geometry rows instead; we
+    * surface them for inspection and keep them out of the warehouse.
     */
   def quarantine(withCodes: DataFrame): DataFrame =
-    withCodes.filter(col("kode_wilayah_kemendagri").isNull)
-      .select(col("file_name"), col("level"), col("p").as("properties"))
+    withCodes.filter(!clean)
+      .select(col("file_name"), col("level"), col("p").as("properties"),
+        col("geometry.type").as("geometry_type"))
 }

@@ -30,6 +30,12 @@ object Model {
   val coordinatesType: DataType =
     ArrayType(ArrayType(ArrayType(ArrayType(DoubleType))))
 
+  /** Bare Polygon coordinates (one level shallower: rings -> points ->
+    * doubles) — the input shape ST_Multi promotes (Geo.promoteMultiFromJson).
+    */
+  val polygonCoordinatesType: DataType =
+    ArrayType(ArrayType(ArrayType(DoubleType)))
+
   /** Level-variant feature properties (consumed at
     * /root/reference/server.js:160-185), merged into one nullable
     * struct so a single schema reads every level's files.

@@ -64,7 +64,7 @@ class PlansSpec extends AnyFunSuite {
     // queries where a nested-loop is INTENTIONAL: a broadcast cross
     // join against a literally-one-row build side (the ANN query
     // vector) — constant work per probe row, safe at any scale
-    val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed")
+    val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

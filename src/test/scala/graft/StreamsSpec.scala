@@ -37,9 +37,11 @@ class StreamsSpec extends AnyFunSuite {
     val q = Streams.streamingDedup(df, "doc_id").writeStream
       .format("memory").queryName("dedup_out").outputMode("append").start()
     try {
-      in.addData((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b"))
+      // duplicates of key 1 arrive at DIFFERENT event times — state is
+      // keyed on the id alone, so they are dropped all the same
+      in.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(1), "b"))
       q.processAllAvailable()
-      in.addData((1L, ts(0), "a-dup2"), (3L, ts(2), "c"))
+      in.addData((1L, ts(2), "a-dup2"), (3L, ts(2), "c"))
       q.processAllAvailable()
       val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
       assert(ids.toSeq == Seq(1L, 2L, 3L))
@@ -93,7 +95,9 @@ class StreamsSpec extends AnyFunSuite {
     val q = Streams.streamingFingerprintDedup(in.toDF().toDF("ts", "text"), "text")
       .writeStream.format("memory").queryName("fp_dedup").outputMode("append").start()
     try {
-      in.addData((ts(0), "alpha beta gamma"), (ts(0), "gamma beta alpha"),
+      // the reordered duplicate arrives LATER — fingerprint state alone
+      // (not (fp, ts)) must drop it
+      in.addData((ts(0), "alpha beta gamma"), (ts(2), "gamma beta alpha"),
                  (ts(1), "delta epsilon"))
       q.processAllAvailable()
       // the reordered duplicate shares the fingerprint -> dropped

@@ -144,6 +144,79 @@ class WilayahSpec extends AnyFunSuite {
     assert(touched == 73)
   }
 
+  test("ST_Multi promotes a bare Polygon to a valid MultiPolygon") {
+    import spark.implicits._
+    val polyJson =
+      """{"type":"Polygon","coordinates":[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]}"""
+    val multiJson =
+      """{"type":"MultiPolygon","coordinates":[[[[96.0,4.0],[96.1,4.0],[96.1,4.1],[96.0,4.0]]]]}"""
+    val pointJson = """{"type":"Point","coordinates":[97.0,5.0]}"""
+    val out = Seq(polyJson, multiJson, pointJson).toDF("g")
+      .select(Geo.asGeoJson(Geo.simplifyUdf(Geo.force2D(
+        Geo.promoteMultiFromJson(col("g"))))).as("norm"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // Polygon wrapped once: same ring, now 4-deep under MultiPolygon
+    assert(out(0) == """{"type":"MultiPolygon","coordinates":[[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]]}""")
+    // MultiPolygon passes through
+    assert(out(1) == """{"type":"MultiPolygon","coordinates":[[[[96.0,4.0],[96.1,4.0],[96.1,4.1],[96.0,4.0]]]]}""")
+    // unpromotable type -> NULL coordinates (to_json omits the null
+    // field), never a fabricated geometry; sync paths quarantine these
+    assert(out(2) == """{"type":"MultiPolygon"}""")
+  }
+
+  test("non-MultiPolygon features quarantine instead of storing null geometry") {
+    val dir = Files.createTempDirectory("graft-poly")
+    // second feature is Polygon-typed: its 3-deep coordinates cannot
+    // parse under the 4-deep read schema -> must go to quarantine
+    val json = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"001","nm_kelurahan":"Ok"},
+       "geometry":{"type":"MultiPolygon","coordinates":[[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]]}},
+      {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"002","nm_kelurahan":"Flat"},
+       "geometry":{"type":"Polygon","coordinates":[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]}}]}"""
+    Files.writeString(dir.resolve("11.73_kelurahan.geojson"), json)
+    val withCodes = Ingest.withKodeNama(
+      Ingest.readFeatures(spark, Seq(dir.toString + "/11.73_kelurahan.geojson")))
+    assert(withCodes.filter(Ingest.clean).count() == 1)
+    val bad = Ingest.quarantine(withCodes).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("geometry_type") != "MultiPolygon")
+  }
+
+  test("statusFull carries the availability and file-availability block") {
+    val api = freshApi()
+    // before any sync: no rows, but the corpus files exist on disk
+    assert(api.statusFull("11.73") == Map(
+      "provinsi" -> 0L, "kabupaten" -> 0L, "kecamatan" -> 0L, "kelurahan" -> 0L,
+      "available" -> false, "fileAvailable" -> true))
+    api.sync("11.73")
+    assert(api.statusFull("11.73") == Map(
+      "provinsi" -> 0L, "kabupaten" -> 1L, "kecamatan" -> 4L, "kelurahan" -> 68L,
+      "available" -> true, "fileAvailable" -> true))
+    // unknown code: neither rows nor files
+    assert(api.statusFull("99") == Map(
+      "provinsi" -> 0L, "kabupaten" -> 0L, "kecamatan" -> 0L, "kelurahan" -> 0L,
+      "available" -> false, "fileAvailable" -> false))
+  }
+
+  test("featureCollection streams large fetches without a driver collect") {
+    import spark.implicits._
+    val api = freshApi()
+    val n = 5000
+    val rows = spark.range(n).select(
+      concat(lit("id"), col("id")).as("id"),
+      concat(lit("name"), col("id")).as("name"),
+      lit("""{"type":"MultiPolygon","coordinates":[[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]]}""")
+        .as("geometry"))
+    val fc = api.featureCollection(rows)
+    assert(fc.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(fc.endsWith("]}"))
+    assert(fc.sliding("\"Feature\"".length).count(_ == "\"Feature\"") == n)
+    // bulk export: executors write directly, no driver assembly
+    val out = Files.createTempDirectory("graft-fc").toString + "/features"
+    api.writeFeatureCollectionJson(rows, out)
+    assert(spark.read.text(out).count() == n)
+  }
+
   test("dirty rows quarantine instead of producing undefined-laced codes") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-dirty")

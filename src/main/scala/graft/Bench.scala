@@ -32,15 +32,34 @@ object Bench {
       Queries.all.foreach(q => try run(q) catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
 
-    val results = Queries.all.sortBy(_.name).map { q =>
-      val t0 = System.nanoTime()
-      try run(q) catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+    // Median of 3 timed passes per query: single-pass timings vary
+    // ±15% run-to-run at this scale (JIT, GC, OS noise), which hides
+    // small regressions; the median cuts the spread to a few percent.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val names = Queries.all.sortBy(_.name)
+    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      names.map { q =>
+        val t0 = System.nanoTime()
+        try run(q) catch { case _: Throwable => () }
+        q.name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = names.map { q =>
+      val xs = samples.map(_.find(_._1 == q.name).get._2)
+      (q.name, median(xs), if (median(xs) > 0) (xs.max - xs.min) / median(xs) else 0.0)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // spread on the queries long enough to measure (>0.2s median):
+    // sub-200ms timings are dominated by scheduling noise either way
+    val spreads = results.filter(_._2 > 0.2).map(_._3)
+    val maxSpread = if (spreads.isEmpty) 0.0 else spreads.max * 100
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)}}""")
     spark.stop()
   }
 }

@@ -633,7 +633,10 @@ object Queries {
               < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
       (s, d) => {
-        val view = s"lineitem_q49_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // fixed name: createOrReplace is idempotent, and every caller in
+        // one session reads the same sfDir — a UUID-per-invocation name
+        // would accumulate catalog entries in a long-lived session
+        val view = "lineitem_q49"
         lineitem(s, d).createOrReplaceTempView(view)
         s.sql(s"""
           SELECT CAST(COUNT(*) AS BIGINT) AS n_small,

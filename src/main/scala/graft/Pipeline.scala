@@ -27,9 +27,17 @@ object Pipeline {
 
   /** Distinct word n-gram shingles ("a b c" style). Callers must
     * guard size(words) >= n (empty-sequence semantics differ across
-    * engines for degenerate docs).
+    * engines for degenerate docs). Backed by the native
+    * [[graft.plans.WordShingles]] one-pass kernel; byte-identical
+    * strings to the HOF reference below.
     */
   def wordShingles(w: Column, n: Int): Column =
+    graft.plans.TextExpressions.wordShingles(w, n)
+
+  /** Reference HOF formulation of [[wordShingles]], kept as the spec's
+    * equality baseline.
+    */
+  def wordShinglesHof(w: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(1), size(w) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
@@ -47,11 +55,20 @@ object Pipeline {
 
   /** k-permutation MinHash signature from PRE-COMPUTED 32-bit shingle
     * hashes: k cheap affine permutations (a_j*h + b_j mod P), min per
-    * permutation — one md5 per shingle total (computed by the caller in
-    * its own projection), 16x less hash work than hashing per
-    * (permutation, shingle). The standard scheme at scale.
+    * permutation — one md5 per shingle total, 16x less hash work than
+    * hashing per (permutation, shingle). The standard scheme at scale.
+    * Backed by the native [[graft.plans.MinhashSignature]] kernel (one
+    * codegen loop over the hash array vs k interpreted HOF folds);
+    * exact integer arithmetic, so identical to the HOF reference below
+    * and the oracle.
     */
   def minhashSignatureFromHashes(hs: Column, k: Int): Column =
+    graft.plans.TextExpressions.minhashSig(hs, k)
+
+  /** Reference HOF formulation of [[minhashSignatureFromHashes]], kept
+    * as the spec's bit-equality baseline.
+    */
+  def minhashSignatureFromHashesHof(hs: Column, k: Int): Column =
     array((0 until k).map { j =>
       array_min(transform(hs, h =>
         pmod(lit(minhashA(j)) * h + lit(minhashB(j)), lit(MinhashP))))
@@ -81,12 +98,12 @@ object Pipeline {
                         k: Int, bands: Int,
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
-    // base hashes in their OWN projection: the signature references the
-    // alias k times, and CollapseProject keeps expensive multiply-
-    // referenced aliases un-inlined — so each shingle is md5'd once,
-    // not once per permutation
+    // shingle -> 32-bit hashes -> k-permutation signature, both as
+    // native one-pass kernels in the scan projection (round 2 evaluated
+    // them as per-element HOF lambdas — the slowest remaining hot loop)
     val bandedAll = docShingles
-      .select(col(idCol), transform(col("shingles"), wordHash32(_)).as("hs"))
+      .select(col(idCol),
+        graft.plans.TextExpressions.md5Hash32Array(col("shingles")).as("hs"))
       .select(col(idCol),
         explode(lshBands(minhashSignatureFromHashes(col("hs"), k), bands, rows))
           .as("bb"))
@@ -255,9 +272,17 @@ object Pipeline {
 
   /** Polynomial rolling hash over token hashes, mod 1e9+7. The fold
     * starts at 0 and every term is already < M, so the left fold equals
-    * the oracle's init-less list_reduce.
+    * the oracle's init-less list_reduce. Backed by the native
+    * [[graft.plans.RollingHash]] kernel (one loop, md5 inline) —
+    * integer arithmetic, identical to the HOF reference below.
     */
   def rollingHash(w: Column): Column =
+    graft.plans.TextExpressions.rollingHash(w)
+
+  /** Reference HOF formulation of [[rollingHash]], kept as the spec's
+    * bit-equality baseline.
+    */
+  def rollingHashHof(w: Column): Column =
     aggregate(
       transform(w, x => wordHash32(x) % lit(1000000007L)),
       lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))

@@ -153,6 +153,42 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"simhash32 should not shuffle:\n$plan")
   }
 
+  test("text-hash kernels equal their HOF formulations exactly") {
+    import graft.plans.TextExpressions
+    val w = Pipeline.words(col("text"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), w.as("w"), Pipeline.wordShingles(w, 3).as("sh"),
+        Pipeline.wordShinglesHof(w, 3).as("sh_hof"))
+    // native shingles match the HOF strings element-for-element
+    // (first-occurrence distinct order included)
+    docs.select(col("sh"), col("sh_hof")).collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    val both = docs.select(
+      TextExpressions.md5Hash32Array(col("sh")).as("h_native"),
+      transform(col("sh"), Pipeline.wordHash32(_)).as("h_hof"),
+      Pipeline.minhashSignatureFromHashes(
+        TextExpressions.md5Hash32Array(col("sh")), 16).as("sig_native"),
+      Pipeline.minhashSignatureFromHashesHof(
+        transform(col("sh"), Pipeline.wordHash32(_)), 16).as("sig_hof"),
+      Pipeline.rollingHash(col("w")).as("rh_native"),
+      Pipeline.rollingHashHof(col("w")).as("rh_hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+    // degenerate input: empty array -> all-null signature, like the
+    // HOF's array_min over an empty transform
+    val empty = docs.limit(1).select(
+      Pipeline.minhashSignatureFromHashes(
+        TextExpressions.md5Hash32Array(array().cast("array<string>")), 4).as("sig"))
+      .head().getSeq[Any](0)
+    assert(empty.length == 4 && empty.forall(_ == null))
+  }
+
   test("GroupedTopK partial map bound: overflow passes through, result exact") {
     import org.apache.spark.sql.expressions.Window
     import graft.plans.GroupedTopK

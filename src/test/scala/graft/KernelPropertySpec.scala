@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{TextExpressions, VectorExpressions}
+
+/** Property-based equivalence for the native kernels vs their
+  * HOF/aggregate reference formulations, over adversarial generated
+  * inputs the corpus can't provide: unicode tokens, empty strings,
+  * heavy duplication, single-token docs, degenerate vectors.
+  * (ScalaCheck generators driven by fixed seeds — scalatestplus is not
+  * in the offline cache, so sampling is done directly.)
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // tokens: ascii words, unicode, empty strings, repeats
+  private val genToken: Gen[String] = Gen.frequency(
+    5 -> Gen.alphaNumStr.map(_.take(8)),
+    2 -> Gen.oneOf("emas", "λambda", "北京", "ñandú", "✓"),
+    1 -> Gen.const(""),
+    2 -> Gen.oneOf("dup", "dup", "other"))
+
+  private val genDoc: Gen[List[String]] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, genToken))
+
+  private def sampleDocs(seed: Long, count: Int): Seq[Seq[String]] =
+    (0 until count).map(i =>
+      genDoc.apply(Gen.Parameters.default, Seed(seed + i)).getOrElse(Nil))
+
+  test("text kernels == HOF forms on generated unicode/degenerate token arrays") {
+    import spark.implicits._
+    val docs = sampleDocs(seed = 7, count = 300)
+    val df = docs.map(_.mkString(" ")).toDF("text")
+      .select(Pipeline.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3) // shingle-caller contract
+      .select(col("w"), Pipeline.wordShingles(col("w"), 3).as("sh"),
+        Pipeline.wordShinglesHof(col("w"), 3).as("sh_hof"))
+      .select(
+        col("sh"), col("sh_hof"),
+        TextExpressions.md5Hash32Array(col("sh")).as("h"),
+        transform(col("sh"), Pipeline.wordHash32(_)).as("h_hof"),
+        Pipeline.minhashSignatureFromHashes(
+          TextExpressions.md5Hash32Array(col("sh")), 16).as("sig"),
+        Pipeline.minhashSignatureFromHashesHof(
+          transform(col("sh"), Pipeline.wordHash32(_)), 16).as("sig_hof"),
+        Pipeline.rollingHash(col("w")).as("rh"),
+        Pipeline.rollingHashHof(col("w")).as("rh_hof"),
+        graft.plans.VectorExpressions.simHash32(col("w")).as("sim"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5))
+      assert(r.getLong(6) == r.getLong(7))
+    }
+  }
+
+  test("simhash32 kernel == explode+groupBy on generated docs") {
+    import spark.implicits._
+    val docs = sampleDocs(seed = 21, count = 200)
+    val df = docs.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val native = Pipeline.simhash32(df, "doc_id", "text")
+    val ref = Pipeline.simhash32ViaExplode(df, "doc_id", "text")
+    // explode drops docs whose token array is empty; split never yields
+    // an empty array (""-doc -> [""]), so counts match
+    assert(native.count() == df.count())
+    assert(native.except(ref).count() == 0)
+    assert(ref.except(native).count() == 0)
+  }
+
+  test("rhp_bucket kernel == HOF on generated vectors incl. zero/negatives") {
+    import spark.implicits._
+    val genVec: Gen[Seq[Double]] = Gen.oneOf(
+      Gen.listOfN(64, Gen.choose(-1.0, 1.0)),
+      Gen.const(List.fill(64)(0.0)),            // all-zero: every proj == 0
+      Gen.listOfN(64, Gen.oneOf(-1.0, 1.0)))    // sign-saturated
+    val vecs = (0 until 200).map(i =>
+      genVec.apply(Gen.Parameters.default, Seed(100L + i)).get)
+    val df = vecs.toDF("v")
+    val rows = df.select(
+      VectorExpressions.rhpBucket(col("v"), 64, 4).as("native"),
+      Pipeline.rhpBucketHof(col("v"), 64, 4).as("hof")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+}

@@ -127,6 +127,88 @@ object Streams {
           c_ts < p_ts"""))
       .select(col("p_id"), col("user_id"), col("c_id"), col("p_ts"), col("c_ts"))
 
+  // ===== streaming near-dup (LSH) =====
+
+  /** A streaming near-dup candidate: an arriving doc `b_id` collided
+    * with prior doc `a_id` in LSH band `band` (a_id < b_id by id).
+    */
+  case class LshCandidate(a_id: Long, b_id: Long, band: Int, ts: Timestamp)
+  // state classes must be encoder-visible (non-private): the state
+  // serializer is codegen'd and cannot call private accessors
+  case class BucketState(ids: List[Long], lastMs: Long)
+
+  /** Streaming MinHash-LSH near-dup candidate generation — the
+    * streaming form of the batch `Pipeline.lshCandidatePairs` (q26).
+    *
+    * Each arriving doc's signature is computed scan-side by the same
+    * native kernels as the batch path (shingles -> md5 hashes -> k
+    * affine permutations), exploded into its `bands` bucket rows, and
+    * matched against the bucket's keyed state: every prior member
+    * within the watermark horizon yields a candidate pair on arrival.
+    *
+    * State is bounded on two axes, exactly like the batch plan scales:
+    * per bucket at most `maxBucket` member ids (the hot-bucket cap —
+    * a degenerate bucket stops absorbing members instead of going
+    * quadratic), and buckets idle past the watermark horizon are
+    * evicted via event-time timeout. A pair that collides in several
+    * bands is emitted once per band (the batch path's `distinct`
+    * needs a second stateful operator here; chain
+    * `.dropDuplicatesWithinWatermark("a_id", "b_id")` downstream when
+    * exact-once pairs matter).
+    *
+    * Input columns: (`idCol`: long, ts: timestamp, `textCol`: string).
+    */
+  def streamingLshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      horizonMinutes: Int = 10,
+      maxBucket: Int = 16): Dataset[LshCandidate] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60_000L
+    val w = graft.Pipeline.words(col(textCol))
+    val sig = graft.Pipeline.minhashSignatureFromHashes(
+      graft.plans.TextExpressions.md5Hash32Array(graft.Pipeline.wordShingles(w, 3)), k)
+    val banded = docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .filter(org.apache.spark.sql.functions.size(w) >= 3)
+      .select(col(idCol).as("id"), col("ts"),
+        explode(graft.Pipeline.lshBands(sig, bands, k / bands)).as("bb"))
+      .select(col("id"), col("ts"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .as[(Long, Timestamp, Int, String)]
+    banded
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Timestamp, Int, String)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.toSeq.sortBy { case (id, ts, _, _) => (ts.getTime, id) }
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = Seq.newBuilder[LshCandidate]
+            arrivals.foreach { case (id, ts, band, _) =>
+              st.ids.foreach { prior =>
+                if (prior != id) out += LshCandidate(
+                  math.min(prior, id), math.max(prior, id), band, ts)
+              }
+              // hot-bucket cap: a full bucket emits pairs against its
+              // members but stops absorbing new ones — hard bound on
+              // state AND on per-arrival pair fan-out
+              if (st.ids.length < maxBucket && !st.ids.contains(id))
+                st = BucketState(id :: st.ids, math.max(st.lastMs, ts.getTime))
+              else st = st.copy(lastMs = math.max(st.lastMs, ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -105,6 +105,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates pair arriving near-dups against bucket state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely unrelated content with no shared shingles at all here"
+    val q = Streams.streamingLshCandidates(
+        in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("lsh_cand").outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), dup), (10L, ts(0), other))
+      q.processAllAvailable()
+      assert(spark.table("lsh_cand").count() == 0) // nothing to pair with yet
+      // identical text arriving later collides in EVERY band
+      in.addData((2L, ts(1), dup))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_cand")
+        .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+      assert(spark.table("lsh_cand").count() == 4) // one hit per band (4 bands)
+      // a third copy pairs with BOTH prior members
+      in.addData((3L, ts(2), dup))
+      q.processAllAvailable()
+      val pairs2 = spark.table("lsh_cand")
+        .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // the unrelated doc never pairs
+      assert(!spark.table("lsh_cand").as[Streams.LshCandidate]
+        .collect().exists(c => c.a_id == 10L || c.b_id == 10L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -648,6 +648,67 @@ object Queries {
                    FROM $view l2 WHERE l2.l_partkey = l.l_partkey)""")
       }),
 
+    // Approximate quantiles (t-digest/KLL-family sketches). Sketch
+    // internals differ across engines, so — like q43's HLL — the
+    // contract is accuracy, not equality: exact count plus within-5%
+    // flags, stably true on both engines at this accuracy.
+    QueryDef("q53_approx_quantile",
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+                 <= 0.05 * ABS(quantile_cont(value, 0.5)) AS median_ok,
+               ABS(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+                 <= 0.05 * ABS(quantile_cont(value, 0.9)) AS p90_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        def ok(p: Double) =
+          (abs(percentile_approx(col("value"), lit(p), lit(10000)) -
+               expr(s"percentile(value, $p)"))
+            <= lit(0.05) * abs(expr(s"percentile(value, $p)")))
+        events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               ok(0.5).as("median_ok"), ok(0.9).as("p90_ok"))
+          .orderBy("event_type")
+      }),
+
+    // Batch sessionization: gap-based session assignment via
+    // lag + cumulative sum — the batch form of the streaming
+    // flatMapGroupsWithState sessionizer. All arithmetic is exact
+    // epoch-MICROsecond longs on both sides (DuckDB reads the NANOS
+    // parquet truncated to micros, so the Spark side truncates ts_ns
+    // identically — a nanosecond gap straddling the 5-min boundary
+    // would otherwise split sessions differently).
+    QueryDef("q54_sessionization",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        g AS (SELECT user_id, event_id, tus,
+                CASE WHEN tus - LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > 300000000 THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (SELECT user_id, tus,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(tus) AS start_us, MAX(tus) AS end_us
+        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gap = col("tus") - lag("tus", 1).over(w)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("tus"))
+          .withColumn("new_session",
+            when(gap.isNull || gap > 300000000L, 1).otherwise(0))
+          .withColumn("session_id", sum("new_session").over(cum).cast(LongType))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min("tus").as("start_us"), max("tus").as("end_us"))
+          .orderBy("user_id", "session_id")
+      }),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

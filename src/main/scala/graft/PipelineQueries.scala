@@ -486,6 +486,50 @@ object PipelineQueries {
         ORDER BY cosine DESC, t.vec_id LIMIT 10"""),
       (s, d) => Similarity.ivfTopK(
         spread(embeddings(s, d)).withColumn("cell", col("vec_id") % 8),
-        "vec_id", "embedding", "cell", queryId = 0, k = 10, nProbe = 2))
+        "vec_id", "embedding", "cell", queryId = 0, k = 10, nProbe = 2)),
+
+    // Frame sampling: every 2nd frame of each media doc as its own row
+    // — the video-pipeline fan-out shape (Multimodal.sampleFrames,
+    // previously spec-only). The oracle replays the stub codec's frame
+    // count (1 + byte_len % 7); frame HASHES are asserted in
+    // PipelineSpec instead — DuckDB 1.0 has no md5 over BLOBs, and the
+    // hash input appends raw frame-index bytes.
+    QueryDef("q55_frame_sampling",
+      Some("""
+        SELECT doc_id,
+               CAST(unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) % 7, 2)) AS INTEGER) AS frame_idx
+        FROM documents ORDER BY doc_id, frame_idx"""),
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d)
+          .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+          .as[Multimodal.MediaDoc]
+        Multimodal.sampleFrames(media, every = 2).toDF()
+          .select("doc_id", "frame_idx")
+          .orderBy("doc_id", "frame_idx")
+      }),
+
+    // Window distribution functions: percent_rank / cume_dist / ntile.
+    // The rank arithmetic is exact-integer division to double — the
+    // same two ints divide on both engines, so even the doubles are
+    // bit-equal; the o_orderkey tiebreak makes ntile deterministic.
+    QueryDef("q56_window_distribution",
+      Some("""
+        SELECT o_orderkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey"""),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+        orders(s, d).select(
+            col("o_orderkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy("o_orderkey")
+      })
   )
 }

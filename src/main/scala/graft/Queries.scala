@@ -709,6 +709,48 @@ object Queries {
           .orderBy("user_id", "session_id")
       }),
 
+    // True pivot operator (df.groupBy().pivot() with explicit values —
+    // no collect-distinct planning pass): per-user event-type count
+    // matrix. Spark leaves absent cells NULL where the oracle's
+    // COUNT FILTER yields 0, so the cells coalesce explicitly.
+    QueryDef("q57_pivot",
+      Some("""
+        SELECT user_id,
+          CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+          CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+          CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+          CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+          CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        events(s, d)
+          .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+          .select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).cast(LongType).as(t)): _*)
+          .orderBy("user_id")
+      }),
+
+    // Unpivot/melt: wide metric columns to (key, metric, value) rows —
+    // the long-format transform feature pipelines use. A deterministic
+    // 1% key sample keeps the compared output bounded.
+    QueryDef("q58_unpivot",
+      Some("""
+        WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM f
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f)
+        ORDER BY l_orderkey, l_linenumber, metric"""),
+      (s, d) => lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

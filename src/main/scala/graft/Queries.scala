@@ -193,7 +193,11 @@ object Queries {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY r.r_name"""),
-      (s, d) => Tables.spread(lineitem(s, d))
+      // no spread() here: the first join's key exchange redistributes
+      // the single-file scan anyway, so a round-robin pre-shuffle is
+      // pure overhead (measured: 1.1s -> 0.85s at sf0.1). spread() is
+      // for CPU-heavy SCAN-SIDE projections, which q11's scan is not.
+      (s, d) => lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         // customer scales with SF (150k x SF rows) — at the 100 TB design
         // target it is NOT broadcastable; let AQE pick the strategy. Only

@@ -124,6 +124,25 @@ class PlansSpec extends AnyFunSuite {
       .except(trueMin.select(col("l_orderkey"), col("m"))).count() == 0)
   }
 
+  test("all native kernels are callable from SQL via the extensions") {
+    val r = spark.sql(
+      """SELECT rhp_bucket(CAST(array(1.0, -2.0) AS array<double>), 2, 4) AS b,
+        |       simhash32(array('a', 'b', 'a')) AS sh,
+        |       word_shingles(array('a', 'b', 'c', 'b', 'c'), 3) AS ws,
+        |       md5_hash32_array(array('a', 'b')) AS h,
+        |       minhash_sig(md5_hash32_array(array('a', 'b')), 4) AS sig,
+        |       rolling_hash(array('a', 'b')) AS rh""".stripMargin).head()
+    assert(!r.isNullAt(0))
+    assert(r.getSeq[String](2) == Seq("a b c", "b c b", "c b c"))
+    assert(r.getSeq[Long](3).length == 2 && r.getSeq[Long](4).length == 4)
+    assert(r.getLong(5) > 0)
+    // shape parameters must be literals, not per-row expressions
+    val err = intercept[Exception](
+      spark.sql("SELECT rhp_bucket(CAST(array(1.0) AS array<double>), id + 1, 4) " +
+        "FROM range(1)").head())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("rhp_bucket native kernel is bit-identical to the HOF formulation") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), Pipeline.asDouble(col("embedding")).as("v"))

@@ -286,6 +286,51 @@ object Queries {
         .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
 
+    // Multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL) —
+    // distinct physical operators from the DISTINCT variants (q16/q17):
+    // Catalyst plans them as count-compare aggregates, not semi/anti
+    // joins. The two branches partition customer's nationkey multiset.
+    QueryDef("q59_set_ops_all",
+      Some("""
+        SELECT 'intersect_all' AS op, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all', k FROM (
+          SELECT c_nationkey AS k FROM customer
+          EXCEPT ALL SELECT s_nationkey FROM supplier)
+        ORDER BY op, k"""),
+      (s, d) => {
+        val c = customer(s, d).select(col("c_nationkey").as("k"))
+        val su = supplier(s, d).select(col("s_nationkey").as("k"))
+        c.intersectAll(su).select(lit("intersect_all").as("op"), col("k"))
+          .union(c.exceptAll(su).select(lit("except_all").as("op"), col("k")))
+          .orderBy("op", "k")
+      }),
+
+    // String-function surface II: edit distance, padding, reversal,
+    // repetition, character translation, word extraction — all
+    // deterministic integer/byte-level functions.
+    QueryDef("q60_string_funcs2",
+      Some("""
+        SELECT p_partkey,
+               CAST(levenshtein(p_name, p_brand) AS INTEGER) AS lev,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+               reverse(p_name) AS rev,
+               repeat(p_type, 2) AS rep,
+               translate(p_name, 'aeiou', '_____') AS consonants,
+               split_part(p_type, ' ', 1) AS first_word
+        FROM part ORDER BY p_partkey"""),
+      (s, d) => part(s, d).select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), col("p_brand")).as("lev"),
+          lpad(col("p_partkey").cast(StringType), 8, "0").as("padded"),
+          reverse(col("p_name")).as("rev"),
+          expr("repeat(p_type, 2)").as("rep"),
+          translate(col("p_name"), "aeiou", "_____").as("consonants"),
+          expr("split_part(p_type, ' ', 1)").as("first_word"))
+        .orderBy("p_partkey")),
+
     // ===== Windows (§2.5; S7 last-writer-wins dedup recipe) =====
 
     // The merge/upsert recipe (reference: init_db.sql:21-36 upsert):

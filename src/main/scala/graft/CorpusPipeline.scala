@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end training-corpus cleaning pipeline — the
+  * "switch your pipeline to this library" surface that chains the
+  * individually-verified operators in their canonical order:
+  *
+  *   1. exact dedup (content bytes)            — cheapest first
+  *   2. near dedup (MinHash-LSH + Jaccard)     — on the survivors only
+  *   3. quality filter (length / stopword mix) — scan-side column math
+  *   4. feature annotation (tokens, TTR, fingerprints, rolling hash)
+  *
+  * Every stage is a DataFrame -> DataFrame transform with the scale
+  * shapes documented on the underlying operators (one derived-key
+  * shuffle per dedup stage, no cartesians, no driver collects), so the
+  * composition inherits them. Stage counts are computed ONCE via a
+  * single pass per boundary (the `Report` is four counts — at 100 TB
+  * these are the same four actions a production run would log).
+  */
+object CorpusPipeline {
+
+  /** Per-stage surviving row counts. */
+  case class Report(
+      input: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      afterQualityFilter: Long) {
+    def json: String =
+      s"""{"input":$input,"after_exact_dedup":$afterExactDedup,""" +
+        s""""after_near_dedup":$afterNearDedup,"after_quality_filter":$afterQualityFilter}"""
+  }
+
+  /** Quality predicate: enough tokens, not stopword-saturated. The
+    * thresholds mirror the oracle-checked q33 classification bounds.
+    */
+  def qualityFilter(textCol: String, minTokens: Int, maxStopRatio: Double) = {
+    val w = Pipeline.words(col(textCol))
+    size(w) >= minTokens &&
+      (Pipeline.stopwordCount(w).cast("double") / size(w)) <= maxStopRatio
+  }
+
+  /** Run the full chain; returns the cleaned, feature-annotated corpus
+    * and the per-stage report.
+    */
+  def clean(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardThreshold: Double = 0.8,
+      minTokens: Int = 15,
+      maxStopRatio: Double = 0.5): (DataFrame, Report) = {
+    val exact = Dedup.exact(docs, idCol, textCol)
+    val near = Dedup.near(exact, idCol, textCol, threshold = jaccardThreshold)
+    val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
+    val annotated = Similarity.withTextFeatures(quality, textCol)
+    val report = Report(
+      docs.count(), exact.count(), near.count(), quality.count())
+    (annotated, report)
+  }
+}
+
+/** Runnable demo of the composed pipeline (mirror of `wilayah.Demo`):
+  * `sbt "runMain graft.PipelineDemo [sfDir]"` — cleans the documents
+  * corpus and prints one JSON report line.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = Sessions.fromEnv("graft-pipeline-demo")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val (cleaned, report) = CorpusPipeline.clean(Tables.documents(spark, sf))
+    val nFeatures = cleaned.columns.length
+    println(s"""{"corpus":"$sf","report":${report.json},"feature_columns":$nFeatures}""")
+    spark.stop()
+  }
+}

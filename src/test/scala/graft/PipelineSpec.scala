@@ -212,4 +212,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.values.sum == Tables.documents(spark, sf).count())
   }
+
+  test("composed corpus pipeline: monotone stages, no survivors above threshold") {
+    val docs = Tables.documents(spark, sf)
+    val (cleaned, report) = CorpusPipeline.clean(docs, jaccardThreshold = 0.8)
+
+    // stages only remove rows, never invent them
+    assert(report.input == docs.count())
+    assert(report.afterExactDedup <= report.input)
+    assert(report.afterNearDedup <= report.afterExactDedup)
+    assert(report.afterQualityFilter <= report.afterNearDedup)
+    assert(cleaned.count() == report.afterQualityFilter)
+
+    // the exact stage really deduped: no two survivors share content
+    assert(report.afterExactDedup ==
+      docs.select(md5(col("text"))).distinct().count())
+
+    // no surviving pair still exceeds the near-dup threshold
+    val survivors = cleaned.select("doc_id", "text")
+    val sh = shingleSets
+    val ids = survivors.collect().map(_.getLong(0)).toSet
+    for (a <- ids; b <- ids if a < b && sh.contains(a) && sh.contains(b)) {
+      val (sa, sb) = (sh(a), sh(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j < 0.8, s"surviving pair ($a,$b) has jaccard $j >= 0.8")
+    }
+
+    // feature annotation added the documented columns
+    for (c <- Seq("n_tokens", "ttr", "stopword_ratio", "fingerprint", "rolling_hash"))
+      assert(cleaned.columns.contains(c))
+
+    // report serializes to the JSON line the demo prints
+    assert(report.json.contains(s""""input":${report.input}"""))
+  }
 }

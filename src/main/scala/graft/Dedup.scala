@@ -82,6 +82,44 @@ object Dedup {
     labels.withColumnRenamed("id", idCol)
   }
 
+  /** Test-set DECONTAMINATION: remove every `train` row whose n-gram
+    * Jaccard similarity to ANY `test` row reaches `threshold` — the
+    * cross-corpus near-dup operator an LLM training pipeline runs
+    * before training so evaluation data cannot leak into the corpus.
+    *
+    * Same two-phase scale shape as [[near]]: LSH band blocking
+    * (equi-join between the corpora, never a cartesian) generates
+    * candidates, exact Jaccard verifies only those, and a left-anti
+    * join drops the contaminated train rows.
+    */
+  def decontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      minhashK: Int = 16,
+      bands: Int = 4): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= shingleN)
+      .select(col(idCol), Pipeline.wordShingles(col("_w"), shingleN).as("shingles"))
+    val (trainSh, testSh) = (shingled(train), shingled(test))
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    val contaminated = Pipeline
+      .lshCrossCandidates(trainSh, testSh, idCol, minhashK, bands,
+        maxBucketSize = 10000)
+      .join(trainSh.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(testSh.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+      .withColumn("_j",
+        inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
+      .filter(col("_j") >= threshold)
+      .select(col("a_id").as(idCol))
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup removal: MinHash-LSH candidates verified by exact n-gram
     * Jaccard >= `threshold`; within each verified pair the higher id
     * drops. Two-phase (cheap candidates, exact verify on candidates

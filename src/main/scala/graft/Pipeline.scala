@@ -89,6 +89,35 @@ object Pipeline {
             _.cast(StringType))))
           .as("bh")))
 
+  /** (id, band, bucket-hash) rows for LSH joins: shingle -> 32-bit
+    * hashes -> k-permutation signature, both as native one-pass kernels
+    * in the scan projection (round 2 evaluated them as per-element HOF
+    * lambdas — the slowest remaining hot loop), then the band explode.
+    *
+    * Hot-bucket guard (when `maxBucketSize` is set): a degenerate
+    * bucket of m docs yields m^2/2 pairs; capping trades recall inside
+    * the pathological bucket for a hard bound on join output. The
+    * count window is one extra shuffle over the (tiny) banded rows —
+    * skipped entirely at the default.
+    */
+  private def lshBanded(docShingles: DataFrame, idCol: String,
+                        k: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+    val rows = k / bands
+    val bandedAll = docShingles
+      .select(col(idCol),
+        graft.plans.TextExpressions.md5Hash32Array(col("shingles")).as("hs"))
+      .select(col(idCol),
+        explode(lshBands(minhashSignatureFromHashes(col("hs"), k), bands, rows))
+          .as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    if (maxBucketSize == Int.MaxValue) bandedAll
+    else {
+      val w = Window.partitionBy("band", "bh")
+      bandedAll.withColumn("_bs", count(lit(1)).over(w))
+        .filter(col("_bs") <= maxBucketSize).drop("_bs")
+    }
+  }
+
   /** Candidate near-dup pairs (a_id < b_id) from MinHash-LSH band
     * collisions. Input must have an id column and a shingles column.
     * The self-join is an equi-join on (band, bh) — shuffle hash join,
@@ -97,31 +126,28 @@ object Pipeline {
   def lshCandidatePairs(docShingles: DataFrame, idCol: String,
                         k: Int, bands: Int,
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val rows = k / bands
-    // shingle -> 32-bit hashes -> k-permutation signature, both as
-    // native one-pass kernels in the scan projection (round 2 evaluated
-    // them as per-element HOF lambdas — the slowest remaining hot loop)
-    val bandedAll = docShingles
-      .select(col(idCol),
-        graft.plans.TextExpressions.md5Hash32Array(col("shingles")).as("hs"))
-      .select(col(idCol),
-        explode(lshBands(minhashSignatureFromHashes(col("hs"), k), bands, rows))
-          .as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // hot-bucket guard: a degenerate bucket of m docs yields m^2/2
-    // pairs; capping trades recall inside the pathological bucket for
-    // a hard bound on join output. A count window is one extra shuffle
-    // over the (tiny) banded rows — skipped entirely at the default.
-    val banded =
-      if (maxBucketSize == Int.MaxValue) bandedAll
-      else {
-        val w = Window.partitionBy("band", "bh")
-        bandedAll.withColumn("_bs", count(lit(1)).over(w))
-          .filter(col("_bs") <= maxBucketSize).drop("_bs")
-      }
+    val banded = lshBanded(docShingles, idCol, k, bands, maxBucketSize)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** CROSS-corpus candidate pairs: docs of corpus A that share an LSH
+    * band bucket with any doc of corpus B (a_id from A, b_id from B) —
+    * the blocking step of test-set decontamination. Same equi-join
+    * shape as the self-join variant; both corpora must use the same id
+    * namespace only in the sense that ids identify rows within their
+    * own side.
+    */
+  def lshCrossCandidates(aShingles: DataFrame, bShingles: DataFrame,
+                         idCol: String, k: Int, bands: Int,
+                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val ba = lshBanded(aShingles, idCol, k, bands, maxBucketSize)
+    val bb = lshBanded(bShingles, idCol, k, bands, maxBucketSize)
+    ba.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
   }

@@ -509,6 +509,49 @@ object PipelineQueries {
           .orderBy("doc_id", "frame_idx")
       }),
 
+    // Test-set decontamination: train docs (sources != src0) removed
+    // when their trigram Jaccard vs ANY test doc (src0) reaches 0.5 —
+    // LSH cross-corpus blocking + exact verify, the operator an LLM
+    // pipeline runs before training. Output = the removed train ids.
+    QueryDef("q61_decontamination",
+      Some("""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, source,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+               FROM w WHERE len(w) >= 3),
+        hs AS (SELECT doc_id, source,
+                 list_transform(shingles, s ->
+                   list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
+                               (a, b) -> a*16 + b)) AS hs
+               FROM sh),
+        sig AS (SELECT doc_id, source,
+                  [list_min(list_transform(hs, h ->
+                     ((2*j + 3 + j*j*7919) * h + 104729*(j+1)) % 2305843009213693951))
+                   for j in range(0, 16)] AS sig
+                FROM hs),
+        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh
+                 WHERE x.source <> 'src0' AND y.source = 'src0')
+        SELECT DISTINCT c.a_id AS train_doc_id
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.a_id
+        JOIN sh b ON b.doc_id = c.b_id
+        WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.5
+        ORDER BY train_doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val train = docs.filter(col("source") =!= "src0")
+        val test = docs.filter(col("source") === "src0")
+        val kept = Dedup.decontaminate(train, test, "doc_id", "text", threshold = 0.5)
+        train.select("doc_id").exceptAll(kept.select("doc_id"))
+          .select(col("doc_id").as("train_doc_id"))
+          .orderBy("train_doc_id")
+      }),
+
     // Window distribution functions: percent_rank / cume_dist / ntile.
     // The rank arithmetic is exact-integer division to double — the
     // same two ints divide on both engines, so even the doubles are

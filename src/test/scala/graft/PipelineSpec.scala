@@ -213,6 +213,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.values.sum == Tables.documents(spark, sf).count())
   }
 
+  test("decontamination removes exactly the train docs near a test doc") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark physical planning"),
+      (3L, "the quick brown fox jumps over the lazy dog today")) // near test doc
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight ok")) // near 1 and 3
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, test, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // a disjoint test corpus removes nothing
+    val disjoint = Seq((200L, "zeta eta theta iota kappa completely unrelated words"))
+      .toDF("doc_id", "text")
+    val keptAll = Dedup.decontaminate(train, disjoint, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L))
+  }
+
   test("composed corpus pipeline: monotone stages, no survivors above threshold") {
     val docs = Tables.documents(spark, sf)
     val (cleaned, report) = CorpusPipeline.clean(docs, jaccardThreshold = 0.8)

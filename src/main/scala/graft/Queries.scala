@@ -800,6 +800,53 @@ object Queries {
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")),
 
+    // Explicit GROUPING SETS with grouping() indicators — the general
+    // form rollup/cube specialize, plus the flag that disambiguates
+    // "NULL because aggregated away" from data NULLs.
+    QueryDef("q62_grouping_sets",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus"""),
+      (s, d) => orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast(IntegerType).as("g_pri"),
+             grouping(col("o_orderstatus")).cast(IntegerType).as("g_st"),
+             count(lit(1)).as("n"))
+        .select("o_orderpriority", "o_orderstatus", "g_pri", "g_st", "n")
+        .orderBy("g_pri", "g_st", "o_orderpriority", "o_orderstatus")),
+
+    // Array higher-order functions with scalar outputs: filter / forall
+    // / overlap / transform+fold over grouped arrays (the HOFs every
+    // pipeline operator builds on, surfaced as a query).
+    QueryDef("q63_array_hof",
+      Some("""
+        WITH a AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT l_orderkey,
+               CAST(len(list_filter(qs, x -> x > 25)) AS INTEGER) AS n_big,
+               CAST(list_has_any(qs, [1.0, 2.0]) AS BOOLEAN) AS has_small,
+               CAST((len(list_filter(qs, x -> x > 25)) = len(qs)) AS BOOLEAN) AS all_big,
+               list_reduce(list_transform(qs, x -> CAST(x AS BIGINT)), (a, b) -> a + b) AS int_sum
+        FROM a ORDER BY l_orderkey"""),
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(filter(col("qs"), x => x > 25)).as("n_big"),
+          arrays_overlap(col("qs"), typedLit(Seq(1.0, 2.0))).as("has_small"),
+          forall(col("qs"), x => x > 25).as("all_big"),
+          aggregate(transform(col("qs"), _.cast(LongType)), lit(0L), (a, b) => a + b)
+            .as("int_sum"))
+        .orderBy("l_orderkey")),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

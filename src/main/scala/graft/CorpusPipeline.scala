@@ -52,7 +52,13 @@ object CorpusPipeline {
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): (DataFrame, Report) = {
     val exact = Dedup.exact(docs, idCol, textCol)
+    // persist the near-dedup boundary: it roots every downstream stage
+    // AND two report counts — without it the LSH chain (the expensive
+    // stage) re-derives per action. Callers unpersist via
+    // `cleaned.sparkSession.catalog.clearCache()` (or let it age out)
+    // once the cleaned corpus is materialized.
     val near = Dedup.near(exact, idCol, textCol, threshold = jaccardThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
     val annotated = Similarity.withTextFeatures(quality, textCol)
     val report = Report(

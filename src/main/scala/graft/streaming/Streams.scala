@@ -209,6 +209,48 @@ object Streams {
       }
   }
 
+  /** Streaming contamination monitor: flag arriving docs that LSH-match
+    * a STATIC evaluation corpus — the streaming companion of
+    * `Dedup.decontaminate`, and the stream-STATIC join form (the static
+    * side is planned per micro-batch; Spark broadcasts it when small).
+    *
+    * Emits each contaminated arrival once (watermark-keyed dedup over
+    * the band hits). This is the CANDIDATE-level filter — a strict
+    * superset of the exact-Jaccard-verified contamination set, which is
+    * the conservative direction a decontamination gate wants; route the
+    * emissions to quarantine or run the exact verify on them in batch.
+    *
+    * Input columns: (`idCol`, ts, `textCol`).
+    */
+  def streamingContaminationHits(
+      docs: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      horizonMinutes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.size
+    def sig(c: org.apache.spark.sql.Column) =
+      graft.Pipeline.minhashSignatureFromHashes(
+        graft.plans.TextExpressions.md5Hash32Array(
+          graft.Pipeline.wordShingles(graft.Pipeline.words(c), 3)), k)
+    val testBuckets = test
+      .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
+      .select(explode(graft.Pipeline.lshBands(sig(col(textCol)), bands, k / bands))
+        .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .distinct()
+    docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
+      .withColumn("bb", explode(graft.Pipeline.lshBands(sig(col(textCol)), bands, k / bands)))
+      .withColumn("band", col("bb.band")).withColumn("bh", col("bb.bh"))
+      .join(testBuckets, Seq("band", "bh"), "left_semi")
+      .drop("bb", "band", "bh")
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

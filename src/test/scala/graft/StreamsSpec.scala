@@ -137,6 +137,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static contamination monitor flags docs matching the test corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val testCorpus = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.streamingContaminationHits(
+        in.toDF().toDF("doc_id", "ts", "text"), testCorpus, "doc_id", "text")
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog tonight"), // exact match
+        (2L, ts(0), "completely unrelated text about catalyst optimizer internals"))
+      q.processAllAvailable()
+      // the matching doc is flagged once, with its original columns
+      val hits = spark.table("contam").select("doc_id").as[Long].collect().toSeq
+      assert(hits == Seq(1L))
+      assert(spark.table("contam").columns.toSet == Set("doc_id", "ts", "text"))
+      // a re-arrival within the watermark horizon is not re-flagged
+      in.addData((1L, ts(1), "the quick brown fox jumps over the lazy dog tonight"))
+      q.processAllAvailable()
+      assert(spark.table("contam").count() == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

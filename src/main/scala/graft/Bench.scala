@@ -35,7 +35,10 @@ object Bench {
     // Median of 3 timed passes per query: single-pass timings vary
     // ±15% run-to-run at this scale (JIT, GC, OS noise), which hides
     // small regressions; the median cuts the spread to a few percent.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // clamp to >= 1 (0 would crash median() after the whole warmup ran);
+    // non-numeric falls back to the default
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3))
     val names = Queries.all.sortBy(_.name)
     val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
       names.map { q =>

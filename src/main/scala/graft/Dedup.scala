@@ -100,7 +100,12 @@ object Dedup {
       threshold: Double = 0.8,
       shingleN: Int = 3,
       minhashK: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      // uncapped by default: a dropped hot bucket here means MISSED
+      // contamination surviving into training — the opposite of
+      // Dedup.near, where the cap only trades dedup recall for a
+      // bounded join
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     def shingled(df: DataFrame) = df
       .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= shingleN)
@@ -108,8 +113,7 @@ object Dedup {
     val (trainSh, testSh) = (shingled(train), shingled(test))
     val inter = size(array_intersect(col("_sa"), col("_sb")))
     val contaminated = Pipeline
-      .lshCrossCandidates(trainSh, testSh, idCol, minhashK, bands,
-        maxBucketSize = 10000)
+      .lshCrossCandidates(trainSh, testSh, idCol, minhashK, bands, maxBucketSize)
       .join(trainSh.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(testSh.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
       .withColumn("_j",

@@ -45,10 +45,11 @@ object Multimodal {
     */
   object FakeCodec {
     def decode(b: Array[Byte]): (Int, Int, Int) = {
-      // short payloads decode as zero-dimension (a real codec would
-      // reject them; the stub must not throw and fail the whole job)
-      val width = 1 + (if (b.length > 0) b(0) & 0xFF else -1)
-      val height = 1 + (if (b.length > 1) b(1) & 0xFF else -1)
+      // short payloads: a missing byte decodes as 0 (dimension 1) — the
+      // stub must not throw, and this matches the oracle, whose
+      // 1 + ascii(substr(text, i, 1)) yields 1 on an empty substring
+      val width = 1 + (if (b.length > 0) b(0) & 0xFF else 0)
+      val height = 1 + (if (b.length > 1) b(1) & 0xFF else 0)
       val nFrames = 1 + (b.length % 7)
       (width, height, nFrames)
     }

@@ -120,8 +120,14 @@ case class GroupedTopKExec(
         SortOrder(orderExpr, if (largest) Descending else Ascending)) :: Nil
     else Nil :: Nil
 
+  /** Partial mode flushes its heaps in hash-map order, DESTROYING any
+    * child ordering — it must not advertise one, or EnsureRequirements
+    * would elide the final-mode sort when the child happens to already
+    * satisfy it (e.g. a pre-sorted input) and the final streaming scan
+    * would select the wrong rows.
+    */
   override def outputOrdering: Seq[SortOrder] =
-    if (isFinal) requiredChildOrdering.head else child.outputOrdering
+    if (isFinal) requiredChildOrdering.head else Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val group = groupExprs
@@ -181,9 +187,16 @@ case class GroupedTopKExec(
                 if (known) byKey(key)
                 else byKey.getOrElseUpdate(key.copy(),
                   scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse))
-              if (heap.size < keep) heap.enqueue((v, row.copy()))
-              else if (heapOrd.compare((v, row), heap.head) > 0) {
-                heap.dequeue(); heap.enqueue((v, row.copy()))
+              // the STORED order value is re-evaluated against the
+              // COPIED row: for buffer-backed types (strings, decimals)
+              // eval returns a view into the row's bytes, and a value
+              // taken from the reused input row would mutate under the
+              // heap when the iterator overwrites its buffer
+              if (heap.size < keep) {
+                val r = row.copy(); heap.enqueue((boundOrder.eval(r), r))
+              } else if (heapOrd.compare((v, row), heap.head) > 0) {
+                heap.dequeue()
+                val r = row.copy(); heap.enqueue((boundOrder.eval(r), r))
               }
               false
             }

@@ -170,22 +170,14 @@ case class RhpBucket(child: Expression, dims: Int, planes: Int)
   * formulation the DuckDB oracle replays.
   */
 object SimHashUtil {
-  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def simhash32(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](32)
-    val md = mdPool.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        md.reset()
-        val dig = md.digest(arr.getUTF8String(i).getBytes)
-        val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
-          ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+        // single source of truth for the md5-derived 32-bit token hash
+        val h = TextHashKernels.hash32(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 32) {
           votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)

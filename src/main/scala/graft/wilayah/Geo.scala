@@ -35,28 +35,30 @@ object Geo {
   /** ST_Multi over an already-4-deep coordinates column: MultiPolygon
     * passes through; anything else is NULL. Spark columns are
     * mono-typed, so a 3-deep Polygon cannot coexist in this column —
-    * the wrap case lives in [[promoteMultiFromJson]], which sees the
-    * geometry BEFORE schema parsing. Sync paths guard on the geometry
-    * type and quarantine non-MultiPolygon rows (Ingest.quarantine), so
-    * the NULL branch never reaches storage.
+    * which is why the INGEST path carries coordinates as raw JSON text
+    * and promotes via [[promoteMultiParts]] instead.
     */
   def promoteMulti(geomType: Column, coords: Column): Column =
     when(geomType === "MultiPolygon", coords)
 
-  /** Full ST_Multi contract (/root/reference/init_db.sql:29) over a RAW
-    * GeoJSON geometry string: a MultiPolygon's coordinates pass through;
-    * a bare Polygon's 3-deep coordinates are wrapped once into a
-    * MultiPolygon — exactly PostGIS's promotion. The string form exists
-    * because the wrap changes nesting depth, which is only expressible
-    * before the coordinates are parsed into a typed column. Other
-    * geometry types yield NULL (quarantine-able).
+  /** Full ST_Multi contract (/root/reference/init_db.sql:29) over
+    * (geometry type, RAW coordinates JSON text): a MultiPolygon's
+    * coordinates parse 4-deep and pass through; a bare Polygon's parse
+    * 3-deep and wrap once — exactly PostGIS's promotion. The text form
+    * exists because the wrap changes nesting depth, which is only
+    * expressible before the coordinates are parsed into a typed
+    * column. Other geometry types yield NULL (the sync paths quarantine
+    * those rows via Ingest.clean).
     */
-  def promoteMultiFromJson(geomJson: Column): Column = {
-    val t = get_json_object(geomJson, "$.type")
-    val c = get_json_object(geomJson, "$.coordinates")
-    when(t === "MultiPolygon", from_json(c, Model.coordinatesType))
-      .when(t === "Polygon", array(from_json(c, Model.polygonCoordinatesType)))
-  }
+  def promoteMultiParts(geomType: Column, coordsJson: Column): Column =
+    when(geomType === "MultiPolygon", from_json(coordsJson, Model.coordinatesType))
+      .when(geomType === "Polygon", array(from_json(coordsJson, Model.polygonCoordinatesType)))
+
+  /** [[promoteMultiParts]] over a whole GeoJSON geometry string. */
+  def promoteMultiFromJson(geomJson: Column): Column =
+    promoteMultiParts(
+      get_json_object(geomJson, "$.type"),
+      get_json_object(geomJson, "$.coordinates"))
 
   /** ST_AsGeoJSON: geometry struct -> GeoJSON text. */
   def asGeoJson(coords: Column): Column =
@@ -106,10 +108,12 @@ object Geo {
       try simplifyCoords(coords, SimplifyTolerance)
       catch { case _: Exception => coords })
 
-  /** Full write-path normalization: Force2D -> SimplifyPreserveTopology
-    * -> Multi -> GeoJSON text (the upsert expression at
-    * /root/reference/server.js:92).
+  /** Full write-path normalization: Multi (promotion from the raw
+    * coordinates text) -> Force2D -> SimplifyPreserveTopology ->
+    * GeoJSON text (the upsert expression at
+    * /root/reference/server.js:92). `coordsJson` is the raw JSON
+    * coordinates string of the read schema (Model.geometryRawType).
     */
-  def normalizeToGeoJson(geomType: Column, coords: Column): Column =
-    asGeoJson(simplifyUdf(force2D(promoteMulti(geomType, coords))))
+  def normalizeToGeoJson(geomType: Column, coordsJson: Column): Column =
+    asGeoJson(simplifyUdf(force2D(promoteMultiParts(geomType, coordsJson))))
 }

@@ -120,15 +120,16 @@ object Ingest {
   }
 
   /** Predicate selecting rows fit for the warehouse: a derivable key
-    * AND a MultiPolygon geometry (the only type the fixed 4-deep read
-    * schema can carry — a Polygon-typed source goes through
-    * Geo.promoteMultiFromJson before parsing). Everything else belongs
-    * in [[quarantine]] rather than being stored as null-coordinate
+    * AND a promotable geometry — MultiPolygon passes through, a bare
+    * Polygon wraps to MultiPolygon in Geo.promoteMultiParts (the read
+    * schema carries coordinates as raw JSON text precisely so the
+    * nesting dispatch can happen). Everything else belongs in
+    * [[quarantine]] rather than being stored as null-coordinate
     * geometry text.
     */
   def clean: Column =
     col("kode_wilayah_kemendagri").isNotNull &&
-      (col("geometry.type") <=> "MultiPolygon")
+      coalesce(col("geometry.type").isin("MultiPolygon", "Polygon"), lit(false))
 
   /** Rows withKodeNama could not derive a key for (missing required
     * properties for their level), or whose geometry is not a promotable

@@ -54,10 +54,21 @@ object Model {
     StructField("type", StringType),
     StructField("coordinates", coordinatesType)))
 
+  /** Read-side geometry: coordinates captured as the RAW JSON text
+    * (Spark's JSON reader returns the unparsed token for a StringType
+    * field). This is what lets ST_Multi truly promote: a MultiPolygon's
+    * 4-deep and a Polygon's 3-deep coordinates cannot share one typed
+    * column, so the nesting dispatch (Geo.promoteMultiParts) must see
+    * the text BEFORE parsing.
+    */
+  val geometryRawType: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("coordinates", StringType)))
+
   val featureType: StructType = StructType(Seq(
     StructField("type", StringType),
     StructField("properties", propertiesType),
-    StructField("geometry", geometryType)))
+    StructField("geometry", geometryRawType)))
 
   /** GeoJSON FeatureCollection file schema (explicit — the reference
     * duck-types via JSON.parse at /root/reference/server.js:361; we

@@ -50,12 +50,14 @@ class WilayahSpec extends AnyFunSuite {
   }
 
   test("force2D drops Z on the mixed 2-D/3-D corpus") {
+    // coordinates arrive as raw JSON text; the promotion step parses
     val feats = Ingest.readFeatures(spark,
       Seq(s"$geojsonDir/11.73_kecamatan.geojson"))
+    val typed = Geo.promoteMultiParts(col("geometry.type"), col("geometry.coordinates"))
     val dims = feats.select(
-      size(element_at(element_at(element_at(col("geometry.coordinates"), 1), 1), 1)).as("raw"),
+      size(element_at(element_at(element_at(typed, 1), 1), 1)).as("raw"),
       size(element_at(element_at(element_at(
-        Geo.force2D(col("geometry.coordinates")), 1), 1), 1)).as("flat"))
+        Geo.force2D(typed), 1), 1), 1)).as("flat"))
       .collect()
     assert(dims.forall(_.getInt(0) == 3)) // this file is 3-D
     assert(dims.forall(_.getInt(1) == 2))
@@ -81,7 +83,8 @@ class WilayahSpec extends AnyFunSuite {
   test("geometry round-trips: asGeoJson text re-parses to the same coordinates") {
     import org.apache.spark.sql.functions.from_json
     val feats = Ingest.readFeatures(spark, Seq(s"$geojsonDir/11.73_kecamatan.geojson"))
-    val flat = feats.select(Geo.force2D(col("geometry.coordinates")).as("c"))
+    val flat = feats.select(Geo.force2D(
+      Geo.promoteMultiParts(col("geometry.type"), col("geometry.coordinates"))).as("c"))
     val roundTrip = flat.select(
       col("c"),
       from_json(Geo.asGeoJson(col("c")), graft.wilayah.Model.geometryType)
@@ -164,22 +167,33 @@ class WilayahSpec extends AnyFunSuite {
     assert(out(2) == """{"type":"MultiPolygon"}""")
   }
 
-  test("non-MultiPolygon features quarantine instead of storing null geometry") {
+  test("Polygon features sync promoted to MultiPolygon; other types quarantine") {
     val dir = Files.createTempDirectory("graft-poly")
-    // second feature is Polygon-typed: its 3-deep coordinates cannot
-    // parse under the 4-deep read schema -> must go to quarantine
+    // second feature is Polygon-typed (the reference's ST_Multi stores
+    // it promoted); third is a Point (unpromotable -> quarantine)
     val json = """{"type":"FeatureCollection","features":[
       {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"001","nm_kelurahan":"Ok"},
        "geometry":{"type":"MultiPolygon","coordinates":[[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]]}},
       {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"002","nm_kelurahan":"Flat"},
-       "geometry":{"type":"Polygon","coordinates":[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]}}]}"""
+       "geometry":{"type":"Polygon","coordinates":[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]}},
+      {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"003","nm_kelurahan":"Dot"},
+       "geometry":{"type":"Point","coordinates":[97.0,5.0]}}]}"""
     Files.writeString(dir.resolve("11.73_kelurahan.geojson"), json)
-    val withCodes = Ingest.withKodeNama(
-      Ingest.readFeatures(spark, Seq(dir.toString + "/11.73_kelurahan.geojson")))
-    assert(withCodes.filter(Ingest.clean).count() == 1)
+    val path = dir.toString + "/11.73_kelurahan.geojson"
+    val withCodes = Ingest.withKodeNama(Ingest.readFeatures(spark, Seq(path)))
+    assert(withCodes.filter(Ingest.clean).count() == 2) // Multi + promoted Polygon
     val bad = Ingest.quarantine(withCodes).collect()
-    assert(bad.length == 1)
-    assert(bad.head.getAs[String]("geometry_type") != "MultiPolygon")
+    assert(bad.length == 1 && bad.head.getAs[String]("geometry_type") == "Point")
+    // end-to-end: the Polygon row lands in the warehouse as a valid
+    // MultiPolygon (the reference's init_db.sql:29 ST_Multi behavior)
+    val wh = Files.createTempDirectory("graft-poly-wh").toString + "/warehouse"
+    val api = new Api(spark, wh, dir.toString)
+    assert(api.sync("11.73") == 2)
+    val stored = api.warehouse
+      .filter(col("kode_wilayah_kemendagri") === "11.73.01.2002")
+      .select("geometry").head().getString(0)
+    assert(stored.contains("\"MultiPolygon\""))
+    assert(stored.contains("[[[[")) // 4-deep: the wrap really happened
   }
 
   test("statusFull carries the availability and file-availability block") {

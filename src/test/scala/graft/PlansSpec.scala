@@ -208,6 +208,42 @@ class PlansSpec extends AnyFunSuite {
     assert(empty.length == 4 && empty.forall(_ == null))
   }
 
+  test("GroupedTopK stays exact on a pre-partitioned, pre-sorted child") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedTopK
+    // regression: partial mode must NOT advertise the child's ordering —
+    // here the child already satisfies the final exec's distribution AND
+    // ordering, so a false claim would elide the final sort while the
+    // heap flush scrambles row order
+    val li = Tables.lineitem(spark, sf)
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_extendedprice").desc)
+    val custom = GroupedTopK.perKey(li, Seq("l_orderkey"), "l_extendedprice", k = 2)
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
+    val viaWindow = Tables.lineitem(spark, sf).withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(custom.toSeq == viaWindow.toSeq)
+  }
+
+  test("GroupedTopK is exact on a string-typed order column") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedTopK
+    // regression: the partial heap once stored order values aliasing the
+    // reused input-row buffer — only visible with buffer-backed types
+    val docs = Tables.documents(spark, sf)
+    val custom = GroupedTopK.perKey(docs, Seq("lang"), "text", k = 2)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val w = Window.partitionBy("lang").orderBy(col("text").desc)
+    val viaWindow = docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(custom.toSeq == viaWindow.toSeq)
+  }
+
   test("GroupedTopK partial map bound: overflow passes through, result exact") {
     import org.apache.spark.sql.expressions.Window
     import graft.plans.GroupedTopK

@@ -51,14 +51,15 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8,
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): (DataFrame, Report) = {
-    val exact = Dedup.exact(docs, idCol, textCol)
-    // persist the near-dedup boundary: it roots every downstream stage
-    // AND two report counts — without it the LSH chain (the expensive
-    // stage) re-derives per action. Callers unpersist via
+    // persist both dedup boundaries: each roots downstream stages AND a
+    // report count — unpersisted, the md5 window (exact) and the LSH
+    // chain (near) would re-derive per action. Callers unpersist via
     // `cleaned.sparkSession.catalog.clearCache()` (or let it age out)
     // once the cleaned corpus is materialized.
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val exact = Dedup.exact(docs, idCol, textCol).persist(disk)
     val near = Dedup.near(exact, idCol, textCol, threshold = jaccardThreshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
     val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
     val annotated = Similarity.withTextFeatures(quality, textCol)
     val report = Report(

@@ -833,7 +833,7 @@ object Queries {
                CAST(len(list_filter(qs, x -> x > 25)) AS INTEGER) AS n_big,
                CAST(list_has_any(qs, [1.0, 2.0]) AS BOOLEAN) AS has_small,
                CAST((len(list_filter(qs, x -> x > 25)) = len(qs)) AS BOOLEAN) AS all_big,
-               list_reduce(list_transform(qs, x -> CAST(x AS BIGINT)), (a, b) -> a + b) AS int_sum
+               list_reduce(list_transform(qs, x -> CAST(floor(x) AS BIGINT)), (a, b) -> a + b) AS int_sum
         FROM a ORDER BY l_orderkey"""),
       (s, d) => lineitem(s, d)
         .groupBy("l_orderkey")
@@ -843,8 +843,11 @@ object Queries {
           size(filter(col("qs"), x => x > 25)).as("n_big"),
           arrays_overlap(col("qs"), typedLit(Seq(1.0, 2.0))).as("has_small"),
           forall(col("qs"), x => x > 25).as("all_big"),
-          aggregate(transform(col("qs"), _.cast(LongType)), lit(0L), (a, b) => a + b)
-            .as("int_sum"))
+          // explicit floor on BOTH sides: a bare decimal->int cast
+          // truncates in Spark but rounds in the oracle engine — only
+          // integral data would mask the divergence
+          aggregate(transform(col("qs"), x => floor(x).cast(LongType)),
+            lit(0L), (a, b) => a + b).as("int_sum"))
         .orderBy("l_orderkey")),
 
     // CUBE: all grouping-set combinations in one pass.

@@ -130,14 +130,26 @@ case class GroupedTopKExec(
     if (isFinal) requiredChildOrdering.head else Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val group = groupExprs
     val order = orderExpr
     val keep = k
     val childOutput = child.output
+    // group-key expressions for equality checks (partial map keys,
+    // final boundary detection), bound on the driver so the task
+    // closures capture plain expressions, not this plan node.
+    // Float/double keys are NORMALIZED (-0.0 -> 0.0, canonical NaN):
+    // the sort and the hash partitioning both treat those encodings as
+    // equal, so byte-level key comparison must too — otherwise
+    // interleaved -0.0/0.0 runs would reset the final scan's counter
+    // and emit more than k rows for the logical group. (Spark's
+    // NormalizeFloatingNumbers rule does this for Aggregate/Window/
+    // Join keys; a custom node must do it for itself.)
+    val boundKeys: Seq[Expression] = groupExprs.map(e =>
+      GraftShims.normalizeFloats(
+        BindReferences.bindReference(e, AttributeSeq(childOutput))))
     if (isFinal) {
       // streaming pass over (key, value)-sorted input: first k per key
       child.execute().mapPartitions { it =>
-        val keyProj = UnsafeProjection.create(group, childOutput)
+        val keyProj = UnsafeProjection.create(boundKeys)
         val boundOrder = BindReferences.bindReference(order, AttributeSeq(childOutput))
         var curKey: UnsafeRow = null
         var emitted = 0
@@ -160,7 +172,7 @@ case class GroupedTopKExec(
         GroupedTopK.MaxPartialGroupsKey,
         GroupedTopK.MaxPartialGroupsDefault.toString).toInt
       child.execute().mapPartitions { it =>
-        val keyProj = UnsafeProjection.create(group, childOutput)
+        val keyProj = UnsafeProjection.create(boundKeys)
         val boundOrder = BindReferences.bindReference(order, AttributeSeq(childOutput))
         val ordering = TypeUtils.getInterpretedOrdering(order.dataType)
         // heap root = worst kept value; evict when a better row arrives

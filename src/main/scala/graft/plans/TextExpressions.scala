@@ -53,13 +53,15 @@ object TextHashKernels {
     * an empty transform.
     */
   def minhashSig(hs: ArrayData, k: Int): ArrayData = {
-    val p = (1L << 61) - 1
+    // single source of truth for the affine constants: the same
+    // Pipeline definitions the HOF reference and oracle SQL mirror
+    val p = graft.Pipeline.MinhashP
     val n = hs.numElements()
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
-      val a = 2L * j + 3L + j.toLong * j * 7919L
-      val b = 104729L * (j + 1)
+      val a = graft.Pipeline.minhashA(j)
+      val b = graft.Pipeline.minhashB(j)
       var min = Long.MaxValue
       var seen = false
       var i = 0

@@ -32,15 +32,6 @@ object Geo {
       transform(poly, ring =>
         transform(ring, pt => slice(pt, 1, 2))))
 
-  /** ST_Multi over an already-4-deep coordinates column: MultiPolygon
-    * passes through; anything else is NULL. Spark columns are
-    * mono-typed, so a 3-deep Polygon cannot coexist in this column —
-    * which is why the INGEST path carries coordinates as raw JSON text
-    * and promotes via [[promoteMultiParts]] instead.
-    */
-  def promoteMulti(geomType: Column, coords: Column): Column =
-    when(geomType === "MultiPolygon", coords)
-
   /** Full ST_Multi contract (/root/reference/init_db.sql:29) over
     * (geometry type, RAW coordinates JSON text): a MultiPolygon's
     * coordinates parse 4-deep and pass through; a bare Polygon's parse

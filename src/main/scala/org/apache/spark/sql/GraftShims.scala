@@ -18,4 +18,11 @@ object GraftShims {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Float normalization (-0.0 -> 0.0, canonical NaN) for custom
+    * operators' group keys — the optimizer rule's helper is
+    * private[sql], but any node doing byte-level key equality needs it.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -244,6 +244,19 @@ class PlansSpec extends AnyFunSuite {
     assert(custom.toSeq == viaWindow.toSeq)
   }
 
+  test("GroupedTopK merges -0.0/0.0 double group keys like Aggregate/Window do") {
+    import spark.implicits._
+    import graft.plans.GroupedTopK
+    val df = Seq((0.0, 1.0), (-0.0, 2.0), (0.0, 3.0), (-0.0, 4.0), (1.5, 5.0))
+      .toDF("g", "v")
+    val out = GroupedTopK.perKey(df, Seq("g"), "v", k = 2)
+      .select("g", "v").collect().map(r => (math.abs(r.getDouble(0)), r.getDouble(1)))
+      .sorted.toSeq
+    // the two zero encodings are ONE logical group: top-2 overall, not
+    // top-2 per encoding (which would emit 4 zero-group rows)
+    assert(out == Seq((0.0, 3.0), (0.0, 4.0), (1.5, 5.0)))
+  }
+
   test("GroupedTopK partial map bound: overflow passes through, result exact") {
     import org.apache.spark.sql.expressions.Window
     import graft.plans.GroupedTopK

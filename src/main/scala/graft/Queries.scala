@@ -850,6 +850,46 @@ object Queries {
             lit(0L), (a, b) => a + b).as("int_sum"))
         .orderBy("l_orderkey")),
 
+    // Recursive CTE: iterative hierarchy traversal (region -> nation ->
+    // customer as a parent-child edge list, walked from the roots with
+    // depth tracking) — the general form of the reference's
+    // code-hierarchy descent, executed by the engine's recursion
+    // operator rather than hand-unrolled joins.
+    QueryDef("q64_recursive_hierarchy",
+      Some("""
+        WITH RECURSIVE edges AS (
+          SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS child, 'R' || CAST(n_regionkey AS VARCHAR) AS parent FROM nation
+          UNION ALL
+          SELECT 'C' || CAST(c_custkey AS VARCHAR), 'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+        ),
+        walk AS (
+          SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node, 'R' || CAST(r_regionkey AS VARCHAR) AS root, 0 AS depth FROM region
+          UNION ALL
+          SELECT e.child, w.root, w.depth + 1
+          FROM walk w JOIN edges e ON e.parent = w.node
+        )
+        SELECT root, depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM walk GROUP BY root, depth ORDER BY root, depth"""),
+      (s, d) => {
+        region(s, d).createOrReplaceTempView("region_q64")
+        nation(s, d).createOrReplaceTempView("nation_q64")
+        customer(s, d).createOrReplaceTempView("customer_q64")
+        s.sql("""
+          WITH RECURSIVE edges AS (
+            SELECT 'N' || CAST(n_nationkey AS STRING) AS child, 'R' || CAST(n_regionkey AS STRING) AS parent FROM nation_q64
+            UNION ALL
+            SELECT 'C' || CAST(c_custkey AS STRING), 'N' || CAST(c_nationkey AS STRING) FROM customer_q64
+          ),
+          walk AS (
+            SELECT 'R' || CAST(r_regionkey AS STRING) AS node, 'R' || CAST(r_regionkey AS STRING) AS root, 0 AS depth FROM region_q64
+            UNION ALL
+            SELECT e.child, w.root, w.depth + 1
+            FROM walk w JOIN edges e ON e.parent = w.node
+          )
+          SELECT root, depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM walk GROUP BY root, depth ORDER BY root, depth""")
+      }),
+
     // CUBE: all grouping-set combinations in one pass.
     QueryDef("q44_cube",
       Some("""

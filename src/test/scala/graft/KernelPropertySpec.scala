@@ -74,6 +74,31 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(ref.except(native).count() == 0)
   }
 
+  test("GroupedTopK == window formulation on generated data incl. float edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val genRow: Gen[(Double, Double)] = for {
+      key <- Gen.oneOf(Gen.choose(0.0, 3.0).map(k => math.floor(k)),
+        Gen.oneOf(0.0, -0.0, Double.NaN))
+      v <- Gen.oneOf(Gen.choose(-100.0, 100.0),
+        Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, -0.0))
+    } yield (key, v)
+    val rows = (0 until 400).map(i =>
+      genRow.apply(Gen.Parameters.default, Seed(1000L + i)).get)
+    val df = rows.toDF("g", "v").repartition(7)
+    val custom = graft.plans.GroupedTopK.perKey(df, Seq("g"), "v", k = 3)
+      .collect()
+      .map(r => (java.lang.Double.doubleToLongBits(r.getDouble(0)),
+                 java.lang.Double.doubleToLongBits(r.getDouble(1)))).sorted.toSeq
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val viaWindow = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3).drop("_rn")
+      .collect()
+      .map(r => (java.lang.Double.doubleToLongBits(r.getDouble(0)),
+                 java.lang.Double.doubleToLongBits(r.getDouble(1)))).sorted.toSeq
+    assert(custom == viaWindow)
+  }
+
   test("rhp_bucket kernel == HOF on generated vectors incl. zero/negatives") {
     import spark.implicits._
     val genVec: Gen[Seq[Double]] = Gen.oneOf(

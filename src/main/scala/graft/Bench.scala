@@ -19,8 +19,9 @@ object Bench {
     // A count() action lets Catalyst prune the measured projections
     // away entirely (a scalar-functions query would time only its
     // scan), so count-based timings flatter projection-heavy queries.
-    def run(q: QueryDef): Unit =
-      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def run(q: QueryDef): Boolean =
+      try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case _: Throwable => false }
 
     // Warmup: one full untimed pass — first execution pays codegen/JIT
     // (measured 8s cold vs 1.7s warm on the minhash family), and a
@@ -29,7 +30,7 @@ object Bench {
     // vs 98s wall / 33s metric full).
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-      Queries.all.foreach(q => try run(q) catch { case _: Throwable => () })
+      Queries.all.foreach(run)
     } catch { case _: Throwable => () }
 
     // Median of 3 timed passes per query: single-pass timings vary
@@ -40,10 +41,13 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3))
     val names = Queries.all.sortBy(_.name)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
       names.map { q =>
         val t0 = System.nanoTime()
-        try run(q) catch { case _: Throwable => () }
+        // a throwing query records near-zero seconds — report it, or a
+        // regression-to-error would read as a speedup
+        if (!run(q)) failed += q.name
         q.name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -62,7 +66,8 @@ object Bench {
     // sub-200ms timings are dominated by scheduling noise either way
     val spreads = results.filter(_._2 > 0.2).map(_._3)
     val maxSpread = if (spreads.isEmpty) 0.0 else spreads.max * 100
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)}}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"failed":$failedJson}""")
     spark.stop()
   }
 }

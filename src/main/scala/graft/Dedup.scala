@@ -60,7 +60,8 @@ object Dedup {
     * are bounded by the cluster diameter (near-dup clusters are
     * shallow; runaway growth would indicate a degenerate threshold).
     */
-  def clusters(pairs: DataFrame, allIds: DataFrame, idCol: String): DataFrame = {
+  def clusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
+               maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -68,7 +69,7 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, col("b_id") === col("id"))
         .groupBy(col("a_id")).agg(min("cluster").as("ncluster"))
       val updated = labels.join(neighborMin, col("id") === col("a_id"), "left")
@@ -79,6 +80,13 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("cluster"))
       iter += 1
     }
+    // unconverged labels look exactly like converged ones — failing
+    // loudly beats silently splitting a duplicate group (a diameter
+    // beyond the default indicates a degenerate threshold; raise
+    // maxIters deliberately if the chain is genuinely that deep)
+    if (changed > 0) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters iterations " +
+        s"($changed labels still changing) — raise maxIters or tighten the pair threshold")
     labels.withColumnRenamed("id", idCol)
   }
 

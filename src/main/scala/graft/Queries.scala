@@ -342,8 +342,12 @@ object Queries {
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1 ORDER BY user_id"""),
       (s, d) => {
+        // order by MICROS-truncated time + event_id, like the oracle:
+        // DuckDB reads the NANOS parquet truncated to micros, so a raw
+        // ts_ns order would break ties the oracle's event_id tiebreak
+        // resolves differently whenever two events share a microsecond
         val w = Window.partitionBy("user_id")
-          .orderBy(col("ts_ns").desc, col("event_id").desc)
+          .orderBy(expr("ts_ns div 1000").desc, col("event_id").desc)
         events(s, d)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -359,7 +363,10 @@ object Queries {
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running
         FROM events ORDER BY user_id, event_id"""),
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        // micros-truncated order (see q18): keeps the event_id tiebreak
+        // meaningful on both engines
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("ts_ns div 1000"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         events(s, d)
           .withColumn("running",

@@ -48,11 +48,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects. Read nanos as raw longs, keep `ts_ns` (exact, for
-    * ordering — a micros truncation could invent ties the oracle's
-    * ns-precision sort doesn't have) and expose `ts` truncated to
-    * micros as a TimestampType for date/window functions. Epochs are
-    * positive, so `div 1000` (floor) matches DuckDB's ns→us cast.
+    * rejects. Read nanos as raw longs: `ts_ns` keeps the exact value,
+    * and `ts` is the micros truncation as a TimestampType for
+    * date/window functions. NOTE the ORACLE only ever sees micros
+    * (DuckDB reads the NANOS parquet truncated), so any oracle-checked
+    * ordering/arithmetic must use the truncated form (`ts` or
+    * `ts_ns div 1000`) — raw-ns ordering would resolve same-microsecond
+    * ties differently than the oracle's tiebreak (q18/q19/q54 all
+    * truncate for exactly this). Epochs are positive, so `div 1000`
+    * (floor) matches DuckDB's ns→us cast.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: runtime-settable and idempotent, so a driver invoking

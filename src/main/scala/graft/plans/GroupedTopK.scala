@@ -65,6 +65,9 @@ object GroupedTopK {
     */
   def perKey(df: DataFrame, groupCols: Seq[String], orderCol: String,
              k: Int, largest: Boolean = true): DataFrame = {
+    // fail at the API boundary: k = 0 would otherwise surface as an
+    // opaque empty-heap exception deep inside a task
+    require(k > 0, s"grouped top-k needs k > 0, got $k")
     val spark = df.sparkSession
     GroupedTopK.synchronized {
       if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))

@@ -32,36 +32,26 @@ object Streams {
       warehousePath: String,
       maxFilesPerTrigger: Int = 8,
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val features = spark.readStream
-      .schema(Model.featureCollectionSchema)
-      .option("multiLine", true)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(watchDir)
-      .select(
-        element_at(split(input_file_name(), "/"), -1).as("file_name"),
-        explode(col("features")).as("f"))
-      .select(
-        col("file_name"),
-        Ingest.levelOfFileName(col("file_name")).as("level"),
-        col("f.properties").as("p"),
-        col("f.geometry").as("geometry"))
-
-    val rows = Ingest.withKodeNama(features)
-      .filter(Ingest.clean) // dirty keys / non-MultiPolygon -> quarantine
-      .select(
-        col("kode_wilayah_kemendagri"),
-        col("nama_wilayah_kemendagri"),
-        col("level"),
-        Geo.normalizeToGeoJson(col("geometry.type"), col("geometry.coordinates"))
-          .as("geometry"),
-        current_timestamp().as("created_at"),
-        current_timestamp().as("updated_at"))
+    // the SAME un-nest + shaping transforms as batch sync — only the
+    // source differs, so stream and batch merges cannot drift
+    val rows = Ingest.warehouseRows(Ingest.unnest(
+      spark.readStream
+        .schema(Model.featureCollectionSchema)
+        .option("multiLine", true)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(watchDir)))
 
     val writer = rows.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          Store.mergeWritePartitions(batch.sparkSession, batch, warehousePath)
+        // persist: isEmpty, the merge's affected-levels collect, and
+        // the parquet write would otherwise each re-run the JTS
+        // simplify kernel (the expensive step) over the whole batch
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            Store.mergeWritePartitions(batch.sparkSession, batch, warehousePath)
+        } finally batch.unpersist()
       }
     // with a checkpoint the source offsets survive restarts: already-
     // ingested files are not re-read, and a replayed in-flight batch is
@@ -235,12 +225,16 @@ object Streams {
       graft.Pipeline.minhashSignatureFromHashes(
         graft.plans.TextExpressions.md5Hash32Array(
           graft.Pipeline.wordShingles(graft.Pipeline.words(c), 3)), k)
+    // persisted: the static side is re-planned EVERY micro-batch —
+    // uncached, a long-running monitor would re-hash the entire test
+    // corpus per trigger for an input that never changes
     val testBuckets = test
       .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
       .select(explode(graft.Pipeline.lshBands(sig(col(textCol)), bands, k / bands))
         .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs
       .withWatermark("ts", s"$horizonMinutes minutes")
       .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
@@ -289,7 +283,11 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  // min the start too: a late cross-batch event above
+                  // the watermark can precede the stored session start,
+                  // and the emitted session must cover every counted
+                  // event (the batch sessionizer q54 would)
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -48,17 +48,7 @@ class Api(spark: SparkSession, warehousePath: String, geojsonDir: String) {
   }
 
   private def syncPaths(paths: Seq[String]): Long = {
-    val now = current_timestamp()
-    val rows = Ingest.withKodeNama(Ingest.readFeatures(spark, paths))
-      .filter(Ingest.clean) // dirty keys / non-MultiPolygon -> quarantine
-      .select(
-        col("kode_wilayah_kemendagri"),
-        col("nama_wilayah_kemendagri"),
-        col("level"),
-        Geo.normalizeToGeoJson(col("geometry.type"), col("geometry.coordinates"))
-          .as("geometry"),
-        now.as("created_at"),
-        now.as("updated_at"))
+    val rows = Ingest.warehouseRows(Ingest.readFeatures(spark, paths))
     // cache: the normalized batch feeds both the count and the merge,
     // and the simplify kernel is the expensive step — evaluate it once
     rows.persist()

@@ -41,9 +41,14 @@ object Geo {
     * column. Other geometry types yield NULL (the sync paths quarantine
     * those rows via Ingest.clean).
     */
-  def promoteMultiParts(geomType: Column, coordsJson: Column): Column =
+  def promoteMultiParts(geomType: Column, coordsJson: Column): Column = {
+    val poly = from_json(coordsJson, Model.polygonCoordinatesType)
     when(geomType === "MultiPolygon", from_json(coordsJson, Model.coordinatesType))
-      .when(geomType === "Polygon", array(from_json(coordsJson, Model.polygonCoordinatesType)))
+      // the parse-success guard matters: array(NULL) is NOT null, so an
+      // unguarded wrap would turn malformed Polygon coordinates into a
+      // one-element [null] MultiPolygon instead of a quarantine-able NULL
+      .when(geomType === "Polygon" && poly.isNotNull, array(poly))
+  }
 
   /** [[promoteMultiParts]] over a whole GeoJSON geometry string. */
   def promoteMultiFromJson(geomJson: Column): Column =

@@ -59,17 +59,13 @@ object Ingest {
     else if (name.matches("^\\d{2}_.*")) 1
     else 2
 
-  /** Read GeoJSON FeatureCollection files into one feature-per-row
-    * DataFrame: multiLine JSON with the explicit merged schema, explode
-    * `features`, infer `level` from the source filename.
-    * Columns: file_name, level, properties, geometry.
+  /** FeatureCollection un-nest: raw multiLine-read rows -> one feature
+    * per row with `level` inferred from the source filename. Shared by
+    * the batch reader below and the streaming source (Streams.scala) so
+    * the two ingest paths cannot drift.
     */
-  def readFeatures(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    require(paths.nonEmpty, "no geojson files matched")
-    spark.read
-      .option("multiLine", true)
-      .schema(Model.featureCollectionSchema)
-      .json(paths: _*)
+  def unnest(raw: DataFrame): DataFrame =
+    raw
       .select(
         element_at(split(input_file_name(), "/"), -1).as("file_name"),
         explode(col("features")).as("f"))
@@ -78,6 +74,37 @@ object Ingest {
         levelOfFileName(col("file_name")).as("level"),
         col("f.properties").as("p"),
         col("f.geometry").as("geometry"))
+
+  /** Read GeoJSON FeatureCollection files into one feature-per-row
+    * DataFrame: multiLine JSON with the explicit merged schema.
+    * Columns: file_name, level, properties, geometry.
+    */
+  def readFeatures(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "no geojson files matched")
+    unnest(spark.read
+      .option("multiLine", true)
+      .schema(Model.featureCollectionSchema)
+      .json(paths: _*))
+  }
+
+  /** Feature rows -> warehouse-shaped rows: code/name synthesis, the
+    * clean gate (quarantine drop), geometry normalization, and batch
+    * timestamps — the single transform both the batch sync
+    * (Api.syncPaths) and the streaming sync (Streams.ingestStream)
+    * apply, so merge semantics cannot diverge between them.
+    */
+  def warehouseRows(features: DataFrame): DataFrame = {
+    val now = current_timestamp()
+    withKodeNama(features)
+      .filter(clean)
+      .select(
+        col("kode_wilayah_kemendagri"),
+        col("nama_wilayah_kemendagri"),
+        col("level"),
+        Geo.normalizeToGeoJson(col("geometry.type"), col("geometry.coordinates"))
+          .as("geometry"),
+        now.as("created_at"),
+        now.as("updated_at"))
   }
 
   /** Hierarchical code + display name per level — the
@@ -120,16 +147,18 @@ object Ingest {
   }
 
   /** Predicate selecting rows fit for the warehouse: a derivable key
-    * AND a promotable geometry — MultiPolygon passes through, a bare
-    * Polygon wraps to MultiPolygon in Geo.promoteMultiParts (the read
-    * schema carries coordinates as raw JSON text precisely so the
-    * nesting dispatch can happen). Everything else belongs in
-    * [[quarantine]] rather than being stored as null-coordinate
-    * geometry text.
+    * AND a promotable, PARSEABLE geometry — MultiPolygon passes
+    * through, a bare Polygon wraps to MultiPolygon (the read schema
+    * carries coordinates as raw JSON text precisely so
+    * Geo.promoteMultiParts can dispatch on nesting depth). The
+    * promotion result itself is the gate: an unpromotable type OR
+    * coordinates text that fails to parse both yield NULL, and either
+    * belongs in [[quarantine]] rather than being stored as
+    * coordinate-less geometry text.
     */
   def clean: Column =
     col("kode_wilayah_kemendagri").isNotNull &&
-      coalesce(col("geometry.type").isin("MultiPolygon", "Polygon"), lit(false))
+      Geo.promoteMultiParts(col("geometry.type"), col("geometry.coordinates")).isNotNull
 
   /** Rows withKodeNama could not derive a key for (missing required
     * properties for their level), or whose geometry is not a promotable

@@ -68,15 +68,23 @@ object Store {
     if (dst.exists()) {
       val old = new java.io.File(warehousePath + ".old")
       deleteRec(old)
-      dst.renameTo(old)
-      new java.io.File(tmp).renameTo(dst)
+      rename(dst, old)
+      rename(new java.io.File(tmp), dst)
       deleteRec(old)
     } else {
-      new java.io.File(tmp).renameTo(dst)
+      rename(new java.io.File(tmp), dst)
     }
     // new files on disk — drop any cached plans over the old ones
     spark.catalog.clearCache()
   }
+
+  /** renameTo reports failure by RETURN VALUE — ignoring it would let a
+    * failed swap masquerade as a successful sync while readers keep
+    * serving the pre-merge warehouse.
+    */
+  private def rename(from: java.io.File, to: java.io.File): Unit =
+    if (!from.renameTo(to))
+      throw new java.io.IOException(s"warehouse swap failed: $from -> $to")
 
   /** Partition-scoped merge + write: only the level partitions present
     * in the incoming batch are merged and rewritten; untouched level
@@ -109,7 +117,7 @@ object Store {
       val dst = new java.io.File(whDir, s"level=$l")
       if (fresh.exists()) {
         deleteRec(dst)
-        fresh.renameTo(dst)
+        rename(fresh, dst)
       }
     }
     deleteRec(tmp)

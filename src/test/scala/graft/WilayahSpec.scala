@@ -177,13 +177,18 @@ class WilayahSpec extends AnyFunSuite {
       {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"002","nm_kelurahan":"Flat"},
        "geometry":{"type":"Polygon","coordinates":[[[97.0,5.0],[97.1,5.0],[97.1,5.1],[97.0,5.0]]]}},
       {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"003","nm_kelurahan":"Dot"},
-       "geometry":{"type":"Point","coordinates":[97.0,5.0]}}]}"""
+       "geometry":{"type":"Point","coordinates":[97.0,5.0]}},
+      {"type":"Feature","properties":{"kd_propinsi":"11","kd_dati2":"73","kd_kecamatan":"001","kd_kelurahan":"004","nm_kelurahan":"Broken"},
+       "geometry":{"type":"Polygon","coordinates":42}}]}"""
     Files.writeString(dir.resolve("11.73_kelurahan.geojson"), json)
     val path = dir.toString + "/11.73_kelurahan.geojson"
     val withCodes = Ingest.withKodeNama(Ingest.readFeatures(spark, Seq(path)))
     assert(withCodes.filter(Ingest.clean).count() == 2) // Multi + promoted Polygon
     val bad = Ingest.quarantine(withCodes).collect()
-    assert(bad.length == 1 && bad.head.getAs[String]("geometry_type") == "Point")
+    // quarantined: the unpromotable Point AND the Polygon whose
+    // coordinates text fails to parse (never stored coordinate-less)
+    assert(bad.length == 2)
+    assert(bad.map(_.getAs[String]("geometry_type")).toSet == Set("Point", "Polygon"))
     // end-to-end: the Polygon row lands in the warehouse as a valid
     // MultiPolygon (the reference's init_db.sql:29 ST_Multi behavior)
     val wh = Files.createTempDirectory("graft-poly-wh").toString + "/warehouse"

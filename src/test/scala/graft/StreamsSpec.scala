@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -214,6 +215,40 @@ class StreamsSpec extends AnyFunSuite {
       val created2 = api.warehouse.filter(col("level") === 2)
         .select(min("created_at")).head().getTimestamp(0)
       assert(created2 == created1)
+    } finally q2.stop()
+  }
+
+  test("streaming LSH candidate state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-lsh-ckpt").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // foreachBatch sink: the memory sink refuses checkpoint RECOVERY
+    val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = Streams.streamingLshCandidates(
+        in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("a_id", "b_id").collect()
+          .foreach(r => pairs.add((r.getLong(0), r.getLong(1))))
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData((1L, ts(0), dup))
+      q1.processAllAvailable()
+      assert(pairs.isEmpty)
+    } finally q1.stop()
+    // restart from the checkpoint: bucket state (doc 1's membership)
+    // must be restored, so the arriving duplicate pairs against it
+    val q2 = start()
+    try {
+      in.addData((2L, ts(1), dup))
+      q2.processAllAvailable()
+      assert(pairs.asScala.toSet == Set((1L, 2L)))
     } finally q2.stop()
   }
 

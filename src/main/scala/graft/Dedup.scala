@@ -132,6 +132,38 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** EMBEDDING-space decontamination: remove every `train` row whose
+    * cosine similarity to ANY `test` row reaches `minCosine` — the
+    * semantic companion of the n-gram [[decontaminate]] (paraphrased
+    * leakage has low token overlap but high embedding similarity, so
+    * production gates run both).
+    *
+    * Same blocked shape: RHP buckets make the cross-corpus pair space
+    * an equi-join (never a cartesian), the fused native cosine kernel
+    * verifies candidates, and a left-anti join drops contaminated
+    * rows. Recall is bounded by the bucket blocking, like every LSH
+    * path here (2^planes trade-off documented on Pipeline.rhpBucket).
+    */
+  def decontaminateByEmbedding(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.9,
+      dims: Int = 64,
+      planes: Int = 4): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
+    def withBucket(df: DataFrame, idAs: String, v: String) = df
+      .select(col(idCol).as(idAs), transform(col(vecCol), _.cast("double")).as(v))
+      .withColumn(s"${v}_b", Pipeline.rhpBucket(col(v), dims, planes))
+    val contaminated = withBucket(train, "_tid", "_tv")
+      .join(withBucket(test, "_sid", "_sv"), col("_tv_b") === col("_sv_b"))
+      .filter(cosineSim(col("_tv"), col("_sv")) >= minCosine)
+      .select(col("_tid").as(idCol))
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup removal: MinHash-LSH candidates verified by exact n-gram
     * Jaccard >= `threshold`; within each verified pair the higher id
     * drops. Two-phase (cheap candidates, exact verify on candidates

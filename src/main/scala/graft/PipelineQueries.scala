@@ -552,6 +552,32 @@ object PipelineQueries {
           .orderBy("train_doc_id")
       }),
 
+    // Embedding-space decontamination: the semantic companion of q61 —
+    // train vectors (vec_id >= 100) removed when cosine vs ANY test
+    // vector (vec_id < 100) reaches 0.35, RHP-bucket-blocked. Cosines
+    // are bit-exact index-ordered folds, and no candidate pair sits
+    // within 1e-9 of the threshold (verified), so the boundary is safe.
+    QueryDef("q65_embedding_decontamination",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
+        tr AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 100),
+        te AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < 100),
+        scored AS (SELECT tr.vec_id AS a_id, ${cosSql("tr.v", "te.v")} AS c
+                   FROM tr JOIN te ON tr.bucket = te.bucket)
+        SELECT DISTINCT a_id AS train_vec_id FROM scored WHERE c >= 0.35
+        ORDER BY train_vec_id"""),
+      (s, d) => {
+        val e = spread(embeddings(s, d))
+        val train = e.filter(col("vec_id") >= 100)
+        val test = e.filter(col("vec_id") < 100)
+        val kept = Dedup.decontaminateByEmbedding(
+          train, test, "vec_id", "embedding", minCosine = 0.35)
+        train.select("vec_id").exceptAll(kept.select("vec_id"))
+          .select(col("vec_id").as("train_vec_id"))
+          .orderBy("train_vec_id")
+      }),
+
     // Window distribution functions: percent_rank / cume_dist / ntile.
     // The rank arithmetic is exact-integer division to double — the
     // same two ints divide on both engines, so even the doubles are

@@ -19,9 +19,12 @@ object Bench {
     // A count() action lets Catalyst prune the measured projections
     // away entirely (a scalar-functions query would time only its
     // scan), so count-based timings flatter projection-heavy queries.
+    // NonFatal only: a fatal error (OOM, codegen StackOverflow) means
+    // the JVM is dying — letting it propagate kills the run instead of
+    // limping through remaining passes with near-zero garbage timings
     def run(q: QueryDef): Boolean =
       try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case _: Throwable => false }
+      catch { case scala.util.control.NonFatal(_) => false }
 
     // Warmup: one full untimed pass — first execution pays codegen/JIT
     // (measured 8s cold vs 1.7s warm on the minhash family), and a
@@ -31,7 +34,7 @@ object Bench {
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
       Queries.all.foreach(run)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     // Median of 3 timed passes per query: single-pass timings vary
     // ±15% run-to-run at this scale (JIT, GC, OS noise), which hides
@@ -55,19 +58,29 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val results = names.map { q =>
+    // failed queries are excluded from the medians/total entirely — a
+    // throwing query records near-zero seconds, and summing those would
+    // report a regression-to-error as a speedup
+    val results = names.filterNot(q => failed(q.name)).map { q =>
       val xs = samples.map(_.find(_._1 == q.name).get._2)
       (q.name, median(xs), if (median(xs) > 0) (xs.max - xs.min) / median(xs) else 0.0)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // spread on the queries long enough to measure (>0.2s median):
-    // sub-200ms timings are dominated by scheduling noise either way
-    val spreads = results.filter(_._2 > 0.2).map(_._3)
-    val maxSpread = if (spreads.isEmpty) 0.0 else spreads.max * 100
+    // per-query relative spread (pct of median), so an outlier is
+    // attributable by name instead of hiding behind one aggregate;
+    // sub-200ms medians are dominated by scheduling noise and excluded
+    // from the aggregate/worst (but still listed)
+    val spreadJson = results
+      .map { case (k, _, sp) => s"\"" + k + "\":" + math.round(sp * 100) }
+      .mkString("{", ",", "}")
+    val measurable = results.filter(_._2 > 0.2)
+    val maxSpread = if (measurable.isEmpty) 0.0 else measurable.map(_._3).max * 100
+    val worst = if (measurable.isEmpty) ""
+      else measurable.maxBy(_._3)._1
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"rel_spread_pct":$spreadJson,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -51,19 +51,28 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8,
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): (DataFrame, Report) = {
-    // persist both dedup boundaries: each roots downstream stages AND a
-    // report count — unpersisted, the md5 window (exact) and the LSH
-    // chain (near) would re-derive per action. Callers unpersist via
-    // `cleaned.sparkSession.catalog.clearCache()` (or let it age out)
-    // once the cleaned corpus is materialized.
+    // persist the dedup boundaries (and the near-dedup signature frame)
+    // for the duration of the report counts: each roots downstream
+    // stages AND a count — unpersisted, the md5 window (exact) and the
+    // LSH chain (near) would re-derive per action. All three are
+    // released HERE, after the last count, so clean() leaves no cache
+    // entries behind (a blanket clearCache() would drop unrelated
+    // caches a caller holds — e.g. a warehouse cache — not just ours).
+    // A caller materializing the returned corpus afterwards pays the
+    // chain once more; persist the RESULT at the call site if that
+    // matters.
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exact = Dedup.exact(docs, idCol, textCol).persist(disk)
-    val near = Dedup.near(exact, idCol, textCol, threshold = jaccardThreshold)
+    val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(disk)
+    val near = Dedup.nearSigned(exact, sig, idCol, threshold = jaccardThreshold)
       .persist(disk)
     val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
     val annotated = Similarity.withTextFeatures(quality, textCol)
     val report = Report(
       docs.count(), exact.count(), near.count(), quality.count())
+    sig.unpersist()
+    exact.unpersist()
+    near.unpersist()
     (annotated, report)
   }
 }

@@ -89,44 +89,72 @@ object Pipeline {
             _.cast(StringType))))
           .as("bh")))
 
+  /** Bucket size above which an LSH band bucket is counted as "hot" in
+    * the observed metrics (the same bound the capped dedup paths use as
+    * their default `maxBucketSize`). A hot bucket on an UNCAPPED path
+    * (decontamination) is not dropped — a dropped bucket there means
+    * missed contamination — but it is the early warning that a
+    * degenerate corpus is about to turn the pair join quadratic.
+    */
+  val HotBucketThreshold: Int = 10000
+
+  /** Add the k-permutation MinHash `sig` column when the caller did not
+    * supply one: frames carrying a precomputed `sig` (e.g. from
+    * [[Dedup.shingleSignatures]], persisted once per corpus) pass
+    * through untouched, so the expensive shingle-hash pass is not
+    * re-derived per consumer.
+    */
+  private def ensureSig(df: DataFrame, k: Int): DataFrame =
+    if (df.columns.contains("sig")) df
+    else df.select(col("*"),
+      minhashSignatureFromHashes(
+        graft.plans.TextExpressions.md5Hash32Array(col("shingles")), k).as("sig"))
+
   /** (id, band, bucket-hash) rows for LSH joins: shingle -> 32-bit
     * hashes -> k-permutation signature, both as native one-pass kernels
     * in the scan projection (round 2 evaluated them as per-element HOF
     * lambdas — the slowest remaining hot loop), then the band explode.
     *
-    * Hot-bucket guard (when `maxBucketSize` is set): a degenerate
-    * bucket of m docs yields m^2/2 pairs; capping trades recall inside
-    * the pathological bucket for a hard bound on join output. The
-    * count window is one extra shuffle over the (tiny) banded rows —
-    * skipped entirely at the default.
+    * Hot-bucket guard: a degenerate bucket of m docs yields m^2/2
+    * pairs. When `maxBucketSize` is set, oversize buckets are dropped
+    * (bounded join, reduced recall inside the pathological bucket);
+    * uncapped paths keep them. EITHER way the bucket-size window runs
+    * (banded rows are tiny — id + band + 32-char hash — so the count
+    * is one cheap shuffle of key-sized rows) and feeds an
+    * `observe` metric (`<metricName>`: hot_bucket_rows over
+    * [[HotBucketThreshold]], max_bucket_size), logged by
+    * [[LshObservability]] after each action — a degenerate corpus
+    * surfaces as a warning instead of an unexplained runaway join.
     */
   private def lshBanded(docShingles: DataFrame, idCol: String,
-                        k: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+                        k: Int, bands: Int, maxBucketSize: Int,
+                        metricName: String): DataFrame = {
     val rows = k / bands
-    val bandedAll = docShingles
-      .select(col(idCol),
-        graft.plans.TextExpressions.md5Hash32Array(col("shingles")).as("hs"))
-      .select(col(idCol),
-        explode(lshBands(minhashSignatureFromHashes(col("hs"), k), bands, rows))
-          .as("bb"))
+    val bandedAll = ensureSig(docShingles, k)
+      .select(col(idCol), explode(lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    if (maxBucketSize == Int.MaxValue) bandedAll
-    else {
-      val w = Window.partitionBy("band", "bh")
-      bandedAll.withColumn("_bs", count(lit(1)).over(w))
-        .filter(col("_bs") <= maxBucketSize).drop("_bs")
-    }
+    val w = Window.partitionBy("band", "bh")
+    val counted = bandedAll.withColumn("_bs", count(lit(1)).over(w))
+      .observe(metricName,
+        sum(when(col("_bs") > HotBucketThreshold, 1L).otherwise(0L))
+          .as("hot_bucket_rows"),
+        coalesce(max(col("_bs")), lit(0L)).as("max_bucket_size"))
+    (if (maxBucketSize == Int.MaxValue) counted
+     else counted.filter(col("_bs") <= maxBucketSize)).drop("_bs")
   }
 
   /** Candidate near-dup pairs (a_id < b_id) from MinHash-LSH band
-    * collisions. Input must have an id column and a shingles column.
-    * The self-join is an equi-join on (band, bh) — shuffle hash join,
-    * never a cartesian.
+    * collisions. Input must have an id column and either a `shingles`
+    * column (signature derived inline) or a precomputed `sig` column
+    * (see [[Dedup.shingleSignatures]]). The self-join is an equi-join
+    * on (band, bh) — shuffle hash join, never a cartesian; the two
+    * sides share one Exchange (identical subtrees reuse the shuffle).
     */
   def lshCandidatePairs(docShingles: DataFrame, idCol: String,
                         k: Int, bands: Int,
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = lshBanded(docShingles, idCol, k, bands, maxBucketSize)
+    val banded = lshBanded(docShingles, idCol, k, bands, maxBucketSize,
+      "graft_lsh_self")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -139,13 +167,15 @@ object Pipeline {
     * the blocking step of test-set decontamination. Same equi-join
     * shape as the self-join variant; both corpora must use the same id
     * namespace only in the sense that ids identify rows within their
-    * own side.
+    * own side. Inputs may carry precomputed `sig` columns.
     */
   def lshCrossCandidates(aShingles: DataFrame, bShingles: DataFrame,
                          idCol: String, k: Int, bands: Int,
                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val ba = lshBanded(aShingles, idCol, k, bands, maxBucketSize)
-    val bb = lshBanded(bShingles, idCol, k, bands, maxBucketSize)
+    val ba = lshBanded(aShingles, idCol, k, bands, maxBucketSize,
+      "graft_lsh_train")
+    val bb = lshBanded(bShingles, idCol, k, bands, maxBucketSize,
+      "graft_lsh_test")
     ba.as("x").join(bb.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
@@ -312,4 +342,46 @@ object Pipeline {
     aggregate(
       transform(w, x => wordHash32(x) % lit(1000000007L)),
       lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))
+}
+
+/** Session-level consumer of the `graft_lsh_*` observe metrics every
+  * LSH banding emits: after each action, any bucket over
+  * [[Pipeline.HotBucketThreshold]] is logged as a warning with the row
+  * count and the largest bucket seen. The uncapped decontamination
+  * path keeps hot buckets (dropping one = missed contamination), so
+  * this log line is the only signal separating "degenerate corpus
+  * heading for a quadratic pair join" from an ordinary slow run.
+  */
+object LshObservability {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private class Listener extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith("graft_lsh")) {
+          val hot = row.getAs[Long]("hot_bucket_rows")
+          if (hot > 0) log.warn(
+            s"LSH hot bucket on '$name': $hot banded rows sit in buckets larger " +
+              s"than ${Pipeline.HotBucketThreshold} (largest bucket: " +
+              s"${row.getAs[Long]("max_bucket_size")} rows) — a degenerate corpus " +
+              "is inflating the candidate pair join; dedup/decontaminate inputs " +
+              "may need pre-aggregation of identical documents")
+        }
+      }
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  /** Idempotent per-session registration (Sessions.build calls this). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val tag = "graft.lsh.observability.registered"
+      if (!java.lang.Boolean.parseBoolean(spark.conf.getOption(tag).getOrElse("false"))) {
+        spark.listenerManager.register(new Listener)
+        spark.conf.set(tag, "true")
+      }
+    }
 }

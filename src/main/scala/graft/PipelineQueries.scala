@@ -484,9 +484,15 @@ object PipelineQueries {
         FROM t JOIN pc ON t.cell = pc.cell CROSS JOIN q
         WHERE t.vec_id <> 0
         ORDER BY cosine DESC, t.vec_id LIMIT 10"""),
-      (s, d) => Similarity.ivfTopK(
-        spread(embeddings(s, d)).withColumn("cell", col("vec_id") % 8),
-        "vec_id", "embedding", "cell", queryId = 0, k = 10, nProbe = 2)),
+      (s, d) => {
+        // split index/probe form: the centroid build is a separate
+        // reusable frame (at scale: computed once, persisted, probed
+        // many times — see the PipelineSpec index-reuse test)
+        val e = spread(embeddings(s, d)).withColumn("cell", col("vec_id") % 8)
+        Similarity.ivfTopK(e, "vec_id", "embedding", "cell",
+          Similarity.ivfIndex(e, "embedding", "cell"),
+          queryId = 0, k = 10, nProbe = 2)
+      }),
 
     // Frame sampling: every 2nd frame of each media doc as its own row
     // — the video-pipeline fan-out shape (Multimodal.sampleFrames,

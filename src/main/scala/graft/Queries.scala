@@ -689,19 +689,24 @@ object Queries {
               < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
       (s, d) => {
-        // fixed name: createOrReplace is idempotent, and every caller in
-        // one session reads the same sfDir — a UUID-per-invocation name
-        // would accumulate catalog entries in a long-lived session
-        val view = "lineitem_q49"
-        lineitem(s, d).createOrReplaceTempView(view)
-        s.sql(s"""
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
-                 ${dsumSql("l_extendedprice")} AS total_price
-          FROM $view l
-          WHERE 5 * CAST(l.l_quantity AS DECIMAL(25,6)) *
-                  (SELECT COUNT(*) FROM $view l2 WHERE l2.l_partkey = l.l_partkey)
-                < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
-                   FROM $view l2 WHERE l2.l_partkey = l.l_partkey)""")
+        // single-aggregate form of the correlated pair: Catalyst
+        // decorrelates the oracle's two scalar subqueries into two
+        // independent aggregate+join branches over lineitem (round-3
+        // bench top-5 cost); one groupBy(l_partkey).agg(count, sum)
+        // feeding both predicates is algebraically identical (both
+        // subqueries share the correlation key, every probe row's part
+        // group is non-empty by construction, so inner-join semantics
+        // match the correlated lookups) and scans/shuffles lineitem
+        // once instead of twice.
+        val li = lineitem(s, d)
+        val perPart = li.groupBy("l_partkey").agg(
+          count(lit(1)).as("_cnt"),
+          sum(col("l_quantity").cast(DecimalType(25, 6))).as("_sum"))
+        li.join(perPart, "l_partkey")
+          .filter(lit(5) * col("l_quantity").cast(DecimalType(25, 6)) * col("_cnt")
+            < col("_sum"))
+          .agg(count(lit(1)).as("n_small"),
+               dsum(col("l_extendedprice")).as("total_price"))
       }),
 
     // Approximate quantiles (t-digest/KLL-family sketches). Sketch

@@ -26,6 +26,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LshObservability.register(spark)
     spark
   }
 

@@ -69,27 +69,37 @@ object Similarity {
     graft.plans.GroupedTopK.perKey(scored, Seq("query_id"), "cosine", k)
   }
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to a cell;
-    * probing ranks cells by query-to-centroid cosine and scans only the
-    * `nProbe` nearest cells. Here the cell assignment comes from a
-    * provided column (e.g. a cluster id produced offline — at 100 TB
-    * the coarse quantizer is trained once and shipped as a literal);
-    * centroids are computed per cell with a single groupBy.
+  /** IVF "index" build: per-cell centroids (`cell`, `centroid:
+    * array<double>`) via posexplode + two groupBys — ONE full-corpus
+    * pass. At 100 TB this runs once (persist the result, or write it
+    * next to the corpus) and every [[ivfTopK]] probe consumes it; the
+    * centroid table is tiny (cells × dims), so probes broadcast it.
+    */
+  def ivfIndex(df: DataFrame, vecCol: String, cellCol: String): DataFrame =
+    df.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("_v"))
+      .select(col("cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
+      .groupBy("cell", "_d").agg(avg("_x").as("_m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("_d"), col("_m"))))
+        .as("_dm"))
+      .select(col("cell"), transform(col("_dm"), s => s.getField("_m")).as("centroid"))
+
+  /** IVF-style ANN probe over a PREBUILT index: ranks the index's cells
+    * by query-to-centroid cosine and scans only the `nProbe` nearest
+    * cells. The cell assignment comes from a provided column (e.g. a
+    * cluster id produced offline — at 100 TB the coarse quantizer is
+    * trained once); `centroids` comes from [[ivfIndex]], computed once
+    * per corpus and reused across every probe.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-              queryId: Long, k: Int = 10, nProbe: Int = 2): DataFrame = {
+              centroids: DataFrame, queryId: Long, k: Int,
+              nProbe: Int): DataFrame = {
     val base = df.select(col(idCol), col(cellCol).as("_cell"),
       asDouble(col(vecCol)).as("_v"))
-    // per-cell centroid: element-wise mean via posexplode + groupBy
-    val centroids = base
-      .select(col("_cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
-      .groupBy("_cell", "_d").agg(avg("_x").as("_m"))
-      .groupBy("_cell").agg(array_sort(collect_list(struct(col("_d"), col("_m"))))
-        .as("_dm"))
-      .select(col("_cell"), transform(col("_dm"), s => s.getField("_m")).as("_centroid"))
     val q = base.filter(col(idCol) === queryId)
       .select(col("_v").as("_qv"))
-    val probedCells = centroids.crossJoin(broadcast(q))
+    val probedCells = centroids
+      .select(col("cell").as("_cell"), col("centroid").as("_centroid"))
+      .crossJoin(broadcast(q))
       .select(col("_cell"), cosineSim(col("_qv"), col("_centroid")).as("_cc"))
       // cell id tie-break keeps the probed set deterministic
       .orderBy(col("_cc").desc, col("_cell")).limit(nProbe)
@@ -101,6 +111,14 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Convenience [[ivfTopK]]: builds the index inline (one-shot use —
+    * anything probing more than once should hold an [[ivfIndex]]).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              queryId: Long, k: Int = 10, nProbe: Int = 2): DataFrame =
+    ivfTopK(df, idCol, vecCol, cellCol, ivfIndex(df, vecCol, cellCol),
+      queryId, k, nProbe)
 
   /** Append text-analysis feature columns to a document DataFrame:
     * token counts, type-token ratio, stopword ratio, BPE-ish subword

@@ -95,12 +95,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * IEEE-bit-identical to the sequential HOF fold and the oracle —
   * swapping this in cannot move a hash in the correctness gate.
   *
-  * Precondition: vectors have >= dims elements (shorter inputs use the
-  * available prefix; the HOF form would yield NULL instead — callers
-  * pass fixed-width embedding columns, where the two agree).
+  * Degenerate inputs are LOUD, not silently bucketed: a vector with
+  * fewer than `dims` elements, or any null element in the first `dims`,
+  * yields NULL (matching the HOF zip_with form's null propagation). In
+  * decontamination a quiet wrong bucket means silently missed
+  * contamination — a NULL bucket never equi-joins, and surfaces in any
+  * null-count audit of the bucket column.
   */
 case class RhpBucket(child: Expression, dims: Int, planes: Int)
     extends UnaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -119,7 +124,9 @@ case class RhpBucket(child: Expression, dims: Int, planes: Int)
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
+    if (v.numElements() < dims) return null
+    var d0 = 0
+    while (d0 < dims) { if (v.isNullAt(d0)) return null; d0 += 1 }
     val s = signs
     var bucket = 0
     var p = 0
@@ -127,7 +134,7 @@ case class RhpBucket(child: Expression, dims: Int, planes: Int)
       var proj = 0.0
       val base = p * dims
       var d = 0
-      while (d < n) { proj += v.getDouble(d) * s(base + d); d += 1 }
+      while (d < dims) { proj += v.getDouble(d) * s(base + d); d += 1 }
       if (proj > 0) bucket |= (1 << p)
       p += 1
     }
@@ -137,24 +144,32 @@ case class RhpBucket(child: Expression, dims: Int, planes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val s = ctx.addReferenceObj("rhpSigns", signs, "double[]")
-      val n = ctx.freshName("n")
       val bucket = ctx.freshName("bucket")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
+      val dn = ctx.freshName("dn")
       val proj = ctx.freshName("proj")
       val base = ctx.freshName("base")
+      val hasNull = ctx.freshName("hasNull")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $dims);
-         |int $bucket = 0;
-         |for (int $p = 0; $p < $planes; $p++) {
-         |  double $proj = 0.0;
-         |  final int $base = $p * $dims;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $proj += $a.getDouble($d) * $s[$base + $d];
-         |  }
-         |  if ($proj > 0) $bucket |= (1 << $p);
+         |boolean $hasNull = $a.numElements() < $dims;
+         |for (int $dn = 0; !$hasNull && $dn < $dims; $dn++) {
+         |  if ($a.isNullAt($dn)) $hasNull = true;
          |}
-         |${ev.value} = $bucket;
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    double $proj = 0.0;
+         |    final int $base = $p * $dims;
+         |    for (int $d = 0; $d < $dims; $d++) {
+         |      $proj += $a.getDouble($d) * $s[$base + $d];
+         |    }
+         |    if ($proj > 0) $bucket |= (1 << $p);
+         |  }
+         |  ${ev.value} = $bucket;
+         |}
        """.stripMargin
     })
 

@@ -211,7 +211,17 @@ object Streams {
     * emissions to quarantine or run the exact verify on them in batch.
     *
     * Input columns: (`idCol`, ts, `textCol`).
+    *
+    * Returns a [[ContaminationMonitor]] handle: `hits` is the streaming
+    * output; `close()` releases the cached static test-corpus buckets
+    * once the monitor's query stops (restarting with a refreshed test
+    * corpus would otherwise accumulate stale cache entries for the
+    * session lifetime).
     */
+  final case class ContaminationMonitor(hits: DataFrame, testBuckets: DataFrame) {
+    def close(): Unit = { testBuckets.unpersist(); () }
+  }
+
   def streamingContaminationHits(
       docs: DataFrame,
       test: DataFrame,
@@ -219,7 +229,7 @@ object Streams {
       textCol: String,
       k: Int = 16,
       bands: Int = 4,
-      horizonMinutes: Int = 10): DataFrame = {
+      horizonMinutes: Int = 10): ContaminationMonitor = {
     import org.apache.spark.sql.functions.size
     def sig(c: org.apache.spark.sql.Column) =
       graft.Pipeline.minhashSignatureFromHashes(
@@ -235,7 +245,7 @@ object Streams {
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs
+    val hits = docs
       .withWatermark("ts", s"$horizonMinutes minutes")
       .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
       .withColumn("bb", explode(graft.Pipeline.lshBands(sig(col(textCol)), bands, k / bands)))
@@ -243,6 +253,7 @@ object Streams {
       .join(testBuckets, Seq("band", "bh"), "left_semi")
       .drop("bb", "band", "bh")
       .dropDuplicatesWithinWatermark(idCol)
+    ContaminationMonitor(hits, testBuckets)
   }
 
   // ===== custom keyed state =====

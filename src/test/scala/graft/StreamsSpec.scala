@@ -144,8 +144,9 @@ class StreamsSpec extends AnyFunSuite {
     val testCorpus = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
     val in = MemoryStream[(Long, Timestamp, String)]
-    val q = Streams.streamingContaminationHits(
+    val monitor = Streams.streamingContaminationHits(
         in.toDF().toDF("doc_id", "ts", "text"), testCorpus, "doc_id", "text")
+    val q = monitor.hits
       .writeStream.format("memory").queryName("contam").outputMode("append").start()
     try {
       in.addData(
@@ -160,6 +161,10 @@ class StreamsSpec extends AnyFunSuite {
       in.addData((1L, ts(1), "the quick brown fox jumps over the lazy dog tonight"))
       q.processAllAvailable()
       assert(spark.table("contam").count() == 1)
+      // the handle releases the cached static-side buckets on close
+      assert(monitor.testBuckets.storageLevel.useMemory)
+      monitor.close()
+      assert(!monitor.testBuckets.storageLevel.useMemory)
     } finally q.stop()
   }
 

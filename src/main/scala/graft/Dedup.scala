@@ -206,7 +206,7 @@ object Dedup {
     // [[decontaminateByEmbeddingSigned]] for deterministic release.
     val trainB = embeddingBuckets(train, idCol, vecCol, dims, planes).persist(Disk)
     val testB = embeddingBuckets(test, idCol, vecCol, dims, planes).persist(Disk)
-    decontaminateByEmbeddingSigned(train, trainB, testB, idCol, minCosine)
+    decontaminateByEmbeddingSigned(train, trainB, testB, idCol, minCosine, planes)
   }
 
   /** Precomputed RHP-bucket frame: (idCol, vec: array<double>, bucket)
@@ -226,12 +226,18 @@ object Dedup {
       trainB: DataFrame,
       testB: DataFrame,
       idCol: String,
-      minCosine: Double = 0.9): DataFrame = {
+      minCosine: Double = 0.9,
+      planes: Int = 4): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
+    // multi-probe on the TEST side (the small corpus): a missed bucket
+    // here is missed contamination, and single-bucket blocking loses
+    // every near-hyperplane match (measured 0.14 -> 0.53 pair recall
+    // at the default threshold; see Pipeline.rhpProbeBuckets)
+    val testProbes = testB.select(col("vec").as("_sv"),
+      explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_sb"))
     val contaminated = trainB
       .select(col(idCol).as("_tid"), col("vec").as("_tv"), col("bucket").as("_tb"))
-      .join(testB.select(col("vec").as("_sv"), col("bucket").as("_sb")),
-        col("_tb") === col("_sb"))
+      .join(testProbes, col("_tb") === col("_sb"))
       .filter(cosineSim(col("_tv"), col("_sv")) >= minCosine)
       .select(col("_tid").as(idCol))
       .distinct()

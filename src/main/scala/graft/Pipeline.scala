@@ -283,6 +283,21 @@ object Pipeline {
   def rhpBucket(v: Column, dims: Int, planes: Int): Column =
     graft.plans.VectorExpressions.rhpBucket(v, dims, planes)
 
+  /** Multi-probe bucket list for RHP LSH: the query's own bucket plus
+    * every bucket at hamming distance 1 (one hyperplane flipped) —
+    * `planes + 1` probes. Single-bucket probing loses every true match
+    * whose projection sits near ANY hyperplane (measured on the test
+    * corpus: 0.14 pair recall at the q65 operating point vs 0.53 with
+    * 1-flip probes; at production match thresholds (cos >= 0.9) the
+    * collision math gives ~0.92). Cost: the PROBE side fans out
+    * (planes+1)-fold before the equi-join — the corpus side is
+    * untouched, the join stays an equi-join, and a probe set is
+    * pairwise-distinct so no candidate pair is generated twice.
+    */
+  def rhpProbeBuckets(bucket: Column, planes: Int): Column =
+    array((bucket +: (0 until planes).map(p =>
+      bucket.bitwiseXOR(lit(1 << p)))): _*)
+
   /** Reference HOF formulation of [[rhpBucket]] (planes × zip_with +
     * aggregate lambda folds, interpreted per element). Kept only as the
     * spec's bit-equality baseline for the native kernel.
@@ -351,6 +366,14 @@ object Pipeline {
   * path keeps hot buckets (dropping one = missed contamination), so
   * this log line is the only signal separating "degenerate corpus
   * heading for a quadratic pair join" from an ordinary slow run.
+  *
+  * Known corner: when a query's RESULT collapses to empty, AQE's
+  * empty-relation propagation can replace the joins above the metric
+  * stages, dropping CollectMetrics from the final plan — the metric is
+  * then absent for that action. This coincides with the runs where the
+  * hot bucket did NOT inflate the join (a hot bucket colliding across
+  * corpora produces matches, keeping the stages live), so the warning
+  * fires exactly in the damage cases.
   */
 object LshObservability {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -78,6 +78,11 @@ object PipelineQueries {
       THEN (1 << CAST(p AS INTEGER)) ELSE 0 END),
     (x, y) -> x + y)"""
 
+  // Oracle mirror of Pipeline.rhpProbeBuckets: the bucket itself plus
+  // its 4 hamming-1 neighbours (multi-probe LSH).
+  private def probesSql(bucket: String): String =
+    s"list_concat([$bucket], [xor($bucket, (1 << p)) for p in range(0, 4)])"
+
   /** Language-ID profiles: char-bigram markers per language, scored by
     * occurrence count in the text. Ties break in Seq order (argmax via
     * a first-wins when-chain) — the oracle CASE mirrors the same order.
@@ -225,24 +230,29 @@ object PipelineQueries {
           .limit(10)
       }),
 
-    // LSH-bucketed ANN: 4 random hyperplanes -> 16 buckets; probe only
-    // the query's bucket (~1/16 of the corpus). The scale path: buckets
-    // are a partitioning key, so the probe is a pruned scan, and the
-    // signature is computed in the scan projection (one pass).
+    // LSH-bucketed ANN: 4 random hyperplanes -> 16 buckets; MULTI-PROBE
+    // the query's bucket plus its 4 hamming-1 neighbours (~5/16 of the
+    // corpus; single-bucket probing measured 0.14 recall at the match
+    // thresholds this corpus exercises — see Pipeline.rhpProbeBuckets).
+    // The scale path: buckets are a partitioning key, so each probe is
+    // a pruned scan, and the signature is computed in the scan
+    // projection (one pass).
     QueryDef("q30_ann_bucketed",
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
-        q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0)
+        q AS (SELECT unnest(${probesSql("bucket")}) AS qb, v AS qv
+              FROM b WHERE vec_id = 0)
         SELECT b.vec_id, ${cosSql("qv", "v")} AS cosine
-        FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+        FROM b JOIN q ON b.bucket = q.qb WHERE b.vec_id <> 0
         ORDER BY cosine DESC, vec_id LIMIT 5"""),
       (s, d) => {
         val withB = spread(embeddings(s, d))
           .select(col("vec_id"), asDouble(col("embedding")).as("w"))
           .withColumn("bucket", rhpBucket(col("w"), 64, 4))
         val q = withB.filter(col("vec_id") === 0)
-          .select(col("bucket").as("qb"), col("w").as("v"))
+          .select(explode(Pipeline.rhpProbeBuckets(col("bucket"), 4)).as("qb"),
+            col("w").as("v"))
         withB.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("qb"))
           .select(col("vec_id"),
@@ -422,16 +432,19 @@ object PipelineQueries {
     // ===== Batch ANN / skew utilities (facade-level gate coverage) =====
 
     // k-NN JOIN: approximate top-k neighbours for EVERY query vector in
-    // one pass — RHP-bucket blocking (equi-join) + the custom
-    // GroupedTopK operator's bounded per-query heaps. The oracle ranks
-    // candidates with a window; tie-free on this data (verified: no
-    // duplicate embeddings, no equal candidate cosines at sf0.01/0.1),
-    // so GroupedTopK's unspecified tie-break cannot diverge.
+    // one pass — multi-probe RHP blocking (query side fans out to its
+    // hamming-1 buckets, still an equi-join) + the custom GroupedTopK
+    // operator's bounded per-query heaps. The oracle ranks candidates
+    // with a window; tie-free on this data (verified over the
+    // MULTI-PROBE candidate set: no duplicate embeddings, no equal
+    // candidate cosines at sf0.01/0.1), so GroupedTopK's unspecified
+    // tie-break cannot diverge.
     QueryDef("q50_knn_join",
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
-        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 3),
+        q AS (SELECT vec_id AS query_id, v AS qv, unnest(${probesSql("bucket")}) AS qb
+              FROM b WHERE vec_id < 3),
         scored AS (SELECT q.query_id, b.vec_id AS corpus_id, ${cosSql("qv", "v")} AS cosine
                    FROM q JOIN b ON q.qb = b.bucket AND q.query_id <> b.vec_id),
         ranked AS (SELECT query_id, corpus_id, cosine,
@@ -560,17 +573,21 @@ object PipelineQueries {
 
     // Embedding-space decontamination: the semantic companion of q61 —
     // train vectors (vec_id >= 100) removed when cosine vs ANY test
-    // vector (vec_id < 100) reaches 0.35, RHP-bucket-blocked. Cosines
-    // are bit-exact index-ordered folds, and no candidate pair sits
-    // within 1e-9 of the threshold (verified), so the boundary is safe.
+    // vector (vec_id < 100) reaches 0.35, blocked by MULTI-PROBE RHP
+    // buckets (test side fans out to hamming-1 neighbours: measured
+    // blocking recall 0.14 -> 0.53 at this threshold). Cosines are
+    // bit-exact index-ordered folds, and no candidate pair sits within
+    // 2e-5 of the threshold (re-verified over the multi-probe candidate
+    // set at sf0.01/0.1), so the boundary is safe.
     QueryDef("q65_embedding_decontamination",
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
         tr AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 100),
-        te AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < 100),
+        te AS (SELECT vec_id, v, unnest(${probesSql("bucket")}) AS probe
+               FROM b WHERE vec_id < 100),
         scored AS (SELECT tr.vec_id AS a_id, ${cosSql("tr.v", "te.v")} AS c
-                   FROM tr JOIN te ON tr.bucket = te.bucket)
+                   FROM tr JOIN te ON tr.bucket = te.probe)
         SELECT DISTINCT a_id AS train_vec_id FROM scored WHERE c >= 0.35
         ORDER BY train_vec_id"""),
       (s, d) => {

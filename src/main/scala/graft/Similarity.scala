@@ -30,7 +30,12 @@ object Similarity {
       .limit(k)
   }
 
-  /** Approximate top-k: probe only the query's RHP bucket. */
+  /** Approximate top-k: probe the query's RHP bucket plus its
+    * hamming-1 neighbours (multi-probe — see Pipeline.rhpProbeBuckets
+    * for the measured recall argument). `(planes+1)/2^planes` of the
+    * corpus is scanned; at rest the bucket column doubles as a
+    * partition key, so each probe is a pruned scan.
+    */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int = 10, dims: Int = 64,
               planes: Int = 4): DataFrame = {
@@ -38,7 +43,8 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("_v"))
       .withColumn("_bucket", Pipeline.rhpBucket(col("_v"), dims, planes))
     val q = withB.filter(col(idCol) === queryId)
-      .select(col("_bucket").as("_qb"), col("_v").as("_qv"))
+      .select(explode(Pipeline.rhpProbeBuckets(col("_bucket"), planes)).as("_qb"),
+        col("_v").as("_qv"))
     withB.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("_bucket") === col("_qb"))
       .select(col(idCol), cosineSim(col("_qv"), col("_v")).as("cosine"))
@@ -59,10 +65,15 @@ object Similarity {
     def withBucket(df: DataFrame, id: String, v: String) = df
       .select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
       .withColumn(s"${v}_bucket", Pipeline.rhpBucket(col(v), dims, planes))
+    // multi-probe on the QUERY side only: (planes+1)x fan-out of the
+    // small side, corpus side untouched, join stays equi (probe sets
+    // are pairwise-distinct, so no pair is scored twice)
     val q = withBucket(queries, "query_id", "_qv")
+      .withColumn("_probe",
+        explode(Pipeline.rhpProbeBuckets(col("_qv_bucket"), planes)))
     val c = withBucket(corpus, "corpus_id", "_cv")
     val scored = q.join(c,
-        col("_qv_bucket") === col("_cv_bucket") &&
+        col("_probe") === col("_cv_bucket") &&
           col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosineSim(col("_qv"), col("_cv")).as("cosine"))

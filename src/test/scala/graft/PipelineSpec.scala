@@ -266,4 +266,190 @@ class PipelineSpec extends AnyFunSuite {
     // report serializes to the JSON line the demo prints
     assert(report.json.contains(s""""input":${report.input}"""))
   }
+
+  // ===== measured recall (the one property of the LSH/ANN blocking
+  // design previously argued only from bucket math) =====
+
+  /** Exact cosine ground truth, computed driver-side in double (test
+    * scale only: 500 x 64 floats).
+    */
+  private def exactVecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def exactTopK(vecs: Map[Long, Array[Double]], q: Long, k: Int): Set[Long] =
+    vecs.collect { case (id, v) if id != q => (id, cosine(vecs(q), v)) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+
+  test("measured ANN recall: multi-probe RHP blocking vs exact brute force") {
+    val vecs = exactVecs
+    val ids = vecs.keys.toSeq.sorted
+    val e = Tables.embeddings(spark, sf)
+
+    // --- pair-level blocking recall at the q65 operating point
+    // (cos >= 0.35 — the highest similarity band this corpus has;
+    // max pairwise cosine is ~0.48) ---
+    def bucketOf(v: Array[Double]): Int = {
+      var b = 0
+      for (p <- 0 until 4) {
+        var proj = 0.0
+        for (d <- v.indices) proj += v(d) * Pipeline.rhpSign(p, d + 1)
+        if (proj > 0) b |= (1 << p)
+      }
+      b
+    }
+    val buckets = vecs.map { case (id, v) => id -> bucketOf(v) }
+    val truthPairs = for { i <- ids; j <- ids
+      if i < j && cosine(vecs(i), vecs(j)) >= 0.35 } yield (i, j)
+    assert(truthPairs.nonEmpty)
+    val singleRecall = truthPairs.count { case (i, j) =>
+      buckets(i) == buckets(j) }.toDouble / truthPairs.size
+    val multiRecall = truthPairs.count { case (i, j) =>
+      Integer.bitCount(buckets(i) ^ buckets(j)) <= 1 }.toDouble / truthPairs.size
+    info(f"blocking pair recall @cos>=0.35 (${truthPairs.size} pairs): " +
+      f"single-bucket $singleRecall%.3f, multi-probe-1 $multiRecall%.3f")
+    // the default multi-probe path must beat single-bucket decisively —
+    // this is WHY the operators probe hamming-1 neighbours
+    assert(multiRecall >= 0.4, f"multi-probe blocking recall $multiRecall%.3f below floor")
+    assert(multiRecall >= singleRecall * 2,
+      "multi-probe should at least double single-bucket recall on this corpus")
+
+    // --- end-to-end recall@5 of knnJoin (multi-probe default) ---
+    val approx = Similarity.knnJoin(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val knnRecall = (0L until 10L).map { q =>
+      (approx.getOrElse(q, Set.empty) & exactTopK(vecs, q, 5)).size.toDouble / 5
+    }.sum / 10
+    info(f"knnJoin recall@5 (10 queries, multi-probe): $knnRecall%.3f")
+    assert(knnRecall >= 0.3, f"knnJoin recall@5 $knnRecall%.3f below floor")
+
+    // --- at a production match threshold (cos >= 0.9, which this
+    // corpus lacks): synthetic near-duplicate pairs, deterministic
+    // seed — multi-probe must clear the 0.8 bar the bucket math
+    // predicts (~0.92 for theta ~26 degrees) ---
+    val rnd = new scala.util.Random(42)
+    val synthPairs = (0 until 200).map { _ =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      val pert = base.map(x => x + 0.13 * rnd.nextGaussian()) // cos ~0.93
+      (base, pert)
+    }.filter { case (a, b) => cosine(a, b) >= 0.9 }
+    assert(synthPairs.size >= 100)
+    val synthRecall = synthPairs.count { case (a, b) =>
+      Integer.bitCount(bucketOf(a) ^ bucketOf(b)) <= 1 }.toDouble / synthPairs.size
+    info(f"multi-probe blocking recall @cos>=0.9 (synthetic, ${synthPairs.size} pairs): $synthRecall%.3f")
+    assert(synthRecall >= 0.8,
+      f"multi-probe recall at production thresholds $synthRecall%.3f below 0.8")
+  }
+
+  test("measured pair-recall of LSH / SimHash near-dup vs brute-force Jaccard") {
+    val sets = shingleSets
+    val ids = sets.keys.toSeq.sorted
+    def jaccard(a: Long, b: Long): Double = {
+      val inter = (sets(a) & sets(b)).size
+      inter.toDouble / (sets(a).size + sets(b).size - inter)
+    }
+    // ground truth at the q27/q61 operating threshold (J >= 0.5)
+    val truth = (for { i <- ids; j <- ids if i < j && jaccard(i, j) >= 0.5 }
+      yield (i, j)).toSet
+    assert(truth.nonEmpty)
+
+    // MinHash-LSH + exact verify (Dedup.near's pair generator)
+    val lshPairs = Queries.byName("q27_jaccard_neardup").build(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (lshPairs & truth).size.toDouble / truth.size
+    info(f"MinHash-LSH pair recall @ J>=0.5 (16 hashes, 4 bands): $lshRecall%.3f (${truth.size} truth pairs)")
+    assert(lshRecall >= 0.95, f"LSH pair recall $lshRecall%.3f below floor")
+
+    // SimHash at hamming <= 3 of 32 bits is a NEAR-IDENTICAL filter
+    // (token-multiset cosine), not a Jaccard proxy: token-edit
+    // near-dups flip many bits, so its J-recall is low BY DESIGN —
+    // measured and reported here, asserted only not to silently hit
+    // zero on its design target: order-permuted duplicates, which
+    // simhash catches at distance 0.
+    val shPairs = Queries.byName("q28_simhash_neardup").build(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"SimHash dist<=3 pair recall @ J>=0.5: ${(shPairs & truth).size.toDouble / truth.size}%.3f " +
+      "(strict near-identical filter — see PLANS.md)")
+    import spark.implicits._
+    val permuted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"), // permutation of 1
+      (3L, "totally different tokens about spark physical planning")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearSimhash(permuted, "doc_id", "text", maxDist = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), "simhash must catch order-permuted duplicates")
+  }
+
+  test("IVF index/probe split: probes reuse one persisted index") {
+    val e = Tables.embeddings(spark, sf).withColumn("cell", col("vec_id") % 8)
+    val idx = Similarity.ivfIndex(e, "embedding", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx.count() // build once
+      val p1 = Similarity.ivfTopK(e, "vec_id", "embedding", "cell", idx,
+        queryId = 0, k = 5, nProbe = 2)
+      val p2 = Similarity.ivfTopK(e, "vec_id", "embedding", "cell", idx,
+        queryId = 1, k = 5, nProbe = 2)
+      Seq(p1, p2).foreach { p =>
+        val cached = p.queryExecution.withCachedData
+        // the probe reads the cached centroids...
+        assert(cached.collect {
+          case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+        }.nonEmpty, "probe should read the cached IVF index")
+        // ...and does NOT re-run the full-corpus posexplode+groupBy
+        assert(cached.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }.isEmpty, "probe must not re-explode the corpus per call")
+      }
+      // split-API results == inline convenience results
+      val conv = Similarity.ivfTopK(e, "vec_id", "embedding", "cell",
+        queryId = 0, k = 5, nProbe = 2).collect().toSeq
+      assert(p1.collect().toSeq == conv)
+    } finally { idx.unpersist(); () }
+  }
+
+  test("uncapped decontamination surfaces hot LSH buckets via observe metrics") {
+    import spark.implicits._
+    // synthetic degenerate corpus: every train doc identical -> one
+    // bucket of n > HotBucketThreshold rows in every band, COLLIDING
+    // with the test doc (the damage case: the hot bucket inflates the
+    // cross join AND every train doc is contaminated). The collision
+    // matters for the spec too — with an empty result, AQE's
+    // empty-relation propagation would drop the metric stages from the
+    // final plan (see LshObservability's scaladoc).
+    val n = Pipeline.HotBucketThreshold + 1
+    val hotTrain = spark.range(n).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon").as("text"))
+    val hotTest = Seq((999999L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(hotTrain, hotTest, "doc_id", "text")
+    try {
+      // collect() (not count()) — count() plans a NEW QueryExecution,
+      // and the observed metrics live on the executed one
+      assert(out.collect().isEmpty) // identical corpora: all removed
+      val metrics = out.queryExecution.observedMetrics
+      val train = metrics("graft_lsh_train")
+      assert(train.getAs[Long]("max_bucket_size") == n.toLong)
+      assert(train.getAs[Long]("hot_bucket_rows") > 0,
+        "hot bucket must surface in the metric even on the uncapped path")
+      assert(metrics("graft_lsh_test").getAs[Long]("hot_bucket_rows") == 0L)
+    } finally {
+      Dedup.shingleSignatures(hotTrain, "doc_id", "text").unpersist()
+      Dedup.shingleSignatures(hotTest, "doc_id", "text").unpersist()
+      ()
+    }
+  }
 }

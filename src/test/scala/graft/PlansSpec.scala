@@ -29,6 +29,57 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate derives each corpus's signatures once (plan cache)") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("source") =!= "src0")
+    val test0 = docs.filter(col("source") === "src0")
+    val out = Dedup.decontaminate(train, test0, "doc_id", "text", threshold = 0.5)
+    try {
+      val cached = out.queryExecution.withCachedData
+      // each corpus's signature frame feeds the LSH blocking AND the
+      // exact-verify join-back: all four references must resolve to the
+      // two cache entries, so the shingle+minhash pass runs once per
+      // corpus instead of twice
+      val imrs = cached.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      assert(imrs.size == 4,
+        s"expected 4 InMemoryRelation references (2 corpora x 2 consumers), got ${imrs.size}")
+      // and the shingle derivation survives ONLY inside the cached
+      // subtrees (InMemoryRelation is a leaf — collect doesn't descend)
+      val shingleOutside = cached.collect {
+        case p if p.expressions.exists(_.exists {
+          case _: graft.plans.WordShingles => true
+          case _ => false
+        }) => p
+      }
+      assert(shingleOutside.isEmpty,
+        s"shingle derivation re-appears outside the cache: $shingleOutside")
+    } finally {
+      Dedup.shingleSignatures(train, "doc_id", "text").unpersist()
+      Dedup.shingleSignatures(test0, "doc_id", "text").unpersist()
+      ()
+    }
+  }
+
+  test("rhp_bucket is NULL-loud on degenerate vectors") {
+    // short vector and null element must NOT silently bucket on a
+    // prefix — in decontamination a quiet wrong bucket is silently
+    // missed contamination
+    val shortVec = spark.range(1)
+      .select(array(lit(1.0), lit(2.0)).as("v"))
+      .select(VectorExpressions.rhpBucket(col("v"), 64, 4).as("b")).head()
+    assert(shortVec.isNullAt(0), "short vector must yield NULL bucket")
+    val withNullElem = spark.range(1)
+      .select(array(lit(1.0), lit(null).cast("double")).as("v"))
+      .select(VectorExpressions.rhpBucket(col("v"), 2, 2).as("b")).head()
+    assert(withNullElem.isNullAt(0), "null element must yield NULL bucket")
+    val ok = spark.range(1)
+      .select(array((1 to 64).map(i => lit(i.toDouble)): _*).as("v"))
+      .select(VectorExpressions.rhpBucket(col("v"), 64, 4).as("b")).head()
+    assert(!ok.isNullAt(0))
+  }
+
   test("cosine_sim null handling and SQL registration via extensions") {
     val df = spark.sql(
       """SELECT cosine_sim(CAST(array(1.0, 2.0) AS array<double>),

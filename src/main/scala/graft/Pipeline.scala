@@ -118,29 +118,41 @@ object Pipeline {
     * Hot-bucket guard: a degenerate bucket of m docs yields m^2/2
     * pairs. When `maxBucketSize` is set, oversize buckets are dropped
     * (bounded join, reduced recall inside the pathological bucket);
-    * uncapped paths keep them. EITHER way the bucket-size window runs
-    * (banded rows are tiny — id + band + 32-char hash — so the count
-    * is one cheap shuffle of key-sized rows) and feeds an
-    * `observe` metric (`<metricName>`: hot_bucket_rows over
-    * [[HotBucketThreshold]], max_bucket_size), logged by
+    * uncapped paths keep them. Whenever the bucket-size window runs
+    * (capped paths, and uncapped paths that pass `observeHot` — the
+    * decontamination blocking, where a dropped bucket would be missed
+    * contamination and a kept hot bucket is about to go quadratic) it
+    * also feeds an `observe` metric (`<metricName>`: hot_bucket_rows
+    * over [[HotBucketThreshold]], max_bucket_size), logged by
     * [[LshObservability]] after each action — a degenerate corpus
     * surfaces as a warning instead of an unexplained runaway join.
+    * The plain uncapped SELF-join path (raw candidate queries) skips
+    * the window: its hot buckets self-evidence as pair-count blowup,
+    * and the window shuffle would tax every healthy run.
+    *
+    * Metric caveat: a plan that references the banded frame twice (the
+    * capped self-join) merges two passes' accumulators, so
+    * hot_bucket_rows can double-count; max_bucket_size is exact.
     */
   private def lshBanded(docShingles: DataFrame, idCol: String,
                         k: Int, bands: Int, maxBucketSize: Int,
-                        metricName: String): DataFrame = {
+                        metricName: String,
+                        observeHot: Boolean = false): DataFrame = {
     val rows = k / bands
     val bandedAll = ensureSig(docShingles, k)
       .select(col(idCol), explode(lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val w = Window.partitionBy("band", "bh")
-    val counted = bandedAll.withColumn("_bs", count(lit(1)).over(w))
-      .observe(metricName,
-        sum(when(col("_bs") > HotBucketThreshold, 1L).otherwise(0L))
-          .as("hot_bucket_rows"),
-        coalesce(max(col("_bs")), lit(0L)).as("max_bucket_size"))
-    (if (maxBucketSize == Int.MaxValue) counted
-     else counted.filter(col("_bs") <= maxBucketSize)).drop("_bs")
+    if (maxBucketSize == Int.MaxValue && !observeHot) bandedAll
+    else {
+      val w = Window.partitionBy("band", "bh")
+      val counted = bandedAll.withColumn("_bs", count(lit(1)).over(w))
+        .observe(metricName,
+          sum(when(col("_bs") > HotBucketThreshold, 1L).otherwise(0L))
+            .as("hot_bucket_rows"),
+          coalesce(max(col("_bs")), lit(0L)).as("max_bucket_size"))
+      (if (maxBucketSize == Int.MaxValue) counted
+       else counted.filter(col("_bs") <= maxBucketSize)).drop("_bs")
+    }
   }
 
   /** Candidate near-dup pairs (a_id < b_id) from MinHash-LSH band
@@ -173,9 +185,9 @@ object Pipeline {
                          idCol: String, k: Int, bands: Int,
                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val ba = lshBanded(aShingles, idCol, k, bands, maxBucketSize,
-      "graft_lsh_train")
+      "graft_lsh_train", observeHot = true)
     val bb = lshBanded(bShingles, idCol, k, bands, maxBucketSize,
-      "graft_lsh_test")
+      "graft_lsh_test", observeHot = true)
     ba.as("x").join(bb.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))

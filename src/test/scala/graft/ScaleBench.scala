@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off ~sf1 scale experiment (VERDICT r3 item 7): replicate sf0.1
+  * 10x with decorrelated keys/content, then time the top-5 bench
+  * queries at both scales to validate the linearity argument the
+  * 100 TB design rests on. Results land in PLANS.md.
+  *
+  * Replication keeps per-replica statistics identical while making
+  * replicas mutually unrelated (no cross-replica near-dups or key
+  * collisions), so a linear operator should cost ~10x:
+  * - documents: ids shifted; every TOKEN suffixed per replica, so
+  *   cross-replica Jaccard is 0 and within-replica structure intact
+  * - embeddings: ids shifted; elements sign-flipped by a deterministic
+  *   per-(replica, dim) pattern — cross-replica cosines decorrelate,
+  *   within-replica cosines are EXACTLY preserved (same flips cancel)
+  * - lineitem/orders/customer: join keys shifted consistently;
+  *   nation/region dims copied once
+  */
+object ScaleGen {
+  val Out = "/root/repo/target/sf1-bench"
+
+  private def signs(i: Int): Seq[Double] =
+    if (i == 0) Seq.fill(64)(1.0)
+    else (0 until 64).map { d =>
+      if ((((i.toLong * 64 + d) * 2654435761L >> 7) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("32", "scale-gen")
+    val sf = "/root/testdata/sf0.1"
+    val reps = 10
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$Out/$name.parquet")
+      println(s"wrote $name")
+    }
+
+    val docs = Tables.documents(spark, sf)
+    write("documents", (0 until reps).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          x => concat(x, lit(s"_r$i"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _))
+
+    val emb = Tables.embeddings(spark, sf)
+    write("embeddings", (0 until reps).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        zip_with(col("embedding"), typedLit(signs(i)),
+          (x, s) => (x * s).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _))
+
+    val off = 100000000L
+    val li = Tables.lineitem(spark, sf)
+    write("lineitem", (0 until reps).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+    }.reduce(_ unionAll _))
+
+    val ord = Tables.orders(spark, sf)
+    write("orders", (0 until reps).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }.reduce(_ unionAll _))
+
+    val cust = Tables.customer(spark, sf)
+    write("customer", (0 until reps).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * off))
+    }.reduce(_ unionAll _))
+
+    write("nation", Tables.nation(spark, sf))
+    write("region", Tables.region(spark, sf))
+    spark.stop()
+  }
+}
+
+/** Timed pass of the 5 most expensive round-3 queries at sf0.1 and the
+  * generated ~sf1 replica set (one warmup + median of 3 per scale).
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("32", "scale-bench")
+    val names = Seq("q61_decontamination", "q50_knn_join",
+      "q65_embedding_decontamination", "q49_correlated_subquery", "q11_star_join")
+    def run(name: String, dir: String): Unit =
+      Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
+    for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {
+      for (n <- names) {
+        run(n, dir)
+        val xs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(n, dir); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"""{"dir":"$dir","query":"$n","median_sec":${xs(1)}%.2f,"passes":[${xs.map(x => f"$x%.2f").mkString(",")}]}""")
+      }
+    }
+    spark.stop()
+  }
+}

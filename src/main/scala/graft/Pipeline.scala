@@ -353,6 +353,29 @@ object Pipeline {
   def canonicalFingerprint(w: Column): Column =
     md5(array_join(array_sort(array_distinct(w)), " "))
 
+  /** Gopher-style repetition signal: fraction of tokens that are
+    * repeats (1 - distinct/total). Scan-side, exact integer ratio to
+    * double — engine-portable bit-for-bit.
+    */
+  def duplicateTokenFraction(w: Column): Column =
+    lit(1.0) - size(array_distinct(w)).cast("double") / size(w)
+
+  /** Fraction of word n-grams that are repeats (1 - distinct/total),
+    * NULL for docs shorter than n words — the "duplicate 3-gram"
+    * boilerplate signal corpus-quality filters (C4/Gopher family) cut
+    * on. Scan-side.
+    */
+  def duplicateShingleFraction(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      lit(1.0) - size(wordShingles(w, n)).cast("double") / (size(w) - (n - 1)))
+
+  /** Mean word length in characters, from doc-level counts (chars
+    * excluding the single separating spaces / token count) — exact
+    * same-integer division on every engine.
+    */
+  def meanWordLength(text: Column, w: Column): Column =
+    (length(text) - (size(w) - 1)).cast("double") / size(w)
+
   /** Polynomial rolling hash over token hashes, mod 1e9+7. The fold
     * starts at 0 and every term is already < M, so the left fold equals
     * the oracle's init-less list_reduce. Backed by the native

@@ -648,6 +648,106 @@ object PipelineQueries {
             cume_dist().over(w).as("cd"),
             ntile(4).over(w).cast(LongType).as("quartile"))
           .orderBy("o_orderkey")
+      }),
+
+    // ===== Corpus quality / mixing (round 4: C4/Gopher-family rules,
+    // data mixing, batch construction) =====
+
+    // Repetition scoring: duplicate-token and duplicate-trigram
+    // fractions per doc (the boilerplate signal quality filters cut
+    // on). Scan-side exact integer ratios to double — bit-identical
+    // across engines; short docs yield NULL trigram fraction loudly.
+    QueryDef("q66_repetition_score",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_token_frac,
+               CASE WHEN len(w) >= 3 THEN
+                 1.0 - CAST(len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) AS DOUBLE)
+                     / (len(w) - 2)
+               END AS dup_trigram_frac
+        FROM w ORDER BY doc_id"""),
+      (s, d) => {
+        val w = words(col("text"))
+        spread(documents(s, d)).select(col("doc_id"),
+            size(w).cast(LongType).as("n_tokens"),
+            duplicateTokenFraction(w).as("dup_token_frac"),
+            duplicateShingleFraction(w, 3).as("dup_trigram_frac"))
+          .orderBy("doc_id")
+      }),
+
+    // Composite quality gate (Gopher-style): token-count bounds, mean
+    // word length bounds, minimum stopword evidence, repetition cap —
+    // each component double is bit-identical across engines, so the
+    // boolean thresholds cannot diverge.
+    QueryDef("q67_quality_gate",
+      Some("""
+        WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n,
+                CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+                len(list_filter(w, x -> list_contains(['the','a','an','of','to','and','in','is'], x))) AS stopc,
+                1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep
+              FROM w)
+        SELECT doc_id,
+               n >= 15 AND n <= 100000 AS ok_tokens,
+               mwl >= 2.0 AND mwl <= 12.0 AS ok_word_len,
+               stopc >= 2 AS ok_stopwords,
+               rep <= 0.6 AS ok_repetition,
+               (n >= 15 AND n <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
+                 AND stopc >= 2 AND rep <= 0.6 AS passes
+        FROM m ORDER BY doc_id"""),
+      (s, d) => {
+        val w = words(col("text"))
+        val mwl = meanWordLength(col("text"), w)
+        val okTokens = size(w) >= 15 && size(w) <= 100000
+        val okWordLen = mwl >= 2.0 && mwl <= 12.0
+        val okStop = stopwordCount(w) >= 2
+        val okRep = duplicateTokenFraction(w) <= 0.6
+        spread(documents(s, d)).select(col("doc_id"),
+            okTokens.as("ok_tokens"), okWordLen.as("ok_word_len"),
+            okStop.as("ok_stopwords"), okRep.as("ok_repetition"),
+            (okTokens && okWordLen && okStop && okRep).as("passes"))
+          .orderBy("doc_id")
+      }),
+
+    // Deterministic stratified sampling (data mixing): md5-hash slot
+    // per doc vs per-source permille rates — the same sample every
+    // run/engine/retry (the property a resumable 100 TB mixing job
+    // needs), pure scan-side filter, no shuffle.
+    QueryDef("q68_stratified_sample",
+      Some("""
+        WITH h AS (SELECT doc_id, source,
+          list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 for i in range(1, 9)],
+                      (a, b) -> a*16 + b) % 1000 AS slot
+        FROM documents)
+        SELECT doc_id, source FROM h
+        WHERE slot < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                                 WHEN 'src2' THEN 250 ELSE 100 END
+        ORDER BY doc_id"""),
+      (s, d) => graft.ops.Sampling.stratified(documents(s, d), "doc_id", "source",
+          Map("src0" -> 1000, "src1" -> 500, "src2" -> 250), defaultPermille = 100)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Greedy contiguous sequence packing (training batch construction):
+    // per-source token budget bins via one window over exact integer
+    // cumulative sums — `div`/`//` integer division on both engines.
+    QueryDef("q69_sequence_packing",
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+          list_reduce(list_transform(string_split(text, ' '),
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+                      (a, b) -> a + b) AS n_tok
+        FROM documents)
+        SELECT doc_id, source, n_tok,
+               (COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048) AS bin
+        FROM t ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d)).select(col("doc_id"), col("source"),
+          subwordTokenCount(words(col("text"))).as("n_tok"))
+        graft.ops.Sampling.packSequences(docs, "doc_id", "source", "n_tok", 2048L)
+          .orderBy("doc_id")
       })
   )
 }

@@ -62,4 +62,52 @@ class OpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("stratified sampling is deterministic, rate-faithful, shuffle-free") {
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250)
+    def sample() = graft.ops.Sampling.stratified(docs, "doc_id", "source", rates, 100)
+    val a = sample().select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = sample().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash-based sampling must reproduce exactly across runs")
+    // permille 1000 keeps the whole stratum
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(sample().filter(col("source") === "src0").count() == src0Total)
+    // per-stratum keep rates within loose binomial bounds
+    for ((stratum, p) <- Seq("src1" -> 0.5, "src2" -> 0.25)) {
+      val n = docs.filter(col("source") === stratum).count().toDouble
+      val kept = sample().filter(col("source") === stratum).count().toDouble
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(kept - n * p) <= 4 * sd + 1,
+        s"$stratum kept $kept of $n at rate $p")
+    }
+    // a pure filter: no exchange in the plan
+    val plan = sample().queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
+  test("sequence packing fills contiguous bins within the token budget") {
+    val budget = 2048L
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      Pipeline.subwordTokenCount(Pipeline.words(col("text"))).as("n_tok"))
+    val packed = graft.ops.Sampling.packSequences(docs, "doc_id", "source", "n_tok", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    for ((_, rows) <- packed.groupBy(_._2)) {
+      val ordered = rows.sortBy(_._1)
+      // bins start at 0 (cumBefore of the first doc is 0) and every
+      // assignment equals cumBefore div budget — which also implies
+      // bins are non-decreasing in doc order
+      assert(ordered.head._4 == 0L)
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, bin) =>
+        assert(cum / budget == bin, s"bin assignment must equal cumBefore div budget")
+        cum += tok
+      }
+      // bins are reasonably full: total bins ~ total tokens / budget
+      val totalTok = ordered.map(_._3).sum
+      val nBins = ordered.map(_._4).distinct.length
+      assert(nBins <= totalTok / budget + 1)
+    }
+  }
 }

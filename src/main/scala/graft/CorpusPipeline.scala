@@ -41,26 +41,32 @@ object CorpusPipeline {
       (Pipeline.stopwordCount(w).cast("double") / size(w)) <= maxStopRatio
   }
 
-  /** Run the full chain; returns the cleaned, feature-annotated corpus
-    * and the per-stage report.
+  /** Result of [[clean]]: the cleaned, feature-annotated corpus, the
+    * per-stage report, and `release()` — call it once the corpus is
+    * materialized (written/collected) to drop the one cache entry
+    * clean() leaves behind (the near-dedup boundary rooting `corpus`).
     */
+  final case class Cleaned(corpus: DataFrame, report: Report,
+                           release: () => Unit)
+
+  /** Run the full chain. */
   def clean(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       jaccardThreshold: Double = 0.8,
       minTokens: Int = 15,
-      maxStopRatio: Double = 0.5): (DataFrame, Report) = {
+      maxStopRatio: Double = 0.5): Cleaned = {
     // persist the dedup boundaries (and the near-dedup signature frame)
     // for the duration of the report counts: each roots downstream
     // stages AND a count — unpersisted, the md5 window (exact) and the
-    // LSH chain (near) would re-derive per action. All three are
-    // released HERE, after the last count, so clean() leaves no cache
-    // entries behind (a blanket clearCache() would drop unrelated
-    // caches a caller holds — e.g. a warehouse cache — not just ours).
-    // A caller materializing the returned corpus afterwards pays the
-    // chain once more; persist the RESULT at the call site if that
-    // matters.
+    // LSH chain (near) would re-derive per action. The upstream caches
+    // (sig, exact) are released HERE — the counts materialized `near`'s
+    // cache, which alone roots everything downstream — while `near`
+    // stays cached so the caller's materialization of the returned
+    // corpus does NOT re-pay the dedup chain; the caller drops it via
+    // `release()` when done. (A blanket clearCache() would drop
+    // unrelated caches a caller holds — e.g. a warehouse cache.)
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exact = Dedup.exact(docs, idCol, textCol).persist(disk)
     val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(disk)
@@ -72,8 +78,7 @@ object CorpusPipeline {
       docs.count(), exact.count(), near.count(), quality.count())
     sig.unpersist()
     exact.unpersist()
-    near.unpersist()
-    (annotated, report)
+    Cleaned(annotated, report, () => { near.unpersist(); () })
   }
 }
 
@@ -85,9 +90,10 @@ object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val spark: SparkSession = Sessions.fromEnv("graft-pipeline-demo")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val (cleaned, report) = CorpusPipeline.clean(Tables.documents(spark, sf))
-    val nFeatures = cleaned.columns.length
-    println(s"""{"corpus":"$sf","report":${report.json},"feature_columns":$nFeatures}""")
+    val result = CorpusPipeline.clean(Tables.documents(spark, sf))
+    val nFeatures = result.corpus.columns.length
+    println(s"""{"corpus":"$sf","report":${result.report.json},"feature_columns":$nFeatures}""")
+    result.release()
     spark.stop()
   }
 }

@@ -31,12 +31,19 @@ object Dedup {
     * `sigFrame.unpersist()` when the last consumer is done.
     */
   def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, minhashK: Int = 16): DataFrame =
+                        shingleN: Int = 3, minhashK: Int = 16): DataFrame = {
+    // provenance metadata: consumers validate the banding k against the
+    // k the signatures were actually built with (a mismatch would
+    // silently change recall or hash empty band slices)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(Pipeline.SigKMetadataKey, minhashK.toLong).build()
     df.select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= shingleN)
       .select(col(idCol), Pipeline.wordShingles(col("_w"), shingleN).as("shingles"))
       .withColumn("sig", Pipeline.minhashSignatureFromHashes(
-        graft.plans.TextExpressions.md5Hash32Array(col("shingles")), minhashK))
+        graft.plans.TextExpressions.md5Hash32Array(col("shingles")), minhashK)
+        .as("sig", meta))
+  }
 
   /** Exact dedup on content bytes: keep the lowest-id row per distinct
     * value of `textCol`.
@@ -209,13 +216,32 @@ object Dedup {
     decontaminateByEmbeddingSigned(train, trainB, testB, idCol, minCosine, planes)
   }
 
+  /** Column-metadata key recording the plane count a `bucket` column
+    * was built with (validated by the Signed consumer — a mismatch
+    * would probe the wrong hamming-1 neighbour set silently).
+    */
+  val BucketPlanesMetadataKey = "graft.rhpPlanes"
+
   /** Precomputed RHP-bucket frame: (idCol, vec: array<double>, bucket)
     * — the embedding analogue of [[shingleSignatures]].
     */
   def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
-                       dims: Int = 64, planes: Int = 4): DataFrame =
+                       dims: Int = 64, planes: Int = 4): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(BucketPlanesMetadataKey, planes.toLong).build()
     df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("vec"))
-      .withColumn("bucket", Pipeline.rhpBucket(col("vec"), dims, planes))
+      .withColumn("bucket", Pipeline.rhpBucket(col("vec"), dims, planes).as("bucket", meta))
+  }
+
+  private def requirePlanes(df: DataFrame, planes: Int, side: String): Unit =
+    df.schema.fields.find(_.name == "bucket")
+      .filter(_.metadata.contains(BucketPlanesMetadataKey))
+      .foreach { f =>
+        val have = f.metadata.getLong(BucketPlanesMetadataKey)
+        require(have == planes,
+          s"$side bucket frame was built with planes=$have but the probe was " +
+            s"asked for planes=$planes — rebuild the buckets or pass the matching planes")
+      }
 
   /** [[decontaminateByEmbedding]] over PRECOMPUTED bucket frames from
     * [[embeddingBuckets]] — persist/materialize them once per corpus
@@ -229,13 +255,23 @@ object Dedup {
       minCosine: Double = 0.9,
       planes: Int = 4): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
+    requirePlanes(trainB, planes, "train")
+    requirePlanes(testB, planes, "test")
+    // a NULL bucket (short/null-element vector) never equi-joins, so
+    // the row is EXEMPT from matching — count and surface those rows
+    // instead of letting malformed embeddings dodge the gate silently
+    // (LshObservability logs when the metric is non-zero)
+    def nullAudit(df: DataFrame, side: String) =
+      df.observe(Pipeline.metricName(s"graft_rhp_null_$side"),
+        coalesce(sum(when(col("bucket").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("null_buckets"))
     // multi-probe on the TEST side (the small corpus): a missed bucket
     // here is missed contamination, and single-bucket blocking loses
     // every near-hyperplane match (measured 0.14 -> 0.53 pair recall
     // at the default threshold; see Pipeline.rhpProbeBuckets)
-    val testProbes = testB.select(col("vec").as("_sv"),
+    val testProbes = nullAudit(testB, "test").select(col("vec").as("_sv"),
       explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_sb"))
-    val contaminated = trainB
+    val contaminated = nullAudit(trainB, "train")
       .select(col(idCol).as("_tid"), col("vec").as("_tv"), col("bucket").as("_tb"))
       .join(testProbes, col("_tb") === col("_sb"))
       .filter(cosineSim(col("_tv"), col("_sv")) >= minCosine)

@@ -98,15 +98,46 @@ object Pipeline {
     */
   val HotBucketThreshold: Int = 10000
 
+  /** Monotonic suffix so every observe metric name is unique within any
+    * composed query: Spark rejects a plan holding two DIFFERENT
+    * CollectMetrics nodes under one name (DUPLICATED_METRICS_NAME), and
+    * chaining two dedup/decontamination operators in one DAG is a
+    * documented use. Self-joins of ONE banded frame reuse the same node
+    * and stay legal. Names are diagnostic-only (prefix-matched by
+    * [[LshObservability]]), so per-build uniqueness costs nothing.
+    */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def metricName(base: String): String =
+    s"${base}_${metricSeq.incrementAndGet()}"
+
+  /** Column-metadata key recording the minhash k a `sig` column was
+    * built with — validated at the consumers so a precomputed frame
+    * can't silently be banded with mismatched parameters.
+    */
+  val SigKMetadataKey = "graft.minhashK"
+
   /** Add the k-permutation MinHash `sig` column when the caller did not
     * supply one: frames carrying a precomputed `sig` (e.g. from
     * [[Dedup.shingleSignatures]], persisted once per corpus) pass
-    * through untouched, so the expensive shingle-hash pass is not
-    * re-derived per consumer.
+    * through untouched — after validating, when the frame carries the
+    * provenance metadata, that it was built with the SAME k (a larger k
+    * would band correctly but change recall silently; a smaller one
+    * would slice past the signature and hash EMPTY band slices, making
+    * every doc collide).
     */
   private def ensureSig(df: DataFrame, k: Int): DataFrame =
-    if (df.columns.contains("sig")) df
-    else df.select(col("*"),
+    if (df.columns.contains("sig")) {
+      df.schema.fields.find(_.name == "sig")
+        .filter(_.metadata.contains(SigKMetadataKey))
+        .foreach { f =>
+          val have = f.metadata.getLong(SigKMetadataKey)
+          require(have == k,
+            s"precomputed signature frame was built with minhashK=$have " +
+              s"but the LSH banding was asked for k=$k — rebuild the " +
+              "signatures or pass the matching k")
+        }
+      df
+    } else df.select(col("*"),
       minhashSignatureFromHashes(
         graft.plans.TextExpressions.md5Hash32Array(col("shingles")), k).as("sig"))
 
@@ -136,7 +167,7 @@ object Pipeline {
     */
   private def lshBanded(docShingles: DataFrame, idCol: String,
                         k: Int, bands: Int, maxBucketSize: Int,
-                        metricName: String,
+                        metricBase: String,
                         observeHot: Boolean = false): DataFrame = {
     val rows = k / bands
     val bandedAll = ensureSig(docShingles, k)
@@ -146,9 +177,9 @@ object Pipeline {
     else {
       val w = Window.partitionBy("band", "bh")
       val counted = bandedAll.withColumn("_bs", count(lit(1)).over(w))
-        .observe(metricName,
-          sum(when(col("_bs") > HotBucketThreshold, 1L).otherwise(0L))
-            .as("hot_bucket_rows"),
+        .observe(metricName(metricBase),
+          coalesce(sum(when(col("_bs") > HotBucketThreshold, 1L).otherwise(0L)),
+            lit(0L)).as("hot_bucket_rows"),
           coalesce(max(col("_bs")), lit(0L)).as("max_bucket_size"))
       (if (maxBucketSize == Int.MaxValue) counted
        else counted.filter(col("_bs") <= maxBucketSize)).drop("_bs")
@@ -418,7 +449,7 @@ object LshObservability {
                            qe: org.apache.spark.sql.execution.QueryExecution,
                            durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith("graft_lsh")) {
+        if (name.startsWith("graft_lsh_")) {
           val hot = row.getAs[Long]("hot_bucket_rows")
           if (hot > 0) log.warn(
             s"LSH hot bucket on '$name': $hot banded rows sit in buckets larger " +
@@ -426,6 +457,13 @@ object LshObservability {
               s"${row.getAs[Long]("max_bucket_size")} rows) — a degenerate corpus " +
               "is inflating the candidate pair join; dedup/decontaminate inputs " +
               "may need pre-aggregation of identical documents")
+        } else if (name.startsWith("graft_rhp_null_")) {
+          val n = row.getAs[Long]("null_buckets")
+          if (n > 0) log.warn(
+            s"$n rows on '$name' have a NULL RHP bucket (vector shorter than " +
+              "the configured dims, or null elements) — those rows are EXEMPT " +
+              "from bucket-blocked matching (in decontamination that means " +
+              "potential missed contamination); repair or quarantine them")
         }
       }
     override def onFailure(funcName: String,

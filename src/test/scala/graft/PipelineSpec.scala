@@ -236,7 +236,8 @@ class PipelineSpec extends AnyFunSuite {
 
   test("composed corpus pipeline: monotone stages, no survivors above threshold") {
     val docs = Tables.documents(spark, sf)
-    val (cleaned, report) = CorpusPipeline.clean(docs, jaccardThreshold = 0.8)
+    val result = CorpusPipeline.clean(docs, jaccardThreshold = 0.8)
+    val (cleaned, report) = (result.corpus, result.report)
 
     // stages only remove rows, never invent them
     assert(report.input == docs.count())
@@ -265,6 +266,11 @@ class PipelineSpec extends AnyFunSuite {
 
     // report serializes to the JSON line the demo prints
     assert(report.json.contains(s""""input":${report.input}"""))
+
+    // release() drops the one cache entry clean() leaves (the near
+    // boundary) — and materializing the corpus BEFORE release is served
+    // from it (the count above already exercised that path)
+    result.release()
   }
 
   // ===== measured recall (the one property of the LSH/ANN blocking
@@ -441,15 +447,59 @@ class PipelineSpec extends AnyFunSuite {
       // and the observed metrics live on the executed one
       assert(out.collect().isEmpty) // identical corpora: all removed
       val metrics = out.queryExecution.observedMetrics
-      val train = metrics("graft_lsh_train")
+      // names carry a uniqueness suffix (composition-safe) — find by prefix
+      def metric(prefix: String) =
+        metrics.collectFirst { case (k, v) if k.startsWith(prefix) => v }.get
+      val train = metric("graft_lsh_train")
       assert(train.getAs[Long]("max_bucket_size") == n.toLong)
       assert(train.getAs[Long]("hot_bucket_rows") > 0,
         "hot bucket must surface in the metric even on the uncapped path")
-      assert(metrics("graft_lsh_test").getAs[Long]("hot_bucket_rows") == 0L)
+      assert(metric("graft_lsh_test").getAs[Long]("hot_bucket_rows") == 0L)
     } finally {
       Dedup.shingleSignatures(hotTrain, "doc_id", "text").unpersist()
       Dedup.shingleSignatures(hotTest, "doc_id", "text").unpersist()
       ()
     }
+  }
+
+  test("dedup operators compose in one DAG (unique observe metric names)") {
+    import spark.implicits._
+    // two capped-LSH operators in ONE query — with fixed metric names
+    // this throws DUPLICATED_METRICS_NAME at action time
+    // identical texts: J=1 collides in every band, so the dedup outcome
+    // is deterministic (the point here is metric-name composition, not
+    // LSH recall)
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "one two three four five six seven eight"),
+                (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val combined = Dedup.near(a, "doc_id", "text", threshold = 0.5)
+      .unionAll(Dedup.near(b, "doc_id", "text", threshold = 0.5))
+    assert(combined.count() == 2) // each pair dedups to its lower id
+    Dedup.shingleSignatures(a, "doc_id", "text").unpersist()
+    Dedup.shingleSignatures(b, "doc_id", "text").unpersist()
+  }
+
+  test("precomputed frames reject mismatched banding/probe parameters") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val sig16 = Dedup.shingleSignatures(docs, "doc_id", "text", minhashK = 16)
+    // banding with a different k than the signatures were built with
+    // must fail loudly, not silently change recall / hash empty slices
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateSigned(docs, sig16, sig16, "doc_id", minhashK = 32)
+        .count()
+    }
+    assert(e1.getMessage.contains("minhashK=16"))
+
+    val vecs = Seq((1L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val b4 = Dedup.embeddingBuckets(vecs, "vec_id", "embedding", planes = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateByEmbeddingSigned(vecs, b4, b4, "vec_id", planes = 8)
+        .count()
+    }
+    assert(e2.getMessage.contains("planes=4"))
   }
 }

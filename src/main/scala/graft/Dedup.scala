@@ -280,6 +280,39 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** EMBEDDING near-dup removal: within each pair at cosine >=
+    * `minCosine` (multi-probe RHP blocked — pairs within hamming-1 of
+    * each other's bucket, the measured-recall default), the higher id
+    * drops. The embedding companion of [[near]]; pair generation is an
+    * equi-join on the probe/bucket keys, never a cartesian.
+    */
+  def nearByEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double = 0.9, dims: Int = 64,
+                      planes: Int = 4): DataFrame = {
+    val b = embeddingBuckets(df, idCol, vecCol, dims, planes).persist(Disk)
+    nearByEmbeddingSigned(df, b, idCol, minCosine, planes)
+  }
+
+  /** [[nearByEmbedding]] over a PRECOMPUTED [[embeddingBuckets]] frame. */
+  def nearByEmbeddingSigned(df: DataFrame, buckets: DataFrame, idCol: String,
+                            minCosine: Double = 0.9,
+                            planes: Int = 4): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
+    requirePlanes(buckets, planes, "corpus")
+    // a pair at hamming <= 1 matches on exactly ONE probe value (equal
+    // bucket -> the identity probe; one differing plane -> that flip),
+    // so no pair is generated or verified twice
+    val probes = buckets.select(col(idCol).as("a_id"), col("vec").as("_va"),
+      explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_pb"))
+    val losers = probes.join(
+        buckets.select(col(idCol).as("b_id"), col("vec").as("_vb"),
+          col("bucket").as("_bb")),
+        col("_pb") === col("_bb") && col("a_id") < col("b_id"))
+      .filter(cosineSim(col("_va"), col("_vb")) >= minCosine)
+      .select(col("b_id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup removal: MinHash-LSH candidates verified by exact n-gram
     * Jaccard >= `threshold`; within each verified pair the higher id
     * drops. Two-phase (cheap candidates, exact verify on candidates

@@ -268,24 +268,30 @@ object PipelineQueries {
           .limit(5)
       }),
 
-    // Embedding near-dup: top-20 most-similar pairs, blocked by RHP
-    // bucket (pairs only form within a bucket — an equi-join, not a
-    // cartesian; recall traded for the 2^planes candidate reduction).
+    // Embedding near-dup: top-20 most-similar pairs, blocked by
+    // MULTI-PROBE RHP buckets (pairs form within hamming-1 of each
+    // other's bucket — still an equi-join on the probe key, and a pair
+    // matches on exactly one probe so nothing is scored twice). The
+    // ORDER BY is a total order (a_id, b_id unique), so the limit
+    // boundary is deterministic regardless of cosine ties.
     QueryDef("q31_embedding_neardup",
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
+        x2 AS (SELECT vec_id, v, unnest(${probesSql("bucket")}) AS probe FROM b),
         p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
                      x.v AS va, y.v AS vb
-              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+              FROM x2 x JOIN b y ON x.probe = y.bucket AND x.vec_id < y.vec_id)
         SELECT a_id, b_id, ${cosSql("va", "vb")} AS cosine
         FROM p ORDER BY cosine DESC, a_id, b_id LIMIT 20"""),
       (s, d) => {
         val withB = spread(embeddings(s, d))
           .select(col("vec_id"), asDouble(col("embedding")).as("w"))
           .withColumn("bucket", rhpBucket(col("w"), 64, 4))
-        withB.as("x").join(withB.as("y"),
-            col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        val withP = withB.withColumn("probe",
+          explode(Pipeline.rhpProbeBuckets(col("bucket"), 4)))
+        withP.as("x").join(withB.as("y"),
+            col("x.probe") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
                   graft.plans.VectorExpressions.cosineSim(col("x.w"), col("y.w")).as("cosine"))
           .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
@@ -748,6 +754,24 @@ object PipelineQueries {
           subwordTokenCount(words(col("text"))).as("n_tok"))
         graft.ops.Sampling.packSequences(docs, "doc_id", "source", "n_tok", 2048L)
           .orderBy("doc_id")
-      })
+      }),
+
+    // Embedding near-dup REMOVAL (the operator form of q31's pair
+    // query): survivors after dropping each multi-probe-blocked pair's
+    // higher id at cosine >= 0.35. NOT EXISTS mirrors the left-anti.
+    QueryDef("q70_embedding_neardup_survivors",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM t),
+        x2 AS (SELECT vec_id, v, unnest(${probesSql("bucket")}) AS probe FROM b),
+        losers AS (SELECT DISTINCT y.vec_id
+                   FROM x2 x JOIN b y ON x.probe = y.bucket AND x.vec_id < y.vec_id
+                   WHERE ${cosSql("x.v", "y.v")} >= 0.35)
+        SELECT t.vec_id FROM t WHERE t.vec_id NOT IN (SELECT vec_id FROM losers)
+        ORDER BY t.vec_id"""),
+      (s, d) => Dedup.nearByEmbedding(spread(embeddings(s, d)), "vec_id",
+          "embedding", minCosine = 0.35)
+        .select("vec_id")
+        .orderBy("vec_id"))
   )
 }

@@ -462,6 +462,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("nearByEmbedding drops exactly the blocked pairs' higher ids") {
+    val vecs = exactVecs
+    def bucketOf(v: Array[Double]): Int = {
+      var b = 0
+      for (p <- 0 until 4) {
+        var proj = 0.0
+        for (d <- v.indices) proj += v(d) * Pipeline.rhpSign(p, d + 1)
+        if (proj > 0) b |= (1 << p)
+      }
+      b
+    }
+    val buckets = vecs.map { case (id, v) => id -> bucketOf(v) }
+    val ids = vecs.keys.toSeq.sorted
+    val expectedLosers = (for {
+      a <- ids; b <- ids
+      if a < b && Integer.bitCount(buckets(a) ^ buckets(b)) <= 1 &&
+        cosine(vecs(a), vecs(b)) >= 0.35
+    } yield b).toSet
+    val survivors = Dedup.nearByEmbedding(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", minCosine = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == ids.toSet -- expectedLosers)
+    Dedup.embeddingBuckets(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .unpersist()
+  }
+
   test("dedup operators compose in one DAG (unique observe metric names)") {
     import spark.implicits._
     // two capped-LSH operators in ONE query — with fixed metric names

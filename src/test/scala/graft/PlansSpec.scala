@@ -134,7 +134,8 @@ class PlansSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (name <- Seq("q01_pricing_summary", "q21_scalar_funcs",
-                       "q24_exact_dedup", "q33_quality_score")) {
+                       "q24_exact_dedup", "q33_quality_score",
+                       "q66_repetition_score", "q67_quality_gate")) {
         val plan = Queries.byName(name).build(spark, sf)
           .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
         assert(!plan.startsWith("Found 0 WholeStageCodegen"), s"$name lost codegen")

@@ -256,6 +256,48 @@ object Streams {
     ContaminationMonitor(hits, testBuckets)
   }
 
+  /** EMBEDDING-space streaming contamination monitor: flag arriving
+    * vectors whose cosine vs ANY static test vector reaches
+    * `minCosine` — the streaming companion of
+    * `Dedup.decontaminateByEmbedding` (q65), and unlike the text
+    * monitor the hits are fully VERIFIED (the cosine check is a
+    * per-pair scalar, so the exact filter runs inline rather than as a
+    * downstream batch step).
+    *
+    * Multi-probe blocking with the probe EXPANSION on the static side:
+    * the arriving vector computes ONE bucket; the (tiny, cached) test
+    * side fans out to its hamming-1 probe buckets, which is equivalent
+    * pair coverage. Each contaminated arrival is emitted once
+    * (watermark-keyed dedup). Input columns: (`idCol`, ts, `vecCol`).
+    */
+  def streamingEmbeddingContaminationHits(
+      docs: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.9,
+      dims: Int = 64,
+      planes: Int = 4,
+      horizonMinutes: Int = 10): ContaminationMonitor = {
+    import graft.plans.VectorExpressions.cosineSim
+    val testBuckets = test
+      .select(transform(col(vecCol), _.cast("double")).as("_tv"))
+      .withColumn("_tb", graft.Pipeline.rhpBucket(col("_tv"), dims, planes))
+      .filter(col("_tb").isNotNull)
+      .select(col("_tv"),
+        explode(graft.Pipeline.rhpProbeBuckets(col("_tb"), planes)).as("_pb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .withColumn("_v", transform(col(vecCol), _.cast("double")))
+      .withColumn("_b", graft.Pipeline.rhpBucket(col("_v"), dims, planes))
+      .join(testBuckets, col("_b") === col("_pb"))
+      .filter(cosineSim(col("_v"), col("_tv")) >= minCosine)
+      .drop("_v", "_b", "_tv", "_pb")
+      .dropDuplicatesWithinWatermark(idCol)
+    ContaminationMonitor(hits, testBuckets)
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -168,6 +168,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("embedding contamination monitor flags cosine matches, verified inline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.tabulate(8)(d => (d + 1).toFloat)
+    val orthogonal = Seq.tabulate(8)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    val testCorpus = Seq((100L, base)).toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val monitor = Streams.streamingEmbeddingContaminationHits(
+      in.toDF().toDF("vec_id", "ts", "embedding"), testCorpus,
+      "vec_id", "embedding", minCosine = 0.9, dims = 8, planes = 2)
+    val q = monitor.hits
+      .writeStream.format("memory").queryName("econtam").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), base),        // identical -> cosine 1, same bucket
+        (2L, ts(0), orthogonal))  // cosine ~0 -> never flagged
+      q.processAllAvailable()
+      val hits = spark.table("econtam").select("vec_id").as[Long].collect().toSeq
+      assert(hits == Seq(1L))
+      // re-arrival within the horizon is not re-flagged
+      in.addData((1L, ts(1), base))
+      q.processAllAvailable()
+      assert(spark.table("econtam").count() == 1)
+      monitor.close()
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -30,19 +30,45 @@ object Dedup {
     * every consumer via the `*Signed` variants; release with
     * `sigFrame.unpersist()` when the last consumer is done.
     */
+  /** Column-metadata key recording the shingle width a signature
+    * frame's `shingles` column was built with.
+    */
+  val ShingleNMetadataKey = "graft.shingleN"
+
   def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minhashK: Int = 16): DataFrame = {
     // provenance metadata: consumers validate the banding k against the
     // k the signatures were actually built with (a mismatch would
-    // silently change recall or hash empty band slices)
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+    // silently change recall or hash empty band slices), and that the
+    // two corpora's frames agree on shingle width (mismatched widths
+    // compare 5-gram vs 3-gram sets — Jaccard collapses silently)
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(Pipeline.SigKMetadataKey, minhashK.toLong).build()
+    val shMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleNMetadataKey, shingleN.toLong).build()
     df.select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= shingleN)
-      .select(col(idCol), Pipeline.wordShingles(col("_w"), shingleN).as("shingles"))
+      .select(col(idCol),
+        Pipeline.wordShingles(col("_w"), shingleN).as("shingles", shMeta))
       .withColumn("sig", Pipeline.minhashSignatureFromHashes(
         graft.plans.TextExpressions.md5Hash32Array(col("shingles")), minhashK)
-        .as("sig", meta))
+        .as("sig", sigMeta))
+  }
+
+  /** Both corpora's precomputed frames must carry the SAME value for a
+    * provenance key (when both have it) — differing derivation
+    * parameters make the blocking/verify silently meaningless.
+    */
+  private def requireSameMeta(a: DataFrame, b: DataFrame, colName: String,
+                              key: String, what: String): Unit = {
+    def get(df: DataFrame) = df.schema.fields.find(_.name == colName)
+      .filter(_.metadata.contains(key)).map(_.metadata.getLong(key))
+    (get(a), get(b)) match {
+      case (Some(x), Some(y)) => require(x == y,
+        s"train/test frames were built with different $what ($x vs $y) — " +
+          "rebuild them with matching parameters")
+      case _ => ()
+    }
   }
 
   /** Exact dedup on content bytes: keep the lowest-id row per distinct
@@ -174,6 +200,7 @@ object Dedup {
       minhashK: Int = 16,
       bands: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    requireSameMeta(trainSig, testSig, "shingles", ShingleNMetadataKey, "shingleN")
     val inter = size(array_intersect(col("_sa"), col("_sb")))
     val contaminated = Pipeline
       .lshCrossCandidates(trainSig, testSig, idCol, minhashK, bands, maxBucketSize)
@@ -216,11 +243,14 @@ object Dedup {
     decontaminateByEmbeddingSigned(train, trainB, testB, idCol, minCosine, planes)
   }
 
-  /** Column-metadata key recording the plane count a `bucket` column
-    * was built with (validated by the Signed consumer — a mismatch
-    * would probe the wrong hamming-1 neighbour set silently).
+  /** Column-metadata keys recording the plane count and dims a
+    * `bucket` column was built with (validated by the Signed consumers
+    * — a planes mismatch would probe the wrong hamming-1 neighbour
+    * set; a dims mismatch means the two sides' buckets come from
+    * different hyperplane sets entirely).
     */
   val BucketPlanesMetadataKey = "graft.rhpPlanes"
+  val BucketDimsMetadataKey = "graft.rhpDims"
 
   /** Precomputed RHP-bucket frame: (idCol, vec: array<double>, bucket)
     * — the embedding analogue of [[shingleSignatures]].
@@ -228,7 +258,8 @@ object Dedup {
   def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
                        dims: Int = 64, planes: Int = 4): DataFrame = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(BucketPlanesMetadataKey, planes.toLong).build()
+      .putLong(BucketPlanesMetadataKey, planes.toLong)
+      .putLong(BucketDimsMetadataKey, dims.toLong).build()
     df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("vec"))
       .withColumn("bucket", Pipeline.rhpBucket(col("vec"), dims, planes).as("bucket", meta))
   }
@@ -242,6 +273,15 @@ object Dedup {
           s"$side bucket frame was built with planes=$have but the probe was " +
             s"asked for planes=$planes — rebuild the buckets or pass the matching planes")
       }
+
+  /** Count NULL-bucket rows (short/null-element vectors — they never
+    * equi-join, so they are EXEMPT from bucket-blocked matching) via an
+    * observe metric; [[LshObservability]] logs when non-zero.
+    */
+  private def nullAudit(df: DataFrame, side: String): DataFrame =
+    df.observe(Pipeline.metricName(s"graft_rhp_null_$side"),
+      coalesce(sum(when(col("bucket").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_buckets"))
 
   /** [[decontaminateByEmbedding]] over PRECOMPUTED bucket frames from
     * [[embeddingBuckets]] — persist/materialize them once per corpus
@@ -257,21 +297,21 @@ object Dedup {
     import graft.plans.VectorExpressions.cosineSim
     requirePlanes(trainB, planes, "train")
     requirePlanes(testB, planes, "test")
-    // a NULL bucket (short/null-element vector) never equi-joins, so
-    // the row is EXEMPT from matching — count and surface those rows
-    // instead of letting malformed embeddings dodge the gate silently
-    // (LshObservability logs when the metric is non-zero)
-    def nullAudit(df: DataFrame, side: String) =
-      df.observe(Pipeline.metricName(s"graft_rhp_null_$side"),
-        coalesce(sum(when(col("bucket").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("null_buckets"))
-    // multi-probe on the TEST side (the small corpus): a missed bucket
-    // here is missed contamination, and single-bucket blocking loses
-    // every near-hyperplane match (measured 0.14 -> 0.53 pair recall
-    // at the default threshold; see Pipeline.rhpProbeBuckets)
-    val testProbes = nullAudit(testB, "test").select(col("vec").as("_sv"),
-      explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_sb"))
+    requireSameMeta(trainB, testB, "bucket", BucketDimsMetadataKey, "dims")
+    // NULL buckets are audited (they dodge the gate — see nullAudit)
+    // and then FILTERED before the join: a null key never matches, and
+    // exploding it would only ship planes+1 dead rows into one hash
+    // partition of the shuffle
+    val testProbes = nullAudit(testB, "test")
+      .filter(col("bucket").isNotNull)
+      // multi-probe on the TEST side (the small corpus): a missed
+      // bucket here is missed contamination, and single-bucket blocking
+      // loses every near-hyperplane match (measured 0.14 -> 0.53 pair
+      // recall at the default threshold; see Pipeline.rhpProbeBuckets)
+      .select(col("vec").as("_sv"),
+        explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_sb"))
     val contaminated = nullAudit(trainB, "train")
+      .filter(col("bucket").isNotNull)
       .select(col(idCol).as("_tid"), col("vec").as("_tv"), col("bucket").as("_tb"))
       .join(testProbes, col("_tb") === col("_sb"))
       .filter(cosineSim(col("_tv"), col("_sv")) >= minCosine)
@@ -299,13 +339,17 @@ object Dedup {
                             planes: Int = 4): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
     requirePlanes(buckets, planes, "corpus")
+    // same null-bucket audit+filter as the decontamination form:
+    // malformed vectors are surfaced, not silently exempt, and their
+    // dead rows never reach the join
+    val audited = nullAudit(buckets, "corpus").filter(col("bucket").isNotNull)
     // a pair at hamming <= 1 matches on exactly ONE probe value (equal
     // bucket -> the identity probe; one differing plane -> that flip),
     // so no pair is generated or verified twice
-    val probes = buckets.select(col(idCol).as("a_id"), col("vec").as("_va"),
+    val probes = audited.select(col(idCol).as("a_id"), col("vec").as("_va"),
       explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_pb"))
     val losers = probes.join(
-        buckets.select(col(idCol).as("b_id"), col("vec").as("_vb"),
+        audited.select(col(idCol).as("b_id"), col("vec").as("_vb"),
           col("bucket").as("_bb")),
         col("_pb") === col("_bb") && col("a_id") < col("b_id"))
       .filter(cosineSim(col("_va"), col("_vb")) >= minCosine)

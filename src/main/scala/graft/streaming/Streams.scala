@@ -280,17 +280,38 @@ object Streams {
       planes: Int = 4,
       horizonMinutes: Int = 10): ContaminationMonitor = {
     import graft.plans.VectorExpressions.cosineSim
-    val testBuckets = test
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val bucketed = test
       .select(transform(col(vecCol), _.cast("double")).as("_tv"))
       .withColumn("_tb", graft.Pipeline.rhpBucket(col("_tv"), dims, planes))
+    // a test vector with a NULL bucket (short/null elements) can never
+    // be matched against — warn ONCE at build time (the static side is
+    // tiny and about to be materialized into the cache anyway) instead
+    // of silently narrowing the gate
+    val nullTest = bucketed.filter(col("_tb").isNull).count()
+    if (nullTest > 0) log.warn(
+      s"$nullTest test vector(s) have a NULL RHP bucket (shorter than dims=$dims " +
+        "or null elements) and are EXCLUDED from the streaming contamination " +
+        "gate — repair them or contamination near them goes undetected")
+    val testBuckets = bucketed
       .filter(col("_tb").isNotNull)
       .select(col("_tv"),
         explode(graft.Pipeline.rhpProbeBuckets(col("_tb"), planes)).as("_pb"))
+      // duplicate test vectors (common after eval-set unions) would
+      // re-verify an identical cosine per duplicate per arrival
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NULL-bucket ARRIVALS never join and pass unflagged: counted per
+    // micro-batch via observe — streaming observed metrics surface in
+    // StreamingQueryProgress.observedMetrics (StreamingQueryListener),
+    // not the batch QueryExecutionListener
     val hits = docs
       .withWatermark("ts", s"$horizonMinutes minutes")
       .withColumn("_v", transform(col(vecCol), _.cast("double")))
       .withColumn("_b", graft.Pipeline.rhpBucket(col("_v"), dims, planes))
+      .observe(graft.Pipeline.metricName("graft_rhp_null_stream"),
+        coalesce(sum(when(col("_b").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("null_buckets"))
       .join(testBuckets, col("_b") === col("_pb"))
       .filter(cosineSim(col("_v"), col("_tv")) >= minCosine)
       .drop("_v", "_b", "_tv", "_pb")

@@ -238,6 +238,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val result = CorpusPipeline.clean(docs, jaccardThreshold = 0.8)
     val (cleaned, report) = (result.corpus, result.report)
+    try {
 
     // stages only remove rows, never invent them
     assert(report.input == docs.count())
@@ -266,11 +267,12 @@ class PipelineSpec extends AnyFunSuite {
 
     // report serializes to the JSON line the demo prints
     assert(report.json.contains(s""""input":${report.input}"""))
-
-    // release() drops the one cache entry clean() leaves (the near
-    // boundary) — and materializing the corpus BEFORE release is served
-    // from it (the count above already exercised that path)
-    result.release()
+    } finally {
+      // release() drops the one cache entry clean() leaves (the near
+      // boundary) — materializing the corpus BEFORE release is served
+      // from it (the counts above exercised that path)
+      result.release()
+    }
   }
 
   // ===== measured recall (the one property of the LSH/ANN blocking
@@ -480,12 +482,16 @@ class PipelineSpec extends AnyFunSuite {
       if a < b && Integer.bitCount(buckets(a) ^ buckets(b)) <= 1 &&
         cosine(vecs(a), vecs(b)) >= 0.35
     } yield b).toSet
-    val survivors = Dedup.nearByEmbedding(Tables.embeddings(spark, sf),
-        "vec_id", "embedding", minCosine = 0.35)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(survivors == ids.toSet -- expectedLosers)
-    Dedup.embeddingBuckets(Tables.embeddings(spark, sf), "vec_id", "embedding")
-      .unpersist()
+    try {
+      val survivors = Dedup.nearByEmbedding(Tables.embeddings(spark, sf),
+          "vec_id", "embedding", minCosine = 0.35)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == ids.toSet -- expectedLosers)
+    } finally {
+      Dedup.embeddingBuckets(Tables.embeddings(spark, sf), "vec_id", "embedding")
+        .unpersist()
+      ()
+    }
   }
 
   test("dedup operators compose in one DAG (unique observe metric names)") {
@@ -501,11 +507,15 @@ class PipelineSpec extends AnyFunSuite {
     val b = Seq((10L, "one two three four five six seven eight"),
                 (11L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
-    val combined = Dedup.near(a, "doc_id", "text", threshold = 0.5)
-      .unionAll(Dedup.near(b, "doc_id", "text", threshold = 0.5))
-    assert(combined.count() == 2) // each pair dedups to its lower id
-    Dedup.shingleSignatures(a, "doc_id", "text").unpersist()
-    Dedup.shingleSignatures(b, "doc_id", "text").unpersist()
+    try {
+      val combined = Dedup.near(a, "doc_id", "text", threshold = 0.5)
+        .unionAll(Dedup.near(b, "doc_id", "text", threshold = 0.5))
+      assert(combined.count() == 2) // each pair dedups to its lower id
+    } finally {
+      Dedup.shingleSignatures(a, "doc_id", "text").unpersist()
+      Dedup.shingleSignatures(b, "doc_id", "text").unpersist()
+      ()
+    }
   }
 
   test("precomputed frames reject mismatched banding/probe parameters") {

@@ -143,6 +143,29 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("corpus mixing queries prune their scans to the referenced columns") {
+    // q68's filter is pure hash math over doc_id: the scan must read
+    // only (doc_id, source) — dragging `text` through a 100 TB corpus
+    // scan for a sampling decision would dominate the job
+    val q68 = Queries.byName("q68_stratified_sample").build(spark, sf)
+    val scans = q68.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val schema = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(schema.contains("doc_id") && schema.contains("source"),
+      s"expected doc_id+source in ReadSchema, got: $schema")
+    assert(!schema.contains("text"),
+      s"q68 scan must not read the text column: $schema")
+    // q69 needs text only to count tokens; lang/n_chars stay unread
+    val q69 = Queries.byName("q69_sequence_packing").build(spark, sf)
+    val s69 = q69.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(s69.nonEmpty)
+    val schema69 = s69.head.metadata.getOrElse("ReadSchema", "")
+    assert(!schema69.contains("lang") && !schema69.contains("n_chars"),
+      s"q69 scan reads unreferenced columns: $schema69")
+  }
+
   test("GroupedTopK operator matches the window formulation and plans partial+final") {
     import org.apache.spark.sql.expressions.Window
     import graft.plans.{GroupedTopK, GroupedTopKExec}

@@ -87,7 +87,9 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("32", "scale-bench")
     val names = Seq("q61_decontamination", "q50_knn_join",
-      "q65_embedding_decontamination", "q49_correlated_subquery", "q11_star_join")
+      "q65_embedding_decontamination", "q49_correlated_subquery", "q11_star_join",
+      "q27_jaccard_neardup", "q70_embedding_neardup_survivors",
+      "q68_stratified_sample", "q69_sequence_packing")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

@@ -104,6 +104,21 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** 64-bit SimHash near-dup removal — the corpus-scale form of
+    * [[nearSimhash]]: same semantics over a 64-bit signature whose
+    * pigeonhole blocks carry 16 bits each (65536-way selectivity vs the
+    * 32-bit form's 256 — the fixed 4x256 block-key space saturates on a
+    * large corpus and turns the pair join quadratic).
+    */
+  def nearSimhash64(df: DataFrame, idCol: String, textCol: String,
+                    maxDist: Int = 3): DataFrame = {
+    val losers = Pipeline
+      .simhash64Pairs(Pipeline.simhash64(df, idCol, textCol), idCol, maxDist)
+      .select(col("b_id").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list: label propagation
     * to the minimum reachable id — each row gets a `cluster` column
     * identifying its duplicate group (its own id when unpaired).

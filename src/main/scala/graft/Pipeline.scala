@@ -261,11 +261,54 @@ object Pipeline {
     votes.select(col(idCol), sim.as("simhash"))
   }
 
+  /** 64-bit SimHash as two independent 32-bit signatures: `lo` over the
+    * tokens, `hi` over per-token salted copies ("x1_" prefix) — both
+    * computed by the same native scan-side kernel, both with the exact
+    * explode+groupBy equivalence the oracle replays, and the pair
+    * (lo, hi) never touches 64-bit arithmetic (which would overflow
+    * DuckDB's signed fold). The point at scale: [[simhashPairs]]'s
+    * 8-bit chunks give only 4 x 256 fixed block keys — quadratic pair
+    * space once buckets fill — while [[simhash64Pairs]] blocks on
+    * 4 x 16-bit chunks (65536-way selectivity per chunk).
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    docs.select(col(idCol),
+      graft.plans.VectorExpressions.simHash32(w).as("simhash_lo"),
+      graft.plans.VectorExpressions.simHash32(
+        transform(w, x => concat(lit("x1_"), x))).as("simhash_hi"))
+  }
+
+  /** Near-dup pairs by 64-bit SimHash hamming distance <= maxDist,
+    * pigeonhole-blocked on 4 sixteen-bit chunks (2 from each half):
+    * any pair within distance 3 agrees on >= 1 chunk. Same equi-join
+    * shape as [[simhashPairs]], 64x the block-key cardinality.
+    */
+  def simhash64Pairs(sims: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole blocking covers distance <= 3")
+    val chunked = sims.select(col(idCol), col("simhash_lo"), col("simhash_hi"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", when(col("c") < 2,
+          expr("shiftright(simhash_lo, c * 16) & 65535"))
+        .otherwise(expr("shiftright(simhash_hi, (c - 2) * 16) & 65535")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        (expr("bit_count(x.simhash_lo ^ y.simhash_lo)") +
+          expr("bit_count(x.simhash_hi ^ y.simhash_hi)"))
+          .cast(IntegerType).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist, blocked by
     * the pigeonhole principle: split the 32-bit hash into 4 byte
     * chunks; any pair within distance 3 must agree on >= 1 chunk, so an
     * equi-join on (chunk_idx, chunk_value) finds all of them without a
     * cartesian. Standard at scale (each chunk join is shuffle-by-key).
+    * At corpus scale prefer the 64-bit [[simhash64Pairs]] (this form's
+    * 4 x 256 block keys saturate).
     */
   def simhashPairs(sims: DataFrame, idCol: String, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole blocking covers distance <= 3")
@@ -340,6 +383,20 @@ object Pipeline {
   def rhpProbeBuckets(bucket: Column, planes: Int): Column =
     array((bucket +: (0 until planes).map(p =>
       bucket.bitwiseXOR(lit(1 << p)))): _*)
+
+  /** RHP plane count sized to the corpus: `ceil(log2(n / targetBucket))`
+    * (min 1, capped at 30). Bucket count must track corpus size — a
+    * FIXED plane count makes the self-join pair space quadratic in N
+    * (measured: 10x vectors at planes=4 cost 9x; resizing to 8 planes
+    * restored ~linear — see PLANS.md). More planes trade per-pair
+    * recall at LOW similarity thresholds; at production match
+    * thresholds (cos >= 0.9) multi-probe recall degrades slowly.
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 1000): Int = {
+    require(n > 0 && targetBucketSize > 0)
+    val buckets = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(30, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
 
   /** Reference HOF formulation of [[rhpBucket]] (planes × zip_with +
     * aggregate lambda folds, interpreted per element). Kept only as the

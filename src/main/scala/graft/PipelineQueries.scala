@@ -756,6 +756,35 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // 64-bit SimHash SIGNATURES: two independent 32-bit signatures
+    // (plain + salted tokens, both the oracle-exact vote construction)
+    // — the corpus-scale near-identical fingerprint whose pigeonhole
+    // blocks carry 16 bits (65536-way selectivity vs q28's 256, which
+    // saturates at corpus scale). No 64-bit fold anywhere (DuckDB's
+    // signed BIGINT would overflow), so the arithmetic stays
+    // engine-exact. The signature dump is the gate (this corpus has no
+    // pairs at the strict 3-of-64 distance — the pair/dedup semantics
+    // are spec'd on planted permutation duplicates).
+    QueryDef("q71_simhash64_signatures",
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        h AS (SELECT doc_id,
+                list_reduce([strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 for i in range(1, 9)],
+                            (a, b) -> a*16 + b) AS hlo,
+                list_reduce([strpos('0123456789abcdef', substr(md5('x1_' || w), i, 1)) - 1 for i in range(1, 9)],
+                            (a, b) -> a*16 + b) AS hhi
+              FROM toks),
+        votes AS (SELECT doc_id, b,
+                    SUM(CASE WHEN (hlo >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vlo,
+                    SUM(CASE WHEN (hhi >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vhi
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b)
+        SELECT doc_id,
+               SUM(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash_lo,
+               SUM(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash_hi
+        FROM votes GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => Pipeline.simhash64(spread(documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Embedding near-dup REMOVAL (the operator form of q31's pair
     // query): survivors after dropping each multi-probe-blocked pair's
     // higher id at cosine >= 0.35. NOT EXISTS mirrors the left-anti.

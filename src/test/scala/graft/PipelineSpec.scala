@@ -494,6 +494,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 pairs equal brute-force 64-bit hamming at dist <= 3") {
+    import spark.implicits._
+    // planted near-identical docs: permutations (dist 0) and one-token
+    // edits; plus the real corpus as background
+    val planted = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9002L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"), // permutation
+      (9003L, "alpha beta gamma delta epsilon zeta eta theta iota kappa alpha"), // extra tok
+      (9004L, "completely different content about catalyst planning internals"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(planted)
+    val sims = Pipeline.simhash64(docs, "doc_id", "text")
+    val collected = sims.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def dist(a: Long, b: Long): Int = {
+      val (al, ah) = collected(a); val (bl, bh) = collected(b)
+      java.lang.Long.bitCount(al ^ bl) + java.lang.Long.bitCount(ah ^ bh)
+    }
+    val ids = collected.keys.toSeq.sorted
+    val truth = (for { i <- ids; j <- ids if i < j && dist(i, j) <= 3 }
+      yield (i, j)).toSet
+    assert(truth.contains((9001L, 9002L)), "permutation must be at distance 0")
+    // pigeonhole blocking at 16-bit chunks is COMPLETE for dist <= 3
+    val got = Pipeline.simhash64Pairs(sims, "doc_id", 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+    // and the dedup facade drops exactly the higher ids
+    val survivors = Dedup.nearSimhash64(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == ids.toSet -- truth.map(_._2))
+  }
+
   test("dedup operators compose in one DAG (unique observe metric names)") {
     import spark.implicits._
     // two capped-LSH operators in ONE query — with fixed metric names

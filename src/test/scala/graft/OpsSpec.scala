@@ -63,6 +63,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("planesFor sizes RHP bucket count to the corpus") {
+    assert(Pipeline.planesFor(1000, 1000) == 1)   // floor: always split once
+    assert(Pipeline.planesFor(16000, 1000) == 4)
+    assert(Pipeline.planesFor(1000000, 1000) == 10)
+    assert(Pipeline.planesFor(100000000000L, 1000) == 27)
+    assert(Pipeline.planesFor(Long.MaxValue, 1) == 30) // cap
+    // the measured sf1 case: 20k vectors at the 1000-row target -> 5
+    // planes (PLANS.md shows 8 planes restored linearity; the rule's
+    // 32 buckets is the same order)
+    assert(Pipeline.planesFor(20000) == 5)
+  }
+
   test("stratified sampling is deterministic, rate-faithful, shuffle-free") {
     val docs = Tables.documents(spark, sf)
     val rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250)

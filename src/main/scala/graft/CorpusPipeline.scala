@@ -80,6 +80,46 @@ object CorpusPipeline {
     exact.unpersist()
     Cleaned(annotated, report, () => { near.unpersist(); () })
   }
+
+  /** FULL training-data preparation: [[clean]] (dedup + quality +
+    * feature annotation), test-set decontamination (signed form — one
+    * signature pass per corpus, released via the handle), stratified
+    * mixing, and token-budget sequence packing. The returned corpus
+    * carries the feature columns plus `bin` — the training-batch
+    * assignment — and each stage is the individually-oracle-verified
+    * operator, so the composition inherits the scale shapes (no
+    * cartesians, no driver collects, one shuffle per dedup/window
+    * stage, scan-side sampling).
+    */
+  def prepare(
+      docs: DataFrame,
+      testCorpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      strataCol: String = "source",
+      jaccardThreshold: Double = 0.8,
+      decontThreshold: Double = 0.8,
+      ratesPermille: Map[String, Int] = Map.empty,
+      defaultPermille: Int = 1000,
+      tokenBudget: Long = 2048L,
+      minTokens: Int = 15,
+      maxStopRatio: Double = 0.5): Cleaned = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cleaned = clean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
+    val trainSig = Dedup.shingleSignatures(cleaned.corpus, idCol, textCol).persist(disk)
+    val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(disk)
+    val safe = Dedup.decontaminateSigned(cleaned.corpus, trainSig, testSig,
+      idCol, threshold = decontThreshold)
+    val mixed = ops.Sampling.stratified(safe, idCol, strataCol,
+      ratesPermille, defaultPermille)
+    // n_subword_est comes from the feature-annotation stage — the same
+    // token estimate the oracle-checked q69 packs on
+    val packed = ops.Sampling.packSequences(mixed, idCol, strataCol,
+      "n_subword_est", tokenBudget)
+    Cleaned(packed, cleaned.report, () => {
+      trainSig.unpersist(); testSig.unpersist(); cleaned.release()
+    })
+  }
 }
 
 /** Runnable demo of the composed pipeline (mirror of `wilayah.Demo`):

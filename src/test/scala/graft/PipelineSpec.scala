@@ -494,6 +494,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("prepare composes clean -> decontaminate -> mix -> pack end to end") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // the eval corpus is a verbatim copy of one real doc: the prep run
+    // must drop exactly that doc (if it survives cleaning)
+    val leakedText = docs.orderBy("doc_id").head().getAs[String]("text")
+    val leakedId = docs.orderBy("doc_id").head().getAs[Long]("doc_id")
+    val eval = Seq((900000L, leakedText)).toDF("doc_id", "text")
+    val result = CorpusPipeline.prepare(docs, eval,
+      decontThreshold = 0.5, defaultPermille = 1000)
+    try {
+      val out = result.corpus.select("doc_id", "source", "bin").collect()
+      assert(out.nonEmpty)
+      // the leaked doc is decontaminated away
+      assert(!out.map(_.getLong(0)).contains(leakedId))
+      // packing assigned every surviving row a non-negative bin,
+      // starting at 0 within each stratum
+      val bins = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)))
+      bins.foreach { case (_, bs) => assert(bs.min == 0L && bs.forall(_ >= 0L)) }
+      // permille 1000 + no further filters: prepare output == the
+      // decontaminated clean corpus (sampling kept everything)
+      assert(out.length <= result.report.afterQualityFilter)
+      // feature columns flow through to the packed corpus
+      assert(result.corpus.columns.contains("n_subword_est"))
+      assert(result.corpus.columns.contains("bin"))
+    } finally result.release()
+  }
+
   test("simhash64 pairs equal brute-force 64-bit hamming at dist <= 3") {
     import spark.implicits._
     // planted near-identical docs: permutations (dist 0) and one-token

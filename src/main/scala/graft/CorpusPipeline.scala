@@ -49,7 +49,37 @@ object CorpusPipeline {
   final case class Cleaned(corpus: DataFrame, report: Report,
                            release: () => Unit)
 
-  /** Run the full chain. */
+  private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The shared stage chain: persisted exact/sig/near boundaries (each
+    * roots downstream stages AND a report count — unpersisted, the md5
+    * window and the LSH chain would re-derive per action) plus the
+    * quality-filtered, feature-annotated corpus. Callers own the
+    * persisted frames' release.
+    */
+  private final case class Stages(exact: DataFrame, sig: DataFrame,
+                                  near: DataFrame, quality: DataFrame,
+                                  annotated: DataFrame)
+
+  private def runClean(docs: DataFrame, idCol: String, textCol: String,
+                       jaccardThreshold: Double, minTokens: Int,
+                       maxStopRatio: Double): Stages = {
+    val exact = Dedup.exact(docs, idCol, textCol).persist(Disk)
+    val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(Disk)
+    val near = Dedup.nearSigned(exact, sig, idCol, threshold = jaccardThreshold)
+      .persist(Disk)
+    val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
+    Stages(exact, sig, near, quality,
+      Similarity.withTextFeatures(quality, textCol))
+  }
+
+  /** Run the full chain. The upstream caches (sig, exact) are released
+    * before returning — the counts materialized `near`'s cache, which
+    * alone roots everything downstream — while `near` stays cached so
+    * the caller's materialization of the returned corpus does NOT
+    * re-pay the dedup chain; drop it via `release()` when done. (A
+    * blanket clearCache() would drop unrelated caches a caller holds.)
+    */
   def clean(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -57,39 +87,42 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8,
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): Cleaned = {
-    // persist the dedup boundaries (and the near-dedup signature frame)
-    // for the duration of the report counts: each roots downstream
-    // stages AND a count — unpersisted, the md5 window (exact) and the
-    // LSH chain (near) would re-derive per action. The upstream caches
-    // (sig, exact) are released HERE — the counts materialized `near`'s
-    // cache, which alone roots everything downstream — while `near`
-    // stays cached so the caller's materialization of the returned
-    // corpus does NOT re-pay the dedup chain; the caller drops it via
-    // `release()` when done. (A blanket clearCache() would drop
-    // unrelated caches a caller holds — e.g. a warehouse cache.)
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val exact = Dedup.exact(docs, idCol, textCol).persist(disk)
-    val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(disk)
-    val near = Dedup.nearSigned(exact, sig, idCol, threshold = jaccardThreshold)
-      .persist(disk)
-    val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
-    val annotated = Similarity.withTextFeatures(quality, textCol)
+    val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
     val report = Report(
-      docs.count(), exact.count(), near.count(), quality.count())
-    sig.unpersist()
-    exact.unpersist()
-    Cleaned(annotated, report, () => { near.unpersist(); () })
+      docs.count(), st.exact.count(), st.near.count(), st.quality.count())
+    st.sig.unpersist()
+    st.exact.unpersist()
+    Cleaned(st.annotated, report, () => { st.near.unpersist(); () })
   }
 
-  /** FULL training-data preparation: [[clean]] (dedup + quality +
-    * feature annotation), test-set decontamination (signed form — one
-    * signature pass per corpus, released via the handle), stratified
-    * mixing, and token-budget sequence packing. The returned corpus
-    * carries the feature columns plus `bin` — the training-batch
+  /** Per-stage counts for the FULL preparation chain. */
+  final case class PrepareReport(
+      clean: Report,
+      afterDecontamination: Long,
+      afterSampling: Long) {
+    def json: String =
+      s"""{"clean":${clean.json},"after_decontamination":$afterDecontamination,""" +
+        s""""after_sampling":$afterSampling}"""
+  }
+
+  /** Result of [[prepare]]. */
+  final case class Prepared(corpus: DataFrame, report: PrepareReport,
+                            release: () => Unit)
+
+  /** FULL training-data preparation: the [[clean]] chain (dedup +
+    * quality + feature annotation), test-set decontamination,
+    * stratified mixing, and token-budget sequence packing. The returned
+    * corpus carries the feature columns plus `bin` — the training-batch
     * assignment — and each stage is the individually-oracle-verified
     * operator, so the composition inherits the scale shapes (no
     * cartesians, no driver collects, one shuffle per dedup/window
     * stage, scan-side sampling).
+    *
+    * The signature pass over the train side runs ONCE: the clean
+    * chain's signature frame (over the exact-dedup survivors, a
+    * superset of the cleaned corpus — valid per the
+    * [[Dedup.shingleSignatures]] contract) is handed straight to the
+    * decontamination blocking instead of being re-derived.
     */
   def prepare(
       docs: DataFrame,
@@ -103,21 +136,24 @@ object CorpusPipeline {
       defaultPermille: Int = 1000,
       tokenBudget: Long = 2048L,
       minTokens: Int = 15,
-      maxStopRatio: Double = 0.5): Cleaned = {
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val cleaned = clean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
-    val trainSig = Dedup.shingleSignatures(cleaned.corpus, idCol, textCol).persist(disk)
-    val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(disk)
-    val safe = Dedup.decontaminateSigned(cleaned.corpus, trainSig, testSig,
+      maxStopRatio: Double = 0.5): Prepared = {
+    val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
+    val cleanReport = Report(
+      docs.count(), st.exact.count(), st.near.count(), st.quality.count())
+    st.exact.unpersist() // sig + near stay: decontamination reuses both
+    val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(Disk)
+    val safe = Dedup.decontaminateSigned(st.annotated, st.sig, testSig,
       idCol, threshold = decontThreshold)
     val mixed = ops.Sampling.stratified(safe, idCol, strataCol,
-      ratesPermille, defaultPermille)
+      ratesPermille, defaultPermille).persist(Disk)
     // n_subword_est comes from the feature-annotation stage — the same
     // token estimate the oracle-checked q69 packs on
     val packed = ops.Sampling.packSequences(mixed, idCol, strataCol,
       "n_subword_est", tokenBudget)
-    Cleaned(packed, cleaned.report, () => {
-      trainSig.unpersist(); testSig.unpersist(); cleaned.release()
+    val report = PrepareReport(cleanReport, safe.count(), mixed.count())
+    Prepared(packed, report, () => {
+      st.sig.unpersist(); st.near.unpersist(); testSig.unpersist()
+      mixed.unpersist(); ()
     })
   }
 }

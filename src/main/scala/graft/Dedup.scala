@@ -19,6 +19,11 @@ object Dedup {
 
   private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** Column-metadata key recording the shingle width a signature
+    * frame's `shingles` column was built with.
+    */
+  val ShingleNMetadataKey = "graft.shingleN"
+
   /** Precomputed n-gram signature frame: (idCol, shingles, sig) — ONE
     * shingle + md5 + minhash pass per row, the dominant cost of every
     * text near-dup/decontamination operator at corpus scale.
@@ -28,13 +33,10 @@ object Dedup {
     * derivation. At 100 TB, compute it once per corpus (or write it to
     * the warehouse next to the documents), persist it, and feed it to
     * every consumer via the `*Signed` variants; release with
-    * `sigFrame.unpersist()` when the last consumer is done.
+    * `sigFrame.unpersist()` when the last consumer is done. A frame
+    * over a SUPERSET of a corpus is a valid signature frame for it:
+    * extra rows only generate candidates the final anti-join ignores.
     */
-  /** Column-metadata key recording the shingle width a signature
-    * frame's `shingles` column was built with.
-    */
-  val ShingleNMetadataKey = "graft.shingleN"
-
   def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minhashK: Int = 16): DataFrame = {
     // provenance metadata: consumers validate the banding k against the

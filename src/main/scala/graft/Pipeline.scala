@@ -501,31 +501,51 @@ object Pipeline {
 object LshObservability {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Shared warn logic for one observed-metric row (batch and
+    * streaming deliver the same rows through different listener APIs).
+    */
+  private def warnOn(name: String, row: org.apache.spark.sql.Row): Unit =
+    if (name.startsWith("graft_lsh_")) {
+      val hot = row.getAs[Long]("hot_bucket_rows")
+      if (hot > 0) log.warn(
+        s"LSH hot bucket on '$name': $hot banded rows sit in buckets larger " +
+          s"than ${Pipeline.HotBucketThreshold} (largest bucket: " +
+          s"${row.getAs[Long]("max_bucket_size")} rows) — a degenerate corpus " +
+          "is inflating the candidate pair join; dedup/decontaminate inputs " +
+          "may need pre-aggregation of identical documents")
+    } else if (name.startsWith("graft_rhp_null_")) {
+      val n = row.getAs[Long]("null_buckets")
+      if (n > 0) log.warn(
+        s"$n rows on '$name' have a NULL RHP bucket (vector shorter than " +
+          "the configured dims, or null elements) — those rows are EXEMPT " +
+          "from bucket-blocked matching (in decontamination that means " +
+          "potential missed contamination); repair or quarantine them")
+    }
+
   private class Listener extends org.apache.spark.sql.util.QueryExecutionListener {
     override def onSuccess(funcName: String,
                            qe: org.apache.spark.sql.execution.QueryExecution,
                            durationNs: Long): Unit =
-      qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith("graft_lsh_")) {
-          val hot = row.getAs[Long]("hot_bucket_rows")
-          if (hot > 0) log.warn(
-            s"LSH hot bucket on '$name': $hot banded rows sit in buckets larger " +
-              s"than ${Pipeline.HotBucketThreshold} (largest bucket: " +
-              s"${row.getAs[Long]("max_bucket_size")} rows) — a degenerate corpus " +
-              "is inflating the candidate pair join; dedup/decontaminate inputs " +
-              "may need pre-aggregation of identical documents")
-        } else if (name.startsWith("graft_rhp_null_")) {
-          val n = row.getAs[Long]("null_buckets")
-          if (n > 0) log.warn(
-            s"$n rows on '$name' have a NULL RHP bucket (vector shorter than " +
-              "the configured dims, or null elements) — those rows are EXEMPT " +
-              "from bucket-blocked matching (in decontamination that means " +
-              "potential missed contamination); repair or quarantine them")
-        }
-      }
+      qe.observedMetrics.foreach { case (name, row) => warnOn(name, row) }
     override def onFailure(funcName: String,
                            qe: org.apache.spark.sql.execution.QueryExecution,
                            exception: Exception): Unit = ()
+  }
+
+  /** Streaming counterpart: per-micro-batch observed metrics arrive via
+    * StreamingQueryProgress, which the batch QueryExecutionListener
+    * never sees — without this, the streaming monitors' null-bucket
+    * audit would be counted but surfaced nowhere.
+    */
+  private class StreamListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit =
+      event.progress.observedMetrics.forEach {
+        (name, row) => warnOn(name, row)
+      }
   }
 
   /** Idempotent per-session registration (Sessions.build calls this). */
@@ -534,6 +554,7 @@ object LshObservability {
       val tag = "graft.lsh.observability.registered"
       if (!java.lang.Boolean.parseBoolean(spark.conf.getOption(tag).getOrElse("false"))) {
         spark.listenerManager.register(new Listener)
+        spark.streams.addListener(new StreamListener)
         spark.conf.set(tag, "true")
       }
     }

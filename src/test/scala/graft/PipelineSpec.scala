@@ -513,9 +513,13 @@ class PipelineSpec extends AnyFunSuite {
       // starting at 0 within each stratum
       val bins = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)))
       bins.foreach { case (_, bs) => assert(bs.min == 0L && bs.forall(_ >= 0L)) }
-      // permille 1000 + no further filters: prepare output == the
-      // decontaminated clean corpus (sampling kept everything)
-      assert(out.length <= result.report.afterQualityFilter)
+      // per-stage counts: decontamination only removes, permille 1000
+      // sampling keeps everything, packing is 1:1
+      val r = result.report
+      assert(r.afterDecontamination <= r.clean.afterQualityFilter)
+      assert(r.afterSampling == r.afterDecontamination)
+      assert(out.length == r.afterSampling)
+      assert(r.json.contains("after_decontamination"))
       // feature columns flow through to the packed corpus
       assert(result.corpus.columns.contains("n_subword_est"))
       assert(result.corpus.columns.contains("bin"))

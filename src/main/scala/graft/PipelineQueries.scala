@@ -785,6 +785,26 @@ object PipelineQueries {
       (s, d) => Pipeline.simhash64(spread(documents(s, d)), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Corpus vocabulary heavy hitters: token explode -> global count
+    // aggregate -> top-k. The explode amplifies rows, but the partial
+    // (map-side) aggregate collapses them to one row per distinct token
+    // per partition before the single shuffle, and the top-k is
+    // TakeOrderedAndProject over the aggregated (bounded-cardinality)
+    // child — the corpus-analysis shape behind vocabulary builds and
+    // stopword mining. Ties break on the token, so the k boundary is
+    // deterministic.
+    QueryDef("q72_vocab_topk",
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY w
+        ORDER BY n DESC, token LIMIT 50"""),
+      (s, d) => spread(documents(s, d))
+        .select(explode(words(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
     // Embedding near-dup REMOVAL (the operator form of q31's pair
     // query): survivors after dropping each multi-probe-blocked pair's
     // higher id at cosine >= 0.35. NOT EXISTS mirrors the left-anti.

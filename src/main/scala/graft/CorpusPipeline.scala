@@ -61,6 +61,12 @@ object CorpusPipeline {
                                   near: DataFrame, quality: DataFrame,
                                   annotated: DataFrame)
 
+  /** The four per-stage counts both facades report — one action per
+    * persisted boundary, shared so the facades cannot diverge.
+    */
+  private def countReport(docs: DataFrame, st: Stages): Report =
+    Report(docs.count(), st.exact.count(), st.near.count(), st.quality.count())
+
   private def runClean(docs: DataFrame, idCol: String, textCol: String,
                        jaccardThreshold: Double, minTokens: Int,
                        maxStopRatio: Double): Stages = {
@@ -88,8 +94,7 @@ object CorpusPipeline {
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): Cleaned = {
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
-    val report = Report(
-      docs.count(), st.exact.count(), st.near.count(), st.quality.count())
+    val report = countReport(docs, st)
     st.sig.unpersist()
     st.exact.unpersist()
     Cleaned(st.annotated, report, () => { st.near.unpersist(); () })
@@ -138,12 +143,14 @@ object CorpusPipeline {
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): Prepared = {
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
-    val cleanReport = Report(
-      docs.count(), st.exact.count(), st.near.count(), st.quality.count())
+    val cleanReport = countReport(docs, st)
     st.exact.unpersist() // sig + near stay: decontamination reuses both
     val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(Disk)
+    // safe is persisted so the decontamination join (the most expensive
+    // stage) executes ONCE: its count materializes the cache, and
+    // mixed's cache builds from it
     val safe = Dedup.decontaminateSigned(st.annotated, st.sig, testSig,
-      idCol, threshold = decontThreshold)
+      idCol, threshold = decontThreshold).persist(Disk)
     val mixed = ops.Sampling.stratified(safe, idCol, strataCol,
       ratesPermille, defaultPermille).persist(Disk)
     // n_subword_est comes from the feature-annotation stage — the same
@@ -151,10 +158,15 @@ object CorpusPipeline {
     val packed = ops.Sampling.packSequences(mixed, idCol, strataCol,
       "n_subword_est", tokenBudget)
     val report = PrepareReport(cleanReport, safe.count(), mixed.count())
-    Prepared(packed, report, () => {
-      st.sig.unpersist(); st.near.unpersist(); testSig.unpersist()
-      mixed.unpersist(); ()
-    })
+    // mixed's cache now roots the returned corpus; everything upstream
+    // (sig — the largest frame in the job — near, testSig, safe) is
+    // dead weight and released HERE, mirroring clean()'s discipline.
+    // release() drops the one remaining entry.
+    safe.unpersist()
+    st.sig.unpersist()
+    st.near.unpersist()
+    testSig.unpersist()
+    Prepared(packed, report, () => { mixed.unpersist(); () })
   }
 }
 

@@ -216,10 +216,28 @@ object Dedup {
       threshold: Double = 0.8,
       minhashK: Int = 16,
       bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    train.join(
+      contaminatedIdsSigned(trainSig, testSig, idCol, threshold, minhashK,
+        bands, maxBucketSize),
+      Seq(idCol), "left_anti")
+
+  /** The CONTAMINATED train ids themselves (the inverse view of
+    * [[decontaminateSigned]]'s survivors) — the audit/report output a
+    * production gate logs and quarantines. Same blocking + exact
+    * verify; the caller chooses which side to keep.
+    */
+  def contaminatedIdsSigned(
+      trainSig: DataFrame,
+      testSig: DataFrame,
+      idCol: String,
+      threshold: Double = 0.8,
+      minhashK: Int = 16,
+      bands: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     requireSameMeta(trainSig, testSig, "shingles", ShingleNMetadataKey, "shingleN")
     val inter = size(array_intersect(col("_sa"), col("_sb")))
-    val contaminated = Pipeline
+    Pipeline
       .lshCrossCandidates(trainSig, testSig, idCol, minhashK, bands, maxBucketSize)
       .join(trainSig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(testSig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
@@ -228,7 +246,6 @@ object Dedup {
       .filter(col("_j") >= threshold)
       .select(col("a_id").as(idCol))
       .distinct()
-    train.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** EMBEDDING-space decontamination: remove every `train` row whose

@@ -576,10 +576,12 @@ object PipelineQueries {
         ORDER BY train_doc_id"""),
       (s, d) => {
         // signed form: the CPU-heavy shingle pass is spread() across
-        // cores and persisted ONCE per corpus; the anti-join/exceptAll
-        // sides read the PLAIN table — spreading those too was pure
-        // shuffle overhead on a join-headed remainder (measured +0.7s
-        // at sf0.1 once the signatures were cached)
+        // cores and persisted ONCE per corpus. The query's output IS
+        // the contaminated-id set, so it gates contaminatedIdsSigned
+        // directly — deriving it as train \ decontaminate(train) would
+        // re-run the anti-join and a second train scan only to invert
+        // them (the anti-join wrapper is gated by q65's embedding form
+        // and spec'd on the text side)
         val docs = documents(s, d)
         val train = docs.filter(col("source") =!= "src0")
         val test = docs.filter(col("source") === "src0")
@@ -588,9 +590,7 @@ object PipelineQueries {
           .persist(disk)
         val testSig = Dedup.shingleSignatures(spread(test), "doc_id", "text")
           .persist(disk)
-        val kept = Dedup.decontaminateSigned(train, trainSig, testSig,
-          "doc_id", threshold = 0.5)
-        train.select("doc_id").exceptAll(kept.select("doc_id"))
+        Dedup.contaminatedIdsSigned(trainSig, testSig, "doc_id", threshold = 0.5)
           .select(col("doc_id").as("train_doc_id"))
           .orderBy("train_doc_id")
       }),

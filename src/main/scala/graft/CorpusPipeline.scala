@@ -69,11 +69,19 @@ object CorpusPipeline {
 
   private def runClean(docs: DataFrame, idCol: String, textCol: String,
                        jaccardThreshold: Double, minTokens: Int,
-                       maxStopRatio: Double): Stages = {
+                       maxStopRatio: Double,
+                       simhashMaxDist: Int = -1): Stages = {
     val exact = Dedup.exact(docs, idCol, textCol).persist(Disk)
     val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(Disk)
-    val near = Dedup.nearSigned(exact, sig, idCol, threshold = jaccardThreshold)
-      .persist(Disk)
+    val minhashed = Dedup.nearSigned(exact, sig, idCol, threshold = jaccardThreshold)
+    // optional 64-bit SimHash near-IDENTICAL pass (permutations and
+    // one-token edits that shingled Jaccard can miss at threshold) —
+    // part of the dedup chain, so it runs BEFORE the quality filter
+    // like the MinHash stage (dedup-then-filter keeps the canonical
+    // lowest-id survivor even when the filter would later drop it)
+    val near = (if (simhashMaxDist >= 0)
+        Dedup.nearSimhash64(minhashed, idCol, textCol, simhashMaxDist)
+      else minhashed).persist(Disk)
     val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
     Stages(exact, sig, near, quality,
       Similarity.withTextFeatures(quality, textCol))
@@ -100,13 +108,18 @@ object CorpusPipeline {
     Cleaned(st.annotated, report, () => { st.near.unpersist(); () })
   }
 
-  /** Per-stage counts for the FULL preparation chain. */
+  /** Per-stage counts for the FULL preparation chain.
+    * `afterEmbeddingDecontamination` is present only when the optional
+    * embedding gate ran (JSON `null` otherwise).
+    */
   final case class PrepareReport(
       clean: Report,
       afterDecontamination: Long,
+      afterEmbeddingDecontamination: Option[Long],
       afterSampling: Long) {
     def json: String =
       s"""{"clean":${clean.json},"after_decontamination":$afterDecontamination,""" +
+        s""""after_embedding_decontamination":${afterEmbeddingDecontamination.getOrElse("null")},""" +
         s""""after_sampling":$afterSampling}"""
   }
 
@@ -115,7 +128,11 @@ object CorpusPipeline {
                             release: () => Unit)
 
   /** FULL training-data preparation: the [[clean]] chain (dedup +
-    * quality + feature annotation), test-set decontamination,
+    * quality + feature annotation, plus an optional 64-bit SimHash
+    * near-identical pass), test-set decontamination in TOKEN space and
+    * optionally in EMBEDDING space (paraphrased leakage has low token
+    * overlap but high embedding similarity — the production gate runs
+    * both, the stated rationale on [[Dedup.decontaminateByEmbedding]]),
     * stratified mixing, and token-budget sequence packing. The returned
     * corpus carries the feature columns plus `bin` — the training-batch
     * assignment — and each stage is the individually-oracle-verified
@@ -127,7 +144,19 @@ object CorpusPipeline {
     * chain's signature frame (over the exact-dedup survivors, a
     * superset of the cleaned corpus — valid per the
     * [[Dedup.shingleSignatures]] contract) is handed straight to the
-    * decontamination blocking instead of being re-derived.
+    * decontamination blocking instead of being re-derived. The
+    * embedding gate builds its RHP bucket frames the same way —
+    * once per corpus, persisted across the stage, released before
+    * returning.
+    *
+    * @param simhashMaxDist  >= 0 enables the near-IDENTICAL dedup stage
+    *                        at that 64-bit hamming distance (3 = the
+    *                        standard strictness); -1 (default) skips it
+    * @param embeddings      optional (`idCol`, `vecCol`) frame for the
+    *                        TRAIN corpus — with `testEmbeddings`,
+    *                        enables the embedding decontamination stage
+    * @param testEmbeddings  optional (`idCol`, `vecCol`) frame for the
+    *                        eval corpus
     */
   def prepare(
       docs: DataFrame,
@@ -141,27 +170,54 @@ object CorpusPipeline {
       defaultPermille: Int = 1000,
       tokenBudget: Long = 2048L,
       minTokens: Int = 15,
-      maxStopRatio: Double = 0.5): Prepared = {
-    val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
+      maxStopRatio: Double = 0.5,
+      simhashMaxDist: Int = -1,
+      embeddings: Option[DataFrame] = None,
+      testEmbeddings: Option[DataFrame] = None,
+      vecCol: String = "embedding",
+      minCosine: Double = 0.9): Prepared = {
+    require(embeddings.isDefined == testEmbeddings.isDefined,
+      "embedding decontamination needs BOTH embeddings and testEmbeddings")
+    val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens,
+      maxStopRatio, simhashMaxDist)
     val cleanReport = countReport(docs, st)
     st.exact.unpersist() // sig + near stay: decontamination reuses both
     val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(Disk)
     // safe is persisted so the decontamination join (the most expensive
     // stage) executes ONCE: its count materializes the cache, and
-    // mixed's cache builds from it
+    // downstream stages build from it
     val safe = Dedup.decontaminateSigned(st.annotated, st.sig, testSig,
       idCol, threshold = decontThreshold).persist(Disk)
-    val mixed = ops.Sampling.stratified(safe, idCol, strataCol,
+    val afterTextDecon = safe.count()
+    // optional EMBEDDING-space gate: bucket frames built once per
+    // corpus (AutoPlanes sizes them to the train side), released below
+    val embBuckets = embeddings.map { emb =>
+      val trainB = Dedup.embeddingBuckets(emb, idCol, vecCol).persist(Disk)
+      val testB = Dedup.embeddingBuckets(testEmbeddings.get, idCol, vecCol,
+        planes = Dedup.planesOf(trainB)).persist(Disk)
+      (trainB, testB)
+    }
+    val gated = embBuckets match {
+      case Some((trainB, testB)) =>
+        Dedup.decontaminateByEmbeddingSigned(safe, trainB, testB, idCol,
+          minCosine).persist(Disk)
+      case None => safe
+    }
+    val afterEmbDecon = embBuckets.map(_ => gated.count())
+    val mixed = ops.Sampling.stratified(gated, idCol, strataCol,
       ratesPermille, defaultPermille).persist(Disk)
     // n_subword_est comes from the feature-annotation stage — the same
     // token estimate the oracle-checked q69 packs on
     val packed = ops.Sampling.packSequences(mixed, idCol, strataCol,
       "n_subword_est", tokenBudget)
-    val report = PrepareReport(cleanReport, safe.count(), mixed.count())
+    val report = PrepareReport(cleanReport, afterTextDecon, afterEmbDecon,
+      mixed.count())
     // mixed's cache now roots the returned corpus; everything upstream
-    // (sig — the largest frame in the job — near, testSig, safe) is
-    // dead weight and released HERE, mirroring clean()'s discipline.
-    // release() drops the one remaining entry.
+    // (sig — the largest frame in the job — near, testSig, safe, the
+    // bucket frames) is dead weight and released HERE, mirroring
+    // clean()'s discipline. release() drops the one remaining entry.
+    embBuckets.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+    if (gated ne safe) gated.unpersist()
     safe.unpersist()
     st.sig.unpersist()
     st.near.unpersist()

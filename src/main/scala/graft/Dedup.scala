@@ -267,14 +267,17 @@ object Dedup {
       vecCol: String,
       minCosine: Double = 0.9,
       dims: Int = 64,
-      planes: Int = 4): DataFrame = {
+      planes: Int = Pipeline.AutoPlanes): DataFrame = {
+    // planes sized to the TRAIN corpus (the big side that fills the
+    // buckets); both frames must share the plane set, so resolve once
+    val p = Pipeline.resolvePlanes(planes, train)
     // same persist rationale as [[decontaminate]]: one bucket+cast pass
     // per corpus, shared across this call and any repeat invocations
     // (plan-keyed cache); precompute [[embeddingBuckets]] + call
     // [[decontaminateByEmbeddingSigned]] for deterministic release.
-    val trainB = embeddingBuckets(train, idCol, vecCol, dims, planes).persist(Disk)
-    val testB = embeddingBuckets(test, idCol, vecCol, dims, planes).persist(Disk)
-    decontaminateByEmbeddingSigned(train, trainB, testB, idCol, minCosine, planes)
+    val trainB = embeddingBuckets(train, idCol, vecCol, dims, p).persist(Disk)
+    val testB = embeddingBuckets(test, idCol, vecCol, dims, p).persist(Disk)
+    decontaminateByEmbeddingSigned(train, trainB, testB, idCol, minCosine, p)
   }
 
   /** Column-metadata keys recording the plane count and dims a
@@ -290,23 +293,46 @@ object Dedup {
     * — the embedding analogue of [[shingleSignatures]].
     */
   def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
-                       dims: Int = 64, planes: Int = 4): DataFrame = {
+                       dims: Int = 64,
+                       planes: Int = Pipeline.AutoPlanes): DataFrame = {
+    val p = Pipeline.resolvePlanes(planes, df)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(BucketPlanesMetadataKey, planes.toLong)
+      .putLong(BucketPlanesMetadataKey, p.toLong)
       .putLong(BucketDimsMetadataKey, dims.toLong).build()
     df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("vec"))
-      .withColumn("bucket", Pipeline.rhpBucket(col("vec"), dims, planes).as("bucket", meta))
+      .withColumn("bucket", Pipeline.rhpBucket(col("vec"), dims, p).as("bucket", meta))
   }
 
-  private def requirePlanes(df: DataFrame, planes: Int, side: String): Unit =
+  /** The plane count an [[embeddingBuckets]] frame was built with (from
+    * its column metadata) — for building a COMPATIBLE frame for the
+    * other side of a cross-corpus probe.
+    */
+  def planesOf(buckets: DataFrame): Int =
+    resolveSignedPlanes(buckets, Pipeline.AutoPlanes, "the")
+
+  private def planesFromMeta(df: DataFrame): Option[Int] =
     df.schema.fields.find(_.name == "bucket")
       .filter(_.metadata.contains(BucketPlanesMetadataKey))
-      .foreach { f =>
-        val have = f.metadata.getLong(BucketPlanesMetadataKey)
-        require(have == planes,
-          s"$side bucket frame was built with planes=$have but the probe was " +
-            s"asked for planes=$planes — rebuild the buckets or pass the matching planes")
-      }
+      .map(_.metadata.getLong(BucketPlanesMetadataKey).toInt)
+
+  /** `AutoPlanes` on a `*Signed` form = "the planes the bucket frame was
+    * built with" (read from column metadata — no extra job); an explicit
+    * value must MATCH the frame's metadata or the probe would walk the
+    * wrong hamming-1 neighbour set.
+    */
+  private def resolveSignedPlanes(df: DataFrame, planes: Int, side: String): Int =
+    if (planes == Pipeline.AutoPlanes)
+      planesFromMeta(df).getOrElse(throw new IllegalArgumentException(
+        s"$side bucket frame carries no ${BucketPlanesMetadataKey} metadata — " +
+          "build it with Dedup.embeddingBuckets or pass planes explicitly"))
+    else planes
+
+  private def requirePlanes(df: DataFrame, planes: Int, side: String): Unit =
+    planesFromMeta(df).foreach { have =>
+      require(have == planes,
+        s"$side bucket frame was built with planes=$have but the probe was " +
+          s"asked for planes=$planes — rebuild the buckets or pass the matching planes")
+    }
 
   /** Count NULL-bucket rows (short/null-element vectors — they never
     * equi-join, so they are EXEMPT from bucket-blocked matching) via an
@@ -327,10 +353,11 @@ object Dedup {
       testB: DataFrame,
       idCol: String,
       minCosine: Double = 0.9,
-      planes: Int = 4): DataFrame = {
+      planes: Int = Pipeline.AutoPlanes): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
-    requirePlanes(trainB, planes, "train")
-    requirePlanes(testB, planes, "test")
+    val p = resolveSignedPlanes(trainB, planes, "train")
+    requirePlanes(trainB, p, "train")
+    requirePlanes(testB, p, "test")
     requireSameMeta(trainB, testB, "bucket", BucketDimsMetadataKey, "dims")
     // NULL buckets are audited (they dodge the gate — see nullAudit)
     // and then FILTERED before the join: a null key never matches, and
@@ -343,7 +370,7 @@ object Dedup {
       // loses every near-hyperplane match (measured 0.14 -> 0.53 pair
       // recall at the default threshold; see Pipeline.rhpProbeBuckets)
       .select(col("vec").as("_sv"),
-        explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_sb"))
+        explode(Pipeline.rhpProbeBuckets(col("bucket"), p)).as("_sb"))
     val contaminated = nullAudit(trainB, "train")
       .filter(col("bucket").isNotNull)
       .select(col(idCol).as("_tid"), col("vec").as("_tv"), col("bucket").as("_tb"))
@@ -362,17 +389,19 @@ object Dedup {
     */
   def nearByEmbedding(df: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double = 0.9, dims: Int = 64,
-                      planes: Int = 4): DataFrame = {
-    val b = embeddingBuckets(df, idCol, vecCol, dims, planes).persist(Disk)
-    nearByEmbeddingSigned(df, b, idCol, minCosine, planes)
+                      planes: Int = Pipeline.AutoPlanes): DataFrame = {
+    val p = Pipeline.resolvePlanes(planes, df)
+    val b = embeddingBuckets(df, idCol, vecCol, dims, p).persist(Disk)
+    nearByEmbeddingSigned(df, b, idCol, minCosine, p)
   }
 
   /** [[nearByEmbedding]] over a PRECOMPUTED [[embeddingBuckets]] frame. */
   def nearByEmbeddingSigned(df: DataFrame, buckets: DataFrame, idCol: String,
                             minCosine: Double = 0.9,
-                            planes: Int = 4): DataFrame = {
+                            planes: Int = Pipeline.AutoPlanes): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
-    requirePlanes(buckets, planes, "corpus")
+    val p = resolveSignedPlanes(buckets, planes, "corpus")
+    requirePlanes(buckets, p, "corpus")
     // same null-bucket audit+filter as the decontamination form:
     // malformed vectors are surfaced, not silently exempt, and their
     // dead rows never reach the join
@@ -381,7 +410,7 @@ object Dedup {
     // bucket -> the identity probe; one differing plane -> that flip),
     // so no pair is generated or verified twice
     val probes = audited.select(col(idCol).as("a_id"), col("vec").as("_va"),
-      explode(Pipeline.rhpProbeBuckets(col("bucket"), planes)).as("_pb"))
+      explode(Pipeline.rhpProbeBuckets(col("bucket"), p)).as("_pb"))
     val losers = probes.join(
         audited.select(col(idCol).as("b_id"), col("vec").as("_vb"),
           col("bucket").as("_bb")),

@@ -398,6 +398,25 @@ object Pipeline {
     math.min(30, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** Sentinel default for `planes` parameters on the corpus-facing
+    * embedding operators: size the plane count to the corpus instead of
+    * inheriting a fixed literal (a fixed count makes the LSH self-join
+    * quadratic as buckets fill — the measured 9x-at-10x law behind
+    * [[planesFor]]). Convenience facades resolve it with ONE
+    * `df.count()` (cheap next to the join it right-sizes; parquet
+    * counts are metadata-only); `*Signed` forms read the plane count
+    * the bucket frame was BUILT with from its column metadata — no
+    * extra job at all.
+    */
+  val AutoPlanes: Int = -1
+
+  /** Resolve [[AutoPlanes]] against a corpus (explicit values pass
+    * through untouched).
+    */
+  def resolvePlanes(planes: Int, corpus: org.apache.spark.sql.DataFrame): Int =
+    if (planes != AutoPlanes) planes
+    else planesFor(math.max(1L, corpus.count()))
+
   /** Reference HOF formulation of [[rhpBucket]] (planes × zip_with +
     * aggregate lambda folds, interpreted per element). Kept only as the
     * spec's bit-equality baseline for the native kernel.

@@ -468,7 +468,8 @@ object PipelineQueries {
         ORDER BY query_id, cosine DESC, corpus_id"""),
       (s, d) => {
         val e = spread(embeddings(s, d))
-        Similarity.knnJoin(e.filter(col("vec_id") < 3), e, "vec_id", "embedding", k = 5)
+        Similarity.knnJoin(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+            k = 5, planes = 4)
           .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
       }),
 
@@ -622,9 +623,11 @@ object PipelineQueries {
         val train = e.filter(col("vec_id") >= 100)
         val test = e.filter(col("vec_id") < 100)
         val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val trainB = Dedup.embeddingBuckets(spread(train), "vec_id", "embedding")
+        val trainB = Dedup.embeddingBuckets(spread(train), "vec_id", "embedding",
+            planes = 4)
           .persist(disk)
-        val testB = Dedup.embeddingBuckets(spread(test), "vec_id", "embedding")
+        val testB = Dedup.embeddingBuckets(spread(test), "vec_id", "embedding",
+            planes = 4)
           .persist(disk)
         val kept = Dedup.decontaminateByEmbeddingSigned(
           train, trainB, testB, "vec_id", minCosine = 0.35)
@@ -746,8 +749,8 @@ object PipelineQueries {
                       (a, b) -> a + b) AS n_tok
         FROM documents)
         SELECT doc_id, source, n_tok,
-               (COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048) AS bin
+               CAST((COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048) AS BIGINT) AS bin
         FROM t ORDER BY doc_id"""),
       (s, d) => {
         val docs = spread(documents(s, d)).select(col("doc_id"), col("source"),
@@ -779,8 +782,8 @@ object PipelineQueries {
                     SUM(CASE WHEN (hhi >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vhi
                   FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b)
         SELECT doc_id,
-               SUM(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash_lo,
-               SUM(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash_hi
+               CAST(SUM(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash_lo,
+               CAST(SUM(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash_hi
         FROM votes GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => Pipeline.simhash64(spread(documents(s, d)), "doc_id", "text")
         .orderBy("doc_id")),
@@ -819,7 +822,7 @@ object PipelineQueries {
         SELECT t.vec_id FROM t WHERE t.vec_id NOT IN (SELECT vec_id FROM losers)
         ORDER BY t.vec_id"""),
       (s, d) => Dedup.nearByEmbedding(spread(embeddings(s, d)), "vec_id",
-          "embedding", minCosine = 0.35)
+          "embedding", minCosine = 0.35, planes = 4)
         .select("vec_id")
         .orderBy("vec_id"))
   )

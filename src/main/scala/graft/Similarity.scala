@@ -38,12 +38,13 @@ object Similarity {
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int = 10, dims: Int = 64,
-              planes: Int = 4): DataFrame = {
+              planes: Int = Pipeline.AutoPlanes): DataFrame = {
+    val p = Pipeline.resolvePlanes(planes, df)
     val withB = df
       .select(col(idCol), asDouble(col(vecCol)).as("_v"))
-      .withColumn("_bucket", Pipeline.rhpBucket(col("_v"), dims, planes))
+      .withColumn("_bucket", Pipeline.rhpBucket(col("_v"), dims, p))
     val q = withB.filter(col(idCol) === queryId)
-      .select(explode(Pipeline.rhpProbeBuckets(col("_bucket"), planes)).as("_qb"),
+      .select(explode(Pipeline.rhpProbeBuckets(col("_bucket"), p)).as("_qb"),
         col("_v").as("_qv"))
     withB.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("_bucket") === col("_qb"))
@@ -61,16 +62,18 @@ object Similarity {
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, dims: Int = 64,
-              planes: Int = 4): DataFrame = {
+              planes: Int = Pipeline.AutoPlanes): DataFrame = {
+    // planes sized to the CORPUS (the side that fills the buckets)
+    val p = Pipeline.resolvePlanes(planes, corpus)
     def withBucket(df: DataFrame, id: String, v: String) = df
       .select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-      .withColumn(s"${v}_bucket", Pipeline.rhpBucket(col(v), dims, planes))
+      .withColumn(s"${v}_bucket", Pipeline.rhpBucket(col(v), dims, p))
     // multi-probe on the QUERY side only: (planes+1)x fan-out of the
     // small side, corpus side untouched, join stays equi (probe sets
     // are pairwise-distinct, so no pair is scored twice)
     val q = withBucket(queries, "query_id", "_qv")
       .withColumn("_probe",
-        explode(Pipeline.rhpProbeBuckets(col("_qv_bucket"), planes)))
+        explode(Pipeline.rhpProbeBuckets(col("_qv_bucket"), p)))
     val c = withBucket(corpus, "corpus_id", "_cv")
     val scored = q.join(c,
         col("_probe") === col("_cv_bucket") &&

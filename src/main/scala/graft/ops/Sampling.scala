@@ -37,18 +37,49 @@ object Sampling {
     * crossed — `bin = cum_tokens_before div budget` (a doc that
     * straddles a boundary opens the next bin; a doc longer than the
     * budget gets its own bin plus spillover, the standard greedy
-    * approximation). ONE window (= one shuffle on the stratum key) over
-    * exact integer arithmetic — the deterministic batch-construction
-    * step a training pipeline runs after sampling.
+    * approximation).
+    *
+    * Strata are low-cardinality by construction (a handful of sources),
+    * so a single `partitionBy(stratum)` window would serialize each
+    * source's entire corpus through ONE task — a scale-killer at 100 TB.
+    * Instead: two-pass hierarchical packing.
+    *
+    *  1. Range-partition by (stratum, id) into `chunks` contiguous
+    *     slices; compute the cumulative-before sum LOCALLY per
+    *     (chunk, stratum) — every chunk is an independent task.
+    *  2. Aggregate per-(chunk, stratum) token totals — a tiny frame
+    *     (chunks x strata rows) — and prefix-sum it per stratum to get
+    *     each chunk's global offset; broadcast-join the offsets back.
+    *
+    * `bin = (offset + local_before) div budget` is identical to the
+    * single-window form for ANY chunk boundary placement (prefix sums
+    * compose), so the output is deterministic even though range
+    * boundaries come from sampling. Exact integer `div`, not float
+    * floor: bit-safe on every engine at any magnitude.
     */
   def packSequences(df: DataFrame, idCol: String, strataCol: String,
-                    tokensCol: String, budget: Long): DataFrame = {
-    val before = Window.partitionBy(strataCol).orderBy(idCol)
+                    tokensCol: String, budget: Long, chunks: Int = 0): DataFrame = {
+    val n = if (chunks > 0) chunks
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sliced = df
+      .repartitionByRange(n, col(strataCol), col(idCol))
+      .withColumn("_chunk", spark_partition_id())
+    val local = Window.partitionBy("_chunk", strataCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // exact integer division (div), not float floor: bit-safe on every
-    // engine at any magnitude
-    df.withColumn("_cum_before", coalesce(sum(col(tokensCol)).over(before), lit(0L)))
-      .withColumn("bin", expr(s"_cum_before div $budget"))
-      .drop("_cum_before")
+    val withLocal = sliced.withColumn(
+      "_local_before", coalesce(sum(col(tokensCol)).over(local), lit(0L)))
+    // chunks x strata rows: earlier-chunk totals per stratum = offset
+    val offs = Window.partitionBy(strataCol).orderBy("_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("_chunk"), col(strataCol))
+      .agg(sum(col(tokensCol)).as("_chunk_tot"))
+      .withColumn("_offset", coalesce(sum(col("_chunk_tot")).over(offs), lit(0L)))
+      .select(col("_chunk"), col(strataCol).as("_off_stratum"), col("_offset"))
+    withLocal
+      .join(broadcast(offsets),
+        withLocal("_chunk") === offsets("_chunk") &&
+          withLocal(strataCol) <=> offsets("_off_stratum"))
+      .withColumn("bin", expr(s"(_offset + _local_before) div $budget"))
+      .drop("_chunk", "_local_before", "_off_stratum", "_offset")
   }
 }

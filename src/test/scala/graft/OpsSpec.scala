@@ -122,4 +122,41 @@ class OpsSpec extends AnyFunSuite {
       assert(nBins <= totalTok / budget + 1)
     }
   }
+
+  test("hierarchical packing equals the single-window form and parallelizes one stratum") {
+    import spark.implicits._
+    // ONE stratum, many rows: the old partitionBy(stratum) window form
+    // would serialize all of it through a single task — the scale
+    // defect the two-pass form exists to fix
+    val docs = (0L until 5000L).map(i => (i, "only", 100L + i % 7))
+      .toDF("doc_id", "source", "n_tok")
+    val budget = 2048L
+    val packed = graft.ops.Sampling.packSequences(
+      docs, "doc_id", "source", "n_tok", budget, chunks = 8)
+    // exact reference: the semantics-defining single window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("_cb", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"_cb div $budget")).drop("_cb")
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+    // chunk-boundary independence: a different chunk count, same output
+    val packed3 = graft.ops.Sampling.packSequences(
+      docs, "doc_id", "source", "n_tok", budget, chunks = 3)
+    assert(packed3.orderBy("doc_id").collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+    // >1 task participates in packing the single stratum: the range
+    // slicing spreads the rows, and the packing window keys on
+    // (chunk, stratum) — not stratum alone
+    val slices = docs.repartitionByRange(8, col("source"), col("doc_id"))
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(slices > 1, "range slicing must engage more than one task")
+    val wins = packed.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n.partitionSpec.size
+    }
+    assert(wins.contains(2), s"packing window must key on (chunk, stratum); got $wins")
+  }
 }

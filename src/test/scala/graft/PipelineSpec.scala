@@ -120,7 +120,10 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(viaApi.toSeq == viaQuery.toSeq)
 
-    val ann = Similarity.annTopK(e, "vec_id", "embedding", queryId = 0, k = 5)
+    // planes pinned to the oracle query's literal 4 (the default is
+    // corpus-sized via AutoPlanes)
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", queryId = 0, k = 5,
+        planes = 4)
       .collect().map(_.getLong(0))
     val annQuery = Queries.byName("q30_ann_bucketed").build(spark, sf)
       .collect().map(_.getLong(0))
@@ -484,11 +487,12 @@ class PipelineSpec extends AnyFunSuite {
     } yield b).toSet
     try {
       val survivors = Dedup.nearByEmbedding(Tables.embeddings(spark, sf),
-          "vec_id", "embedding", minCosine = 0.35)
+          "vec_id", "embedding", minCosine = 0.35, planes = 4)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(survivors == ids.toSet -- expectedLosers)
     } finally {
-      Dedup.embeddingBuckets(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      Dedup.embeddingBuckets(Tables.embeddings(spark, sf), "vec_id", "embedding",
+          planes = 4)
         .unpersist()
       ()
     }
@@ -524,6 +528,65 @@ class PipelineSpec extends AnyFunSuite {
       assert(result.corpus.columns.contains("n_subword_est"))
       assert(result.corpus.columns.contains("bin"))
     } finally result.release()
+  }
+
+  test("prepare's embedding gate drops a planted paraphrase leak only when on") {
+    import spark.implicits._
+    // distinct token sets per doc: zero shingle overlap, so the TEXT
+    // decontamination stage can never catch the leak — only the
+    // embedding gate can (the paraphrase scenario: same meaning, new
+    // words). 20 no-stopword tokens pass the quality filter.
+    def txt(i: Int) = (0 until 20).map(j => s"w${i}x$j").mkString(" ")
+    val docs = (0L until 30L).map(i => (i, txt(i.toInt), "src0"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((900L, txt(900))).toDF("doc_id", "text")
+    // embeddings: doc 7's vector IS the eval vector (cosine 1.0);
+    // every other doc gets an orthogonal-ish deterministic vector
+    def vec(seed: Int) = (0 until 64).map(d =>
+      math.sin(seed * 64.0 + d).toFloat)
+    val emb = (0L until 30L).map(i =>
+      (i, if (i == 7L) vec(900) else vec(i.toInt))).toDF("doc_id", "embedding")
+    val testEmb = Seq((900L, vec(900))).toDF("doc_id", "embedding")
+
+    val without = CorpusPipeline.prepare(docs, eval, decontThreshold = 0.8)
+    try {
+      val ids = without.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(7L), "text-only gate must MISS the paraphrase")
+      assert(without.report.afterEmbeddingDecontamination.isEmpty)
+      assert(without.report.json.contains("\"after_embedding_decontamination\":null"))
+    } finally without.release()
+
+    val withEmb = CorpusPipeline.prepare(docs, eval, decontThreshold = 0.8,
+      embeddings = Some(emb), testEmbeddings = Some(testEmb), minCosine = 0.9)
+    try {
+      val ids = withEmb.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(7L), "embedding gate must DROP the paraphrase")
+      val r = withEmb.report
+      assert(r.afterEmbeddingDecontamination.contains(r.afterDecontamination - 1))
+      assert(r.afterSampling == r.afterDecontamination - 1)
+    } finally withEmb.release()
+  }
+
+  test("prepare's simhash64 stage drops planted near-identical permutations") {
+    import spark.implicits._
+    val base = (0 until 20).map(j => s"perm${j}tok").mkString(" ")
+    val permuted = (0 until 20).map(j => s"perm${19 - j}tok").mkString(" ")
+    val docs = Seq(
+      (1L, base, "src0"), (2L, permuted, "src0"),
+      (3L, (0 until 20).map(j => s"other${j}q").mkString(" "), "src0"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((900L, (0 until 20).map(j => s"ev${j}z").mkString(" ")))
+      .toDF("doc_id", "text")
+    // a permutation is 64-bit hamming distance 0 but has near-zero
+    // 3-shingle Jaccard, so the MinHash stage alone keeps both
+    val off = CorpusPipeline.prepare(docs, eval)
+    try assert(off.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    finally off.release()
+    val on = CorpusPipeline.prepare(docs, eval, simhashMaxDist = 3)
+    try assert(on.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L), "higher id of the dist-0 pair must drop")
+    finally on.release()
   }
 
   test("simhash64 pairs equal brute-force 64-bit hamming at dist <= 3") {

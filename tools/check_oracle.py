@@ -31,6 +31,63 @@ def norm_cell(v):
         v = v.as_py()
     return v
 
+def norm_duck_type(t):
+    """Normalize a DuckDB type string to a representation class comparable
+    with Arrow's. The driver hashes cell REPRESENTATION, so HUGEINT
+    (int128) vs Spark BIGINT is a real failure even when values match —
+    pandas coercion used to hide exactly that (round-4 q69/q71)."""
+    t = str(t).upper()
+    if t.endswith("[]"):
+        return "list<%s>" % norm_duck_type(t[:-2])
+    m = {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+         "BIGINT": "int64", "HUGEINT": "int128", "UTINYINT": "uint8",
+         "USMALLINT": "uint16", "UINTEGER": "uint32", "UBIGINT": "uint64",
+         "UHUGEINT": "uint128", "FLOAT": "float32", "DOUBLE": "float64",
+         "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+         "BLOB": "binary", "INTERVAL": "interval"}
+    if t in m:
+        return m[t]
+    if t.startswith("DECIMAL"):
+        return "decimal" + t[len("DECIMAL"):].replace(" ", "")
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT"):
+        return "struct"
+    return t.lower()
+
+def norm_arrow_type(t):
+    import pyarrow as pa
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<%s>" % norm_arrow_type(t.value_type)
+    if pa.types.is_decimal(t):
+        return "decimal(%d,%d)" % (t.precision, t.scale)
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+def type_mismatches(spark_schema, duck_cols, duck_types):
+    """Column-name-matched representation-class compare."""
+    spark_t = {f.name: norm_arrow_type(f.type) for f in spark_schema}
+    bad = []
+    for c, dt in zip(duck_cols, duck_types):
+        dn = norm_duck_type(dt)
+        sn = spark_t.get(c)
+        if sn is not None and sn != dn:
+            bad.append((c, sn, dn))
+    return bad
+
 def load_sorted(df):
     # sort columns by name, then rows by string repr of the full row
     df = df.reindex(sorted(df.columns), axis=1)
@@ -62,9 +119,17 @@ def main():
                 print(f"ROWS-ONLY {name}: {len(spark_df)} rows (no oracle)")
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            duck_cols, duck_types = list(rel.columns), [str(t) for t in rel.types]
+            duck_df = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        spark_schema = pq.read_schema(sorted(files)[0])
+        tmm = type_mismatches(spark_schema, duck_cols, duck_types)
+        if tmm:
+            for c, sn, dn in tmm:
+                print(f"FAIL {name}: col {c} type spark={sn} duck={dn}")
+            n_fail += 1; continue
         sc, sr = load_sorted(spark_df)
         dc, dr = load_sorted(duck_df)
         if sc != dc:

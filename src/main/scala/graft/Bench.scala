@@ -65,22 +65,36 @@ object Bench {
       val xs = samples.map(_.find(_._1 == q.name).get._2)
       (q.name, median(xs), if (median(xs) > 0) (xs.max - xs.min) / median(xs) else 0.0)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The harness captures only the LAST 2000 chars of stdout and
+    // parses the final JSON line out of them — a line carrying 72 full
+    // query names plus a per-query spread map is ~5 KB and has never
+    // fit (every prior round's harness record shows parsed:null). The
+    // machine line therefore uses the qNN prefix as the key (the
+    // contract's own example shape: {"q1":sec,...}) and 3-decimal
+    // timings; the full names and per-query spreads stay available on
+    // a human-readable detail line printed BEFORE it (earlier stdout
+    // only has to exist, not fit in the tail window).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // per-query relative spread (pct of median), so an outlier is
     // attributable by name instead of hiding behind one aggregate;
     // sub-200ms medians are dominated by scheduling noise and excluded
-    // from the aggregate/worst (but still listed)
-    val spreadJson = results
-      .map { case (k, _, sp) => s"\"" + k + "\":" + math.round(sp * 100) }
+    // from the aggregate/worst (but still listed on the detail line)
+    val detailJson = results
+      .map { case (k, v, sp) =>
+        "\"" + k + "\":[" + fmt(v) + "," + math.round(sp * 100) + "]" }
       .mkString("{", ",", "}")
     val measurable = results.filter(_._2 > 0.2)
     val maxSpread = if (measurable.isEmpty) 0.0 else measurable.map(_._3).max * 100
     val worst = if (measurable.isEmpty) ""
-      else measurable.maxBy(_._3)._1
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"rel_spread_pct":$spreadJson,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}""")
+      else short(measurable.maxBy(_._3)._1)
+    val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    println(s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct]":$detailJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -59,7 +59,8 @@ object CorpusPipeline {
     */
   private final case class Stages(exact: DataFrame, sig: DataFrame,
                                   near: DataFrame, quality: DataFrame,
-                                  annotated: DataFrame)
+                                  annotated: DataFrame,
+                                  interim: Seq[DataFrame] = Nil)
 
   /** The four per-stage counts both facades report — one action per
     * persisted boundary, shared so the facades cannot diverge.
@@ -73,18 +74,26 @@ object CorpusPipeline {
                        simhashMaxDist: Int = -1): Stages = {
     val exact = Dedup.exact(docs, idCol, textCol).persist(Disk)
     val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(Disk)
+    // the MinHash survivors are the most expensive frame in the chain;
+    // when the simhash stage is on it references them TWICE (signature/
+    // pair side and anti-join left side), so they are persisted for the
+    // duration of `near`'s materialization (released by the facades
+    // right after the report counts run) — unpersisted, the whole LSH
+    // chain would execute twice
     val minhashed = Dedup.nearSigned(exact, sig, idCol, threshold = jaccardThreshold)
     // optional 64-bit SimHash near-IDENTICAL pass (permutations and
     // one-token edits that shingled Jaccard can miss at threshold) —
     // part of the dedup chain, so it runs BEFORE the quality filter
     // like the MinHash stage (dedup-then-filter keeps the canonical
     // lowest-id survivor even when the filter would later drop it)
-    val near = (if (simhashMaxDist >= 0)
-        Dedup.nearSimhash64(minhashed, idCol, textCol, simhashMaxDist)
-      else minhashed).persist(Disk)
+    val (near, interim) = if (simhashMaxDist >= 0) {
+      val m = minhashed.persist(Disk)
+      (Dedup.nearSimhash64(m, idCol, textCol, simhashMaxDist).persist(Disk),
+        Seq(m))
+    } else (minhashed.persist(Disk), Nil)
     val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
     Stages(exact, sig, near, quality,
-      Similarity.withTextFeatures(quality, textCol))
+      Similarity.withTextFeatures(quality, textCol), interim)
   }
 
   /** Run the full chain. The upstream caches (sig, exact) are released
@@ -103,6 +112,7 @@ object CorpusPipeline {
       maxStopRatio: Double = 0.5): Cleaned = {
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
     val report = countReport(docs, st)
+    st.interim.foreach(_.unpersist())
     st.sig.unpersist()
     st.exact.unpersist()
     Cleaned(st.annotated, report, () => { st.near.unpersist(); () })
@@ -181,6 +191,7 @@ object CorpusPipeline {
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens,
       maxStopRatio, simhashMaxDist)
     val cleanReport = countReport(docs, st)
+    st.interim.foreach(_.unpersist())
     st.exact.unpersist() // sig + near stay: decontamination reuses both
     val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(Disk)
     // safe is persisted so the decontamination join (the most expensive

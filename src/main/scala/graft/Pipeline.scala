@@ -407,6 +407,18 @@ object Pipeline {
     * counts are metadata-only); `*Signed` forms read the plane count
     * the bucket frame was BUILT with from its column metadata — no
     * extra job at all.
+    *
+    * Two caveats for callers:
+    *  - on a DERIVED frame (post-join/filter/shuffle) the count is a
+    *    full job, and it re-runs on EVERY facade call — when one frame
+    *    feeds several calls, resolve once ([[resolvePlanes]] or
+    *    [[planesFor]] on a known size) and pass the explicit value, or
+    *    better, precompute the bucket frame and use the `*Signed` form;
+    *  - BEHAVIOR CHANGE (r5): these facades previously defaulted to a
+    *    fixed `planes = 4`; results for corpora away from ~16k rows
+    *    differ under the sized default (by design — the fixed default
+    *    was the measured scale bug). Pass `planes = 4` to reproduce the
+    *    old bucketing.
     */
   val AutoPlanes: Int = -1
 

@@ -406,7 +406,9 @@ object Queries {
           lower(col("p_name")).as("lname"),
           upper(col("p_brand")).as("ubrand"),
           substring(col("p_name"), 1, 5).as("prefix5"),
-          length(col("p_name")).as("name_len"),
+          // bigint, not the native int32: DuckDB LENGTH is int64 and the
+          // gate compares representation, not just value
+          length(col("p_name")).cast(LongType).as("name_len"),
           concat(col("p_partkey").cast(StringType), lit(":"), col("p_type")).as("tagged"),
           when(col("p_size") >= 25, "big").when(col("p_size") >= 10, "mid")
             .otherwise("small").as("size_class"),

@@ -541,12 +541,15 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "source")
     val eval = Seq((900L, txt(900))).toDF("doc_id", "text")
     // embeddings: doc 7's vector IS the eval vector (cosine 1.0);
-    // every other doc gets an orthogonal-ish deterministic vector
-    def vec(seed: Int) = (0 until 64).map(d =>
-      math.sin(seed * 64.0 + d).toFloat)
+    // every other doc gets its own one-hot basis vector — EXACTLY
+    // orthogonal to the eval vector and to each other (a sin-seeded
+    // "orthogonal-ish" fixture turned out to hide cosines up to 0.99
+    // between unrelated seeds, which made the exact -1 count flaky)
+    def vec(axis: Int) = (0 until 64).map(d =>
+      if (d == axis % 64) 1.0f else 0.0f)
     val emb = (0L until 30L).map(i =>
-      (i, if (i == 7L) vec(900) else vec(i.toInt))).toDF("doc_id", "embedding")
-    val testEmb = Seq((900L, vec(900))).toDF("doc_id", "embedding")
+      (i, if (i == 7L) vec(63) else vec(i.toInt))).toDF("doc_id", "embedding")
+    val testEmb = Seq((900L, vec(63))).toDF("doc_id", "embedding")
 
     val without = CorpusPipeline.prepare(docs, eval, decontThreshold = 0.8)
     try {

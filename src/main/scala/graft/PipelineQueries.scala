@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -824,6 +825,202 @@ object PipelineQueries {
       (s, d) => Dedup.nearByEmbedding(spread(embeddings(s, d)), "vec_id",
           "embedding", minCosine = 0.35, planes = 4)
         .select("vec_id")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ===== Round 6: PII, n-gram stats, TF-IDF, quantization,
+    // clustering, curriculum ordering, batch shaping =====
+
+    // PII redaction audit: regexes shared between Java and RE2 applied
+    // scan-side (no shuffle, no UDF, inside whole-stage codegen). The
+    // corpus carries no real PII, so the note column SYNTHESIZES a
+    // contact line deterministically from customer fields; the gate
+    // checks the redacted string char-exact plus the per-kind counts.
+    QueryDef("q73_pii_redaction",
+      Some(s"""
+        WITH n AS (SELECT c_custkey,
+          'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+          '@mail.example or +62-811-' || CAST(c_custkey % 10000 AS VARCHAR) ||
+          ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7' AS note
+        FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(note,
+                 '${ops.Redact.EmailPattern}', '<EMAIL>', 'g'),
+                 '${ops.Redact.PhonePattern}', '<PHONE>', 'g'),
+                 '${ops.Redact.Ipv4Pattern}', '<IP>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(note, '${ops.Redact.EmailPattern}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(note, '${ops.Redact.PhonePattern}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(note, '${ops.Redact.Ipv4Pattern}')) AS BIGINT) AS n_ips
+        FROM n ORDER BY c_custkey"""),
+      (s, d) => {
+        val note = concat(lit("reach "), col("c_name"), lit(" at user"),
+          col("c_custkey").cast(StringType), lit("@mail.example or +62-811-"),
+          (col("c_custkey") % 10000).cast(StringType), lit(" from 10.0."),
+          (col("c_custkey") % 256).cast(StringType), lit(".7"))
+        spread(customer(s, d)).select(col("c_custkey"), note.as("note"))
+          .select(col("c_custkey"),
+            ops.Redact.pii(col("note")).as("redacted"),
+            ops.Redact.emailCount(col("note")).as("n_emails"),
+            ops.Redact.phoneCount(col("note")).as("n_phones"),
+            ops.Redact.ipv4Count(col("note")).as("n_ips"))
+          .orderBy("c_custkey")
+      }),
+
+    // Corpus bigram heavy hitters (the n-gram statistics behind LM
+    // boilerplate detection and collocation mining). Adjacent-pair
+    // construction via two shifted slices zipped in the scan; the
+    // explode collapses through a map-side partial aggregate into ONE
+    // shuffle, and the top-k is TakeOrderedAndProject — same shape as
+    // q72's unigram vocabulary. Ties break on the bigram text.
+    QueryDef("q74_bigram_topk",
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram FROM w)
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"""),
+      (s, d) => {
+        val w = words(col("text"))
+        val bigrams = zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        spread(documents(s, d))
+          .select(explode(bigrams).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(30)
+      }),
+
+    // TF-IDF keyword extraction: per-document top-3 tokens by an
+    // ALL-INTEGER tf-idf score (tf * (1e6 * n_docs div df)) — integer
+    // div keeps the score engine-exact where a float idf would be
+    // summation-order bait. Two hash aggregations (doc-term, then term)
+    // + a broadcast scalar + a doc-partitioned window: every stage
+    // shuffles on a high-cardinality key, nothing serializes at scale.
+    QueryDef("q75_tfidf_keywords",
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        idf AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (SELECT doc_id, tf.w AS token,
+                CAST(tf * ((1000000 * n_docs) // df) AS BIGINT) AS score
+              FROM tf JOIN idf ON tf.w = idf.w CROSS JOIN n),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS rn FROM s)
+        SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, score
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""),
+      (s, d) => {
+        val toks = spread(documents(s, d))
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.join(idf, "w").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("w").as("token"),
+            (col("tf") * expr("(1000000 * n_docs) div df")).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("token"))).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("token"), col("score"))
+          .orderBy("doc_id", "rn")
+      }),
+
+    // Symmetric int8 embedding quantization (the storage/serving form
+    // of an ANN corpus: 4x smaller than float32, exact max-abs scale
+    // per vector). abs/max are IEEE-exact, the divide-then-round runs
+    // on identical doubles on both engines, and both engines round
+    // half away from zero — bit-identical int codes. Pure scan-side
+    // array math: zero shuffle at any scale.
+    QueryDef("q76_embedding_quantization",
+      Some("""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM t)
+        SELECT vec_id, s AS scale,
+               [CAST(round(x * 127.0 / s) AS INTEGER) for x in v] AS q
+        FROM m ORDER BY vec_id"""),
+      (s, d) => {
+        val v = asDouble(col("embedding"))
+        spread(embeddings(s, d))
+          .select(col("vec_id"), v.as("v"),
+            array_max(transform(v, x => abs(x))).as("s"))
+          .select(col("vec_id"), col("s").as("scale"),
+            transform(col("v"),
+              x => round(x * lit(127.0) / col("s")).cast(IntegerType)).as("q"))
+          .orderBy("vec_id")
+      }),
+
+    // Centroid assignment (the k-means E-step / IVF coarse-quantizer
+    // training primitive): every vector joins the SMALL broadcast
+    // centroid set (deterministically seeded: vec_id % 101 = 0) and
+    // keeps its argmax-cosine centroid, centroid-id tiebreak. At scale
+    // the centroid table is always broadcast-sized (k << n), so the
+    // assignment is a map-only pass.
+    QueryDef("q77_centroid_assign",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t WHERE vec_id % 101 = 0),
+        p AS (SELECT t.vec_id, centroid_id, ${cosSql("v", "cv")} AS cosine
+              FROM t CROSS JOIN c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, centroid_id) AS rn FROM p)
+        SELECT vec_id, centroid_id, cosine FROM r WHERE rn = 1
+        ORDER BY vec_id"""),
+      (s, d) => {
+        val t = spread(embeddings(s, d))
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val cent = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            asDouble(col("embedding")).as("cv"))
+        t.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("centroid_id"),
+            graft.plans.VectorExpressions.cosineSim(col("v"), col("cv")).as("cosine"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("cosine").desc, col("centroid_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("vec_id")
+      }),
+
+    // Curriculum ordering: global 1-based training position under
+    // (longest-first, id tiebreak) — [[ops.Ranking.globalRowNumber]],
+    // the hierarchical two-pass form whose local ranks parallelize
+    // where a naive global window serializes the corpus through one
+    // task. The oracle replays the single-window semantics the
+    // operator must exactly reproduce.
+    QueryDef("q78_curriculum_order",
+      Some("""
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS pos
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => ops.Ranking.globalRowNumber(
+          spread(documents(s, d)).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id")), "pos")
+        .orderBy("doc_id")),
+
+    // Length-bucketed batch shaping: subword-length histogram per
+    // source (the padding-efficiency signal behind length-grouped
+    // batching). Exact integer token estimate, integer-div buckets,
+    // one partial-aggregated shuffle on a bounded key space.
+    QueryDef("q79_length_buckets",
+      Some("""
+        WITH t AS (SELECT source,
+          list_reduce(list_transform(string_split(text, ' '),
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+                      (a, b) -> a + b) AS n_tok
+        FROM documents)
+        SELECT source, CAST(n_tok // 64 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+        FROM t GROUP BY source, bucket ORDER BY source, bucket"""),
+      (s, d) => spread(documents(s, d))
+        .select(col("source"),
+          subwordTokenCount(words(col("text"))).as("n_tok"))
+        .groupBy(col("source"), expr("n_tok div 64").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+          min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+        .orderBy("source", "bucket"))
   )
 }

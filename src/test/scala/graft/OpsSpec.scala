@@ -159,4 +159,67 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(wins.contains(2), s"packing window must key on (chunk, stratum); got $wins")
   }
+
+  test("PII redaction masks every occurrence and spares lookalikes") {
+    import spark.implicits._
+    import graft.ops.Redact
+    val rows = Seq(
+      // multiple occurrences of each kind in one string
+      (1L, "a@b.com then c.d+e@sub.host.org and +1-555-0100 or +62-21-555 at 10.0.0.1 via 192.168.255.254"),
+      // lookalikes that must SURVIVE: bare number (no +), version
+      // string (3 dots but alpha), @ without domain dot, dotted triple
+      (2L, "call 555-0100 about v1.2.3 or user@localhost at 10.0.1"),
+      (3L, "no pii at all"))
+      .toDF("id", "note")
+    val out = rows.select(col("id"), Redact.pii(col("note")).as("r"),
+        Redact.emailCount(col("note")).as("ne"),
+        Redact.phoneCount(col("note")).as("np"),
+        Redact.ipv4Count(col("note")).as("ni"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("<EMAIL> then <EMAIL> and <PHONE> or <PHONE> at <IP> via <IP>", 2L, 2L, 2L)))
+    assert(out(2L) == (("call 555-0100 about v1.2.3 or user@localhost at 10.0.1", 0L, 0L, 0L)))
+    assert(out(3L) == (("no pii at all", 0L, 0L, 0L)))
+  }
+
+  test("global row number equals the single-window form and parallelizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // many ties on the primary key force the id tiebreak across chunk
+    // boundaries — the case where a partial order would be nondeterministic
+    val docs = (0L until 4000L).map(i => (i, (i % 13).toInt))
+      .toDF("doc_id", "score")
+    val ranked = graft.ops.Ranking.globalRowNumber(
+      docs, Seq(col("score").desc, col("doc_id")), "pos", chunks = 8)
+    val ref = docs.withColumn("pos",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    assert(ranked.orderBy("doc_id").collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+    // chunk-boundary independence
+    val ranked3 = graft.ops.Ranking.globalRowNumber(
+      docs, Seq(col("score").desc, col("doc_id")), "pos", chunks = 3)
+    assert(ranked3.orderBy("doc_id").collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+    // the local rank window keys on the chunk (parallel), never global
+    val wins = ranked.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window
+          if n.windowExpressions.exists(_.name == "_local_rn") => n.partitionSpec.size
+    }
+    assert(wins.forall(_ >= 1), s"local rank must be chunk-partitioned; got $wins")
+  }
+
+  test("int8 quantization stays in range and inverts within scale/127") {
+    val q = Queries.byName("q76_embedding_quantization").build(spark, sf)
+      .collect()
+    assert(q.length > 0)
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.length == 64)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // the max-abs element must quantize to exactly +/-127
+      assert(codes.exists(c => math.abs(c) == 127))
+      assert(scale > 0.0)
+    }
+  }
 }

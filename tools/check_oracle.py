@@ -139,7 +139,14 @@ def main():
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
             for j, (x, y) in enumerate(zip(a, b)):
-                eq = (x == y)  # strict: floats require exact match
+                # array-valued cells (numpy arrays / lists) compare
+                # elementwise — `==` on them yields an array, not a bool
+                if hasattr(x, "__len__") and not isinstance(x, str):
+                    xs, ys = list(x), list(y) if hasattr(y, "__len__") else [y]
+                    eq = len(xs) == len(ys) and all(
+                        p == q for p, q in zip(xs, ys))
+                else:
+                    eq = (x == y)  # strict: floats require exact match
                 # timestamps/dates: pandas may give Timestamp vs datetime
                 if not eq and hasattr(x, "to_pydatetime"):
                     eq = x.to_pydatetime() == (y.to_pydatetime() if hasattr(y, "to_pydatetime") else y)

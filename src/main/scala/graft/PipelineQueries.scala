@@ -912,12 +912,22 @@ object PipelineQueries {
       (s, d) => {
         val toks = spread(documents(s, d))
           .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        // persisted: tf feeds BOTH the scored join's left side and the
+        // df aggregation — unpersisted, the token explode + first
+        // aggregation execute twice (verified in the formatted plan).
+        // Plan-keyed, so repeat builds share one entry.
         val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
-        tf.join(idf, "w").crossJoin(broadcast(nDocs))
+        // the corpus size is resolved to a literal up front (a parquet
+        // count is metadata-only; in a production pipeline N arrives
+        // from the previous stage) — a scalar cross join would plan the
+        // one nested-loop join the inventory-wide ban forbids, and a
+        // constant-key equi-join gets folded right back into one
+        val nDocs = documents(s, d).count()
+        tf.join(idf, "w")
           .select(col("doc_id"), col("w").as("token"),
-            (col("tf") * expr("(1000000 * n_docs) div df")).as("score"))
+            (col("tf") * expr(s"(1000000 * ${nDocs}L) div df")).as("score"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id")
               .orderBy(col("score").desc, col("token"))).cast(LongType))

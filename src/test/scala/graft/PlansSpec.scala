@@ -113,9 +113,12 @@ class PlansSpec extends AnyFunSuite {
 
   test("no query silently plans a cartesian or nested-loop join") {
     // queries where a nested-loop is INTENTIONAL: a broadcast cross
-    // join against a literally-one-row build side (the ANN query
-    // vector) — constant work per probe row, safe at any scale
-    val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann")
+    // join against a bounded build side — a literally-one-row probe
+    // (the ANN query vector) or the k-centroid set of the k-means
+    // E-step (n x k comparisons IS the operator's semantics, k << n)
+    // — constant work per probe row, safe at any scale
+    val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
+      "q77_centroid_assign")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -156,10 +159,22 @@ class PlansSpec extends AnyFunSuite {
       s"expected doc_id+source in ReadSchema, got: $schema")
     assert(!schema.contains("text"),
       s"q68 scan must not read the text column: $schema")
-    // q69 needs text only to count tokens; lang/n_chars stay unread
+    // q69 needs text only to count tokens; lang/n_chars stay unread.
+    // The packing operator persists its range-sliced frame, so the
+    // file scan sits INSIDE the InMemoryRelation's cached plan
     val q69 = Queries.byName("q69_sequence_packing").build(spark, sf)
-    val s69 = q69.queryExecution.sparkPlan.collect {
-      case s: FileSourceScanExec => s }
+    val top = q69.queryExecution.sparkPlan
+    // the cached plan roots at an AdaptiveSparkPlanExec LEAF — unwrap
+    // it or collect() never reaches the file scan
+    val s69 = top.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        (m.relation.cachedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }).collect { case s: FileSourceScanExec => s }
+    }.flatten
     assert(s69.nonEmpty)
     val schema69 = s69.head.metadata.getOrElse("ReadSchema", "")
     assert(!schema69.contains("lang") && !schema69.contains("n_chars"),

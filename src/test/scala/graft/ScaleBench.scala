@@ -89,7 +89,13 @@ object ScaleBench {
     val names = Seq("q61_decontamination", "q50_knn_join",
       "q65_embedding_decontamination", "q49_correlated_subquery", "q11_star_join",
       "q27_jaccard_neardup", "q70_embedding_neardup_survivors",
-      "q68_stratified_sample", "q69_sequence_packing")
+      "q68_stratified_sample", "q69_sequence_packing",
+      // round 6: the new operators with data-proportional stages.
+      // q77's centroid count is tied to the corpus by the id modulus,
+      // so its n x k cost grows ~100x at 10x rows — expected: real
+      // k-means holds k fixed as n grows; the ratio documents that.
+      "q74_bigram_topk", "q75_tfidf_keywords", "q76_embedding_quantization",
+      "q77_centroid_assign", "q78_curriculum_order")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

@@ -248,6 +248,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-TEST-document contamination diagnostics — the audit table a
+    * production gate publishes next to the quarantine list: how many
+    * train docs collided with each eval doc in LSH blocking, how many
+    * verified contaminated at `threshold`, and the maximum exact
+    * Jaccard seen. Eval docs with zero candidates appear with 0/0/NULL
+    * (a left join from the test side — silence is a result here: it is
+    * the evidence an eval set is clean).
+    *
+    * Same blocked equi-join shape as [[contaminatedIdsSigned]]; the
+    * aggregation keys on the test id (bounded by the eval-set size, so
+    * the output is always small no matter the train corpus).
+    */
+  def contaminationReport(
+      trainSig: DataFrame,
+      testSig: DataFrame,
+      idCol: String,
+      threshold: Double = 0.8,
+      minhashK: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    requireSameMeta(trainSig, testSig, "shingles", ShingleNMetadataKey, "shingleN")
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    val pairs = Pipeline
+      .lshCrossCandidates(trainSig, testSig, idCol, minhashK, bands, maxBucketSize)
+      .join(trainSig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(testSig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+      .withColumn("_j",
+        inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
+    val stats = pairs.groupBy(col("b_id"))
+      // candidate pairs are DISTINCT (a_id, b_id) by construction, so
+      // plain counts are per-train-doc counts
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("_j") >= threshold, lit(1))).as("n_contaminated"),
+        max(col("_j")).as("max_jaccard"))
+    testSig.select(col(idCol).as("test_doc_id"))
+      .join(stats, col("test_doc_id") === col("b_id"), "left")
+      .select(col("test_doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("max_jaccard"))
+  }
+
   /** EMBEDDING-space decontamination: remove every `train` row whose
     * cosine similarity to ANY `test` row reaches `minCosine` — the
     * semantic companion of the n-gram [[decontaminate]] (paraphrased

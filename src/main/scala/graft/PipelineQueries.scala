@@ -1031,6 +1031,64 @@ object PipelineQueries {
         .groupBy(col("source"), expr("n_tok div 64").as("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
           min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
-        .orderBy("source", "bucket"))
+        .orderBy("source", "bucket"))  ,
+
+    // Contamination REPORT (the audit companion of q61's quarantine
+    // list): per EVAL doc — LSH candidate count, verified-contaminated
+    // count at the threshold, and max exact Jaccard; eval docs with
+    // zero candidates ride a left join (0/0/NULL — "this eval doc is
+    // clean" is the result a gate publishes). The aggregation keys on
+    // the test id, so the report is eval-set-sized no matter how big
+    // the train corpus is.
+    QueryDef("q80_contamination_report",
+      Some("""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, source,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+               FROM w WHERE len(w) >= 3),
+        hs AS (SELECT doc_id, source,
+                 list_transform(shingles, s ->
+                   list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
+                               (a, b) -> a*16 + b)) AS hs
+               FROM sh),
+        sig AS (SELECT doc_id, source,
+                  [list_min(list_transform(hs, h ->
+                     ((2*j + 3 + j*j*7919) * h + 104729*(j+1)) % 2305843009213693951))
+                   for j in range(0, 16)] AS sig
+                FROM hs),
+        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh
+                 WHERE x.source <> 'src0' AND y.source = 'src0'),
+        jp AS (SELECT c.b_id,
+                 CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) AS j
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.a_id
+               JOIN sh b ON b.doc_id = c.b_id),
+        rep AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                       CAST(COUNT(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_contaminated,
+                       MAX(j) AS max_jaccard
+                FROM jp GROUP BY b_id)
+        SELECT t.doc_id AS test_doc_id,
+               COALESCE(n_candidates, 0) AS n_candidates,
+               COALESCE(n_contaminated, 0) AS n_contaminated,
+               max_jaccard
+        FROM sh t LEFT JOIN rep ON rep.b_id = t.doc_id
+        WHERE t.source = 'src0' ORDER BY test_doc_id"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val trainSig = Dedup.shingleSignatures(
+          spread(docs.filter(col("source") =!= "src0")), "doc_id", "text")
+          .persist(disk)
+        val testSig = Dedup.shingleSignatures(
+          spread(docs.filter(col("source") === "src0")), "doc_id", "text")
+          .persist(disk)
+        Dedup.contaminationReport(trainSig, testSig, "doc_id", threshold = 0.5)
+          .orderBy("test_doc_id")
+      })
   )
 }

@@ -134,6 +134,78 @@ object Similarity {
     ivfTopK(df, idCol, vecCol, cellCol, ivfIndex(df, vecCol, cellCol),
       queryId, k, nProbe)
 
+  /** Result of [[kmeansFit]]: final assignments (`idCol`, `cluster_id`,
+    * `cosine`), the centroid matrix (the model — k x dims, driver-side
+    * by design: it IS what a clustering job publishes), and the
+    * per-iteration spherical inertia `sum(1 - cos)` trace.
+    */
+  final case class KMeans(assignments: DataFrame,
+                          centroids: Array[Array[Double]],
+                          inertia: Seq[Double])
+
+  /** Spherical k-means (Lloyd) over an embedding corpus — the
+    * offline training step for [[ivfTopK]]'s coarse quantizer (q77
+    * oracle-gates one E-step; this iterates E/M to a usable model).
+    *
+    * Scale shape per iteration: the E-step is the q77 plan — corpus x
+    * broadcast centroids (k << n), fused-codegen cosine, per-row argmax
+    * — a map-only pass; the M-step's `posexplode -> groupBy(cid, dim)`
+    * partial-aggregates map-side, so the shuffle carries at most
+    * k x dims rows PER TASK, and the k x dims result collects to the
+    * driver (bounded — it is the model). Seeds are the k rows with the
+    * smallest md5-derived id hash: deterministic across runs, engines,
+    * and retries. An emptied cluster keeps its previous centroid.
+    *
+    * Centroid means are double sums under Spark's partition-order
+    * aggregation, so trailing-ulp drift across runs is possible (the
+    * spec compares against a sequential reference within tolerance);
+    * assignments are stable because blob separation dwarfs the drift.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int = 5): KMeans = {
+    require(k > 0, s"kmeansFit needs k > 0, got $k")
+    require(iters > 0, s"kmeansFit needs iters > 0, got $iters")
+    val spark = df.sparkSession
+    val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .persist(Disk)
+    val seeds = base
+      .orderBy(Pipeline.wordHash32(col(idCol).cast("string")), col(idCol))
+      .limit(k).collect()
+    require(seeds.length == k, s"corpus has fewer than k=$k rows")
+    var cents: Array[Array[Double]] = seeds.map(_.getSeq[Double](1).toArray)
+    val dims = cents(0).length
+    def centsDF = {
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("_cid", "_cv")
+    }
+    def assign(c: DataFrame) = base.crossJoin(broadcast(c))
+      .select(col(idCol), col("_v"), col("_cid"),
+        cosineSim(col("_cv"), col("_v")).as("_cos"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("_cos").desc, col("_cid"))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val inertia = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val a = assign(centsDF).persist(Disk)
+      inertia += a.agg(sum(lit(1.0) - col("_cos"))).head.getDouble(0)
+      val means = a
+        .select(col("_cid"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy("_cid", "_d").agg(avg("_x").as("_m"))
+        .collect()
+      val next = cents.map(_.clone()) // emptied cluster -> keep centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      a.unpersist()
+    }
+    val out = assign(centsDF)
+      .select(col(idCol), col("_cid").as("cluster_id"), col("_cos").as("cosine"))
+    base.unpersist()
+    KMeans(out, cents, inertia.result())
+  }
+
   /** Append text-analysis feature columns to a document DataFrame:
     * token counts, type-token ratio, stopword ratio, BPE-ish subword
     * estimate, canonical fingerprint, rolling hash — all scan-side

@@ -670,4 +670,79 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("planes=4"))
   }
+
+  test("kmeansFit matches a sequential Lloyd reference on planted blobs") {
+    import spark.implicits._
+    // 3 blobs x 40 points, 64 dims: blob b sits on axis 20*b with a
+    // small per-point perturbation on the disjoint 50+ axis block —
+    // within-blob cosine ~0.99, cross-blob ~0.003, so the argmax is
+    // far outside float drift
+    // id offset chosen so the deterministic hash seeding lands one
+    // seed in each blob (with ids 0..119 the 3 smallest hashes all sit
+    // in blob 0, and Lloyd faithfully converges to the merged local
+    // optimum — the operator matched the reference there too, but blob
+    // recovery is the property this test wants to pin)
+    val off = 364
+    val pts = (0 until 120).map { i =>
+      val v = new Array[Double](64)
+      v(20 * (i % 3)) = 1.0
+      v(50 + (i % 7)) = 0.05 * ((i % 5) + 1)
+      ((off + i).toLong, v)
+    }
+    val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val iters = 4
+    val r = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = iters)
+    // Lloyd never increases spherical inertia
+    assert(r.inertia.length == iters)
+    r.inertia.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"inertia rose: ${r.inertia}")
+      case _ => ()
+    }
+
+    // sequential reference with the SAME seed rule (md5-hash order),
+    // argmax tiebreak (cos desc, cid asc), and empty-cluster policy
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- a.indices) { dot += a(d)*b(d); na += a(d)*a(d); nb += b(d)*b(d) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = pts.toMap
+    var cents = pts.map(_._1).sortBy(id => (h32(id.toString), id)).take(3)
+      .map(byId(_).clone()).toArray
+    def assign() = pts.map { case (id, v) =>
+      id -> (0 until 3).map(c => (c, cos(cents(c), v)))
+        .maxBy { case (c, s) => (s, -c) }._1
+    }.toMap
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cents = (0 until 3).map { c =>
+        val members = pts.filter(p => a(p._1) == c)
+        if (members.isEmpty) cents(c)
+        else {
+          val m = new Array[Double](64)
+          members.foreach(p => (0 until 64).foreach(d => m(d) += p._2(d)))
+          (0 until 64).foreach(d => m(d) /= members.length)
+          m
+        }
+      }.toArray
+    }
+    val ref = assign()
+    val got = r.assignments.collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(got == ref, "assignments diverge from the sequential reference")
+    for (c <- 0 until 3; d <- 0 until 64)
+      assert(math.abs(r.centroids(c)(d) - cents(c)(d)) < 1e-6,
+        s"centroid ($c,$d): ${r.centroids(c)(d)} vs ${cents(c)(d)}")
+    // and the blobs are actually recovered: each blob maps to one
+    // cluster, three distinct clusters
+    val blobToCluster = (0 until 3).map(b => got((off + b).toLong))
+    assert(blobToCluster.distinct.length == 3)
+    assert(pts.forall { case (id, _) =>
+      got(id) == blobToCluster(((id - off) % 3).toInt) })
+  }
 }

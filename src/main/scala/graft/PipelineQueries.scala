@@ -1089,6 +1089,74 @@ object PipelineQueries {
           .persist(disk)
         Dedup.contaminationReport(trainSig, testSig, "doc_id", threshold = 0.5)
           .orderBy("test_doc_id")
-      })
+      }),
+
+    // Corpus snapshot diff (incremental updates): classify docs across
+    // two corpus versions via a full outer id-join over content HASHES
+    // (16-byte digests travel through the join, never the documents).
+    // The "v2" snapshot is synthesized deterministically from the same
+    // table so the oracle can replay it: every doc_id % 23 == 0 row
+    // removed, % 17 == 0 rewritten, a shifted copy of % 31 == 0 added.
+    QueryDef("q81_snapshot_diff",
+      Some("""
+        WITH v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 23 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 31 = 0),
+        o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        n AS (SELECT doc_id, md5(text) AS nh FROM v2)
+        SELECT CASE WHEN oh IS NULL THEN 'added'
+                    WHEN nh IS NULL THEN 'removed'
+                    WHEN oh <> nh THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o FULL OUTER JOIN n USING (doc_id)
+        GROUP BY status ORDER BY status"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val v2 = docs.filter(col("doc_id") % 23 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(docs.filter(col("doc_id") % 31 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        graft.ops.Diff.snapshotDiffCounts(docs, v2, "doc_id", "text")
+          .orderBy("status")
+      }),
+
+    // Per-source corpus health report: the one-stop monitoring row a
+    // scheduled 100 TB pipeline publishes per source per run. Exact
+    // integer tallies + one double ratio computed from identical
+    // integers on both engines; bounded output (one row per source).
+    QueryDef("q82_source_health",
+      Some("""
+        WITH t AS (SELECT source, lang, md5(text) AS h,
+                     list_reduce(list_transform(string_split(text, ' '),
+                                   x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+                                 (a, b) -> a + b) AS n_tok
+                   FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+        FROM t GROUP BY source ORDER BY source"""),
+      (s, d) => spread(documents(s, d))
+        .select(col("source"), col("lang"), md5(col("text")).as("h"),
+          subwordTokenCount(words(col("text"))).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_tok").as("total_tokens"),
+          (sum("n_tok").cast(DoubleType) / count(lit(1))).as("mean_tokens"),
+          min("n_tok").as("min_tokens"),
+          max("n_tok").as("max_tokens"))
+        .orderBy("source"))
   )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diff: classify every document across two corpus
+  * versions as added / removed / changed / unchanged — the incremental-
+  * update primitive behind "what moved between yesterday's crawl and
+  * today's" (re-clean only the changed slice, re-pack only the touched
+  * strata, audit unexpected churn).
+  *
+  * One full outer equi-join on the id (each side shuffles once on a
+  * high-cardinality key) comparing a content HASH, not the content —
+  * at 100 TB the join carries two 16-byte digests per row instead of
+  * the documents themselves, and both scans prune to (id, content)
+  * before hashing.
+  */
+object Diff {
+
+  val Added = "added"
+  val Removed = "removed"
+  val Changed = "changed"
+  val Unchanged = "unchanged"
+
+  /** Per-id status frame: (`idCol`, `status`). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(contentCol)).as("_old_h"))
+    val n = newDf.select(col(idCol), md5(col(contentCol)).as("_new_h"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol), statusExpr(col("_old_h"), col("_new_h")).as("status"))
+  }
+
+  private def statusExpr(oldH: Column, newH: Column): Column =
+    when(oldH.isNull, Added)
+      .when(newH.isNull, Removed)
+      .when(oldH =!= newH, Changed)
+      .otherwise(Unchanged)
+
+  /** Bounded summary of [[snapshotDiff]] (4 rows — the churn report a
+    * scheduler alerts on).
+    */
+  def snapshotDiffCounts(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                         contentCol: String): DataFrame =
+    snapshotDiff(oldDf, newDf, idCol, contentCol)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+}

@@ -88,6 +88,39 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming PII audit: redact on arrival (stateless — the batch
+    * [[graft.ops.Redact]] columns are pure scan-side expressions, so
+    * stream and batch redaction share one implementation and cannot
+    * drift) and carry the per-kind occurrence counts for the windowed
+    * audit aggregate. Expects columns (ts, idCol, textCol).
+    */
+  def redactedStream(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs.select(col("ts"), col(idCol),
+      graft.ops.Redact.pii(col(textCol)).as(textCol),
+      graft.ops.Redact.emailCount(col(textCol)).as("n_emails"),
+      graft.ops.Redact.phoneCount(col(textCol)).as("n_phones"),
+      graft.ops.Redact.ipv4Count(col(textCol)).as("n_ips"))
+
+  /** Watermarked tumbling-window PII rates over [[redactedStream]]'s
+    * output — the audit signal a continuously-fed corpus publishes
+    * ("which source started leaking emails this hour"). State bounded
+    * by the watermark like every windowed aggregate here.
+    */
+  def piiAuditWindows(redacted: DataFrame): DataFrame =
+    redacted
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum("n_ips").as("n_ips"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_emails"), col("n_phones"), col("n_ips"),
+        col("n_docs_with_pii"))
+
   /** Streaming CONTENT dedup: the canonical token-set fingerprint as
     * the dedup key, so reordered/duplicated text dedups on arrival
     * even when the copies carry different timestamps — the streaming

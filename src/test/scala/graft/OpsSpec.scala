@@ -208,6 +208,22 @@ class OpsSpec extends AnyFunSuite {
     assert(wins.forall(_ >= 1), s"local rank must be chunk-partitioned; got $wins")
   }
 
+  test("snapshot diff labels every id with its churn status") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Diff.snapshotDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val counts = graft.ops.Diff.snapshotDiffCounts(old, nw, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("int8 quantization stays in range and inverts within scale/127") {
     val q = Queries.byName("q76_embedding_quantization").build(spark, sf)
       .collect()

@@ -49,6 +49,36 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII audit redacts on arrival and windows the rates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val redacted = Streams.redactedStream(df, "doc_id", "text")
+    val q = Streams.piiAuditWindows(redacted).writeStream
+      .format("memory").queryName("pii_audit").outputMode("update").start()
+    val q2 = redacted.writeStream
+      .format("memory").queryName("pii_redacted").outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, "mail me at a@b.com or call +1-555-0100"),
+        (ts(5), 2L, "server 10.0.0.1 and backup 10.0.0.2"),
+        (ts(10), 3L, "nothing sensitive here"))
+      q.processAllAvailable(); q2.processAllAvailable()
+      val audit = spark.table("pii_audit")
+        .select("n_docs", "n_emails", "n_phones", "n_ips", "n_docs_with_pii")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(audit.toSeq == Seq((3L, 1L, 1L, 2L, 2L)))
+      val texts = spark.table("pii_redacted")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(texts(1L) == "mail me at <EMAIL> or call <PHONE>")
+      assert(texts(2L) == "server <IP> and backup <IP>")
+      assert(texts(3L) == "nothing sensitive here")
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("watermarked stream-stream join matches clicks to later purchases") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -219,8 +219,8 @@ object CorpusPipeline {
       ratesPermille, defaultPermille).persist(Disk)
     // n_subword_est comes from the feature-annotation stage — the same
     // token estimate the oracle-checked q69 packs on
-    val packed = ops.Sampling.packSequences(mixed, idCol, strataCol,
-      "n_subword_est", tokenBudget)
+    val (packed, releasePack) = ops.Sampling.packSequencesReleasable(
+      mixed, idCol, strataCol, "n_subword_est", tokenBudget)
     val report = PrepareReport(cleanReport, afterTextDecon, afterEmbDecon,
       mixed.count())
     // mixed's cache now roots the returned corpus; everything upstream
@@ -233,7 +233,7 @@ object CorpusPipeline {
     st.sig.unpersist()
     st.near.unpersist()
     testSig.unpersist()
-    Prepared(packed, report, () => { mixed.unpersist(); () })
+    Prepared(packed, report, () => { releasePack(); mixed.unpersist(); () })
   }
 }
 

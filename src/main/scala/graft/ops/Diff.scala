@@ -22,20 +22,26 @@ object Diff {
   val Changed = "changed"
   val Unchanged = "unchanged"
 
-  /** Per-id status frame: (`idCol`, `status`). */
+  /** Per-id status frame: (`idCol`, `status`). Presence is carried by
+    * an explicit per-side marker, NOT by hash nullness — `md5(NULL)` is
+    * NULL, so a present row with NULL content would otherwise read as
+    * absent and misclassify (NULL→'x' must be `changed`, NULL→NULL
+    * `unchanged`); the hash compare itself is null-safe for the same
+    * reason.
+    */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(contentCol)).as("_old_h"))
-    val n = newDf.select(col(idCol), md5(col(contentCol)).as("_new_h"))
+    val o = oldDf.select(col(idCol), md5(col(contentCol)).as("_old_h"),
+      lit(true).as("_old_p"))
+    val n = newDf.select(col(idCol), md5(col(contentCol)).as("_new_h"),
+      lit(true).as("_new_p"))
     o.join(n, Seq(idCol), "full_outer")
-      .select(col(idCol), statusExpr(col("_old_h"), col("_new_h")).as("status"))
+      .select(col(idCol),
+        when(col("_old_p").isNull, Added)
+          .when(col("_new_p").isNull, Removed)
+          .when(!(col("_old_h") <=> col("_new_h")), Changed)
+          .otherwise(Unchanged).as("status"))
   }
-
-  private def statusExpr(oldH: Column, newH: Column): Column =
-    when(oldH.isNull, Added)
-      .when(newH.isNull, Removed)
-      .when(oldH =!= newH, Changed)
-      .otherwise(Unchanged)
 
   /** Bounded summary of [[snapshotDiff]] (4 rows — the churn report a
     * scheduler alerts on).

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-safe GLOBAL ordering: assign each row its 1-based position in
@@ -33,27 +32,22 @@ object Ranking {
     * runs.
     */
   def globalRowNumber(df: DataFrame, sort: Seq[Column],
-                      outCol: String = "pos", chunks: Int = 0): DataFrame = {
-    val n = if (chunks > 0) chunks
-            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sliced = df
-      .repartitionByRange(n, sort: _*)
-      .withColumn("_chunk", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val local = Window.partitionBy("_chunk").orderBy(sort: _*)
-    val withLocal = sliced.withColumn("_local_rn",
-      row_number().over(local).cast("long"))
-    val offs = Window.orderBy("_chunk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // chunks rows: the offsets window is tiny by construction, so the
-    // single-partition window here is a non-issue
-    val offsets = sliced.groupBy(col("_chunk"))
-      .agg(count(lit(1)).as("_chunk_n"))
-      .withColumn("_offset", coalesce(sum(col("_chunk_n")).over(offs), lit(0L)))
-      .select(col("_chunk").as("_off_chunk"), col("_offset"))
-    withLocal
-      .join(broadcast(offsets), col("_chunk") === col("_off_chunk"))
-      .withColumn(outCol, col("_offset") + col("_local_rn"))
-      .drop("_chunk", "_local_rn", "_off_chunk", "_offset")
+                      outCol: String = "pos", chunks: Int = 0): DataFrame =
+    globalRowNumberReleasable(df, sort, outCol, chunks)._1
+
+  /** [[globalRowNumber]] plus the release handle for the internal
+    * boundary-consistency cache ([[Hierarchical.prefixSum]]) — call it
+    * once the ranked output is materialized. The handle-less form is
+    * for one-shot jobs; a long-lived session ranking many distinct
+    * corpora must release, or each call pins a full MEMORY_AND_DISK
+    * copy of its input until session end.
+    */
+  def globalRowNumberReleasable(df: DataFrame, sort: Seq[Column],
+                                outCol: String = "pos",
+                                chunks: Int = 0): (DataFrame, () => Unit) = {
+    // position = exclusive prefix COUNT under the total order, + 1
+    val (pref, release) = Hierarchical.prefixSum(df, sort, Nil, lit(1L),
+      "_before", chunks)
+    (pref.withColumn(outCol, col("_before") + lit(1L)).drop("_before"), release)
   }
 }

@@ -58,42 +58,23 @@ object Sampling {
     * floor: bit-safe on every engine at any magnitude.
     */
   def packSequences(df: DataFrame, idCol: String, strataCol: String,
-                    tokensCol: String, budget: Long, chunks: Int = 0): DataFrame = {
-    val n = if (chunks > 0) chunks
-            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // persisted because BOTH branches below (the local window and the
-    // per-chunk totals) read it: unpersisted, each branch plans its own
-    // repartitionByRange, and each execution SAMPLES ITS OWN range
-    // boundaries — on a non-order-stable input the two executions can
-    // slice different chunks, so the joined offsets would describe
-    // different chunks than _local_before was computed over (silently
-    // wrong bins). One InMemoryRelation = one boundary sample = one
-    // consistent chunking. Plan-keyed, so repeat builds share the entry;
-    // dropped by Spark's context cleaner when the frame is unreferenced.
-    val sliced = df
-      .repartitionByRange(n, col(strataCol), col(idCol))
-      .withColumn("_chunk", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val local = Window.partitionBy("_chunk", strataCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withLocal = sliced.withColumn(
-      "_local_before", coalesce(sum(col(tokensCol)).over(local), lit(0L)))
-    // chunks x strata rows: earlier-chunk totals per stratum = offset
-    val offs = Window.partitionBy(strataCol).orderBy("_chunk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // the chunk key is renamed on the offsets side so the join is on
-    // two DISTINCT attributes — joining a column with itself relies on
-    // fragile dataset-id disambiguation ("trivially true" warning)
-    val offsets = sliced.groupBy(col("_chunk"), col(strataCol))
-      .agg(sum(col(tokensCol)).as("_chunk_tot"))
-      .withColumn("_offset", coalesce(sum(col("_chunk_tot")).over(offs), lit(0L)))
-      .select(col("_chunk").as("_off_chunk"),
-        col(strataCol).as("_off_stratum"), col("_offset"))
-    withLocal
-      .join(broadcast(offsets),
-        col("_chunk") === col("_off_chunk") &&
-          col(strataCol) <=> col("_off_stratum"))
-      .withColumn("bin", expr(s"(_offset + _local_before) div $budget"))
-      .drop("_chunk", "_local_before", "_off_chunk", "_off_stratum", "_offset")
+                    tokensCol: String, budget: Long, chunks: Int = 0): DataFrame =
+    packSequencesReleasable(df, idCol, strataCol, tokensCol, budget, chunks)._1
+
+  /** [[packSequences]] plus the release handle for the internal
+    * boundary-consistency cache ([[Hierarchical.prefixSum]]) — call it
+    * once the packed output is materialized. The handle-less form is
+    * for one-shot jobs whose session ends with the query; a long-lived
+    * session packing many distinct corpora must release, or each call
+    * pins a full MEMORY_AND_DISK copy of its input until session end.
+    */
+  def packSequencesReleasable(df: DataFrame, idCol: String, strataCol: String,
+                              tokensCol: String, budget: Long,
+                              chunks: Int = 0): (DataFrame, () => Unit) = {
+    val (pref, release) = Hierarchical.prefixSum(df,
+      Seq(col(strataCol), col(idCol)), Seq(strataCol), col(tokensCol),
+      "_cum_before", chunks)
+    (pref.withColumn("bin", expr(s"_cum_before div $budget"))
+      .drop("_cum_before"), release)
   }
 }

@@ -92,34 +92,39 @@ object Streams {
     * [[graft.ops.Redact]] columns are pure scan-side expressions, so
     * stream and batch redaction share one implementation and cannot
     * drift) and carry the per-kind occurrence counts for the windowed
-    * audit aggregate. Expects columns (ts, idCol, textCol).
+    * audit aggregate. Every other column (id, source, ...) passes
+    * through untouched, so downstream audits can slice by any of them.
+    * Expects a `ts` column plus `textCol`.
     */
-  def redactedStream(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame =
-    docs.select(col("ts"), col(idCol),
-      graft.ops.Redact.pii(col(textCol)).as(textCol),
-      graft.ops.Redact.emailCount(col(textCol)).as("n_emails"),
-      graft.ops.Redact.phoneCount(col(textCol)).as("n_phones"),
-      graft.ops.Redact.ipv4Count(col(textCol)).as("n_ips"))
+  def redactedStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      // counts come from the ORIGINAL text, so they are computed
+      // before the redaction overwrites the column
+      .withColumn("n_emails", graft.ops.Redact.emailCount(col(textCol)))
+      .withColumn("n_phones", graft.ops.Redact.phoneCount(col(textCol)))
+      .withColumn("n_ips", graft.ops.Redact.ipv4Count(col(textCol)))
+      .withColumn(textCol, graft.ops.Redact.pii(col(textCol)))
 
   /** Watermarked tumbling-window PII rates over [[redactedStream]]'s
-    * output — the audit signal a continuously-fed corpus publishes
-    * ("which source started leaking emails this hour"). State bounded
-    * by the watermark like every windowed aggregate here.
+    * output, optionally sliced by pass-through dimensions — e.g.
+    * `groupCols = Seq("source")` answers "which source started leaking
+    * emails this hour". State bounded by the watermark like every
+    * windowed aggregate here.
     */
-  def piiAuditWindows(redacted: DataFrame): DataFrame =
+  def piiAuditWindows(redacted: DataFrame,
+                      groupCols: Seq[String] = Nil): DataFrame =
     redacted
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"))
+      .groupBy(window(col("ts"), "1 hour") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_emails").as("n_emails"),
         sum("n_phones").as("n_phones"),
         sum("n_ips").as("n_ips"),
         sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
           .otherwise(0L)).as("n_docs_with_pii"))
-      .select(col("window.start").as("window_start"), col("n_docs"),
-        col("n_emails"), col("n_phones"), col("n_ips"),
-        col("n_docs_with_pii"))
+      .select(col("window.start").as("window_start") +: groupCols.map(col) :+
+        col("n_docs") :+ col("n_emails") :+ col("n_phones") :+
+        col("n_ips") :+ col("n_docs_with_pii"): _*)
 
   /** Streaming CONTENT dedup: the canonical token-set fingerprint as
     * the dedup key, so reordered/duplicated text dedups on arrival

@@ -200,12 +200,14 @@ class OpsSpec extends AnyFunSuite {
       docs, Seq(col("score").desc, col("doc_id")), "pos", chunks = 3)
     assert(ranked3.orderBy("doc_id").collect().toSeq ==
       ref.orderBy("doc_id").collect().toSeq)
-    // the local rank window keys on the chunk (parallel), never global
+    // the local prefix window keys on the chunk (parallel) — the
+    // assertion is NON-vacuous: a size-1 partition spec must be present
+    // (the offsets window over the tiny chunk frame is the only
+    // permitted unpartitioned one)
     val wins = ranked.queryExecution.optimizedPlan.collect {
-      case n: org.apache.spark.sql.catalyst.plans.logical.Window
-          if n.windowExpressions.exists(_.name == "_local_rn") => n.partitionSpec.size
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n.partitionSpec.size
     }
-    assert(wins.forall(_ >= 1), s"local rank must be chunk-partitioned; got $wins")
+    assert(wins.contains(1), s"local rank must be chunk-partitioned; got $wins")
   }
 
   test("snapshot diff labels every id with its churn status") {
@@ -217,6 +219,17 @@ class OpsSpec extends AnyFunSuite {
     val got = graft.ops.Diff.snapshotDiff(old, nw, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // NULL content: presence must come from the side marker, not the
+    // hash (md5(NULL) is NULL) — NULL -> text is changed, NULL -> NULL
+    // unchanged, and a NULL-content row can still be added/removed
+    val oldN = Seq((1L, null: String), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val nwN = Seq((1L, "now set"), (2L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    val gotN = graft.ops.Diff.snapshotDiff(oldN, nwN, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN == Map(1L -> "changed", 2L -> "unchanged",
       3L -> "removed", 4L -> "added"))
     val counts = graft.ops.Diff.snapshotDiffCounts(old, nw, "doc_id", "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -52,24 +52,29 @@ class StreamsSpec extends AnyFunSuite {
   test("streaming PII audit redacts on arrival and windows the rates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Timestamp, Long, String)]
-    val df = in.toDF().toDF("ts", "doc_id", "text")
-    val redacted = Streams.redactedStream(df, "doc_id", "text")
-    val q = Streams.piiAuditWindows(redacted).writeStream
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "source", "text")
+    // source passes THROUGH the redaction, so the audit can slice on it
+    val redacted = Streams.redactedStream(df, "text")
+    val q = Streams.piiAuditWindows(redacted, groupCols = Seq("source"))
+      .writeStream
       .format("memory").queryName("pii_audit").outputMode("update").start()
     val q2 = redacted.writeStream
       .format("memory").queryName("pii_redacted").outputMode("append").start()
     try {
       in.addData(
-        (ts(0), 1L, "mail me at a@b.com or call +1-555-0100"),
-        (ts(5), 2L, "server 10.0.0.1 and backup 10.0.0.2"),
-        (ts(10), 3L, "nothing sensitive here"))
+        (ts(0), 1L, "crawl", "mail me at a@b.com or call +1-555-0100"),
+        (ts(5), 2L, "crawl", "server 10.0.0.1 and backup 10.0.0.2"),
+        (ts(10), 3L, "curated", "nothing sensitive here"))
       q.processAllAvailable(); q2.processAllAvailable()
       val audit = spark.table("pii_audit")
-        .select("n_docs", "n_emails", "n_phones", "n_ips", "n_docs_with_pii")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4)))
-      assert(audit.toSeq == Seq((3L, 1L, 1L, 2L, 2L)))
+        .select("source", "n_docs", "n_emails", "n_phones", "n_ips",
+          "n_docs_with_pii")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(audit == Map(
+        "crawl" -> ((2L, 1L, 1L, 2L, 2L)),
+        "curated" -> ((1L, 0L, 0L, 0L, 0L))))
       val texts = spark.table("pii_redacted")
         .select("doc_id", "text").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -140,11 +140,15 @@ def main():
         for i, (a, b) in enumerate(zip(sr, dr)):
             for j, (x, y) in enumerate(zip(a, b)):
                 # array-valued cells (numpy arrays / lists) compare
-                # elementwise — `==` on them yields an array, not a bool
-                if hasattr(x, "__len__") and not isinstance(x, str):
-                    xs, ys = list(x), list(y) if hasattr(y, "__len__") else [y]
-                    eq = len(xs) == len(ys) and all(
-                        p == q for p, q in zip(xs, ys))
+                # elementwise — `==` on them yields an array, not a
+                # bool. Guard BOTH sides: a scalar-vs-array pair must
+                # report FAIL, not crash the run with an ambiguous-
+                # truth-value error
+                x_arr = hasattr(x, "__len__") and not isinstance(x, str)
+                y_arr = hasattr(y, "__len__") and not isinstance(y, str)
+                if x_arr or y_arr:
+                    eq = (x_arr and y_arr and len(x) == len(y) and
+                          all(p == q for p, q in zip(list(x), list(y))))
                 else:
                     eq = (x == y)  # strict: floats require exact match
                 # timestamps/dates: pandas may give Timestamp vs datetime

@@ -133,7 +133,14 @@ object CorpusPipeline {
         s""""after_sampling":$afterSampling}"""
   }
 
-  /** Result of [[prepare]]. */
+  /** Result of [[prepare]]. `release()` ENDS the corpus' validity
+    * window: it drops the mixing cache AND the packer's
+    * boundary-consistency cache, and re-executing `corpus` after that
+    * can re-sample different range boundaries — wrong `bin` values
+    * with no error, not just a slow recompute. Materialize (write /
+    * collect) everything you need from `corpus` BEFORE calling
+    * `release()`; never run another action on it after.
+    */
   final case class Prepared(corpus: DataFrame, report: PrepareReport,
                             release: () => Unit)
 

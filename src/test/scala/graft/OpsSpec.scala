@@ -200,14 +200,20 @@ class OpsSpec extends AnyFunSuite {
       docs, Seq(col("score").desc, col("doc_id")), "pos", chunks = 3)
     assert(ranked3.orderBy("doc_id").collect().toSeq ==
       ref.orderBy("doc_id").collect().toSeq)
-    // the local prefix window keys on the chunk (parallel) — the
-    // assertion is NON-vacuous: a size-1 partition spec must be present
-    // (the offsets window over the tiny chunk frame is the only
-    // permitted unpartitioned one)
-    val wins = ranked.queryExecution.optimizedPlan.collect {
-      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n.partitionSpec.size
+    // the LOCAL-PREFIX window must be partitioned by the chunk id — an
+    // unpartitioned one would serialize the corpus through one task,
+    // the exact scale-killer this operator exists to avoid. The window
+    // expression's alias is compiler-generated (the sum nests inside a
+    // coalesce), so the window is identified by its PARTITION KEY; the
+    // assertion is non-vacuous (nonEmpty) and precise (only the
+    // chunk-keyed node counts).
+    val localWins = ranked.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window
+          if n.partitionSpec.exists(_.references.exists(_.name == "_chunk")) =>
+        n.partitionSpec.size
     }
-    assert(wins.contains(1), s"local rank must be chunk-partitioned; got $wins")
+    assert(localWins.nonEmpty,
+      "chunk-partitioned local-prefix window not found in the plan")
   }
 
   test("snapshot diff labels every id with its churn status") {

@@ -140,17 +140,18 @@ def main():
         for i, (a, b) in enumerate(zip(sr, dr)):
             for j, (x, y) in enumerate(zip(a, b)):
                 # array-valued cells (numpy arrays / lists) compare
-                # elementwise — `==` on them yields an array, not a
-                # bool. Guard BOTH sides: a scalar-vs-array pair must
-                # report FAIL, not crash the run with an ambiguous-
-                # truth-value error
-                x_arr = hasattr(x, "__len__") and not isinstance(x, str)
-                y_arr = hasattr(y, "__len__") and not isinstance(y, str)
-                if x_arr or y_arr:
-                    eq = (x_arr and y_arr and len(x) == len(y) and
-                          all(p == q for p, q in zip(list(x), list(y))))
-                else:
-                    eq = (x == y)  # strict: floats require exact match
+                # elementwise and RECURSIVELY — `==` on them yields an
+                # array, not a bool, at every nesting depth. Guard BOTH
+                # sides: scalar-vs-array must report FAIL, not crash
+                # with an ambiguous-truth-value error
+                def cell_eq(p, q):
+                    p_arr = hasattr(p, "__len__") and not isinstance(p, str)
+                    q_arr = hasattr(q, "__len__") and not isinstance(q, str)
+                    if p_arr or q_arr:
+                        return (p_arr and q_arr and len(p) == len(q) and
+                                all(cell_eq(a, b) for a, b in zip(list(p), list(q))))
+                    return p == q  # strict: floats require exact match
+                eq = cell_eq(x, y)
                 # timestamps/dates: pandas may give Timestamp vs datetime
                 if not eq and hasattr(x, "to_pydatetime"):
                     eq = x.to_pydatetime() == (y.to_pydatetime() if hasattr(y, "to_pydatetime") else y)

@@ -1033,6 +1033,31 @@ object PipelineQueries {
           min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
         .orderBy("source", "bucket"))  ,
 
+    // Quality-WEIGHTED deterministic sampling: keep probability equal
+    // to the doc's type-token ratio (a [0,1] quality signal computed
+    // from identical integers on both engines), md5-slot decided —
+    // same rows every run/engine/retry, pure scan filter, no shuffle.
+    // floor() on the boundary, NOT a bare cast: Spark's double->long
+    // cast truncates where DuckDB's rounds.
+    QueryDef("q83_weighted_sample",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        q AS (SELECT doc_id,
+                CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+                list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 for i in range(1, 9)],
+                            (a, b) -> a*16 + b) % 1000000 AS slot
+              FROM t)
+        SELECT doc_id, ttr FROM q
+        WHERE slot < CAST(floor(greatest(0.0, least(1.0, ttr)) * 1000000) AS BIGINT)
+        ORDER BY doc_id"""),
+      (s, d) => {
+        val w = words(col("text"))
+        val scored = spread(documents(s, d)).select(col("doc_id"),
+          (size(array_distinct(w)).cast(DoubleType) / size(w)).as("ttr"))
+        graft.ops.Sampling.weighted(scored, "doc_id", "ttr")
+          .orderBy("doc_id")
+      }),
+
     // Contamination REPORT (the audit companion of q61's quarantine
     // list): per EVAL doc — LSH candidate count, verified-contaminated
     // count at the threshold, and max exact Jaccard; eval docs with

@@ -56,6 +56,21 @@ object Sampling {
     * boundaries come from sampling. Exact integer `div`, not float
     * floor: bit-safe on every engine at any magnitude.
     */
+  /** Deterministic WEIGHTED sampling: keep a row iff
+    * `hash32(md5(id)) % 1e6 < floor(weight * 1e6)` — per-row keep
+    * probability equal to `weightCol` (clamped [0,1]), the same rows
+    * every run/engine/retry. The boundary uses `floor` explicitly:
+    * Spark's double→long CAST truncates while DuckDB's rounds, so a
+    * bare cast would disagree on the boundary; floor is identical.
+    * Same scan-side zero-shuffle shape as [[stratified]] — this is the
+    * "sample high-quality documents proportionally more" mixing step.
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.filter(
+      pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")), lit(1000000L)) <
+        floor(greatest(lit(0.0), least(lit(1.0), col(weightCol))) * 1000000d)
+          .cast("long"))
+
   def packSequences(df: DataFrame, idCol: String, strataCol: String,
                     tokensCol: String, budget: Long, chunks: Int = 0): DataFrame =
     packSequencesReleasable(df, idCol, strataCol, tokensCol, budget, chunks)._1

@@ -95,7 +95,8 @@ object ScaleBench {
       // so its n x k cost grows ~100x at 10x rows — expected: real
       // k-means holds k fixed as n grows; the ratio documents that.
       "q74_bigram_topk", "q75_tfidf_keywords", "q76_embedding_quantization",
-      "q77_centroid_assign", "q78_curriculum_order")
+      "q77_centroid_assign", "q78_curriculum_order",
+      "q80_contamination_report", "q81_snapshot_diff", "q82_source_health")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

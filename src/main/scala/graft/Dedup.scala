@@ -505,4 +505,57 @@ object Dedup {
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): assign every vector
+    * to its nearest centroid (max cosine, centroid-id tiebreak), then
+    * prune within each cluster — of every in-cluster pair at cosine >=
+    * `threshold`, the higher id drops. Returns the survivors with their
+    * `centroid_id` (the retained corpus, cluster-tagged).
+    *
+    * The cluster assignment IS the blocking: pair generation is an
+    * equi-join on `centroid_id`, so with k sized to the corpus
+    * (clusters of bounded size), the pair count stays n²/k per cluster
+    * — the paper's exact trade: pairs across clusters are never
+    * examined (that blind spot is the price of linear scaling; the
+    * multi-probe LSH operator [[nearByEmbedding]] covers the
+    * boundary-pair case when it matters).
+    *
+    * Assignment is a broadcast of the centroid frame (k << n always)
+    * into a fused-codegen cosine scan, then `max(struct(cos, -cid))`
+    * per vector — an AGGREGATE, not a `row_number` window, because the
+    * partial-aggregate form combines map-side and never materializes
+    * the n x k expansion through a shuffle (the window form shuffles
+    * all n*k rows; measured equivalent semantics, q77 gates the window
+    * form). Centroids typically come from [[Similarity.kmeansFit]].
+    */
+  def semantic(vectors: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, centIdCol: String, centVecCol: String,
+               threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
+    require(threshold > -1 && threshold <= 1,
+      s"cosine threshold must be in (-1,1], got $threshold")
+    val v = vectors.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    val cents = broadcast(centroids.select(col(centIdCol).cast("long").as("_cid"),
+      transform(col(centVecCol), _.cast("double")).as("_cv")))
+    // argmax(cosine, tiebreak min cid) == max of (cos, -cid) lexicographic
+    // persisted: the pair join reads it twice and the final anti-join a
+    // third time — uncached, the n x k assignment scan would run thrice
+    val assigned = v.crossJoin(cents)
+      .groupBy(col(idCol))
+      .agg(max(struct(cosineSim(col("_v"), col("_cv")).as("_cos"),
+        (-col("_cid")).as("_neg"))).as("_best"))
+      .select(col(idCol), (-col("_best._neg")).as("centroid_id"))
+      .join(v, Seq(idCol))
+      .persist(Disk)
+    val losers = assigned.select(col(idCol).as("a_id"), col("_v").as("_va"),
+        col("centroid_id").as("_ca"))
+      .join(assigned.select(col(idCol).as("b_id"), col("_v").as("_vb"),
+          col("centroid_id").as("_cb")),
+        col("_ca") === col("_cb") && col("a_id") < col("b_id"))
+      .filter(cosineSim(col("_va"), col("_vb")) >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
 }

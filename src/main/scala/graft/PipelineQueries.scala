@@ -1182,6 +1182,194 @@ object PipelineQueries {
           (sum("n_tok").cast(DoubleType) / count(lit(1))).as("mean_tokens"),
           min("n_tok").as("min_tokens"),
           max("n_tok").as("max_tokens"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Duplicate-group CONNECTED COMPONENTS: label-propagate every
+    // LSH-paired doc to the minimum id reachable through the candidate
+    // graph ([[Dedup.clusters]] — iterative join + min-aggregate with
+    // lineage truncation, the scale-standard shape). The oracle replays
+    // the same fixpoint declaratively: a recursive transitive closure
+    // over the symmetrized pair list, then MIN per node — identical
+    // results because min-label propagation and min-over-reachable-set
+    // converge to the same labeling on any graph.
+    QueryDef("q84_dedup_components",
+      Some(s"""
+        WITH RECURSIVE $lshCte,
+        sym AS (SELECT a_id AS u, b_id AS v FROM cand
+                UNION SELECT b_id AS u, a_id AS v FROM cand),
+        reach(u, r) AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u)
+        SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+        FROM reach GROUP BY u ORDER BY doc_id"""),
+      (s, d) => {
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sh = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
+          .persist(disk)
+        // pairs feed the edge list (read twice for symmetrization) and
+        // the node set (twice more): persist, or the LSH self-join runs
+        // four times before the propagation loop even starts
+        val pairs = lshCandidatePairs(sh, "doc_id", 16, 4).persist(disk)
+        val nodes = pairs.select(col("a_id").as("doc_id"))
+          .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct()
+        Dedup.clusters(pairs, nodes, "doc_id").orderBy("doc_id")
+      }),
+
+    // Ordered conversion funnel with a 24h per-step window
+    // ([[ops.Events.funnel]]): first-touch chaining (step i+1 counts
+    // only strictly after the user's step-i time and within the
+    // window). Every stage is a user-keyed partial-agg shuffle; the
+    // output is one row per step. Timestamps are micros on BOTH sides
+    // (ts_ns div 1000 / epoch_us) — the nanos parquet truncates to
+    // micros in DuckDB, see Tables.events.
+    QueryDef("q85_funnel",
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 AND us <= t1 + 86400000000
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000
+               GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT 1 AS step, 'view' AS event_type,
+                 CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+          UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+          UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+        ORDER BY step"""),
+      (s, d) => graft.ops.Events.funnel(events(s, d), "user_id", "event_type",
+          expr("ts_ns div 1000"), Seq("view", "click", "purchase"),
+          windowUs = 86400000000L)
+        .orderBy("step")),
+
+    // Cohort retention ([[ops.Events.cohortRetention]]): users
+    // cohorted by first-event day, counted as retained on each day
+    // offset where they PURCHASED. All-integer epoch-day arithmetic —
+    // engine-exact; output is cohorts x offsets, dashboard-sized.
+    QueryDef("q86_retention_cohorts",
+      Some("""
+        WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                          event_type FROM events),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id, cohort_day, day - cohort_day AS day_offset
+              FROM e JOIN f USING (user_id) WHERE event_type = 'purchase')
+        SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"""),
+      (s, d) => graft.ops.Events.cohortRetention(events(s, d), "user_id",
+          expr("(ts_ns div 1000) div 86400000000"),
+          col("event_type") === "purchase")
+        .orderBy("cohort_day", "day_offset")),
+
+    // Temperature-scaled language mixing ([[ops.Sampling
+    // .temperatureMix]], alpha = 0.5): the multilingual-training
+    // resampling rule — low-resource languages keep a higher fraction
+    // (rate ~ 1/sqrt share), scaled to half the corpus. The float
+    // rate math folds over a lang-SORTED list on both engines (float
+    // addition is order-sensitive), sqrt not pow (IEEE-exact), and the
+    // keep decision is the md5-slot filter with an explicit floor —
+    // every choice pinned so the oracle replays bit-for-bit.
+    QueryDef("q87_temperature_mix",
+      Some("""
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        tot AS (SELECT
+                  list_reduce(list(CAST(n AS DOUBLE) ORDER BY lang), (a, b) -> a + b) AS tot_n,
+                  list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), (a, b) -> a + b) AS tot_sn
+                FROM c),
+        r AS (SELECT lang,
+                least(1.0, ((tot_n * 0.5) * (sqrt(CAST(n AS DOUBLE)) / tot_sn))
+                             / CAST(n AS DOUBLE)) AS rate
+              FROM c CROSS JOIN tot)
+        SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        WHERE list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 for i in range(1, 9)],
+                          (a, b) -> a*16 + b) % 1000000
+              < CAST(floor(greatest(0.0, least(1.0, rate)) * 1000000) AS BIGINT)
+        ORDER BY doc_id"""),
+      (s, d) => graft.ops.Sampling.temperatureMix(
+          spread(documents(s, d)).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5, targetFrac = 0.5)
+        .orderBy("doc_id")),
+
+    // Vocabulary coverage curve ([[ops.Ranking.coverageThresholds]]):
+    // the minimal top-k vocabulary covering 50/90/99% of token
+    // occurrences. The cumulative mass uses the hierarchical
+    // prefix-sum scaffold (no single-partition global window), and the
+    // threshold compare is all-integer (cum*100 < pct*total) — exact.
+    QueryDef("q88_vocab_coverage",
+      Some("""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY tok),
+        o AS (SELECT SUM(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        tot AS (SELECT SUM(n) AS tot FROM c)
+        SELECT pct, CAST(COUNT(*) FILTER (WHERE cum * 100 < pct * tot) + 1 AS BIGINT) AS k_keys
+        FROM o CROSS JOIN tot CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct)
+        GROUP BY pct ORDER BY pct"""),
+      (s, d) => {
+        // persisted: the operator reads the counts frame twice (total +
+        // curve), and the explode+groupBy derivation is the expensive part
+        val counts = spread(documents(s, d))
+          .select(explode(words(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).cast(LongType).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ops.Ranking.coverageThresholds(counts, "tok", "n", Seq(50, 90, 99))
+          .orderBy("pct")
+      }),
+
+    // Semi-structured JSON extraction: parse the event payload with a
+    // typed schema (real from_json on the Spark side — the oracle
+    // mirrors with a regex because the payloads are single-key flat
+    // objects, verified over the corpus) and aggregate per event type.
+    // Scan-side parse + one bounded-key shuffle. SUMs are CAST: DuckDB
+    // returns HUGEINT for SUM(BIGINT) (the round-4 q69/q71 lesson).
+    QueryDef("q89_json_extract",
+      Some("""
+        WITH e AS (SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        FROM e GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // SemDeDup ([[Dedup.semantic]]): nearest-centroid assignment
+    // (deterministically seeded centroids: vec_id % 101 = 0, as q77)
+    // blocks the within-cluster pair pruning; survivors keep their
+    // cluster tag. Threshold 0.4 sits 5e-4 above the densest
+    // in-cluster pair below it and 0.07 below the max (measured) —
+    // and both engines compute the identical IEEE fold anyway.
+    QueryDef("q90_semantic_dedup",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t WHERE vec_id % 101 = 0),
+        p AS (SELECT t.vec_id, centroid_id, ${cosSql("v", "cv")} AS cosine
+              FROM t CROSS JOIN c),
+        r AS (SELECT vec_id, centroid_id FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, centroid_id) AS rn FROM p)
+              WHERE rn = 1),
+        a AS (SELECT r.vec_id, r.centroid_id, t.v FROM r JOIN t USING (vec_id)),
+        losers AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+                   ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+                   WHERE ${cosSql("x.v", "y.v")} >= 0.4)
+        SELECT vec_id, centroid_id FROM a
+        WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        ORDER BY vec_id"""),
+      (s, d) => {
+        val cents = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        Dedup.semantic(spread(embeddings(s, d)), "vec_id", "embedding",
+            cents, "centroid_id", "cv", threshold = 0.4)
+          .orderBy("vec_id")
+      })
   )
 }

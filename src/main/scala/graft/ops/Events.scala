@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event stream: ordered conversion
+  * funnels and cohort retention — the two aggregate shapes behind every
+  * "did users who did A go on to do B" dashboard.
+  *
+  * Both are per-user aggregations: every stage is a `groupBy(user)` (one
+  * shuffle, map-side partial min/distinct) or a user-keyed equi-join
+  * between per-user frames, so the work is hash-partitioned by user and
+  * scales with the user dimension, never with raw event volume in a
+  * single task. No windows over the full event table, no driver
+  * collects.
+  */
+object Events {
+
+  /** Ordered conversion funnel with a per-step conversion window: a
+    * user reaches step i+1 iff they have a `steps(i+1)` event STRICTLY
+    * after their step-i conversion time and within `windowUs` of it;
+    * the step-i conversion time is the EARLIEST qualifying event (the
+    * standard first-touch funnel, which makes the result
+    * order-deterministic regardless of event arrival order).
+    *
+    * Returns one row per step: (step, event_type, n_users) — the
+    * attrition curve. Each stage is one filtered `groupBy(user).min`
+    * plus an equi-join against the previous stage's per-user frame
+    * (already user-unique, so the join never amplifies), keyed on the
+    * same column throughout — at scale every shuffle is on `user` and
+    * the stage frames shrink monotonically.
+    *
+    * `usCol` must be a monotone numeric time (epoch micros here —
+    * events.ts is nanos parquet, and the micros truncation is the form
+    * the oracle can see; see Tables.events).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             usCol: Column, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs > 0, s"conversion window must be positive, got $windowUs")
+    val e = events.select(col(userCol).as("_u"), col(typeCol).as("_ty"),
+      usCol.as("_us"))
+    val first = e.filter(col("_ty") === steps.head)
+      .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("_ty") === step)
+        .join(prev.select(col("_u").as("_pu"), col("_t").as("_pt")),
+          col("_u") === col("_pu") &&
+            col("_us") > col("_pt") && col("_us") <= col("_pt") + lit(windowUs))
+        .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users").cast("long").as("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Per-user funnel conversion times: one row per user who completed
+    * the whole funnel, with the conversion timestamp of every step —
+    * the row-level form [[funnel]] aggregates, for downstream
+    * time-to-convert analysis. Columns: user, t_1..t_n (epoch micros).
+    */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+                  usCol: Column, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("_u"), col(typeCol).as("_ty"),
+      usCol.as("_us"))
+    val first = e.filter(col("_ty") === steps.head)
+      .groupBy(col("_u")).agg(min(col("_us")).as("t_1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (prev, (step, i)) =>
+      e.filter(col("_ty") === step)
+        .join(prev.withColumnRenamed("_u", "_pu"),
+          col("_u") === col("_pu") &&
+            col("_us") > col(s"t_${i + 1}") &&
+            col("_us") <= col(s"t_${i + 1}") + lit(windowUs))
+        .groupBy((col("_u") +: (1 to i + 1).map(j => col(s"t_$j"))): _*)
+        .agg(min(col("_us")).as(s"t_${i + 2}"))
+    }.withColumnRenamed("_u", userCol)
+  }
+
+  /** Cohort retention: cohort a user by their FIRST event day (any
+    * type), then count how many of each cohort were active — had an
+    * event passing `activity` — at each day offset since their cohort
+    * day. Returns (cohort_day, day_offset, n_users).
+    *
+    * `dayCol` is an integer epoch day (micros div 86400e6) — integer
+    * arithmetic end-to-end, so the result is engine-exact. Two
+    * user-keyed shuffles (cohort min + the distinct), both map-side
+    * combined; output is cohorts x offsets — bounded, dashboard-sized.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, dayCol: Column,
+                      activity: Column): DataFrame = {
+    val e = events.select(col(userCol).as("_u"), dayCol.as("_day"),
+      activity.as("_act"))
+    val cohorts = e.groupBy(col("_u")).agg(min(col("_day")).as("cohort_day"))
+    e.filter(col("_act"))
+      .join(cohorts.withColumnRenamed("_u", "_cu"), col("_u") === col("_cu"))
+      .select(col("_u"), col("cohort_day"),
+        (col("_day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -35,6 +35,52 @@ object Ranking {
                       outCol: String = "pos", chunks: Int = 0): DataFrame =
     globalRowNumberReleasable(df, sort, outCol, chunks)._1
 
+  /** Coverage-curve thresholds: given per-key mass counts (e.g. token
+    * frequencies), the minimal number of top keys — ordered by count
+    * desc, key asc — whose cumulative mass reaches each `pct` percent of
+    * the total. The "how big must the vocabulary be to cover 99% of
+    * token occurrences" question, answered exactly.
+    *
+    * k(pct) = |{keys whose cumulative mass including self is still
+    * below pct% of total}| + 1 — equivalent to MIN(rank) over
+    * `cum >= threshold` because cumulative mass is strictly increasing
+    * (every count >= 1), but expressed as a filtered COUNT so no global
+    * rank is ever materialized. The cumulative sum itself is the
+    * hierarchical prefix-sum scaffold (parallel slices + broadcast
+    * offsets), NOT a single-partition window, and the comparison is
+    * all-integer (`cum * 100 < pct * total`) — exact on every engine.
+    *
+    * `counts` is executed twice (the total and the curve) — persist it
+    * if its derivation is expensive. Returns (pct, k_keys) plus the
+    * scaffold's cache-release handle.
+    */
+  def coverageThresholdsReleasable(counts: DataFrame, keyCol: String,
+                                   nCol: String, pcts: Seq[Int],
+                                   outCol: String = "k_keys",
+                                   chunks: Int = 0): (DataFrame, () => Unit) = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"pcts must be percentages in (0,100], got $pcts")
+    // one-row integer aggregate: eager-resolved to a literal rather than
+    // cross-joined, so the curve's plan stays a pure aggregation (a
+    // constant-key join would degrade to a nested-loop join — measured
+    // in round 6's q80 work)
+    val total = counts.agg(sum(col(nCol)).cast("long")).first().getLong(0)
+    val (pref, release) = Hierarchical.prefixSum(counts,
+      Seq(col(nCol).desc, col(keyCol)), Nil, col(nCol), "_before", chunks)
+    val curve = pref
+      .select((col("_before") + col(nCol)).as("_cum"))
+      .select(explode(array(pcts.map(lit): _*)).as("pct"), col("_cum"))
+      .groupBy(col("pct"))
+      .agg((count(when(col("_cum") * 100 < col("pct") * lit(total), 1)) + 1)
+        .cast("long").as(outCol))
+    (curve, release)
+  }
+
+  def coverageThresholds(counts: DataFrame, keyCol: String, nCol: String,
+                         pcts: Seq[Int], outCol: String = "k_keys",
+                         chunks: Int = 0): DataFrame =
+    coverageThresholdsReleasable(counts, keyCol, nCol, pcts, outCol, chunks)._1
+
   /** [[globalRowNumber]] plus the release handle for the internal
     * boundary-consistency cache ([[Hierarchical.prefixSum]]) — call it
     * once the ranked output is materialized. The handle-less form is

@@ -71,6 +71,56 @@ object Sampling {
         floor(greatest(lit(0.0), least(lit(1.0), col(weightCol))) * 1000000d)
           .cast("long"))
 
+  /** Temperature-scaled mixture sampling: resample a corpus so each
+    * stratum's share of the OUTPUT follows `n_s^alpha / sum_t n_t^alpha`
+    * (the multilingual-training mixing rule — alpha < 1 upweights
+    * low-resource strata, alpha = 1 keeps natural proportions), scaled
+    * to keep `targetFrac` of the corpus overall. Per-stratum keep rate:
+    *
+    *   rate_s = min(1, targetFrac * total_n * (n_s^alpha / sum_t n_t^alpha) / n_s)
+    *
+    * then rows keep via the same deterministic md5-slot filter as
+    * [[weighted]] — reproducible across runs, engines, and retries.
+    *
+    * Scale shape: one bounded `groupBy(stratum)` count, a broadcast of
+    * the stratum-rate frame (strata are languages/sources — always
+    * tiny), and a scan-side filter. The float totals fold over a
+    * SORTED collect_list (strata ordered by name), because float
+    * addition is order-sensitive and an oracle replaying the fold must
+    * see the identical sequence; alpha = 0.5 uses `sqrt` (IEEE
+    * correctly-rounded on every engine) rather than `pow` (libm-
+    * dependent), so the default is bit-reproducible cross-engine.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double = 0.5, targetFrac: Double = 0.5): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    def powN(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), alpha)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("_n"))
+    // index-ordered folds (see Pipeline.scala's portability argument):
+    // DuckDB's init-less list_reduce and Spark's 0.0-seeded aggregate
+    // produce bit-identical sums over the same sorted sequence
+    val totals = counts
+      .agg(sort_array(collect_list(struct(col(strataCol).as("s"),
+        col("_n").as("n")))).as("_xs"))
+      .select(
+        aggregate(col("_xs"), lit(0.0),
+          (acc, x) => acc + x.getField("n").cast("double")).as("_tot_n"),
+        aggregate(col("_xs"), lit(0.0),
+          (acc, x) => acc + powN(x.getField("n"))).as("_tot_sn"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(strataCol).as("_rs"),
+        least(lit(1.0),
+          (col("_tot_n") * lit(targetFrac)) * (powN(col("_n")) / col("_tot_sn"))
+            / col("_n").cast("double")).as("_rate"))
+    weighted(df.join(broadcast(rates), col(strataCol) === col("_rs")),
+        idCol, "_rate")
+      .drop("_rs", "_rate")
+  }
+
   def packSequences(df: DataFrame, idCol: String, strataCol: String,
                     tokensCol: String, budget: Long, chunks: Int = 0): DataFrame =
     packSequencesReleasable(df, idCol, strataCol, tokensCol, budget, chunks)._1

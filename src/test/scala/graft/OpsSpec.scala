@@ -257,4 +257,98 @@ class OpsSpec extends AnyFunSuite {
       assert(scale > 0.0)
     }
   }
+
+  test("funnel enforces step order and the conversion window") {
+    import spark.implicits._
+    // u1 completes in order within window; u2 clicks BEFORE viewing
+    // (order violation); u3 converts outside the window; u4 views only
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "buy", 300L),
+      (2L, "click", 100L), (2L, "view", 200L), (2L, "buy", 300L),
+      (3L, "view", 100L), (3L, "click", 5000L), (3L, "buy", 5100L),
+      (4L, "view", 100L)
+    ).toDF("u", "ty", "us")
+    val got = graft.ops.Events.funnel(ev, "u", "ty", col("us"),
+        Seq("view", "click", "buy"), windowUs = 1000L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // u2 DOES reach click: view@200 -> no later click... but funnel is
+    // first-touch from the user's first view, so u2's click@100 < view@200
+    // cannot count; u3's click@5000 misses the 1000us window
+    assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 1L), (3, "buy", 1L)))
+  }
+
+  test("funnelTimes returns per-user conversion chains for full converters") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "buy", 300L),
+      (5L, "view", 10L), (5L, "click", 20L), (5L, "buy", 25L),
+      (6L, "view", 10L), (6L, "click", 20L) // never buys
+    ).toDF("u", "ty", "us")
+    val got = graft.ops.Events.funnelTimes(ev, "u", "ty", col("us"),
+        Seq("view", "click", "buy"), windowUs = 1000L)
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 100L, 200L, 300L), (5L, 10L, 20L, 25L)))
+  }
+
+  test("cohort retention counts distinct active users per cohort/offset") {
+    import spark.implicits._
+    // u1 first seen day 0 (view), purchases day 0 and 2 (twice - distinct);
+    // u2 first seen day 1, purchases day 1; u3 never purchases
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 0L, "purchase"), (1L, 2L, "purchase"),
+      (1L, 2L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 3L, "view"),
+      (3L, 0L, "view")
+    ).toDF("u", "day", "ty")
+    val got = graft.ops.Events.cohortRetention(ev, "u", col("day"),
+        col("ty") === "purchase")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("temperature mixing upweights low-resource strata deterministically") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val kept = graft.ops.Sampling.temperatureMix(docs, "doc_id", "lang",
+      alpha = 0.5, targetFrac = 0.5)
+    val a = kept.collect().map(_.getLong(0)).sorted.toSeq
+    val b = kept.collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "hash-based sampling must be run-deterministic")
+    // kept fraction per stratum: the rarest lang must keep a strictly
+    // higher RATE than the most common one (that is the point of
+    // temperature mixing), and the overall volume must be near target
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biggest = byLang.maxBy(_._2)._1
+    val smallest = byLang.minBy(_._2)._1
+    assert(byLang(biggest) > byLang(smallest), "corpus must be skewed for this spec")
+    val rateBig = keptByLang(biggest).toDouble / byLang(biggest)
+    val rateSmall = keptByLang.getOrElse(smallest, 0L).toDouble / byLang(smallest)
+    assert(rateSmall > rateBig,
+      s"low-resource $smallest rate $rateSmall should exceed $biggest rate $rateBig")
+    val total = byLang.values.sum.toDouble
+    val keptTotal = keptByLang.values.sum.toDouble
+    assert(keptTotal / total > 0.3 && keptTotal / total < 0.7,
+      s"overall kept fraction ${keptTotal / total} should be near the 0.5 target")
+  }
+
+  test("coverage thresholds equal the brute-force rank scan") {
+    import spark.implicits._
+    val counts = Seq(("a", 50L), ("b", 30L), ("c", 10L), ("d", 6L),
+      ("e", 3L), ("f", 1L)).toDF("k", "n")
+    val got = graft.ops.Ranking.coverageThresholds(counts, "k", "n",
+        Seq(50, 90, 99)).orderBy("pct").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // total 100: cum a=50 (50%), a+b=80, a+b+c=90 (90%), +d=96, +e=99 (99%)
+    assert(got == Map(50 -> 1L, 90 -> 3L, 99 -> 5L))
+    // degenerate: one key covers everything
+    val one = Seq(("x", 7L)).toDF("k", "n")
+    val g1 = graft.ops.Ranking.coverageThresholds(one, "k", "n", Seq(1, 100))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(g1 == Map(1 -> 1L, 100 -> 1L))
+  }
 }

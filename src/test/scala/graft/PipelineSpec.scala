@@ -745,4 +745,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(pts.forall { case (id, _) =>
       got(id) == blobToCluster(((id - off) % 3).toInt) })
   }
+
+  test("semantic dedup prunes within clusters and spares cross-cluster pairs") {
+    import spark.implicits._
+    // two orthogonal-axis blobs; centroids are the blob axes themselves.
+    // Within blob 0: ids 10 and 11 are IDENTICAL (cos 1.0) -> 11 drops.
+    // Cross-cluster: id 12 (blob 0) and id 22 (blob 1) are near-dups of
+    // each other rotated across the boundary — cos(v12, v22) high but
+    // they land in DIFFERENT clusters, so SemDeDup spares both (the
+    // documented blind spot of cluster-blocked pruning).
+    def axis(a: Int, eps: Double = 0.0, epsAxis: Int = 60): Seq[Double] = {
+      val v = Array.fill(64)(0.0); v(a) = 1.0
+      if (eps != 0.0) v(epsAxis) = eps
+      v.toSeq
+    }
+    // boundary pair: strong symmetric lean toward BOTH axes (0.9) ->
+    // cos(lean12, lean22) = (2*0.9 + 0.09) / (1 + 0.81 + 0.09) = 0.995,
+    // while each still sits nearer its OWN axis (1 vs 0.9 projection)
+    val lean12 = (0 until 64).map(d =>
+      if (d == 0) 1.0 else if (d == 1) 0.9 else if (d == 60) 0.3 else 0.0)
+    val lean22 = (0 until 64).map(d =>
+      if (d == 1) 1.0 else if (d == 0) 0.9 else if (d == 60) 0.3 else 0.0)
+    val vecs = Seq(
+      10L -> axis(0, 0.01), 11L -> axis(0, 0.01),  // identical pair, blob 0
+      12L -> lean12,                               // boundary, blob 0
+      20L -> axis(1, 0.4, 60), 21L -> axis(1, 0.4, 61), // blob 1: cos 1/1.16 = 0.86
+      22L -> lean22                                // boundary, blob 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(100L -> axis(0), 200L -> axis(1)).toDF("cid", "cv")
+    val out = Dedup.semantic(vecs, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 11 dropped (identical to 10, same cluster); everything else kept
+    assert(out.keySet == Set(10L, 12L, 20L, 21L, 22L), s"got $out")
+    assert(out(10L) == 100L && out(12L) == 100L)
+    assert(out(20L) == 200L && out(21L) == 200L && out(22L) == 200L)
+    // the cross-cluster pair really is above threshold — the spare is
+    // the blocking blind spot, not distance
+    val cos12_22 = {
+      val a = lean12.toArray; val b = lean22.toArray
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- 0 until 64) { dot += a(d)*b(d); na += a(d)*a(d); nb += b(d)*b(d) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(cos12_22 >= 0.95, s"fixture broken: boundary cosine $cos12_22")
+  }
 }

@@ -114,11 +114,12 @@ class PlansSpec extends AnyFunSuite {
   test("no query silently plans a cartesian or nested-loop join") {
     // queries where a nested-loop is INTENTIONAL: a broadcast cross
     // join against a bounded build side — a literally-one-row probe
-    // (the ANN query vector) or the k-centroid set of the k-means
-    // E-step (n x k comparisons IS the operator's semantics, k << n)
+    // (the ANN query vector, the temperature-mix totals row) or the
+    // k-centroid set of the k-means E-step / SemDeDup assignment
+    // (n x k comparisons IS the operator's semantics, k << n)
     // — constant work per probe row, safe at any scale
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
-      "q77_centroid_assign")
+      "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

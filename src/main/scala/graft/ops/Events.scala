@@ -38,16 +38,21 @@ object Events {
              usCol: Column, steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowUs > 0, s"conversion window must be positive, got $windowUs")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = events.select(col(userCol).as("_u"), col(typeCol).as("_ty"),
       usCol.as("_us"))
     val first = e.filter(col("_ty") === steps.head)
       .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
-    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+    // each stage frame is persisted: stage i feeds BOTH its own count
+    // and stage i+1's join — uncached, stage 1 would re-execute once
+    // per downstream stage (3x the event scans on a 3-step funnel)
+    val stages = steps.tail.scanLeft(first.persist(disk)) { (prev, step) =>
       e.filter(col("_ty") === step)
         .join(prev.select(col("_u").as("_pu"), col("_t").as("_pt")),
           col("_u") === col("_pu") &&
             col("_us") > col("_pt") && col("_us") <= col("_pt") + lit(windowUs))
         .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
+        .persist(disk)
     }
     stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))

@@ -98,8 +98,11 @@ object Sampling {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     def powN(n: Column): Column =
       if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), alpha)
+    // persisted: the totals fold AND the rate frame both read it —
+    // uncached, each would trigger its own full corpus scan
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("long").as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index-ordered folds (see Pipeline.scala's portability argument):
     // DuckDB's init-less list_reduce and Spark's 0.0-seeded aggregate
     // produce bit-identical sums over the same sorted sequence

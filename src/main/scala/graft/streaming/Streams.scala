@@ -416,6 +416,64 @@ object Streams {
       }
   }
 
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelAdvance(user_id: Long, step: Int, event_type: String, ts: Timestamp)
+  // stage = steps completed so far; lastMs = completion time of that stage
+  case class FunnelState(stage: Int, lastMs: Long)
+
+  /** Streaming conversion funnel: the per-user state machine behind the
+    * batch [[graft.ops.Events.funnel]], emitting a [[FunnelAdvance]]
+    * row the moment a user completes a step — a user at stage i
+    * advances on the first `steps(i)` event STRICTLY after their
+    * stage-(i-1) time and within `windowMs` of it (first-touch
+    * chaining, same rule as the batch operator).
+    *
+    * Within a micro-batch, events sort by time, so in-batch disorder is
+    * handled; ACROSS batches the machine never rewinds (an event older
+    * than a consumed advance cannot retroactively change it) — exact
+    * under per-user in-order delivery inside the watermark, the same
+    * contract as the sessionizer above. State is bounded: the
+    * event-time timeout fires once the conversion window after the
+    * user's last advance has passed the watermark — a user who can no
+    * longer advance (window expired) is evicted; a fully-converted
+    * user is evicted immediately.
+    */
+  def funnelAdvances(events: Dataset[TypedEvent], steps: Seq[String],
+                     windowMs: Long): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMs > 0, s"conversion window must be positive, got $windowMs")
+    import events.sparkSession.implicits._
+    val horizonMin = math.max(1L, windowMs / 60_000L)
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .withWatermark("ts", s"$horizonMin minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = List.newBuilder[FunnelAdvance]
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              if (s.stage < steps.length && e.event_type == steps(s.stage)) {
+                val t = e.ts.getTime
+                val opens = s.stage == 0
+                if (opens || (t > s.lastMs && t <= s.lastMs + windowMs)) {
+                  s = FunnelState(s.stage + 1, t)
+                  out += FunnelAdvance(userId, s.stage, e.event_type, e.ts)
+                }
+              }
+            }
+            if (s.stage >= steps.length) state.remove() // converted: done
+            else if (s.stage > 0) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + windowMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Running per-user aggregate via mapGroupsWithState — the escape
     * hatch for state machines the built-in aggregates can't express
     * (sessionization, CDC-style upserts). Emits the updated state per

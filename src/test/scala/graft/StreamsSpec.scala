@@ -344,4 +344,40 @@ class StreamsSpec extends AnyFunSuite {
         Map("provinsi" -> 0L, "kabupaten" -> 1L, "kecamatan" -> 4L, "kelurahan" -> 0L))
     } finally q.stop()
   }
+
+  test("streaming funnel emits advances in order and enforces the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.TypedEvent]
+    val q = Streams.funnelAdvances(in.toDS(),
+        Seq("view", "click", "purchase"), windowMs = 10 * 60_000L)
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").start()
+    try {
+      // u1 converts fully in-window; u2 clicks BEFORE viewing (the
+      // click may not count) then views; u3's click misses the window
+      in.addData(
+        Streams.TypedEvent(1, ts(0), "view"),
+        Streams.TypedEvent(1, ts(2), "click"),
+        Streams.TypedEvent(1, ts(4), "purchase"),
+        Streams.TypedEvent(2, ts(1), "click"),
+        Streams.TypedEvent(2, ts(3), "view"),
+        Streams.TypedEvent(3, ts(0), "view"))
+      q.processAllAvailable()
+      in.addData(Streams.TypedEvent(3, ts(30), "click")) // 30min > 10min window
+      q.processAllAvailable()
+      val adv = spark.table("funnel_adv").as[Streams.FunnelAdvance].collect()
+      val u1 = adv.filter(_.user_id == 1).sortBy(_.step)
+        .map(a => (a.step, a.event_type)).toSeq
+      assert(u1 == Seq((1, "view"), (2, "click"), (3, "purchase")))
+      // u2: only the view counts (click preceded it); u3: view only
+      assert(adv.filter(_.user_id == 2).map(_.event_type).toSeq == Seq("view"))
+      assert(adv.filter(_.user_id == 3).map(_.event_type).toSeq == Seq("view"))
+      // a second 'view' for an already-advanced user is not re-emitted
+      in.addData(Streams.TypedEvent(2, ts(5), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_adv").as[Streams.FunnelAdvance]
+        .filter(_.user_id == 2).count() == 1)
+    } finally q.stop()
+  }
 }

@@ -491,19 +491,108 @@ object Dedup {
       threshold: Double = 0.8,
       minhashK: Int = 16,
       bands: Int = 4): DataFrame = {
-    val inter = size(array_intersect(col("_sa"), col("_sb")))
-    // protective hot-bucket cap: invisible on sane corpora, bounds the
-    // pair join on degenerate ones (e.g. millions of identical docs)
-    val losers = Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands,
-        maxBucketSize = 10000)
-      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
-      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
-      .withColumn("_j",
-        inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
-      .filter(col("_j") >= threshold)
+    val losers = verifiedPairs(sig, idCol, threshold, minhashK, bands)
       .select(col("b_id").as(idCol)) // a_id < b_id: keep the lower id
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Exact-Jaccard-VERIFIED near-dup pairs over a precomputed
+    * [[shingleSignatures]] frame: LSH band candidates (a_id < b_id),
+    * kept iff n-gram Jaccard >= `threshold`. The pair-level view the
+    * survivor operators collapse — exposed because cluster-level
+    * resolution ([[nearKeepBest]], [[clusters]]) needs the pairs, not
+    * the survivors.
+    */
+  def verifiedPairs(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double,
+      minhashK: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    // protective hot-bucket cap: invisible on sane corpora, bounds the
+    // pair join on degenerate ones (e.g. millions of identical docs)
+    Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands,
+        maxBucketSize = 10000)
+      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** CONTAINMENT pairs: LSH candidates where either doc's shingle set
+    * is `threshold`-contained in the other's — |A∩B|/|A| (or /|B|) —
+    * the asymmetric overlap that catches a short document quoted
+    * wholesale inside a long one, which symmetric Jaccard misses
+    * (a 10-shingle doc inside a 1000-shingle doc has Jaccard 0.01 but
+    * containment 1.0). Returns (a_id, b_id, cont_a, cont_b).
+    *
+    * Same two-phase scale shape as [[verifiedPairs]]: band-blocked
+    * candidate generation, exact set math on candidates only. NOTE the
+    * blocking is MinHash-based and MinHash approximates Jaccard, not
+    * containment — a contained-but-tiny doc can miss every band. For
+    * full-recall containment at scale, block on the SHORTER doc's
+    * shingles directly (inverted-index join); candidates here are the
+    * cheap first pass.
+    */
+  def containmentPairs(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double = 0.7,
+      minhashK: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands,
+        maxBucketSize = 10000)
+      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+      .withColumn("cont_a", inter.cast("double") / size(col("_sa")))
+      .withColumn("cont_b", inter.cast("double") / size(col("_sb")))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("cont_a"), col("cont_b"))
+  }
+
+  /** Quality-aware near-dup resolution: instead of keeping the lowest
+    * id per duplicate group ([[near]]'s rule), keep the HIGHEST-QUALITY
+    * member — verified pairs → connected components → per-cluster
+    * argmax on (`qualityCol` desc, id asc). Returns one row per
+    * multi-doc cluster: (cluster, kept_id, n_docs) — the resolution
+    * report a curation pipeline reviews before dropping.
+    *
+    * The argmax is a partial-combinable `max(struct(quality, -id))`
+    * aggregate keyed on the cluster label — never a per-cluster sort
+    * or window over the corpus. `qualityCol` must be a numeric column
+    * of `df` (length, TTR, a model score...).
+    */
+  def nearKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      qualityCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      minhashK: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val sig = shingleSignatures(df, idCol, textCol, shingleN, minhashK)
+      .persist(Disk)
+    // pairs feed the edge symmetrization and the node set: persist, or
+    // the candidate join + verify runs four times (same reuse the
+    // components query needs)
+    val pairs = verifiedPairs(sig, idCol, threshold, minhashK, bands)
+      .persist(Disk)
+    val nodes = pairs.select(col("a_id").as(idCol))
+      .unionAll(pairs.select(col("b_id").as(idCol))).distinct()
+    clusters(pairs, nodes, idCol)
+      .join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col(qualityCol).as("_q"),
+          (-col(idCol)).as("_neg"))).as("_best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster"), (-col("_best._neg")).as("kept_id"),
+        col("n_docs"))
   }
 
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): assign every vector

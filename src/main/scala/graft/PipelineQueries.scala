@@ -1370,6 +1370,63 @@ object PipelineQueries {
         Dedup.semantic(spread(embeddings(s, d)), "vec_id", "embedding",
             cents, "centroid_id", "cv", threshold = 0.4)
           .orderBy("vec_id")
+      }),
+
+    // Quality-aware dedup resolution ([[Dedup.nearKeepBest]]): keep
+    // the LONGEST doc per verified-duplicate cluster (n_chars quality,
+    // id tiebreak) — the curation rule real pipelines use instead of
+    // min-id. One row per multi-doc cluster; the argmax is a
+    // partial-combinable aggregate, never a per-cluster window.
+    QueryDef("q91_dedup_keep_best",
+      Some(s"""
+        WITH RECURSIVE $lshCte,
+        vp AS (SELECT c.a_id, c.b_id FROM cand c
+               JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+               WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                       / (len(a.shingles) + len(b.shingles)
+                          - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM vp UNION SELECT b_id, a_id FROM vp),
+        reach(u, r) AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+        comp AS (SELECT u AS doc_id, MIN(r) AS cluster FROM reach GROUP BY u),
+        q AS (SELECT comp.doc_id, cluster, n_chars FROM comp JOIN documents USING (doc_id)),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id) AS rn FROM q),
+        g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs FROM q GROUP BY cluster)
+        SELECT CAST(r.cluster AS BIGINT) AS cluster, r.doc_id AS kept_id, g.n_docs
+        FROM rk r JOIN g USING (cluster) WHERE rn = 1 ORDER BY cluster"""),
+      (s, d) => Dedup.nearKeepBest(spread(documents(s, d)), "doc_id", "text",
+          "n_chars", threshold = 0.5)
+        .orderBy("cluster")),
+
+    // Containment pairs ([[Dedup.containmentPairs]]): asymmetric
+    // overlap |A∩B|/|A| over LSH candidates — catches a short doc
+    // quoted wholesale inside a long one, where symmetric Jaccard
+    // reads near zero. On this corpus the max-side containment is
+    // bimodal (<= 0.62 or exactly 1.0), and both engines compute the
+    // identical integer-count division anyway.
+    QueryDef("q92_containment_pairs",
+      Some(s"""
+        WITH $lshCte
+        SELECT c.a_id, c.b_id,
+               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                 / len(a.shingles) AS cont_a,
+               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                 / len(b.shingles) AS cont_b
+        FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+        WHERE greatest(
+                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                  / len(a.shingles),
+                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                  / len(b.shingles)) >= 0.7
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sig = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.containmentPairs(sig, "doc_id", threshold = 0.7)
+          .orderBy("a_id", "b_id")
       })
   )
 }

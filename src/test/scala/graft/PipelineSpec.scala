@@ -790,4 +790,44 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(cos12_22 >= 0.95, s"fixture broken: boundary cosine $cos12_22")
   }
+
+  test("nearKeepBest keeps the highest-quality member per cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // cluster {1,2,3}: near-identical; doc 2 is the LONGEST (quality
+    // winner despite not being the min id); doc 9 is unrelated
+    val docs = Seq(
+      (1L, base, base.length.toLong),
+      (2L, base + " lambda", (base + " lambda").length.toLong),
+      (3L, base + " mu", (base + " mu").length.toLong),
+      (9L, "totally different words with no overlap at all here now", 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val rep = Dedup.nearKeepBest(docs, "doc_id", "text", "n_chars",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.length == 1, s"one cluster expected, got ${rep.toSeq}")
+    val (cluster, kept, n) = rep.head
+    assert(cluster == 1L && n == 3L)
+    assert(kept == 2L, s"longest doc 2 should win, kept $kept")
+  }
+
+  test("containment pairs catch a quoted subset that Jaccard misses") {
+    import spark.implicits._
+    // doc 20 is doc 10 plus extra tail words: doc 10's shingles are
+    // 100% contained in doc 20's, Jaccard ~0.7; doc 30 unrelated
+    val a = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (10L, a),
+      (20L, a + " eleven twelve thirteen"),
+      (30L, "pure noise text that shares nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.shingleSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.containmentPairs(sig, "doc_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(pairs.length == 1, s"got ${pairs.toSeq}")
+    val (aId, bId, ca, cb) = pairs.head
+    assert(aId == 10L && bId == 20L)
+    assert(ca == 1.0, s"doc 10 fully contained, cont_a $ca")
+    assert(cb < 1.0)
+  }
 }

@@ -74,6 +74,16 @@ object ScaleGen {
       cust.withColumn("c_custkey", col("c_custkey") + lit(i * off))
     }.reduce(_ unionAll _))
 
+    // events: 10x the user population with the same per-user temporal
+    // pattern — the event operators (funnel/retention/json) are
+    // user-keyed, so decorrelated user ids are the scaling dimension
+    val ev = Tables.events(spark, sf).drop("ts")
+      .withColumnRenamed("ts_ns", "ts") // write back as raw nanos longs
+    write("events", (0 until reps).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(i * off))
+    }.reduce(_ unionAll _))
+
     write("nation", Tables.nation(spark, sf))
     write("region", Tables.region(spark, sf))
     spark.stop()
@@ -96,7 +106,14 @@ object ScaleBench {
       // k-means holds k fixed as n grows; the ratio documents that.
       "q74_bigram_topk", "q75_tfidf_keywords", "q76_embedding_quantization",
       "q77_centroid_assign", "q78_curriculum_order",
-      "q80_contamination_report", "q81_snapshot_diff", "q82_source_health")
+      "q80_contamination_report", "q81_snapshot_diff", "q82_source_health",
+      // round-6 second pass: components (pair graph ~10x, same
+      // diameter), events (10x decorrelated users), mixing/coverage
+      // (linear scans), SemDeDup (n and k both 10x -> n^2/k stays
+      // linear — the paper's sizing argument, measured)
+      "q84_dedup_components", "q85_funnel", "q86_retention_cohorts",
+      "q87_temperature_mix", "q88_vocab_coverage", "q89_json_extract",
+      "q90_semantic_dedup")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

@@ -509,19 +509,30 @@ object Dedup {
       idCol: String,
       threshold: Double,
       minhashK: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
     val inter = size(array_intersect(col("_sa"), col("_sb")))
-    // protective hot-bucket cap: invisible on sane corpora, bounds the
-    // pair join on degenerate ones (e.g. millions of identical docs)
-    Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands,
-        maxBucketSize = 10000)
-      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
-      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+    candidatesWithShingles(sig, idCol, minhashK, bands, maxBucketSize)
       .withColumn("jaccard",
         inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** LSH candidate pairs joined back to both sides' shingle sets
+    * (`_sa`/`_sb`) — the shared scaffold of every exact-verify pair
+    * operator, in ONE copy so the cap and join shape cannot silently
+    * diverge between them. The default `maxBucketSize` is a protective
+    * hot-bucket cap: invisible on sane corpora, bounds the pair join on
+    * degenerate ones (e.g. millions of identical docs); oracle-replayed
+    * callers pass Int.MaxValue because the replayed SQL is uncapped.
+    */
+  private def candidatesWithShingles(
+      sig: DataFrame, idCol: String, minhashK: Int, bands: Int,
+      maxBucketSize: Int): DataFrame =
+    Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands, maxBucketSize)
+      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
 
   /** CONTAINMENT pairs: LSH candidates where either doc's shingle set
     * is `threshold`-contained in the other's — |A∩B|/|A| (or /|B|) —
@@ -543,12 +554,10 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.7,
       minhashK: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
     val inter = size(array_intersect(col("_sa"), col("_sb")))
-    Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands,
-        maxBucketSize = 10000)
-      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
-      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+    candidatesWithShingles(sig, idCol, minhashK, bands, maxBucketSize)
       .withColumn("cont_a", inter.cast("double") / size(col("_sa")))
       .withColumn("cont_b", inter.cast("double") / size(col("_sb")))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
@@ -562,10 +571,13 @@ object Dedup {
     * multi-doc cluster: (cluster, kept_id, n_docs) — the resolution
     * report a curation pipeline reviews before dropping.
     *
-    * The argmax is a partial-combinable `max(struct(quality, -id))`
-    * aggregate keyed on the cluster label — never a per-cluster sort
-    * or window over the corpus. `qualityCol` must be a numeric column
-    * of `df` (length, TTR, a model score...).
+    * The argmax is two partial-combinable aggregates (per-cluster max
+    * quality, then min id among the maximal members) — never a
+    * per-cluster sort or window over the corpus, and no arithmetic on
+    * the id (a `-id` negation trick would silently NULL out string
+    * ids, which every other dedup operator accepts). `qualityCol` must
+    * be a non-null orderable column of `df` (length, TTR, a model
+    * score...).
     */
   def nearKeepBest(
       df: DataFrame,
@@ -575,24 +587,33 @@ object Dedup {
       threshold: Double = 0.8,
       shingleN: Int = 3,
       minhashK: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
     val sig = shingleSignatures(df, idCol, textCol, shingleN, minhashK)
       .persist(Disk)
     // pairs feed the edge symmetrization and the node set: persist, or
     // the candidate join + verify runs four times (same reuse the
     // components query needs)
-    val pairs = verifiedPairs(sig, idCol, threshold, minhashK, bands)
+    val pairs = verifiedPairs(sig, idCol, threshold, minhashK, bands,
+        maxBucketSize)
       .persist(Disk)
     val nodes = pairs.select(col("a_id").as(idCol))
       .unionAll(pairs.select(col("b_id").as(idCol))).distinct()
-    clusters(pairs, nodes, idCol)
+    // persisted: the quality-max aggregate and the winner re-selection
+    // both read the labeled frame — uncached, the propagation loop's
+    // output join would run twice
+    val labeled = clusters(pairs, nodes, idCol)
       .join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
-      .groupBy(col("cluster"))
-      .agg(max(struct(col(qualityCol).as("_q"),
-          (-col(idCol)).as("_neg"))).as("_best"),
-        count(lit(1)).as("n_docs"))
-      .select(col("cluster"), (-col("_best._neg")).as("kept_id"),
-        col("n_docs"))
+      .persist(Disk)
+    val best = labeled.groupBy(col("cluster"))
+      .agg(max(col(qualityCol)).as("_bq"), count(lit(1)).as("n_docs"))
+    // no broadcast hint: best is cluster-cardinality (can be huge at
+    // corpus scale) — the equi-join shares the cluster hash partitioning
+    labeled.join(best, Seq("cluster"))
+      .filter(col(qualityCol) === col("_bq"))
+      .groupBy(col("cluster"), col("n_docs"))
+      .agg(min(col(idCol)).as("kept_id"))
+      .select(col("cluster"), col("kept_id"), col("n_docs"))
   }
 
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): assign every vector
@@ -615,7 +636,11 @@ object Dedup {
     * partial-aggregate form combines map-side and never materializes
     * the n x k expansion through a shuffle (the window form shuffles
     * all n*k rows; measured equivalent semantics, q77 gates the window
-    * form). Centroids typically come from [[Similarity.kmeansFit]].
+    * form). Centroid ids must be NUMERIC (they are cast to long for
+    * the argmax tiebreak); vector ids may be any orderable type.
+    * Centroids typically come from [[Similarity.kmeansFit]]. The
+    * assignment cache is plan-keyed and session-lifetime (the
+    * documented [[near]]-style trade).
     */
   def semantic(vectors: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centIdCol: String, centVecCol: String,

@@ -1398,7 +1398,7 @@ object PipelineQueries {
         SELECT CAST(r.cluster AS BIGINT) AS cluster, r.doc_id AS kept_id, g.n_docs
         FROM rk r JOIN g USING (cluster) WHERE rn = 1 ORDER BY cluster"""),
       (s, d) => Dedup.nearKeepBest(spread(documents(s, d)), "doc_id", "text",
-          "n_chars", threshold = 0.5)
+          "n_chars", threshold = 0.5, maxBucketSize = Int.MaxValue)
         .orderBy("cluster")),
 
     // Containment pairs ([[Dedup.containmentPairs]]): asymmetric
@@ -1425,7 +1425,11 @@ object PipelineQueries {
       (s, d) => {
         val sig = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Dedup.containmentPairs(sig, "doc_id", threshold = 0.7)
+        // uncapped: the oracle's cand CTE has no hot-bucket cap, so a
+        // capped operator run would drop pairs the oracle keeps on a
+        // degenerate corpus (q26/q27 follow the same convention)
+        Dedup.containmentPairs(sig, "doc_id", threshold = 0.7,
+            maxBucketSize = Int.MaxValue)
           .orderBy("a_id", "b_id")
       })
   )

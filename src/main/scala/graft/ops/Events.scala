@@ -43,17 +43,20 @@ object Events {
       usCol.as("_us"))
     val first = e.filter(col("_ty") === steps.head)
       .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
-    // each stage frame is persisted: stage i feeds BOTH its own count
-    // and stage i+1's join — uncached, stage 1 would re-execute once
-    // per downstream stage (3x the event scans on a 3-step funnel)
-    val stages = steps.tail.scanLeft(first.persist(disk)) { (prev, step) =>
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
       e.filter(col("_ty") === step)
         .join(prev.select(col("_u").as("_pu"), col("_t").as("_pt")),
           col("_u") === col("_pu") &&
             col("_us") > col("_pt") && col("_us") <= col("_pt") + lit(windowUs))
         .groupBy(col("_u")).agg(min(col("_us")).as("_t"))
-        .persist(disk)
     }
+    // every stage frame except the last feeds BOTH its own count and
+    // the next stage's join — uncached, stage 1 would re-execute once
+    // per downstream stage (3x the event scans on a 3-step funnel).
+    // Plan-keyed SQL-cache entries live until session end (same
+    // documented trade as Dedup.near's signature cache); the last
+    // frame is read once and stays uncached.
+    stages.dropRight(1).foreach(_.persist(disk))
     stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step"), lit(step).as("event_type"),

@@ -64,7 +64,10 @@ object Ranking {
     // cross-joined, so the curve's plan stays a pure aggregation (a
     // constant-key join would degrade to a nested-loop join — measured
     // in round 6's q80 work)
-    val total = counts.agg(sum(col(nCol)).cast("long")).first().getLong(0)
+    // SUM over zero rows is NULL, not 0 — an empty counts frame should
+    // yield an empty curve, not an NPE at the literal resolution
+    val totalRow = counts.agg(sum(col(nCol)).cast("long")).first()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val (pref, release) = Hierarchical.prefixSum(counts,
       Seq(col(nCol).desc, col(keyCol)), Nil, col(nCol), "_before", chunks)
     val curve = pref

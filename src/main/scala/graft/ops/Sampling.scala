@@ -119,7 +119,13 @@ object Sampling {
         least(lit(1.0),
           (col("_tot_n") * lit(targetFrac)) * (powN(col("_n")) / col("_tot_sn"))
             / col("_n").cast("double")).as("_rate"))
-    weighted(df.join(broadcast(rates), col(strataCol) === col("_rs")),
+    // null-safe join: a NULL stratum (e.g. failed language detection)
+    // counts like any other group — a plain === would count its rows
+    // in the totals but then silently DROP all of them here, skewing
+    // every real stratum's rate below target. (Oracle-replayed callers
+    // should still pre-bin NULLs: SQL list(ORDER BY) and Spark
+    // sort_array disagree on NULL placement in the totals fold.)
+    weighted(df.join(broadcast(rates), col(strataCol) <=> col("_rs")),
         idCol, "_rate")
       .drop("_rs", "_rate")
   }

@@ -443,7 +443,11 @@ object Streams {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowMs > 0, s"conversion window must be positive, got $windowMs")
     import events.sparkSession.implicits._
-    val horizonMin = math.max(1L, windowMs / 60_000L)
+    // CEILING division: a floored horizon would let the watermark drop
+    // events still inside a user's conversion window (e.g. a 90s
+    // window flooring to a 1-minute horizon drops a 70s-late click the
+    // batch funnel counts)
+    val horizonMin = (windowMs + 59_999L) / 60_000L
     events
       .filter(col("event_type").isin(steps: _*))
       .withWatermark("ts", s"$horizonMin minutes")
@@ -452,7 +456,8 @@ object Streams {
         (userId: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val s0 = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var s = s0
             val out = List.newBuilder[FunnelAdvance]
             batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
               if (s.stage < steps.length && e.event_type == steps(s.stage)) {
@@ -465,7 +470,16 @@ object Streams {
               }
             }
             if (s.stage >= steps.length) state.remove() // converted: done
-            else if (s.stage > 0) {
+            else if (s.stage > s0.stage) {
+              // re-arm ONLY on advance: the new lastMs comes from an
+              // admitted (above-watermark) event, so lastMs + window is
+              // ahead of the watermark. Re-arming on a NO-advance batch
+              // would replay the stored (possibly watermark-passed)
+              // timestamp and setTimeoutTimestamp throws on that —
+              // crashing the query the first time a stale user sees an
+              // unrelated event. The previously-armed timeout stays in
+              // force untouched; the engine fires it once the
+              // watermark passes it.
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + windowMs)
             }

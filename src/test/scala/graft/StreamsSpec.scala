@@ -380,4 +380,30 @@ class StreamsSpec extends AnyFunSuite {
         .filter(_.user_id == 2).count() == 1)
     } finally q.stop()
   }
+
+  test("streaming funnel survives a non-advancing event after its timeout passed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.TypedEvent]
+    val q = Streams.funnelAdvances(in.toDS(),
+        Seq("view", "click", "purchase"), windowMs = 5 * 60_000L)
+      .writeStream.format("memory").queryName("funnel_stale")
+      .outputMode("append").start()
+    try {
+      // u7 advances at t=0 (timeout armed at t+5min)
+      in.addData(Streams.TypedEvent(7, ts(0), "view"))
+      q.processAllAvailable()
+      // other users push the watermark far past u7's armed timeout
+      in.addData(Streams.TypedEvent(8, ts(60), "view"))
+      q.processAllAvailable()
+      // a NON-advancing event for u7 (wrong step for its stage, and
+      // outside its window): re-arming the stored stale timeout here
+      // used to throw inside the state store and kill the query
+      in.addData(Streams.TypedEvent(7, ts(61), "purchase"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val adv = spark.table("funnel_stale").as[Streams.FunnelAdvance].collect()
+      assert(adv.count(_.user_id == 7) == 1) // only the original view
+    } finally q.stop()
+  }
 }

@@ -616,6 +616,34 @@ object Dedup {
       .select(col("cluster"), col("kept_id"), col("n_docs"))
   }
 
+  /** N-gram NOVELTY scoring: for every `target` doc, the fraction of
+    * its distinct n-gram shingles NOT present anywhere in `reference`
+    * — the memorization/overlap signal scored per doc (novelty 0 = the
+    * doc is fully covered by the reference corpus; decontamination
+    * DROPS at a threshold, this REPORTS the continuous score).
+    *
+    * Shape: explode target shingles, one equi-join against the
+    * reference's distinct shingle set, count matches per doc — the
+    * join keys on the shingle itself so the score is exact (a
+    * production variant at extreme scale would join on a shingle hash
+    * to shrink the shuffle; kept exact here so the oracle replays
+    * verbatim). Returns (idCol, n_shingles, n_known, novelty).
+    */
+  def ngramNovelty(target: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, shingleN: Int = 3): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= shingleN)
+      .select(col(idCol), explode(Pipeline.wordShingles(col("_w"), shingleN)).as("_s"))
+    val ref = sh(reference).select(col("_s").as("_r")).distinct()
+    sh(target)
+      .join(ref, col("_s") === col("_r"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_r")).as("n_known"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_known").cast("double") / col("n_shingles"))
+  }
+
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): assign every vector
     * to its nearest centroid (max cosine, centroid-id tiebreak), then
     * prune within each cluster — of every in-cluster pair at cosine >=

@@ -1431,6 +1431,64 @@ object PipelineQueries {
         Dedup.containmentPairs(sig, "doc_id", threshold = 0.7,
             maxBucketSize = Int.MaxValue)
           .orderBy("a_id", "b_id")
+      }),
+
+    // Epoch mixing ([[ops.Sampling.temperatureMixWithReplacement]]):
+    // temperature resampling WITH replacement at a 2-epoch budget
+    // (targetFrac = 2.0) — low-resource languages repeat (fr emits
+    // 2-3 copies per doc), the dominant language under-samples
+    // relative to its natural share. Copy counts are
+    // floor(rate) + one md5-slot-decided fractional copy; the copy
+    // index rides along so downstream packing sees distinct rows.
+    QueryDef("q93_epoch_mix",
+      Some("""
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        tot AS (SELECT
+                  list_reduce(list(CAST(n AS DOUBLE) ORDER BY lang), (a, b) -> a + b) AS tot_n,
+                  list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), (a, b) -> a + b) AS tot_sn
+                FROM c),
+        r AS (SELECT lang, ((tot_n * 2.0) * (sqrt(CAST(n AS DOUBLE)) / tot_sn))
+                             / CAST(n AS DOUBLE) AS rate
+              FROM c CROSS JOIN tot),
+        d2 AS (SELECT doc_id, d.lang, rate,
+                 list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 for i in range(1, 9)],
+                             (a, b) -> a*16 + b) % 1000000 AS slot
+               FROM documents d JOIN r USING (lang)),
+        d3 AS (SELECT doc_id, lang,
+                 CAST(floor(rate) AS BIGINT)
+                   + CASE WHEN slot < CAST(floor((rate - floor(rate)) * 1000000) AS BIGINT)
+                          THEN 1 ELSE 0 END AS copies
+               FROM d2)
+        SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+        FROM d3 ORDER BY doc_id, copy"""),
+      (s, d) => graft.ops.Sampling.temperatureMixWithReplacement(
+          spread(documents(s, d)).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5, targetFrac = 2.0)
+        .orderBy("doc_id", "copy")),
+
+    // N-gram novelty ([[Dedup.ngramNovelty]]): per-eval-doc fraction
+    // of trigram shingles unseen in the rest of the corpus — the
+    // continuous memorization/overlap score (decontamination's
+    // reporting sibling). Exact-count integers plus one final
+    // division on identical values.
+    QueryDef("q94_ngram_novelty",
+      Some(s"""
+        WITH $shinglesCte,
+        ref AS (SELECT DISTINCT unnest(sh.shingles) AS s
+                FROM sh JOIN documents USING (doc_id) WHERE source <> 'src0'),
+        t AS (SELECT sh.doc_id, unnest(sh.shingles) AS s
+              FROM sh JOIN documents USING (doc_id) WHERE source = 'src0'),
+        m AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(COUNT(ref.s) AS BIGINT) AS n_known
+              FROM t LEFT JOIN ref ON t.s = ref.s GROUP BY t.doc_id)
+        SELECT doc_id, n_shingles, n_known,
+               1.0 - CAST(n_known AS DOUBLE) / n_shingles AS novelty
+        FROM m ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        Dedup.ngramNovelty(docs.filter(col("source") === "src0"),
+            docs.filter(col("source") =!= "src0"), "doc_id", "text")
+          .orderBy("doc_id")
       })
   )
 }

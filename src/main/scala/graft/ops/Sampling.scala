@@ -95,6 +95,57 @@ object Sampling {
                      alpha: Double = 0.5, targetFrac: Double = 0.5): DataFrame = {
     require(targetFrac > 0 && targetFrac <= 1,
       s"targetFrac must be in (0,1], got $targetFrac")
+    // null-safe join: a NULL stratum (e.g. failed language detection)
+    // counts like any other group — a plain === would count its rows
+    // in the totals but then silently DROP all of them here, skewing
+    // every real stratum's rate below target. (Oracle-replayed callers
+    // should still pre-bin NULLs: SQL list(ORDER BY) and Spark
+    // sort_array disagree on NULL placement in the totals fold.)
+    weighted(df.join(broadcast(strataRates(df, strataCol, alpha, targetFrac)
+          .select(col("_rs"), least(lit(1.0), col("_rate")).as("_rate"))),
+        col(strataCol) <=> col("_rs")),
+        idCol, "_rate")
+      .drop("_rs", "_rate")
+  }
+
+  /** Sampling WITH REPLACEMENT at temperature alpha: like
+    * [[temperatureMix]] but a stratum whose target share exceeds its
+    * natural share is UPSAMPLED — rate 2.6 emits every row twice plus a
+    * 0.6-probability third copy — so `targetFrac` may exceed 1 (the
+    * "train low-resource languages for multiple epochs" rule; e.g.
+    * targetFrac = 2.0 builds a two-epoch-budget mixture). Output rows
+    * carry a `copy` index (0-based) — downstream packing/shuffling
+    * treats each copy as a distinct row. The fractional copy uses the
+    * same md5-slot decision as [[weighted]]: deterministic across
+    * runs, engines, and retries.
+    */
+  def temperatureMixWithReplacement(df: DataFrame, idCol: String,
+                                    strataCol: String, alpha: Double = 0.5,
+                                    targetFrac: Double = 1.0): DataFrame = {
+    require(targetFrac > 0, s"targetFrac must be positive, got $targetFrac")
+    val withRate = df.join(broadcast(strataRates(df, strataCol, alpha, targetFrac)),
+      col(strataCol) <=> col("_rs"))
+    val frac = col("_rate") - floor(col("_rate"))
+    withRate
+      .withColumn("copies", floor(col("_rate")).cast("long") +
+        when(pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+            lit(1000000L)) < floor(frac * 1000000d).cast("long"), 1L)
+          .otherwise(0L))
+      .filter(col("copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("copies") - 1)))
+      .drop("_rs", "_rate", "copies")
+  }
+
+  /** Per-stratum temperature resampling rates (UNCAPPED):
+    * `rate_s = targetFrac * total_n * (n_s^alpha / sum_t n_t^alpha) / n_s`
+    * as a broadcast-sized frame (_rs, _rate). The float totals fold
+    * over a stratum-SORTED collect_list (float addition is
+    * order-sensitive and an oracle replaying the fold must see the
+    * identical sequence); alpha = 0.5 uses `sqrt` (IEEE
+    * correctly-rounded everywhere) rather than `pow` (libm-dependent).
+    */
+  private def strataRates(df: DataFrame, strataCol: String, alpha: Double,
+                          targetFrac: Double): DataFrame = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     def powN(n: Column): Column =
       if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), alpha)
@@ -114,20 +165,10 @@ object Sampling {
           (acc, x) => acc + x.getField("n").cast("double")).as("_tot_n"),
         aggregate(col("_xs"), lit(0.0),
           (acc, x) => acc + powN(x.getField("n"))).as("_tot_sn"))
-    val rates = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col(strataCol).as("_rs"),
-        least(lit(1.0),
-          (col("_tot_n") * lit(targetFrac)) * (powN(col("_n")) / col("_tot_sn"))
-            / col("_n").cast("double")).as("_rate"))
-    // null-safe join: a NULL stratum (e.g. failed language detection)
-    // counts like any other group — a plain === would count its rows
-    // in the totals but then silently DROP all of them here, skewing
-    // every real stratum's rate below target. (Oracle-replayed callers
-    // should still pre-bin NULLs: SQL list(ORDER BY) and Spark
-    // sort_array disagree on NULL placement in the totals fold.)
-    weighted(df.join(broadcast(rates), col(strataCol) <=> col("_rs")),
-        idCol, "_rate")
-      .drop("_rs", "_rate")
+        ((col("_tot_n") * lit(targetFrac)) * (powN(col("_n")) / col("_tot_sn"))
+          / col("_n").cast("double")).as("_rate"))
   }
 
   def packSequences(df: DataFrame, idCol: String, strataCol: String,

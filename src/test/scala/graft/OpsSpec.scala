@@ -336,6 +336,31 @@ class OpsSpec extends AnyFunSuite {
       s"overall kept fraction ${keptTotal / total} should be near the 0.5 target")
   }
 
+  test("with-replacement mixing repeats rare strata by their exact rate") {
+    import spark.implicits._
+    // A: 90 rows, B: 10 rows; alpha=0.5, budget 2x:
+    // tot_sn = sqrt(90)+sqrt(10); rate_B = 200*(sqrt(10)/tot_sn)/10 = 5.0
+    // exactly, rate_A = 200*(sqrt(90)/tot_sn)/90 ~ 1.667
+    val df = ((1 to 90).map(i => (i.toLong, "A")) ++
+      (101 to 110).map(i => (i.toLong, "B"))).toDF("id", "s")
+    val out = graft.ops.Sampling.temperatureMixWithReplacement(
+      df, "id", "s", alpha = 0.5, targetFrac = 2.0)
+    val copies = out.groupBy("id", "s").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bCopies = copies.filter(_._2 == "B").map(_._3)
+    assert(bCopies.length == 10 && bCopies.forall(_ == 5L),
+      s"rate_B is exactly 5.0 -> 5 copies each, got ${bCopies.toSeq}")
+    val aCopies = copies.filter(_._2 == "A").map(_._3)
+    assert(aCopies.forall(c => c == 1L || c == 2L))
+    // copy indices are dense 0..k-1 per row
+    val idx = out.filter(col("id") === 101).select("copy").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(idx == Seq(0L, 1L, 2L, 3L, 4L))
+    // overall volume lands near the 2x budget
+    val total = out.count()
+    assert(total > 170 && total < 230, s"total $total should be near 200")
+  }
+
   test("coverage thresholds equal the brute-force rank scan") {
     import spark.implicits._
     val counts = Seq(("a", 50L), ("b", 30L), ("c", 10L), ("d", 6L),

@@ -791,6 +791,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos12_22 >= 0.95, s"fixture broken: boundary cosine $cos12_22")
   }
 
+  test("ngramNovelty scores covered, novel, and half-covered docs exactly") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e f"), (101L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    // t1: all 4 trigrams in ref; t2: none; t3: 2 of 4 (crosses the
+    // a..f / fresh boundary)
+    val t = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u2"),
+      (3L, "c d e f gg hh")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(t, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 4L, 0.0)))
+    assert(got(2L)._2 == 0L && got(2L)._3 == 1.0)
+    assert(got(3L) == ((4L, 2L, 0.5)))
+  }
+
   test("nearKeepBest keeps the highest-quality member per cluster") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -119,7 +119,8 @@ class PlansSpec extends AnyFunSuite {
     // (n x k comparisons IS the operator's semantics, k << n)
     // — constant work per probe row, safe at any scale
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
-      "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup")
+      "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
+      "q93_epoch_mix")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

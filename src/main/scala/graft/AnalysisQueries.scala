@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-analysis and retrieval queries (q95+): unigram
+  * self-information scoring, duplicated-n-gram measurement,
+  * conjunctive keyword search, boilerplate-prefix detection,
+  * embedding-norm QA, and fixed-count priority sampling.
+  *
+  * Same oracle discipline as PipelineQueries: exact-integer pipelines
+  * wherever possible (bit-lengths instead of libm log2, ppm integer
+  * divisions instead of float fractions), and index-ordered IEEE folds
+  * where doubles are unavoidable — every query's DuckDB mirror replays
+  * the identical arithmetic.
+  */
+object AnalysisQueries {
+  import Tables._
+
+  // Oracle mirror of Pipeline.wordHash32: first 8 hex digits of md5
+  // folded to a 32-bit integer (same recipe as the q93 oracle).
+  private def hash32Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
+                    (a, b) -> a*16 + b)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Unigram self-information ([[ops.TextStats.informationScore]]):
+    // per-doc sum of floor(log2(N/freq)) bits under the corpus unigram
+    // model — the deterministic integer cousin of perplexity scoring.
+    // floor(log2) is bit-length (length(bin(x))-1): pure integer, no
+    // libm log whose ulp behavior differs across engines. The window
+    // SUM is CAST back to BIGINT (DuckDB types window sums HUGEINT).
+    QueryDef("q95_info_content",
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, w),
+        f AS (SELECT doc_id, tf, CAST(SUM(tf) OVER (PARTITION BY w) AS BIGINT) AS freq FROM tf)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+               CAST(SUM(tf * (length(bin(tot // freq)) - 1)) AS BIGINT) AS bits
+        FROM f CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        // corpus token count: one scan-side aggregate (in production it
+        // arrives from the previous stage; here it resolves to a literal
+        // so the main chain stays a single window pipeline, no self-join)
+        val tot = graft.ops.TextStats.totalTokens(docs, "text")
+        graft.ops.TextStats.informationScore(docs, "doc_id", "text", tot)
+          .orderBy("doc_id")
+      }),
+
+    // Duplicated-n-gram fraction ([[ops.TextStats
+    // .duplicatedNgramFraction]]): share of each doc's distinct
+    // 5-grams that appear in any other doc — the substring-level
+    // duplication diagnostic (template spam shows high dup_ppm even
+    // when whole-document near-dup never fires). Document frequency
+    // via a window over the gram key: the gram frame is built once,
+    // never aggregated-and-re-joined.
+    QueryDef("q96_dup_ngram_fraction",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id,
+                unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])) AS g
+              FROM w WHERE len(w) >= 5),
+        dd AS (SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS df FROM g),
+        m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM dd GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_dup, (1000000 * n_dup) // n_grams AS dup_ppm
+        FROM m ORDER BY doc_id"""),
+      (s, d) => graft.ops.TextStats
+        .duplicatedNgramFraction(spread(documents(s, d)), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
+    // Conjunctive keyword search ([[ops.Search.keywordSearch]]): docs
+    // containing ALL query terms, ranked by total term frequency
+    // (exact integer), top 10. The scan-side term filter plays the
+    // posting-list probe; the final top-k is TakeOrderedAndProject.
+    QueryDef("q97_keyword_search",
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_total, COUNT(DISTINCT w) AS nt
+              FROM toks WHERE w IN ('join', 'hash', 'scan') GROUP BY doc_id)
+        SELECT doc_id, tf_total FROM m WHERE nt = 3
+        ORDER BY tf_total DESC, doc_id LIMIT 10"""),
+      (s, d) => graft.ops.Search.keywordSearch(spread(documents(s, d)),
+        "doc_id", "text", Seq("join", "hash", "scan"), k = 10)),
+
+    // Boilerplate-prefix detection ([[ops.TextStats
+    // .boilerplatePrefixes]]): per source, the 2-token document
+    // prefixes shared by >= 2 docs — repeated headers / chrome that
+    // whole-document dedup misses because the tails differ. Only the
+    // prefix + id are shuffled; the document body never leaves the scan.
+    QueryDef("q98_boilerplate_prefixes",
+      Some("""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, source, array_to_string(w[1:2], ' ') AS prefix
+              FROM w WHERE len(w) >= 2)
+        SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS df,
+               MIN(doc_id) AS first_doc
+        FROM p GROUP BY source, prefix HAVING COUNT(*) >= 2
+        ORDER BY source, prefix"""),
+      (s, d) => graft.ops.TextStats.boilerplatePrefixes(
+          spread(documents(s, d)), "doc_id", "text", "source",
+          prefixLen = 2, minDf = 2)
+        .orderBy("source", "prefix")),
+
+    // Embedding-norm outliers ([[Similarity.normOutliers]]): exact-rank
+    // top 1% by squared L2 norm — the broken-encoder screen. norm_sq
+    // is the index-ordered sequential fold (bit-identical to the
+    // oracle's list_reduce); the cutoff is an exact ORDER BY rank with
+    // id tiebreak, so the flagged set is deterministic.
+    QueryDef("q99_norm_outliers",
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        s AS (SELECT vec_id,
+                list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y) AS norm_sq
+              FROM e)
+        SELECT vec_id, norm_sq FROM s CROSS JOIN n
+        QUALIFY ROW_NUMBER() OVER (ORDER BY norm_sq DESC, vec_id) <= CAST(ceil(0.01 * n) AS BIGINT)
+        ORDER BY norm_sq DESC, vec_id"""),
+      (s, d) => {
+        // parquet metadata count — no data scan
+        val n = embeddings(s, d).count()
+        Similarity.normOutliers(spread(embeddings(s, d)),
+          "vec_id", "embedding", n, frac = 0.01)
+      }),
+
+    // Fixed-count priority sample ([[ops.Sampling.prioritySample]]):
+    // exactly 10 docs per language by md5-hash priority, on the
+    // GroupedTopK custom physical operator (bounded per-partition
+    // heaps — no stratum ever sorts, or funnels through one task,
+    // beyond k rows). The order value packs hash and id so boundary
+    // ties are impossible.
+    QueryDef("q100_priority_sample",
+      Some(s"""
+        WITH s AS (SELECT doc_id, lang, source,
+                     CAST(${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS BIGINT)
+                       * 16777216 + doc_id % 16777216 AS pri
+                   FROM documents)
+        SELECT lang, doc_id, source, pri FROM s
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri) <= 10
+        ORDER BY lang, pri"""),
+      (s, d) => graft.ops.Sampling.prioritySample(
+          spread(documents(s, d)).select("doc_id", "lang", "source"),
+          "doc_id", "lang", k = 10)
+        .select(col("lang"), col("doc_id"), col("source"), col("pri"))
+        .orderBy("lang", "pri"))
+  )
+}

@@ -38,7 +38,8 @@ object Queries {
   private def dsumSql(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
 
-  val all: Seq[QueryDef] = core ++ extra ++ advanced ++ PipelineQueries.all
+  val all: Seq[QueryDef] = core ++ extra ++ advanced ++ PipelineQueries.all ++
+    AnalysisQueries.all
 
   private lazy val core: Seq[QueryDef] = Seq(
 

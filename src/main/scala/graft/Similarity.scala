@@ -206,6 +206,31 @@ object Similarity {
     KMeans(out, cents, inertia.result())
   }
 
+  /** Embedding-corpus QA: the top `frac` fraction of vectors by squared
+    * L2 norm (exact rank, not an approximate quantile) — the standard
+    * broken-encoder screen: rows whose norms sit far outside the
+    * corpus distribution are truncated/overflowed/zero-padded encoder
+    * outputs, and they poison cosine-based dedup and ANN downstream.
+    *
+    * `norm_sq` is the index-ordered sequential fold ([[Pipeline.dot]]),
+    * so the doubles are bit-identical to an oracle replaying the same
+    * fold. The cutoff is an exact ORDER BY rank (TakeOrderedAndProject
+    * — per-partition bounded heaps, never a global sort), with the id
+    * as tiebreak, so the flagged set is deterministic. `n` is the
+    * corpus size, passed in (production pipelines know it from the
+    * previous stage; recomputing would force an extra action).
+    */
+  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
+                   n: Long, frac: Double = 0.01): DataFrame = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val k = math.max(1L, math.ceil(frac * n).toLong).toInt
+    df.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .select(col(idCol), Pipeline.dot(col("_v"), col("_v")).as("norm_sq"))
+      .orderBy(col("norm_sq").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Append text-analysis feature columns to a document DataFrame:
     * token counts, type-token ratio, stopword ratio, BPE-ish subword
     * estimate, canonical fingerprint, rolling hash — all scan-side

@@ -31,6 +31,32 @@ object Sampling {
       pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")), lit(1000L)) < permille)
   }
 
+  /** Deterministic FIXED-COUNT sample: exactly `min(k, stratum size)`
+    * rows per stratum, chosen by md5-hash priority — "give me a uniform
+    * 10k-document audit sample per language" where [[stratified]]'s
+    * rate form would need the stratum sizes up front. Priority-based
+    * sampling is uniform (the hash is uniform on ids) and reproducible
+    * across runs/engines/retries, like every sampler here.
+    *
+    * Runs on the [[graft.plans.GroupedTopK]] custom physical operator:
+    * per-partition bounded heaps of k entries, one shuffle of the
+    * survivors — never a full per-stratum sort, and no stratum ever
+    * funnels through a single task's memory beyond k rows. The order
+    * value packs the hash with the id (`slot * 2^24 + id mod 2^24`) so
+    * it is collision-free for ids below 2^24 per million-slot bucket —
+    * hash ties cannot make the boundary row nondeterministic.
+    */
+  def prioritySample(df: DataFrame, idCol: String, strataCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+      lit(1000000L))
+    val withPri = df.withColumn("pri",
+      slot * lit(16777216L) + pmod(col(idCol), lit(16777216L)))
+    graft.plans.GroupedTopK.perKey(withPri, Seq(strataCol), "pri",
+      k, largest = false)
+  }
+
   /** Greedy contiguous sequence packing: within each stratum, rows in
     * `idCol` order are appended to a bin until the token budget is
     * crossed — `bin = cum_tokens_before div budget` (a doc that

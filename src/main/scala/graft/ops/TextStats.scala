@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Pipeline.words
+
+/** Corpus-statistics operators for training-data curation: unigram
+  * self-information scoring, duplicated-n-gram measurement, and
+  * boilerplate-prefix detection.
+  *
+  * All three are exact-integer pipelines (no floating point anywhere),
+  * so results are bit-identical across engines and re-runs — the same
+  * portability discipline as the dedup family (Pipeline.scala).
+  *
+  * Scale shapes (100 TB): every operator here is a scan-side
+  * projection plus at most two key-partitioned shuffles (token /
+  * n-gram / prefix keys — high cardinality, so the shuffles spread
+  * evenly). None joins a corpus-sized frame against itself and none
+  * holds per-group state beyond one aggregate row.
+  */
+object TextStats {
+
+  /** Integer self-information score per document: for each token
+    * occurrence, `floor(log2(N / freq))` bits (N = corpus token count,
+    * freq = corpus frequency of the token), summed per document.
+    *
+    * This is the floor-quantized Shannon information content of the
+    * document under the corpus unigram model — the deterministic
+    * integer cousin of a unigram-LM perplexity score. Rare-token-dense
+    * documents score high (informative / unusual), documents of pure
+    * boilerplate tokens score low. `floor(log2(x))` is computed as
+    * `length(bin(x)) - 1` — pure integer bit-length, no libm `log`
+    * whose last-ulp behavior differs across engines.
+    *
+    * Implementation is a single chain with NO self-join: token counts
+    * per (doc, token) via one shuffle, corpus frequency via a window
+    * over the token key (high-cardinality partition — spreads evenly),
+    * then the per-doc fold. `totalTokens` must be the corpus token
+    * count (`sum(size(words))`); it arrives as a parameter because in
+    * a production pipeline it is already known from the previous stage
+    * — recomputing it here would force an extra action per call.
+    */
+  def informationScore(docs: DataFrame, idCol: String, textCol: String,
+                       totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("freq", sum(col("tf")).over(Window.partitionBy("w")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast(LongType).as("n_tok"),
+        sum(col("tf") * (length(bin(expr(s"${totalTokens}L div freq"))) - 1))
+          .cast(LongType).as("bits"))
+  }
+
+  /** Corpus token count for [[informationScore]] — one scan-side
+    * aggregate over token-array sizes (never materializes the tokens).
+    */
+  def totalTokens(docs: DataFrame, textCol: String): Long =
+    docs.agg(sum(size(words(col(textCol)))).cast(LongType)).head.getLong(0)
+
+  /** Per-document duplicated-n-gram fraction: the share of a document's
+    * DISTINCT word n-grams that also appear in at least one other
+    * document. This is the Lee-et-al-style substring-duplication
+    * diagnostic at n-gram granularity — documents with a high fraction
+    * are mostly made of text repeated elsewhere (template spam, mirror
+    * pages) even when no single whole-document near-dup fires.
+    *
+    * Output: id, n_grams, n_dup, and `dup_ppm = (1e6 * n_dup) div
+    * n_grams` (parts-per-million, exact integer — no float division).
+    *
+    * One shuffle on the n-gram key (document frequency via window — the
+    * gram frame is built ONCE, not aggregated and re-joined) plus one
+    * on the doc key. Documents with fewer than n words are excluded
+    * (empty-shingle semantics differ across engines).
+    */
+  def duplicatedNgramFraction(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val grams = docs
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol),
+        explode(graft.Pipeline.wordShingles(col("w"), n)).as("g"))
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup) div n_grams"))
+  }
+
+  /** Boilerplate-prefix detection: per stratum (source / domain), the
+    * `prefixLen`-token document prefixes shared by at least `minDf`
+    * documents — the scrape-cleaning signal for repeated headers,
+    * cookie banners, and navigation chrome that whole-document dedup
+    * never catches (the tails differ).
+    *
+    * Scale shape: the shuffle key is (stratum, prefix) and the shuffled
+    * payload is just the prefix string + doc id — the document body
+    * never leaves the scan. Group state is one count + one min.
+    */
+  def boilerplatePrefixes(docs: DataFrame, idCol: String, textCol: String,
+                          strataCol: String, prefixLen: Int = 2,
+                          minDf: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && minDf >= 1,
+      s"prefixLen and minDf must be >= 1, got $prefixLen / $minDf")
+    docs
+      .select(col(idCol), col(strataCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= prefixLen)
+      .select(col(idCol), col(strataCol),
+        concat_ws(" ", slice(col("w"), 1, prefixLen)).as("prefix"))
+      .groupBy(col(strataCol), col("prefix"))
+      .agg(count(lit(1)).cast(LongType).as("df"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("df") >= minDf)
+  }
+}

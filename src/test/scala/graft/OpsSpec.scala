@@ -376,4 +376,96 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(g1 == Map(1 -> 1L, 100 -> 1L))
   }
+
+  test("information score charges rare tokens their bit-length") {
+    import spark.implicits._
+    val docs = Seq((1L, "c c c c"), (2L, "c c c c"), (3L, "c c c z"))
+      .toDF("doc_id", "text")
+    // tot = 12, freq(c) = 11, freq(z) = 1:
+    // bits(c) = floor(log2(12 div 11)) = 0, bits(z) = floor(log2(12)) = 3
+    val tot = graft.ops.TextStats.totalTokens(docs, "text")
+    assert(tot == 12L)
+    val got = graft.ops.TextStats.informationScore(docs, "doc_id", "text", tot)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (4L, 0L), 2L -> (4L, 0L), 3L -> (4L, 3L)))
+  }
+
+  test("duplicated-n-gram fraction flags only grams shared across docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats
+      .duplicatedNgramFraction(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // d1 {"a b","b c"}: "a b" also in d2 -> 1/2 = 500000 ppm
+    assert(got(1L) == (2L, 1L, 500000L))
+    assert(got(2L) == (2L, 1L, 500000L))
+    assert(got(3L) == (2L, 0L, 0L))
+  }
+
+  test("keyword search is conjunctive and ranks by total tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join hash scan other"),
+      (2L, "join join hash scan scan"),
+      (3L, "join hash join hash")) // no 'scan' -> excluded
+      .toDF("doc_id", "text")
+    val got = graft.ops.Search.keywordSearch(docs, "doc_id", "text",
+        Seq("join", "hash", "scan"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 5L), (1L, 3L)))
+  }
+
+  test("boilerplate prefixes group per stratum and respect minDf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hdr one foo bar", "s1"),
+      (2L, "hdr one baz qux", "s1"),
+      (3L, "hdr one foo bar", "s2"), // same prefix, other source: df=1 there
+      (4L, "solo text here x", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextStats.boilerplatePrefixes(
+        docs, "doc_id", "text", "source", prefixLen = 2, minDf = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(("s1", "hdr one") -> (2L, 1L)))
+  }
+
+  test("norm outliers return the exact-rank top fraction") {
+    import spark.implicits._
+    val embs = ((1L to 9L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f))) :+
+      (10L, Array(5.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // frac 0.1 of 10 -> k = 1: only the planted big-norm row
+    val got = graft.Similarity.normOutliers(embs, "vec_id", "embedding",
+      n = 10L, frac = 0.1).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(got.head.getDouble(1) == 25.0)
+    // ceil semantics: frac 0.01 of 10 -> still 1 row, never 0
+    assert(graft.Similarity.normOutliers(embs, "vec_id", "embedding",
+      n = 10L, frac = 0.01).count() == 1L)
+  }
+
+  test("priority sample takes exactly k per stratum, equal to the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "s")
+    val got = graft.ops.Sampling.prioritySample(df, "id", "s", k = 5)
+    val byStratum = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("A" -> 5L, "B" -> 5L))
+    // equals the window-rank reference on the same priority value
+    val pri = pmod(Pipeline.wordHash32(col("id").cast("string")),
+      lit(1000000L)) * lit(16777216L) + pmod(col("id"), lit(16777216L))
+    val expected = df.withColumn("pri", pri)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("s").orderBy("pri")))
+      .filter(col("rn") <= 5).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.select("id").collect().map(_.getLong(0)).toSet == expected)
+    // deterministic: a second run returns the identical set
+    assert(graft.ops.Sampling.prioritySample(df, "id", "s", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet == expected)
+  }
 }

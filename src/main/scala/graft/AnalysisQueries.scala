@@ -147,5 +147,65 @@ object AnalysisQueries {
           "doc_id", "lang", k = 10)
         .select(col("lang"), col("doc_id"), col("source"), col("pri"))
         .orderBy("lang", "pri"))
+  ) ++ Seq(
+
+    // 64-bit SimHash PAIRS ([[Pipeline.simhash64Pairs]]) — the
+    // dedup-level gate q71's signature dump doesn't cover: a planted
+    // token-permutation duplicate (hamming distance 0 by construction
+    // — SimHash is order-independent) is unioned into the corpus as a
+    // derived CTE, and the oracle replays signature derivation,
+    // 16-bit pigeonhole chunking, candidate equi-join, and the exact
+    // hamming verify. The corpus also contributes its natural
+    // dist<=3 pairs, so the blocking completeness is exercised on
+    // real data, not just the plant.
+    QueryDef("q101_simhash64_pairs",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(900001 AS BIGINT), 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+            (CAST(900002 AS BIGINT), 'kappa iota theta eta zeta epsilon delta gamma beta alpha'),
+            (CAST(900003 AS BIGINT), 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda')) v(doc_id, text)),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+        h AS (SELECT doc_id,
+                list_reduce([strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 for i in range(1, 9)],
+                            (a, b) -> a*16 + b) AS hlo,
+                list_reduce([strpos('0123456789abcdef', substr(md5('x1_' || w), i, 1)) - 1 for i in range(1, 9)],
+                            (a, b) -> a*16 + b) AS hhi
+              FROM toks),
+        votes AS (SELECT doc_id, b,
+                    SUM(CASE WHEN (hlo >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vlo,
+                    SUM(CASE WHEN (hhi >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vhi
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+                  CAST(SUM(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+                FROM votes GROUP BY doc_id),
+        ch AS (SELECT doc_id, lo, hi, c,
+                 CASE WHEN c < 2 THEN (lo >> (CAST(c AS INTEGER) * 16)) & 65535
+                      ELSE (hi >> ((CAST(c AS INTEGER) - 2) * 16)) & 65535 END AS chunk
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                        x.lo AS xlo, x.hi AS xhi, y.lo AS ylo, y.hi AS yhi
+                 FROM ch x JOIN ch y
+                   ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        SELECT a_id, b_id, dist FROM (
+          SELECT a_id, b_id,
+                 CAST(bit_count(xor(xlo, ylo)) + bit_count(xor(xhi, yhi)) AS INTEGER) AS dist
+          FROM cand) WHERE dist <= 3 ORDER BY a_id, b_id"""),
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (900001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (900002L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+          (900003L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+          .toDF("doc_id", "text")
+        val corpus = spread(documents(s, d)).select("doc_id", "text")
+          .unionAll(planted)
+        val sims = Pipeline.simhash64(corpus, "doc_id", "text")
+        Pipeline.simhash64Pairs(sims, "doc_id", maxDist = 3)
+          .orderBy("a_id", "b_id")
+      })
   )
 }

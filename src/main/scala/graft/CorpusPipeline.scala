@@ -52,27 +52,51 @@ object CorpusPipeline {
   private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   /** The shared stage chain: persisted exact/sig/near boundaries (each
-    * roots downstream stages AND a report count — unpersisted, the md5
-    * window and the LSH chain would re-derive per action) plus the
-    * quality-filtered, feature-annotated corpus. Callers own the
-    * persisted frames' release.
+    * roots downstream stages — unpersisted, the md5 window and the LSH
+    * chain would re-derive per action) plus the quality-filtered,
+    * feature-annotated corpus. Callers own the persisted frames'
+    * release.
+    *
+    * Stage counts ride `observe` metric nodes chained through the plan
+    * (input / after-exact / after-near), so ONE action — the quality
+    * count in [[countReport]] — executes every stage exactly once,
+    * materializes the three caches on the way, and delivers all four
+    * counts. No per-boundary count jobs.
     */
   private final case class Stages(exact: DataFrame, sig: DataFrame,
                                   near: DataFrame, quality: DataFrame,
                                   annotated: DataFrame,
+                                  obsInput: org.apache.spark.sql.Observation,
+                                  obsExact: org.apache.spark.sql.Observation,
+                                  obsNear: org.apache.spark.sql.Observation,
                                   interim: Seq[DataFrame] = Nil)
 
-  /** The four per-stage counts both facades report — one action per
-    * persisted boundary, shared so the facades cannot diverge.
+  private def metric(o: org.apache.spark.sql.Observation): Long =
+    o.get("n").asInstanceOf[Long]
+
+  /** The four per-stage counts both facades report — ONE action (the
+    * quality-stage count) fires the three upstream observations, shared
+    * so the facades cannot diverge.
     */
-  private def countReport(docs: DataFrame, st: Stages): Report =
-    Report(docs.count(), st.exact.count(), st.near.count(), st.quality.count())
+  private def countReport(st: Stages): Report = {
+    val afterQuality = st.quality.count()
+    Report(metric(st.obsInput), metric(st.obsExact), metric(st.obsNear),
+      afterQuality)
+  }
 
   private def runClean(docs: DataFrame, idCol: String, textCol: String,
                        jaccardThreshold: Double, minTokens: Int,
                        maxStopRatio: Double,
                        simhashMaxDist: Int = -1): Stages = {
-    val exact = Dedup.exact(docs, idCol, textCol).persist(Disk)
+    val oIn = org.apache.spark.sql.Observation()
+    val oExact = org.apache.spark.sql.Observation()
+    val oNear = org.apache.spark.sql.Observation()
+    val src = docs.observe(oIn, count(lit(1)).as("n"))
+    // observe BELOW persist: the metrics node lives inside the cached
+    // plan, so it fires exactly once — when the cache materializes —
+    // and cache hits never re-count
+    val exact = Dedup.exact(src, idCol, textCol)
+      .observe(oExact, count(lit(1)).as("n")).persist(Disk)
     val sig = Dedup.shingleSignatures(exact, idCol, textCol).persist(Disk)
     // the MinHash survivors are the most expensive frame in the chain;
     // when the simhash stage is on it references them TWICE (signature/
@@ -88,12 +112,13 @@ object CorpusPipeline {
     // lowest-id survivor even when the filter would later drop it)
     val (near, interim) = if (simhashMaxDist >= 0) {
       val m = minhashed.persist(Disk)
-      (Dedup.nearSimhash64(m, idCol, textCol, simhashMaxDist).persist(Disk),
-        Seq(m))
-    } else (minhashed.persist(Disk), Nil)
+      (Dedup.nearSimhash64(m, idCol, textCol, simhashMaxDist)
+        .observe(oNear, count(lit(1)).as("n")).persist(Disk), Seq(m))
+    } else (minhashed.observe(oNear, count(lit(1)).as("n")).persist(Disk), Nil)
     val quality = near.filter(qualityFilter(textCol, minTokens, maxStopRatio))
     Stages(exact, sig, near, quality,
-      Similarity.withTextFeatures(quality, textCol), interim)
+      Similarity.withTextFeatures(quality, textCol), oIn, oExact, oNear,
+      interim)
   }
 
   /** Run the full chain. The upstream caches (sig, exact) are released
@@ -111,7 +136,7 @@ object CorpusPipeline {
       minTokens: Int = 15,
       maxStopRatio: Double = 0.5): Cleaned = {
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens, maxStopRatio)
-    val report = countReport(docs, st)
+    val report = countReport(st)
     st.interim.foreach(_.unpersist())
     st.sig.unpersist()
     st.exact.unpersist()
@@ -197,16 +222,20 @@ object CorpusPipeline {
       "embedding decontamination needs BOTH embeddings and testEmbeddings")
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens,
       maxStopRatio, simhashMaxDist)
-    val cleanReport = countReport(docs, st)
+    val cleanReport = countReport(st)
     st.interim.foreach(_.unpersist())
     st.exact.unpersist() // sig + near stay: decontamination reuses both
     val testSig = Dedup.shingleSignatures(testCorpus, idCol, textCol).persist(Disk)
     // safe is persisted so the decontamination join (the most expensive
-    // stage) executes ONCE: its count materializes the cache, and
-    // downstream stages build from it
+    // stage) executes ONCE; its count (and the embedding gate's) rides
+    // an observe node inside the cached plan, so the single mixing
+    // count below materializes every post-clean cache and delivers all
+    // three counts — one action for the whole post-clean chain
+    val oSafe = org.apache.spark.sql.Observation()
+    val oGated = org.apache.spark.sql.Observation()
     val safe = Dedup.decontaminateSigned(st.annotated, st.sig, testSig,
-      idCol, threshold = decontThreshold).persist(Disk)
-    val afterTextDecon = safe.count()
+        idCol, threshold = decontThreshold)
+      .observe(oSafe, count(lit(1)).as("n")).persist(Disk)
     // optional EMBEDDING-space gate: bucket frames built once per
     // corpus (AutoPlanes sizes them to the train side), released below
     val embBuckets = embeddings.map { emb =>
@@ -218,18 +247,19 @@ object CorpusPipeline {
     val gated = embBuckets match {
       case Some((trainB, testB)) =>
         Dedup.decontaminateByEmbeddingSigned(safe, trainB, testB, idCol,
-          minCosine).persist(Disk)
+            minCosine)
+          .observe(oGated, count(lit(1)).as("n")).persist(Disk)
       case None => safe
     }
-    val afterEmbDecon = embBuckets.map(_ => gated.count())
     val mixed = ops.Sampling.stratified(gated, idCol, strataCol,
       ratesPermille, defaultPermille).persist(Disk)
     // n_subword_est comes from the feature-annotation stage — the same
     // token estimate the oracle-checked q69 packs on
     val (packed, releasePack) = ops.Sampling.packSequencesReleasable(
       mixed, idCol, strataCol, "n_subword_est", tokenBudget)
-    val report = PrepareReport(cleanReport, afterTextDecon, afterEmbDecon,
-      mixed.count())
+    val afterSampling = mixed.count()
+    val report = PrepareReport(cleanReport, metric(oSafe),
+      embBuckets.map(_ => metric(oGated)), afterSampling)
     // mixed's cache now roots the returned corpus; everything upstream
     // (sig — the largest frame in the job — near, testSig, safe, the
     // bucket frames) is dead weight and released HERE, mirroring

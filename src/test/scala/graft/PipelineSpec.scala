@@ -278,6 +278,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clean() computes its whole report in ONE action (observe metrics)") {
+    val docs = Tables.documents(spark, sf)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val result = CorpusPipeline.clean(docs)
+      assert(result.report.input == docs.count()) // sanity (extra action, after clean)
+      result.release()
+      // the listener bus is async: wait until the callbacks drain (the
+      // sanity count above is the 2nd action, so >= 2 means both landed)
+      val deadline = System.currentTimeMillis() + 30000
+      while (actions.get < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // catch any stragglers before asserting equality
+      assert(actions.get == 2,
+        s"clean() + one sanity count should be TWO actions total " +
+          s"(stage counts ride observe metrics), saw ${actions.get}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ===== measured recall (the one property of the LSH/ANN blocking
   // design previously argued only from bucket math) =====
 

@@ -22,6 +22,24 @@ object AnalysisQueries {
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
                     (a, b) -> a*16 + b)"""
 
+  // Oracle mirror of Pipeline.rhpBucket(col, 64, 4): 4-plane random-
+  // hyperplane bucket with md5-parity signs (the q30/q65 recipe).
+  private def bucketOf(v: String): String = s"""
+    list_reduce(list_transform(range(0, 4), p ->
+      CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+             $v[d] * (CASE WHEN (strpos('0123456789abcdef',
+                      substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)),
+           (x, y) -> x + y) > 0
+      THEN (1 << CAST(p AS INTEGER)) ELSE 0 END),
+    (x, y) -> x + y)"""
+
+  // Index-ordered IEEE folds matching Pipeline.dot / cosine exactly.
+  private def dotOf(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosOf(a: String, b: String): String =
+    s"${dotOf(a, b)} / (sqrt(${dotOf(a, a)}) * sqrt(${dotOf(b, b)}))"
+
   val all: Seq[QueryDef] = Seq(
 
     // Unigram self-information ([[ops.TextStats.informationScore]]):
@@ -206,6 +224,42 @@ object AnalysisQueries {
         val sims = Pipeline.simhash64(corpus, "doc_id", "text")
         Pipeline.simhash64Pairs(sims, "doc_id", maxDist = 3)
           .orderBy("a_id", "b_id")
+      }),
+
+    // ANN-blocked SemDeDup ([[Dedup.semanticBlocked]]) — q90's 100 TB
+    // assignment path, oracle-gated at forced planes=4 so the blocking
+    // genuinely bites (5 centroids over 16 buckets: 148 of 500 vectors
+    // have no centroid in their probe set and keep a NULL cluster).
+    // The oracle replays the RHP bucket derivation, the 5-bucket
+    // multi-probe expansion on the centroid side, the best-probed
+    // argmax, and the shared prune phase — every float an
+    // index-ordered fold on both engines.
+    QueryDef("q102_semantic_dedup_blocked",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        tb AS (SELECT vec_id, v, ${bucketOf("v")} AS b FROM t),
+        c AS (SELECT vec_id AS cid, v AS cv, ${bucketOf("v")} AS cb FROM t WHERE vec_id % 101 = 0),
+        cp AS (SELECT cid, cv, unnest([xor(cb, 0), xor(cb, 1), xor(cb, 2), xor(cb, 4), xor(cb, 8)]) AS probe FROM c),
+        cand AS (SELECT tb.vec_id, cid, ${cosOf("v", "cv")} AS cosine
+                 FROM tb JOIN cp ON tb.b = cp.probe),
+        best AS (SELECT vec_id, cid FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, cid) AS rn FROM cand)
+                 WHERE rn = 1),
+        a AS (SELECT tb.vec_id, best.cid AS centroid_id, tb.v
+              FROM tb LEFT JOIN best USING (vec_id)),
+        losers AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+                   ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+                   WHERE ${cosOf("x.v", "y.v")} >= 0.4)
+        SELECT vec_id, centroid_id FROM a
+        WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        ORDER BY vec_id"""),
+      (s, d) => {
+        val cents = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        Dedup.semanticBlocked(spread(embeddings(s, d)), "vec_id", "embedding",
+            cents, "cid", "cv", threshold = 0.4, planes = 4)
+          .orderBy("vec_id")
       })
   )
 }

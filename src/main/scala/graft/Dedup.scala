@@ -690,6 +690,19 @@ object Dedup {
       .select(col(idCol), (-col("_best._neg")).as("centroid_id"))
       .join(v, Seq(idCol))
       .persist(Disk)
+    pruneClusters(assigned, idCol, threshold)
+  }
+
+  /** The shared SemDeDup prune phase: within-cluster pairs at cosine >=
+    * `threshold` drop the higher id. `assigned` carries (idCol,
+    * centroid_id, _v) and must be persisted by the caller (read three
+    * times: both pair-join sides and the anti-join left). A NULL
+    * centroid_id never equi-joins, so unassigned vectors always
+    * survive.
+    */
+  private def pruneClusters(assigned: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
     val losers = assigned.select(col(idCol).as("a_id"), col("_v").as("_va"),
         col("centroid_id").as("_ca"))
       .join(assigned.select(col(idCol).as("b_id"), col("_v").as("_vb"),
@@ -699,5 +712,60 @@ object Dedup {
       .select(col("b_id").as(idCol)).distinct()
     assigned.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
+  }
+
+  /** [[semantic]] with ANN-BLOCKED assignment — the 100 TB form of the
+    * nearest-centroid step. SemDeDup sizes k to the corpus (bounded
+    * clusters), which makes the exact assignment's n x k cosine scan
+    * grow ~100x per 10x corpus (both factors scale — measured: q90's
+    * exact form 0.79 s -> 17.5 s at 10x on the replica set, and the
+    * same law is documented on q77). Here each vector probes only the
+    * centroids whose RHP bucket is its own or one bit away: the
+    * centroid frame is expanded (planes+1)-fold on the SMALL side,
+    * broadcast, and hash-joined on the bucket — assignment work drops
+    * to ~n * k * (planes+1) / 2^planes fused cosines and the join is a
+    * BroadcastHashJoin, never a nested loop.
+    *
+    * Approximation contract: a vector is assigned to its best PROBED
+    * centroid (multi-probe recall: a hamming-1 neighbourhood holds the
+    * true nearest bucket with the same measured odds as [[annTopK]] —
+    * high-cosine assignments degrade slowest); a vector with NO
+    * centroid in its probe set keeps a NULL `centroid_id` and is never
+    * deduped (conservative: false survivors, never false drops of
+    * cross-cluster pairs that exact SemDeDup would also miss). With
+    * `planes` small enough that probes cover every bucket (k small),
+    * the output EQUALS [[semantic]] exactly — spec-gated.
+    *
+    * The prune phase is [[semantic]]'s, verbatim (shared helper).
+    */
+  def semanticBlocked(vectors: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, centIdCol: String,
+                      centVecCol: String, threshold: Double,
+                      planes: Int = Pipeline.AutoPlanes,
+                      dims: Int = 64): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
+    require(threshold > -1 && threshold <= 1,
+      s"cosine threshold must be in (-1,1], got $threshold")
+    // planes sized to the CENTROID count (the blocked side): target
+    // ~64 centroids per bucket — small enough to scan, large enough
+    // that probe sets rarely come up empty
+    val p = if (planes != Pipeline.AutoPlanes) planes
+      else Pipeline.planesFor(math.max(1L, centroids.count()),
+        targetBucketSize = 64)
+    val v = vectors.select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("_v"))
+      .withColumn("_b", Pipeline.rhpBucket(col("_v"), dims, p))
+    val centsExp = broadcast(centroids
+      .select(col(centIdCol).cast("long").as("_cid"),
+        transform(col(centVecCol), _.cast("double")).as("_cv"))
+      .withColumn("_probe", explode(
+        Pipeline.rhpProbeBuckets(Pipeline.rhpBucket(col("_cv"), dims, p), p))))
+    val best = v.join(centsExp, col("_b") === col("_probe"))
+      .groupBy(col(idCol))
+      .agg(max(struct(cosineSim(col("_v"), col("_cv")).as("_cos"),
+        (-col("_cid")).as("_neg"))).as("_best"))
+      .select(col(idCol), (-col("_best._neg")).as("centroid_id"))
+    val assigned = v.drop("_b").join(best, Seq(idCol), "left").persist(Disk)
+    pruneClusters(assigned, idCol, threshold)
   }
 }

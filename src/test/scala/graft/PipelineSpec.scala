@@ -278,6 +278,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked SemDeDup: equals exact when probes cover the space; no nested loop") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // threshold 1.0 disables pruning (no distinct pair reaches cos 1),
+    // so the output IS the assignment — the phase under test
+    def collectAssign(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val exact = collectAssign(Dedup.semantic(emb, "vec_id", "embedding",
+      cents, "cid", "cv", threshold = 1.0))
+    // planes=1: the probe set {b, b^1} is the WHOLE bucket space, so
+    // blocked assignment must equal the exact n x k scan bit-for-bit
+    val blocked1 = Dedup.semanticBlocked(emb, "vec_id", "embedding",
+      cents, "cid", "cv", threshold = 1.0, planes = 1)
+    assert(collectAssign(blocked1) == exact.map { case (k, v) => k -> v })
+    // the blocked plan broadcasts + hash-joins: no nested loop anywhere
+    val plan = blocked1.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "blocked assignment must not plan a nested-loop join")
+    // forced 4 planes (16 buckets over 46 centroids): blocking bites.
+    // Contract: an assignment, when made, is a real centroid at a
+    // cosine <= the exact best (it probed a subset); recall stays high
+    val blocked4 = collectAssign(Dedup.semanticBlocked(emb, "vec_id",
+      "embedding", cents, "cid", "cv", threshold = 1.0, planes = 4))
+    val centIds = exact.values.flatten.toSet
+    assert(blocked4.keySet == exact.keySet, "every vector appears exactly once")
+    blocked4.foreach { case (id, c) =>
+      c.foreach(cid => assert(centIds.contains(cid) || cid % 11 == 0)) }
+    val agree = blocked4.count { case (id, c) => c == exact(id) }
+    assert(agree >= (exact.size * 0.5).toInt,
+      s"multi-probe assignment recall collapsed: $agree/${exact.size}")
+  }
+
   test("clean() computes its whole report in ONE action (observe metrics)") {
     val docs = Tables.documents(spark, sf)
     val actions = new java.util.concurrent.atomic.AtomicInteger(0)

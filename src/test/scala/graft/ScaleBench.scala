@@ -113,7 +113,16 @@ object ScaleBench {
       // linear — the paper's sizing argument, measured)
       "q84_dedup_components", "q85_funnel", "q86_retention_cohorts",
       "q87_temperature_mix", "q88_vocab_coverage", "q89_json_extract",
-      "q90_semantic_dedup")
+      "q90_semantic_dedup",
+      // round-6 third pass: resolution/containment over the 10x pair
+      // graph, epoch mixing (linear), novelty + corpus-analysis
+      // family. NOTE q97's fixed terms don't match the replica set's
+      // suffixed tokens — the timing still covers the dominant
+      // explode+filter scan; the agg side is exercised at sf0.1.
+      "q91_dedup_keep_best", "q92_containment_pairs", "q93_epoch_mix",
+      "q94_ngram_novelty", "q95_info_content", "q96_dup_ngram_fraction",
+      "q97_keyword_search", "q98_boilerplate_prefixes",
+      "q99_norm_outliers", "q100_priority_sample", "q101_simhash64_pairs")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {
@@ -123,6 +132,13 @@ object ScaleBench {
           val t0 = System.nanoTime(); run(n, dir); (System.nanoTime() - t0) / 1e9
         }.sorted
         println(f"""{"dir":"$dir","query":"$n","median_sec":${xs(1)}%.2f,"passes":[${xs.map(x => f"$x%.2f").mkString(",")}]}""")
+        // drop THIS query's caches before the next one: each query's
+        // warmup still populates the caches its timed passes read (the
+        // measured cached-signature form), but they must not pile up
+        // ACROSS queries — 36 queries x 10x frames of retained cache
+        // previously drove GC/spill pressure that inflated late queries
+        // up to 40x (q49 61 s in-harness vs 1.6 s isolated, same plan)
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -260,6 +260,61 @@ object AnalysisQueries {
         Dedup.semanticBlocked(spread(embeddings(s, d)), "vec_id", "embedding",
             cents, "cid", "cv", threshold = 0.4, planes = 4)
           .orderBy("vec_id")
+      }),
+
+    // Deterministic hash split ([[ops.Sampling.assignSplits]]):
+    // train/val/test by md5-slot thresholds — the same example lands
+    // in the same split every run/engine/retry. Pure scan expression.
+    QueryDef("q103_hash_split",
+      Some(s"""
+        WITH s AS (SELECT doc_id, ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS slot
+                   FROM documents)
+        SELECT doc_id, CASE WHEN slot < 800 THEN 'train'
+                            WHEN slot < 900 THEN 'val'
+                            ELSE 'test' END AS split
+        FROM s ORDER BY doc_id"""),
+      (s, d) => graft.ops.Sampling.assignSplits(
+          spread(documents(s, d)).select("doc_id"), "doc_id",
+          Seq(("train", 800), ("val", 100), ("test", 100)))
+        .orderBy("doc_id")),
+
+    // LEAKAGE-SAFE split ([[Dedup.leakageSafeSplits]]): the split key
+    // is the near-dup CLUSTER label (min reachable id over the LSH
+    // candidate graph; singletons keep their own id), so duplicate
+    // groups can never straddle train and test. The oracle replays the
+    // recursive transitive closure (q84's CTE), joins every doc back
+    // in (singleton = self-cluster), and applies the same md5-slot
+    // thresholds to the cluster label.
+    QueryDef("q104_leakage_safe_split",
+      Some(s"""
+        WITH RECURSIVE ${PipelineQueries.lshCte},
+        sym AS (SELECT a_id AS u, b_id AS v FROM cand
+                UNION SELECT b_id AS u, a_id AS v FROM cand),
+        reach(u, r) AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+        comp AS (SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+                 FROM reach GROUP BY u),
+        lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp USING (doc_id)),
+        sl AS (SELECT doc_id, cluster,
+                 ${hash32Sql("CAST(cluster AS VARCHAR)")} % 1000 AS slot
+               FROM lab)
+        SELECT doc_id, cluster, CASE WHEN slot < 800 THEN 'train'
+                                     WHEN slot < 900 THEN 'val'
+                                     ELSE 'test' END AS split
+        FROM sl ORDER BY doc_id"""),
+      (s, d) => {
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = spread(documents(s, d))
+        val sh = Dedup.shingleSignatures(docs, "doc_id", "text")
+        // pairs feed the edge symmetrization twice: persist, or the LSH
+        // self-join executes per reference before the propagation loop
+        val pairs = Pipeline.lshCandidatePairs(sh, "doc_id", 16, 4).persist(disk)
+        Dedup.leakageSafeSplits(docs, pairs, "doc_id",
+            Seq(("train", 800), ("val", 100), ("test", 100)))
+          .orderBy("doc_id")
       })
   )
 }

@@ -161,6 +161,26 @@ object Dedup {
     labels.withColumnRenamed("id", idCol)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: hash-split on the near-dup
+    * CLUSTER label instead of the document id, so near-duplicates can
+    * never straddle train and test (a plain per-doc split leaks every
+    * duplicated document: the copy in train memorizes the copy in
+    * test). Components come from [[clusters]] over the supplied pair
+    * frame (singletons keep their own id as the label), the split from
+    * [[graft.ops.Sampling.assignSplits]] keyed on that label — one
+    * deterministic assignment per GROUP, every member inherits it.
+    *
+    * Output: (idCol, cluster, split) for EVERY input doc. Scale shape:
+    * the label-propagation loop's bounded iterations over the pair
+    * graph (pairs only — never corpus²) plus one scan-side split
+    * expression; the pair frame should come from the LSH candidate
+    * (or verified-pair) machinery, already blocked.
+    */
+  def leakageSafeSplits(docs: DataFrame, pairs: DataFrame, idCol: String,
+                        splits: Seq[(String, Int)]): DataFrame =
+    graft.ops.Sampling.assignSplits(
+      clusters(pairs, docs.select(col(idCol)), idCol), "cluster", splits)
+
   /** Test-set DECONTAMINATION: remove every `train` row whose n-gram
     * Jaccard similarity to ANY `test` row reaches `threshold` — the
     * cross-corpus near-dup operator an LLM training pipeline runs

@@ -41,7 +41,7 @@ object PipelineQueries {
   // 32-bit base hash, then 16 affine permutations mod 2^61-1 —
   // mirrors Pipeline.minhashSignatureFromHashes/minhashA/minhashB),
   // 4 bands x 4 rows, candidate pairs from band collisions.
-  private val lshCte = shinglesCte + """,
+  private[graft] val lshCte = shinglesCte + """,
     hs AS (SELECT doc_id,
              list_transform(shingles, s ->
                list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],

@@ -31,6 +31,36 @@ object Sampling {
       pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")), lit(1000L)) < permille)
   }
 
+  /** Deterministic train/val/test split: append a `split` column chosen
+    * by the md5-hash slot of `keyCol` against cumulative permille
+    * thresholds — every row lands in exactly one split, the SAME one
+    * every run/engine/retry (the property that matters when the corpus
+    * is re-split after a partial failure: no example silently migrates
+    * between train and test). Scan-side expression, zero shuffle.
+    *
+    * `splits` is ordered (name, permille) with permilles summing to
+    * 1000, e.g. `Seq(("train", 800), ("val", 100), ("test", 100))`.
+    * Pass a CLUSTER label as `keyCol` (see
+    * [[graft.Dedup.leakageSafeSplits]]) to keep near-duplicate groups
+    * in one split.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000, got $splits")
+    require(splits.forall(_._2 > 0), s"every split needs permille > 0: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in $splits")
+    val slot = pmod(graft.Pipeline.wordHash32(col(keyCol).cast("string")),
+      lit(1000L))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assigned = splits.zip(cum).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), c), acc) => when(slot < c, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Deterministic FIXED-COUNT sample: exactly `min(k, stratum size)`
     * rows per stratum, chosen by md5-hash priority — "give me a uniform
     * 10k-document audit sample per language" where [[stratified]]'s

@@ -447,6 +447,49 @@ class OpsSpec extends AnyFunSuite {
       n = 10L, frac = 0.01).count() == 1L)
   }
 
+  test("hash splits are exhaustive, rate-faithful, and deterministic") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("id")
+    val splits = Seq(("train", 800), ("val", 100), ("test", 100))
+    val out = graft.ops.Sampling.assignSplits(df, "id", splits)
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == 5000, "every row lands in exactly one split")
+    assert(byName.keySet == Set("train", "val", "test"))
+    // binomial tolerance around 4000/500/500
+    assert(byName("train") > 3800 && byName("train") < 4200, byName.toString)
+    assert(byName("val") > 400 && byName("val") < 600, byName.toString)
+    // determinism: same assignment on re-run
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ops.Sampling.assignSplits(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // permilles must sum to 1000
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.assignSplits(df, "id", Seq(("a", 500), ("b", 400)))
+    }
+  }
+
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    import spark.implicits._
+    val docs = (0L until 300L).toDF("doc_id")
+    // planted clusters: chains {0..4}, {10,11}, and a 3-cycle {20,21,22}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val out = graft.Dedup.leakageSafeSplits(docs, pairs, "doc_id",
+      Seq(("train", 800), ("val", 100), ("test", 100)))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 300, "every doc labeled")
+    val byDoc = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    // cluster labels: min id of the component; singletons self-labeled
+    for (m <- Seq(Seq(0L, 1L, 2L, 3L, 4L), Seq(10L, 11L), Seq(20L, 21L, 22L))) {
+      assert(m.map(byDoc(_)._1).toSet == Set(m.min), s"component $m label")
+      assert(m.map(byDoc(_)._2).toSet.size == 1, s"component $m split cohesion")
+    }
+    assert(byDoc(42L)._1 == 42L, "singleton keeps its own id as cluster")
+  }
+
   test("priority sample takes exactly k per stratum, equal to the window form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

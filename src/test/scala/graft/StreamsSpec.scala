@@ -141,6 +141,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scan-side curation (quality gate + split assignment) applies unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the SAME batch operators — qualityFilter is a Column predicate,
+    // assignSplits a scan-side transform — compose onto a stream with
+    // no streaming-specific rewrite: the batch/stream unification the
+    // DataFrame layer promises
+    val curated = graft.ops.Sampling.assignSplits(
+      in.toDF().toDF("doc_id", "text")
+        .filter(CorpusPipeline.qualityFilter("text", minTokens = 3,
+          maxStopRatio = 0.9)),
+      "doc_id", Seq(("train", 800), ("val", 100), ("test", 100)))
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha beta gamma delta"), (2L, "x"),
+        (3L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val rows = spark.table("curated").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rows.keySet == Set(1L, 3L), "short doc dropped by the gate")
+      // split equals the BATCH assignment of the same ids — determinism
+      // across execution modes
+      val batch = graft.ops.Sampling.assignSplits(
+          Seq(1L, 3L).toDF("doc_id"), "doc_id",
+          Seq(("train", 800), ("val", 100), ("test", 100)))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates pair arriving near-dups against bucket state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -315,6 +315,30 @@ object AnalysisQueries {
         Dedup.leakageSafeSplits(docs, pairs, "doc_id",
             Seq(("train", 800), ("val", 100), ("test", 100)))
           .orderBy("doc_id")
-      })
+      }),
+
+    // Boilerplate STRIPPING ([[ops.TextStats.stripBoilerplate]]) — the
+    // cleaning half of q98: docs opening with a detected shared prefix
+    // lose it; everything else passes through byte-identical. The
+    // rewrite is a scan-side token slice; the prefix table joins back
+    // dimension-sized.
+    QueryDef("q105_strip_boilerplate",
+      Some("""
+        WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT source, array_to_string(w[1:2], ' ') AS prefix
+              FROM w WHERE len(w) >= 2
+              GROUP BY source, array_to_string(w[1:2], ' ') HAVING COUNT(*) >= 2),
+        j AS (SELECT w.doc_id, w.text, w.w, p.prefix
+              FROM w LEFT JOIN p ON w.source = p.source
+                AND len(w.w) >= 2 AND array_to_string(w.w[1:2], ' ') = p.prefix)
+        SELECT doc_id, prefix IS NOT NULL AS was_stripped,
+               CASE WHEN prefix IS NOT NULL THEN array_to_string(w[3:len(w)], ' ')
+                    ELSE text END AS text
+        FROM j ORDER BY doc_id"""),
+      (s, d) => graft.ops.TextStats.stripBoilerplate(
+          spread(documents(s, d)), "doc_id", "text", "source",
+          prefixLen = 2, minDf = 2)
+        .select("doc_id", "was_stripped", "text")
+        .orderBy("doc_id"))
   )
 }

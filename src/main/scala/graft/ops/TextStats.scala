@@ -119,4 +119,39 @@ object TextStats {
         min(col(idCol)).as("first_doc"))
       .filter(col("df") >= minDf)
   }
+
+  /** The cleaning half of [[boilerplatePrefixes]]: REMOVE detected
+    * boilerplate prefixes from the documents that carry them. A doc
+    * whose first `prefixLen` tokens form a prefix shared by >= `minDf`
+    * docs of its stratum loses those tokens (`was_stripped = true`);
+    * everything else passes through byte-identical.
+    *
+    * Scale shape: the prefix table (strata x repeated prefixes — far
+    * smaller than the corpus, aggregated from a prefix-only shuffle)
+    * joins back against the corpus on (stratum, prefix); the rewrite
+    * itself is a scan-side token slice. At 100 TB the join's right side
+    * is dimension-sized, so AQE broadcasts it; the corpus is never
+    * shuffled.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       strataCol: String, prefixLen: Int = 2,
+                       minDf: Int = 2): DataFrame = {
+    val pref = boilerplatePrefixes(docs, idCol, textCol, strataCol,
+        prefixLen, minDf)
+      .select(col(strataCol).as("_ps"), col("prefix").as("_pp"))
+    val others = docs.columns.filter(c => c != idCol && c != textCol)
+      .map(col).toSeq
+    docs
+      .withColumn("_w", words(col(textCol)))
+      .withColumn("_p", when(size(col("_w")) >= prefixLen,
+        concat_ws(" ", slice(col("_w"), 1, prefixLen))))
+      .join(pref, col(strataCol) === col("_ps") && col("_p") === col("_pp"),
+        "left")
+      .select((col(idCol) +: others) :+
+        col("_pp").isNotNull.as("was_stripped") :+
+        when(col("_pp").isNotNull,
+            concat_ws(" ", slice(col("_w"), lit(prefixLen + 1),
+              greatest(size(col("_w")) - prefixLen, lit(0)))))
+          .otherwise(col(textCol)).as(textCol): _*)
+  }
 }

@@ -433,6 +433,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(("s1", "hdr one") -> (2L, 1L)))
   }
 
+  test("strip-boilerplate removes detected prefixes and spares the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hdr one foo bar", "s1"),
+      (2L, "hdr one baz", "s1"),
+      (3L, "hdr one foo bar", "s2"), // same prefix, df=1 in s2: spared
+      (4L, "solo text here", "s1"),
+      (5L, "hdr one", "s1")) // prefix-only doc strips to empty
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextStats.stripBoilerplate(
+        docs, "doc_id", "text", "source", prefixLen = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("was_stripped")),
+          r.getString(r.fieldIndex("text")))).toMap
+    assert(got(1L) == (true, "foo bar"))
+    assert(got(2L) == (true, "baz"))
+    assert(got(3L) == (false, "hdr one foo bar"), "other stratum spared")
+    assert(got(4L) == (false, "solo text here"))
+    assert(got(5L) == (true, ""))
+    // non-text columns survive the rewrite
+    assert(graft.ops.TextStats.stripBoilerplate(docs, "doc_id", "text",
+      "source").columns.contains("source"))
+  }
+
   test("norm outliers return the exact-rank top fraction") {
     import spark.implicits._
     val embs = ((1L to 9L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f))) :+

@@ -155,7 +155,7 @@ object AnalysisQueries {
       Some(s"""
         WITH s AS (SELECT doc_id, lang, source,
                      CAST(${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS BIGINT)
-                       * 16777216 + doc_id % 16777216 AS pri
+                       * 1099511627776 + doc_id % 1099511627776 AS pri
                    FROM documents)
         SELECT lang, doc_id, source, pri FROM s
         QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri) <= 10
@@ -312,9 +312,13 @@ object AnalysisQueries {
         // pairs feed the edge symmetrization twice: persist, or the LSH
         // self-join executes per reference before the propagation loop
         val pairs = Pipeline.lshCandidatePairs(sh, "doc_id", 16, 4).persist(disk)
-        Dedup.leakageSafeSplits(docs, pairs, "doc_id",
-            Seq(("train", 800), ("val", 100), ("test", 100)))
-          .orderBy("doc_id")
+        val out = Dedup.leakageSafeSplits(docs, pairs, "doc_id",
+          Seq(("train", 800), ("val", 100), ("test", 100)))
+        // the propagation loop localCheckpoints its labels, so the
+        // returned frame no longer roots `pairs` — release immediately
+        // instead of pinning a cache entry for the session
+        pairs.unpersist()
+        out.orderBy("doc_id")
       }),
 
     // Boilerplate STRIPPING ([[ops.TextStats.stripBoilerplate]]) — the

@@ -61,7 +61,13 @@ object CorpusPipeline {
     * (input / after-exact / after-near), so ONE action — the quality
     * count in [[countReport]] — executes every stage exactly once,
     * materializes the three caches on the way, and delivers all four
-    * counts. No per-boundary count jobs.
+    * counts. No per-boundary count jobs. Caveat inherited from
+    * accumulator semantics: if a cluster loses an executor mid-action
+    * and successful partitions are RECOMPUTED, rows can flow through a
+    * metrics node twice and inflate the observed count (failed tasks
+    * are excluded, recomputed successes are not) — report counts are
+    * observability, not exactly-once ledger entries; the corpus
+    * itself is unaffected.
     */
   private final case class Stages(exact: DataFrame, sig: DataFrame,
                                   near: DataFrame, quality: DataFrame,

@@ -756,7 +756,11 @@ object Dedup {
     * `planes` small enough that probes cover every bucket (k small),
     * the output EQUALS [[semantic]] exactly — spec-gated.
     *
-    * The prune phase is [[semantic]]'s, verbatim (shared helper).
+    * The prune phase is [[semantic]]'s, verbatim (shared helper), and
+    * so is the assignment-cache lifetime: the persisted assignment
+    * frame is plan-keyed and session-lifetime (the documented
+    * [[near]]-style trade — a long-lived session cycling many corpora
+    * should `spark.catalog.clearCache()` between them).
     */
   def semanticBlocked(vectors: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, centIdCol: String,

@@ -224,7 +224,12 @@ object Similarity {
                    n: Long, frac: Double = 0.01): DataFrame = {
     require(n > 0, s"corpus size must be positive, got $n")
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
-    val k = math.max(1L, math.ceil(frac * n).toLong).toInt
+    val kL = math.max(1L, math.ceil(frac * n).toLong)
+    // limit() takes an Int — fail loudly instead of silently wrapping
+    // (ceil(0.01 * 500e9) would truncate to ~14% of the requested set)
+    require(kL <= Int.MaxValue,
+      s"requested top fraction is $kL rows — beyond a collectable limit; lower frac")
+    val k = kL.toInt
     df.select(col(idCol), asDouble(col(vecCol)).as("_v"))
       .select(col(idCol), Pipeline.dot(col("_v"), col("_v")).as("norm_sq"))
       .orderBy(col("norm_sq").desc, col(idCol))

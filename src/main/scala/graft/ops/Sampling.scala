@@ -43,6 +43,11 @@ object Sampling {
     * Pass a CLUSTER label as `keyCol` (see
     * [[graft.Dedup.leakageSafeSplits]]) to keep near-duplicate groups
     * in one split.
+    *
+    * A NULL key hashes to a NULL slot: every comparison is null, and
+    * the when-chain's otherwise would silently dump such rows into the
+    * LAST split — contaminating the eval set. They get a NULL `split`
+    * instead (explicit, filterable); pre-clean NULL keys upstream.
     */
   def assignSplits(df: DataFrame, keyCol: String,
                    splits: Seq[(String, Int)]): DataFrame = {
@@ -58,7 +63,8 @@ object Sampling {
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), c), acc) => when(slot < c, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", assigned)
+    df.withColumn("split",
+      when(col(keyCol).isNotNull, assigned).otherwise(lit(null)))
   }
 
   /** Deterministic FIXED-COUNT sample: exactly `min(k, stratum size)`
@@ -72,9 +78,11 @@ object Sampling {
     * per-partition bounded heaps of k entries, one shuffle of the
     * survivors — never a full per-stratum sort, and no stratum ever
     * funnels through a single task's memory beyond k rows. The order
-    * value packs the hash with the id (`slot * 2^24 + id mod 2^24`) so
-    * it is collision-free for ids below 2^24 per million-slot bucket —
-    * hash ties cannot make the boundary row nondeterministic.
+    * value packs the hash with the id (`slot * 2^40 + id mod 2^40`,
+    * staying under 2^60) so it is collision-free — and the boundary
+    * row therefore deterministic — for ids below 2^40 (~1.1e12: past
+    * any 100 TB document corpus; ids above that can tie at the k-th
+    * slot and fall to GroupedTopK's unspecified tie-break).
     */
   def prioritySample(df: DataFrame, idCol: String, strataCol: String,
                      k: Int): DataFrame = {
@@ -82,7 +90,7 @@ object Sampling {
     val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
       lit(1000000L))
     val withPri = df.withColumn("pri",
-      slot * lit(16777216L) + pmod(col(idCol), lit(16777216L)))
+      slot * lit(1099511627776L) + pmod(col(idCol), lit(1099511627776L)))
     graft.plans.GroupedTopK.perKey(withPri, Seq(strataCol), "pri",
       k, largest = false)
   }

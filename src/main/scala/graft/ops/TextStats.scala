@@ -61,7 +61,8 @@ object TextStats {
     * aggregate over token-array sizes (never materializes the tokens).
     */
   def totalTokens(docs: DataFrame, textCol: String): Long =
-    docs.agg(sum(size(words(col(textCol)))).cast(LongType)).head.getLong(0)
+    docs.agg(coalesce(sum(size(words(col(textCol)))), lit(0L))
+      .cast(LongType)).head.getLong(0)
 
   /** Per-document duplicated-n-gram fraction: the share of a document's
     * DISTINCT word n-grams that also appear in at least one other
@@ -145,7 +146,11 @@ object TextStats {
       .withColumn("_w", words(col(textCol)))
       .withColumn("_p", when(size(col("_w")) >= prefixLen,
         concat_ws(" ", slice(col("_w"), 1, prefixLen))))
-      .join(pref, col(strataCol) === col("_ps") && col("_p") === col("_pp"),
+      // null-safe stratum match: boilerplatePrefixes GROUPs a NULL
+      // stratum like any other, so the join must reach it too — a
+      // plain === would silently spare every NULL-stratum doc
+      // (same discipline as Sampling.temperatureMix)
+      .join(pref, col(strataCol) <=> col("_ps") && col("_p") === col("_pp"),
         "left")
       .select((col(idCol) +: others) :+
         col("_pp").isNotNull.as("was_stripped") :+

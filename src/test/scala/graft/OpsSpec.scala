@@ -525,7 +525,7 @@ class OpsSpec extends AnyFunSuite {
     assert(byStratum == Map("A" -> 5L, "B" -> 5L))
     // equals the window-rank reference on the same priority value
     val pri = pmod(Pipeline.wordHash32(col("id").cast("string")),
-      lit(1000000L)) * lit(16777216L) + pmod(col("id"), lit(16777216L))
+      lit(1000000L)) * lit(1099511627776L) + pmod(col("id"), lit(1099511627776L))
     val expected = df.withColumn("pri", pri)
       .withColumn("rn", org.apache.spark.sql.functions.row_number()
         .over(Window.partitionBy("s").orderBy("pri")))

@@ -343,6 +343,41 @@ object AnalysisQueries {
           spread(documents(s, d)), "doc_id", "text", "source",
           prefixLen = 2, minDf = 2)
         .select("doc_id", "was_stripped", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Token-window chunking ([[ops.Chunking.chunk]]): 64-token windows
+    // at 16-token overlap (stride 48) — the RAG/embedding-index prep
+    // step. Pure positional slicing: deterministic chunk identities,
+    // scan-side explode.
+    QueryDef("q106_chunking",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (SELECT doc_id, unnest(range(0, greatest((len(w) - 16 + 47)//48, 1))) AS chunk_idx, w FROM w)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               array_to_string(w[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk,
+               CAST(len(w[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS n_tok
+        FROM c ORDER BY doc_id, chunk_idx"""),
+      (s, d) => graft.ops.Chunking.chunk(spread(documents(s, d)),
+          "doc_id", "text", size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Chunk-store dedup map ([[ops.Chunking.chunkDedupMap]]): duplicate
+    // chunks point at their canonical first occurrence (struct-min on
+    // the md5 digest — identical lexicographic ordering both engines).
+    QueryDef("q107_chunk_dedup_map",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (SELECT doc_id, unnest(range(0, greatest((len(w) - 16 + 47)//48, 1))) AS chunk_idx, w FROM w),
+        ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                      array_to_string(w[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk FROM c),
+        m AS (SELECT doc_id, chunk_idx,
+                MIN({'d': doc_id, 'i': chunk_idx}) OVER (PARTITION BY md5(chunk)) AS canon
+              FROM ch)
+        SELECT doc_id, chunk_idx, canon.d AS canon_doc, canon.i AS canon_idx
+        FROM m WHERE canon.d <> doc_id OR canon.i <> chunk_idx
+        ORDER BY doc_id, chunk_idx"""),
+      (s, d) => graft.ops.Chunking.chunkDedupMap(spread(documents(s, d)),
+          "doc_id", "text", size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx"))
   )
 }

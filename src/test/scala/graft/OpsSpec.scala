@@ -471,6 +471,41 @@ class OpsSpec extends AnyFunSuite {
       n = 10L, frac = 0.01).count() == 1L)
   }
 
+  test("chunking windows cover the doc with the stated overlap; dedup map points at first occurrence") {
+    import spark.implicits._
+    // 10 tokens, size 4, overlap 2 (stride 2): ceil((10-2)/2) = 4
+    // chunks starting at 1,3,5,7 — the last covers the tail, and no
+    // redundant window whose tokens its predecessor already holds
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "t1 t2 t3"), // shorter than size: one chunk
+      (3L, (1 to 10).map(i => s"t$i").mkString(" "))) // exact dup of doc 1
+      .toDF("doc_id", "text")
+    val ch = graft.ops.Chunking.chunk(docs, "doc_id", "text",
+        size = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(ch((1L, 0L)) == ("t1 t2 t3 t4", 4L))
+    assert(ch((1L, 1L)) == ("t3 t4 t5 t6", 4L))
+    assert(ch((1L, 3L)) == ("t7 t8 t9 t10", 4L), "last chunk holds the tail")
+    assert(!ch.contains((1L, 4L)), "no redundant tail window")
+    assert(ch((2L, 0L)) == ("t1 t2 t3", 3L))
+    assert(!ch.contains((2L, 1L)), "short doc yields exactly one chunk")
+    // 11 tokens: ceil(9/2) = 5 chunks, last = partial tail
+    val odd = graft.ops.Chunking.chunk(
+        Seq((9L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, overlap = 2)
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getLong(3))).toMap
+    assert(odd(4L) == ("t9 t10 t11", 3L), "partial tail chunk kept")
+    // every doc-1 chunk duplicates into doc 3 -> back-references
+    val dup = graft.ops.Chunking.chunkDedupMap(docs, "doc_id", "text",
+        size = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    (0L to 3L).foreach { i =>
+      assert(dup((3L, i)) == (1L, i), s"chunk $i canonical back-reference") }
+    assert(!dup.keys.exists(_._1 == 1L), "canonical chunks emit no row")
+  }
+
   test("hash splits are exhaustive, rate-faithful, and deterministic") {
     import spark.implicits._
     val df = (0L until 5000L).toDF("id")

@@ -122,7 +122,13 @@ object ScaleBench {
       "q91_dedup_keep_best", "q92_containment_pairs", "q93_epoch_mix",
       "q94_ngram_novelty", "q95_info_content", "q96_dup_ngram_fraction",
       "q97_keyword_search", "q98_boilerplate_prefixes",
-      "q99_norm_outliers", "q100_priority_sample", "q101_simhash64_pairs")
+      "q99_norm_outliers", "q100_priority_sample", "q101_simhash64_pairs",
+      // round-6 final batch: blocked SemDeDup (n x k term bounded by
+      // probing), splits (scan-side + pair-graph propagation),
+      // boilerplate strip (dimension join), chunking (explode ~x2)
+      "q102_semantic_dedup_blocked", "q103_hash_split",
+      "q104_leakage_safe_split", "q105_strip_boilerplate",
+      "q106_chunking", "q107_chunk_dedup_map")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

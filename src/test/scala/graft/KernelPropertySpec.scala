@@ -113,4 +113,33 @@ class KernelPropertySpec extends AnyFunSuite {
       Pipeline.rhpBucketHof(col("v"), 64, 4).as("hof")).collect()
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("chunking reconstructs every generated doc exactly (coverage + no redundancy)") {
+    import spark.implicits._
+    // invariant: tokens == chunk0 ++ (chunks 1..n-1 each dropping the
+    // `overlap` tokens its predecessor already emitted) — full
+    // coverage, no gap, no redundant window, for adversarial token
+    // lists (unicode, empty strings, single-token docs)
+    for ((size, overlap) <- Seq((4, 2), (5, 0), (7, 3))) {
+      val docs = sampleDocs(424200L + size * 31 + overlap, 60)
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val byDoc = graft.ops.Chunking.chunk(df, "doc_id", "text", size, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val expected = text.split(" ", -1).toSeq
+        val chunks = byDoc(id).sortBy(_._2)
+        // indices dense from 0; n_tok matches each chunk's token count
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+        chunks.foreach { case (_, _, c, n) =>
+          assert(c.split(" ", -1).length.toLong == n) }
+        val rebuilt = chunks.head._3.split(" ", -1).toSeq ++
+          chunks.tail.flatMap(_._3.split(" ", -1).drop(overlap).toSeq)
+        assert(rebuilt == expected,
+          s"doc $id (size=$size overlap=$overlap) must reconstruct")
+      }
+    }
+  }
 }

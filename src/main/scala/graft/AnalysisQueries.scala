@@ -40,6 +40,12 @@ object AnalysisQueries {
   private def cosOf(a: String, b: String): String =
     s"${dotOf(a, b)} / (sqrt(${dotOf(a, a)}) * sqrt(${dotOf(b, b)}))"
 
+  // Oracle mirror of ops.Sampling.splitFor at 800/100/100 permille.
+  private def splitCase(e: String): String = s"""
+    CASE WHEN ${hash32Sql(s"CAST($e AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         WHEN ${hash32Sql(s"CAST($e AS VARCHAR)")} % 1000 < 900 THEN 'val'
+         ELSE 'test' END"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Unigram self-information ([[ops.TextStats.informationScore]]):
@@ -378,6 +384,60 @@ object AnalysisQueries {
         ORDER BY doc_id, chunk_idx"""),
       (s, d) => graft.ops.Chunking.chunkDedupMap(spread(documents(s, d)),
           "doc_id", "text", size = 64, overlap = 16)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Split LEAK AUDIT: near-dup candidate pairs whose members land in
+    // DIFFERENT splits under the naive per-doc hash split — the
+    // memorization leak q104's cluster-keyed split exists to prevent,
+    // measured. The split is a pure expression of the id
+    // ([[ops.Sampling.splitFor]]), applied to both pair sides
+    // scan-side: ZERO joins beyond the LSH candidate equi-join.
+    QueryDef("q108_split_leak_audit",
+      Some(s"""
+        WITH ${PipelineQueries.lshCte},
+        sp AS (SELECT a_id, b_id, ${splitCase("a_id")} AS split_a,
+                      ${splitCase("b_id")} AS split_b
+               FROM cand)
+        SELECT a_id, b_id, split_a, split_b FROM sp
+        WHERE split_a <> split_b ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sh = Dedup.shingleSignatures(spread(documents(s, d)),
+          "doc_id", "text")
+        val splits = Seq(("train", 800), ("val", 100), ("test", 100))
+        Pipeline.lshCandidatePairs(sh, "doc_id", 16, 4)
+          .select(col("a_id"), col("b_id"),
+            graft.ops.Sampling.splitFor(col("a_id"), splits).as("split_a"),
+            graft.ops.Sampling.splitFor(col("b_id"), splits).as("split_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    // Budget-constrained selection ([[ops.Sampling
+    // .selectWithinBudget]]): best-docs-first (n_chars, id tiebreak)
+    // until a 20k-subword-token budget is spent — the fixed-compute
+    // curation cut. The global prefix sum runs on the hierarchical
+    // scaffold (range slices + broadcast offsets), never a
+    // single-task global window; the oracle replays it as one.
+    QueryDef("q109_budget_selection",
+      Some("""
+        WITH t AS (SELECT doc_id, n_chars,
+          list_reduce(list_transform(string_split(text, ' '),
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+                      (a, b) -> a + b) AS n_tok
+        FROM documents),
+        s AS (SELECT doc_id, n_chars, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM t)
+        SELECT doc_id, n_chars, n_tok, cum_before FROM s
+        WHERE cum_before + n_tok <= 20000 ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d)).select(col("doc_id"),
+          col("n_chars"),
+          Pipeline.subwordTokenCount(Pipeline.words(col("text"))).as("n_tok"))
+        graft.ops.Sampling.selectWithinBudget(docs, "doc_id", "n_chars",
+            "n_tok", budget = 20000L)
+          .orderBy("doc_id")
+      })
   )
 }

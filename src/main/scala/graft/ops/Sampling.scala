@@ -50,22 +50,61 @@ object Sampling {
     * instead (explicit, filterable); pre-clean NULL keys upstream.
     */
   def assignSplits(df: DataFrame, keyCol: String,
-                   splits: Seq[(String, Int)]): DataFrame = {
+                   splits: Seq[(String, Int)]): DataFrame =
+    df.withColumn("split", splitFor(col(keyCol), splits))
+
+  /** The split-assignment EXPRESSION behind [[assignSplits]] — apply it
+    * directly to a key column (e.g. both sides of a pair frame) when
+    * materializing a split column per row would force a join.
+    */
+  def splitFor(key: Column, splits: Seq[(String, Int)]): Column = {
     require(splits.nonEmpty && splits.map(_._2).sum == 1000,
       s"split permilles must sum to 1000, got $splits")
     require(splits.forall(_._2 > 0), s"every split needs permille > 0: $splits")
     require(splits.map(_._1).distinct.size == splits.size,
       s"duplicate split names in $splits")
-    val slot = pmod(graft.Pipeline.wordHash32(col(keyCol).cast("string")),
-      lit(1000L))
+    val slot = pmod(graft.Pipeline.wordHash32(key.cast("string")), lit(1000L))
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val assigned = splits.zip(cum).init
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), c), acc) => when(slot < c, lit(name)).otherwise(acc)
       }
-    df.withColumn("split",
-      when(col(keyCol).isNotNull, assigned).otherwise(lit(null)))
+    when(key.isNotNull, assigned).otherwise(lit(null))
   }
+
+  /** BUDGET-CONSTRAINED corpus selection: rank rows by `valueCol`
+    * descending (id tiebreak) and keep a row iff the tokens of every
+    * higher-ranked row plus its own fit the global `budget` — "take
+    * the best documents until the token budget is spent", the
+    * fixed-compute curation rule. Because the cumulative sum runs over
+    * ALL higher-ranked rows, this is the budget CUT of the
+    * value-sorted corpus (bin 0 of [[packSequences]] under value
+    * order): one doc straddling the boundary is dropped and nothing
+    * after it fits. Deterministic, parallel, oracle-exact.
+    *
+    * The global prefix sum runs on [[Hierarchical.prefixSum]] (range
+    * slices + broadcast offsets), so NO single task ever sees the
+    * whole corpus — the scale shape a naive global window lacks.
+    * Output adds `cum_before`. Same release contract as
+    * [[packSequencesReleasable]].
+    */
+  def selectWithinBudgetReleasable(df: DataFrame, idCol: String,
+                                   valueCol: String, tokensCol: String,
+                                   budget: Long, chunks: Int = 0)
+      : (DataFrame, () => Unit) = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val (pref, release) = Hierarchical.prefixSum(df,
+      Seq(col(valueCol).desc, col(idCol)), Nil, col(tokensCol),
+      "cum_before", chunks)
+    (pref.filter(col("cum_before") + col(tokensCol) <= budget), release)
+  }
+
+  /** Handle-less [[selectWithinBudgetReleasable]] for one-shot jobs. */
+  def selectWithinBudget(df: DataFrame, idCol: String, valueCol: String,
+                         tokensCol: String, budget: Long,
+                         chunks: Int = 0): DataFrame =
+    selectWithinBudgetReleasable(df, idCol, valueCol, tokensCol, budget,
+      chunks)._1
 
   /** Deterministic FIXED-COUNT sample: exactly `min(k, stratum size)`
     * rows per stratum, chosen by md5-hash priority — "give me a uniform

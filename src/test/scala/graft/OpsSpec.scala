@@ -529,6 +529,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("budget selection equals the single-window cut and takes best-first") {
+    import spark.implicits._
+    // values descend with id; tokens constant 10 -> budget 35 keeps
+    // exactly the 3 best (30 tokens; the 4th would reach 40)
+    val docs = (1L to 20L).map(i => (i, 100L - i, 10L))
+      .toDF("id", "value", "n_tok")
+    val got = graft.ops.Sampling.selectWithinBudget(
+        docs, "id", "value", "n_tok", budget = 35L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"best three fit: $got")
+    assert(got(3L) == 20L, "cum_before counts the two better docs")
+    // equals the semantics-defining single global window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = docs.withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("cum_before") + col("n_tok") <= 35L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == ref)
+    // a boundary-straddling doc is dropped and blocks everything after
+    val uneven = Seq((1L, 9L, 10L), (2L, 8L, 30L), (3L, 7L, 5L))
+      .toDF("id", "value", "n_tok")
+    val cut = graft.ops.Sampling.selectWithinBudget(
+        uneven, "id", "value", "n_tok", budget = 20L)
+      .collect().map(_.getLong(0)).toSet
+    assert(cut == Set(1L), "budget CUT semantics: straddler blocks the tail")
+  }
+
   test("leakage-safe split keeps every near-dup cluster in one split") {
     import spark.implicits._
     val docs = (0L until 300L).toDF("doc_id")

@@ -128,7 +128,8 @@ object ScaleBench {
       // boilerplate strip (dimension join), chunking (explode ~x2)
       "q102_semantic_dedup_blocked", "q103_hash_split",
       "q104_leakage_safe_split", "q105_strip_boilerplate",
-      "q106_chunking", "q107_chunk_dedup_map")
+      "q106_chunking", "q107_chunk_dedup_map",
+      "q108_split_leak_audit", "q109_budget_selection")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

@@ -438,6 +438,24 @@ object AnalysisQueries {
         graft.ops.Sampling.selectWithinBudget(docs, "doc_id", "n_chars",
             "n_tok", budget = 20000L)
           .orderBy("doc_id")
-      })
+      }),
+
+    // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
+    // release-audit summary — exact doc/unique/token counts, language
+    // and source breadth, char range, duplicate rate in ppm.
+    QueryDef("q110_dataset_card",
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               (1000000 * (CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT)))
+                 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+        FROM documents"""),
+      (s, d) => graft.ops.TextStats.datasetCard(spread(documents(s, d)),
+        "text", "lang", "source", "n_chars"))
   )
 }

@@ -121,6 +121,28 @@ object TextStats {
       .filter(col("df") >= minDf)
   }
 
+  /** One-row DATASET CARD: the headline numbers a training-data
+    * release publishes — doc/unique/token counts, language and source
+    * breadth, char-length range, and the exact duplicate rate (ppm
+    * integer). All exact: the three COUNT(DISTINCT)s each cost one
+    * key-partitioned shuffle (Spark plans them through one Expand);
+    * at sizes where an exact text-digest distinct is unreasonable the
+    * HLL form (approx_count_distinct, q43) is the stand-in — this is
+    * the release-audit form, run once per corpus snapshot.
+    */
+  def datasetCard(docs: DataFrame, textCol: String, langCol: String,
+                  sourceCol: String, charsCol: String): DataFrame =
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(md5(col(textCol))).as("n_unique"),
+        sum(size(words(col(textCol)))).cast(LongType).as("n_tokens"),
+        count_distinct(col(langCol)).as("n_langs"),
+        count_distinct(col(sourceCol)).as("n_sources"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"))
+      .withColumn("dup_ppm",
+        expr("(1000000 * (n_docs - n_unique)) div n_docs"))
+
   /** The cleaning half of [[boilerplatePrefixes]]: REMOVE detected
     * boilerplate prefixes from the documents that carry them. A doc
     * whose first `prefixLen` tokens form a prefix shared by >= `minDf`

@@ -529,6 +529,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset card reports exact corpus headline numbers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "en", "s2", 5L), // exact dup
+      (3L, "x y", "de", "s1", 3L),
+      (4L, "p q r s", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ops.TextStats.datasetCard(docs, "text", "lang", "source",
+      "n_chars").collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_unique") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 3 + 3 + 2 + 4)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("min_chars") == 3L && r.getAs[Long]("max_chars") == 7L)
+    assert(r.getAs[Long]("dup_ppm") == 250000L)
+  }
+
   test("budget selection equals the single-window cut and takes best-first") {
     import spark.implicits._
     // values descend with id; tokens constant 10 -> budget 35 keeps

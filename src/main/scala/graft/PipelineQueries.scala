@@ -941,13 +941,17 @@ object PipelineQueries {
     // per vector). abs/max are IEEE-exact, the divide-then-round runs
     // on identical doubles on both engines, and both engines round
     // half away from zero — bit-identical int codes. Pure scan-side
-    // array math: zero shuffle at any scale.
+    // array math: zero shuffle at any scale. The code vector is
+    // serialized to a comma-joined string (`q`) so the output schema
+    // stays scalar-only — the driver's oracle checker sorts result
+    // columns and cannot order array cells (Verify enforces the
+    // scalar-output invariant for the whole inventory).
     QueryDef("q76_embedding_quantization",
       Some("""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM t)
         SELECT vec_id, s AS scale,
-               [CAST(round(x * 127.0 / s) AS INTEGER) for x in v] AS q
+               array_to_string([CAST(round(x * 127.0 / s) AS INTEGER) for x in v], ',') AS q
         FROM m ORDER BY vec_id"""),
       (s, d) => {
         val v = asDouble(col("embedding"))
@@ -955,8 +959,9 @@ object PipelineQueries {
           .select(col("vec_id"), v.as("v"),
             array_max(transform(v, x => abs(x))).as("s"))
           .select(col("vec_id"), col("s").as("scale"),
-            transform(col("v"),
-              x => round(x * lit(127.0) / col("s")).cast(IntegerType)).as("q"))
+            concat_ws(",", transform(col("v"),
+              x => round(x * lit(127.0) / col("s"))
+                .cast(IntegerType).cast(StringType))).as("q"))
           .orderBy("vec_id")
       }),
 

@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name filter (local use)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Sessions.fromEnv("graft-verify")
     new java.io.File(outDir).mkdirs()
     // dump queries 4 at a time: each writes its own directory, and the
@@ -13,11 +16,28 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Scalar-output invariant: the driver's DuckDB checker sorts result
+    // columns with pandas, which cannot order array/map/struct cells
+    // (round-6 q76 red row). Fail the dump loudly rather than hand the
+    // checker a frame it will crash on.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dumps = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          val nonScalar = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[ArrayType] ||
+                      f.dataType.isInstanceOf[MapType] ||
+                      f.dataType.isInstanceOf[StructType] =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          require(nonScalar.isEmpty,
+            s"non-scalar output column(s) ${nonScalar.mkString(", ")} — " +
+              "serialize (concat_ws) or explode to scalar columns")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

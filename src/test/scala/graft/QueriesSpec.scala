@@ -19,6 +19,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("every query output schema is scalar-only") {
+    // The driver's DuckDB oracle checker sorts result columns with
+    // pandas, which cannot order array/map/struct cells (round-6 q76
+    // red row). Any nested output must be exploded or serialized.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    Queries.all.foreach { q =>
+      val bad = q.build(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(bad.isEmpty,
+        s"${q.name}: non-scalar output column(s) ${bad.mkString(", ")}")
+    }
+  }
+
   test("oracle keys are a subset of query names") {
     val names = Queries.all.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))

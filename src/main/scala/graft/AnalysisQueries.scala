@@ -225,6 +225,13 @@ object AnalysisQueries {
           (900002L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
           (900003L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
           .toDF("doc_id", "text")
+        // the planted ids are fixed in the oracle SQL too, so a real doc
+        // in their range would silently merge with a plant and skew the
+        // pair results — fail loudly instead (single-column max scan)
+        val maxId = documents(s, d).agg(max("doc_id")).head().getLong(0)
+        require(maxId < 900001L,
+          s"corpus doc_id range reaches $maxId — collides with q101's " +
+            "planted ids (900001-900003); re-site the plants")
         val corpus = spread(documents(s, d)).select("doc_id", "text")
           .unionAll(planted)
         val sims = Pipeline.simhash64(corpus, "doc_id", "text")

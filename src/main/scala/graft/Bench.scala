@@ -93,8 +93,26 @@ object Bench {
     val worst = if (measurable.isEmpty) ""
       else short(measurable.maxBy(_._3)._1)
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    println(s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct]":$detailJson}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}""")
+    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}"""
+    val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct]":$detailJson}"""
+    println(detailLine)
+    println(machineLine)
+    // Durable per-query record: the harness keeps only the last ~2 KB
+    // of stdout, which destroyed the round-5 per-query history (4 of 72
+    // medians survived). Write the full detail to a repo file that gets
+    // committed each round, so the NEXT round can always diff complete
+    // per-query medians via git history regardless of stdout capture.
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "/root/repo/bench_history"))
+      java.nio.file.Files.createDirectories(dir)
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      java.nio.file.Files.writeString(dir.resolve(s"detail_$sfName.json"),
+        s"""{"sf":"$sfDir","passes":$passes,"total_sec":${fmt(total)},""" +
+          s""""failed":$failedJson,"queries":$detailJson}""" + "\n")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

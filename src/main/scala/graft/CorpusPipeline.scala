@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Per-stage surviving row counts. */
+  /** Per-stage surviving row counts.
+    *
+    * Counts ride `observe`/accumulator metrics collected during the
+    * pipeline's single action, so they are OBSERVABILITY, not
+    * exactly-once ledger entries: if an executor is lost mid-action and
+    * successfully-computed partitions are recomputed, rows can flow
+    * through a metrics node twice and OVER-COUNT a stage (failed tasks
+    * are excluded; recomputed successes are not). The corpus itself is
+    * unaffected. Downstream consumers needing exact audited counts
+    * should `count()` the returned frames explicitly.
+    */
   case class Report(
       input: Long,
       afterExactDedup: Long,
@@ -151,7 +161,10 @@ object CorpusPipeline {
 
   /** Per-stage counts for the FULL preparation chain.
     * `afterEmbeddingDecontamination` is present only when the optional
-    * embedding gate ran (JSON `null` otherwise).
+    * embedding gate ran (JSON `null` otherwise). Same metric semantics
+    * as [[Report]]: observability counts that can over-count when an
+    * executor loss forces recomputation — not exactly-once ledger
+    * entries.
     */
   final case class PrepareReport(
       clean: Report,
@@ -205,6 +218,20 @@ object CorpusPipeline {
     *                        enables the embedding decontamination stage
     * @param testEmbeddings  optional (`idCol`, `vecCol`) frame for the
     *                        eval corpus
+    * @param splits          non-empty enables the LEAKAGE-SAFE split
+    *                        stage: the output gains `split_group` (the
+    *                        near-dup cluster label) and `split`
+    *                        ([[Dedup.leakageSafeSplits]] keyed on that
+    *                        label), so related documents never straddle
+    *                        train/test. Ordered (name, permille), sums
+    *                        to 1000.
+    * @param splitPairThreshold Jaccard threshold for the split-grouping
+    *                        pair frame — deliberately LOWER than
+    *                        `jaccardThreshold` (dedup already removed
+    *                        pairs above it; docs related below it still
+    *                        leak across splits). Reuses the clean
+    *                        chain's signature frame: no extra
+    *                        shingle/minhash pass.
     */
   def prepare(
       docs: DataFrame,
@@ -223,7 +250,9 @@ object CorpusPipeline {
       embeddings: Option[DataFrame] = None,
       testEmbeddings: Option[DataFrame] = None,
       vecCol: String = "embedding",
-      minCosine: Double = 0.9): Prepared = {
+      minCosine: Double = 0.9,
+      splits: Seq[(String, Int)] = Nil,
+      splitPairThreshold: Double = 0.5): Prepared = {
     require(embeddings.isDefined == testEmbeddings.isDefined,
       "embedding decontamination needs BOTH embeddings and testEmbeddings")
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens,
@@ -263,6 +292,20 @@ object CorpusPipeline {
     // token estimate the oracle-checked q69 packs on
     val (packed, releasePack) = ops.Sampling.packSequencesReleasable(
       mixed, idCol, strataCol, "n_subword_est", tokenBudget)
+    // optional leakage-safe split stage: cluster labels over a pair
+    // frame at the (lower) split threshold, derived from the clean
+    // chain's signature frame — a superset of the final corpus, valid
+    // per the [[Dedup.shingleSignatures]] contract (pairs whose ends
+    // were deduped away never join a surviving id). clusters() inside
+    // leakageSafeSplits materializes eagerly (checkpointed loop), so
+    // the signature frame can still be released below.
+    val corpus = if (splits.isEmpty) packed else {
+      val pairs = Dedup.verifiedPairs(st.sig, idCol, splitPairThreshold)
+      val assigned = Dedup.leakageSafeSplits(
+          packed.select(col(idCol)), pairs, idCol, splits)
+        .withColumnRenamed("cluster", "split_group")
+      packed.join(assigned, Seq(idCol))
+    }
     val afterSampling = mixed.count()
     val report = PrepareReport(cleanReport, metric(oSafe),
       embBuckets.map(_ => metric(oGated)), afterSampling)
@@ -276,7 +319,7 @@ object CorpusPipeline {
     st.sig.unpersist()
     st.near.unpersist()
     testSig.unpersist()
-    Prepared(packed, report, () => { releasePack(); mixed.unpersist(); () })
+    Prepared(corpus, report, () => { releasePack(); mixed.unpersist(); () })
   }
 }
 

@@ -52,9 +52,8 @@ object Dedup {
       .filter(size(col("_w")) >= shingleN)
       .select(col(idCol),
         Pipeline.wordShingles(col("_w"), shingleN).as("shingles", shMeta))
-      .withColumn("sig", Pipeline.minhashSignatureFromHashes(
-        graft.plans.TextExpressions.md5Hash32Array(col("shingles")), minhashK)
-        .as("sig", sigMeta))
+      .withColumn("sig",
+        Pipeline.minhashSignature(col("shingles"), minhashK).as("sig", sigMeta))
   }
 
   /** Both corpora's precomputed frames must carry the SAME value for a
@@ -130,6 +129,12 @@ object Dedup {
     * lineage so the loop doesn't build an ever-deeper DAG. Iterations
     * are bounded by the cluster diameter (near-dup clusters are
     * shallow; runaway growth would indicate a degenerate threshold).
+    *
+    * ONE Spark job per iteration: the convergence count rides an
+    * `observe` metric collected during the SAME action that
+    * materializes the checkpoint — a separate `count()` per iteration
+    * would double the job count of the loop (the visible cost of the
+    * two slowest bench queries, q84/q104).
     */
   def clusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
                maxIters: Int = 50): DataFrame = {
@@ -143,11 +148,13 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, col("b_id") === col("id"))
         .groupBy(col("a_id")).agg(min("cluster").as("ncluster"))
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels.join(neighborMin, col("id") === col("a_id"), "left")
         .select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("next"))
+        .observe(obs, count(when(col("next") < col("cluster"), true)).as("changed"))
         .localCheckpoint()
-      changed = updated.filter(col("next") < col("cluster")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("id"), col("next").as("cluster"))
       iter += 1
     }
@@ -692,7 +699,8 @@ object Dedup {
     */
   def semantic(vectors: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centIdCol: String, centVecCol: String,
-               threshold: Double): DataFrame = {
+               threshold: Double,
+               maxClusterSize: Int = Pipeline.HotBucketThreshold): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
     require(threshold > -1 && threshold <= 1,
       s"cosine threshold must be in (-1,1], got $threshold")
@@ -710,7 +718,7 @@ object Dedup {
       .select(col(idCol), (-col("_best._neg")).as("centroid_id"))
       .join(v, Seq(idCol))
       .persist(Disk)
-    pruneClusters(assigned, idCol, threshold)
+    pruneClusters(assigned, idCol, threshold, maxClusterSize)
   }
 
   /** The shared SemDeDup prune phase: within-cluster pairs at cosine >=
@@ -719,13 +727,39 @@ object Dedup {
     * times: both pair-join sides and the anti-join left). A NULL
     * centroid_id never equi-joins, so unassigned vectors always
     * survive.
+    *
+    * Hot-cluster guard (the mirror of the LSH path's `maxBucketSize` +
+    * `graft_lsh_*` design): the within-cluster pair join is all-pairs
+    * on `centroid_id`, so a mass-duplicated swarm landing on one
+    * centroid — exactly the corpus dedup exists for — would make that
+    * cluster's pair space quadratic. Clusters larger than
+    * `maxClusterSize` are EXCLUDED from pair generation (bounded join;
+    * every member survives — conservative, false survivors rather than
+    * an unbounded join), and a `graft_semantic_hot_cluster` observe
+    * metric (rows in clusters over [[Pipeline.HotBucketThreshold]],
+    * largest cluster seen) is logged by [[LshObservability]] so the
+    * degenerate corpus surfaces as a warning, not an unexplained
+    * runaway stage.
     */
   private def pruneClusters(assigned: DataFrame, idCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxClusterSize: Int): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
-    val losers = assigned.select(col(idCol).as("a_id"), col("_v").as("_va"),
+    // cluster sizes over the non-null assignments only: the NULL
+    // partition (unassigned vectors, never pruned) can dwarf every real
+    // cluster and would drown the metric
+    val sized = assigned.filter(col("centroid_id").isNotNull)
+      .withColumn("_cs",
+        count(lit(1)).over(Window.partitionBy("centroid_id")))
+      .observe(Pipeline.metricName("graft_semantic_hot_cluster"),
+        coalesce(sum(when(col("_cs") > Pipeline.HotBucketThreshold, 1L)
+          .otherwise(0L)), lit(0L)).as("hot_cluster_rows"),
+        coalesce(max(col("_cs")), lit(0L)).as("max_cluster_size"))
+      .filter(col("_cs") <= maxClusterSize)
+      .drop("_cs")
+    val losers = sized.select(col(idCol).as("a_id"), col("_v").as("_va"),
         col("centroid_id").as("_ca"))
-      .join(assigned.select(col(idCol).as("b_id"), col("_v").as("_vb"),
+      .join(sized.select(col(idCol).as("b_id"), col("_v").as("_vb"),
           col("centroid_id").as("_cb")),
         col("_ca") === col("_cb") && col("a_id") < col("b_id"))
       .filter(cosineSim(col("_va"), col("_vb")) >= threshold)
@@ -766,7 +800,8 @@ object Dedup {
                       centroids: DataFrame, centIdCol: String,
                       centVecCol: String, threshold: Double,
                       planes: Int = Pipeline.AutoPlanes,
-                      dims: Int = 64): DataFrame = {
+                      dims: Int = 64,
+                      maxClusterSize: Int = Pipeline.HotBucketThreshold): DataFrame = {
     import graft.plans.VectorExpressions.cosineSim
     require(threshold > -1 && threshold <= 1,
       s"cosine threshold must be in (-1,1], got $threshold")
@@ -790,6 +825,6 @@ object Dedup {
         (-col("_cid")).as("_neg"))).as("_best"))
       .select(col(idCol), (-col("_best._neg")).as("centroid_id"))
     val assigned = v.drop("_b").join(best, Seq(idCol), "left").persist(Disk)
-    pruneClusters(assigned, idCol, threshold)
+    pruneClusters(assigned, idCol, threshold, maxClusterSize)
   }
 }

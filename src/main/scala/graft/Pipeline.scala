@@ -44,35 +44,66 @@ object Pipeline {
 
   // ===== MinHash + LSH (SURVEY: scale path for near-dup text) =====
 
-  /** MinHash permutation constants: k affine maps h -> (a*h + b) mod P
-    * over the 32-bit base hash. P is prime and > 2^32; products stay
-    * under 2^53 (a < 2^21, h < 2^32), so the arithmetic is exact in
-    * signed 64-bit on every engine — no overflow divergence.
+  /** MinHash permutation constants: permutation j is the map
+    * h_j(x) = (a_j * x + b_j) mod P over a per-shingle base hash
+    * x in [0, P) mixed from two md5 words, with P = 2^31-1 (Mersenne
+    * prime) and a_j in [1, P-1] — multiplication by a unit mod a prime
+    * is a genuine PERMUTATION of Z_P, and because a_j * x wraps the
+    * modulus ~2^31 times, the induced ordering of any shingle set is
+    * effectively independent per j. Products stay under 2^62
+    * (a < 2^31, x < 2^31), exact in signed 64-bit on every engine —
+    * no overflow divergence, replayable in DuckDB BIGINT.
+    *
+    * Why the wrap is load-bearing (round-7 recall bug): the previous
+    * scheme used P = 2^61-1 with multipliers so small the product
+    * NEVER reached the modulus — an order-PRESERVING map, so all k
+    * "permutations" shared one argmin (the global min-hash shingle)
+    * and LSH banding degenerated to a single Bernoulli(J) per pair
+    * instead of the designed 1-(1-J^r)^b S-curve: whole near-dup
+    * groups were invisible to every band at once. (Positive linear
+    * mixing of multiple md5 words fails the same way: it preserves
+    * Pareto dominance over the fixed point set — measured 16/16
+    * signature agreement on a J=0.71 pair. Only a wrapping modular
+    * permutation reshuffles the order.) The quadratic index spread in
+    * a_j/b_j avoids correlated consecutive multipliers.
     */
-  val MinhashP: Long = (1L << 61) - 1 // Mersenne prime 2^61-1
-  def minhashA(j: Int): Long = 2L * j + 3L + (j.toLong * j * 7919L)
-  def minhashB(j: Int): Long = 104729L * (j + 1)
+  val MinhashP: Long = 2147483647L // Mersenne prime 2^31-1
+  private def minhashMix(n: Long): Long = 2654435761L * n * n + 104729L * n
+  def minhashA(j: Int): Long = minhashMix(2L * j + 1) % (MinhashP - 1) + 1
+  def minhashB(j: Int): Long = minhashMix(2L * j + 2) % MinhashP
 
-  /** k-permutation MinHash signature from PRE-COMPUTED 32-bit shingle
-    * hashes: k cheap affine permutations (a_j*h + b_j mod P), min per
-    * permutation — one md5 per shingle total, 16x less hash work than
-    * hashing per (permutation, shingle). The standard scheme at scale.
+  /** k-permutation MinHash signature from the shingle strings: ONE md5
+    * per shingle (two 32-bit words mixed into the base hash feed all k
+    * permutations — 16x less hash work than hashing per (permutation,
+    * shingle)), min per permutation. The standard scheme at scale.
     * Backed by the native [[graft.plans.MinhashSignature]] kernel (one
-    * codegen loop over the hash array vs k interpreted HOF folds);
+    * codegen loop over the shingle array vs k interpreted HOF folds);
     * exact integer arithmetic, so identical to the HOF reference below
     * and the oracle.
     */
-  def minhashSignatureFromHashes(hs: Column, k: Int): Column =
-    graft.plans.TextExpressions.minhashSig(hs, k)
+  def minhashSignature(shingles: Column, k: Int): Column =
+    graft.plans.TextExpressions.minhashSig(shingles, k)
 
-  /** Reference HOF formulation of [[minhashSignatureFromHashes]], kept
-    * as the spec's bit-equality baseline.
+  /** Per-shingle base hash for the minhash permutations: two md5 words
+    * mixed mod P (the second word recovers the entropy the mod-P
+    * reduction of a single 32-bit word would halve).
     */
-  def minhashSignatureFromHashesHof(hs: Column, k: Int): Column =
+  def minhashBase(w0: Long, w1: Long): Long =
+    (65599L * w0 + w1) % MinhashP
+
+  /** Reference HOF formulation of [[minhashSignature]], kept as the
+    * spec's bit-equality baseline (built-in md5/conv/substring only).
+    */
+  def minhashSignatureHof(shingles: Column, k: Int): Column = {
+    def word(s: Column, t: Int): Column =
+      conv(substring(md5(s), 8 * t + 1, 8), 16, 10).cast(LongType)
+    def base(s: Column): Column =
+      pmod(lit(65599L) * word(s, 0) + word(s, 1), lit(MinhashP))
     array((0 until k).map { j =>
-      array_min(transform(hs, h =>
-        pmod(lit(minhashA(j)) * h + lit(minhashB(j)), lit(MinhashP))))
+      array_min(transform(shingles, s =>
+        pmod(lit(minhashA(j)) * base(s) + lit(minhashB(j)), lit(MinhashP))))
     }: _*)
+  }
 
   /** LSH banding: hash each band of `rowsPerBand` signature rows to a
     * bucket id. Docs sharing any (band, hash) are candidate pairs.
@@ -138,8 +169,7 @@ object Pipeline {
         }
       df
     } else df.select(col("*"),
-      minhashSignatureFromHashes(
-        graft.plans.TextExpressions.md5Hash32Array(col("shingles")), k).as("sig"))
+      minhashSignature(col("shingles"), k).as("sig"))
 
   /** (id, band, bucket-hash) rows for LSH joins: shingle -> 32-bit
     * hashes -> k-permutation signature, both as native one-pass kernels
@@ -544,6 +574,15 @@ object LshObservability {
           s"${row.getAs[Long]("max_bucket_size")} rows) — a degenerate corpus " +
           "is inflating the candidate pair join; dedup/decontaminate inputs " +
           "may need pre-aggregation of identical documents")
+    } else if (name.startsWith("graft_semantic_hot_cluster")) {
+      val hot = row.getAs[Long]("hot_cluster_rows")
+      if (hot > 0) log.warn(
+        s"SemDeDup hot cluster on '$name': $hot vectors sit in clusters larger " +
+          s"than ${Pipeline.HotBucketThreshold} (largest cluster: " +
+          s"${row.getAs[Long]("max_cluster_size")} rows) — clusters over the " +
+          "maxClusterSize cap are exempt from pruning (their members all " +
+          "survive); raise k so clusters stay bounded, or pre-dedup exact " +
+          "duplicates before the semantic pass")
     } else if (name.startsWith("graft_rhp_null_")) {
       val n = row.getAs[Long]("null_buckets")
       if (n > 0) log.warn(

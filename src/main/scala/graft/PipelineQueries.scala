@@ -37,21 +37,33 @@ object PipelineQueries {
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
            FROM w WHERE len(w) >= 3)"""
 
-  // Shared oracle CTE chain: MinHash k=16 (one md5 per shingle to a
-  // 32-bit base hash, then 16 affine permutations mod 2^61-1 —
-  // mirrors Pipeline.minhashSignatureFromHashes/minhashA/minhashB),
-  // 4 bands x 4 rows, candidate pairs from band collisions.
-  private[graft] val lshCte = shinglesCte + """,
-    hs AS (SELECT doc_id,
+  // MinHash signature CTE fragment (hw + sig over a `sh` CTE carrying
+  // `shingles`): one md5 per shingle, first two 32-bit words mixed
+  // into a base hash mod 2^31-1, then 16 wrapping affine permutations
+  // (a_j*x + b_j) mod 2^31-1 — mirrors Pipeline.minhashA/minhashB/
+  // minhashBase/minhashSignature exactly (see Pipeline.minhashA for
+  // why the modular WRAP is load-bearing: an order-preserving map
+  // collapses banding to one Bernoulli per pair).
+  private def minhashSigCte(keep: String): String = s"""
+    hw AS (SELECT $keep,
              list_transform(shingles, s ->
-               list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
-                           (a, b) -> a*16 + b)) AS hs
+               (65599 * list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
+                                    (a, b) -> a*16 + b)
+                + list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(9, 17)],
+                              (a, b) -> a*16 + b)) % 2147483647) AS xs
            FROM sh),
-    sig AS (SELECT doc_id,
-              [list_min(list_transform(hs, h ->
-                 ((2*j + 3 + j*j*7919) * h + 104729*(j+1)) % 2305843009213693951))
+    sig AS (SELECT $keep,
+              [list_min(list_transform(xs, x ->
+                 (((2654435761 * (2*j + 1) * (2*j + 1) + 104729 * (2*j + 1)) % 2147483646 + 1) * x
+                + (2654435761 * (2*j + 2) * (2*j + 2) + 104729 * (2*j + 2)) % 2147483647) % 2147483647))
                for j in range(0, 16)] AS sig
-            FROM hs),
+            FROM hw)"""
+
+  // Shared oracle CTE chain: MinHash k=16 (four md5 words per shingle,
+  // 16 varying linear maps mod 2^61-1 — mirrors
+  // Pipeline.minhashSignature/minhashC), 4 bands x 4 rows, candidate
+  // pairs from band collisions.
+  private[graft] val lshCte = shinglesCte + "," + minhashSigCte("doc_id") + """,
     banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -548,21 +560,11 @@ object PipelineQueries {
     // LSH cross-corpus blocking + exact verify, the operator an LLM
     // pipeline runs before training. Output = the removed train ids.
     QueryDef("q61_decontamination",
-      Some("""
+      Some(s"""
         WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, source,
                  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
-               FROM w WHERE len(w) >= 3),
-        hs AS (SELECT doc_id, source,
-                 list_transform(shingles, s ->
-                   list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
-                               (a, b) -> a*16 + b)) AS hs
-               FROM sh),
-        sig AS (SELECT doc_id, source,
-                  [list_min(list_transform(hs, h ->
-                     ((2*j + 3 + j*j*7919) * h + 104729*(j+1)) % 2305843009213693951))
-                   for j in range(0, 16)] AS sig
-                FROM hs),
+               FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source")},
         banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
                    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -1071,21 +1073,11 @@ object PipelineQueries {
     // the test id, so the report is eval-set-sized no matter how big
     // the train corpus is.
     QueryDef("q80_contamination_report",
-      Some("""
+      Some(s"""
         WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, source,
                  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
-               FROM w WHERE len(w) >= 3),
-        hs AS (SELECT doc_id, source,
-                 list_transform(shingles, s ->
-                   list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
-                               (a, b) -> a*16 + b)) AS hs
-               FROM sh),
-        sig AS (SELECT doc_id, source,
-                  [list_min(list_transform(hs, h ->
-                     ((2*j + 3 + j*j*7919) * h + 104729*(j+1)) % 2305843009213693951))
-                   for j in range(0, 16)] AS sig
-                FROM hs),
+               FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source")},
         banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
                    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

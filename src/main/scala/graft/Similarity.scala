@@ -225,10 +225,15 @@ object Similarity {
     require(n > 0, s"corpus size must be positive, got $n")
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
     val kL = math.max(1L, math.ceil(frac * n).toLong)
-    // limit() takes an Int — fail loudly instead of silently wrapping
-    // (ceil(0.01 * 500e9) would truncate to ~14% of the requested set)
-    require(kL <= Int.MaxValue,
-      s"requested top fraction is $kL rows — beyond a collectable limit; lower frac")
+    // a k beyond ~10M falls past the TakeOrderedAndProject top-k path
+    // (topKSortFallbackThreshold) and/or funnels k rows through the
+    // driver-side reduce — at that size this is no longer an outlier
+    // SCREEN; route large cuts through an approximate-quantile cutoff
+    // (approx_percentile on norm_sq + a scan-side filter) instead
+    require(kL <= 10000000L,
+      s"requested top fraction is $kL rows — beyond the bounded-heap " +
+        "top-k path; lower frac, or cut on an approx_percentile(norm_sq) " +
+        "threshold for screens this wide")
     val k = kL.toInt
     df.select(col(idCol), asDouble(col(vecCol)).as("_v"))
       .select(col(idCol), Pipeline.dot(col("_v"), col("_v")).as("norm_sq"))

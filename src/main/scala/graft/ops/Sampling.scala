@@ -50,8 +50,13 @@ object Sampling {
     * instead (explicit, filterable); pre-clean NULL keys upstream.
     */
   def assignSplits(df: DataFrame, keyCol: String,
-                   splits: Seq[(String, Int)]): DataFrame =
+                   splits: Seq[(String, Int)]): DataFrame = {
+    // `split` is the documented output column: refuse to silently
+    // overwrite one the caller already has (withColumn would)
+    require(!df.columns.contains("split"),
+      "input already carries a 'split' column — rename it before assignSplits")
     df.withColumn("split", splitFor(col(keyCol), splits))
+  }
 
   /** The split-assignment EXPRESSION behind [[assignSplits]] — apply it
     * directly to a key column (e.g. both sides of a pair frame) when
@@ -126,6 +131,10 @@ object Sampling {
   def prioritySample(df: DataFrame, idCol: String, strataCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // `pri` is the documented output column: refuse to silently
+    // overwrite one the caller already has (withColumn would)
+    require(!df.columns.contains("pri"),
+      "input already carries a 'pri' column — rename it before prioritySample")
     val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
       lit(1000000L))
     val withPri = df.withColumn("pri",

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.IntegerType
   * - the native kernels as SQL functions — `cosine_sim(a, b)`,
   *   `rhp_bucket(v, dims, planes)`, `simhash32(tokens)`,
   *   `word_shingles(tokens, n)`, `md5_hash32_array(tokens)`,
-  *   `minhash_sig(hashes, k)`, `rolling_hash(tokens)` — so
+  *   `minhash_sig(shingles, k)`, `rolling_hash(tokens)` — so
   *   `spark.sql(...)` users get the same fused codegen paths as the
   *   Column API (which needs no registration and works without this).
   * - PrefixLevelPruning optimizer rule (kode-prefix -> level partition

@@ -44,19 +44,39 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
-  /** k-permutation MinHash signature over PRE-COMPUTED 32-bit hashes:
-    * min over elements of (a_j*h + b_j) mod (2^61-1) per permutation j,
-    * with the affine constants of Pipeline.minhashA/minhashB. Products
-    * stay below 2^53 (a < 2^21, h < 2^32), so the arithmetic is exact —
-    * identical to the HOF fold and the oracle's list_min/list_transform.
-    * An empty (or all-null) input yields nulls, matching array_min over
-    * an empty transform.
+  /** k-permutation MinHash signature over the SHINGLE STRINGS: one md5
+    * per shingle, its first two 32-bit words mixed into a base hash
+    * x = (65599*w0 + w1) mod P; permutation j takes min over shingles
+    * of (a_j*x + b_j) mod P with P = 2^31-1 and the constants of
+    * Pipeline.minhashA/minhashB. a_j*x wraps the prime modulus ~2^31
+    * times — a genuine permutation of Z_P per j (the wrap is
+    * load-bearing: any order-preserving map collapses all k argmins to
+    * one shingle, see Pipeline.minhashA). Products stay under 2^62, so
+    * the arithmetic is exact in signed 64-bit — identical to the HOF
+    * reference and the oracle's list_min/list_transform. An empty (or
+    * all-null) input yields nulls, matching array_min over an empty
+    * transform.
     */
-  def minhashSig(hs: ArrayData, k: Int): ArrayData = {
-    // single source of truth for the affine constants: the same
-    // Pipeline definitions the HOF reference and oracle SQL mirror
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     val p = graft.Pipeline.MinhashP
-    val n = hs.numElements()
+    val md = mdPool.get()
+    val n = shingles.numElements()
+    // one digest pass: base hash per shingle (-1 marks null slots)
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (shingles.isNullAt(i)) base(i) = -1L
+      else {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        val w0 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val w1 = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+        base(i) = graft.Pipeline.minhashBase(w0, w1)
+      }
+      i += 1
+    }
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
@@ -64,10 +84,11 @@ object TextHashKernels {
       val b = graft.Pipeline.minhashB(j)
       var min = Long.MaxValue
       var seen = false
-      var i = 0
+      i = 0
       while (i < n) {
-        if (!hs.isNullAt(i)) {
-          val v = (a * hs.getLong(i) + b) % p // operands positive: % == pmod
+        if (base(i) >= 0) {
+          // operands positive, product < 2^62: % == pmod, no overflow
+          val v = (a * base(i) + b) % p
           if (v < min) { min = v; seen = true }
         }
         i += 1
@@ -168,11 +189,11 @@ case class Md5Hash32Array(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
-/** k-permutation MinHash signature: array<long> base hashes ->
-  * array<long>[k] (native form of Pipeline.minhashSignatureFromHashes).
+/** k-permutation MinHash signature: array<string> shingles ->
+  * array<long>[k] (native form of Pipeline.minhashSignature).
   */
 case class MinhashSignature(child: Expression, k: Int) extends TextKernelExpression {
-  override protected def expects: DataType = ArrayType(LongType)
+  override protected def expects: DataType = ArrayType(StringType)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(a: Any): Any =
@@ -217,8 +238,8 @@ object TextExpressions {
   def md5Hash32Array(arr: Column): Column =
     GraftShims.column(Md5Hash32Array(GraftShims.expression(arr)))
 
-  def minhashSig(hashes: Column, k: Int): Column =
-    GraftShims.column(MinhashSignature(GraftShims.expression(hashes), k))
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftShims.column(MinhashSignature(GraftShims.expression(shingles), k))
 
   def rollingHash(tokens: Column): Column =
     GraftShims.column(RollingHash(GraftShims.expression(tokens)))

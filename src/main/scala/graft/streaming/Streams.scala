@@ -197,8 +197,7 @@ object Streams {
     import docs.sparkSession.implicits._
     val horizonMs = horizonMinutes * 60_000L
     val w = graft.Pipeline.words(col(textCol))
-    val sig = graft.Pipeline.minhashSignatureFromHashes(
-      graft.plans.TextExpressions.md5Hash32Array(graft.Pipeline.wordShingles(w, 3)), k)
+    val sig = graft.Pipeline.minhashSignature(graft.Pipeline.wordShingles(w, 3), k)
     val banded = docs
       .withWatermark("ts", s"$horizonMinutes minutes")
       .filter(org.apache.spark.sql.functions.size(w) >= 3)
@@ -270,9 +269,8 @@ object Streams {
       horizonMinutes: Int = 10): ContaminationMonitor = {
     import org.apache.spark.sql.functions.size
     def sig(c: org.apache.spark.sql.Column) =
-      graft.Pipeline.minhashSignatureFromHashes(
-        graft.plans.TextExpressions.md5Hash32Array(
-          graft.Pipeline.wordShingles(graft.Pipeline.words(c), 3)), k)
+      graft.Pipeline.minhashSignature(
+        graft.Pipeline.wordShingles(graft.Pipeline.words(c), 3), k)
     // persisted: the static side is re-planned EVERY micro-batch —
     // uncached, a long-running monitor would re-hash the entire test
     // corpus per trigger for an input that never changes

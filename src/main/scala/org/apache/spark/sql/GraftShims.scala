@@ -25,4 +25,11 @@ object GraftShims {
     */
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Drain the shared listener bus (private[spark]): tests asserting on
+    * async listener callbacks (QueryExecutionListener action counts,
+    * observed metrics) need a deterministic barrier, not sleeps.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -42,10 +42,8 @@ class KernelPropertySpec extends AnyFunSuite {
         col("sh"), col("sh_hof"),
         TextExpressions.md5Hash32Array(col("sh")).as("h"),
         transform(col("sh"), Pipeline.wordHash32(_)).as("h_hof"),
-        Pipeline.minhashSignatureFromHashes(
-          TextExpressions.md5Hash32Array(col("sh")), 16).as("sig"),
-        Pipeline.minhashSignatureFromHashesHof(
-          transform(col("sh"), Pipeline.wordHash32(_)), 16).as("sig_hof"),
+        Pipeline.minhashSignature(col("sh"), 16).as("sig"),
+        Pipeline.minhashSignatureHof(col("sh"), 16).as("sig_hof"),
         Pipeline.rollingHash(col("w")).as("rh"),
         Pipeline.rollingHashHof(col("w")).as("rh_hof"),
         graft.plans.VectorExpressions.simHash32(col("w")).as("sim"))

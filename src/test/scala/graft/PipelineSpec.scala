@@ -328,12 +328,10 @@ class PipelineSpec extends AnyFunSuite {
       val result = CorpusPipeline.clean(docs)
       assert(result.report.input == docs.count()) // sanity (extra action, after clean)
       result.release()
-      // the listener bus is async: wait until the callbacks drain (the
-      // sanity count above is the 2nd action, so >= 2 means both landed)
-      val deadline = System.currentTimeMillis() + 30000
-      while (actions.get < 2 && System.currentTimeMillis() < deadline)
-        Thread.sleep(50)
-      Thread.sleep(500) // catch any stragglers before asserting equality
+      // the listener bus is async: drain it deterministically before
+      // asserting equality (polling + fixed sleeps was flaky on slow
+      // machines — ADVICE r6)
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
       assert(actions.get == 2,
         s"clean() + one sanity count should be TWO actions total " +
           s"(stage counts ride observe metrics), saw ${actions.get}")
@@ -589,6 +587,53 @@ class PipelineSpec extends AnyFunSuite {
       // feature columns flow through to the packed corpus
       assert(result.corpus.columns.contains("n_subword_est"))
       assert(result.corpus.columns.contains("bin"))
+    } finally result.release()
+  }
+
+  test("prepare's split stage keeps near-dup groups on one side of every split") {
+    import spark.implicits._
+    // planted RELATED-but-not-duplicate groups: 6 docs sharing a
+    // 17-token prefix with distinct 3-token tails -> pairwise trigram
+    // Jaccard 15/21 = 0.714, BELOW the dedup threshold (0.8: all
+    // members survive cleaning) and ABOVE the split-pair threshold
+    // (0.5: members must land in one split). Each pair's LSH band
+    // capture at J=0.714 is ~70%, so 6 members (15 pairs) make the
+    // group's pair graph connected with overwhelming margin (an
+    // isolated member needs all 5 of its edges missed: ~0.2%) — and
+    // the md5-backed banding is deterministic, so the outcome is
+    // fixed, not flaky. A per-doc hash split would straddle ~half of
+    // these groups across train/test.
+    def doc(g: Int, m: Int): String =
+      ((0 until 17).map(j => s"g${g}w$j") ++
+        (17 until 20).map(j => s"g${g}m${m}v$j")).mkString(" ")
+    val docs = (for { g <- 0 until 8; m <- 0 until 6 }
+      yield ((g * 10 + m).toLong, doc(g, m), s"src${g % 3}"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((900000L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val result = CorpusPipeline.prepare(docs, eval,
+      splits = Seq(("train", 500), ("test", 500)))
+    try {
+      val out = result.corpus.select("doc_id", "split", "split_group").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(out.length == 48, s"all planted docs survive cleaning, got ${out.length}")
+      assert(out.forall(r => r._2 == "train" || r._2 == "test"))
+      // the leakage-safety property, end to end: no PLANTED group
+      // (g = doc_id / 10) straddles train and test
+      val byPlant = out.groupBy(_._1 / 10)
+      byPlant.foreach { case (g, rows) =>
+        assert(rows.map(_._2).distinct.length == 1,
+          s"planted group $g straddles splits: ${rows.toSeq}")
+      }
+      // fixture sanity: the clustering genuinely grouped them (each
+      // planted group = one split_group labelled by its minimum id)
+      byPlant.foreach { case (g, rows) =>
+        assert(rows.map(_._3).distinct == Seq(g * 10),
+          s"planted group $g not clustered: ${rows.toSeq}")
+      }
+      // and the split is non-degenerate across groups
+      assert(out.map(_._2).distinct.length == 2,
+        "8 independent groups should populate both splits")
     } finally result.release()
   }
 
@@ -851,6 +896,77 @@ class PipelineSpec extends AnyFunSuite {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     assert(cos12_22 >= 0.95, s"fixture broken: boundary cosine $cos12_22")
+  }
+
+  test("SemDeDup hot-cluster guard: oversized clusters exempt from pruning, metric fires") {
+    import spark.implicits._
+    // a mass-duplicated swarm — n identical vectors all assigned to one
+    // centroid, exactly the degenerate corpus that would turn the
+    // within-cluster pair join quadratic (n^2/2 pairs). The guard must
+    // EXCLUDE the swarm's cluster from pair generation (every member
+    // survives — bounded join, conservative result) while a healthy
+    // cluster alongside still prunes, and the hot-cluster observe
+    // metric must report the swarm.
+    val n = Pipeline.HotBucketThreshold + 1
+    def axis(a: Int): Seq[Double] = {
+      val v = Array.fill(8)(0.0); v(a) = 1.0; v.toSeq
+    }
+    val swarm = spark.range(n).select(col("id").as("vec_id"),
+      typedLit(axis(0)).as("embedding"))
+    val healthy = Seq(900000L -> axis(1), 900001L -> axis(1))
+      .toDF("vec_id", "embedding") // identical pair -> 900001 drops
+    val vecs = swarm.union(healthy)
+    val cents = Seq(1L -> axis(0), 2L -> axis(1)).toDF("cid", "cv")
+    val out = Dedup.semantic(vecs, "vec_id", "embedding",
+      cents, "cid", "cv", threshold = 0.95) // default cap = HotBucketThreshold
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(kept.size == n + 1, s"expected swarm ($n) + 1 healthy survivor, got ${kept.size}")
+    assert(kept.contains(900000L) && !kept.contains(900001L),
+      "healthy cluster must still prune normally")
+    assert((0L until 5L).forall(kept.contains),
+      "swarm members must all survive (cluster over the cap is exempt)")
+    val metrics = out.queryExecution.observedMetrics
+    val m = metrics.collectFirst {
+      case (k, v) if k.startsWith("graft_semantic_hot_cluster") => v
+    }.get
+    assert(m.getAs[Long]("max_cluster_size") == n.toLong)
+    assert(m.getAs[Long]("hot_cluster_rows") == n.toLong,
+      "the swarm's rows must be counted as hot")
+  }
+
+  test("components loop: convergence rides the checkpoint action, no per-iteration count()") {
+    import spark.implicits._
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val countActions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        actions.incrementAndGet()
+        if (funcName == "count") countActions.incrementAndGet()
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // chain 1-2-3-4-5 (diameter 4): min-label propagation moves one
+      // hop per iteration -> exactly 5 iterations (4 propagating + the
+      // zero-change fixpoint check)
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+      val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+      val labels = Dedup.clusters(pairs, ids, "doc_id")
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      assert(countActions.get == 0,
+        "the convergence count must ride the checkpoint's observe metric, " +
+          s"not a separate count() action (saw ${countActions.get})")
+      assert(actions.get == 7,
+        s"2 setup checkpoints + 5 iteration checkpoints = 7 actions, saw ${actions.get}")
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1L to 5L).map(_ -> 1L).toMap)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("ngramNovelty scores covered, novel, and half-covered docs exactly") {

@@ -222,7 +222,7 @@ class PlansSpec extends AnyFunSuite {
         |       simhash32(array('a', 'b', 'a')) AS sh,
         |       word_shingles(array('a', 'b', 'c', 'b', 'c'), 3) AS ws,
         |       md5_hash32_array(array('a', 'b')) AS h,
-        |       minhash_sig(md5_hash32_array(array('a', 'b')), 4) AS sig,
+        |       minhash_sig(array('a', 'b'), 4) AS sig,
         |       rolling_hash(array('a', 'b')) AS rh""".stripMargin).head()
     assert(!r.isNullAt(0))
     assert(r.getSeq[String](2) == Seq("a b c", "b c b", "c b c"))
@@ -278,10 +278,8 @@ class PlansSpec extends AnyFunSuite {
     val both = docs.select(
       TextExpressions.md5Hash32Array(col("sh")).as("h_native"),
       transform(col("sh"), Pipeline.wordHash32(_)).as("h_hof"),
-      Pipeline.minhashSignatureFromHashes(
-        TextExpressions.md5Hash32Array(col("sh")), 16).as("sig_native"),
-      Pipeline.minhashSignatureFromHashesHof(
-        transform(col("sh"), Pipeline.wordHash32(_)), 16).as("sig_hof"),
+      Pipeline.minhashSignature(col("sh"), 16).as("sig_native"),
+      Pipeline.minhashSignatureHof(col("sh"), 16).as("sig_hof"),
       Pipeline.rollingHash(col("w")).as("rh_native"),
       Pipeline.rollingHashHof(col("w")).as("rh_hof"))
     val rows = both.collect()
@@ -294,8 +292,7 @@ class PlansSpec extends AnyFunSuite {
     // degenerate input: empty array -> all-null signature, like the
     // HOF's array_min over an empty transform
     val empty = docs.limit(1).select(
-      Pipeline.minhashSignatureFromHashes(
-        TextExpressions.md5Hash32Array(array().cast("array<string>")), 4).as("sig"))
+      Pipeline.minhashSignature(array().cast("array<string>"), 4).as("sig"))
       .head().getSeq[Any](0)
     assert(empty.length == 4 && empty.forall(_ == null))
   }

@@ -227,8 +227,10 @@ object AnalysisQueries {
           .toDF("doc_id", "text")
         // the planted ids are fixed in the oracle SQL too, so a real doc
         // in their range would silently merge with a plant and skew the
-        // pair results — fail loudly instead (single-column max scan)
-        val maxId = documents(s, d).agg(max("doc_id")).head().getLong(0)
+        // pair results — fail loudly instead (single-column max scan).
+        // max() over an empty corpus is NULL: no docs, no collision.
+        val maxIdRow = documents(s, d).agg(max("doc_id")).head()
+        val maxId = if (maxIdRow.isNullAt(0)) Long.MinValue else maxIdRow.getLong(0)
         require(maxId < 900001L,
           s"corpus doc_id range reaches $maxId — collides with q101's " +
             "planted ids (900001-900003); re-site the plants")

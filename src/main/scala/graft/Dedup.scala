@@ -751,8 +751,12 @@ object Dedup {
     val sized = assigned.filter(col("centroid_id").isNotNull)
       .withColumn("_cs",
         count(lit(1)).over(Window.partitionBy("centroid_id")))
+      // the metric counts rows against the ACTIVE cap (the caller's
+      // maxClusterSize), not the fixed default: a caller passing a cap
+      // below HotBucketThreshold must still see the rows its cap
+      // exempted from pruning
       .observe(Pipeline.metricName("graft_semantic_hot_cluster"),
-        coalesce(sum(when(col("_cs") > Pipeline.HotBucketThreshold, 1L)
+        coalesce(sum(when(col("_cs") > maxClusterSize, 1L)
           .otherwise(0L)), lit(0L)).as("hot_cluster_rows"),
         coalesce(max(col("_cs")), lit(0L)).as("max_cluster_size"))
       .filter(col("_cs") <= maxClusterSize)

@@ -577,12 +577,12 @@ object LshObservability {
     } else if (name.startsWith("graft_semantic_hot_cluster")) {
       val hot = row.getAs[Long]("hot_cluster_rows")
       if (hot > 0) log.warn(
-        s"SemDeDup hot cluster on '$name': $hot vectors sit in clusters larger " +
-          s"than ${Pipeline.HotBucketThreshold} (largest cluster: " +
-          s"${row.getAs[Long]("max_cluster_size")} rows) — clusters over the " +
-          "maxClusterSize cap are exempt from pruning (their members all " +
-          "survive); raise k so clusters stay bounded, or pre-dedup exact " +
-          "duplicates before the semantic pass")
+        s"SemDeDup hot cluster on '$name': $hot vectors sit in clusters " +
+          "larger than the active maxClusterSize cap (largest cluster: " +
+          s"${row.getAs[Long]("max_cluster_size")} rows) — capped clusters " +
+          "are exempt from pruning (their members all survive); raise k so " +
+          "clusters stay bounded, or pre-dedup exact duplicates before the " +
+          "semantic pass")
     } else if (name.startsWith("graft_rhp_null_")) {
       val n = row.getAs[Long]("null_buckets")
       if (n > 0) log.warn(

@@ -249,7 +249,9 @@ class OpsSpec extends AnyFunSuite {
     assert(q.length > 0)
     q.foreach { r =>
       val scale = r.getDouble(1)
-      val codes = r.getSeq[Int](2)
+      // codes arrive serialized as a comma-joined string (scalar-only
+      // output contract for the driver's hash compare)
+      val codes = r.getString(2).split(",").map(_.toInt)
       assert(codes.length == 64)
       assert(codes.forall(c => c >= -127 && c <= 127))
       // the max-abs element must quantize to exactly +/-127

@@ -326,7 +326,8 @@ object AnalysisQueries {
         val sh = Dedup.shingleSignatures(docs, "doc_id", "text")
         // pairs feed the edge symmetrization twice: persist, or the LSH
         // self-join executes per reference before the propagation loop
-        val pairs = Pipeline.lshCandidatePairs(sh, "doc_id", 16, 4).persist(disk)
+        val pairs = Pipeline.lshCandidatePairs(sh, "doc_id",
+          PipelineQueries.lshK05, PipelineQueries.lshBands05).persist(disk)
         val out = Dedup.leakageSafeSplits(docs, pairs, "doc_id",
           Seq(("train", 800), ("val", 100), ("test", 100)))
         // the propagation loop localCheckpoints its labels, so the
@@ -413,7 +414,8 @@ object AnalysisQueries {
         val sh = Dedup.shingleSignatures(spread(documents(s, d)),
           "doc_id", "text")
         val splits = Seq(("train", 800), ("val", 100), ("test", 100))
-        Pipeline.lshCandidatePairs(sh, "doc_id", 16, 4)
+        Pipeline.lshCandidatePairs(sh, "doc_id",
+            PipelineQueries.lshK05, PipelineQueries.lshBands05)
           .select(col("a_id"), col("b_id"),
             graft.ops.Sampling.splitFor(col("a_id"), splits).as("split_a"),
             graft.ops.Sampling.splitFor(col("b_id"), splits).as("split_b"))

@@ -38,7 +38,8 @@ object Dedup {
     * extra rows only generate candidates the final anti-join ignores.
     */
   def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, minhashK: Int = 16): DataFrame = {
+                        shingleN: Int = 3,
+                        minhashK: Int = Pipeline.DefaultSigK): DataFrame = {
     // provenance metadata: consumers validate the banding k against the
     // k the signatures were actually built with (a mismatch would
     // silently change recall or hash empty band slices), and that the
@@ -55,6 +56,10 @@ object Dedup {
       .withColumn("sig",
         Pipeline.minhashSignature(col("shingles"), minhashK).as("sig", sigMeta))
   }
+
+  private def resolveBanding(threshold: Double, minhashK: Int,
+                             bands: Int): (Int, Int) =
+    Pipeline.resolveBanding(threshold, minhashK, bands)
 
   /** Both corpora's precomputed frames must carry the SAME value for a
     * provenance key (when both have it) — differing derivation
@@ -137,7 +142,11 @@ object Dedup {
     * two slowest bench queries, q84/q104).
     */
   def clusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
-               maxIters: Int = 50): DataFrame = {
+               maxIters: Int = 50,
+               // observability hook: called once with the converged
+               // iteration count (scale runs attribute cost to
+               // iterations x per-iteration shuffle through it)
+               onConverged: Int => Unit = _ => ()): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -165,6 +174,7 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"label propagation did not converge in $maxIters iterations " +
         s"($changed labels still changing) — raise maxIters or tighten the pair threshold")
+    onConverged(iter)
     labels.withColumnRenamed("id", idCol)
   }
 
@@ -197,6 +207,12 @@ object Dedup {
     * (equi-join between the corpora, never a cartesian) generates
     * candidates, exact Jaccard verifies only those, and a left-anti
     * join drops the contaminated train rows.
+    *
+    * Banding defaults to THRESHOLD-DERIVED ([[Pipeline.bandingFor]]):
+    * a leakage gate's blocking recall must be >= 0.99 at its operating
+    * threshold, and no fixed (k, bands) literal holds that across
+    * thresholds (k=16/b=4 captures a J=0.7 pair ~74% of the time —
+    * a decontamination lottery, not a gate).
     */
   def decontaminate(
       train: DataFrame,
@@ -205,8 +221,8 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       shingleN: Int = 3,
-      minhashK: Int = 16,
-      bands: Int = 4,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
       // uncapped by default: a dropped hot bucket here means MISSED
       // contamination surviving into training — the opposite of
       // Dedup.near, where the cap only trades dedup recall for a
@@ -221,9 +237,13 @@ object Dedup {
     // repeat calls over the same corpus share one entry; callers who
     // want deterministic release should precompute [[shingleSignatures]]
     // themselves, call [[decontaminateSigned]], and unpersist.
-    val trainSig = shingleSignatures(train, idCol, textCol, shingleN, minhashK)
+    // signatures are built at the canonical width (or the caller's
+    // explicit k): auto-derived banding always slices within DefaultSigK
+    val sigK = if (minhashK == Pipeline.AutoBanding) Pipeline.DefaultSigK
+               else minhashK
+    val trainSig = shingleSignatures(train, idCol, textCol, shingleN, sigK)
       .persist(Disk)
-    val testSig = shingleSignatures(test, idCol, textCol, shingleN, minhashK)
+    val testSig = shingleSignatures(test, idCol, textCol, shingleN, sigK)
       .persist(Disk)
     decontaminateSigned(train, trainSig, testSig, idCol, threshold,
       minhashK, bands, maxBucketSize)
@@ -241,8 +261,8 @@ object Dedup {
       testSig: DataFrame,
       idCol: String,
       threshold: Double = 0.8,
-      minhashK: Int = 16,
-      bands: Int = 4,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = Int.MaxValue): DataFrame =
     train.join(
       contaminatedIdsSigned(trainSig, testSig, idCol, threshold, minhashK,
@@ -259,13 +279,14 @@ object Dedup {
       testSig: DataFrame,
       idCol: String,
       threshold: Double = 0.8,
-      minhashK: Int = 16,
-      bands: Int = 4,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     requireSameMeta(trainSig, testSig, "shingles", ShingleNMetadataKey, "shingleN")
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
     val inter = size(array_intersect(col("_sa"), col("_sb")))
     Pipeline
-      .lshCrossCandidates(trainSig, testSig, idCol, minhashK, bands, maxBucketSize)
+      .lshCrossCandidates(trainSig, testSig, idCol, k, b, maxBucketSize)
       .join(trainSig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(testSig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
       .withColumn("_j",
@@ -292,13 +313,14 @@ object Dedup {
       testSig: DataFrame,
       idCol: String,
       threshold: Double = 0.8,
-      minhashK: Int = 16,
-      bands: Int = 4,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     requireSameMeta(trainSig, testSig, "shingles", ShingleNMetadataKey, "shingleN")
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
     val inter = size(array_intersect(col("_sa"), col("_sb")))
     val pairs = Pipeline
-      .lshCrossCandidates(trainSig, testSig, idCol, minhashK, bands, maxBucketSize)
+      .lshCrossCandidates(trainSig, testSig, idCol, k, b, maxBucketSize)
       .join(trainSig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(testSig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
       .withColumn("_j",
@@ -500,12 +522,14 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       shingleN: Int = 3,
-      minhashK: Int = 16,
-      bands: Int = 4): DataFrame = {
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding): DataFrame = {
     // persisted for the same reason as [[decontaminate]]: the signature
     // frame roots the candidate self-join AND both verify join-backs —
     // uncached, the shingle+minhash pass would run three times per call
-    val sig = shingleSignatures(df, idCol, textCol, shingleN, minhashK)
+    val sigK = if (minhashK == Pipeline.AutoBanding) Pipeline.DefaultSigK
+               else minhashK
+    val sig = shingleSignatures(df, idCol, textCol, shingleN, sigK)
       .persist(Disk)
     nearSigned(df, sig, idCol, threshold, minhashK, bands)
   }
@@ -516,8 +540,8 @@ object Dedup {
       sig: DataFrame,
       idCol: String,
       threshold: Double = 0.8,
-      minhashK: Int = 16,
-      bands: Int = 4): DataFrame = {
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding): DataFrame = {
     val losers = verifiedPairs(sig, idCol, threshold, minhashK, bands)
       .select(col("b_id").as(idCol)) // a_id < b_id: keep the lower id
       .distinct()
@@ -535,11 +559,12 @@ object Dedup {
       sig: DataFrame,
       idCol: String,
       threshold: Double,
-      minhashK: Int = 16,
-      bands: Int = 4,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
     val inter = size(array_intersect(col("_sa"), col("_sb")))
-    candidatesWithShingles(sig, idCol, minhashK, bands, maxBucketSize)
+    candidatesWithShingles(sig, idCol, k, b, maxBucketSize)
       .withColumn("jaccard",
         inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
       .filter(col("jaccard") >= threshold)
@@ -561,30 +586,67 @@ object Dedup {
       .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
 
-  /** CONTAINMENT pairs: LSH candidates where either doc's shingle set
-    * is `threshold`-contained in the other's — |A∩B|/|A| (or /|B|) —
-    * the asymmetric overlap that catches a short document quoted
-    * wholesale inside a long one, which symmetric Jaccard misses
-    * (a 10-shingle doc inside a 1000-shingle doc has Jaccard 0.01 but
-    * containment 1.0). Returns (a_id, b_id, cont_a, cont_b).
+  /** CONTAINMENT pairs: doc pairs where either doc's shingle set is
+    * `threshold`-contained in the other's — |A∩B|/|A| (or /|B|) — the
+    * asymmetric overlap that catches a short document quoted wholesale
+    * inside a long one, which symmetric Jaccard misses (a 10-shingle
+    * doc inside a 1000-shingle doc has Jaccard 0.01 but containment
+    * 1.0). Returns (a_id, b_id, cont_a, cont_b).
     *
-    * Same two-phase scale shape as [[verifiedPairs]]: band-blocked
-    * candidate generation, exact set math on candidates only. NOTE the
-    * blocking is MinHash-based and MinHash approximates Jaccard, not
-    * containment — a contained-but-tiny doc can miss every band. For
-    * full-recall containment at scale, block on the SHORTER doc's
-    * shingles directly (inverted-index join); candidates here are the
-    * cheap first pass.
+    * Blocking is on CONTAINMENT, not Jaccard: each doc's bottom-m
+    * shingles (by md5-hash order — a deterministic uniform sample of
+    * its shingle set) probe an inverted index of EVERY doc's shingles,
+    * so a pair at containment c is a candidate with probability
+    * >= 1 - (1-c)^m, with m derived from the operating threshold
+    * ([[Pipeline.containmentProbesFor]]: >= 99.5% capture at it).
+    * MinHash-LSH banding — the previous blocking here — approximates
+    * Jaccard, and the pairs this operator EXISTS for (containment-high
+    * / Jaccard-low) are exactly where banding capture is worst: a
+    * measured miss, not a corner case. The exact verify on candidates
+    * is unchanged.
+    *
+    * Scale shape: the index explode is token-scale but LINEAR (one row
+    * per (doc, shingle) — the [[ngramNovelty]] shape), the probe side
+    * is m rows per doc, and the join is an equi-join on the shingle —
+    * never a cartesian. A pathologically common shingle (boilerplate)
+    * makes a hot join key: `maxShingleDf` drops index entries whose
+    * document frequency exceeds it (bounded join; a contained doc
+    * whose EVERY probe is that common loses blocking recall — leave
+    * uncapped where misses matter, as the default does).
     */
   def containmentPairs(
       sig: DataFrame,
       idCol: String,
       threshold: Double = 0.7,
-      minhashK: Int = 16,
-      bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      probeShingles: Int = Pipeline.AutoBanding,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val m = if (probeShingles == Pipeline.AutoBanding)
+      Pipeline.containmentProbesFor(threshold) else probeShingles
+    require(m >= 1, s"probeShingles must be >= 1, got $m")
+    // bottom-m by md5 order: "md5hex|shingle" tags sort by the fixed
+    // 32-hex prefix, so lexicographic order IS hash order; the join
+    // runs on the tag itself (determined by the shingle), so no
+    // stripping is needed on either side
+    def tag(s: org.apache.spark.sql.Column) = concat(md5(s), lit("|"), s)
+    val probes = sig.select(col(idCol).as("_pid"),
+      explode(slice(array_sort(transform(col("shingles"), tag(_))), 1, m))
+        .as("_t"))
+    val indexAll = sig
+      .select(col(idCol).as("_iid"), explode(col("shingles")).as("_s"))
+      .select(col("_iid"), tag(col("_s")).as("_t"))
+    val index = if (maxShingleDf == Int.MaxValue) indexAll
+      else indexAll
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_t")))
+        .filter(col("_df") <= maxShingleDf).drop("_df")
+    val cand = probes.join(index,
+        probes("_t") === index("_t") && col("_pid") =!= col("_iid"))
+      .select(least(col("_pid"), col("_iid")).as("a_id"),
+        greatest(col("_pid"), col("_iid")).as("b_id"))
+      .distinct()
     val inter = size(array_intersect(col("_sa"), col("_sb")))
-    candidatesWithShingles(sig, idCol, minhashK, bands, maxBucketSize)
+    cand
+      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
       .withColumn("cont_a", inter.cast("double") / size(col("_sa")))
       .withColumn("cont_b", inter.cast("double") / size(col("_sb")))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
@@ -613,10 +675,12 @@ object Dedup {
       qualityCol: String,
       threshold: Double = 0.8,
       shingleN: Int = 3,
-      minhashK: Int = 16,
-      bands: Int = 4,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = 10000): DataFrame = {
-    val sig = shingleSignatures(df, idCol, textCol, shingleN, minhashK)
+    val sigK = if (minhashK == Pipeline.AutoBanding) Pipeline.DefaultSigK
+               else minhashK
+    val sig = shingleSignatures(df, idCol, textCol, shingleN, sigK)
       .persist(Disk)
     // pairs feed the edge symmetrization and the node set: persist, or
     // the candidate join + verify runs four times (same reuse the

@@ -105,6 +105,107 @@ object Pipeline {
     }: _*)
   }
 
+  /** Canonical MinHash signature width: [[graft.Dedup.shingleSignatures]]
+    * builds this many permutations by default, sized so that EVERY
+    * threshold-derived banding (`bandingFor` at `maxK = DefaultSigK`)
+    * slices within it — one signature frame per corpus serves operators
+    * at different thresholds (banding reads a prefix; permutation j's
+    * value does not depend on how many later permutations exist).
+    */
+  val DefaultSigK: Int = 128
+
+  /** Sentinel for `minhashK`/`bands` parameters: derive the banding
+    * from the operator's own similarity threshold via [[bandingFor]]
+    * instead of a fixed literal. The round-7 lesson: fixed k=16/b=4
+    * banding captures a J=0.7 pair only ~74% of the time — for
+    * operators whose JOB is recall (decontamination, split grouping)
+    * the banding must be a function of the operating threshold.
+    */
+  val AutoBanding: Int = -1
+
+  /** Analytic LSH capture probability: P(some band collides) for a
+    * pair at Jaccard `j` under `bands` bands of `rows` rows —
+    * 1 - (1 - j^rows)^bands. The S-curve every banding choice here is
+    * audited against (PLANS.md carries the measured table).
+    */
+  def bandingRecall(j: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+
+  /** (bands, rowsPerBand) reaching `targetRecall` capture at
+    * J = `threshold` within a `maxK` signature budget, maximizing
+    * rowsPerBand: more rows per band = a steeper S-curve = fewer
+    * false candidates below the threshold for the same guaranteed
+    * recall at it (r is the selectivity knob, b the recall knob —
+    * b is then the smallest count meeting the target).
+    *
+    * The floor contract consumers rely on (spec-gated):
+    * bandingRecall(threshold, bands, rows) >= targetRecall >= 0.99.
+    * Trade-off at 100 TB: low thresholds force small r (t=0.5 fits
+    * r=3/b=40 in a 128 budget), whose shallow curve admits more
+    * sub-threshold candidates into the exact-verify join — that is
+    * the price of a >= 99% recall GUARANTEE at the threshold, paid in
+    * verify work, never in silent misses. The hot-bucket metrics and
+    * `maxBucketSize` caps remain the blowup guards.
+    */
+  def bandingFor(threshold: Double, targetRecall: Double = 0.995,
+                 maxK: Int = DefaultSigK): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val lnMiss = math.log1p(-targetRecall) // ln(1 - target) < 0
+    (maxK to 1 by -1).iterator.map { r =>
+      val p = math.pow(threshold, r)
+      if (p >= 1.0) Some((1, r)) // threshold 1.0: any single band captures
+      else {
+        val b = math.ceil(lnMiss / math.log1p(-p)).toInt
+        if (b >= 1 && r.toLong * b <= maxK) Some((b, r)) else None
+      }
+    }.collectFirst { case Some(br) => br }.getOrElse(
+      throw new IllegalArgumentException(
+        s"no banding within k=$maxK reaches recall $targetRecall at " +
+          s"threshold $threshold — raise maxK or lower the target"))
+  }
+
+  /** Resolve an operator's (k, bands) LSH banding: the [[AutoBanding]]
+    * default derives both from the operator's OWN similarity threshold
+    * via [[bandingFor]] — the >= 99% capture floor at the threshold
+    * every recall-critical operator (decontamination, split grouping)
+    * relies on. Explicit values pass through for reproduction of a
+    * pinned configuration; mixing one explicit with one auto would
+    * silently band with a shape nobody chose, so it is rejected.
+    * Returns (k = bands*rows, bands).
+    */
+  private[graft] def resolveBanding(threshold: Double, minhashK: Int,
+                                    bands: Int): (Int, Int) =
+    if (minhashK == AutoBanding || bands == AutoBanding) {
+      require(minhashK == AutoBanding && bands == AutoBanding,
+        "pass BOTH minhashK and bands explicitly, or leave both at " +
+          "AutoBanding for threshold-derived banding")
+      val (b, r) = bandingFor(threshold)
+      (b * r, b)
+    } else (minhashK, bands)
+
+  /** Probe count for CONTAINMENT blocking ([[graft.Dedup
+    * .containmentPairs]]): the number of bottom-by-hash shingles of a
+    * doc probed against the corpus shingle index. If |A∩B|/|A| = c,
+    * each bottom shingle of A (a uniform without-replacement sample of
+    * A's shingle set) lies in B with probability c, so
+    * P(candidate) >= 1 - (1-c)^m — recall derived from the operating
+    * CONTAINMENT threshold, independent of Jaccard (MinHash banding
+    * approximates Jaccard, and the interesting containment pairs are
+    * exactly the Jaccard-LOW ones where banding capture is worst).
+    */
+  def containmentProbesFor(threshold: Double,
+                           targetRecall: Double = 0.995): Int = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0,1], got $threshold")
+    require(targetRecall > 0 && targetRecall < 1)
+    if (threshold >= 1.0) 1 // full containment: any probe of A is in B
+    else math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-threshold)).toInt)
+  }
+
   /** LSH banding: hash each band of `rowsPerBand` signature rows to a
     * bucket id. Docs sharing any (band, hash) are candidate pairs.
     * At 100 TB the band explode + groupBy is the standard
@@ -151,10 +252,12 @@ object Pipeline {
     * supply one: frames carrying a precomputed `sig` (e.g. from
     * [[Dedup.shingleSignatures]], persisted once per corpus) pass
     * through untouched — after validating, when the frame carries the
-    * provenance metadata, that it was built with the SAME k (a larger k
-    * would band correctly but change recall silently; a smaller one
-    * would slice past the signature and hash EMPTY band slices, making
-    * every doc collide).
+    * provenance metadata, that it is AT LEAST as wide as the banding
+    * needs (banding slices the first `k` rows, and permutation j's
+    * value is independent of the total width, so a wider frame bands
+    * identically to one built at exactly k; a NARROWER one would slice
+    * past the signature and hash EMPTY band slices, making every doc
+    * collide).
     */
   private def ensureSig(df: DataFrame, k: Int): DataFrame =
     if (df.columns.contains("sig")) {
@@ -162,10 +265,10 @@ object Pipeline {
         .filter(_.metadata.contains(SigKMetadataKey))
         .foreach { f =>
           val have = f.metadata.getLong(SigKMetadataKey)
-          require(have == k,
+          require(have >= k,
             s"precomputed signature frame was built with minhashK=$have " +
               s"but the LSH banding was asked for k=$k — rebuild the " +
-              "signatures or pass the matching k")
+              "signatures at least that wide")
         }
       df
     } else df.select(col("*"),

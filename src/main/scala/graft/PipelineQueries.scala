@@ -38,13 +38,13 @@ object PipelineQueries {
            FROM w WHERE len(w) >= 3)"""
 
   // MinHash signature CTE fragment (hw + sig over a `sh` CTE carrying
-  // `shingles`): one md5 per shingle, first two 32-bit words mixed
-  // into a base hash mod 2^31-1, then 16 wrapping affine permutations
+  // `shingles`): one md5 per shingle, its first two 32-bit words mixed
+  // into a base hash mod 2^31-1, then k wrapping affine permutations
   // (a_j*x + b_j) mod 2^31-1 — mirrors Pipeline.minhashA/minhashB/
   // minhashBase/minhashSignature exactly (see Pipeline.minhashA for
   // why the modular WRAP is load-bearing: an order-preserving map
   // collapses banding to one Bernoulli per pair).
-  private def minhashSigCte(keep: String): String = s"""
+  private def minhashSigCte(keep: String, k: Int): String = s"""
     hw AS (SELECT $keep,
              list_transform(shingles, s ->
                (65599 * list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
@@ -56,19 +56,33 @@ object PipelineQueries {
               [list_min(list_transform(xs, x ->
                  (((2654435761 * (2*j + 1) * (2*j + 1) + 104729 * (2*j + 1)) % 2147483646 + 1) * x
                 + (2654435761 * (2*j + 2) * (2*j + 2) + 104729 * (2*j + 2)) % 2147483647) % 2147483647))
-               for j in range(0, 16)] AS sig
+               for j in range(0, $k)] AS sig
             FROM hw)"""
 
-  // Shared oracle CTE chain: MinHash k=16 (four md5 words per shingle,
-  // 16 varying linear maps mod 2^61-1 — mirrors
-  // Pipeline.minhashSignature/minhashC), 4 bands x 4 rows, candidate
-  // pairs from band collisions.
-  private[graft] val lshCte = shinglesCte + "," + minhashSigCte("doc_id") + """,
-    banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
-               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+  // The threshold-derived banding the shared near-dup chain runs at:
+  // the q27/q61/q91/q104 family operates at J >= 0.5, so the banding
+  // is Pipeline.bandingFor(0.5) — (40 bands x 3 rows, k=120) at the
+  // default 0.995 recall target. Mirrored here so the oracle CTEs
+  // regenerate in lockstep with any calibration change.
+  private[graft] val (lshBands05, lshRows05) = Pipeline.bandingFor(0.5)
+  private[graft] val lshK05: Int = lshBands05 * lshRows05
+
+  // Banded-bucket + candidate-pair CTE fragment over a `sig` CTE, at
+  // an explicit (bands, rows) banding (bucket hash = md5 of the
+  // '|'-joined band slice — mirrors Pipeline.lshBands).
+  private def bandedCandCte(bands: Int, rows: Int): String = s""",
+    banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], '|')) AS bh
+               FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
              FROM banded x JOIN banded y
                ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+
+  // Shared oracle CTE chain: shingles -> k-permutation MinHash ->
+  // banded buckets -> candidate pairs, at the J>=0.5 threshold-derived
+  // banding above. Every consumer (q26/q27/q84/q91/q104/q108) bands
+  // identically to the Scala side's lshK05/lshBands05.
+  private[graft] val lshCte = shinglesCte + "," +
+    minhashSigCte("doc_id", lshK05) + bandedCandCte(lshBands05, lshRows05)
 
   // Shared oracle CTE: double-cast embeddings + dot-product helper text.
   // Folds run in index order with the same shape as Pipeline.dot
@@ -145,15 +159,17 @@ object PipelineQueries {
              countDistinct(col("fp")).as("n_fingerprints"))
         .orderBy("lang")),
 
-    // MinHash+LSH candidate pairs: shingle -> 16-hash signature -> 4
-    // bands -> equi-join on (band, bucket). The join key is a hash
-    // bucket, so at scale this is a plain shuffle-hash join with small
-    // buckets — never a cartesian.
+    // MinHash+LSH candidate pairs: shingle -> k-hash signature ->
+    // threshold-derived bands (J>=0.5 operating point) -> equi-join on
+    // (band, bucket). The join key is a hash bucket, so at scale this
+    // is a plain shuffle-hash join with small buckets — never a
+    // cartesian.
     QueryDef("q26_minhash_lsh_candidates",
       Some(s"""
         WITH $lshCte
         SELECT a_id, b_id FROM cand ORDER BY a_id, b_id"""),
-      (s, d) => lshCandidatePairs(docShingles(s, d), "doc_id", 16, 4)
+      (s, d) => lshCandidatePairs(docShingles(s, d), "doc_id",
+          lshK05, lshBands05)
         .orderBy("a_id", "b_id")),
 
     // LSH candidates verified by exact trigram Jaccard >= 0.5 — the
@@ -183,7 +199,7 @@ object PipelineQueries {
         val sh = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inter = size(array_intersect(col("sa"), col("sb")))
-        lshCandidatePairs(sh, "doc_id", 16, 4)
+        lshCandidatePairs(sh, "doc_id", lshK05, lshBands05)
           .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
           .withColumn("jaccard",
@@ -564,9 +580,9 @@ object PipelineQueries {
         WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, source,
                  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
-               FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source")},
-        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
-                   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+               FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source", lshK05)},
+        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*$lshRows05+1 : b*$lshRows05+$lshRows05], '|')) AS bh
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, $lshBands05)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh
                  WHERE x.source <> 'src0' AND y.source = 'src0')
@@ -1077,9 +1093,9 @@ object PipelineQueries {
         WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, source,
                  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
-               FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source")},
-        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
-                   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+               FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source", lshK05)},
+        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*$lshRows05+1 : b*$lshRows05+$lshRows05], '|')) AS bh
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, $lshBands05)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh
                  WHERE x.source <> 'src0' AND y.source = 'src0'),
@@ -1207,7 +1223,8 @@ object PipelineQueries {
         // pairs feed the edge list (read twice for symmetrization) and
         // the node set (twice more): persist, or the LSH self-join runs
         // four times before the propagation loop even starts
-        val pairs = lshCandidatePairs(sh, "doc_id", 16, 4).persist(disk)
+        val pairs = lshCandidatePairs(sh, "doc_id", lshK05, lshBands05)
+          .persist(disk)
         val nodes = pairs.select(col("a_id").as("doc_id"))
           .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct()
         Dedup.clusters(pairs, nodes, "doc_id").orderBy("doc_id")
@@ -1399,14 +1416,23 @@ object PipelineQueries {
         .orderBy("cluster")),
 
     // Containment pairs ([[Dedup.containmentPairs]]): asymmetric
-    // overlap |A∩B|/|A| over LSH candidates — catches a short doc
-    // quoted wholesale inside a long one, where symmetric Jaccard
-    // reads near zero. On this corpus the max-side containment is
-    // bimodal (<= 0.62 or exactly 1.0), and both engines compute the
-    // identical integer-count division anyway.
+    // overlap |A∩B|/|A| — catches a short doc quoted wholesale inside
+    // a long one, where symmetric Jaccard reads near zero. Blocking is
+    // on CONTAINMENT (bottom-m-by-hash shingle probes against the
+    // corpus shingle inverted index; m derived from the threshold for
+    // >= 99.5% capture), NOT Jaccard-tuned LSH — the oracle replays
+    // probe selection, index join, and the exact verify.
     QueryDef("q92_containment_pairs",
       Some(s"""
-        WITH $lshCte
+        WITH $shinglesCte,
+        pr AS (SELECT doc_id,
+                 unnest(list_sort(list_transform(shingles, s -> md5(s) || '|' || s))[1:${Pipeline.containmentProbesFor(0.7)}]) AS t
+               FROM sh),
+        ix AS (SELECT doc_id, md5(s) || '|' || s AS t
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        cand AS (SELECT DISTINCT least(p.doc_id, i.doc_id) AS a_id,
+                        greatest(p.doc_id, i.doc_id) AS b_id
+                 FROM pr p JOIN ix i ON p.t = i.t AND p.doc_id <> i.doc_id)
         SELECT c.a_id, c.b_id,
                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
                  / len(a.shingles) AS cont_a,
@@ -1422,11 +1448,10 @@ object PipelineQueries {
       (s, d) => {
         val sig = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // uncapped: the oracle's cand CTE has no hot-bucket cap, so a
-        // capped operator run would drop pairs the oracle keeps on a
-        // degenerate corpus (q26/q27 follow the same convention)
-        Dedup.containmentPairs(sig, "doc_id", threshold = 0.7,
-            maxBucketSize = Int.MaxValue)
+        // uncapped (maxShingleDf default): the oracle's index CTE has
+        // no df cap, and a capped run would drop pairs the oracle keeps
+        // on a degenerate corpus (q26/q27 follow the same convention)
+        Dedup.containmentPairs(sig, "doc_id", threshold = 0.7)
           .orderBy("a_id", "b_id")
       }),
 

@@ -190,19 +190,23 @@ object Streams {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 16,
-      bands: Int = 4,
+      threshold: Double = 0.5,
+      k: Int = graft.Pipeline.AutoBanding,
+      bands: Int = graft.Pipeline.AutoBanding,
       horizonMinutes: Int = 10,
       maxBucket: Int = 16): Dataset[LshCandidate] = {
     import docs.sparkSession.implicits._
+    // banding is threshold-derived like the batch operators: the
+    // monitor's blocking recall must hold at its operating threshold
+    val (kR, bandsR) = graft.Pipeline.resolveBanding(threshold, k, bands)
     val horizonMs = horizonMinutes * 60_000L
     val w = graft.Pipeline.words(col(textCol))
-    val sig = graft.Pipeline.minhashSignature(graft.Pipeline.wordShingles(w, 3), k)
+    val sig = graft.Pipeline.minhashSignature(graft.Pipeline.wordShingles(w, 3), kR)
     val banded = docs
       .withWatermark("ts", s"$horizonMinutes minutes")
       .filter(org.apache.spark.sql.functions.size(w) >= 3)
       .select(col(idCol).as("id"), col("ts"),
-        explode(graft.Pipeline.lshBands(sig, bands, k / bands)).as("bb"))
+        explode(graft.Pipeline.lshBands(sig, bandsR, kR / bandsR)).as("bb"))
       .select(col("id"), col("ts"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .as[(Long, Timestamp, Int, String)]
     banded
@@ -264,19 +268,25 @@ object Streams {
       test: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 16,
-      bands: Int = 4,
+      threshold: Double = 0.5,
+      k: Int = graft.Pipeline.AutoBanding,
+      bands: Int = graft.Pipeline.AutoBanding,
       horizonMinutes: Int = 10): ContaminationMonitor = {
     import org.apache.spark.sql.functions.size
+    // threshold-derived banding: this is a LEAKAGE gate, so its
+    // candidate recall must hold at the threshold the downstream exact
+    // verify runs at (fixed k=16/b=4 missed a J=0.7 arrival ~26% of
+    // the time — the round-7 lesson)
+    val (kR, bandsR) = graft.Pipeline.resolveBanding(threshold, k, bands)
     def sig(c: org.apache.spark.sql.Column) =
       graft.Pipeline.minhashSignature(
-        graft.Pipeline.wordShingles(graft.Pipeline.words(c), 3), k)
+        graft.Pipeline.wordShingles(graft.Pipeline.words(c), 3), kR)
     // persisted: the static side is re-planned EVERY micro-batch —
     // uncached, a long-running monitor would re-hash the entire test
     // corpus per trigger for an input that never changes
     val testBuckets = test
       .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
-      .select(explode(graft.Pipeline.lshBands(sig(col(textCol)), bands, k / bands))
+      .select(explode(graft.Pipeline.lshBands(sig(col(textCol)), bandsR, kR / bandsR))
         .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
       .distinct()
@@ -284,7 +294,7 @@ object Streams {
     val hits = docs
       .withWatermark("ts", s"$horizonMinutes minutes")
       .filter(size(graft.Pipeline.words(col(textCol))) >= 3)
-      .withColumn("bb", explode(graft.Pipeline.lshBands(sig(col(textCol)), bands, k / bands)))
+      .withColumn("bb", explode(graft.Pipeline.lshBands(sig(col(textCol)), bandsR, kR / bandsR)))
       .withColumn("band", col("bb.band")).withColumn("bh", col("bb.bh"))
       .join(testBuckets, Seq("band", "bh"), "left_semi")
       .drop("bb", "band", "bh")

@@ -628,7 +628,9 @@ class PipelineSpec extends AnyFunSuite {
       // fixture sanity: the clustering genuinely grouped them (each
       // planted group = one split_group labelled by its minimum id)
       byPlant.foreach { case (g, rows) =>
-        assert(rows.map(_._3).distinct == Seq(g * 10),
+        // .toSeq: Array == Seq is reference equality and never true —
+        // the value semantics here are unchanged
+        assert(rows.map(_._3).distinct.toSeq == Seq(g * 10),
           s"planted group $g not clustered: ${rows.toSeq}")
       }
       // and the split is non-degenerate across groups
@@ -761,13 +763,26 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val sig16 = Dedup.shingleSignatures(docs, "doc_id", "text", minhashK = 16)
-    // banding with a different k than the signatures were built with
-    // must fail loudly, not silently change recall / hash empty slices
+    // banding NEEDING more rows than the signatures carry must fail
+    // loudly, not slice past the signature and hash empty band slices
     val e1 = intercept[IllegalArgumentException] {
-      Dedup.decontaminateSigned(docs, sig16, sig16, "doc_id", minhashK = 32)
+      Dedup.decontaminateSigned(docs, sig16, sig16, "doc_id",
+          minhashK = 32, bands = 8)
         .count()
     }
     assert(e1.getMessage.contains("minhashK=16"))
+    // mixing one explicit banding parameter with one auto is rejected
+    // (nobody chose the resulting shape)
+    val e1b = intercept[IllegalArgumentException] {
+      Dedup.decontaminateSigned(docs, sig16, sig16, "doc_id", minhashK = 32)
+        .count()
+    }
+    assert(e1b.getMessage.contains("BOTH"))
+    // a WIDER frame bands fine: the banding slices a prefix, and
+    // permutation j's value is independent of the total width
+    val sigWide = Dedup.shingleSignatures(docs, "doc_id", "text", minhashK = 64)
+    assert(Dedup.decontaminateSigned(docs, sigWide, sigWide, "doc_id",
+      minhashK = 32, bands = 8).count() >= 0)
 
     val vecs = Seq((1L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
     val b4 = Dedup.embeddingBuckets(vecs, "vec_id", "embedding", planes = 4)

@@ -96,7 +96,7 @@ object ScaleGen {
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("32", "scale-bench")
-    val names = Seq("q61_decontamination", "q50_knn_join",
+    val allNames = Seq("q61_decontamination", "q50_knn_join",
       "q65_embedding_decontamination", "q49_correlated_subquery", "q11_star_join",
       "q27_jaccard_neardup", "q70_embedding_neardup_survivors",
       "q68_stratified_sample", "q69_sequence_packing",
@@ -130,6 +130,8 @@ object ScaleBench {
       "q104_leakage_safe_split", "q105_strip_boilerplate",
       "q106_chunking", "q107_chunk_dedup_map",
       "q108_split_leak_audit", "q109_budget_selection")
+    // targeted reruns: pass query names as args to time a subset
+    val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out)) {

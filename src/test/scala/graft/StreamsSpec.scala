@@ -192,7 +192,8 @@ class StreamsSpec extends AnyFunSuite {
       val pairs = spark.table("lsh_cand")
         .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
       assert(pairs == Set((1L, 2L)))
-      assert(spark.table("lsh_cand").count() == 4) // one hit per band (4 bands)
+      // one hit per band (threshold-derived band count at J>=0.5)
+      assert(spark.table("lsh_cand").count() == Pipeline.bandingFor(0.5)._1)
       // a third copy pairs with BOTH prior members
       in.addData((3L, ts(2), dup))
       q.processAllAvailable()

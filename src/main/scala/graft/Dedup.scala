@@ -37,6 +37,22 @@ object Dedup {
     * over a SUPERSET of a corpus is a valid signature frame for it:
     * extra rows only generate candidates the final anti-join ignores.
     */
+  /** Shingle sets WITHOUT the minhash signature — for consumers whose
+    * blocking never reads `sig` ([[containmentPairs]], [[ngramNovelty]]
+    * -style set math). A persisted [[shingleSignatures]] frame is a
+    * valid drop-in superset, but materializes k permutations per row
+    * that these operators would never use.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): DataFrame = {
+    val shMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleNMetadataKey, shingleN.toLong).build()
+    df.select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= shingleN)
+      .select(col(idCol),
+        Pipeline.wordShingles(col("_w"), shingleN).as("shingles", shMeta))
+  }
+
   def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3,
                         minhashK: Int = Pipeline.DefaultSigK): DataFrame = {
@@ -47,12 +63,7 @@ object Dedup {
     // compare 5-gram vs 3-gram sets — Jaccard collapses silently)
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(Pipeline.SigKMetadataKey, minhashK.toLong).build()
-    val shMeta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(ShingleNMetadataKey, shingleN.toLong).build()
-    df.select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
-      .filter(size(col("_w")) >= shingleN)
-      .select(col(idCol),
-        Pipeline.wordShingles(col("_w"), shingleN).as("shingles", shMeta))
+    shingleSets(df, idCol, textCol, shingleN)
       .withColumn("sig",
         Pipeline.minhashSignature(col("shingles"), minhashK).as("sig", sigMeta))
   }

@@ -1446,12 +1446,15 @@ object PipelineQueries {
                   / len(b.shingles)) >= 0.7
         ORDER BY a_id, b_id"""),
       (s, d) => {
-        val sig = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
+        // shingleSets, not shingleSignatures: the containment blocking
+        // never reads the minhash column, and persisting it would
+        // materialize 128 unused permutations per row
+        val sh = Dedup.shingleSets(spread(documents(s, d)), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // uncapped (maxShingleDf default): the oracle's index CTE has
         // no df cap, and a capped run would drop pairs the oracle keeps
         // on a degenerate corpus (q26/q27 follow the same convention)
-        Dedup.containmentPairs(sig, "doc_id", threshold = 0.7)
+        Dedup.containmentPairs(sh, "doc_id", threshold = 0.7)
           .orderBy("a_id", "b_id")
       }),
 

@@ -451,6 +451,83 @@ object AnalysisQueries {
           .orderBy("doc_id")
       }),
 
+    // BM25-style ranked retrieval ([[ops.Search.bm25Search]]): the
+    // disjunctive companion of q97's conjunctive search, in
+    // ALL-INTEGER arithmetic — k1=6/5 and b=3/4 multiplied out to one
+    // integer division per (doc, term), idf as the integer rational
+    // surrogate ((N-df)*1000+500)//(2df+1) (the unlogged Robertson
+    // argument: per-term ordering identical, engine-exact where libm
+    // ln is not). Posting-list-probe shape: term filter in the scan,
+    // tiny df/stats aggregates broadcast back, TakeOrderedAndProject.
+    QueryDef("q111_bm25_search",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM w),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+                  FROM base),
+        ft AS (SELECT doc_id, dl, unnest(w) AS t FROM base),
+        m AS (SELECT doc_id, dl, t FROM ft WHERE t IN ('join', 'hash', 'scan')),
+        dfreq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM m GROUP BY t),
+        tf AS (SELECT doc_id, t, dl, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM m GROUP BY doc_id, t, dl),
+        sc AS (SELECT doc_id,
+                 ((n_docs - df) * 1000 + 500) // (2*df + 1)
+                   * (44 * tf * avgdl) // (20*tf*avgdl + 6*avgdl + 18*dl) AS s
+               FROM tf JOIN dfreq USING (t) CROSS JOIN stats)
+        SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+        FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10"""),
+      (s, d) => graft.ops.Search.bm25Search(spread(documents(s, d)),
+        "doc_id", "text", Seq("join", "hash", "scan"), k = 10)),
+
+    // Deterministic training-order shuffle ([[ops.Sampling
+    // .deterministicShuffle]]): global position under the md5-hash
+    // order of (seed, id) — reproducible across runs/engines/retries,
+    // re-seedable per epoch, computed on the hierarchical prefix-sum
+    // scaffold (never a single-partition global window).
+    QueryDef("q112_deterministic_shuffle",
+      Some(s"""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ${hash32Sql("'ep1_' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS BIGINT) AS pos
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => graft.ops.Sampling.deterministicShuffle(
+          spread(documents(s, d)).select("doc_id"), "doc_id", seed = "ep1")
+        .orderBy("doc_id")),
+
+    // Sketch-estimated near-dup pairs ([[Dedup.estimatedPairs]]): LSH
+    // candidates scored by the MinHash ESTIMATE of Jaccard (agreeing
+    // signature slots / width) instead of the exact set intersection —
+    // the verify form whose per-doc payload is the fixed-width
+    // signature, not the unbounded shingle array (the measured
+    // dominant cost of the exact verifies at scale). Integer-exact:
+    // agree and est_ppm replay verbatim in the oracle.
+    QueryDef("q113_estimated_jaccard_pairs",
+      Some(s"""
+        WITH ${PipelineQueries.lshCte},
+        est AS (SELECT c.a_id, c.b_id,
+                  CAST(len(list_filter(range(1, ${PipelineQueries.lshK05 + 1}),
+                    i -> a.sig[i] = b.sig[i])) AS BIGINT) AS agree
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.a_id
+                JOIN sig b ON b.doc_id = c.b_id)
+        SELECT a_id, b_id, agree,
+               agree * 1000000 // ${PipelineQueries.lshK05} AS est_ppm
+        FROM est WHERE agree * 1000000 // ${PipelineQueries.lshK05} >= 500000
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        // frame width = the 0.5-banding width so the estimate and the
+        // oracle divide by the same slot count
+        val sig = Dedup.shingleSignatures(spread(documents(s, d)),
+            "doc_id", "text", minhashK = PipelineQueries.lshK05)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.estimatedPairs(sig, "doc_id", threshold = 0.5,
+            maxBucketSize = Int.MaxValue)
+          .orderBy("a_id", "b_id")
+      }),
+
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language
     // and source breadth, char range, duplicate rate in ppm.

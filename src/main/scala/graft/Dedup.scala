@@ -582,6 +582,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Sketch-ESTIMATED near-dup pairs — the verify form that never
+    * ships shingle sets: LSH band candidates (threshold-derived
+    * banding, like [[verifiedPairs]]) scored by the MinHash ESTIMATE
+    * of Jaccard — the fraction of agreeing signature slots across the
+    * frame's FULL width — instead of the exact set intersection.
+    *
+    * Why it exists at 100 TB: [[verifiedPairs]]' exact verify joins
+    * each candidate back to BOTH full shingle arrays (unbounded per-doc
+    * payload through the pair shuffle — the measured dominant cost of
+    * the q92-class verifies). Here the per-doc payload is the fixed
+    * k-long signature (k=128 default: 1 KB), and the score is an
+    * unbiased estimator of J with sd = sqrt(J(1-J)/k) (~0.044 at
+    * J=0.5, k=128). The estimate is integer-exact and
+    * oracle-replayable: agree = |{j : sig_a[j] = sig_b[j]}|,
+    * est_ppm = agree * 1e6 div k. Use it as the at-scale triage pass
+    * (or the final pass when +-3 sd around the threshold is
+    * acceptable); route borderline pairs to the exact verify.
+    *
+    * Returns (a_id, b_id, agree, est_ppm) for candidates with
+    * est_ppm >= floor(threshold * 1e6).
+    */
+  def estimatedPairs(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    Pipeline.lshCandidatePairs(sig, idCol, k, b, maxBucketSize)
+      .join(sig.select(col(idCol).as("a_id"), col("sig").as("_ga")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("sig").as("_gb")), "b_id")
+      .withColumn("agree",
+        size(filter(zip_with(col("_ga"), col("_gb"), (x, y) => x === y),
+          v => v)).cast("long"))
+      .withColumn("est_ppm", expr("agree * 1000000 div size(_ga)"))
+      .filter(col("est_ppm") >= math.floor(threshold * 1e6).toLong)
+      .select(col("a_id"), col("b_id"), col("agree"), col("est_ppm"))
+  }
+
   /** LSH candidate pairs joined back to both sides' shingle sets
     * (`_sa`/`_sb`) — the shared scaffold of every exact-verify pair
     * operator, in ONE copy so the cap and join shape cannot silently

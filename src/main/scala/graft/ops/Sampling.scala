@@ -143,6 +143,27 @@ object Sampling {
       k, largest = false)
   }
 
+  /** Deterministic GLOBAL training-order shuffle: append `outCol` =
+    * this row's 1-based position in the md5-hash order of
+    * (`seed` + "_" + id) — the "shuffle the corpus before epoch N"
+    * step, reproducible across runs/engines/retries (re-running a
+    * partially-failed epoch materialization yields the SAME order) and
+    * re-seedable per epoch (a different `seed` is a fresh permutation).
+    *
+    * The position comes from [[Ranking.globalRowNumber]]'s hierarchical
+    * scaffold (range-partitioned local row_numbers + broadcast
+    * prefix-sum offsets) — never a single-partition global window. The
+    * id is the tiebreak, so the order is total even under hash
+    * collisions.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           outCol: String = "pos"): DataFrame =
+    Ranking.globalRowNumber(
+      df.withColumn("_shuf", graft.Pipeline.wordHash32(
+        concat(lit(seed), lit("_"), col(idCol).cast("string")))),
+      Seq(col("_shuf"), col(idCol)), outCol)
+      .drop("_shuf")
+
   /** Greedy contiguous sequence packing: within each stratum, rows in
     * `idCol` order are appended to a bin until the token budget is
     * crossed — `bin = cum_tokens_before div budget` (a doc that

@@ -43,4 +43,60 @@ object Search {
       .orderBy(col("tf_total").desc, col(idCol))
       .limit(k)
   }
+
+  /** BM25-style ranked retrieval (disjunctive OR over `terms`), in
+    * ALL-INTEGER arithmetic so the ranking is bit-identical on every
+    * engine. Two deliberate substitutions vs textbook BM25:
+    *
+    *  - k1 = 1.2 and b = 0.75 are kept as EXACT rationals (6/5, 3/4):
+    *    the saturation term tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    *    multiplies out to 44*tf*avgdl / (20*tf*avgdl + 6*avgdl + 18*dl)
+    *    — one integer division per (doc, term), zero floats;
+    *  - idf uses the integer rational surrogate
+    *    idf_ppk = ((N - df)*1000 + 500) div (2*df + 1)
+    *    ~ 500 * (N - df + 0.5)/(df + 0.5) — the ln argument of
+    *    Robertson idf, unlogged. ln is monotone, so per-TERM document
+    *    ordering is unchanged; multi-term SUMS weight rare terms more
+    *    than the log form would (documented trade for exactness —
+    *    libm ln differs in ulp across engines and would break the
+    *    oracle hash compare). ppk (not ppm) scaling keeps the per-term
+    *    product inside signed 64-bit up to corpora of ~1e9 docs.
+    *
+    * Shape at scale: the term filter is the posting-list probe (only
+    * matching tokens survive the explode), df is a tiny per-term
+    * aggregate joined back broadcast, corpus stats (N, integer avgdl)
+    * are one scalar aggregate, and the final top-k is a
+    * TakeOrderedAndProject. Returns (idCol, score), score descending,
+    * id tiebreak.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate terms in $terms")
+    require(k > 0, s"k must be positive, got $k")
+    val base = docs.select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol), col("_w"),
+        size(col("_w")).cast(LongType).as("dl"))
+    // corpus stats: one scalar aggregate, broadcast back (avgdl is an
+    // INTEGER division — the oracle replays `tot // n_docs`)
+    val stats = base
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("dl")).cast(LongType).as("_tot"))
+      .select(col("n_docs"), expr("_tot div n_docs").as("avgdl"))
+    val toks = base.select(col(idCol), col("dl"), explode(col("_w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val dfreq = toks.select(col(idCol), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).cast(LongType).as("df"))
+    toks.groupBy(col(idCol), col("t"), col("dl"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", expr("((n_docs - df) * 1000 + 500) div (2*df + 1)"))
+      .withColumn("_sc", expr(
+        "_idf * (44 * tf * avgdl) div (20*tf*avgdl + 6*avgdl + 18*dl)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_sc")).cast(LongType).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

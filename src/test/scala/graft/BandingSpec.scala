@@ -124,6 +124,44 @@ class BandingSpec extends AnyFunSuite {
       s"contaminated train docs survived the gate: ${kept.toSeq.sorted}")
   }
 
+  test("estimatedPairs: unbiased signature estimate within 3.5 sd of true Jaccard") {
+    import spark.implicits._
+    // 40 pairs at J=0.5 and 40 at J=0.7 (the BandingSpec fixtures),
+    // default 128-slot signatures: sd of the estimator is
+    // sqrt(J(1-J)/128) ~ 0.044, so a 0.155 tolerance is ~3.5 sd
+    def plant(tag: String, nPairs: Int, tailWords: Int, idBase: Long) =
+      (0 until nPairs).flatMap { i =>
+        val prefix = (0 until 16).map(w => s"${tag}p${i}w$w")
+        def doc(side: String) =
+          (prefix ++ (0 until tailWords).map(w => s"${tag}$side${i}t$w"))
+            .mkString(" ")
+        Seq((idBase + 2L * i, doc("a")), (idBase + 2L * i + 1, doc("b")))
+      }
+    val docs = (plant("e5", 40, 7, 0L) ++ plant("e7", 40, 3, 1000L))
+      .toDF("doc_id", "text")
+    val sig = Dedup.shingleSignatures(docs, "doc_id", "text")
+    // gate at 0.3: ~4.5 sd below the lowest true J, so no planted
+    // pair's estimate can fall below it (and J=0 cross pairs sit at ~0)
+    val got = Dedup.estimatedPairs(sig, "doc_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def truth(idBase: Long) = (0 until 40).map(i =>
+      (idBase + 2L * i, idBase + 2L * i + 1))
+    // every planted pair blocks (banding at 0.4 covers J >= 0.5) and
+    // its estimate sits within tolerance of the TRUE Jaccard
+    for ((pair, j) <- truth(0L).map(_ -> 0.5) ++ truth(1000L).map(_ -> 0.7)) {
+      val est = got.get(pair)
+      assert(est.isDefined, s"planted pair $pair (J=$j) not blocked/estimated")
+      val e = est.get / 1e6
+      assert(math.abs(e - j) <= 0.155,
+        f"estimate $e%.3f strays from true J=$j for $pair")
+    }
+    // cross-pair estimates (disjoint vocab, J=0) never pass the gate
+    val crossPair = got.keys.find { case (a, b) =>
+      (a < 1000) != (b < 1000) || (a / 2 != b / 2)
+    }
+    assert(crossPair.isEmpty, s"spurious pair above threshold: $crossPair")
+  }
+
   test("containment probing captures planted low-Jaccard containment pairs") {
     import spark.implicits._
     // 20 planted (short, long) pairs: the short doc's shingles are

@@ -620,4 +620,61 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Sampling.prioritySample(df, "id", "s", k = 5)
       .select("id").collect().map(_.getLong(0)).toSet == expected)
   }
+
+  test("bm25 ranking matches the integer formula and orders by relevance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb xx yy"),           // dl=5, tf(aa)=2, tf(bb)=1
+      (2L, "aa xx yy zz ww vv uu tt"),  // dl=8, tf(aa)=1
+      (3L, "bb bb bb cc dd"),           // dl=5, tf(bb)=3
+      (4L, "pp qq rr ss tt uu")         // no query terms
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Search.bm25Search(docs, "doc_id", "text",
+        Seq("aa", "bb"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // hand-rolled replica of the documented integer formula
+    val n = 4L; val avgdl = (5L + 8L + 5L + 6L) / n
+    val dfT = Map("aa" -> 2L, "bb" -> 2L)
+    def term(tf: Long, dl: Long, df: Long): Long = {
+      val idf = ((n - df) * 1000L + 500L) / (2 * df + 1)
+      idf * (44 * tf * avgdl) / (20 * tf * avgdl + 6 * avgdl + 18 * dl)
+    }
+    val expected = Map(
+      1L -> (term(2, 5, dfT("aa")) + term(1, 5, dfT("bb"))),
+      2L -> term(1, 8, dfT("aa")),
+      3L -> term(3, 5, dfT("bb")))
+    assert(got.toMap == expected)
+    // ranked: higher score first, no-term doc absent
+    assert(got.map(_._1).toSeq == expected.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    assert(!got.map(_._1).contains(4L))
+    // tf saturation: tripling tf must NOT triple the term score
+    assert(term(3, 5, 2) < 3 * term(1, 5, 2))
+    // rarer term outweighs a common one at equal tf/dl
+    assert(term(1, 5, 1) > term(1, 5, 3))
+  }
+
+  test("deterministic shuffle is a stable, seeded permutation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 200L).toDF("doc_id")
+    val a = graft.ops.Sampling.deterministicShuffle(df, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: positions are exactly 1..n
+    assert(a.values.toSeq.sorted == (1L to 200L))
+    // deterministic across runs
+    val a2 = graft.ops.Sampling.deterministicShuffle(df, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == a2)
+    // a different seed is a different permutation
+    val b = graft.ops.Sampling.deterministicShuffle(df, "doc_id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a != b)
+    // equals the single-window reference order
+    val ref = df.withColumn("_h", Pipeline.wordHash32(
+        concat(lit("s1_"), col("doc_id").cast("string"))))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number()
+        .over(Window.orderBy(col("_h"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == ref)
+  }
 }

@@ -129,7 +129,12 @@ object ScaleBench {
       "q102_semantic_dedup_blocked", "q103_hash_split",
       "q104_leakage_safe_split", "q105_strip_boilerplate",
       "q106_chunking", "q107_chunk_dedup_map",
-      "q108_split_leak_audit", "q109_budget_selection")
+      "q108_split_leak_audit", "q109_budget_selection",
+      // round 8: BM25 (posting probe + broadcast stats), seeded global
+      // shuffle (hierarchical scaffold), sketch-estimated pairs (fixed
+      // signature payload vs unbounded shingle arrays)
+      "q111_bm25_search", "q112_deterministic_shuffle",
+      "q113_estimated_jaccard_pairs")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

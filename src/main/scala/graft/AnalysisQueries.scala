@@ -528,6 +528,97 @@ object AnalysisQueries {
           .orderBy("a_id", "b_id")
       }),
 
+    // Cross-document boundary overlap ([[ops.TextStats
+    // .boundaryOverlaps]]): doc a's LAST 2 tokens == doc b's FIRST 2
+    // tokens — the shard-stitch seam whole-doc dedup never sees. A
+    // planted stitched pair (910001 ends where 910002 begins) rides a
+    // derived CTE, natural corpus seams ride along; one equi-join on
+    // the boundary gram, never pairwise.
+    QueryDef("q114_boundary_overlap",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(910001 AS BIGINT), 'aa0 bb0 cc0 dd0 ee0 ff0 seamx seamy'),
+            (CAST(910002 AS BIGINT), 'seamx seamy gg0 hh0 ii0 jj0 kk0 ll0')) v(doc_id, text)),
+        w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        b AS (SELECT doc_id, w FROM w WHERE len(w) >= 2),
+        t AS (SELECT doc_id AS a_id, array_to_string(w[len(w)-1 : len(w)], ' ') AS gram FROM b),
+        h AS (SELECT doc_id AS b_id, array_to_string(w[1:2], ' ') AS gram FROM b)
+        SELECT a_id, b_id, gram FROM t JOIN h USING (gram)
+        WHERE a_id <> b_id ORDER BY a_id, b_id"""),
+      (s, d) => {
+        import s.implicits._
+        val maxIdRow = documents(s, d).agg(max("doc_id")).head()
+        val maxId = if (maxIdRow.isNullAt(0)) Long.MinValue else maxIdRow.getLong(0)
+        require(maxId < 910001L,
+          s"corpus doc_id range reaches $maxId — collides with q114's " +
+            "planted ids (910001-910002); re-site the plants")
+        val planted = Seq(
+          (910001L, "aa0 bb0 cc0 dd0 ee0 ff0 seamx seamy"),
+          (910002L, "seamx seamy gg0 hh0 ii0 jj0 kk0 ll0"))
+          .toDF("doc_id", "text")
+        val corpus = spread(documents(s, d)).select("doc_id", "text")
+          .unionAll(planted)
+        graft.ops.TextStats.boundaryOverlaps(corpus, "doc_id", "text", k = 2)
+          .orderBy("a_id", "b_id")
+      }),
+
+    // Canary tripwire scan ([[ops.Search.canaryHits]]): per sentinel
+    // string, the count of docs CONTAINING it (raw substring) and the
+    // first hit — zero-hit canaries appear with (0, NULL), which is
+    // the result an eval-integrity audit publishes. The tiny canary
+    // list broadcasts into a nested-loop contains join by design.
+    QueryDef("q115_canary_scan",
+      Some("""
+        WITH c AS (SELECT unnest(['graft canary zx9 never present', 'join', 'scan']) AS canary)
+        SELECT canary, CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM c LEFT JOIN documents ON contains(text, canary)
+        GROUP BY canary ORDER BY canary"""),
+      (s, d) => graft.ops.Search.canaryHits(spread(documents(s, d)),
+          "doc_id", "text",
+          Seq("graft canary zx9 never present", "join", "scan"))
+        .orderBy("canary")),
+
+    // Incremental-ingest dedup ([[ops.Diff.dedupAgainst]]): a new
+    // batch (warehouse-content copies at shifted ids + two genuinely
+    // new docs + one in-batch duplicate) gated against the existing
+    // corpus by content digest — survivors are exactly the novel
+    // contents, lowest in-batch id per content. The append-only
+    // corpus-growth gate.
+    QueryDef("q116_incremental_ingest",
+      Some("""
+        WITH newb AS (
+          SELECT doc_id + 920000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(930000001 AS BIGINT), 'brand new doc alpha'),
+            (CAST(930000002 AS BIGINT), 'brand new doc beta'),
+            (CAST(930000003 AS BIGINT), 'brand new doc alpha')) v(doc_id, text)),
+        seen AS (SELECT DISTINCT md5(text) AS h FROM documents),
+        fresh AS (SELECT * FROM newb WHERE md5(text) NOT IN (SELECT h FROM seen)),
+        d AS (SELECT doc_id, text,
+                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM fresh)
+        SELECT doc_id, text FROM d WHERE rn = 1 ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val planted = Seq(
+          (930000001L, "brand new doc alpha"),
+          (930000002L, "brand new doc beta"),
+          (930000003L, "brand new doc alpha"))
+          .toDF("doc_id", "text")
+        val newb = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 920000000L).as("doc_id"), col("text"))
+          .unionAll(planted)
+        graft.ops.Diff.dedupAgainst(newb, docs.select("doc_id", "text"),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language
     // and source breadth, char range, duplicate rate in ppm.

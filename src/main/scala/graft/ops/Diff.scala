@@ -50,4 +50,25 @@ object Diff {
                          contentCol: String): DataFrame =
     snapshotDiff(oldDf, newDf, idCol, contentCol)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** INCREMENTAL-INGEST dedup: the surviving rows of a new batch after
+    * dropping (a) every row whose content already exists in the
+    * warehouse corpus — by 16-byte digest, the documents themselves
+    * never join — and (b) in-batch exact duplicates (lowest id per
+    * content wins). The append-only corpus-growth gate: what is left
+    * is safe to append without re-deduplicating the warehouse.
+    *
+    * Shape at scale: one distinct over the warehouse digests (with the
+    * warehouse column-pruned to the content column before hashing),
+    * one anti equi-join on the digest, one in-batch window keyed on the
+    * digest. The warehouse side would be materialized once per ingest
+    * cycle and reused across batches.
+    */
+  def dedupAgainst(newDocs: DataFrame, existing: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val seen = existing.select(md5(col(contentCol)).as("_seen_h")).distinct()
+    val fresh = newDocs.join(seen,
+      md5(newDocs(contentCol)) === seen("_seen_h"), "left_anti")
+    graft.Dedup.exact(fresh, idCol, contentCol)
+  }
 }

@@ -99,4 +99,31 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Canary tripwire scan: for every string in `canaries`, how many
+    * docs CONTAIN it (raw substring — canaries are planted verbatim,
+    * so token boundaries must not matter) and the first doc id that
+    * does. Zero-hit canaries appear with (0, NULL) — "the tripwire did
+    * not fire" is the result an eval-integrity audit publishes.
+    *
+    * The canary list is always tiny (it is a hand-curated set of
+    * sentinel strings), so the non-equi containment join is a
+    * broadcast nested-loop with a k-row build side — each corpus row
+    * is scanned once against k literals, which is the same work a
+    * scan-side `contains` conjunction would do, but with the zero-hit
+    * rows preserved by the left join. Output is canary-list-sized.
+    */
+  def canaryHits(docs: DataFrame, idCol: String, textCol: String,
+                 canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "canaryHits needs at least one canary")
+    require(canaries.distinct.size == canaries.size,
+      s"duplicate canaries in $canaries")
+    import docs.sparkSession.implicits._
+    val c = canaries.toDF("canary")
+    c.join(docs.select(col(idCol), col(textCol)),
+        col(textCol).contains(col("canary")), "left")
+      .groupBy(col("canary"))
+      .agg(count(col(idCol)).cast(LongType).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+  }
 }

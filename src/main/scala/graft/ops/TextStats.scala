@@ -181,4 +181,34 @@ object TextStats {
               greatest(size(col("_w")) - prefixLen, lit(0)))))
           .otherwise(col(textCol)).as(textCol): _*)
   }
+
+  /** Cross-document BOUNDARY overlap: pairs where doc a's LAST k
+    * tokens equal doc b's FIRST k tokens — the shard-stitch detector
+    * (a source document split across crawl records, or chunked uploads
+    * re-ingested as separate docs, leaves exactly this seam; whole-doc
+    * dedup never sees it). Returns (a_id, b_id, gram) where the seam
+    * gram is the shared k-token boundary; a_id is the doc ENDING with
+    * it, b_id the doc STARTING with it — direction matters (a precedes
+    * b in a stitch), so no a<b normalization.
+    *
+    * Shape: two scan-side gram projections (one string per doc each)
+    * and ONE equi-join on the gram — never a pairwise comparison. Docs
+    * shorter than k tokens have no boundary and are exempt. A
+    * pathologically common boundary gram (boilerplate headers) fans
+    * out like any hot join key; feed [[stripBoilerplate]]'d text when
+    * that bites.
+    */
+  def boundaryOverlaps(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 2): DataFrame = {
+    require(k >= 1, s"boundary width must be >= 1, got $k")
+    val base = docs.select(col(idCol), words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= k)
+    val tails = base.select(col(idCol).as("a_id"),
+      concat_ws(" ", slice(col("_w"), -k, k)).as("gram"))
+    val heads = base.select(col(idCol).as("b_id"),
+      concat_ws(" ", slice(col("_w"), 1, k)).as("gram"))
+    tails.join(heads, Seq("gram"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("gram"))
+  }
 }

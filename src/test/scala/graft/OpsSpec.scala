@@ -621,6 +621,59 @@ class OpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == expected)
   }
 
+  test("boundary overlaps detect stitched shards, directionally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),   // ends "ee ff"
+      (2L, "ee ff gg hh ii jj"),   // starts "ee ff" -> 1 precedes 2
+      (3L, "zz"),                  // shorter than k: exempt
+      (4L, "qq rr ss tt uu vv")    // no seam
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.boundaryOverlaps(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSet == Set((1L, 2L, "ee ff")), s"got ${got.toSeq}")
+    // direction matters: the reversed pair is NOT reported
+    assert(!got.contains((2L, 1L, "ee ff")))
+  }
+
+  test("canary scan reports hits, first doc, and zero-hit tripwires") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "clean text with nothing odd"),
+      (11L, "contains the CANARY-XYZ sentinel today"),
+      (12L, "another CANARY-XYZ carrier"),
+      (13L, "substring canaries match inside tokensCANARY-XYZhere too")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Search.canaryHits(docs, "doc_id", "text",
+        Seq("CANARY-XYZ", "never-fires"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // raw substring: the mid-token occurrence in doc 13 counts
+    assert(got("CANARY-XYZ") == ((3L, Some(11L))))
+    // the zero-hit tripwire still gets its row — silence is a result
+    assert(got("never-fires") == ((0L, None)))
+  }
+
+  test("incremental ingest drops warehouse and in-batch duplicates, keeps novel content") {
+    import spark.implicits._
+    val warehouse = Seq((1L, "alpha body"), (2L, "beta body")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha body"),   // warehouse dup -> dropped
+      (101L, "gamma body"),   // novel
+      (102L, "delta body"),   // novel
+      (103L, "gamma body")    // in-batch dup of 101 -> dropped
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Diff.dedupAgainst(batch, warehouse, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(101L -> "gamma body", 102L -> "delta body"))
+    // idempotent: appending the survivors and re-gating the same batch
+    // yields nothing new
+    val appended = warehouse.unionAll(Seq((101L, "gamma body"),
+      (102L, "delta body")).toDF("doc_id", "text"))
+    assert(graft.ops.Diff.dedupAgainst(batch, appended, "doc_id", "text")
+      .count() == 0)
+  }
+
   test("bm25 ranking matches the integer formula and orders by relevance") {
     import spark.implicits._
     val docs = Seq(

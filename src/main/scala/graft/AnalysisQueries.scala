@@ -619,6 +619,58 @@ object AnalysisQueries {
           .orderBy("doc_id")
       }),
 
+    // Linear quality-model scoring ([[ops.TextStats.linearScore]]):
+    // per-doc integer dot product against a broadcast (token, weight)
+    // table + bias — model-as-data quality classification (weights in
+    // milli-units keep the sum exact where float accumulation order is
+    // not). Zero-match docs score the bias via the left join back.
+    QueryDef("q117_quality_model_score",
+      Some("""
+        WITH wt AS (SELECT * FROM (VALUES
+               ('join', 250), ('hash', 150), ('scan', 100),
+               ('the', -50), ('a', -30)) v(t, wt)),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        m AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
+              FROM toks JOIN wt USING (t) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(s, 0) + 100 AS score_milli
+        FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val weights = Seq(("join", 250L), ("hash", 150L), ("scan", 100L),
+          ("the", -50L), ("a", -30L)).toDF("t", "wt")
+        graft.ops.TextStats.linearScore(spread(documents(s, d)),
+            "doc_id", "text", weights, "t", "wt", bias = 100L)
+          .orderBy("doc_id")
+      }),
+
+    // Embedding-distribution drift ([[Similarity.embeddingDrift]]):
+    // cosine between two snapshot halves' mean vectors — the
+    // encoder-regression / mixture-shift monitor. Per-dim sums ride
+    // DECIMAL(25,6) (exact, order-independent), the final cosine is
+    // the index-ordered fold both engines share.
+    QueryDef("q118_embedding_drift",
+      Some(s"""
+        WITH a AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 250),
+        b AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 250),
+        da AS (SELECT d, CAST(SUM(CAST(v[d] AS DECIMAL(25,6))) AS DOUBLE)
+                          / (SELECT COUNT(*) FROM a) AS m
+               FROM a CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+        db AS (SELECT d, CAST(SUM(CAST(v[d] AS DECIMAL(25,6))) AS DOUBLE)
+                          / (SELECT COUNT(*) FROM b) AS m
+               FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+        va AS (SELECT list(m ORDER BY d) AS v FROM da),
+        vb AS (SELECT list(m ORDER BY d) AS v FROM db)
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+               ${cosOf("va.v", "vb.v")} AS drift_cosine
+        FROM va CROSS JOIN vb"""),
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.embeddingDrift(
+          e.filter(col("vec_id") < 250), e.filter(col("vec_id") >= 250),
+          "embedding")
+      }),
+
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language
     // and source breadth, char range, duplicate rate in ppm.

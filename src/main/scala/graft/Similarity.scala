@@ -241,6 +241,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** EMBEDDING-distribution drift between two corpus snapshots: the
+    * cosine between the two snapshots' mean vectors — the
+    * encoder-regression / data-mixture-shift monitor (a re-encoded or
+    * differently-mixed corpus moves its centroid; per-source drift is
+    * this called per slice). One row: (n_a, n_b, drift_cosine).
+    *
+    * Determinism discipline: per-dimension sums go through
+    * DECIMAL(25,6) (exact, order-independent — float accumulation
+    * order across partitions is not reproducible), means divide the
+    * identical double by the identical count on every engine, and the
+    * final cosine folds the 64 mean components in INDEX order (the
+    * same `Pipeline.cosine` fold the oracle replays). Shape at scale:
+    * each snapshot reduces to `dims` keyed partial aggregates (one
+    * bounded shuffle of dims rows per partition), never a driver-side
+    * vector collect beyond the dims-sized means.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                     dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def side(df: DataFrame): (Long, DataFrame) = {
+      val n = df.count()
+      require(n > 0, "embeddingDrift needs non-empty snapshots")
+      val means = df
+        .select(posexplode(transform(col(vecCol), _.cast("double"))))
+        .select((col("pos") + 1).as("d"), col("col").as("_x"))
+        .groupBy("d")
+        .agg((sum(col("_x").cast(DecimalType(25, 6))).cast(DoubleType)
+          / lit(n)).as("m"))
+      (n, means)
+    }
+    val (nA, ma) = side(a)
+    val (nB, mb) = side(b)
+    def asVec(means: DataFrame): DataFrame = means.agg(
+      transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        x => x.getField("m")).as("v"))
+    asVec(ma).crossJoin(asVec(mb).withColumnRenamed("v", "w"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        Pipeline.cosine(col("v"), col("w")).as("drift_cosine"))
+  }
+
   /** Append text-analysis feature columns to a document DataFrame:
     * token counts, type-token ratio, stopword ratio, BPE-ish subword
     * estimate, canonical fingerprint, rolling hash — all scan-side

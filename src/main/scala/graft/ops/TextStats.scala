@@ -182,6 +182,36 @@ object TextStats {
           .otherwise(col(textCol)).as(textCol): _*)
   }
 
+  /** LINEAR quality-model scoring: per-doc dot product of token counts
+    * against a (token, weight) table plus a bias — the "fasttext-class
+    * quality classifier" plumbing with the model as DATA, not code
+    * (swap the weights frame, not the pipeline). Weights are integer
+    * MILLI-units so the score is an exact integer sum — engine-portable
+    * where float accumulation order is not; calibrate/quantize the
+    * trained model into millis on the way in.
+    *
+    * Shape at scale: the weight table is vocabulary-sized (always
+    * broadcastable), the token explode is filtered to matching tokens
+    * by the broadcast hash join itself, the per-doc sum is one
+    * partial-combined aggregate, and zero-match docs ride a left join
+    * back (score = bias — absence of evidence scores too). Returns
+    * (idCol, score_milli).
+    */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, tokenCol: String, weightCol: String,
+                  bias: Long = 0L): DataFrame = {
+    val matched = docs
+      .select(col(idCol), explode(words(col(textCol))).as("_t"))
+      .join(broadcast(weights.select(col(tokenCol).as("_t"),
+        col(weightCol).cast(LongType).as("_wt"))), "_t")
+      .groupBy(col(idCol))
+      .agg(sum(col("_wt")).cast(LongType).as("_s"))
+    docs.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("_s"), lit(0L)) + bias).as("score_milli"))
+  }
+
   /** Cross-document BOUNDARY overlap: pairs where doc a's LAST k
     * tokens equal doc b's FIRST k tokens — the shard-stitch detector
     * (a source document split across crawl records, or chunked uploads

@@ -365,6 +365,34 @@ object Streams {
     ContaminationMonitor(hits, testBuckets)
   }
 
+  /** Streaming CANARY tripwire: flag arriving docs containing any
+    * sentinel string — the streaming form of `ops.Search.canaryHits`
+    * (q115), emitting one row per (doc, canary) hit with the canary
+    * attached (an eval-integrity incident record, not just a count).
+    * Re-arrivals within the watermark horizon are not re-flagged.
+    *
+    * The canary set is a LITERAL array filtered per row scan-side
+    * (canary lists are hand-curated and tiny): no join, no state
+    * beyond the dedup's watermark-bounded keys, whole-stage codegen
+    * throughout. Input columns: (`idCol`, ts, `textCol`).
+    */
+  def streamingCanaryHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      canaries: Seq[String],
+      horizonMinutes: Int = 10): DataFrame = {
+    require(canaries.nonEmpty, "streamingCanaryHits needs at least one canary")
+    require(canaries.distinct.size == canaries.size,
+      s"duplicate canaries in $canaries")
+    val cArr = array(canaries.map(lit(_)): _*)
+    docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .withColumn("canary",
+        explode(filter(cArr, c => col(textCol).contains(c))))
+      .dropDuplicatesWithinWatermark(idCol, "canary")
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -674,6 +674,37 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("linear model scoring: weighted token sums plus bias, zero-match docs score bias") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join join the"),          // 250*2 - 50 + bias
+      (2L, "nothing relevant here"),  // bias only
+      (3L, "hash a a scan")           // 150 - 30*2 + 100 + bias
+    ).toDF("doc_id", "text")
+    val weights = Seq(("join", 250L), ("hash", 150L), ("scan", 100L),
+      ("the", -50L), ("a", -30L)).toDF("t", "wt")
+    val got = graft.ops.TextStats.linearScore(docs, "doc_id", "text",
+        weights, "t", "wt", bias = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 550L, 2L -> 100L, 3L -> 290L))
+  }
+
+  test("embedding drift: identical snapshots ~1, orthogonal 0, opposite -1") {
+    import spark.implicits._
+    def vec(axis: Int, sign: Double) =
+      (0 until 8).map(d => if (d == axis) sign else 0.0)
+    val a = (0L until 10L).map(i => (i, vec(0, 1.0))).toDF("vec_id", "embedding")
+    val same = Similarity.embeddingDrift(a, a, "embedding", dims = 8).head()
+    assert(same.getLong(0) == 10L && same.getLong(1) == 10L)
+    assert(math.abs(same.getDouble(2) - 1.0) < 1e-12)
+    val ortho = (0L until 4L).map(i => (i, vec(1, 1.0))).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingDrift(a, ortho, "embedding", dims = 8)
+      .head().getDouble(2) == 0.0)
+    val opposite = (0L until 4L).map(i => (i, vec(0, -1.0))).toDF("vec_id", "embedding")
+    assert(math.abs(Similarity.embeddingDrift(a, opposite, "embedding", dims = 8)
+      .head().getDouble(2) + 1.0) < 1e-12)
+  }
+
   test("bm25 ranking matches the integer formula and orders by relevance") {
     import spark.implicits._
     val docs = Seq(

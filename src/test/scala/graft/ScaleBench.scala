@@ -135,7 +135,8 @@ object ScaleBench {
       // signature payload vs unbounded shingle arrays)
       "q111_bm25_search", "q112_deterministic_shuffle",
       "q113_estimated_jaccard_pairs", "q114_boundary_overlap",
-      "q115_canary_scan", "q116_incremental_ingest")
+      "q115_canary_scan", "q116_incremental_ingest",
+      "q117_quality_model_score", "q118_embedding_drift")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

@@ -236,6 +236,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming canary tripwire flags sentinel substrings once per doc+canary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.streamingCanaryHits(
+        in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+        Seq("CANARY-A", "CANARY-B"))
+      .writeStream.format("memory").queryName("canary").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "clean document with no sentinel"),
+        (2L, ts(0), "leaked CANARY-A right here"),
+        (3L, ts(0), "double hit CANARY-A plus CANARY-B too"))
+      q.processAllAvailable()
+      val hits = spark.table("canary").select("doc_id", "canary").as[(Long, String)]
+        .collect().toSet
+      assert(hits == Set((2L, "CANARY-A"), (3L, "CANARY-A"), (3L, "CANARY-B")))
+      // re-arrival within the horizon is not re-flagged
+      in.addData((2L, ts(1), "leaked CANARY-A right here"))
+      q.processAllAvailable()
+      assert(spark.table("canary").count() == 3)
+    } finally q.stop()
+  }
+
   test("embedding contamination monitor flags cosine matches, verified inline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

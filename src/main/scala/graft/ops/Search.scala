@@ -106,12 +106,12 @@ object Search {
     * does. Zero-hit canaries appear with (0, NULL) — "the tripwire did
     * not fire" is the result an eval-integrity audit publishes.
     *
-    * The canary list is always tiny (it is a hand-curated set of
-    * sentinel strings), so the non-equi containment join is a
-    * broadcast nested-loop with a k-row build side — each corpus row
-    * is scanned once against k literals, which is the same work a
-    * scan-side `contains` conjunction would do, but with the zero-hit
-    * rows preserved by the left join. Output is canary-list-sized.
+    * The canary list is always tiny (a hand-curated set of sentinel
+    * strings), so the containment tests run SCAN-SIDE as a literal
+    * array filter inside whole-stage codegen — each corpus row checks
+    * the k literals with no join node at all; the only join is the
+    * canary-list-sized equi-join back that preserves zero-hit rows.
+    * Output is canary-list-sized.
     */
   def canaryHits(docs: DataFrame, idCol: String, textCol: String,
                  canaries: Seq[String]): DataFrame = {
@@ -119,11 +119,15 @@ object Search {
     require(canaries.distinct.size == canaries.size,
       s"duplicate canaries in $canaries")
     import docs.sparkSession.implicits._
-    val c = canaries.toDF("canary")
-    c.join(docs.select(col(idCol), col(textCol)),
-        col(textCol).contains(col("canary")), "left")
+    val cArr = array(canaries.map(lit(_)): _*)
+    val hits = docs
+      .select(col(idCol),
+        explode(filter(cArr, c => col(textCol).contains(c))).as("canary"))
       .groupBy(col("canary"))
-      .agg(count(col(idCol)).cast(LongType).as("n_docs"),
-        min(col(idCol)).as("first_doc"))
+      .agg(count(col(idCol)).cast(LongType).as("_n"),
+        min(col(idCol)).as("_f"))
+    canaries.toDF("canary").join(hits, Seq("canary"), "left")
+      .select(col("canary"), coalesce(col("_n"), lit(0L)).as("n_docs"),
+        col("_f").as("first_doc"))
   }
 }

@@ -114,13 +114,14 @@ class PlansSpec extends AnyFunSuite {
   test("no query silently plans a cartesian or nested-loop join") {
     // queries where a nested-loop is INTENTIONAL: a broadcast cross
     // join against a bounded build side — a literally-one-row probe
-    // (the ANN query vector, the temperature-mix totals row) or the
+    // (the ANN query vector, the temperature-mix / BM25 corpus-stats
+    // row, the drift monitor's two one-row mean vectors) or the
     // k-centroid set of the k-means E-step / SemDeDup assignment
     // (n x k comparisons IS the operator's semantics, k << n)
     // — constant work per probe row, safe at any scale
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
       "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
-      "q93_epoch_mix")
+      "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -671,6 +671,109 @@ object AnalysisQueries {
           "embedding")
       }),
 
+    // Per-source total-variation divergence ([[ops.TextStats
+    // .sourceDivergence]]): how far each source's unigram distribution
+    // sits from the corpus mixture, in exact-integer ppm — the rogue-
+    // source screen (scraper breakage, language drift, spam invasion
+    // all move token distributions before they move anything whole-doc
+    // dedup can see). Absent-token mass folds in closed form, so only
+    // existing (source, token) pairs are ever materialized.
+    QueryDef("q120_source_divergence",
+      Some("""
+        WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM toks),
+        o AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS o FROM toks GROUP BY source, w),
+        f AS (SELECT source, o,
+                     CAST(SUM(o) OVER (PARTITION BY w) AS BIGINT) AS c,
+                     CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS n_s
+              FROM o),
+        g AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_tokens,
+                     CAST(SUM(abs(o*tot - c*n_s)) AS BIGINT) AS a,
+                     CAST(SUM(c) AS BIGINT) AS cs
+              FROM f CROSS JOIN tot GROUP BY source)
+        SELECT source, n_tokens,
+               (1000000 * (a + n_tokens * (tot - cs))) // (2 * n_tokens * tot) AS tv_ppm
+        FROM g CROSS JOIN tot ORDER BY tv_ppm DESC, source"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val tot = graft.ops.TextStats.totalTokens(docs, "text")
+        graft.ops.TextStats.sourceDivergence(docs, "source", "text", tot)
+          .orderBy(col("tv_ppm").desc, col("source"))
+      }),
+
+    // Cross-source duplication matrix ([[Dedup.duplicationMatrix]]):
+    // verified near-dup pairs rolled up by unordered source pair — the
+    // who-mirrors-whom provenance diagnostic behind mix weights. The
+    // verify is all-integer (ppm), so the per-cell mean is bit-stable.
+    QueryDef("q121_duplication_matrix",
+      Some(s"""
+        WITH ${PipelineQueries.lshCte},
+        v AS (SELECT c.a_id, c.b_id,
+                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS BIGINT) AS i,
+                CAST(len(a.shingles) + len(b.shingles)
+                     - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS BIGINT) AS u
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.a_id
+              JOIN sh b ON b.doc_id = c.b_id),
+        p AS (SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b,
+                     (1000000 * i) // u AS ppm
+              FROM v
+              JOIN documents da ON da.doc_id = v.a_id
+              JOIN documents db ON db.doc_id = v.b_id
+              WHERE i * 1000000 >= u * 500000)
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm
+        FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b"""),
+      (s, d) => Dedup.duplicationMatrix(spread(documents(s, d)),
+          "doc_id", "text", "source", threshold = 0.5,
+          maxBucketSize = Int.MaxValue)
+        .orderBy("source_a", "source_b")),
+
+    // PMI-style collocation mining ([[ops.TextStats.collocations]]):
+    // bigrams ranked by the independence ratio P(ab)/(P(a)P(b)) in
+    // integer ppm (its log is PMI; log is monotone, so the ranking IS
+    // the PMI ranking with no libm). minCount=5 suppresses the
+    // unstable low-count tail — the standard PMI correction.
+    QueryDef("q122_collocations",
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        tot AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS tot FROM w),
+        uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+               FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram FROM w)
+               GROUP BY bigram HAVING COUNT(*) >= 5)
+        SELECT bigram, c_ab AS n,
+               CAST((1000000 * c_ab * tot) // (ua.c * ub.c) AS BIGINT) AS lift_ppm
+        FROM bc CROSS JOIN tot
+        JOIN uc ua ON ua.t = string_split(bigram, ' ')[1]
+        JOIN uc ub ON ub.t = string_split(bigram, ' ')[2]
+        ORDER BY lift_ppm DESC, n DESC, bigram LIMIT 30"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val tot = graft.ops.TextStats.totalTokens(docs, "text")
+        graft.ops.TextStats.collocations(docs, "text", tot, minCount = 5, k = 30)
+      }),
+
+    // Token-length histogram ([[ops.TextStats.lengthHistogram]]):
+    // power-of-two length bands with doc/token mass per band — the
+    // packing planner's input for sequence-length budgets. Bucket via
+    // integer bit-length; scan-side + one <= 64-row aggregate.
+    QueryDef("q123_length_histogram",
+      Some("""
+        WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        b AS (SELECT n, CASE WHEN n <= 0 THEN CAST(0 AS BIGINT)
+                             ELSE CAST(1 << (length(bin(n)) - 1) AS BIGINT) END AS bucket_lo
+              FROM t)
+        SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(MIN(n) AS BIGINT) AS min_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tokens
+        FROM b GROUP BY bucket_lo ORDER BY bucket_lo"""),
+      (s, d) => graft.ops.TextStats.lengthHistogram(
+        spread(documents(s, d)), "text")),
+
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language
     // and source breadth, char range, duplicate rate in ppm.

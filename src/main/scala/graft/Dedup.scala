@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** User-facing deduplication API over any corpus DataFrame — the
   * library surface for the operators PipelineQueries exercises as
@@ -580,6 +581,57 @@ object Dedup {
         inter.cast("double") / (size(col("_sa")) + size(col("_sb")) - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Cross-source duplication matrix: verified near-dup pairs rolled
+    * up by UNORDERED source pair — who mirrors whom. The provenance
+    * diagnostic behind mix design: a (crawlA, crawlB) cell with
+    * thousands of pairs means the two snapshots overlap and their mix
+    * weights double-count; a hot diagonal cell means one source
+    * re-publishes itself.
+    *
+    * Same blocked candidate + exact-verify pipeline as
+    * [[verifiedPairs]] (threshold-derived banding), but the verify is
+    * ALL-INTEGER: `jaccard_ppm = floor(1e6*|A∩B| / |A∪B|)` and the
+    * threshold gate `inter*1e6 >= t_ppm*union` — exactly
+    * `jaccard >= t_ppm/1e6` with no float rounding, so the reported
+    * `mean_jaccard_ppm = sum div n` is bit-stable across engines and
+    * partitionings. Two id-keyed dimension joins attach sources to the
+    * pair frame (pair-sized, not corpus-sized); output is at most
+    * sources² rows.
+    */
+  def duplicationMatrix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      threshold: Double = 0.5,
+      shingleN: Int = 3,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    val tPpm = math.round(threshold * 1000000).toInt
+    // persisted for the same reason as [[near]]: the signature frame
+    // roots the candidate self-join AND both verify join-backs
+    val sig = shingleSignatures(docs, idCol, textCol, shingleN, k)
+      .persist(Disk)
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    val union = size(col("_sa")) + size(col("_sb")) - inter
+    val pairs = candidatesWithShingles(sig, idCol, k, b, maxBucketSize)
+      .select(col("a_id"), col("b_id"),
+        inter.cast(LongType).as("_i"), union.cast(LongType).as("_u"))
+      .filter(col("_i") * 1000000L >= col("_u") * tPpm)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("a_id"), col(sourceCol).as("_srca")), "a_id")
+      .join(src.select(col(idCol).as("b_id"), col(sourceCol).as("_srcb")), "b_id")
+      .select(least(col("_srca"), col("_srcb")).as("source_a"),
+        greatest(col("_srca"), col("_srcb")).as("source_b"),
+        expr("(1000000 * _i) div _u").as("_ppm"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        expr("sum(_ppm) div count(1)").cast(LongType).as("mean_jaccard_ppm"))
   }
 
   /** Sketch-ESTIMATED near-dup pairs — the verify form that never

@@ -502,6 +502,40 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
       }),
 
+    // Hard-negative mining ([[Similarity.hardNegatives]]): per anchor,
+    // the top-k most-similar DIFFERENT-label vectors — the contrastive-
+    // training near-misses. Same RHP-bucket + multi-probe blocking as
+    // q50 (the oracle replays the buckets); the label inequality rides
+    // the candidate join, so same-label (false-negative) pairs are
+    // never scored. Self-pairs need no explicit exclusion: an anchor
+    // shares its own label. Candidate cosines are distinct per anchor
+    // at sf0.01/0.1 (same q48/q50 argument), so GroupedTopK's
+    // unspecified tie-break cannot diverge.
+    QueryDef("q119_hard_negatives",
+      Some(s"""
+        WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, label, v, $bucketSql AS bucket FROM t),
+        q AS (SELECT vec_id AS anchor_id, label AS alabel, v AS qv,
+                     unnest(${probesSql("bucket")}) AS qb
+              FROM b WHERE vec_id < 5),
+        scored AS (SELECT q.anchor_id, b.vec_id AS negative_id,
+                          CAST(b.label AS BIGINT) AS negative_label,
+                          ${cosSql("qv", "v")} AS cosine
+                   FROM q JOIN b ON q.qb = b.bucket AND q.alabel <> b.label),
+        ranked AS (SELECT anchor_id, negative_id, negative_label, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                             ORDER BY cosine DESC, negative_id) AS rn
+                   FROM scored)
+        SELECT anchor_id, negative_id, negative_label, cosine FROM ranked WHERE rn <= 5
+        ORDER BY anchor_id, cosine DESC, negative_id"""),
+      (s, d) => {
+        val e = spread(embeddings(s, d))
+          .withColumn("label", col("label").cast("long"))
+        Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, "vec_id",
+            "embedding", "label", k = 5, planes = 4)
+          .orderBy(col("anchor_id"), col("cosine").desc, col("negative_id"))
+      }),
+
     // Salted two-stage aggregation (hot-key mitigation): the salt is
     // internal — the result is exactly groupBy(key), which is what the
     // oracle computes. DECIMAL sums keep the compare order-independent.

@@ -83,6 +83,43 @@ object Similarity {
     graft.plans.GroupedTopK.perKey(scored, Seq("query_id"), "cosine", k)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — near-misses that teach a retriever/embedder the decision
+    * boundary (easy negatives are useless; same-label neighbours are
+    * false negatives).
+    *
+    * Same blocked shape as [[knnJoin]]: RHP-bucket equi-join with
+    * multi-probe fan-out on the anchor side only, fused native cosine,
+    * GroupedTopK bounded heaps — never a cartesian. The label
+    * inequality rides the same join as a post-condition, so same-label
+    * candidates are dropped BEFORE the cosine is computed and before
+    * any heap sees them (a filter after top-k would under-fill k).
+    * Scale: identical to knnJoin — candidate volume is corpus/2^planes
+    * per probe, and the per-label partial heaps stay bounded at k.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int = 5,
+                    dims: Int = 64,
+                    planes: Int = Pipeline.AutoPlanes): DataFrame = {
+    val p = Pipeline.resolvePlanes(planes, corpus)
+    def withBucket(df: DataFrame, id: String, v: String, lab: String) = df
+      .select(col(idCol).as(id), asDouble(col(vecCol)).as(v),
+        col(labelCol).as(lab))
+      .withColumn(s"${v}_bucket", Pipeline.rhpBucket(col(v), dims, p))
+    val a = withBucket(anchors, "anchor_id", "_qv", "_alabel")
+      .withColumn("_probe",
+        explode(Pipeline.rhpProbeBuckets(col("_qv_bucket"), p)))
+    val c = withBucket(corpus, "negative_id", "_cv", "_nlabel")
+    val scored = a.join(c,
+        col("_probe") === col("_cv_bucket") &&
+          col("_alabel") =!= col("_nlabel"))
+      .select(col("anchor_id"), col("negative_id"),
+        col("_nlabel").as("negative_label"),
+        cosineSim(col("_qv"), col("_cv")).as("cosine"))
+    graft.plans.GroupedTopK.perKey(scored, Seq("anchor_id"), "cosine", k)
+  }
+
   /** IVF "index" build: per-cell centroids (`cell`, `centroid:
     * array<double>`) via posexplode + two groupBys — ONE full-corpus
     * pass. At 100 TB this runs once (persist the result, or write it

@@ -241,4 +241,101 @@ object TextStats {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("gram"))
   }
+
+  /** Per-source total-variation divergence from the corpus unigram
+    * distribution, in exact-integer ppm — the mixture-shift / rogue-
+    * source diagnostic: a source whose token distribution drifts far
+    * from the corpus (scraper breakage, language drift, spam invasion)
+    * ranks high and gets human review before it pollutes a mix.
+    *
+    * TV(s) = 1/2 * sum_t |o_st/n_s - c_t/N| over the FULL vocabulary.
+    * Absent tokens (o_st = 0) are folded in closed form — sum over
+    * absent t of c_t*n_s = n_s*(N - C_s) where C_s sums the corpus
+    * counts of the tokens PRESENT in s — so the pipeline only ever
+    * touches (source, token) pairs that exist: one token-key window
+    * for corpus counts, one source-key aggregate. The single floor
+    * division happens after the full numerator sum, so the ppm is the
+    * exact floor of the true rational TV.
+    *
+    * BIGINT bounds: the numerator is <= 2*n_s*N and the ppm multiply
+    * <= 2e6*n_s*N — safe to N ~ 3e9 tokens per aggregation scope; at
+    * the 100 TB corpus scale (N ~ 1e12) run it per-shard or lift the
+    * two products to DECIMAL(38,0).
+    */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+                       textCol: String, totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    val o = docs
+      .select(col(sourceCol).as("source"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("o"))
+    o.withColumn("c", sum(col("o")).over(Window.partitionBy("w")))
+      .withColumn("n_s", sum(col("o")).over(Window.partitionBy("source")))
+      .groupBy(col("source"))
+      .agg(sum(col("o")).cast(LongType).as("n_tokens"),
+        sum(abs(col("o") * totalTokens - col("c") * col("n_s")))
+          .cast(LongType).as("_a"),
+        sum(col("c")).cast(LongType).as("_cs"))
+      .withColumn("tv_ppm", expr(
+        s"(1000000 * (_a + n_tokens * (${totalTokens}L - _cs))) div (2 * n_tokens * ${totalTokens}L)"))
+      .select(col("source"), col("n_tokens"), col("tv_ppm"))
+  }
+
+  /** PMI-style collocation mining: bigrams whose observed count beats
+    * the independence expectation — the multi-word-expression signal
+    * tokenizer/vocabulary builders consume ("new york" deserves one
+    * token; "the the" does not). All-integer: the reported
+    * `lift_ppm = floor(1e6 * c_ab * N / (c_a * c_b))` is the
+    * independence ratio P(ab)/(P(a)P(b)) scaled to ppm (its log is
+    * PMI; the log is monotone, so the RANKING is PMI ranking — no
+    * libm). `minCount` suppresses the unstable low-count tail, the
+    * standard PMI correction.
+    *
+    * Shape: one token explode feeding a bigram agg and a unigram agg
+    * (token-key shuffles), two vocabulary-sized equi-joins to attach
+    * c_a/c_b, TakeOrderedAndProject for the top-k. Nothing corpus-
+    * squared; the bigram frame is the corpus token stream itself.
+    */
+  def collocations(docs: DataFrame, textCol: String, totalTokens: Long,
+                   minCount: Int = 5, k: Int = 30): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
+    val w = docs.select(words(col(textCol)).as("w"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = w.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi.join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("c_ab").cast(LongType).as("n"),
+        expr(s"(1000000 * c_ab * ${totalTokens}L) div (c_a * c_b)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Token-length histogram in power-of-two buckets — the packing
+    * planner's input: how many documents and tokens land in each
+    * length band decides sequence-length budgets and batch shapes.
+    * `bucket_lo = 2^floor(log2(n_tok))` via integer bit-length (no
+    * libm), zero-token docs in bucket 0. Scan-side projection + one
+    * tiny aggregate (<= 64 buckets); nothing else moves.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(size(words(col(textCol))).cast(LongType).as("n_tok"))
+      .withColumn("bucket_lo", when(col("n_tok") <= 0, 0L)
+        .otherwise(expr("shiftleft(1L, cast(length(bin(n_tok)) - 1 as int))")))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"),
+        min(col("n_tok")).cast(LongType).as("min_tokens"),
+        max(col("n_tok")).cast(LongType).as("max_tokens"))
+      .orderBy("bucket_lo")
 }

@@ -761,4 +761,48 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(a == ref)
   }
+
+  test("source divergence charges exactly the hand-computed TV distance") {
+    import spark.implicits._
+    // s1: a a b (n=3), s2: b c c (n=3); corpus: a=2 b=2 c=2, N=6
+    // TV(s1) = (|2/3-1/3| + |1/3-1/3| + |0-1/3|)/2 = 1/3 -> 333333 ppm
+    val docs = Seq(("s1", "a a b"), ("s2", "b c c")).toDF("source", "text")
+    val tot = graft.ops.TextStats.totalTokens(docs, "text")
+    assert(tot == 6L)
+    val res = graft.ops.TextStats.sourceDivergence(docs, "source", "text", tot)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res == Map("s1" -> (3L, 333333L), "s2" -> (3L, 333333L)))
+    // a source identical to the corpus mixture diverges by 0
+    val same = Seq(("x", "a b c"), ("y", "a b c")).toDF("source", "text")
+    val res2 = graft.ops.TextStats
+      .sourceDivergence(same, "source", "text", 6L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(res2 == Map("x" -> 0L, "y" -> 0L))
+  }
+
+  test("collocations rank by the exact integer independence lift") {
+    import spark.implicits._
+    // "x y" occurs 5 times, unigrams x=5 y=5, N=20:
+    // lift_ppm = 1e6 * 5 * 20 / (5*5) = 4_000_000 (= 4x independence)
+    val docs = Seq("x y x y x y x y x y", "p q p q p q p q p q")
+      .toDF("text")
+    val res = graft.ops.TextStats.collocations(docs, "text", 20L,
+        minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "y x" / "q p" occur only 4 times -> suppressed by minCount
+    assert(res.toSeq == Seq(("p q", 5L, 4000000L), ("x y", 5L, 4000000L)))
+  }
+
+  test("length histogram buckets docs by power-of-two token count") {
+    import spark.implicits._
+    val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",
+        "t t t t t t t t").toDF("text")
+    val res = graft.ops.TextStats.lengthHistogram(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(res.toSeq == Seq(
+      1L -> (1L, 1L, 1L, 1L),   // the 1-token doc
+      2L -> (1L, 3L, 3L, 3L),   // 3 tokens -> [2,4)
+      4L -> (2L, 11L, 4L, 7L),  // 4 and 7 tokens -> [4,8)
+      8L -> (1L, 8L, 8L, 8L)))  // 8 tokens -> [8,16)
+  }
 }

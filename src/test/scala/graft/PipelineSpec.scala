@@ -149,6 +149,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaKnn == viaSingle)
   }
 
+  test("hardNegatives returns only different-label near-misses with exact cosines") {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("label", col("label").cast("long"))
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = exactVecs
+    val anchors = (0L until 10L).toSeq
+    val rows = Similarity.hardNegatives(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every row is a genuine different-label pair with the true cosine
+    rows.foreach { case (a, n, nl, c) =>
+      assert(labels(a) != nl, s"anchor $a got same-label negative $n")
+      assert(nl == labels(n))
+      assert(math.abs(c - cosine(vecs(a), vecs(n))) < 1e-9)
+    }
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.forall(_._2.length <= 5))
+    // recall vs exact different-label top-5 (brute-force truth) — the
+    // same multi-probe floor the knnJoin recall test argues
+    val recall = anchors.map { a =>
+      val truth = vecs.collect {
+        case (id, v) if id != a && labels(id) != labels(a) =>
+          (id, cosine(vecs(a), v))
+      }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val got = byAnchor.getOrElse(a, Array.empty).map(_._2).toSet
+      (got & truth).size.toDouble / 5
+    }.sum / anchors.size
+    info(f"hardNegatives recall@5 (10 anchors, multi-probe): $recall%.3f")
+    assert(recall >= 0.3, f"hardNegatives recall@5 $recall%.3f below floor")
+  }
+
   test("IVF ANN probes only the nearest cells and returns valid neighbours") {
     val e = Tables.embeddings(spark, sf)
     val res = Similarity.ivfTopK(e, "vec_id", "embedding", "label",
@@ -1040,5 +1073,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(aId == 10L && bId == 20L)
     assert(ca == 1.0, s"doc 10 fully contained, cont_a $ca")
     assert(cb < 1.0)
+  }
+
+  test("duplication matrix rolls verified pairs up by unordered source pair") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon"
+    val t2 = "one two three four five"
+    val docs = Seq(
+      (1L, t1, "A"),
+      (2L, t1, "B"),            // (1,2): jaccard 1.0, cell (A,B)
+      (3L, t1 + " zeta", "B"),  // (1,3): 3/4 -> 750000, cell (A,B);
+                                // (2,3): 3/4, cell (B,B)
+      (4L, t2, "A"),
+      (5L, t2, "A"),            // (4,5): 1.0, cell (A,A)
+      (6L, "completely unrelated filler words appear here", "B")
+    ).toDF("doc_id", "text", "source")
+    val cells = Dedup.duplicationMatrix(docs, "doc_id", "text", "source",
+        threshold = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cells == Map(
+      ("A", "A") -> (1L, 1000000L),
+      ("A", "B") -> (2L, 875000L),  // (1000000 + 750000) div 2
+      ("B", "B") -> (1L, 750000L)), s"got $cells")
   }
 }

@@ -760,6 +760,73 @@ object AnalysisQueries {
     // power-of-two length bands with doc/token mass per band — the
     // packing planner's input for sequence-length budgets. Bucket via
     // integer bit-length; scan-side + one <= 64-row aggregate.
+    // Winnowed fingerprint overlap ([[Dedup.winnowedPairs]]): MOSS-
+    // selection (leftmost-min k-gram hash per sliding window) then a
+    // fingerprint-keyed equi-join — the position-robust shared-passage
+    // detector. The window argmin is MIN(hash*1e6+pos): one BIGINT
+    // order encodes (hash, position) lexicographic order, so the
+    // oracle replays it as a plain window MIN.
+    QueryDef("q124_winnowed_overlap",
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE len(string_split(text, ' ')) >= 7),
+        g0 AS (SELECT doc_id, CAST(len(w) - 3 AS BIGINT) AS m,
+                      unnest(range(1, len(w) - 2)) AS pos, w
+               FROM w),
+        g AS (SELECT doc_id, m, pos,
+                     ${hash32Sql("array_to_string(w[pos:pos+3], ' ')")} AS h
+              FROM g0),
+        s AS (SELECT doc_id, pos, m,
+                     MIN(h * 1000000 + pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+              FROM g),
+        f AS (SELECT DISTINCT doc_id, sel // 1000000 AS fp
+              FROM s WHERE pos <= m - 3)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a_id, b_id HAVING COUNT(*) >= 2
+        ORDER BY a_id, b_id"""),
+      (s, d) => Dedup.winnowedPairs(spread(documents(s, d)), "doc_id",
+          "text", k = 4, window = 4, minShared = 2)
+        .orderBy("a_id", "b_id")),
+
+    // Integer PageRank ([[ops.Graph.pageRank]]) over the customer-
+    // supplier trade graph (distinct (cust, supp) pairs via orders x
+    // lineitem, doubled into both directions): 5 fixed iterations in
+    // milli-units — per-edge `pr div deg` BEFORE the sum keeps every
+    // term an exact integer, so the aggregate is order-independent and
+    // the oracle unrolls the loop as 5 chained CTEs, bit-identical.
+    QueryDef("q125_pagerank",
+      Some {
+        def iter(prev: String, name: String) = s"""
+        $name AS (SELECT e.dst AS node,
+                    CAST(150 + (850 * SUM(p.pr // d.deg)) // 1000 AS BIGINT) AS pr
+                  FROM e JOIN $prev p ON p.node = e.src
+                  JOIN d ON d.src = e.src GROUP BY e.dst)"""
+        s"""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0),
+        d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        p0 AS (SELECT src AS node, CAST(1000 AS BIGINT) AS pr FROM d),
+        ${iter("p0", "p1")},${iter("p1", "p2")},${iter("p2", "p3")},${iter("p3", "p4")},${iter("p4", "p5")}
+        SELECT node, pr FROM p5 ORDER BY node"""
+      },
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val e0 = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        graft.ops.Graph.pageRank(edges, iters = 5).orderBy("node")
+      }),
+
     QueryDef("q123_length_histogram",
       Some("""
         WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

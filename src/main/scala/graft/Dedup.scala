@@ -674,6 +674,73 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("agree"), col("est_ppm"))
   }
 
+  /** Winnowed document fingerprints (the MOSS selection rule):
+    * positional k-gram hashes, then the LEFTMOST-minimum hash of each
+    * sliding window of `window` consecutive grams. Winnowing
+    * guarantees any shared token run of length >= window + k - 1
+    * contributes at least one IDENTICAL selected fingerprint to both
+    * documents, while keeping only ~2/(window+1) of the grams — the
+    * position-robust substring-overlap detector that whole-document
+    * MinHash (set semantics, no positions) cannot express.
+    *
+    * All-integer and engine-exact: gram hash is the md5-based 32-bit
+    * [[Pipeline.wordHash32]], and the window argmin is the plain MIN
+    * of `hash*1e6 + pos` — the encoding makes (hash, position)
+    * lexicographic order a single BIGINT order, so no argmin/min_by
+    * construct is needed (positions stay < 1e6 per doc; longer docs
+    * should be chunked first — q106). Returns distinct (id, fp) rows.
+    *
+    * Scale shape: scan-side gram/hash projection, one doc-keyed window
+    * (partition = the doc, ordered run = its gram sequence), one
+    * distinct. Nothing corpus-squared.
+    */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 4, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"k/window must be >= 1, got $k/$window")
+    val grams = df
+      .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= k + window - 1)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("_w")) - (k - 1)),
+        i => Pipeline.wordHash32(concat_ws(" ", slice(col("_w"), i, lit(k)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"),
+        // number of grams in this doc rides along for the full-window
+        // cut below (cheaper than a second size() pass: it is constant
+        // per doc and the window never reads it)
+        count(lit(1)).over(Window.partitionBy(col(idCol))).as("_m"))
+    grams
+      .withColumn("_sel", min(col("h") * 1000000L + col("pos"))
+        .over(Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, window - 1)))
+      .filter(col("pos") <= col("_m") - (window - 1))
+      .select(col(idCol), expr("_sel div 1000000").as("fp"))
+      .distinct()
+  }
+
+  /** Winnowed-fingerprint overlap pairs: documents sharing at least
+    * `minShared` selected fingerprints, with the shared count — the
+    * MOSS-style local-plagiarism / shared-passage report. One
+    * fingerprint-keyed equi-join (never pairwise over docs);
+    * `maxFpDf` caps degenerate boilerplate fingerprints shared by
+    * thousands of docs (the hot-key guard every blocking join here
+    * carries); oracle-replayed callers pass Int.MaxValue.
+    */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, window: Int = 4, minShared: Int = 2,
+                    maxFpDf: Int = Int.MaxValue): DataFrame = {
+    val fpsAll = winnowedFingerprints(df, idCol, textCol, k, window)
+    val fps = if (maxFpDf == Int.MaxValue) fpsAll
+      else fpsAll
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("_df") <= maxFpDf).drop("_df")
+    fps.select(col(idCol).as("a_id"), col("fp"))
+      .join(fps.select(col(idCol).as("b_id"), col("fp")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** LSH candidate pairs joined back to both sides' shingle sets
     * (`_sa`/`_sb`) — the shared scaffold of every exact-verify pair
     * operator, in ONE copy so the cap and join shape cannot silently

@@ -393,6 +393,29 @@ object Streams {
       .dropDuplicatesWithinWatermark(idCol, "canary")
   }
 
+  /** Streaming incremental-ingest gate — the streaming form of the
+    * batch [[graft.ops.Diff.dedupAgainst]] (q116): arriving documents
+    * are dropped when their content digest already exists in the
+    * static warehouse (stream-static LEFT ANTI join — stateless, the
+    * static side is broadcast/re-read per micro-batch), then deduped
+    * against the STREAM itself on the same digest within the watermark
+    * horizon. The append-only corpus-growth gate, applied on arrival
+    * instead of in a nightly batch; both halves key on the identical
+    * md5 digest, so batch and stream gates cannot drift.
+    * Expects columns (ts, `textCol`).
+    */
+  def streamingIngestGate(docs: DataFrame, warehouse: DataFrame,
+                          textCol: String,
+                          horizonMinutes: Int = 10): DataFrame = {
+    val seen = warehouse.select(md5(col(textCol)).as("_seen_h")).distinct()
+    docs
+      .withColumn("_h", md5(col(textCol)))
+      .join(seen, col("_h") === col("_seen_h"), "left_anti")
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -793,6 +793,23 @@ class OpsSpec extends AnyFunSuite {
     assert(res.toSeq == Seq(("p q", 5L, 4000000L), ("x y", 5L, 4000000L)))
   }
 
+  test("pageRank matches the hand-iterated integer fixed point") {
+    import spark.implicits._
+    // 2-cycle: contrib 1000 div 1 -> 150 + 850 = 1000; a fixed point
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val prCyc = graft.ops.Graph.pageRank(cyc, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prCyc == Map(1L -> 1000L, 2L -> 1000L))
+    // star a-b, a-c (doubled): hand-iterated milli values
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val it1 = graft.ops.Graph.pageRank(star, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it1 == Map(1L -> 1850L, 2L -> 575L, 3L -> 575L), s"got $it1")
+    val it2 = graft.ops.Graph.pageRank(star, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it2 == Map(1L -> 1127L, 2L -> 936L, 3L -> 936L), s"got $it2")
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

@@ -1098,4 +1098,49 @@ class PipelineSpec extends AnyFunSuite {
       ("A", "B") -> (2L, 875000L),  // (1000000 + 750000) div 2
       ("B", "B") -> (1L, 750000L)), s"got $cells")
   }
+
+  test("winnowing selects the reference fingerprints and finds shared passages") {
+    import spark.implicits._
+    // the winnowing guarantee: any shared token run of length
+    // >= window + k - 1 (= 7 here) yields at least one shared selected
+    // fingerprint, wherever the run sits in each doc
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "prefix one two " + shared + " tail here"),
+      (2L, "other start " + shared),
+      (3L, "wholly unrelated filler content words continue onwards still more")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 8-token run yielded no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+
+    // selection rule equals a brute-force reference winnow (k=4, w=4,
+    // leftmost-min on the same md5-prefix hash)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def refWinnow(text: String): Set[Long] = {
+      val w = text.split(" ")
+      val grams = (0 to w.length - 4)
+        .map(i => h32(w.slice(i, i + 4).mkString(" ")))
+      (0 to grams.length - 4).map { i =>
+        (i until i + 4).map(j => grams(j) * 1000000L + (j + 1)).min / 1000000L
+      }.toSet
+    }
+    docs.collect().foreach { r =>
+      assert(fps(r.getLong(0)) == refWinnow(r.getString(1)),
+        s"selection mismatch for doc ${r.getLong(0)}")
+    }
+
+    // pair report carries the shared count and respects minShared
+    val pairs = Dedup.winnowedPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == (fps(1L) & fps(2L)).size.toLong)
+  }
 }

@@ -141,6 +141,34 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest gate drops warehouse dups and in-stream copies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = Seq((100L, "already stored text"), (101L, "other stored"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.streamingIngestGate(
+        in.toDF().toDF("ts", "doc_id", "text"), warehouse, "text")
+      .writeStream.format("memory").queryName("ingest_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, "already stored text"),   // warehouse dup -> dropped
+        (ts(1), 2L, "fresh novel content"),   // novel -> kept
+        (ts(2), 3L, "fresh novel content"),   // in-stream copy -> dropped
+        (ts(3), 4L, "another new doc"))       // novel -> kept
+      q.processAllAvailable()
+      val kept = spark.table("ingest_gate").collect()
+        .map(_.getLong(1)).toSet
+      assert(kept == Set(2L, 4L), s"got $kept")
+      // a later micro-batch re-offering the same content within the
+      // horizon is still dropped by the digest state
+      in.addData((ts(4), 5L, "fresh novel content"))
+      q.processAllAvailable()
+      assert(spark.table("ingest_gate").count() == 2)
+    } finally q.stop()
+  }
+
   test("scan-side curation (quality gate + split assignment) applies unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

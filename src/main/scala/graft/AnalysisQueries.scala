@@ -827,6 +827,80 @@ object AnalysisQueries {
         graft.ops.Graph.pageRank(edges, iters = 5).orderBy("node")
       }),
 
+    // Event-transition matrix ([[ops.Events.transitionMatrix]]):
+    // Markov next-event statistics over per-user event sequences
+    // (ordered by time with the event id as the deterministic
+    // tiebreak), with row-normalized probabilities in integer ppm.
+    QueryDef("q126_event_transitions",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        p AS (SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY tus, event_id) AS to_type
+              FROM e),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+               (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        FROM c ORDER BY from_type, to_type"""),
+      (s, d) => graft.ops.Events.transitionMatrix(
+          events(s, d).select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("tus"), col("event_type")),
+          "user_id", "event_type", Seq("tus", "event_id"))
+        .orderBy("from_type", "to_type")),
+
+    // Per-source token heavy hitters ([[ops.TextStats.heavyHitters]])
+    // on the custom GroupedTopK operator: the order value packs
+    // (count, token-hash) into one BIGINT, so the oracle's tiebreak
+    // (n DESC, hash DESC) replays the pack's lexicographic order and
+    // heap boundaries cannot diverge.
+    QueryDef("q127_heavy_hitters",
+      Some(s"""
+        WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source, t),
+        r AS (SELECT source, t, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n DESC, ${hash32Sql("t")} DESC) AS rn
+              FROM c)
+        SELECT source, t AS token, n FROM r WHERE rn <= 3
+        ORDER BY source, n DESC, token"""),
+      (s, d) => graft.ops.TextStats.heavyHitters(spread(documents(s, d)),
+          "source", "text", k = 3)
+        .withColumnRenamed("stratum", "source")
+        .orderBy(col("source"), col("n").desc, col("token"))),
+
+    // Farthest-point diversity sample ([[Similarity
+    // .farthestPointSample]]): greedy k-center selection from seed 0 —
+    // each step picks the vector with the smallest max cosine to the
+    // already-selected centers (lowest-id tiebreak). The oracle unrolls
+    // the k=4 selection as chained one-row CTEs over the same
+    // index-ordered cosine folds.
+    QueryDef("q128_diverse_sample",
+      Some {
+        def mc(cands: String) = cands.split(",").map(c =>
+          s"(${cosOf("t.v", s"$c.v")})").mkString("greatest(", ", ", ")")
+        s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c1 AS (SELECT vec_id, v FROM t WHERE vec_id = 0),
+        s2 AS (SELECT t.vec_id, t.v, ${mc("c1")} AS mc
+               FROM t, c1 WHERE t.vec_id <> c1.vec_id
+               ORDER BY mc ASC, t.vec_id LIMIT 1),
+        s3 AS (SELECT t.vec_id, t.v, ${mc("c1,s2")} AS mc
+               FROM t, c1, s2 WHERE t.vec_id NOT IN (c1.vec_id, s2.vec_id)
+               ORDER BY mc ASC, t.vec_id LIMIT 1),
+        s4 AS (SELECT t.vec_id, t.v, ${mc("c1,s2,s3")} AS mc
+               FROM t, c1, s2, s3
+               WHERE t.vec_id NOT IN (c1.vec_id, s2.vec_id, s3.vec_id)
+               ORDER BY mc ASC, t.vec_id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS max_cos FROM c1
+        UNION ALL SELECT 2, vec_id, mc FROM s2
+        UNION ALL SELECT 3, vec_id, mc FROM s3
+        UNION ALL SELECT 4, vec_id, mc FROM s4
+        ORDER BY rank"""
+      },
+      (s, d) => Similarity.farthestPointSample(embeddings(s, d),
+        "vec_id", "embedding", k = 4, seedId = 0L)),
+
     QueryDef("q123_length_histogram",
       Some("""
         WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

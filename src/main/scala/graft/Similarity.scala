@@ -120,6 +120,50 @@ object Similarity {
     graft.plans.GroupedTopK.perKey(scored, Seq("anchor_id"), "cosine", k)
   }
 
+  /** Farthest-point (k-center greedy) diversity sample: starting from
+    * `seedId`, repeatedly pick the vector with the SMALLEST maximum
+    * cosine to any already-selected center — the classic 2-approximate
+    * k-center seeding that buys embedding-space coverage (diverse
+    * exemplars for annotation, eval-set seeding, kmeans++-style init)
+    * where random sampling oversamples dense regions.
+    *
+    * Returns (rank, vec_id, max_cos): selection order, the chosen
+    * vector, and its max cosine to the centers chosen before it (NULL
+    * for the seed). Deterministic: ties break on the lowest id, and
+    * `max_cos` is `greatest` over the same fused-kernel cosines the
+    * oracle replays, so the comparisons are bit-identical.
+    *
+    * Scale shape: k-1 passes over the corpus, each a scan + one
+    * TakeOrderedAndProject(1) — no pairwise joins; the centers live
+    * driver-side (k × dims doubles, the same bounded collect as the
+    * Lloyd centroids). k is a sample size (tens), not a corpus scale.
+    */
+  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, seedId: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("_v"))
+    val seedRows = base.filter(col("vec_id") === seedId).collect()
+    require(seedRows.length == 1, s"seed id $seedId not found (or not unique)")
+    var centers = Seq(seedRows(0).getSeq[Double](1).toArray)
+    var out = Seq((1L, seedId, Option.empty[Double]))
+    for (r <- 2 to k) {
+      val maxCos = centers
+        .map(c => cosineSim(col("_v"), lit(c)))
+        .reduce((a, b) => greatest(a, b))
+      val chosen = base
+        .filter(!col("vec_id").isin(out.map(_._2): _*))
+        .withColumn("_mc", maxCos)
+        .orderBy(col("_mc").asc, col("vec_id"))
+        .limit(1).collect()
+      require(chosen.nonEmpty, s"corpus exhausted after ${r - 1} selections")
+      out :+= ((r.toLong, chosen(0).getLong(0), Some(chosen(0).getDouble(2))))
+      centers :+= chosen(0).getSeq[Double](1).toArray
+    }
+    import spark.implicits._
+    out.toDF("rank", "vec_id", "max_cos")
+  }
+
   /** IVF "index" build: per-cell centroids (`cell`, `centroid:
     * array<double>`) via posexplode + two groupBys — ONE full-corpus
     * pass. At 100 TB this runs once (persist the result, or write it

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Product-analytics operators over an event stream: ordered conversion
   * funnels and cohort retention — the two aggregate shapes behind every
@@ -109,5 +111,32 @@ object Events {
       .distinct()
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-transition matrix: per-user consecutive event-type pairs
+    * (ordered by timestamp with the event id as the deterministic
+    * tiebreak), counted over the corpus, with the row-normalized
+    * transition probability in exact-integer ppm — the Markov-chain
+    * statistics behind behavioural-sequence training data (next-event
+    * prediction corpora, UX-flow anomaly screens).
+    *
+    * Shape: one user-keyed window (LEAD) + one (from, to)-keyed count
+    * + one from-keyed window for the row totals — all high-cardinality
+    * keys, no corpus-squared joins, output bounded by |types|².
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix needs ordering columns")
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    events
+      .select(Seq(col(userCol), col(typeCol).as("from_type")) ++
+        orderCols.map(col): _*)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .withColumn("_tot", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("(1000000 * n) div _tot").cast(LongType))
+      .drop("_tot")
   }
 }

@@ -321,6 +321,31 @@ object TextStats {
       .limit(k)
   }
 
+  /** Per-stratum token heavy hitters: the top-k most frequent tokens
+    * in every stratum (source / language / split) — the vocabulary-
+    * drift and stopword-profile screen a mixture review reads per
+    * source. Runs on the custom GroupedTopK operator (bounded partial
+    * heaps, spillable final — never a per-stratum sort): the order
+    * value packs `(count, token-hash)` into ONE BIGINT
+    * (`n * 2^32 + hash32(token)`; hash < 2^32, so the pack is
+    * lexicographic (n, hash) order and boundary ties are impossible
+    * unless two tokens collide on the full 32-bit hash in the same
+    * stratum at the same count). Count stays exact to n <= 2^31 per
+    * (stratum, token) — beyond that, drop the pack and pre-aggregate.
+    */
+  def heavyHitters(docs: DataFrame, stratumCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = docs
+      .select(col(stratumCol).as("stratum"), explode(words(col(textCol))).as("t"))
+      .groupBy("stratum", "t")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .withColumn("_ord",
+        col("n") * 4294967296L + graft.Pipeline.wordHash32(col("t")))
+    graft.plans.GroupedTopK.perKey(counts, Seq("stratum"), "_ord", k)
+      .select(col("stratum"), col("t").as("token"), col("n"))
+  }
+
   /** Token-length histogram in power-of-two buckets — the packing
     * planner's input: how many documents and tokens land in each
     * length band decides sequence-length budgets and batch shapes.

@@ -810,6 +810,65 @@ class OpsSpec extends AnyFunSuite {
     assert(it2 == Map(1L -> 1127L, 2L -> 936L, 3L -> 936L), s"got $it2")
   }
 
+  test("transition matrix counts per-user consecutive pairs with exact ppm rows") {
+    import spark.implicits._
+    // u1: A,B,A,C -> A->B, B->A, A->C; u2: A,B -> A->B
+    val ev = Seq((1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"),
+        (1L, 3L, 30L, "A"), (1L, 4L, 40L, "C"),
+        (2L, 5L, 10L, "A"), (2L, 6L, 20L, "B"))
+      .toDF("user_id", "event_id", "tus", "event_type")
+    val m = graft.ops.Events.transitionMatrix(ev, "user_id", "event_type",
+        Seq("tus", "event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m == Map(
+      ("A", "B") -> (2L, 666666L),  // 2 of 3 transitions out of A
+      ("A", "C") -> (1L, 333333L),
+      ("B", "A") -> (1L, 1000000L)), s"got $m")
+  }
+
+  test("heavy hitters equal the window-form reference per stratum") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a a a b b c"), ("s2", "z z y")).toDF("source", "text")
+    val hh = graft.ops.TextStats.heavyHitters(docs, "source", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hh == Set(("s1", "a", 3L), ("s1", "b", 2L), ("s2", "z", 2L), ("s2", "y", 1L)))
+    // corpus-scale check: set equality with the window formulation
+    val corpus = Tables.documents(spark, sf)
+    val viaOp = graft.ops.TextStats.heavyHitters(corpus, "source", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+      .orderBy(col("_ord").desc)
+    val viaWindow = corpus
+      .select(col("source").as("stratum"), explode(Pipeline.words(col("text"))).as("t"))
+      .groupBy("stratum", "t").agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("_ord", col("n") * 4294967296L + Pipeline.wordHash32(col("t")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaOp == viaWindow)
+  }
+
+  test("farthest-point sample walks the geometry greedily") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.01, 0.0)),  // near-duplicate of 0
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.farthestPointSample(e, "vec_id", "embedding",
+        k = 4, seedId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // seed 0; then an orthogonal axis (lowest id 2); then the other
+    // axis (3, still orthogonal to both); the near-dup of the seed last
+    assert(picks.map(_._2).toSeq == Seq(0L, 2L, 3L, 1L), s"got ${picks.toSeq}")
+    assert(picks(0)._3.isEmpty)
+    assert(math.abs(picks(1)._3.get) < 1e-12)      // orthogonal to seed
+    assert(math.abs(picks(2)._3.get) < 1e-12)      // orthogonal to both
+    assert(picks(3)._3.get > 0.99)                 // the near-dup
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

@@ -901,6 +901,109 @@ object AnalysisQueries {
       (s, d) => Similarity.farthestPointSample(embeddings(s, d),
         "vec_id", "embedding", k = 4, seedId = 0L)),
 
+    // Exact permille quantiles ([[ops.Ranking.exactQuantiles]]): the
+    // value at global rank ceil(p*n/1000) under (value, id) order —
+    // sequence-length budgets from EXACT ranks (reproducible release
+    // gate), computed on the prefix-sum scaffold, never a single-task
+    // global sort or an approximate sketch.
+    QueryDef("q129_exact_quantiles",
+      Some("""
+        WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        r AS (SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rn FROM t),
+        p AS (SELECT unnest([500, 900, 990]) AS permille)
+        SELECT CAST(permille AS BIGINT) AS permille,
+               CAST((permille * n + 999) // 1000 AS BIGINT) AS rank,
+               n_tok AS value
+        FROM p CROSS JOIN n JOIN r ON r.rn = (permille * n + 999) // 1000
+        ORDER BY permille"""),
+      (s, d) => {
+        val t = spread(documents(s, d)).select(col("doc_id"),
+          size(Pipeline.words(col("text"))).cast("long").as("n_tok"))
+        graft.ops.Ranking.exactQuantiles(t, "n_tok", Seq(col("doc_id")),
+          Seq(500, 900, 990))
+      }),
+
+    // Dedup savings report ([[Dedup.dedupSavings]]): one row — docs
+    // and tokens removed if near-dedup at 0.5 kept each cluster's
+    // lowest id. verifiedPairs -> clusters -> one token-weighted agg;
+    // the oracle replays the closure recursively.
+    QueryDef("q130_dedup_savings",
+      Some(s"""
+        WITH RECURSIVE ${PipelineQueries.lshCte},
+        ver AS (SELECT c.a_id, c.b_id FROM cand c
+                JOIN sh a ON a.doc_id = c.a_id
+                JOIN sh b ON b.doc_id = c.b_id
+                WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                      / (len(a.shingles) + len(b.shingles)
+                         - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM ver
+                UNION SELECT b_id AS u, a_id AS v FROM ver),
+        reach(u, r) AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+        lab AS (SELECT u AS doc_id, MIN(r) AS cluster FROM reach GROUP BY u),
+        t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        j AS (SELECT t.doc_id, t.n_tok, COALESCE(lab.cluster, t.doc_id) AS cluster
+              FROM t LEFT JOIN lab ON lab.doc_id = t.doc_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+               CAST(SUM(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN doc_id <> cluster THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_dropped
+        FROM j"""),
+      (s, d) => Dedup.dedupSavings(spread(documents(s, d)), "doc_id",
+        "text", threshold = 0.5, maxBucketSize = Int.MaxValue)),
+
+    // Shard balance report ([[ops.Sampling.assignShards]]): per-shard
+    // doc/token mass under the deterministic hash shard key — the
+    // write-side layout audit (a skewed shard starves training
+    // readers).
+    QueryDef("q131_shard_balance",
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        SELECT CAST(${hash32Sql("'sh8_' || CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY shard ORDER BY shard"""),
+      (s, d) => graft.ops.Sampling.assignShards(
+          spread(documents(s, d)).select(col("doc_id"),
+            size(Pipeline.words(col("text"))).cast("long").as("n_tok")),
+          "doc_id", 8, seed = "sh8")
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"))
+        .orderBy("shard")),
+
+    // Near-dup pair features ([[Dedup.pairFeatures]]): the gate-free
+    // integer feature table (jaccard/containments/size-ratio in ppm)
+    // for every LSH candidate — learned-dedup training data.
+    QueryDef("q132_pair_features",
+      Some(s"""
+        WITH ${PipelineQueries.lshCte},
+        f AS (SELECT c.a_id, c.b_id,
+                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS BIGINT) AS i,
+                CAST(len(a.shingles) AS BIGINT) AS na,
+                CAST(len(b.shingles) AS BIGINT) AS nb
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.a_id
+              JOIN sh b ON b.doc_id = c.b_id)
+        SELECT a_id, b_id, na AS size_a, nb AS size_b,
+               (1000000 * i) // (na + nb - i) AS jaccard_ppm,
+               (1000000 * i) // na AS cont_a_ppm,
+               (1000000 * i) // nb AS cont_b_ppm,
+               (1000000 * least(na, nb)) // greatest(na, nb) AS size_ratio_ppm
+        FROM f ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sig = Dedup.shingleSignatures(spread(documents(s, d)),
+            "doc_id", "text", minhashK = PipelineQueries.lshK05)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.pairFeatures(sig, "doc_id", threshold = 0.5,
+            maxBucketSize = Int.MaxValue)
+          .orderBy("a_id", "b_id")
+      }),
+
     QueryDef("q123_length_histogram",
       Some("""
         WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

@@ -674,6 +674,73 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("agree"), col("est_ppm"))
   }
 
+  /** Dedup savings report: ONE row quantifying what near-dedup at
+    * `threshold` would remove — docs and tokens dropped when every
+    * duplicate cluster keeps its lowest id. The go/no-go number a
+    * curation review reads before paying for the full dedup pass, and
+    * the release-notes line after it ("4.1% of tokens were near-dups").
+    *
+    * Composition: [[verifiedPairs]] → [[clusters]] (label propagation
+    * over the verified pair graph, full-corpus labels) → one token-
+    * weighted aggregate. `n_clusters = n_docs - n_dropped` by
+    * construction (every doc carries exactly one min-id label), but it
+    * is computed independently (COUNT DISTINCT cluster) so the
+    * invariant is visible in the output rather than assumed.
+    */
+  def dedupSavings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    val sig = shingleSignatures(docs, idCol, textCol, 3, k).persist(Disk)
+    val pairs = verifiedPairs(sig, idCol, threshold, k, b, maxBucketSize)
+    val lab = clusters(pairs, docs.select(col(idCol)), idCol)
+    docs.select(col(idCol),
+        size(Pipeline.words(col(textCol))).cast(LongType).as("_n_tok"))
+      .join(lab, idCol)
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        countDistinct(col("cluster")).cast(LongType).as("n_clusters"),
+        sum(when(col(idCol) =!= col("cluster"), 1L).otherwise(0L))
+          .cast(LongType).as("n_dropped"),
+        sum(col("_n_tok")).cast(LongType).as("tokens_total"),
+        sum(when(col(idCol) =!= col("cluster"), col("_n_tok")).otherwise(0L))
+          .cast(LongType).as("tokens_dropped"))
+  }
+
+  /** Near-dup pair FEATURES: for every LSH candidate pair (threshold-
+    * derived banding, no similarity gate), the integer-exact feature
+    * vector a downstream dedup classifier / reranker consumes —
+    * jaccard, both containments, and the size ratio, all in ppm, plus
+    * both set sizes. The feature-engineering half of learned dedup:
+    * the gate-free output is the training table, with the features
+    * bit-identical across engines (single floor division per feature).
+    */
+  def pairFeatures(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double = 0.5,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    candidatesWithShingles(sig, idCol, k, b, maxBucketSize)
+      .withColumn("_i", inter.cast(LongType))
+      .withColumn("_na", size(col("_sa")).cast(LongType))
+      .withColumn("_nb", size(col("_sb")).cast(LongType))
+      .select(col("a_id"), col("b_id"),
+        col("_na").as("size_a"), col("_nb").as("size_b"),
+        expr("(1000000 * _i) div (_na + _nb - _i)").as("jaccard_ppm"),
+        expr("(1000000 * _i) div _na").as("cont_a_ppm"),
+        expr("(1000000 * _i) div _nb").as("cont_b_ppm"),
+        expr("(1000000 * least(_na, _nb)) div greatest(_na, _nb)")
+          .as("size_ratio_ppm"))
+  }
+
   /** Winnowed document fingerprints (the MOSS selection rule):
     * positional k-gram hashes, then the LEFTMOST-minimum hash of each
     * sliding window of `window` consecutive grams. Winnowing

@@ -99,4 +99,36 @@ object Ranking {
       "_before", chunks)
     (pref.withColumn(outCol, col("_before") + lit(1L)).drop("_before"), release)
   }
+
+  /** EXACT permille quantiles of `valueCol` under the total order
+    * (`valueCol` asc, then `tieCols`): the value at global rank
+    * `ceil(permille * n / 1000)` — the length-budget / SLA question
+    * ("what sequence length covers 99% of documents") answered without
+    * an approximate sketch AND without a single-task global sort: the
+    * rank comes from the hierarchical prefix-sum scaffold, and the
+    * target ranks are an integer formula over one bounded count.
+    * Returns (permille, rank, value).
+    *
+    * At 100 TB this is the exact-quantile shape that works: one count,
+    * one scaffold pass, one rank-keyed semi-join — vs
+    * `approxQuantile`'s sketch (fast but approximate, useless for a
+    * reproducible release gate) or a global `orderBy.limit` (single
+    * task at the cut).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCols: Seq[Column],
+                     permilles: Seq[Int], chunks: Int = 0): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1,1000], got $permilles")
+    val spark = df.sparkSession
+    val n = df.count()
+    require(n > 0, "exactQuantiles needs a non-empty frame")
+    val targets = permilles.map(p => (p.toLong, (p * n + 999L) / 1000L))
+    val ranked = globalRowNumber(df.select(col(valueCol) +: tieCols: _*),
+      col(valueCol) +: tieCols, "pos", chunks)
+    import spark.implicits._
+    val want = targets.toDF("permille", "rank")
+    ranked.join(want, ranked("pos") === want("rank"))
+      .select(col("permille"), col("rank"), col(valueCol).as("value"))
+      .orderBy("permille")
+  }
 }

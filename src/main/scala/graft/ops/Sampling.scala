@@ -77,6 +77,23 @@ object Sampling {
     when(key.isNotNull, assigned).otherwise(lit(null))
   }
 
+  /** Deterministic output-shard assignment: `shard = hash32(seed_id)
+    * mod nShards` — the write-side partitioning a training reader
+    * consumes. Content-hash based (retry-stable, engine-exact, no
+    * round-robin state), uniform in expectation, and re-seedable when
+    * a release wants a fresh shuffle of the same corpus. Use with
+    * `df.repartition(nShards, col("shard")).write.partitionBy("shard")`
+    * (or bucketBy) — the column IS the physical layout key.
+    */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int,
+                   seed: String = "sh"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(!df.columns.contains("shard"),
+      "input already carries a 'shard' column — rename it before assignShards")
+    df.withColumn("shard", pmod(graft.Pipeline.wordHash32(
+      concat(lit(seed + "_"), col(keyCol).cast("string"))), lit(nShards.toLong)))
+  }
+
   /** BUDGET-CONSTRAINED corpus selection: rank rows by `valueCol`
     * descending (id tiebreak) and keep a row iff the tokens of every
     * higher-ranked row plus its own fit the global `budget` — "take

@@ -869,6 +869,34 @@ class OpsSpec extends AnyFunSuite {
     assert(picks(3)._3.get > 0.99)                 // the near-dup
   }
 
+  test("exact quantiles return the value at the exact ceil rank") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, i * 10)).toDF("doc_id", "v")
+    val q = graft.ops.Ranking.exactQuantiles(df, "v", Seq(col("doc_id")),
+        Seq(1, 500, 900, 1000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(q == Map(
+      1L -> (1L, 10L),       // ceil(0.001*10) = 1
+      500L -> (5L, 50L),     // the lower median
+      900L -> (9L, 90L),
+      1000L -> (10L, 100L)), s"got $q")
+  }
+
+  test("shard assignment is deterministic, in-range, and formula-exact") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("doc_id")
+    val a = graft.ops.Sampling.assignShards(df, "doc_id", 8, seed = "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.forall(s => s >= 0 && s < 8))
+    // every shard populated on 100 keys (uniformity smoke)
+    assert(a.values.toSet.size == 8)
+    // formula-exact vs the hash expression it documents
+    val ref = df.select(col("doc_id"), pmod(Pipeline.wordHash32(
+        concat(lit("s_"), col("doc_id").cast("string"))), lit(8L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == ref)
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

@@ -1099,6 +1099,31 @@ class PipelineSpec extends AnyFunSuite {
       ("B", "B") -> (1L, 750000L)), s"got $cells")
   }
 
+  test("dedup savings and pair features report the hand-computed numbers") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon"       // 5 tokens
+    val t2 = "one two three four five"
+    val docs = Seq(
+      (1L, t1), (2L, t1), (3L, t1 + " zeta"),       // cluster {1,2,3}
+      (4L, t2), (5L, t2),                           // cluster {4,5}
+      (6L, "completely unrelated filler words appear")  // singleton, 5 tokens
+    ).toDF("doc_id", "text")
+    val s = Dedup.dedupSavings(docs, "doc_id", "text", threshold = 0.5)
+      .collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
+      == ((6L, 3L, 3L, 31L, 16L)),  // dropped: 2 (5t), 3 (6t), 5 (5t)
+      s"got $s")
+    // pair features: the (1,3) pair — i=3, na=3, nb=4 shingles
+    val sig = Dedup.shingleSignatures(docs, "doc_id", "text")
+    val f = Dedup.pairFeatures(sig, "doc_id", threshold = 0.5)
+      .filter(col("a_id") === 1L && col("b_id") === 3L).collect()(0)
+    assert(f.getLong(2) == 3L && f.getLong(3) == 4L)       // sizes
+    assert(f.getLong(4) == 750000L, "jaccard 3/4")
+    assert(f.getLong(5) == 1000000L, "doc 1 fully contained")
+    assert(f.getLong(6) == 750000L)
+    assert(f.getLong(7) == 750000L, "size ratio 3/4")
+  }
+
   test("winnowing selects the reference fingerprints and finds shared passages") {
     import spark.implicits._
     // the winnowing guarantee: any shared token run of length

@@ -56,6 +56,13 @@ object Graph {
         .withColumnRenamed("dst", "node")
     }
     pr
+    // NO per-iteration localCheckpoint, deliberately — measured A/B at
+    // sf0.1/sf1 (PLANS.md round 8): the checkpointed loop is ~2.2x
+    // slower at sf0.1 (7.8 vs 3.5 s) and still slower at sf1 — with a
+    // FIXED iteration count the whole chain optimizes as one plan and
+    // materializing per iteration only pays eager-job + storage cost.
+    // The convergence-driven clusters() loop checkpoints because its
+    // lineage is unbounded; this one's is bounded by `iters`.
   }
 
   /** Undirected degree table for an edge list that already carries

@@ -136,7 +136,20 @@ object ScaleBench {
       "q111_bm25_search", "q112_deterministic_shuffle",
       "q113_estimated_jaccard_pairs", "q114_boundary_overlap",
       "q115_canary_scan", "q116_incremental_ingest",
-      "q117_quality_model_score", "q118_embedding_drift")
+      "q117_quality_model_score", "q118_embedding_drift",
+      // round-8 second pass: blocked ANN with label filter, token-key
+      // windows (divergence), pair-graph rollups (dup matrix, savings,
+      // features), winnowing (doc-keyed window + fp join), PageRank
+      // (NOTE: l_suppkey is NOT replica-shifted, so supplier nodes
+      // have 10x degree at sf1 — the hub-skew case, intentionally
+      // exercised), transitions (user-keyed window), heavy hitters
+      // (GroupedTopK), quantiles + shuffle order (prefix-sum scaffold)
+      "q119_hard_negatives", "q120_source_divergence",
+      "q121_duplication_matrix", "q122_collocations",
+      "q123_length_histogram", "q124_winnowed_overlap",
+      "q125_pagerank", "q126_event_transitions", "q127_heavy_hitters",
+      "q129_exact_quantiles", "q130_dedup_savings",
+      "q131_shard_balance", "q132_pair_features")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

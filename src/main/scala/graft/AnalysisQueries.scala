@@ -1004,6 +1004,91 @@ object AnalysisQueries {
           .orderBy("a_id", "b_id")
       }),
 
+    // Skip-gram collocations ([[ops.TextStats.collocations]] at
+    // window=3): co-occurrence lift over (token, +j-th neighbour)
+    // pairs, j=1..3 — the word2vec-style context statistics; each
+    // offset is a scan-side shifted zip, never a position join.
+    QueryDef("q133_skipgram_collocations",
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        tot AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS tot FROM w),
+        uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        p AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram FROM w
+              UNION ALL
+              SELECT unnest([w[i] || ' ' || w[i+2] for i in range(1, len(w)-1)]) FROM w
+              UNION ALL
+              SELECT unnest([w[i] || ' ' || w[i+3] for i in range(1, len(w)-2)]) FROM w),
+        bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+               FROM p GROUP BY bigram HAVING COUNT(*) >= 5)
+        SELECT bigram, c_ab AS n,
+               CAST((1000000 * c_ab * tot) // (ua.c * ub.c) AS BIGINT) AS lift_ppm
+        FROM bc CROSS JOIN tot
+        JOIN uc ua ON ua.t = string_split(bigram, ' ')[1]
+        JOIN uc ub ON ub.t = string_split(bigram, ' ')[2]
+        ORDER BY lift_ppm DESC, n DESC, bigram LIMIT 30"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val tot = graft.ops.TextStats.totalTokens(docs, "text")
+        graft.ops.TextStats.collocations(docs, "text", tot, minCount = 5,
+          k = 30, window = 3)
+      }),
+
+    // Language-margin scoring ([[ops.TextStats.scoreMargin]] over the
+    // q32 language profiles): top score, runner-up, and the relative
+    // margin in ppm — close scores flag code-switched / mis-scraped
+    // text for review instead of trusting the argmax.
+    QueryDef("q134_language_margin",
+      Some {
+        val scores = PipelineQueries.LangProfiles.map { case (l, bgs) =>
+          val sum = bgs.map(bg =>
+            s"(length(text) - length(replace(text, '$bg', '')))").mkString(" + ")
+          s"CAST($sum AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        val arr = PipelineQueries.LangProfiles
+          .map { case (l, _) => s"s_$l" }.mkString("[", ", ", "]")
+        s"""
+        WITH scored AS (SELECT doc_id, $scores FROM documents),
+        m AS (SELECT doc_id, list_sort($arr) AS ss FROM scored)
+        SELECT doc_id, ss[-1] AS s_top, ss[-2] AS s_second,
+               CASE WHEN ss[-1] <= 0 THEN 0
+                    ELSE ((ss[-1] - ss[-2]) * 1000000) // ss[-1] END AS margin_ppm
+        FROM m ORDER BY doc_id"""
+      },
+      (s, d) => {
+        val scored = spread(documents(s, d)).select(
+          col("doc_id") +: PipelineQueries.LangProfiles.map { case (l, bgs) =>
+            bgs.map(Pipeline.occurrences2x(col("text"), _)).reduce(_ + _)
+              .as(s"s_$l")
+          }: _*)
+        graft.ops.TextStats.scoreMargin(scored, "doc_id",
+            PipelineQueries.LangProfiles.map { case (l, _) => s"s_$l" })
+          .orderBy("doc_id")
+      }),
+
+    // Per-source mean self-information ([[ops.TextStats
+    // .sourceEntropy]]): millibits/token under the corpus unigram
+    // model — the internal-redundancy screen complementing q120's
+    // distributional divergence (boilerplate-heavy sources score LOW
+    // even when their token mix matches the corpus).
+    QueryDef("q135_source_entropy",
+      Some("""
+        WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM toks),
+        tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY source, w),
+        f AS (SELECT source, tf, CAST(SUM(tf) OVER (PARTITION BY w) AS BIGINT) AS freq FROM tf),
+        g AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     CAST(SUM(tf * (length(bin(tot // freq)) - 1)) AS BIGINT) AS bits
+              FROM f CROSS JOIN tot GROUP BY source)
+        SELECT source, n_tokens, bits, (1000 * bits) // n_tokens AS mean_millibits
+        FROM g ORDER BY source"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val tot = graft.ops.TextStats.totalTokens(docs, "text")
+        graft.ops.TextStats.sourceEntropy(docs, "source", "text", tot)
+          .orderBy("source")
+      }),
+
     QueryDef("q123_length_histogram",
       Some("""
         WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

@@ -297,17 +297,25 @@ object TextStats {
     * squared; the bigram frame is the corpus token stream itself.
     */
   def collocations(docs: DataFrame, textCol: String, totalTokens: Long,
-                   minCount: Int = 5, k: Int = 30): DataFrame = {
+                   minCount: Int = 5, k: Int = 30,
+                   window: Int = 1): DataFrame = {
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
+    require(window >= 1, s"window must be >= 1, got $window")
     val w = docs.select(words(col(textCol)).as("w"))
     val uni = w.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val bi = w.filter(size(col("w")) >= 2)
-      .select(explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+    // (token, +j-th neighbour) pairs for j = 1..window: each offset is
+    // a pure scan-side shifted zip (no position join) — window=1 is
+    // adjacent bigrams, window>1 the word2vec-style skip-gram context
+    val pairFrames = (1 to window).map { j =>
+      w.filter(size(col("w")) >= j + 1)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - j),
+          slice(col("w"), lit(1 + j), size(col("w")) - j),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+    }
+    val bi = pairFrames.reduce(_ unionAll _)
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
@@ -319,6 +327,51 @@ object TextStats {
           .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("n").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** Argmax-margin over a set of integer score columns: the top score,
+    * the runner-up, and the relative margin in ppm — the "how sure was
+    * the classifier" column behind mixed-language detection (two
+    * language profiles scoring close means code-switched or
+    * mis-scraped text; route to review instead of trusting the
+    * argmax). Generic over any integer score family: `array_sort` of
+    * the score vector is exact integer order, so top/second/margin are
+    * engine-identical. `margin_ppm = (top-second)*1e6 div top`, 0 when
+    * the top score is 0 (fully ambiguous). Pure scan-side.
+    */
+  def scoreMargin(df: DataFrame, idCol: String,
+                  scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.size >= 2,
+      s"scoreMargin needs >= 2 score columns, got $scoreCols")
+    df.withColumn("_ss", array_sort(array(scoreCols.map(col(_).cast(LongType)): _*)))
+      .withColumn("s_top", element_at(col("_ss"), -1))
+      .withColumn("s_second", element_at(col("_ss"), -2))
+      .withColumn("margin_ppm", when(col("s_top") <= 0L, 0L)
+        .otherwise(expr("((s_top - s_second) * 1000000) div s_top")))
+      .select(col(idCol), col("s_top"), col("s_second"), col("margin_ppm"))
+  }
+
+  /** Per-source mean self-information (millibits/token): the corpus-
+    * unigram-model entropy of each source's token stream — the
+    * redundancy screen that complements [[sourceDivergence]] (a source
+    * can match the corpus mixture yet be internally degenerate:
+    * repeated boilerplate scores LOW here). Same integer bit-length
+    * information charge as [[informationScore]], aggregated per source:
+    * `mean_millibits = (1000 * sum bits) div n_tokens`.
+    */
+  def sourceEntropy(docs: DataFrame, sourceCol: String, textCol: String,
+                    totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    val tf = docs
+      .select(col(sourceCol).as("source"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("freq", sum(col("tf")).over(Window.partitionBy("w")))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
+        sum(col("tf") * (length(bin(expr(s"${totalTokens}L div freq"))) - 1))
+          .cast(LongType).as("bits"))
+      .withColumn("mean_millibits", expr("(1000 * bits) div n_tokens"))
   }
 
   /** Per-stratum token heavy hitters: the top-k most frequent tokens

@@ -897,6 +897,50 @@ class OpsSpec extends AnyFunSuite {
     assert(a == ref)
   }
 
+  test("skip-gram collocations count all offsets within the window") {
+    import spark.implicits._
+    // five "x a y" docs: j=1 gives (x,a),(a,y); j=2 gives (x,y);
+    // one "p p p p p" doc: (p,p) at j=1 (4) + j=2 (3) + j=3 (2) = 9
+    val docs = (Seq.fill(5)("x a y") :+ "p p p p p").toDF("text")
+    val res = graft.ops.TextStats.collocations(docs, "text", 20L,
+        minCount = 5, k = 10, window = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // lift(p p) = 1e6*9*20/(5*5) = 7_200_000; the x/a/y pairs all
+    // 1e6*5*20/(5*5) = 4_000_000, tie-broken alphabetically
+    assert(res.toSeq == Seq(
+      ("p p", 9L, 7200000L),
+      ("a y", 5L, 4000000L), ("x a", 5L, 4000000L), ("x y", 5L, 4000000L)),
+      s"got ${res.toSeq}")
+  }
+
+  test("score margin picks top/second and a scale-invariant ppm margin") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5L, 2L), (2L, 0L, 0L, 0L), (3L, 7L, 7L, 1L))
+      .toDF("id", "s_a", "s_b", "s_c")
+    val m = graft.ops.TextStats.scoreMargin(df, "id", Seq("s_a", "s_b", "s_c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m == Map(
+      1L -> (10L, 5L, 500000L),
+      2L -> (0L, 0L, 0L),       // zero top score -> fully ambiguous
+      3L -> (7L, 7L, 0L)))      // exact tie -> zero margin
+  }
+
+  test("source entropy charges bit-lengths under the corpus unigram model") {
+    import spark.implicits._
+    // corpus a=2, b=2, N=4: each token worth floor(log2(4/2)) = 1 bit
+    val docs = Seq(("s1", "a a"), ("s2", "b b")).toDF("source", "text")
+    val e = graft.ops.TextStats.sourceEntropy(docs, "source", "text", 4L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(e == Map("s1" -> (2L, 2L, 1000L), "s2" -> (2L, 2L, 1000L)))
+    // a single-token corpus has zero information content
+    val uni = Seq(("u", "a a a a")).toDF("source", "text")
+    val e2 = graft.ops.TextStats.sourceEntropy(uni, "source", "text", 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(e2 == Map("u" -> 0L))
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

@@ -63,6 +63,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN probes against a bucket-partitioned corpus prune to the probed partitions") {
+    // the at-rest half of the ANN design (Similarity scaladoc): the RHP
+    // bucket column doubles as the physical partition key, so a probe
+    // reads only its bucket's files — PartitionFilters, not a full scan
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ann_at_rest").toString
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("bucket", Pipeline.rhpBucket(col("v"), 64, 4))
+    e.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val probes = Seq(3, 7)  // a probe set (bucket + a hamming neighbour)
+    val scan = spark.read.parquet(dir)
+      .filter(col("bucket").isin(probes: _*))
+    val fs = scan.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fs.nonEmpty)
+    val pf = fs.head.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("bucket"), s"probe did not prune partitions: $pf")
+    // the pruned read returns exactly the probed buckets' rows
+    val expected = e.filter(col("bucket").isin(probes: _*)).count()
+    assert(scan.count() == expected && expected > 0)
+  }
+
   test("planesFor sizes RHP bucket count to the corpus") {
     assert(Pipeline.planesFor(1000, 1000) == 1)   // floor: always split once
     assert(Pipeline.planesFor(16000, 1000) == 4)

@@ -149,7 +149,11 @@ object ScaleBench {
       "q123_length_histogram", "q124_winnowed_overlap",
       "q125_pagerank", "q126_event_transitions", "q127_heavy_hitters",
       "q129_exact_quantiles", "q130_dedup_savings",
-      "q131_shard_balance", "q132_pair_features")
+      "q131_shard_balance", "q132_pair_features",
+      // skip-grams (3x pair stream), language margin (scan-side),
+      // source entropy (token-key window + source agg)
+      "q133_skipgram_collocations", "q134_language_margin",
+      "q135_source_entropy")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

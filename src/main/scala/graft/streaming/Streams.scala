@@ -547,6 +547,55 @@ object Streams {
       }
   }
 
+  case class TransitionEvent(user_id: Long, from_type: String,
+                             to_type: String, ts: Timestamp)
+  case class LastEvent(ty: String, ms: Long)
+
+  /** Streaming event-transition monitor — the streaming form of the
+    * batch [[graft.ops.Events.transitionMatrix]]: per user, each
+    * arriving event emits the (previous type → this type) transition
+    * the moment it happens; downstream windowed aggregation turns the
+    * stream into live Markov rates (anomaly alarms on never-seen
+    * transitions, drift alerts on shifting rates). State per user is
+    * ONE (type, ts) pair, evicted by event-time timeout once the
+    * watermark passes `horizonMinutes` of inactivity — an idle user
+    * costs nothing forever, and a returning user simply starts a new
+    * chain (no cross-horizon transition, matching the batch operator
+    * applied per horizon).
+    */
+  def streamingTransitions(events: Dataset[TypedEvent],
+                           horizonMinutes: Int = 30): Dataset[TransitionEvent] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60_000L
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: (ts, type) — the same
+            // total order the batch operator's window sorts on
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            var out = List.empty[TransitionEvent]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur.foreach(l =>
+                out ::= TransitionEvent(userId, l.ty, e.event_type, e.ts))
+              cur = Some(LastEvent(e.event_type, e.ts.getTime))
+            }
+            cur.foreach { l =>
+              // the stored event came from THIS batch whenever evs is
+              // non-empty, so l.ms is above the watermark and the
+              // timeout re-arm is safe (the funnel's re-arm rule); on
+              // an empty batch nothing is touched
+              if (evs.nonEmpty) { state.update(l); state.setTimeoutTimestamp(l.ms + horizonMs) }
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Running per-user aggregate via mapGroupsWithState — the escape
     * hatch for state machines the built-in aggregates can't express
     * (sessionization, CDC-style upserts). Emits the updated state per

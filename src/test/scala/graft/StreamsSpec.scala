@@ -430,6 +430,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions emit per-arrival pairs chained across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingTransitions(in.toDS(), horizonMinutes = 30)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Streams.TypedEvent(1, ts(0), "A"),
+        Streams.TypedEvent(1, ts(1), "B"),
+        Streams.TypedEvent(2, ts(0), "A"))
+      q.processAllAvailable()
+      // u1's chain continues from the STORED state in a later batch
+      in.addData(Streams.TypedEvent(1, ts(3), "A"),
+        Streams.TypedEvent(2, ts(2), "B"))
+      q.processAllAvailable()
+      val rows = spark.table("transitions").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows.sorted == Seq(
+        (1L, "A", "B"), (1L, "B", "A"), (2L, "A", "B")).sorted, s"got $rows")
+      // matches the batch transition matrix on the same events
+      val batch = graft.ops.Events.transitionMatrix(
+          Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 3L, "A"),
+            (2L, 0L, "A"), (2L, 2L, "B")).toDF("user_id", "tus", "event_type"),
+          "user_id", "event_type", Seq("tus"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val streamed = rows.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+      assert(streamed == batch.map { case (k, v) => k -> v })
+    } finally q.stop()
+  }
+
   test("streaming funnel emits advances in order and enforces the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

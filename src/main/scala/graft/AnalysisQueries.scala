@@ -760,6 +760,20 @@ object AnalysisQueries {
     // power-of-two length bands with doc/token mass per band — the
     // packing planner's input for sequence-length budgets. Bucket via
     // integer bit-length; scan-side + one <= 64-row aggregate.
+    QueryDef("q123_length_histogram",
+      Some("""
+        WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        b AS (SELECT n, CASE WHEN n <= 0 THEN CAST(0 AS BIGINT)
+                             ELSE CAST(1 << (length(bin(n)) - 1) AS BIGINT) END AS bucket_lo
+              FROM t)
+        SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(MIN(n) AS BIGINT) AS min_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tokens
+        FROM b GROUP BY bucket_lo ORDER BY bucket_lo"""),
+      (s, d) => graft.ops.TextStats.lengthHistogram(
+        spread(documents(s, d)), "text")),
+
     // Winnowed fingerprint overlap ([[Dedup.winnowedPairs]]): MOSS-
     // selection (leftmost-min k-gram hash per sliding window) then a
     // fingerprint-keyed equi-join — the position-robust shared-passage
@@ -789,7 +803,8 @@ object AnalysisQueries {
         GROUP BY a_id, b_id HAVING COUNT(*) >= 2
         ORDER BY a_id, b_id"""),
       (s, d) => Dedup.winnowedPairs(spread(documents(s, d)), "doc_id",
-          "text", k = 4, window = 4, minShared = 2)
+          "text", k = 4, window = 4, minShared = 2,
+          maxFpDf = Int.MaxValue)
         .orderBy("a_id", "b_id")),
 
     // Integer PageRank ([[ops.Graph.pageRank]]) over the customer-
@@ -1088,20 +1103,6 @@ object AnalysisQueries {
         graft.ops.TextStats.sourceEntropy(docs, "source", "text", tot)
           .orderBy("source")
       }),
-
-    QueryDef("q123_length_histogram",
-      Some("""
-        WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-        b AS (SELECT n, CASE WHEN n <= 0 THEN CAST(0 AS BIGINT)
-                             ELSE CAST(1 << (length(bin(n)) - 1) AS BIGINT) END AS bucket_lo
-              FROM t)
-        SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n) AS BIGINT) AS n_tokens,
-               CAST(MIN(n) AS BIGINT) AS min_tokens,
-               CAST(MAX(n) AS BIGINT) AS max_tokens
-        FROM b GROUP BY bucket_lo ORDER BY bucket_lo"""),
-      (s, d) => graft.ops.TextStats.lengthHistogram(
-        spread(documents(s, d)), "text")),
 
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language

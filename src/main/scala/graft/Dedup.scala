@@ -789,12 +789,13 @@ object Dedup {
     * MOSS-style local-plagiarism / shared-passage report. One
     * fingerprint-keyed equi-join (never pairwise over docs);
     * `maxFpDf` caps degenerate boilerplate fingerprints shared by
-    * thousands of docs (the hot-key guard every blocking join here
-    * carries); oracle-replayed callers pass Int.MaxValue.
+    * thousands of docs — the hot-key guard every blocking join here
+    * carries, defaulted ON (10000) like the family's maxBucketSize;
+    * oracle-replayed callers pass Int.MaxValue (uncapped SQL).
     */
   def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 4, window: Int = 4, minShared: Int = 2,
-                    maxFpDf: Int = Int.MaxValue): DataFrame = {
+                    maxFpDf: Int = 10000): DataFrame = {
     val fpsAll = winnowedFingerprints(df, idCol, textCol, k, window)
     val fps = if (maxFpDf == Int.MaxValue) fpsAll
       else fpsAll

@@ -34,26 +34,36 @@ object Graph {
     * pre-partition the edge list by `src` once and every iteration's
     * join reuses that partitioning; the rank frame is nodes-sized.
     *
-    * Nodes with no in-edges keep the base rank 150 only if they appear
-    * as someone's `src`; callers wanting isolated nodes ranked must
-    * union them into the edge list (an undirected graph doubled into
-    * both directions — the usual curation-graph form — has none).
+    * The node set is src ∪ dst of the edge list. A node with no
+    * in-edges holds the base rank 150 every iteration (it still feeds
+    * its out-edges); a sink (no out-edges) accumulates rank but
+    * redistributes nothing — its mass leaks, the standard
+    * simplification when dangling-mass redistribution isn't needed for
+    * a RANKING (it rescales uniformly). Isolated nodes (no edges at
+    * all) are not ranked — union self-loops if they must appear.
     */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast(LongType).as("deg"))
     val prepared = e.join(deg, "src")
-    val nodes = deg.select(col("src").as("node"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     var pr = nodes.withColumn("pr", lit(1000L))
     for (_ <- 1 to iters) {
-      pr = prepared
+      val contribs = prepared
         .join(pr, prepared("src") === pr("node"))
         .select(col("dst"), expr("pr div deg").as("_c"))
         .groupBy(col("dst"))
-        .agg((lit(150L) + expr("(850 * sum(_c)) div 1000"))
-          .cast(LongType).as("pr"))
+        .agg(sum(col("_c")).as("_s"))
         .withColumnRenamed("dst", "node")
+      // left join from the FULL node set: a node with no in-edges gets
+      // the base 150, instead of silently dropping out of the frame
+      // (which would also zero its out-contributions next iteration)
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150L) + expr("(850 * coalesce(_s, 0L)) div 1000"))
+            .cast(LongType).as("pr"))
     }
     pr
     // NO per-iteration localCheckpoint, deliberately — measured A/B at

@@ -295,6 +295,12 @@ object TextStats {
     * (token-key shuffles), two vocabulary-sized equi-joins to attach
     * c_a/c_b, TakeOrderedAndProject for the top-k. Nothing corpus-
     * squared; the bigram frame is the corpus token stream itself.
+    *
+    * BIGINT bound: the lift numerator is `1e6 * c_ab * N`, safe while
+    * `c_ab * N <= 9.2e12` (e.g. any pair count at N <= 1e9 tokens
+    * needs c_ab <= ~9200). Past that, lift the numerator to
+    * DECIMAL(38,0) on both engines — same escape hatch as
+    * [[sourceDivergence]].
     */
   def collocations(docs: DataFrame, textCol: String, totalTokens: Long,
                    minCount: Int = 5, k: Int = 30,
@@ -383,8 +389,10 @@ object TextStats {
     * (`n * 2^32 + hash32(token)`; hash < 2^32, so the pack is
     * lexicographic (n, hash) order and boundary ties are impossible
     * unless two tokens collide on the full 32-bit hash in the same
-    * stratum at the same count). Count stays exact to n <= 2^31 per
-    * (stratum, token) — beyond that, drop the pack and pre-aggregate.
+    * stratum at the same count). Count stays exact to n <= 2^31 - 1
+    * per (stratum, token) (the pack tops out at Long.MaxValue exactly;
+    * n = 2^31 would wrap) — beyond that, drop the pack and
+    * pre-aggregate.
     */
   def heavyHitters(docs: DataFrame, stratumCol: String, textCol: String,
                    k: Int = 3): DataFrame = {

@@ -561,7 +561,10 @@ object Streams {
     * watermark passes `horizonMinutes` of inactivity — an idle user
     * costs nothing forever, and a returning user simply starts a new
     * chain (no cross-horizon transition, matching the batch operator
-    * applied per horizon).
+    * applied per horizon). Cross-batch stragglers (above the watermark
+    * but older than the stored state) are DROPPED, not chained — a
+    * backwards event would emit an inverted transition the batch
+    * operator never produces.
     */
   def streamingTransitions(events: Dataset[TypedEvent],
                            horizonMinutes: Int = 30): Dataset[TransitionEvent] = {
@@ -574,22 +577,33 @@ object Streams {
         (userId: Long, batch: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // deterministic within-batch order: (ts, type) — the same
-            // total order the batch operator's window sorts on
+            // deterministic within-batch order: (ts, type). NOTE: on
+            // exactly-equal timestamps this tiebreak (type) differs
+            // from the batch operator's (event id) — TypedEvent
+            // carries no id; distinct-timestamp streams match exactly
             val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
             var out = List.empty[TransitionEvent]
             var cur = state.getOption
+            var advanced = false
             evs.foreach { e =>
-              cur.foreach(l =>
-                out ::= TransitionEvent(userId, l.ty, e.event_type, e.ts))
-              cur = Some(LastEvent(e.event_type, e.ts.getTime))
+              // monotonicity guard (the funnel's `t > lastMs` rule):
+              // an event older than the stored state is a cross-batch
+              // straggler — chaining it would emit an INVERTED
+              // transition and regress the state/timeout. Dropped
+              // loudly-by-contract: monitors see forward chains only
+              if (cur.forall(l => e.ts.getTime >= l.ms)) {
+                cur.foreach(l =>
+                  out ::= TransitionEvent(userId, l.ty, e.event_type, e.ts))
+                cur = Some(LastEvent(e.event_type, e.ts.getTime))
+                advanced = true
+              }
             }
             cur.foreach { l =>
-              // the stored event came from THIS batch whenever evs is
-              // non-empty, so l.ms is above the watermark and the
-              // timeout re-arm is safe (the funnel's re-arm rule); on
-              // an empty batch nothing is touched
-              if (evs.nonEmpty) { state.update(l); state.setTimeoutTimestamp(l.ms + horizonMs) }
+              // the stored event came from THIS batch whenever an
+              // advance happened, so l.ms is above the watermark and
+              // the timeout re-arm is safe (the funnel's re-arm rule);
+              // otherwise nothing is touched
+              if (advanced) { state.update(l); state.setTimeoutTimestamp(l.ms + horizonMs) }
             }
             out.reverseIterator
           }

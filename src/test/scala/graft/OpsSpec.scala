@@ -832,6 +832,15 @@ class OpsSpec extends AnyFunSuite {
     val it2 = graft.ops.Graph.pageRank(star, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(it2 == Map(1L -> 1127L, 2L -> 936L, 3L -> 936L), s"got $it2")
+    // DIRECTED chain 1->2->3: the source-only node must stay in the
+    // frame at base rank (not silently drop out), still feeding its
+    // out-edge every iteration; the sink accumulates
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val d2 = graft.ops.Graph.pageRank(chain, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter2: pr(2) = 150 + 850*floor(150/1)//1000 = 277; pr(3) takes
+    // iter-1 pr(2) = 1000
+    assert(d2 == Map(1L -> 150L, 2L -> 277L, 3L -> 1000L), s"got $d2")
   }
 
   test("transition matrix counts per-user consecutive pairs with exact ppm rows") {

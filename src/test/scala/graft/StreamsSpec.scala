@@ -459,6 +459,12 @@ class StreamsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val streamed = rows.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
       assert(streamed == batch.map { case (k, v) => k -> v })
+      // a cross-batch straggler (above watermark, older than the
+      // stored state) is dropped — no inverted transition, no state
+      // regression (u1's state holds ts(3) "A"; ts(2) arrives late)
+      in.addData(Streams.TypedEvent(1, ts(2), "C"))
+      q.processAllAvailable()
+      assert(spark.table("transitions").count() == rows.size)
     } finally q.stop()
   }
 

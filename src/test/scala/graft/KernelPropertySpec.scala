@@ -140,4 +140,47 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winnowing guarantee holds on generated docs with planted shared runs") {
+    import spark.implicits._
+    // non-empty single-word tokens (the words() contract: no inner
+    // empty tokens, so the driver-side reference split agrees)
+    val tok: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    def toks(seed: Long, n: Int): Seq[String] =
+      Gen.listOfN(n, tok).apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    // 40 pairs: doc A = prefixA ++ shared ++ suffixA, doc B likewise
+    // with different padding; shared run length 7 = window + k - 1
+    val cases = (0 until 40).map { i =>
+      val shared = toks(1000 + i, 7)
+      val a = toks(2000 + i, i % 5) ++ shared ++ toks(3000 + i, (i + 2) % 4)
+      val b = toks(4000 + i, (i + 3) % 6) ++ shared ++ toks(5000 + i, i % 3)
+      (2L * i, a.mkString(" "), 2L * i + 1, b.mkString(" "))
+    }
+    val docs = cases.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the MOSS guarantee: every planted >= w+k-1 shared run yields at
+    // least one shared selected fingerprint, wherever it sits
+    cases.foreach { case (ia, a, ib, _) =>
+      assert((fps(ia) & fps(ib)).nonEmpty,
+        s"pair ($ia,$ib) shares a 7-token run but no fingerprint: $a")
+    }
+    // and the selection equals the driver-side reference winnow
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    cases.foreach { case (ia, a, _, _) =>
+      val w = a.split(" ")
+      val grams = (0 to w.length - 4).map(j => h32(w.slice(j, j + 4).mkString(" ")))
+      val ref = (0 to grams.length - 4).map { j =>
+        (j until j + 4).map(x => grams(x) * 1000000L + (x + 1)).min / 1000000L
+      }.toSet
+      assert(fps(ia) == ref, s"selection mismatch for doc $ia")
+    }
+  }
 }

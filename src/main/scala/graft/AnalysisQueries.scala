@@ -1104,6 +1104,71 @@ object AnalysisQueries {
           .orderBy("source")
       }),
 
+    // Dedup cluster-size distribution: how many near-dup clusters of
+    // each size the corpus holds (singletons included via the full-
+    // corpus label join) — the shape report behind dedup policy
+    // (millions of pairs vs a few mega-clusters need different caps).
+    // Composition of verifiedPairs -> clusters -> two tiny aggregates.
+    QueryDef("q136_cluster_sizes",
+      Some(s"""
+        WITH RECURSIVE ${PipelineQueries.lshCte},
+        ver AS (SELECT c.a_id, c.b_id FROM cand c
+                JOIN sh a ON a.doc_id = c.a_id
+                JOIN sh b ON b.doc_id = c.b_id
+                WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                      / (len(a.shingles) + len(b.shingles)
+                         - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.5),
+        sym AS (SELECT a_id AS u, b_id AS v FROM ver
+                UNION SELECT b_id AS u, a_id AS v FROM ver),
+        reach(u, r) AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+        lab AS (SELECT u AS doc_id, MIN(r) AS cluster FROM reach GROUP BY u),
+        j AS (SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+        cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM j GROUP BY cluster)
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(size) AS BIGINT) AS n_docs
+        FROM cs GROUP BY size ORDER BY size"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val sig = Dedup.shingleSignatures(docs, "doc_id", "text",
+            minhashK = PipelineQueries.lshK05)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = Dedup.verifiedPairs(sig, "doc_id", threshold = 0.5,
+          maxBucketSize = Int.MaxValue)
+        Dedup.clusters(pairs, docs.select(col("doc_id")), "doc_id")
+          .groupBy("cluster").agg(count(lit(1)).cast("long").as("size"))
+          .groupBy("size")
+          .agg(count(lit(1)).cast("long").as("n_clusters"),
+            sum("size").cast("long").as("n_docs"))
+          .orderBy("size")
+      }),
+
+    // Token-frequency spectrum (count-of-counts, the Zipf audit):
+    // distinct-token and occurrence mass per power-of-two frequency
+    // band — vocabulary planning reads the head, quality screens read
+    // the hapax tail. Two tiny aggregates over the unigram counts.
+    QueryDef("q137_frequency_spectrum",
+      Some("""
+        WITH uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY w),
+        b AS (SELECT CAST(1 << (length(bin(c)) - 1) AS BIGINT) AS band_lo, c FROM uc)
+        SELECT band_lo, CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c) AS BIGINT) AS n_occurrences
+        FROM b GROUP BY band_lo ORDER BY band_lo"""),
+      (s, d) => spread(documents(s, d))
+        .select(explode(Pipeline.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("band_lo",
+          expr("shiftleft(1L, cast(length(bin(c)) - 1 as int))"))
+        .groupBy("band_lo")
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          sum("c").cast("long").as("n_occurrences"))
+        .orderBy("band_lo")),
+
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language
     // and source breadth, char range, duplicate rate in ppm.

@@ -151,9 +151,11 @@ object ScaleBench {
       "q129_exact_quantiles", "q130_dedup_savings",
       "q131_shard_balance", "q132_pair_features",
       // skip-grams (3x pair stream), language margin (scan-side),
-      // source entropy (token-key window + source agg)
+      // source entropy (token-key window + source agg); the two
+      // composition reports (q130's pair-graph cost + tiny aggs)
       "q133_skipgram_collocations", "q134_language_margin",
-      "q135_source_entropy")
+      "q135_source_entropy", "q136_cluster_sizes",
+      "q137_frequency_spectrum")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

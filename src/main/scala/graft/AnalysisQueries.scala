@@ -18,7 +18,7 @@ object AnalysisQueries {
 
   // Oracle mirror of Pipeline.wordHash32: first 8 hex digits of md5
   // folded to a 32-bit integer (same recipe as the q93 oracle).
-  private def hash32Sql(e: String): String =
+  private[graft] def hash32Sql(e: String): String =
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
                     (a, b) -> a*16 + b)"""
 

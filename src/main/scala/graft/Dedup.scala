@@ -861,23 +861,32 @@ object Dedup {
     val m = if (probeShingles == Pipeline.AutoBanding)
       Pipeline.containmentProbesFor(threshold) else probeShingles
     require(m >= 1, s"probeShingles must be >= 1, got $m")
-    // bottom-m by md5 order: "md5hex|shingle" tags sort by the fixed
-    // 32-hex prefix, so lexicographic order IS hash order; the join
-    // runs on the tag itself (determined by the shingle), so no
-    // stripping is needed on either side
-    def tag(s: org.apache.spark.sql.Column) = concat(md5(s), lit("|"), s)
+    // bottom-m by (hash32, shingle) order — a deterministic uniform
+    // sample of the shingle set. The JOIN KEY is the BIGINT hash
+    // alone: 8 bytes through the index shuffle instead of the
+    // ~70-byte "md5hex|shingle" tag of rounds <= 8.1 (the index
+    // explode is the operator's dominant shuffled payload — measured
+    // in PLANS.md round 8). A 32-bit collision only adds a candidate
+    // the exact verify immediately rejects; the oracle replays the
+    // identical hash, so both engines see the same candidate set
+    def tagStruct(s: org.apache.spark.sql.Column) =
+      struct(Pipeline.wordHash32(s).as("h"), s.as("s"))
     val probes = sig.select(col(idCol).as("_pid"),
-      explode(slice(array_sort(transform(col("shingles"), tag(_))), 1, m))
-        .as("_t"))
+      explode(transform(
+        slice(array_sort(transform(col("shingles"), tagStruct(_))), 1, m),
+        x => x("h"))).as("_h"))
     val indexAll = sig
       .select(col(idCol).as("_iid"), explode(col("shingles")).as("_s"))
-      .select(col("_iid"), tag(col("_s")).as("_t"))
+      .select(col("_iid"), Pipeline.wordHash32(col("_s")).as("_h"))
+    // the df cap keys on the hash too: modulo 32-bit collisions this
+    // is the per-shingle document frequency, and collisions only make
+    // the cap infinitesimally more conservative
     val index = if (maxShingleDf == Int.MaxValue) indexAll
       else indexAll
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_t")))
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_h")))
         .filter(col("_df") <= maxShingleDf).drop("_df")
     val cand = probes.join(index,
-        probes("_t") === index("_t") && col("_pid") =!= col("_iid"))
+        probes("_h") === index("_h") && col("_pid") =!= col("_iid"))
       .select(least(col("_pid"), col("_iid")).as("a_id"),
         greatest(col("_pid"), col("_iid")).as("b_id"))
       .distinct()

@@ -1460,13 +1460,15 @@ object PipelineQueries {
       Some(s"""
         WITH $shinglesCte,
         pr AS (SELECT doc_id,
-                 unnest(list_sort(list_transform(shingles, s -> md5(s) || '|' || s))[1:${Pipeline.containmentProbesFor(0.7)}]) AS t
+                 unnest(list_transform(
+                   list_sort([{'h': ${AnalysisQueries.hash32Sql("s")}, 's': s} for s in shingles])[1:${Pipeline.containmentProbesFor(0.7)}],
+                   x -> x.h)) AS h
                FROM sh),
-        ix AS (SELECT doc_id, md5(s) || '|' || s AS t
+        ix AS (SELECT doc_id, ${AnalysisQueries.hash32Sql("s")} AS h
                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
         cand AS (SELECT DISTINCT least(p.doc_id, i.doc_id) AS a_id,
                         greatest(p.doc_id, i.doc_id) AS b_id
-                 FROM pr p JOIN ix i ON p.t = i.t AND p.doc_id <> i.doc_id)
+                 FROM pr p JOIN ix i ON p.h = i.h AND p.doc_id <> i.doc_id)
         SELECT c.a_id, c.b_id,
                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
                  / len(a.shingles) AS cont_a,

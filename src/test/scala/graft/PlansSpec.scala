@@ -141,7 +141,14 @@ class PlansSpec extends AnyFunSuite {
     try {
       for (name <- Seq("q01_pricing_summary", "q21_scalar_funcs",
                        "q24_exact_dedup", "q33_quality_score",
-                       "q66_repetition_score", "q67_quality_gate")) {
+                       "q66_repetition_score", "q67_quality_gate",
+                       // round-8 scan-heavy additions: language margin
+                       // (profile scoring per row), shard balance
+                       // (hash + agg), length histogram (bit-length
+                       // bucketing) — all pure scan projections whose
+                       // cost IS the per-row expression work
+                       "q134_language_margin", "q131_shard_balance",
+                       "q123_length_histogram")) {
         val plan = Queries.byName(name).build(spark, sf)
           .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
         assert(!plan.startsWith("Found 0 WholeStageCodegen"), s"$name lost codegen")

@@ -216,9 +216,16 @@ object Pipeline {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(
         b.as("band"),
-        md5(concat_ws("|",
+        // 60-bit integer bucket key (first 15 md5 hex digits): 8 bytes
+        // through the banded shuffle instead of the 32-char hex string
+        // of rounds <= 8.1 — the band explode is `bands`x the corpus,
+        // the single biggest shuffled frame in the q26/q61 family
+        // (measured in PLANS.md round 8). Collisions at 2^60 are
+        // negligible even for corpus-scale bucket counts, and the
+        // oracle replays the identical 15-digit fold.
+        conv(substring(md5(concat_ws("|",
           transform(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
-            _.cast(StringType))))
+            _.cast(StringType)))), 1, 15), 16, 10).cast(LongType)
           .as("bh")))
 
   /** Bucket size above which an LSH band bucket is counted as "hot" in

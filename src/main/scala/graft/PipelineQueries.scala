@@ -68,10 +68,16 @@ object PipelineQueries {
   private[graft] val lshK05: Int = lshBands05 * lshRows05
 
   // Banded-bucket + candidate-pair CTE fragment over a `sig` CTE, at
-  // an explicit (bands, rows) banding (bucket hash = md5 of the
-  // '|'-joined band slice — mirrors Pipeline.lshBands).
+  // an explicit (bands, rows) banding (bucket hash = 60-bit fold of
+  // the md5 of the '|'-joined band slice — mirrors Pipeline.lshBands).
+  // 60-bit integer bucket key — first 15 md5 hex digits folded to a
+  // BIGINT, mirroring Pipeline.lshBands' conv(substring(md5, 1, 15)).
+  private def hash60Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 16)],
+                    (a, b) -> a*16 + b)"""
+
   private def bandedCandCte(bands: Int, rows: Int): String = s""",
-    banded AS (SELECT doc_id, b, md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], '|')) AS bh
+    banded AS (SELECT doc_id, b, ${hash60Sql(s"array_to_string(sig[b*$rows+1 : b*$rows+$rows], '|')")} AS bh
                FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
              FROM banded x JOIN banded y
@@ -615,7 +621,7 @@ object PipelineQueries {
         sh AS (SELECT doc_id, source,
                  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
                FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source", lshK05)},
-        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*$lshRows05+1 : b*$lshRows05+$lshRows05], '|')) AS bh
+        banded AS (SELECT doc_id, source, b, ${hash60Sql(s"array_to_string(sig[b*$lshRows05+1 : b*$lshRows05+$lshRows05], '|')")} AS bh
                    FROM sig CROSS JOIN (SELECT unnest(range(0, $lshBands05)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh
@@ -1128,7 +1134,7 @@ object PipelineQueries {
         sh AS (SELECT doc_id, source,
                  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
                FROM w WHERE len(w) >= 3),${minhashSigCte("doc_id, source", lshK05)},
-        banded AS (SELECT doc_id, source, b, md5(array_to_string(sig[b*$lshRows05+1 : b*$lshRows05+$lshRows05], '|')) AS bh
+        banded AS (SELECT doc_id, source, b, ${hash60Sql(s"array_to_string(sig[b*$lshRows05+1 : b*$lshRows05+$lshRows05], '|')")} AS bh
                    FROM sig CROSS JOIN (SELECT unnest(range(0, $lshBands05)) AS b)),
         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh

@@ -969,10 +969,17 @@ object Dedup {
     */
   def ngramNovelty(target: DataFrame, reference: DataFrame, idCol: String,
                    textCol: String, shingleN: Int = 3): DataFrame = {
+    // membership join on the 60-bit shingle hash: 8 bytes through the
+    // reference-corpus explode (the operator's dominant shuffled frame
+    // at scale) instead of the raw shingle string; a 2^-60 collision
+    // counts one novel shingle as known — epsilon on a heuristic
+    // score, and the oracle replays the identical fold
     def sh(df: DataFrame) = df
       .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= shingleN)
-      .select(col(idCol), explode(Pipeline.wordShingles(col("_w"), shingleN)).as("_s"))
+      .select(col(idCol),
+        explode(Pipeline.wordShingles(col("_w"), shingleN)).as("_raw"))
+      .select(col(idCol), Pipeline.wordHash60(col("_raw")).as("_s"))
     val ref = sh(reference).select(col("_s").as("_r")).distinct()
     sh(target)
       .join(ref, col("_s") === col("_r"), "left")

@@ -371,6 +371,13 @@ object Pipeline {
   def wordHash32(w: Column): Column =
     conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)
 
+  /** 60-bit variant (first 15 md5 hex digits) for membership/join keys
+    * whose key space must outlive a billions-distinct vocabulary —
+    * 32 bits saturates at ~4e9 distinct values, 60 bits does not.
+    */
+  def wordHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)
+
   /** 32-bit SimHash per document: per-bit majority vote over token
     * hashes (tokens weighted by multiplicity), computed entirely in the
     * scan projection by the native [[graft.plans.SimHash32]] kernel —

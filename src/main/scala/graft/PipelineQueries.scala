@@ -1541,13 +1541,15 @@ object PipelineQueries {
     QueryDef("q94_ngram_novelty",
       Some(s"""
         WITH $shinglesCte,
-        ref AS (SELECT DISTINCT unnest(sh.shingles) AS s
-                FROM sh JOIN documents USING (doc_id) WHERE source <> 'src0'),
-        t AS (SELECT sh.doc_id, unnest(sh.shingles) AS s
-              FROM sh JOIN documents USING (doc_id) WHERE source = 'src0'),
+        ref AS (SELECT DISTINCT ${hash60Sql("s")} AS h
+                FROM (SELECT unnest(sh.shingles) AS s
+                      FROM sh JOIN documents USING (doc_id) WHERE source <> 'src0')),
+        t AS (SELECT doc_id, ${hash60Sql("s")} AS h
+              FROM (SELECT sh.doc_id, unnest(sh.shingles) AS s
+                    FROM sh JOIN documents USING (doc_id) WHERE source = 'src0')),
         m AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-                     CAST(COUNT(ref.s) AS BIGINT) AS n_known
-              FROM t LEFT JOIN ref ON t.s = ref.s GROUP BY t.doc_id)
+                     CAST(COUNT(ref.h) AS BIGINT) AS n_known
+              FROM t LEFT JOIN ref ON t.h = ref.h GROUP BY t.doc_id)
         SELECT doc_id, n_shingles, n_known,
                1.0 - CAST(n_known AS DOUBLE) / n_shingles AS novelty
         FROM m ORDER BY doc_id"""),

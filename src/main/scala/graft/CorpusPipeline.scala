@@ -137,6 +137,63 @@ object CorpusPipeline {
       interim)
   }
 
+  /** One-call release audit: the report bundle a dataset release
+    * review reads, each member an oracle-checked operator —
+    * `card` (q110 one-row headline), `length_histogram` (q123),
+    * `shard_balance` (q131 at `nShards`), `source_divergence` (q120)
+    * and `source_entropy` (q135, both vs the corpus unigram model),
+    * `cluster_sizes` (q136 near-dup cluster shape at
+    * `dedupThreshold`), `frequency_spectrum` (q137 Zipf bands).
+    *
+    * All frames are LAZY — materialize the ones the review needs; the
+    * corpus-total token count is the one eager action here (shared by
+    * the two unigram-model members). The near-dup member is the only
+    * pair-graph-priced entry; skip it via `withClusters = false` for a
+    * scan-only audit.
+    */
+  def audit(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", langCol: String = "lang",
+            sourceCol: String = "source", charsCol: String = "n_chars",
+            nShards: Int = 64, dedupThreshold: Double = 0.5,
+            withClusters: Boolean = true): Map[String, DataFrame] = {
+    val tot = ops.TextStats.totalTokens(docs, textCol)
+    val toks = docs.select(col(idCol),
+      size(graft.Pipeline.words(col(textCol))).cast("long").as("n_tok"))
+    val base = Map(
+      "card" -> ops.TextStats.datasetCard(docs, textCol, langCol,
+        sourceCol, charsCol),
+      "length_histogram" -> ops.TextStats.lengthHistogram(docs, textCol),
+      "shard_balance" -> ops.Sampling.assignShards(toks, idCol, nShards)
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens")),
+      "source_divergence" -> ops.TextStats.sourceDivergence(docs,
+        sourceCol, textCol, tot),
+      "source_entropy" -> ops.TextStats.sourceEntropy(docs, sourceCol,
+        textCol, tot),
+      "frequency_spectrum" -> docs
+        .select(explode(graft.Pipeline.words(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("band_lo",
+          expr("shiftleft(1L, cast(length(bin(c)) - 1 as int))"))
+        .groupBy("band_lo")
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          sum("c").cast("long").as("n_occurrences")))
+    if (!withClusters) base
+    else {
+      val sizes = {
+        val sig = Dedup.shingleSignatures(docs, idCol, textCol).persist(Disk)
+        val pairs = Dedup.verifiedPairs(sig, idCol, dedupThreshold)
+        Dedup.clusters(pairs, docs.select(col(idCol)), idCol)
+          .groupBy("cluster").agg(count(lit(1)).cast("long").as("size"))
+          .groupBy("size")
+          .agg(count(lit(1)).cast("long").as("n_clusters"),
+            sum("size").cast("long").as("n_docs"))
+      }
+      base + ("cluster_sizes" -> sizes)
+    }
+  }
+
   /** Run the full chain. The upstream caches (sig, exact) are released
     * before returning — the counts materialized `near`'s cache, which
     * alone roots everything downstream — while `near` stays cached so

@@ -1124,6 +1124,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.getLong(7) == 750000L, "size ratio 3/4")
   }
 
+  test("audit bundle members equal their standalone oracle-checked operators") {
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusPipeline.audit(docs, nShards = 8)
+    assert(a.keySet == Set("card", "length_histogram", "shard_balance",
+      "source_divergence", "source_entropy", "frequency_spectrum",
+      "cluster_sizes"))
+    // spot-check two members against the standalone operators
+    val tot = graft.ops.TextStats.totalTokens(docs, "text")
+    val standaloneDiv = graft.ops.TextStats
+      .sourceDivergence(docs, "source", "text", tot)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val auditDiv = a("source_divergence")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(auditDiv == standaloneDiv)
+    val card = a("card").collect()(0)
+    assert(card.getLong(0) == docs.count())
+    // the scan-only form omits exactly the pair-graph-priced member
+    val scanOnly = CorpusPipeline.audit(docs, withClusters = false)
+    assert(scanOnly.keySet == a.keySet - "cluster_sizes")
+  }
+
   test("winnowing selects the reference fingerprints and finds shared passages") {
     import spark.implicits._
     // the winnowing guarantee: any shared token run of length

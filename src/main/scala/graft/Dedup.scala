@@ -583,6 +583,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** [[verifiedPairs]] with the verify payload DICTIONARY-ENCODED: the
+    * candidate join-backs ship each doc's shingle set as 60-bit hashes
+    * (8 bytes/shingle) instead of raw n-gram strings (~20 bytes) — the
+    * third application of the measured payload lever (PLANS.md round
+    * 8: containment index key, LSH band key). Jaccard is computed over
+    * the hash SETS: identical to string-set Jaccard except when two
+    * distinct shingles of the same pair collide at 2^-60 — epsilon on
+    * the similarity, and the oracle replays the identical fold, so
+    * results are bit-exact across engines. Output jaccard_ppm is the
+    * exact-integer form (`inter*1e6 div union`); the threshold gate
+    * `inter*1e6 >= t_ppm*union` is exactly `jaccard >= t_ppm/1e6`.
+    *
+    * Use THIS form at corpus scale; [[verifiedPairs]] keeps the
+    * raw-string verify for callers needing the double jaccard against
+    * true string sets.
+    */
+  def verifiedPairsHashed(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    val tPpm = math.round(threshold * 1000000).toInt
+    val hashed = sig.select(col(idCol),
+      transform(col("shingles"), Pipeline.wordHash60(_)).as("_hs"),
+      col("sig"))
+    val inter = size(array_intersect(col("_ha"), col("_hb")))
+    val union = size(col("_ha")) + size(col("_hb")) - inter
+    Pipeline.lshCandidatePairs(hashed, idCol, k, b, maxBucketSize)
+      .join(hashed.select(col(idCol).as("a_id"), col("_hs").as("_ha")), "a_id")
+      .join(hashed.select(col(idCol).as("b_id"), col("_hs").as("_hb")), "b_id")
+      .withColumn("_i", inter.cast(LongType))
+      .withColumn("_u", union.cast(LongType))
+      .filter(col("_i") * 1000000L >= col("_u") * tPpm)
+      .select(col("a_id"), col("b_id"),
+        expr("(1000000 * _i) div _u").as("jaccard_ppm"))
+  }
+
   /** Cross-source duplication matrix: verified near-dup pairs rolled
     * up by UNORDERED source pair — who mirrors whom. The provenance
     * diagnostic behind mix design: a (crawlA, crawlB) cell with

@@ -181,6 +181,34 @@ object PipelineQueries {
     // LSH candidates verified by exact trigram Jaccard >= 0.5 — the
     // two-phase near-dup plan (cheap candidate generation, exact check
     // only on candidates) that survives 100x scale-up.
+    // The DICTIONARY-ENCODED exact verify ([[Dedup
+    // .verifiedPairsHashed]]): same banding and candidates as q27, but
+    // the verify join-backs ship 60-bit shingle hashes (8 B/shingle)
+    // instead of raw n-gram strings — the at-scale verify form; the
+    // oracle replays the identical hash fold, and the all-integer ppm
+    // output makes the compare bit-exact.
+    QueryDef("q138_verified_pairs_hashed",
+      Some(s"""
+        WITH $lshCte,
+        h AS (SELECT doc_id, list_transform(shingles, s -> ${hash60Sql("s")}) AS hs FROM sh),
+        v AS (SELECT c.a_id, c.b_id,
+                CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS i,
+                CAST(len(a.hs) + len(b.hs)
+                     - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS u
+              FROM cand c
+              JOIN h a ON a.doc_id = c.a_id
+              JOIN h b ON b.doc_id = c.b_id)
+        SELECT a_id, b_id, (1000000 * i) // u AS jaccard_ppm
+        FROM v WHERE i * 1000000 >= u * 500000
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sh = Dedup.shingleSignatures(spread(documents(s, d)), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.verifiedPairsHashed(sh, "doc_id", threshold = 0.5,
+            maxBucketSize = Int.MaxValue)
+          .orderBy("a_id", "b_id")
+      }),
+
     QueryDef("q27_jaccard_neardup",
       Some(s"""
         WITH $lshCte

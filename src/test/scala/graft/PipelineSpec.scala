@@ -1124,6 +1124,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.getLong(7) == 750000L, "size ratio 3/4")
   }
 
+  test("hashed verify returns the same pairs and ppm as the string verify") {
+    val docs = Tables.documents(spark, sf)
+    val sig = Dedup.shingleSignatures(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val viaStrings = Dedup.verifiedPairs(sig, "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaHashes = Dedup.verifiedPairsHashed(sig, "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sig.unpersist()
+    assert(viaHashes.keySet == viaStrings.keySet,
+      s"pair sets differ: ${viaHashes.keySet.diff(viaStrings.keySet)} / ${viaStrings.keySet.diff(viaHashes.keySet)}")
+    assert(viaHashes.nonEmpty)
+    // absent 2^-60 collisions the hash-set jaccard IS the string-set
+    // jaccard; the ppm is its exact floor
+    viaHashes.foreach { case (pair, ppm) =>
+      assert(ppm == math.floor(viaStrings(pair) * 1e6).toLong ||
+             // guard against double-rounding at exact rationals: recompute
+             math.abs(ppm - viaStrings(pair) * 1e6) < 1,
+        s"$pair: ppm $ppm vs double ${viaStrings(pair)}")
+    }
+  }
+
   test("audit bundle members equal their standalone oracle-checked operators") {
     val docs = Tables.documents(spark, sf)
     val a = CorpusPipeline.audit(docs, nShards = 8)

@@ -1104,6 +1104,39 @@ object AnalysisQueries {
           .orderBy("source")
       }),
 
+    // Split-balance audit: the TV divergence of each split's token
+    // distribution from the corpus — the release-gate check that the
+    // deterministic hash split didn't skew content across
+    // train/val/test (it shouldn't: the hash is content-blind; a high
+    // tv_ppm here means doc ids correlate with content). Composition:
+    // scan-side split assignment + [[ops.TextStats.sourceDivergence]]
+    // keyed on the split.
+    QueryDef("q139_split_balance",
+      Some(s"""
+        WITH toks AS (SELECT ${splitCase("doc_id")} AS split,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM toks),
+        o AS (SELECT split, w, CAST(COUNT(*) AS BIGINT) AS o FROM toks GROUP BY split, w),
+        f AS (SELECT split, o,
+                     CAST(SUM(o) OVER (PARTITION BY w) AS BIGINT) AS c,
+                     CAST(SUM(o) OVER (PARTITION BY split) AS BIGINT) AS n_s
+              FROM o),
+        g AS (SELECT split, CAST(SUM(o) AS BIGINT) AS n_tokens,
+                     CAST(SUM(abs(o*tot - c*n_s)) AS BIGINT) AS a,
+                     CAST(SUM(c) AS BIGINT) AS cs
+              FROM f CROSS JOIN tot GROUP BY split)
+        SELECT split AS source, n_tokens,
+               (1000000 * (a + n_tokens * (tot - cs))) // (2 * n_tokens * tot) AS tv_ppm
+        FROM g CROSS JOIN tot ORDER BY source"""),
+      (s, d) => {
+        val docs = graft.ops.Sampling.assignSplits(spread(documents(s, d)),
+          "doc_id", Seq(("train", 800), ("val", 100), ("test", 100)))
+        val tot = graft.ops.TextStats.totalTokens(docs, "text")
+        graft.ops.TextStats.sourceDivergence(docs, "split", "text", tot)
+          .orderBy("source")
+      }),
+
     // Dedup cluster-size distribution: how many near-dup clusters of
     // each size the corpus holds (singletons included via the full-
     // corpus label join) — the shape report behind dedup policy

@@ -155,7 +155,8 @@ object ScaleBench {
       // composition reports (q130's pair-graph cost + tiny aggs)
       "q133_skipgram_collocations", "q134_language_margin",
       "q135_source_entropy", "q136_cluster_sizes",
-      "q137_frequency_spectrum", "q138_verified_pairs_hashed")
+      "q137_frequency_spectrum", "q138_verified_pairs_hashed",
+      "q139_split_balance")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

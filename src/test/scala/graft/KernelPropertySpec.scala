@@ -141,6 +141,37 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank equals a sequential integer reference on generated graphs") {
+    import spark.implicits._
+    // random directed graphs incl. sources, sinks, and cycles — the
+    // shapes the round-8 review found the distributed loop mishandling
+    def edgesFor(seed: Long, nNodes: Int, nEdges: Int): Seq[(Long, Long)] = {
+      val g = Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0, nNodes - 1), Gen.choose(0, nNodes - 1)))
+      g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+        .collect { case (a, b) if a != b => (a.toLong, b.toLong) }
+        .distinct
+    }
+    def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val in = edges.groupBy(_._2)
+      var pr = nodes.map(_ -> 1000L).toMap
+      for (_ <- 1 to iters)
+        pr = nodes.map { v =>
+          val s = in.getOrElse(v, Nil).map { case (u, _) => pr(u) / out(u) }.sum
+          v -> (150L + (850L * s) / 1000L)
+        }.toMap
+      pr
+    }
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val edges = edgesFor(seed, nNodes = 12, nEdges = 30)
+      val got = graft.ops.Graph.pageRank(edges.toDF("src", "dst"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPageRank(edges, 4), s"seed $seed mismatch")
+    }
+  }
+
   test("winnowing guarantee holds on generated docs with planted shared runs") {
     import spark.implicits._
     // non-empty single-word tokens (the words() contract: no inner

@@ -974,6 +974,26 @@ class OpsSpec extends AnyFunSuite {
     assert(e2 == Map("u" -> 0L))
   }
 
+  test("round-8 operators fail loudly or return empty on degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("source", "text")
+    // guarded preconditions fire instead of emitting div-by-zero junk
+    intercept[IllegalArgumentException] {
+      graft.ops.TextStats.sourceDivergence(empty, "source", "text", 0L) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Ranking.exactQuantiles(
+        Seq.empty[(Long, Long)].toDF("id", "v"), "v", Seq(col("id")), Seq(500)) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 0) }
+    // unreachable minCount / short docs return EMPTY, never throw
+    assert(graft.ops.TextStats.collocations(
+      Seq("a b").toDF("text"), "text", 2L, minCount = 5).isEmpty)
+    assert(graft.ops.TextStats.heavyHitters(empty, "source", "text").isEmpty)
+    assert(Dedup.winnowedPairs(
+      Seq((1L, "one two three"), (2L, "one two three")).toDF("doc_id", "text"),
+      "doc_id", "text").isEmpty)  // 3 tokens < k + window - 1
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

@@ -982,14 +982,10 @@ object AnalysisQueries {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM t GROUP BY shard ORDER BY shard"""),
-      (s, d) => graft.ops.Sampling.assignShards(
-          spread(documents(s, d)).select(col("doc_id"),
-            size(Pipeline.words(col("text"))).cast("long").as("n_tok")),
-          "doc_id", 8, seed = "sh8")
-        .groupBy("shard")
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("n_tok").cast("long").as("n_tokens"))
-        .orderBy("shard")),
+      (s, d) => graft.ops.Sampling.shardBalance(
+        spread(documents(s, d)).select(col("doc_id"),
+          size(Pipeline.words(col("text"))).cast("long").as("n_tok")),
+        "doc_id", "n_tok", 8, seed = "sh8")),
 
     // Near-dup pair features ([[Dedup.pairFeatures]]): the gate-free
     // integer feature table (jaccard/containments/size-ratio in ppm)
@@ -1164,20 +1160,9 @@ object AnalysisQueries {
         SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
                CAST(SUM(size) AS BIGINT) AS n_docs
         FROM cs GROUP BY size ORDER BY size"""),
-      (s, d) => {
-        val docs = spread(documents(s, d))
-        val sig = Dedup.shingleSignatures(docs, "doc_id", "text",
-            minhashK = PipelineQueries.lshK05)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = Dedup.verifiedPairs(sig, "doc_id", threshold = 0.5,
-          maxBucketSize = Int.MaxValue)
-        Dedup.clusters(pairs, docs.select(col("doc_id")), "doc_id")
-          .groupBy("cluster").agg(count(lit(1)).cast("long").as("size"))
-          .groupBy("size")
-          .agg(count(lit(1)).cast("long").as("n_clusters"),
-            sum("size").cast("long").as("n_docs"))
-          .orderBy("size")
-      }),
+      (s, d) => Dedup.clusterSizes(spread(documents(s, d)), "doc_id",
+          "text", threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .orderBy("size")),
 
     // Token-frequency spectrum (count-of-counts, the Zipf audit):
     // distinct-token and occurrence mass per power-of-two frequency
@@ -1192,15 +1177,8 @@ object AnalysisQueries {
         SELECT band_lo, CAST(COUNT(*) AS BIGINT) AS n_types,
                CAST(SUM(c) AS BIGINT) AS n_occurrences
         FROM b GROUP BY band_lo ORDER BY band_lo"""),
-      (s, d) => spread(documents(s, d))
-        .select(explode(Pipeline.words(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-        .withColumn("band_lo",
-          expr("shiftleft(1L, cast(length(bin(c)) - 1 as int))"))
-        .groupBy("band_lo")
-        .agg(count(lit(1)).cast("long").as("n_types"),
-          sum("c").cast("long").as("n_occurrences"))
-        .orderBy("band_lo")),
+      (s, d) => graft.ops.TextStats.frequencySpectrum(
+        spread(documents(s, d)), "text")),
 
     // Dataset card ([[ops.TextStats.datasetCard]]): the one-row
     // release-audit summary — exact doc/unique/token counts, language

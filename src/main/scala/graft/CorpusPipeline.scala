@@ -163,35 +163,16 @@ object CorpusPipeline {
       "card" -> ops.TextStats.datasetCard(docs, textCol, langCol,
         sourceCol, charsCol),
       "length_histogram" -> ops.TextStats.lengthHistogram(docs, textCol),
-      "shard_balance" -> ops.Sampling.assignShards(toks, idCol, nShards)
-        .groupBy("shard")
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("n_tok").cast("long").as("n_tokens")),
+      "shard_balance" -> ops.Sampling.shardBalance(toks, idCol, "n_tok",
+        nShards),
       "source_divergence" -> ops.TextStats.sourceDivergence(docs,
         sourceCol, textCol, tot),
       "source_entropy" -> ops.TextStats.sourceEntropy(docs, sourceCol,
         textCol, tot),
-      "frequency_spectrum" -> docs
-        .select(explode(graft.Pipeline.words(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-        .withColumn("band_lo",
-          expr("shiftleft(1L, cast(length(bin(c)) - 1 as int))"))
-        .groupBy("band_lo")
-        .agg(count(lit(1)).cast("long").as("n_types"),
-          sum("c").cast("long").as("n_occurrences")))
+      "frequency_spectrum" -> ops.TextStats.frequencySpectrum(docs, textCol))
     if (!withClusters) base
-    else {
-      val sizes = {
-        val sig = Dedup.shingleSignatures(docs, idCol, textCol).persist(Disk)
-        val pairs = Dedup.verifiedPairs(sig, idCol, dedupThreshold)
-        Dedup.clusters(pairs, docs.select(col(idCol)), idCol)
-          .groupBy("cluster").agg(count(lit(1)).cast("long").as("size"))
-          .groupBy("size")
-          .agg(count(lit(1)).cast("long").as("n_clusters"),
-            sum("size").cast("long").as("n_docs"))
-      }
-      base + ("cluster_sizes" -> sizes)
-    }
+    else base + ("cluster_sizes" ->
+      Dedup.clusterSizes(docs, idCol, textCol, dedupThreshold))
   }
 
   /** Run the full chain. The upstream caches (sig, exact) are released

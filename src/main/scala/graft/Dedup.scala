@@ -583,6 +583,31 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Near-dup cluster-size distribution: clusters per size band,
+    * singletons included via the full-corpus label join — the shape
+    * report behind dedup policy (millions of pairs vs a few
+    * mega-clusters need different caps). [[verifiedPairs]] →
+    * [[clusters]] → two tiny aggregates (q136; the audit bundle's
+    * pair-graph-priced member).
+    */
+  def clusterSizes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    val sig = shingleSignatures(docs, idCol, textCol, 3, k).persist(Disk)
+    val pairs = verifiedPairs(sig, idCol, threshold, k, b, maxBucketSize)
+    clusters(pairs, docs.select(col(idCol)), idCol)
+      .groupBy("cluster").agg(count(lit(1)).cast(LongType).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"),
+        sum(col("size")).cast(LongType).as("n_docs"))
+  }
+
   /** [[verifiedPairs]] with the verify payload DICTIONARY-ENCODED: the
     * candidate join-backs ship each doc's shingle set as 60-bit hashes
     * (8 bytes/shingle) instead of raw n-gram strings (~20 bytes) — the
@@ -807,14 +832,13 @@ object Dedup {
     val grams = df
       .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= k + window - 1)
-      .select(col(idCol), posexplode(transform(
+      // the per-doc gram count is known scan-side (tokens - k + 1), so
+      // it rides the projection as a plain column — no COUNT window
+      .select(col(idCol), (size(col("_w")) - (k - 1)).as("_m"), posexplode(transform(
         sequence(lit(1), size(col("_w")) - (k - 1)),
         i => Pipeline.wordHash32(concat_ws(" ", slice(col("_w"), i, lit(k)))))))
-      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"),
-        // number of grams in this doc rides along for the full-window
-        // cut below (cheaper than a second size() pass: it is constant
-        // per doc and the window never reads it)
-        count(lit(1)).over(Window.partitionBy(col(idCol))).as("_m"))
+      .select(col(idCol), col("_m"), (col("pos") + 1).as("pos"),
+        col("col").as("h"))
     grams
       .withColumn("_sel", min(col("h") * 1000000L + col("pos"))
         .over(Window.partitionBy(col(idCol)).orderBy(col("pos"))

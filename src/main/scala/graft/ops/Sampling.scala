@@ -94,6 +94,18 @@ object Sampling {
       concat(lit(seed + "_"), col(keyCol).cast("string"))), lit(nShards.toLong)))
   }
 
+  /** Per-shard doc/weight balance under [[assignShards]]'s key — the
+    * write-side layout audit (q131; a skewed shard starves training
+    * readers). `weightCol` is any non-null numeric mass (token count).
+    */
+  def shardBalance(df: DataFrame, keyCol: String, weightCol: String,
+                   nShards: Int, seed: String = "sh"): DataFrame =
+    assignShards(df, keyCol, nShards, seed)
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col(weightCol)).cast("long").as("n_tokens"))
+      .orderBy("shard")
+
   /** BUDGET-CONSTRAINED corpus selection: rank rows by `valueCol`
     * descending (id tiebreak) and keep a row iff the tokens of every
     * higher-ranked row plus its own fit the global `budget` — "take

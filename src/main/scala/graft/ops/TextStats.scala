@@ -414,14 +414,35 @@ object TextStats {
     * libm), zero-token docs in bucket 0. Scan-side projection + one
     * tiny aggregate (<= 64 buckets); nothing else moves.
     */
+  /** `2^floor(log2(n))` via integer bit-length (no libm) — the
+    * power-of-two band key shared by [[lengthHistogram]] and
+    * [[frequencySpectrum]]. Non-positive inputs band to 0.
+    */
+  def pow2Band(n: Column): Column =
+    when(n <= 0, 0L).otherwise(
+      call_function("shiftleft", lit(1L), (length(bin(n)) - 1).cast(IntegerType)))
+
   def lengthHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs.select(size(words(col(textCol))).cast(LongType).as("n_tok"))
-      .withColumn("bucket_lo", when(col("n_tok") <= 0, 0L)
-        .otherwise(expr("shiftleft(1L, cast(length(bin(n_tok)) - 1 as int))")))
+      .withColumn("bucket_lo", pow2Band(col("n_tok")))
       .groupBy("bucket_lo")
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("n_tok")).cast(LongType).as("n_tokens"),
         min(col("n_tok")).cast(LongType).as("min_tokens"),
         max(col("n_tok")).cast(LongType).as("max_tokens"))
       .orderBy("bucket_lo")
+
+  /** Token-frequency spectrum (count-of-counts, the Zipf audit):
+    * distinct-token and occurrence mass per power-of-two frequency
+    * band — vocabulary planning reads the head, quality screens the
+    * hapax tail. Two aggregates over the unigram counts (q137).
+    */
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast(LongType).as("c"))
+      .withColumn("band_lo", pow2Band(col("c")))
+      .groupBy("band_lo")
+      .agg(count(lit(1)).cast(LongType).as("n_types"),
+        sum(col("c")).cast(LongType).as("n_occurrences"))
+      .orderBy("band_lo")
 }

@@ -145,11 +145,14 @@ object CorpusPipeline {
     * `cluster_sizes` (q136 near-dup cluster shape at
     * `dedupThreshold`), `frequency_spectrum` (q137 Zipf bands).
     *
-    * All frames are LAZY — materialize the ones the review needs; the
-    * corpus-total token count is the one eager action here (shared by
-    * the two unigram-model members). The near-dup member is the only
-    * pair-graph-priced entry; skip it via `withClusters = false` for a
-    * scan-only audit.
+    * The scan-side members are LAZY — materialize the ones the review
+    * needs; the corpus-total token count is their one eager action
+    * (shared by the two unigram-model members). The `cluster_sizes`
+    * member is the exception: [[Dedup.clusterSizes]]' label-propagation
+    * loop materializes EAGERLY, so the default call pays the full
+    * pair-graph computation up front — pass `withClusters = false` for
+    * a cheap scan-only audit and add the clusters member separately
+    * when the review asks for it.
     */
   def audit(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", langCol: String = "lang",

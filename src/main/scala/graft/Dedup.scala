@@ -601,7 +601,13 @@ object Dedup {
     val (k, b) = resolveBanding(threshold, minhashK, bands)
     val sig = shingleSignatures(docs, idCol, textCol, 3, k).persist(Disk)
     val pairs = verifiedPairs(sig, idCol, threshold, k, b, maxBucketSize)
-    clusters(pairs, docs.select(col(idCol)), idCol)
+    // clusters() materializes eagerly (checkpointed loop), so the
+    // signature cache is dead weight the moment it returns — release
+    // it here instead of pinning a corpus-scale frame per call (the
+    // prepare() discipline)
+    val lab = clusters(pairs, docs.select(col(idCol)), idCol)
+    sig.unpersist()
+    lab
       .groupBy("cluster").agg(count(lit(1)).cast(LongType).as("size"))
       .groupBy("size")
       .agg(count(lit(1)).cast(LongType).as("n_clusters"),
@@ -632,15 +638,18 @@ object Dedup {
       bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = 10000): DataFrame = {
     val (k, b) = resolveBanding(threshold, minhashK, bands)
-    val tPpm = math.round(threshold * 1000000).toInt
+    // FLOOR, not round: the integer gate keeps every pair with
+    // jaccard >= tPpm/1e6 <= threshold — for a non-ppm-exact threshold
+    // this errs on ADMITTING a hair below it (recall-safe for a dedup
+    // gate) instead of silently dropping exactly-at-threshold pairs
+    val tPpm = math.floor(threshold * 1000000).toInt
     val hashed = sig.select(col(idCol),
       transform(col("shingles"), Pipeline.wordHash60(_)).as("_hs"),
       col("sig"))
     val inter = size(array_intersect(col("_ha"), col("_hb")))
     val union = size(col("_ha")) + size(col("_hb")) - inter
-    Pipeline.lshCandidatePairs(hashed, idCol, k, b, maxBucketSize)
-      .join(hashed.select(col(idCol).as("a_id"), col("_hs").as("_ha")), "a_id")
-      .join(hashed.select(col(idCol).as("b_id"), col("_hs").as("_hb")), "b_id")
+    candidatesWithPayload(hashed, idCol, k, b, maxBucketSize,
+        "_hs", "_ha", "_hb")
       .withColumn("_i", inter.cast(LongType))
       .withColumn("_u", union.cast(LongType))
       .filter(col("_i") * 1000000L >= col("_u") * tPpm)
@@ -676,7 +685,11 @@ object Dedup {
       bands: Int = Pipeline.AutoBanding,
       maxBucketSize: Int = 10000): DataFrame = {
     val (k, b) = resolveBanding(threshold, minhashK, bands)
-    val tPpm = math.round(threshold * 1000000).toInt
+    // FLOOR, not round: the integer gate keeps every pair with
+    // jaccard >= tPpm/1e6 <= threshold — for a non-ppm-exact threshold
+    // this errs on ADMITTING a hair below it (recall-safe for a dedup
+    // gate) instead of silently dropping exactly-at-threshold pairs
+    val tPpm = math.floor(threshold * 1000000).toInt
     // persisted for the same reason as [[near]]: the signature frame
     // roots the candidate self-join AND both verify join-backs
     val sig = shingleSignatures(docs, idCol, textCol, shingleN, k)
@@ -763,7 +776,10 @@ object Dedup {
     val (k, b) = resolveBanding(threshold, minhashK, bands)
     val sig = shingleSignatures(docs, idCol, textCol, 3, k).persist(Disk)
     val pairs = verifiedPairs(sig, idCol, threshold, k, b, maxBucketSize)
+    // eager clusters() loop is the last sig consumer — release the
+    // corpus-scale cache before returning (the prepare() discipline)
     val lab = clusters(pairs, docs.select(col(idCol)), idCol)
+    sig.unpersist()
     docs.select(col(idCol),
         size(Pipeline.words(col(textCol))).cast(LongType).as("_n_tok"))
       .join(lab, idCol)
@@ -884,9 +900,22 @@ object Dedup {
   private def candidatesWithShingles(
       sig: DataFrame, idCol: String, minhashK: Int, bands: Int,
       maxBucketSize: Int): DataFrame =
-    Pipeline.lshCandidatePairs(sig, idCol, minhashK, bands, maxBucketSize)
-      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
-      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+    candidatesWithPayload(sig, idCol, minhashK, bands, maxBucketSize,
+      "shingles", "_sa", "_sb")
+
+  /** The payload-generic form of the scaffold: candidates joined back
+    * to any per-doc verify column (`payload` → `asA`/`asB`) — string
+    * shingle sets for the exact verifies, 60-bit hash sets for
+    * [[verifiedPairsHashed]]. Still the ONE copy of the cap + join
+    * shape.
+    */
+  private def candidatesWithPayload(
+      base: DataFrame, idCol: String, minhashK: Int, bands: Int,
+      maxBucketSize: Int, payload: String, asA: String,
+      asB: String): DataFrame =
+    Pipeline.lshCandidatePairs(base, idCol, minhashK, bands, maxBucketSize)
+      .join(base.select(col(idCol).as("a_id"), col(payload).as(asA)), "a_id")
+      .join(base.select(col(idCol).as("b_id"), col(payload).as(asB)), "b_id")
 
   /** CONTAINMENT pairs: doc pairs where either doc's shingle set is
     * `threshold`-contained in the other's — |A∩B|/|A| (or /|B|) — the

@@ -178,9 +178,6 @@ object PipelineQueries {
           lshK05, lshBands05)
         .orderBy("a_id", "b_id")),
 
-    // LSH candidates verified by exact trigram Jaccard >= 0.5 — the
-    // two-phase near-dup plan (cheap candidate generation, exact check
-    // only on candidates) that survives 100x scale-up.
     // The DICTIONARY-ENCODED exact verify ([[Dedup
     // .verifiedPairsHashed]]): same banding and candidates as q27, but
     // the verify join-backs ship 60-bit shingle hashes (8 B/shingle)
@@ -209,6 +206,9 @@ object PipelineQueries {
           .orderBy("a_id", "b_id")
       }),
 
+    // LSH candidates verified by exact trigram Jaccard >= 0.5 — the
+    // two-phase near-dup plan (cheap candidate generation, exact check
+    // only on candidates) that survives 100x scale-up.
     QueryDef("q27_jaccard_neardup",
       Some(s"""
         WITH $lshCte

@@ -407,13 +407,6 @@ object TextStats {
       .select(col("stratum"), col("t").as("token"), col("n"))
   }
 
-  /** Token-length histogram in power-of-two buckets — the packing
-    * planner's input: how many documents and tokens land in each
-    * length band decides sequence-length budgets and batch shapes.
-    * `bucket_lo = 2^floor(log2(n_tok))` via integer bit-length (no
-    * libm), zero-token docs in bucket 0. Scan-side projection + one
-    * tiny aggregate (<= 64 buckets); nothing else moves.
-    */
   /** `2^floor(log2(n))` via integer bit-length (no libm) — the
     * power-of-two band key shared by [[lengthHistogram]] and
     * [[frequencySpectrum]]. Non-positive inputs band to 0.
@@ -422,6 +415,13 @@ object TextStats {
     when(n <= 0, 0L).otherwise(
       call_function("shiftleft", lit(1L), (length(bin(n)) - 1).cast(IntegerType)))
 
+  /** Token-length histogram in power-of-two buckets — the packing
+    * planner's input: how many documents and tokens land in each
+    * length band decides sequence-length budgets and batch shapes.
+    * `bucket_lo = 2^floor(log2(n_tok))` via integer bit-length (no
+    * libm), zero-token docs in bucket 0. Scan-side projection + one
+    * tiny aggregate (<= 64 buckets); nothing else moves.
+    */
   def lengthHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs.select(size(words(col(textCol))).cast(LongType).as("n_tok"))
       .withColumn("bucket_lo", pow2Band(col("n_tok")))

@@ -370,6 +370,37 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming transitions state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-trans-ckpt").toString
+    val in = MemoryStream[Streams.TypedEvent]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    def start() = Streams.streamingTransitions(in.toDS(), horizonMinutes = 30)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          out.add((r.getLong(0), r.getString(1), r.getString(2))))
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(Streams.TypedEvent(1, ts(0), "A"))
+      q1.processAllAvailable()
+      assert(out.isEmpty)  // first event: nothing to chain yet
+    } finally q1.stop()
+    // restart: the stored (type, ts) state must be recovered, so the
+    // next arrival chains against the PRE-restart event
+    val q2 = start()
+    try {
+      in.addData(Streams.TypedEvent(1, ts(1), "B"))
+      q2.processAllAvailable()
+      assert(out.asScala.toSet == Set((1L, "A", "B")), s"got ${out.asScala.toSet}")
+    } finally q2.stop()
+  }
+
   test("streaming LSH candidate state survives a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -226,14 +226,16 @@ object AnalysisQueries {
           (900003L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
           .toDF("doc_id", "text")
         // the planted ids are fixed in the oracle SQL too, so a real doc
-        // in their range would silently merge with a plant and skew the
-        // pair results — fail loudly instead (single-column max scan).
-        // max() over an empty corpus is NULL: no docs, no collision.
-        val maxIdRow = documents(s, d).agg(max("doc_id")).head()
-        val maxId = if (maxIdRow.isNullAt(0)) Long.MinValue else maxIdRow.getLong(0)
-        require(maxId < 900001L,
-          s"corpus doc_id range reaches $maxId — collides with q101's " +
-            "planted ids (900001-900003); re-site the plants")
+        // AT one of them would silently merge with a plant and skew the
+        // pair results — fail loudly on actual MEMBERSHIP (a max-based
+        // bound rejects legitimate sparse id spaces, e.g. the 10x
+        // replica set whose ids jump past 90M with 900001-900003
+        // unoccupied; single pruned-filter count, same one-scan cost)
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(900001L, 900003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q101's planted id range " +
+            "(900001-900003); re-site the plants")
         val corpus = spread(documents(s, d)).select("doc_id", "text")
           .unionAll(planted)
         val sims = Pipeline.simhash64(corpus, "doc_id", "text")
@@ -550,11 +552,12 @@ object AnalysisQueries {
         WHERE a_id <> b_id ORDER BY a_id, b_id"""),
       (s, d) => {
         import s.implicits._
-        val maxIdRow = documents(s, d).agg(max("doc_id")).head()
-        val maxId = if (maxIdRow.isNullAt(0)) Long.MinValue else maxIdRow.getLong(0)
-        require(maxId < 910001L,
-          s"corpus doc_id range reaches $maxId — collides with q114's " +
-            "planted ids (910001-910002); re-site the plants")
+        // membership check, not a max bound — see the q101 guard note
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(910001L, 910002L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q114's planted id range " +
+            "(910001-910002); re-site the plants")
         val planted = Seq(
           (910001L, "aa0 bb0 cc0 dd0 ee0 ff0 seamx seamy"),
           (910002L, "seamx seamy gg0 hh0 ii0 jj0 kk0 ll0"))

@@ -1082,6 +1082,59 @@ object Dedup {
         lit(1.0) - col("n_known").cast("double") / col("n_shingles"))
   }
 
+  /** EXACT n-gram decontamination report: for every `train` doc, the
+    * number of its distinct word n-grams that appear ANYWHERE in the
+    * `eval` corpus — the industry-standard eval-overlap gate (the
+    * GPT-3/PaLM "13-gram overlap" rule) scored per doc. Unlike the
+    * LSH-blocked [[decontaminate]], membership is EXACT: recall at the
+    * n-gram definition is 1.0 by construction — there is no banding
+    * lottery, which is why this form is the default answer when the
+    * contamination criterion is "shares any long n-gram" rather than
+    * "high whole-doc Jaccard". The two gates are complements:
+    * Jaccard-LSH catches paraphrase-level overlap a long-n-gram rule
+    * misses; the exact rule catches one verbatim quoted answer inside
+    * an otherwise-unrelated doc, which whole-doc Jaccard dilutes below
+    * any workable threshold.
+    *
+    * Returns (train_doc_id, n_hit) for docs with >= 1 shared n-gram —
+    * eval-leakage-sized output. Train docs shorter than n words carry
+    * no n-grams and cannot be flagged (document the window: a 4-token
+    * verbatim answer needs n <= 4).
+    *
+    * Scale shape: both corpora explode to DISTINCT (doc, gram) pairs
+    * keyed by the 60-bit gram hash (8 B through the shuffle, never the
+    * raw n-gram string); one equi-join against the eval set's distinct
+    * gram-hash set (eval-sized — small — so AQE broadcasts it when it
+    * fits), one doc-keyed count. A 2^-60 hash collision flags one
+    * extra gram; the oracle replays the identical hashed join.
+    */
+  def exactNgramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    def grams(df: DataFrame) = df
+      .select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol),
+        explode(Pipeline.wordShingles(col("_w"), n)).as("_raw"))
+      .select(col(idCol), Pipeline.wordHash60(col("_raw")).as("_g"))
+    val evalSet = grams(eval).select(col("_g").as("_e")).distinct()
+    grams(train)
+      .join(evalSet, col("_g") === col("_e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_hit"))
+  }
+
+  /** EXACT n-gram decontamination: drop every `train` doc sharing at
+    * least one n-gram with the `eval` corpus ([[exactNgramOverlap]]
+    * as the gate, anti-join back). Returns the kept train rows.
+    */
+  def decontaminateExact(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5): DataFrame = {
+    val hits = exactNgramOverlap(train, eval, idCol, textCol, n)
+      .select(col(idCol))
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): assign every vector
     * to its nearest centroid (max cosine, centroid-id tiebreak), then
     * prune within each cluster — of every in-cluster pair at cosine >=

@@ -302,6 +302,49 @@ object Streams {
     ContaminationMonitor(hits, testBuckets)
   }
 
+  /** Streaming EXACT n-gram contamination gate: flag arriving docs
+    * sharing any verbatim word n-gram with a STATIC eval corpus — the
+    * streaming companion of `Dedup.exactNgramOverlap` (q140). Unlike
+    * [[streamingContaminationHits]] the emission is fully VERIFIED,
+    * not candidate-level: exact n-gram membership has no banding
+    * lottery, so every emission really shares an n-gram and every
+    * sharing arrival is emitted (recall 1.0 at the n-gram definition
+    * — what a leakage tripwire must guarantee).
+    *
+    * Shape: the eval corpus's distinct 60-bit gram hashes are derived
+    * once and persisted (the static side re-plans every micro-batch);
+    * each arrival explodes to its gram hashes, left-semi joins the
+    * eval set, and emits once per doc within the watermark horizon.
+    * Input columns: (`idCol`, ts, `textCol`).
+    */
+  def streamingExactContaminationHits(
+      docs: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      horizonMinutes: Int = 10): ContaminationMonitor = {
+    import org.apache.spark.sql.functions.size
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    def grams(c: org.apache.spark.sql.Column) =
+      graft.Pipeline.wordShingles(graft.Pipeline.words(c), n)
+    val evalGrams = eval
+      .filter(size(graft.Pipeline.words(col(textCol))) >= n)
+      .select(explode(grams(col(textCol))).as("_raw"))
+      .select(graft.Pipeline.wordHash60(col("_raw")).as("_g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .filter(size(graft.Pipeline.words(col(textCol))) >= n)
+      .withColumn("_raw", explode(grams(col(textCol))))
+      .withColumn("_g", graft.Pipeline.wordHash60(col("_raw")))
+      .join(evalGrams, Seq("_g"), "left_semi")
+      .drop("_raw", "_g")
+      .dropDuplicatesWithinWatermark(idCol)
+    ContaminationMonitor(hits, evalGrams)
+  }
+
   /** EMBEDDING-space streaming contamination monitor: flag arriving
     * vectors whose cosine vs ANY static test vector reaches
     * `minCosine` — the streaming companion of

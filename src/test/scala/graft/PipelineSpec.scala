@@ -270,6 +270,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptAll == Set(1L, 2L, 3L))
   }
 
+  test("exact n-gram decontamination flags every shared-gram doc, no lottery") {
+    import spark.implicits._
+    val train = Seq(
+      // shares the verbatim 5-gram "alpha beta gamma delta epsilon"
+      (1L, "intro words alpha beta gamma delta epsilon closing remark"),
+      // no 5-gram overlap (only a 3-token fragment of the eval text)
+      (2L, "alpha beta gamma unrelated tail of a longer document here"),
+      // shares a 5-gram with the SECOND eval doc
+      (3L, "padding one two three four five padding again and again"),
+      // fully disjoint
+      (4L, "zeta eta theta iota kappa lambda mu nu xi omicron"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "question alpha beta gamma delta epsilon answer"),
+      (101L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.exactNgramOverlap(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: grams "intro words alpha beta gamma".."epsilon closing remark" —
+    // shared: "alpha beta gamma delta epsilon" only -> n_hit 1
+    // doc 3: "one two three four five" -> n_hit 1
+    assert(hits == Map(1L -> 1L, 3L -> 1L))
+    val kept = Dedup.decontaminateExact(train, eval, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // a doc shorter than n words can never be flagged (documented window)
+    val short = Seq((5L, "one two three four")).toDF("doc_id", "text")
+    assert(Dedup.exactNgramOverlap(short, eval, "doc_id", "text", n = 5).isEmpty)
+  }
+
   test("composed corpus pipeline: monotone stages, no survivors above threshold") {
     val docs = Tables.documents(spark, sf)
     val result = CorpusPipeline.clean(docs, jaccardThreshold = 0.8)

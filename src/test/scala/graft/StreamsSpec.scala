@@ -264,6 +264,40 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static exact n-gram gate flags verbatim overlap, verified") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalCorpus = Seq(
+      (100L, "question alpha beta gamma delta epsilon answer"),
+      (101L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val monitor = Streams.streamingExactContaminationHits(
+        in.toDF().toDF("doc_id", "ts", "text"), evalCorpus, "doc_id", "text",
+        n = 5)
+    val q = monitor.hits
+      .writeStream.format("memory").queryName("exact_gate").outputMode("append").start()
+    try {
+      in.addData(
+        // carries the verbatim eval 5-gram
+        (1L, ts(0), "intro words alpha beta gamma delta epsilon closing remark"),
+        // only a 3-token fragment: no shared 5-gram, must NOT be flagged
+        (2L, ts(0), "alpha beta gamma unrelated tail of a longer document"),
+        // shares a 5-gram with the second eval doc
+        (3L, ts(0), "padding one two three four five padding again"))
+      q.processAllAvailable()
+      val hits = spark.table("exact_gate").select("doc_id").as[Long].collect().toSet
+      assert(hits == Set(1L, 3L))
+      assert(spark.table("exact_gate").columns.toSet == Set("doc_id", "ts", "text"))
+      // re-arrival within the horizon is not re-flagged
+      in.addData((1L, ts(1), "intro words alpha beta gamma delta epsilon closing remark"))
+      q.processAllAvailable()
+      assert(spark.table("exact_gate").count() == 2)
+      monitor.close()
+      assert(!monitor.testBuckets.storageLevel.useMemory)
+    } finally q.stop()
+  }
+
   test("streaming canary tripwire flags sentinel substrings once per doc+canary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

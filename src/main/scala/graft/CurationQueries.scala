@@ -57,6 +57,79 @@ object CurationQueries {
           docs.filter(col("source") === "src0"),
           "doc_id", "text", n = 4)
           .orderBy("doc_id")
-      })
+      }),
+
+    // Bigram-model information score ([[ops.TextStats
+    // .bigramInformationScore]]): per-doc conditional self-information
+    // under the corpus MLE bigram model, in integer bit-length charges
+    // (floor(log2(c_left / c_ab)) per pair occurrence) — the
+    // order-sensitive, perplexity-shaped sibling of q95's unigram
+    // score, with the identical no-libm discipline. The window SUMs
+    // cast back to BIGINT (DuckDB types them HUGEINT).
+    QueryDef("q141_bigram_info",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS l,
+                       unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+               FROM w WHERE len(w) >= 2),
+        tf AS (SELECT doc_id, l, bg, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM bg GROUP BY doc_id, l, bg),
+        f AS (SELECT doc_id, tf,
+                CAST(SUM(tf) OVER (PARTITION BY bg) AS BIGINT) AS cab,
+                CAST(SUM(tf) OVER (PARTITION BY l) AS BIGINT) AS cl
+              FROM tf)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(tf * (length(bin(cl // cab)) - 1)) AS BIGINT) AS bits,
+               (1000 * CAST(SUM(tf * (length(bin(cl // cab)) - 1)) AS BIGINT))
+                 // CAST(SUM(tf) AS BIGINT) AS mean_millibits
+        FROM f GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => graft.ops.TextStats.bigramInformationScore(
+        spread(documents(s, d)), "doc_id", "text").orderBy("doc_id")),
+
+    // BPE merge-candidate mining ([[ops.TextStats.bpePairCounts]]):
+    // the first byte-pair-encoding training iteration — adjacent
+    // char-pair counts weighted by word frequency over the
+    // vocabulary-sized word-frequency table, top-20 (count desc, pair
+    // asc). All integer; the pair explode touches each DISTINCT word
+    // once regardless of its corpus frequency.
+    QueryDef("q142_bpe_pairs",
+      Some("""
+        WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY w),
+        p AS (SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair, n_w
+              FROM wc WHERE len(w) >= 2)
+        SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
+      (s, d) => graft.ops.TextStats.bpePairCounts(
+        spread(documents(s, d)), "text", k = 20)),
+
+    // Target-distribution mix ([[ops.Sampling.targetMix]]): the
+    // LARGEST selection matching a 50/15/15/10/10 language target —
+    // feasible volume T = min_s floor(n_s*1e6/ppm_s), per-stratum
+    // quotas (T*ppm_s) div 1e6, rows chosen by md5-slot priority with
+    // id tiebreak on the hierarchical prefix-sum scaffold (a DIFFERENT
+    // quota per stratum, which fixed-k heaps can't express). All
+    // integer; the oracle replays T, the quotas, and the slot order.
+    QueryDef("q143_target_mix",
+      Some(s"""
+        WITH tg AS (SELECT * FROM (VALUES ('en', 500000), ('zh', 150000),
+                      ('es', 150000), ('de', 100000), ('fr', 100000)) AS v(lang, ppm)),
+        n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang),
+        t AS (SELECT MIN((n.n_s * 1000000) // tg.ppm) AS t FROM tg JOIN n USING (lang)),
+        q AS (SELECT tg.lang, (t.t * tg.ppm) // 1000000 AS quota FROM tg CROSS JOIN t),
+        r AS (SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS rn
+              FROM documents)
+        SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS mix_rank
+        FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
+        ORDER BY doc_id"""),
+      (s, d) => graft.ops.Sampling.targetMix(
+          spread(documents(s, d)), "doc_id", "lang",
+          Seq(("en", 500000), ("zh", 150000), ("es", 150000),
+            ("de", 100000), ("fr", 100000)))
+        .select(col("doc_id"), col("lang"), col("mix_rank"))
+        .orderBy("doc_id"))
   )
 }

@@ -140,6 +140,70 @@ object Sampling {
     selectWithinBudgetReleasable(df, idCol, valueCol, tokensCol, budget,
       chunks)._1
 
+  /** TARGET-DISTRIBUTION mix: the LARGEST exact-count selection whose
+    * stratum composition matches `targets` (parts-per-million per
+    * stratum, summing to 1e6) — "make the corpus 50% en / 15% zh /
+    * 15% es / 10% de / 10% fr" as a solver, not a per-stratum guess.
+    *
+    * Feasible volume: `T = min_s floor(n_s * 1e6 / ppm_s)` over the
+    * targeted strata (the binding stratum is the one the target
+    * over-weights most relative to supply); each stratum then
+    * contributes `quota_s = (T * ppm_s) div 1e6 <= n_s` rows. Strata
+    * not in `targets` contribute nothing; a targeted stratum with NO
+    * corpus rows makes the mix infeasible (T = 0, empty output) — the
+    * strict reading of "match this distribution".
+    *
+    * Selection within a stratum is by md5-hash priority with id
+    * tiebreak (uniform, reproducible across runs/engines/retries, like
+    * every sampler here); the per-stratum rank comes from
+    * [[Hierarchical.prefixSum]] — range slices + broadcast offsets,
+    * never a single-task per-stratum window, and unlike
+    * [[prioritySample]]'s fixed-k heaps it supports a DIFFERENT quota
+    * per stratum. Stratum counts are collected driver-side (strata are
+    * few by construction; same contract as [[temperatureMix]]).
+    *
+    * Output: the selected rows with `mix_rank` (1-based within
+    * stratum). Same release contract as [[packSequencesReleasable]] —
+    * the handle-less form below releases nothing and suits one-shot
+    * jobs.
+    */
+  def targetMixReleasable(df: DataFrame, idCol: String, strataCol: String,
+                          targets: Seq[(String, Int)], chunks: Int = 0)
+      : (DataFrame, () => Unit) = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.map(_._2).forall(_ > 0),
+      s"target ppm weights must be positive: $targets")
+    require(targets.map(_._2.toLong).sum == 1000000L,
+      s"target ppm weights must sum to 1000000, got ${targets.map(_._2.toLong).sum}")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate stratum in targets: $targets")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => r.get(0) -> r.getLong(1))
+      .collect { case (s: String, n) => s -> n }.toMap
+    val t = targets.map { case (s, ppm) =>
+      counts.getOrElse(s, 0L) * 1000000L / ppm }.min
+    val quotas = targets.map { case (s, ppm) => (s, t * ppm / 1000000L) }
+    import spark.implicits._
+    val quotaDf = quotas.toDF("_q_stratum", "_quota")
+    val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+      lit(1000000L))
+    val (ranked, release) = Hierarchical.prefixSum(
+      df.join(broadcast(quotaDf), col(strataCol) === col("_q_stratum"))
+        .withColumn("_slot", slot),
+      Seq(col("_slot"), col(idCol)), Seq(strataCol), lit(1L), "_before",
+      chunks)
+    val out = ranked.filter(col("_before") < col("_quota"))
+      .withColumn("mix_rank", (col("_before") + 1L).cast(org.apache.spark.sql.types.LongType))
+      .drop("_q_stratum", "_quota", "_slot", "_before")
+    (out, release)
+  }
+
+  /** Handle-less [[targetMixReleasable]] for one-shot jobs. */
+  def targetMix(df: DataFrame, idCol: String, strataCol: String,
+                targets: Seq[(String, Int)], chunks: Int = 0): DataFrame =
+    targetMixReleasable(df, idCol, strataCol, targets, chunks)._1
+
   /** Deterministic FIXED-COUNT sample: exactly `min(k, stratum size)`
     * rows per stratum, chosen by md5-hash priority — "give me a uniform
     * 10k-document audit sample per language" where [[stratified]]'s

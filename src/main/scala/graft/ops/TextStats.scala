@@ -64,6 +64,87 @@ object TextStats {
     docs.agg(coalesce(sum(size(words(col(textCol)))), lit(0L))
       .cast(LongType)).head.getLong(0)
 
+  /** BPE merge-candidate mining: the first iteration of byte-pair-
+    * encoding tokenizer training — corpus-wide counts of adjacent
+    * character pairs, weighted by word frequency, top-k by count
+    * (count desc, pair asc: the deterministic next-merge ranking).
+    *
+    * Runs on the word-FREQUENCY table, not the raw token stream —
+    * exactly how BPE training scales (the corpus collapses to
+    * |vocabulary| rows before any character work happens, so the
+    * character-pair explode touches each distinct word once no matter
+    * how often it occurs). Pairs within a word count with
+    * multiplicity ("aaa" contributes "aa" twice), the standard
+    * counting rule. Single-character words carry no pairs.
+    *
+    * Shape: one token-key aggregate (map-side combined), a scan-side
+    * pair explode over the vocabulary-sized frame, one pair-key
+    * aggregate, TakeOrderedAndProject top-k.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("n_w"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("n_w"))
+      .groupBy(col("pair")).agg(sum(col("n_w")).cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** BIGRAM-model information score: per document, the summed
+    * CONDITIONAL self-information of its adjacent token pairs under
+    * the corpus MLE bigram model — for each occurrence of bigram
+    * (a, b), `floor(log2(c_a / c_ab))` bits, where `c_ab` is the
+    * corpus count of the bigram and `c_a` the corpus count of bigrams
+    * starting with `a`. This is the order-sensitive upgrade of
+    * [[informationScore]]: a doc of common tokens in an UNUSUAL order
+    * scores high here and low there (the unigram model cannot see
+    * word order), while templated text whose transitions are always
+    * the same scores near zero — the perplexity-shaped quality signal
+    * without a trained LM.
+    *
+    * `floor(log2(x))` is the integer bit-length of `c_a div c_ab`
+    * (exact: floor(log2(floor(x))) = floor(log2(x)) for x >= 1, and
+    * c_ab <= c_a always), so the whole pipeline is integer — no libm
+    * log, engine-exact. Output: (id, n_bigrams, bits, mean_millibits
+    * = (1000*bits) div n_bigrams). Docs with fewer than 2 tokens have
+    * no bigrams and are excluded.
+    *
+    * Shape: adjacent pairs via two shifted slices zipped in the scan
+    * (never a position join), one (doc, bigram) aggregate, corpus
+    * counts via two windows over high-cardinality keys (bigram, then
+    * left token), one doc-keyed aggregate. Nothing serializes at
+    * scale; group state is one count per key.
+    */
+  def bigramInformationScore(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val pairs = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => struct(a.as("l"), concat(a, lit(" "), b).as("bg")))
+    val tf = docs
+      .filter(size(w) >= 2)
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.bg").as("bg"))
+      .groupBy(col(idCol), col("l"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("cab", sum(col("tf")).over(Window.partitionBy("bg")))
+      .withColumn("cl", sum(col("tf")).over(Window.partitionBy("l")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast(LongType).as("n_bigrams"),
+        sum(col("tf") * (length(bin(expr("cl div cab"))) - 1))
+          .cast(LongType).as("bits"))
+      .withColumn("mean_millibits", expr("(1000 * bits) div n_bigrams"))
+  }
+
   /** Per-document duplicated-n-gram fraction: the share of a document's
     * DISTINCT word n-grams that also appear in at least one other
     * document. This is the Lee-et-al-style substring-duplication

@@ -416,6 +416,77 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> (4L, 0L), 2L -> (4L, 0L), 3L -> (4L, 3L)))
   }
 
+  test("target mix hits exact per-stratum quotas at the feasible volume") {
+    import spark.implicits._
+    // supply: a=10, b=4, c=6; target 50/25/25 -> T = min(20, 16, 24) = 16
+    // quotas: a=8, b=4, c=4 (b is the binding stratum: fully consumed)
+    val docs = ((1L to 10L).map(i => (i, "a")) ++
+      (11L to 14L).map(i => (i, "b")) ++
+      (15L to 20L).map(i => (i, "c"))).toDF("doc_id", "stratum")
+    val targets = Seq(("a", 500000), ("b", 250000), ("c", 250000))
+    val got = graft.ops.Sampling.targetMix(docs, "doc_id", "stratum", targets)
+    val bySt = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySt == Map("a" -> 8L, "b" -> 4L, "c" -> 4L))
+    // deterministic: the same call selects the same ids
+    val ids1 = got.select("doc_id").as[Long].collect().toSet
+    val ids2 = graft.ops.Sampling.targetMix(docs, "doc_id", "stratum", targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // mix_rank is dense 1..quota within each stratum
+    val ranks = got.select("stratum", "mix_rank").as[(String, Long)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    assert(ranks("a") == (1L to 8L) && ranks("b") == (1L to 4L) &&
+      ranks("c") == (1L to 4L))
+    // a targeted stratum with no supply makes the mix infeasible
+    val infeasible = graft.ops.Sampling.targetMix(docs, "doc_id", "stratum",
+      Seq(("a", 500000), ("zz", 500000)))
+    assert(infeasible.isEmpty)
+    // ppm weights must sum to 1e6
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.targetMix(docs, "doc_id", "stratum",
+        Seq(("a", 500000), ("b", 400000)))
+    }
+  }
+
+  test("BPE pair counts weight by word frequency, with in-word multiplicity") {
+    import spark.implicits._
+    // vocab: "aaa" x2, "ab" x3, "b" x1 (no pairs)
+    // pairs: "aa" from "aaa" twice-per-occurrence-in-vocab, weighted by n_w=2 -> 4
+    //        "ab" from "ab", n_w=3 -> 3
+    val docs = Seq((1L, "aaa ab b"), (2L, "aaa ab ab")).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.bpePairCounts(docs, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("aa" -> 4L, "ab" -> 3L))
+  }
+
+  test("bigram information score charges rare transitions, not rare tokens") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3 (docs 1,2), "a c" x1 (doc 3)
+    // c_l(a) = 4; bits("a b") = floor(log2(4 div 3)) = 0,
+    // bits("a c") = floor(log2(4 div 1)) = 2 — 'c' is a common TOKEN
+    // made informative only by its unusual PREDECESSOR context
+    val docs = Seq(
+      (1L, "a b a b"),   // two "a b" occurrences... tokens: a,b,a,b -> bigrams "a b","b a","a b"
+      (2L, "a b"),
+      (3L, "a c"),
+      (4L, "x"))          // single token: no bigrams, excluded
+      .toDF("doc_id", "text")
+    // full bigram tally: doc1 {"a b":2, "b a":1}, doc2 {"a b":1}, doc3 {"a c":1}
+    // c_ab("a b")=3, c_ab("b a")=1, c_ab("a c")=1; c_l(a)=4, c_l(b)=1
+    // doc1 bits = 2*floor(log2(4 div 3)) + 1*floor(log2(1 div 1)) = 0
+    // doc2 bits = floor(log2(4 div 3)) = 0
+    // doc3 bits = floor(log2(4 div 1)) = 2
+    val got = graft.ops.TextStats.bigramInformationScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (3L, 0L, 0L),
+      2L -> (1L, 0L, 0L),
+      3L -> (1L, 2L, 2000L)))
+  }
+
   test("duplicated-n-gram fraction flags only grams shared across docs") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "p q r"))

@@ -130,6 +130,83 @@ object CurationQueries {
           Seq(("en", 500000), ("zh", 150000), ("es", 150000),
             ("de", 100000), ("fr", 100000)))
         .select(col("doc_id"), col("lang"), col("mix_rank"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id"))  ,
+
+    // Embedding-diversity audit ([[Similarity.embeddingDiversity]]):
+    // the exact sum of all pairwise dots in closed form
+    // (||sum v||^2 - sum ||v||^2) — two scans + a 64-row aggregate,
+    // never the n^2 pair join. Elements floor-quantized to micro-units
+    // (floor, not cast: Spark truncates, DuckDB rounds), per-dim sums
+    // squared through DECIMAL/HUGEINT; no division anywhere.
+    QueryDef("q144_embedding_diversity",
+      Some("""
+        WITH e AS (SELECT list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+                   FROM embeddings),
+        pd AS (SELECT d, SUM(e[d]) AS s
+               FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+        ss AS (SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss FROM pd),
+        sd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                      CAST(SUM(list_reduce(list_transform(e, x -> x * x),
+                               (a, b) -> a + b)) AS BIGINT) AS self_dot_e12
+               FROM e)
+        SELECT n_vecs, self_dot_e12,
+               CAST(ss - self_dot_e12 AS DECIMAL(38,0)) AS pair_dot_sum_e12
+        FROM sd CROSS JOIN ss"""),
+      (s, d) => Similarity.embeddingDiversity(
+        spread(embeddings(s, d)), "embedding")),
+
+    // Degenerate-repetition screen ([[ops.TextStats.maxTokenRun]]):
+    // longest identical-token run per doc, computed in one scan-side
+    // HOF fold (zero shuffle); the oracle replays it as
+    // gaps-and-islands with the same first-longest tiebreak.
+    QueryDef("q145_max_token_run",
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                   FROM documents),
+        g AS (SELECT doc_id, w, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+              FROM t),
+        runs AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS run_len,
+                        MIN(i) AS start
+                 FROM g GROUP BY doc_id, w, grp),
+        best AS (SELECT doc_id, run_len, w,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY run_len DESC, start ASC) AS rn
+                 FROM runs)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               b.run_len AS max_run, b.w AS run_token
+        FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        ORDER BY d.doc_id"""),
+      (s, d) => graft.ops.TextStats.maxTokenRun(
+        spread(documents(s, d)), "doc_id", "text").orderBy("doc_id")),
+
+    // Equi-width quantile bucketing ([[ops.Ranking.quantileBuckets]]):
+    // decile assignment by document length under the (n_chars, doc_id)
+    // total order — bucket = ((rank-1)*10) div n + 1 on the
+    // hierarchical prefix-sum scaffold (exact and engine-portable
+    // where ntile's remainder placement is engine-defined). Output is
+    // the per-bucket audit: row count + value range.
+    QueryDef("q146_quantile_buckets",
+      Some("""
+        WITH r AS (SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+                     COUNT(*) OVER () AS n
+                   FROM documents)
+        SELECT ((rn - 1) * 10) // n + 1 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM r GROUP BY bucket ORDER BY bucket"""),
+      (s, d) => graft.ops.Ranking.quantileBuckets(
+          spread(documents(s, d)).select("doc_id", "n_chars"),
+          "n_chars", "doc_id", k = 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy("bucket"))
   )
 }

@@ -362,6 +362,53 @@ object Similarity {
         Pipeline.cosine(col("v"), col("w")).as("drift_cosine"))
   }
 
+  /** Corpus embedding-DIVERSITY audit: the exact sum of all pairwise
+    * dot products in ONE closed-form pass — `sum_{u != v} <u, v> =
+    * ||sum_v v||^2 - sum_v ||v||^2` — so the mean pairwise similarity
+    * (collapse / mode-coverage signal: a corpus of near-identical
+    * vectors scores high, a spread corpus near zero) costs two scans
+    * and a 64-row aggregate instead of the n^2 pair join that the
+    * naive formulation needs. For unit-normalized embeddings the
+    * derived `pair_dot_sum / (n*(n-1))` IS the mean pairwise cosine.
+    *
+    * Exactness: elements are floor-quantized to integer micro-units
+    * (`floor(x * 1e6)` — floor, not cast: Spark's double→long cast
+    * truncates toward zero while DuckDB's rounds; floor is identical
+    * on both), so every sum is integer and order-independent. The
+    * per-dim sums square through DECIMAL (S_d ~ n*1e6 overflows BIGINT
+    * when squared at corpus scale); no division anywhere — the output
+    * carries the exact numerator and `n_vecs`, and the caller divides.
+    *
+    * Output (one row): n_vecs, self_dot_e12 (sum of squared norms,
+    * micro^2 units), pair_dot_sum_e12 (DECIMAL(38,0), micro^2 units).
+    *
+    * Scale shape: one scan-side fold per vector (self dots), one
+    * dims-keyed aggregate (per-dim sums — 64 groups, map-side
+    * combined), one 64-row square-and-sum. Nothing pairwise, nothing
+    * driver-side beyond three scalars.
+    */
+  def embeddingDiversity(df: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val micro = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000d)).cast(LongType))
+    val base = df.select(micro.as("_e"))
+    val perDim = base
+      .select(posexplode(col("_e")))
+      .groupBy("pos")
+      .agg(sum(col("col")).as("s"))
+    val sumSq = perDim.agg(
+      sum(col("s").cast(DecimalType(18, 0)) * col("s").cast(DecimalType(18, 0)))
+        .as("_ss"))
+    val selfDot = base.agg(
+      count(lit(1)).cast(LongType).as("n_vecs"),
+      coalesce(sum(aggregate(col("_e"), lit(0L), (acc, x) => acc + x * x)),
+        lit(0L)).cast(LongType).as("self_dot_e12"))
+    selfDot.crossJoin(sumSq)
+      .select(col("n_vecs"), col("self_dot_e12"),
+        coalesce(col("_ss") - col("self_dot_e12"), lit(0L))
+          .cast(DecimalType(38, 0)).as("pair_dot_sum_e12"))
+  }
+
   /** Append text-analysis feature columns to a document DataFrame:
     * token counts, type-token ratio, stopword ratio, BPE-ish subword
     * estimate, canonical fingerprint, rolling hash — all scan-side

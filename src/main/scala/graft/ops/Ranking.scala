@@ -100,6 +100,35 @@ object Ranking {
     (pref.withColumn(outCol, col("_before") + lit(1L)).drop("_before"), release)
   }
 
+  /** EQUI-WIDTH quantile bucketing: append `bucket` = 1-based k-tile
+    * of the row under the total order (`valueCol` asc, `idCol` asc) —
+    * `bucket = ((rank - 1) * k) div n + 1`, the curriculum /
+    * difficulty-binning assignment ("decile by document length") that
+    * is exact and reproducible where `ntile`'s remainder distribution
+    * is engine-defined and a single-partition `ntile` window is a
+    * scale-killer anyway. The rank comes from the hierarchical
+    * prefix-sum scaffold; `n` is one bounded count action (in a
+    * production pipeline the corpus size is already known — pass it
+    * via the overload to skip the action).
+    *
+    * Buckets are contiguous rank ranges of size n/k (earlier buckets
+    * get the remainder rows, matching the integer formula exactly on
+    * both engines — `div`, never float floor).
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, idCol: String,
+                      k: Int, chunks: Int = 0): DataFrame =
+    quantileBuckets(df, valueCol, idCol, k, df.count(), chunks)
+
+  /** [[quantileBuckets]] with a known corpus size (no count action). */
+  def quantileBuckets(df: DataFrame, valueCol: String, idCol: String,
+                      k: Int, n: Long, chunks: Int): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    require(n > 0, s"corpus size must be positive, got $n")
+    globalRowNumber(df, Seq(col(valueCol), col(idCol)), "_rank", chunks)
+      .withColumn("bucket", expr(s"((_rank - 1) * $k) div ${n}L + 1"))
+      .drop("_rank")
+  }
+
   /** EXACT permille quantiles of `valueCol` under the total order
     * (`valueCol` asc, then `tieCols`): the value at global rank
     * `ceil(permille * n / 1000)` — the length-budget / SLA question

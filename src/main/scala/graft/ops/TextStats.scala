@@ -64,6 +64,42 @@ object TextStats {
     docs.agg(coalesce(sum(size(words(col(textCol)))), lit(0L))
       .cast(LongType)).head.getLong(0)
 
+  /** Degenerate-repetition screen: per document, the longest run of
+    * IDENTICAL consecutive tokens and the token that runs — the
+    * classic signature of looping generators, stuck scrapers, and
+    * padding artifacts ("buy buy buy buy ..."), which every
+    * frequency-based quality score under-penalizes because the token
+    * itself may be common.
+    *
+    * Entirely scan-side: one `aggregate` HOF fold over the token array
+    * (state: previous token, current run, best run, best token — the
+    * FIRST longest run wins ties), zero shuffle at any scale. The
+    * DuckDB mirror replays it as gaps-and-islands (position minus
+    * per-token row_number) — same first-longest tiebreak via the
+    * island's start position.
+    *
+    * Output: (id, n_tokens, max_run, run_token).
+    */
+  def maxTokenRun(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val state = aggregate(w,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("best_tok")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        val better = run > acc.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("best")).as("best"),
+          when(better, x).otherwise(acc.getField("best_tok")).as("best_tok"))
+      })
+    docs.select(col(idCol),
+      size(w).cast(LongType).as("n_tokens"),
+      state.getField("best").as("max_run"),
+      state.getField("best_tok").as("run_token"))
+  }
+
   /** BPE merge-candidate mining: the first iteration of byte-pair-
     * encoding tokenizer training — corpus-wide counts of adjacent
     * character pairs, weighted by word frequency, top-k by count

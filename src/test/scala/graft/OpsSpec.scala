@@ -416,6 +416,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> (4L, 0L), 2L -> (4L, 0L), 3L -> (4L, 3L)))
   }
 
+  test("max token run finds the first longest identical run") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy buy buy now now"),        // run of 3 "buy"
+      (2L, "a b a b a b"),                // no run > 1
+      (3L, "x x y y z"),                  // tie 2/2: FIRST longest ("x") wins
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.maxTokenRun(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (5L, 3L, "buy"),
+      2L -> (6L, 1L, "a"),
+      3L -> (5L, 2L, "x"),
+      4L -> (1L, 1L, "solo")))
+  }
+
+  test("quantile buckets match the rank formula, remainder to early buckets") {
+    import spark.implicits._
+    // 7 rows, 3 buckets: sizes 3/2/2 by ((rank-1)*3) div 7 + 1
+    val df = (1L to 7L).map(i => (i, i * 10L)).toDF("id", "v")
+    val got = graft.ops.Ranking.quantileBuckets(df, "v", "id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 2L, 6L -> 3L, 7L -> 3L))
+    // ties on value break by id: same input, equal values
+    val ties = Seq((5L, 1L), (3L, 1L), (4L, 1L), (1L, 1L)).toDF("id", "v")
+    val b = graft.ops.Ranking.quantileBuckets(ties, "v", "id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b == Map(1L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("embedding diversity equals the brute-force pairwise dot sum") {
+    import spark.implicits._
+    // 3 vectors in 64 dims (zero-padded): u=(1,2,0..), v=(3,-1,0..), w=(0.5,0.5,0..)
+    val pad = Seq.fill(62)(0f)
+    val vecs = Seq(
+      (1L, Seq(1f, 2f) ++ pad),
+      (2L, Seq(3f, -1f) ++ pad),
+      (3L, Seq(0.5f, 0.5f) ++ pad)).toDF("vec_id", "embedding")
+    val row = graft.Similarity.embeddingDiversity(vecs, "embedding").head()
+    assert(row.getLong(0) == 3L)
+    // micro units: u=(1e6,2e6), v=(3e6,-1e6), w=(5e5,5e5)
+    // self: (1+4) + (9+1) + (0.25+0.25) = 15.5e12
+    assert(row.getLong(1) == 15500000000000L)
+    // pairwise (ordered, both directions): 2*(u.v + u.w + v.w)
+    // u.v = 3e12-2e12 = 1e12; u.w = .5e12+1e12 = 1.5e12; v.w = 1.5e12-0.5e12 = 1e12
+    // sum = 2*3.5e12 = 7e12
+    assert(row.getDecimal(2).longValueExact() == 7000000000000L)
+  }
+
   test("target mix hits exact per-stratum quotas at the feasible volume") {
     import spark.implicits._
     // supply: a=10, b=4, c=6; target 50/25/25 -> T = min(20, 16, 24) = 16

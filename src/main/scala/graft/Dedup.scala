@@ -983,12 +983,18 @@ object Dedup {
       .select(least(col("_pid"), col("_iid")).as("a_id"),
         greatest(col("_pid"), col("_iid")).as("b_id"))
       .distinct()
-    val inter = size(array_intersect(col("_sa"), col("_sb")))
     cand
       .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
       .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
-      .withColumn("cont_a", inter.cast("double") / size(col("_sa")))
-      .withColumn("cont_b", inter.cast("double") / size(col("_sb")))
+      // materialize the intersection size ONCE per pair: both
+      // containment sides and the gate read it, and the per-pair
+      // array_intersect over full shingle sets is the verify's
+      // dominant CPU term (an expression inlined into cont_a/cont_b
+      // would run it twice)
+      .withColumn("_i",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
+      .withColumn("cont_a", col("_i") / size(col("_sa")))
+      .withColumn("cont_b", col("_i") / size(col("_sb")))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select(col("a_id"), col("b_id"), col("cont_a"), col("cont_b"))
   }

@@ -42,13 +42,39 @@ object Graph {
     * a RANKING (it rescales uniformly). Isolated nodes (no edges at
     * all) are not ranked — union self-loops if they must appear.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame =
+    pageRankReleasable(edges, iters)._1
+
+  /** [[pageRank]] plus the release handle for the two LOOP-INVARIANT
+    * caches (prepared edges, node set). Catalyst does not dedup common
+    * subtrees, so uncached these frames — including whatever join/
+    * distinct chain DERIVED the edge list — would re-execute once per
+    * iteration reference (iters x for the edges, iters+1 x for the
+    * nodes): the derivation, not the iteration math, dominates.
+    * Measured A/B at sf0.1 (q125's trade graph, 5 iterations —
+    * PLANS.md round 9 carries the numbers). Long-lived sessions must
+    * call the handle once the ranking is materialized; the
+    * handle-less form suits one-shot jobs.
+    */
+  def pageRankReleasable(edges: DataFrame,
+                         iters: Int = 5): (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast(LongType).as("deg"))
+    // BOTH caches are REPARTITIONED on their join key before persist:
+    // a cached frame's hash partitioning is visible to the planner, so
+    // every iteration's src-join reuses the edge side with NO exchange
+    // (only the nodes-sized rank frame shuffles), and the final
+    // node-join consumes the dst-keyed aggregate exchange directly —
+    // the "pre-partition the edge list once" discipline this docstring
+    // promises, made real. Per-iteration exchanges drop 3 -> 2
+    // (rank-into-join + contribution agg; both nodes-sized).
     val prepared = e.join(deg, "src")
+      .repartition(col("src")).persist(disk)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node")))
+      .distinct().repartition(col("node")).persist(disk)
     var pr = nodes.withColumn("pr", lit(1000L))
     for (_ <- 1 to iters) {
       val contribs = prepared
@@ -65,7 +91,7 @@ object Graph {
           (lit(150L) + expr("(850 * coalesce(_s, 0L)) div 1000"))
             .cast(LongType).as("pr"))
     }
-    pr
+    (pr, () => { prepared.unpersist(); nodes.unpersist(); () })
     // NO per-iteration localCheckpoint, deliberately — measured A/B at
     // sf0.1/sf1 (PLANS.md round 8): the checkpointed loop is ~2.2x
     // slower at sf0.1 (7.8 vs 3.5 s) and still slower at sf1 — with a

@@ -210,10 +210,12 @@ object CorpusPipeline {
   final case class PrepareReport(
       clean: Report,
       afterDecontamination: Long,
+      afterExactDecontamination: Option[Long],
       afterEmbeddingDecontamination: Option[Long],
       afterSampling: Long) {
     def json: String =
       s"""{"clean":${clean.json},"after_decontamination":$afterDecontamination,""" +
+        s""""after_exact_decontamination":${afterExactDecontamination.getOrElse("null")},""" +
         s""""after_embedding_decontamination":${afterEmbeddingDecontamination.getOrElse("null")},""" +
         s""""after_sampling":$afterSampling}"""
   }
@@ -293,7 +295,8 @@ object CorpusPipeline {
       vecCol: String = "embedding",
       minCosine: Double = 0.9,
       splits: Seq[(String, Int)] = Nil,
-      splitPairThreshold: Double = 0.5): Prepared = {
+      splitPairThreshold: Double = 0.5,
+      exactNgramN: Int = 0): Prepared = {
     require(embeddings.isDefined == testEmbeddings.isDefined,
       "embedding decontamination needs BOTH embeddings and testEmbeddings")
     val st = runClean(docs, idCol, textCol, jaccardThreshold, minTokens,
@@ -308,10 +311,20 @@ object CorpusPipeline {
     // count below materializes every post-clean cache and delivers all
     // three counts — one action for the whole post-clean chain
     val oSafe = org.apache.spark.sql.Observation()
+    val oExact = org.apache.spark.sql.Observation()
     val oGated = org.apache.spark.sql.Observation()
-    val safe = Dedup.decontaminateSigned(st.annotated, st.sig, testSig,
+    val lshSafe = Dedup.decontaminateSigned(st.annotated, st.sig, testSig,
         idCol, threshold = decontThreshold)
       .observe(oSafe, count(lit(1)).as("n")).persist(Disk)
+    // optional EXACT n-gram gate (q140 semantics): catches the one
+    // verbatim quoted answer whose whole-doc Jaccard dilutes below
+    // decontThreshold — the complement failure mode of the LSH gate.
+    // Recall 1.0 at the n-gram definition, so ordering after the LSH
+    // stage only shrinks its input, never its catch.
+    val safe = if (exactNgramN <= 0) lshSafe else
+      Dedup.decontaminateExact(lshSafe, testCorpus, idCol, textCol,
+          exactNgramN)
+        .observe(oExact, count(lit(1)).as("n"))
     // optional EMBEDDING-space gate: bucket frames built once per
     // corpus (AutoPlanes sizes them to the train side), released below
     val embBuckets = embeddings.map { emb =>
@@ -349,6 +362,7 @@ object CorpusPipeline {
     }
     val afterSampling = mixed.count()
     val report = PrepareReport(cleanReport, metric(oSafe),
+      if (exactNgramN > 0) Some(metric(oExact)) else None,
       embBuckets.map(_ => metric(oGated)), afterSampling)
     // mixed's cache now roots the returned corpus; everything upstream
     // (sig — the largest frame in the job — near, testSig, safe, the
@@ -356,7 +370,7 @@ object CorpusPipeline {
     // clean()'s discipline. release() drops the one remaining entry.
     embBuckets.foreach { case (a, b) => a.unpersist(); b.unpersist() }
     if (gated ne safe) gated.unpersist()
-    safe.unpersist()
+    lshSafe.unpersist()
     st.sig.unpersist()
     st.near.unpersist()
     testSig.unpersist()

@@ -207,6 +207,43 @@ object CurationQueries {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // DSIR-style importance score ([[ops.TextStats.importanceScore]]):
+    // integer log-likelihood-ratio proxy toward a target domain
+    // (source 'src0' plays the target): per token occurrence,
+    // bits_raw - bits_target in bit-length charges, +1-smoothed target
+    // counts. Raw-corpus frequency via a token-key window, target
+    // frequency via one vocabulary-sized left join — the
+    // classifier-free "tilt the crawl toward the domain" ranking.
+    QueryDef("q147_importance_score",
+      Some("""
+        WITH rt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE source <> 'src0'),
+        tt AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents WHERE source = 'src0'),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rt),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tt),
+        tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY w),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM rt GROUP BY doc_id, w),
+        f AS (SELECT doc_id, tf,
+                CAST(SUM(tf) OVER (PARTITION BY tf.w) AS BIGINT) AS cr,
+                COALESCE(tc.c, 0) + 1 AS ct
+              FROM tf LEFT JOIN tc ON tf.w = tc.w)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+               CAST(SUM(tf * ((length(bin(nr.n // cr)) - 1)
+                            - (length(bin((nt.n + 1) // ct)) - 1))) AS BIGINT) AS score
+        FROM f CROSS JOIN nr CROSS JOIN nt
+        GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val raw = docs.filter(col("source") =!= "src0")
+        val target = docs.filter(col("source") === "src0")
+        graft.ops.TextStats.importanceScore(raw, target, "doc_id", "text",
+            graft.ops.TextStats.totalTokens(raw, "text"),
+            graft.ops.TextStats.totalTokens(target, "text"))
+          .orderBy("doc_id")
+      })
   )
 }

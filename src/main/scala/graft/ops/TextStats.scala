@@ -64,6 +64,54 @@ object TextStats {
     docs.agg(coalesce(sum(size(words(col(textCol)))), lit(0L))
       .cast(LongType)).head.getLong(0)
 
+  /** DSIR-style IMPORTANCE score (data selection by importance
+    * resampling, Xie et al. 2023, unigram form): per raw-corpus doc,
+    * the integer log-likelihood-ratio proxy
+    * `sum over token occurrences of (bits_raw(w) - bits_target(w))`
+    * where `bits_X(w) = floor(log2(N_X / c_X(w)))` is the token's
+    * bit-length self-information under corpus X. Tokens that are rare
+    * in the raw crawl but common in the target domain push the score
+    * UP — rank-and-keep the top slice (or feed [[graft.ops.Sampling
+    * .weighted]]) to tilt a generic crawl toward a target distribution
+    * without training a classifier.
+    *
+    * Target counts carry +1 smoothing (`c'_t = c_t + 1` against
+    * `N_t + 1`), so raw tokens absent from the target charge the full
+    * ~log2(N_t) penalty instead of dividing by zero. All arithmetic is
+    * integer bit-length — no libm log, engine-exact — and both corpus
+    * totals arrive as parameters ([[totalTokens]]), matching
+    * [[informationScore]]'s contract.
+    *
+    * Shape: one (doc, token) aggregate, the raw frequency via a window
+    * over the token key, the target frequency via one left equi-join
+    * against the target's vocabulary-sized count table, one doc-keyed
+    * aggregate. Output: (id, n_tok, score) — score may be negative
+    * (doc is more raw-like than target-like).
+    */
+  def importanceScore(raw: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, rawTotal: Long,
+                      targetTotal: Long): DataFrame = {
+    require(rawTotal > 0 && targetTotal > 0,
+      s"corpus totals must be positive, got $rawTotal / $targetTotal")
+    val tgtCounts = target
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_ct0"))
+    val tf = raw
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("cr", sum(col("tf")).over(Window.partitionBy("w")))
+      .join(tgtCounts, Seq("w"), "left")
+      .withColumn("ct", coalesce(col("_ct0"), lit(0L)) + lit(1L))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast(LongType).as("n_tok"),
+        sum(col("tf") *
+          ((length(bin(expr(s"${rawTotal}L div cr"))) - 1) -
+           (length(bin(expr(s"${targetTotal + 1}L div ct"))) - 1)))
+          .cast(LongType).as("score"))
+  }
+
   /** Degenerate-repetition screen: per document, the longest run of
     * IDENTICAL consecutive tokens and the token that runs — the
     * classic signature of looping generators, stuck scrapers, and

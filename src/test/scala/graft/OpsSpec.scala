@@ -416,6 +416,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> (4L, 0L), 2L -> (4L, 0L), 3L -> (4L, 3L)))
   }
 
+  test("importance score ranks target-like docs above off-domain docs") {
+    import spark.implicits._
+    val raw = Seq((1L, "x x"), (2L, "q q")).toDF("doc_id", "text")
+    val target = Seq((100L, "x x x x")).toDF("doc_id", "text")
+    // N_raw=4, N_tgt=4; doc1 (x): bits_raw = floor(log2(4/2)) = 1,
+    // ct = 4+1, bits_tgt = floor(log2(5 div 5)) = 0 -> +1 per occurrence
+    // doc2 (q, absent from target): bits_tgt = floor(log2(5 div 1)) = 2
+    // -> 1 - 2 = -1 per occurrence
+    val got = graft.ops.TextStats.importanceScore(raw, target,
+        "doc_id", "text", rawTotal = 4L, targetTotal = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 2L), 2L -> (2L, -2L)))
+  }
+
   test("max token run finds the first longest identical run") {
     import spark.implicits._
     val docs = Seq(

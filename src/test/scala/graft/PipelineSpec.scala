@@ -653,6 +653,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally result.release()
   }
 
+  test("prepare's exact n-gram stage catches the verbatim leak LSH misses") {
+    import spark.implicits._
+    // doc 1 quotes the eval 5-gram verbatim inside 17 otherwise-unique
+    // tokens: whole-doc trigram Jaccard vs eval is ~3/15 — far below
+    // any workable LSH decontamination threshold, so the Jaccard gate
+    // KEEPS it; the exact 5-gram gate must drop it. The quote sits
+    // mid-document (tokens 6-10), surrounded by unique filler.
+    def filler(d: Int, r: Range): Seq[String] = r.map(j => s"d${d}t$j")
+    val quoted = (filler(1, 0 until 6) ++
+      Seq("alpha", "beta", "gamma", "delta", "epsilon") ++
+      filler(1, 11 until 17)).mkString(" ")
+    val docs = ((2L to 10L).map(d =>
+      (d, filler(d.toInt, 0 until 17).mkString(" "), "srcA")) :+
+      ((1L, quoted, "srcA"))).toDF("doc_id", "text", "source")
+    val eval = Seq((900L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // without the exact stage: doc 1 survives (the LSH gate misses it)
+    val without = CorpusPipeline.prepare(docs, eval)
+    try {
+      assert(without.corpus.select("doc_id").as[Long].collect().toSet
+        .contains(1L))
+      assert(without.report.afterExactDecontamination.isEmpty)
+    } finally without.release()
+    // with it: doc 1 is gone, everything else survives, and the
+    // report carries the stage count
+    val withExact = CorpusPipeline.prepare(docs, eval, exactNgramN = 5)
+    try {
+      val kept = withExact.corpus.select("doc_id").as[Long].collect().toSet
+      assert(!kept.contains(1L))
+      assert(kept == (2L to 10L).toSet)
+      val r = withExact.report
+      assert(r.afterExactDecontamination.contains(r.afterDecontamination - 1))
+      assert(r.json.contains("after_exact_decontamination"))
+    } finally withExact.release()
+  }
+
   test("prepare's split stage keeps near-dup groups on one side of every split") {
     import spark.implicits._
     // planted RELATED-but-not-duplicate groups: 6 docs sharing a

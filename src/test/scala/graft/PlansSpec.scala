@@ -118,10 +118,14 @@ class PlansSpec extends AnyFunSuite {
     // row, the drift monitor's two one-row mean vectors) or the
     // k-centroid set of the k-means E-step / SemDeDup assignment
     // (n x k comparisons IS the operator's semantics, k << n)
-    // — constant work per probe row, safe at any scale
+    // — constant work per probe row, safe at any scale.
+    // q144: the diversity audit crosses TWO one-row aggregates
+    // (corpus self-dot total x ||sum v||^2) — a 1x1 join by
+    // construction
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
       "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
-      "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift")
+      "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift",
+      "q144_embedding_diversity")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -156,7 +156,18 @@ object ScaleBench {
       "q133_skipgram_collocations", "q134_language_margin",
       "q135_source_entropy", "q136_cluster_sizes",
       "q137_frequency_spectrum", "q138_verified_pairs_hashed",
-      "q139_split_balance")
+      "q139_split_balance",
+      // round 9: exact decontamination (gram-hash membership join —
+      // NOTE the replica set's suffixed tokens decorrelate train/eval
+      // grams across replicas, so the eval set is ~10x and hit volume
+      // stays per-replica: the intended shape), bigram info (two
+      // token-key windows), BPE pairs (vocabulary-sized explode —
+      // sublinear in corpus tokens by design), target mix (scaffold +
+      // driver-side strata counts), diversity (dims-keyed agg),
+      // repetition screen (pure scan), quantile buckets (scaffold)
+      "q140_exact_decontamination", "q141_bigram_info", "q142_bpe_pairs",
+      "q143_target_mix", "q144_embedding_diversity",
+      "q145_max_token_run", "q146_quantile_buckets")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

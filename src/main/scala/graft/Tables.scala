@@ -47,25 +47,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects. Read nanos as raw longs: `ts_ns` keeps the exact value,
-    * and `ts` is the micros truncation as a TimestampType for
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as raw longs via
+    * `nanosAsLong`) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Normalize both to the same surface:
+    * `ts_ns` = epoch nanos as BIGINT, `ts` = micros TimestampType for
     * date/window functions. NOTE the ORACLE only ever sees micros
-    * (DuckDB reads the NANOS parquet truncated), so any oracle-checked
-    * ordering/arithmetic must use the truncated form (`ts` or
-    * `ts_ns div 1000`) — raw-ns ordering would resolve same-microsecond
-    * ties differently than the oracle's tiebreak (q18/q19/q54 all
-    * truncate for exactly this). Epochs are positive, so `div 1000`
-    * (floor) matches DuckDB's ns→us cast.
+    * (DuckDB `epoch_us(ts)` on either physical type), so any
+    * oracle-checked ordering/arithmetic must use the micros form
+    * (`ts` or `ts_ns div 1000`) — raw-ns ordering would resolve
+    * same-microsecond ties differently than the oracle's tiebreak
+    * (q18/q19/q54 all truncate for exactly this). Epochs are positive,
+    * so `div 1000` (floor) matches DuckDB's ns→us cast. The NTZ→epoch
+    * conversion assumes a UTC session timezone (Sessions.build sets
+    * it; set defensively here for foreign sessions) so the wall-clock
+    * value is read as the same instant DuckDB reads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: runtime-settable and idempotent, so a driver invoking
     // SparkEntry.queries from its OWN session (never through
-    // Sessions.build/configure) still reads the NANOS parquet
+    // Sessions.build/configure) reads both generations correctly
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) gen
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case _ => // TIMESTAMP(MICROS) gen (NTZ or LTZ)
+        raw.withColumn("ts_ns",
+            expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -151,7 +151,8 @@ object CurationQueries {
                                (a, b) -> a + b)) AS BIGINT) AS self_dot_e12
                FROM e)
         SELECT n_vecs, self_dot_e12,
-               CAST(ss - self_dot_e12 AS DECIMAL(38,0)) AS pair_dot_sum_e12
+               CAST(CAST(ss - self_dot_e12 AS DECIMAL(38,0)) AS VARCHAR)
+                 AS pair_dot_sum_e12
         FROM sd CROSS JOIN ss"""),
       (s, d) => Similarity.embeddingDiversity(
         spread(embeddings(s, d)), "embedding")),

@@ -380,7 +380,11 @@ object Similarity {
     * carries the exact numerator and `n_vecs`, and the caller divides.
     *
     * Output (one row): n_vecs, self_dot_e12 (sum of squared norms,
-    * micro^2 units), pair_dot_sum_e12 (DECIMAL(38,0), micro^2 units).
+    * micro^2 units), pair_dot_sum_e12 (STRING rendering of the exact
+    * DECIMAL(38,0) micro^2 sum — stringified at the edge so every
+    * downstream consumer, including hash-based comparators that
+    * coerce wide decimals through float64, sees the identical exact
+    * digits; see the DECIMAL output policy in PLANS.md).
     *
     * Scale shape: one scan-side fold per vector (self dots), one
     * dims-keyed aggregate (per-dim sums — 64 groups, map-side
@@ -406,7 +410,7 @@ object Similarity {
     selfDot.crossJoin(sumSq)
       .select(col("n_vecs"), col("self_dot_e12"),
         coalesce(col("_ss") - col("self_dot_e12"), lit(0L))
-          .cast(DecimalType(38, 0)).as("pair_dot_sum_e12"))
+          .cast(DecimalType(38, 0)).cast("string").as("pair_dot_sum_e12"))
   }
 
   /** Append text-analysis feature columns to a document DataFrame:

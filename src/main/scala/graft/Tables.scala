@@ -16,8 +16,10 @@ object Tables {
 
   /** Session invariant required by `events` (parquet TIMESTAMP(NANOS)):
     * call once at SparkSession construction. All graft entry points
-    * (Bench, Verify, tests) do; external sessions must too — the
-    * loader itself is read-only and does NOT set it.
+    * (Bench, Verify, tests) do. `events` also sets it (plus a UTC
+    * session timezone) defensively for foreign sessions that skip
+    * this call — loudly, via a warning, when it has to override a
+    * non-UTC timezone.
     */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,7 +70,16 @@ object Tables {
     // SparkEntry.queries from its OWN session (never through
     // Sessions.build/configure) reads both generations correctly
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val priorTz = s.conf.get("spark.sql.session.timeZone")
+    if (priorTz != "UTC") {
+      // fail loudly rather than silently repoint the caller's other
+      // date/timestamp semantics (repo-wide UTC invariant, PLANS.md)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft.Tables.events: overriding session timezone '$priorTz' " +
+          "with 'UTC' (required for oracle-exact events semantics); " +
+          "this affects the whole session")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) gen

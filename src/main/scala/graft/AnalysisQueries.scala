@@ -22,6 +22,13 @@ object AnalysisQueries {
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
                     (a, b) -> a*16 + b)"""
 
+  // Oracle mirror of Pipeline.wordHash60: first 15 md5 hex digits
+  // folded to a 60-bit BIGINT (the membership/join/dictionary key
+  // recipe — same fold the q140 decontamination oracle uses).
+  private[graft] def hash60Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 16)],
+                    (a, b) -> a*16 + b)"""
+
   // Oracle mirror of Pipeline.rhpBucket(col, 64, 4): 4-plane random-
   // hyperplane bucket with md5-parity signs (the q30/q65 recipe).
   private def bucketOf(v: String): String = s"""

@@ -20,6 +20,15 @@ object Dedup {
 
   private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** Default document-frequency cap on [[containmentPairs]]'s shingle
+    * inverted index: index entries for a shingle appearing in more
+    * documents than this are dropped before the probe join, bounding
+    * the hottest join key's fanout at corpus scale. ~400x above the
+    * largest df observed in the bench corpora (PLANS.md round 9), so
+    * it only ever bites genuine boilerplate.
+    */
+  val DefaultMaxShingleDf: Int = 10000
+
   /** Column-metadata key recording the shingle width a signature
     * frame's `shingles` column was built with.
     */
@@ -927,33 +936,54 @@ object Dedup {
     * Blocking is on CONTAINMENT, not Jaccard: each doc's bottom-m
     * shingles (by md5-hash order — a deterministic uniform sample of
     * its shingle set) probe an inverted index of EVERY doc's shingles,
-    * so a pair at containment c is a candidate with probability
-    * >= 1 - (1-c)^m, with m derived from the operating threshold
-    * ([[Pipeline.containmentProbesFor]]: >= 99.5% capture at it).
-    * MinHash-LSH banding — the previous blocking here — approximates
-    * Jaccard, and the pairs this operator EXISTS for (containment-high
-    * / Jaccard-low) are exactly where banding capture is worst: a
-    * measured miss, not a corner case. The exact verify on candidates
-    * is unchanged.
+    * and a per-DIRECTION hit-count gate keeps only (probing doc,
+    * indexed doc) pairs sharing >= `minProbeHits` probed shingles
+    * (>= the doc's whole probe set when it has fewer). A pair at
+    * containment c is a candidate with probability
+    * P(Binomial(m, c) >= minProbeHits), with m derived from the
+    * operating threshold ([[Pipeline.containmentProbesFor]]:
+    * >= 99.5% capture at it). MinHash-LSH banding — the round-7
+    * blocking here — approximates Jaccard, and the pairs this operator
+    * EXISTS for (containment-high / Jaccard-low) are exactly where
+    * banding capture is worst: a measured miss, not a corner case.
+    *
+    * The 2-hit default (round 9) exists because the 1-hit gate's
+    * candidate set is dominated by single-shared-shingle coincidences:
+    * measured at sf0.1, 163k candidates for 256 real pairs; the 2-hit
+    * gate at the same >= 99.5% capture floor (m 5 -> 7) admits ~4k.
+    * The verify then intersects 60-bit shingle HASHES
+    * ([[Pipeline.wordHash60]] — the [[verifiedPairsHashed]]
+    * dictionary-encoding), ~8 B/shingle through the two payload joins
+    * instead of ~25 B/string-shingle; containment denominators stay
+    * the true string-set sizes, and the oracle replays the identical
+    * hashes so both engines see identical candidates AND identical
+    * intersection counts.
     *
     * Scale shape: the index explode is token-scale but LINEAR (one row
     * per (doc, shingle) — the [[ngramNovelty]] shape), the probe side
     * is m rows per doc, and the join is an equi-join on the shingle —
     * never a cartesian. A pathologically common shingle (boilerplate)
     * makes a hot join key: `maxShingleDf` drops index entries whose
-    * document frequency exceeds it (bounded join; a contained doc
-    * whose EVERY probe is that common loses blocking recall — leave
-    * uncapped where misses matter, as the default does).
+    * document frequency exceeds it. The round-9 default
+    * ([[DefaultMaxShingleDf]]) bounds each probe's join fanout at
+    * corpus scale; it sits ~400x above the largest df observed in the
+    * bench corpora (max 25 at sf0.1, PLANS.md round 9) so it is
+    * inert until a shingle is genuine boilerplate — at which point a
+    * doc contained in others ONLY via that shingle was never a
+    * meaningful containment hit. Pass `Int.MaxValue` to disable.
     */
   def containmentPairs(
       sig: DataFrame,
       idCol: String,
       threshold: Double = 0.7,
       probeShingles: Int = Pipeline.AutoBanding,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      minProbeHits: Int = 2): DataFrame = {
     val m = if (probeShingles == Pipeline.AutoBanding)
-      Pipeline.containmentProbesFor(threshold) else probeShingles
+      Pipeline.containmentProbesFor(threshold, minHits = minProbeHits)
+    else probeShingles
     require(m >= 1, s"probeShingles must be >= 1, got $m")
+    require(minProbeHits >= 1, s"minProbeHits must be >= 1, got $minProbeHits")
     // bottom-m by (hash32, shingle) order — a deterministic uniform
     // sample of the shingle set. The JOIN KEY is the BIGINT hash
     // alone: 8 bytes through the index shuffle instead of the
@@ -965,6 +995,7 @@ object Dedup {
     def tagStruct(s: org.apache.spark.sql.Column) =
       struct(Pipeline.wordHash32(s).as("h"), s.as("s"))
     val probes = sig.select(col(idCol).as("_pid"),
+      least(lit(m), size(col("shingles"))).as("_np"),
       explode(transform(
         slice(array_sort(transform(col("shingles"), tagStruct(_))), 1, m),
         x => x("h"))).as("_h"))
@@ -973,28 +1004,44 @@ object Dedup {
       .select(col("_iid"), Pipeline.wordHash32(col("_s")).as("_h"))
     // the df cap keys on the hash too: modulo 32-bit collisions this
     // is the per-shingle document frequency, and collisions only make
-    // the cap infinitesimally more conservative
+    // the cap infinitesimally more conservative. Hot hashes are a
+    // TINY set (df > cap needs a boilerplate shingle), so the cap is
+    // a map-side-combined agg + broadcast anti-join — not a
+    // token-mass window sort
     val index = if (maxShingleDf == Int.MaxValue) indexAll
-      else indexAll
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_h")))
-        .filter(col("_df") <= maxShingleDf).drop("_df")
+      else {
+        val hot = indexAll.groupBy("_h")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxShingleDf).select("_h")
+        indexAll.join(broadcast(hot), Seq("_h"), "left_anti")
+      }
+    // per-direction hit counts: the aggregate keys are (probing doc,
+    // indexed doc), so the gate composes per-direction capture — a
+    // one-shingle doc (np=1) keeps the single-hit gate it can satisfy
     val cand = probes.join(index,
         probes("_h") === index("_h") && col("_pid") =!= col("_iid"))
+      .groupBy("_pid", "_iid", "_np")
+      .agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") >= least(lit(minProbeHits), col("_np")))
       .select(least(col("_pid"), col("_iid")).as("a_id"),
         greatest(col("_pid"), col("_iid")).as("b_id"))
       .distinct()
+    // dictionary-encoded verify payload: 60-bit hashes, true set sizes
+    val hs = sig.select(col(idCol),
+      transform(col("shingles"), Pipeline.wordHash60(_)).as("_hsv"),
+      size(col("shingles")).as("_n"))
     cand
-      .join(sig.select(col(idCol).as("a_id"), col("shingles").as("_sa")), "a_id")
-      .join(sig.select(col(idCol).as("b_id"), col("shingles").as("_sb")), "b_id")
+      .join(hs.select(col(idCol).as("a_id"), col("_hsv").as("_ha"),
+        col("_n").as("_na")), "a_id")
+      .join(hs.select(col(idCol).as("b_id"), col("_hsv").as("_hb"),
+        col("_n").as("_nb")), "b_id")
       // materialize the intersection size ONCE per pair: both
-      // containment sides and the gate read it, and the per-pair
-      // array_intersect over full shingle sets is the verify's
-      // dominant CPU term (an expression inlined into cont_a/cont_b
-      // would run it twice)
+      // containment sides and the gate read it (inlined into
+      // cont_a/cont_b it would run twice)
       .withColumn("_i",
-        size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
-      .withColumn("cont_a", col("_i") / size(col("_sa")))
-      .withColumn("cont_b", col("_i") / size(col("_sb")))
+        size(array_intersect(col("_ha"), col("_hb"))).cast("double"))
+      .withColumn("cont_a", col("_i") / col("_na"))
+      .withColumn("cont_b", col("_i") / col("_nb"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select(col("a_id"), col("b_id"), col("cont_a"), col("cont_b"))
   }

@@ -190,20 +190,44 @@ object Pipeline {
     * .containmentPairs]]): the number of bottom-by-hash shingles of a
     * doc probed against the corpus shingle index. If |A∩B|/|A| = c,
     * each bottom shingle of A (a uniform without-replacement sample of
-    * A's shingle set) lies in B with probability c, so
-    * P(candidate) >= 1 - (1-c)^m — recall derived from the operating
+    * A's shingle set) lies in B with probability c, so with `minHits`
+    * required index hits the capture probability is
+    * P(Binomial(m, c) >= minHits) — recall derived from the operating
     * CONTAINMENT threshold, independent of Jaccard (MinHash banding
     * approximates Jaccard, and the interesting containment pairs are
     * exactly the Jaccard-LOW ones where banding capture is worst).
+    *
+    * `minHits = 1` is the round-8 single-hit blocking; `minHits = 2`
+    * (the [[graft.Dedup.containmentPairs]] default since round 9)
+    * trades a slightly larger m for a candidate set that sheds the
+    * single-shared-shingle coincidence pairs — measured at sf0.1 the
+    * 2-hit gate cuts candidates ~40x at the same >= `targetRecall`
+    * capture floor (PLANS.md round 9).
     */
   def containmentProbesFor(threshold: Double,
-                           targetRecall: Double = 0.995): Int = {
+                           targetRecall: Double = 0.995,
+                           minHits: Int = 1): Int = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0,1], got $threshold")
     require(targetRecall > 0 && targetRecall < 1)
-    if (threshold >= 1.0) 1 // full containment: any probe of A is in B
-    else math.max(1,
-      math.ceil(math.log1p(-targetRecall) / math.log1p(-threshold)).toInt)
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    if (threshold >= 1.0) minHits // full containment: every probe hits
+    else {
+      // smallest m with P(Binomial(m, threshold) < minHits) <= 1-recall
+      def missProb(m: Int): Double = {
+        var p = 0.0
+        var logC = 0.0 // log C(m, j), built incrementally
+        for (j <- 0 until minHits) {
+          if (j > 0) logC += math.log((m - j + 1).toDouble / j)
+          p += math.exp(logC + j * math.log(threshold)
+            + (m - j) * math.log1p(-threshold))
+        }
+        p
+      }
+      var m = minHits
+      while (missProb(m) > 1 - targetRecall && m < 10000) m += 1
+      m
+    }
   }
 
   /** LSH banding: hash each band of `rowsPerBand` signature rows to a

@@ -1487,33 +1487,44 @@ object PipelineQueries {
     // overlap |A∩B|/|A| — catches a short doc quoted wholesale inside
     // a long one, where symmetric Jaccard reads near zero. Blocking is
     // on CONTAINMENT (bottom-m-by-hash shingle probes against the
-    // corpus shingle inverted index; m derived from the threshold for
-    // >= 99.5% capture), NOT Jaccard-tuned LSH — the oracle replays
-    // probe selection, index join, and the exact verify.
+    // df-capped corpus shingle inverted index; per-direction >= 2-hit
+    // gate, m derived from the threshold for >= 99.5% capture at it),
+    // NOT Jaccard-tuned LSH — the oracle replays probe selection, the
+    // df cap, the hit-count gate, and the 60-bit dictionary-encoded
+    // verify, hash for hash.
     QueryDef("q92_containment_pairs",
       Some(s"""
         WITH $shinglesCte,
-        pr AS (SELECT doc_id,
+        pr AS (SELECT doc_id, least(${Pipeline.containmentProbesFor(0.7, minHits = 2)}, len(shingles)) AS np,
                  unnest(list_transform(
-                   list_sort([{'h': ${AnalysisQueries.hash32Sql("s")}, 's': s} for s in shingles])[1:${Pipeline.containmentProbesFor(0.7)}],
+                   list_sort([{'h': ${AnalysisQueries.hash32Sql("s")}, 's': s} for s in shingles])[1:${Pipeline.containmentProbesFor(0.7, minHits = 2)}],
                    x -> x.h)) AS h
                FROM sh),
-        ix AS (SELECT doc_id, ${AnalysisQueries.hash32Sql("s")} AS h
-               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-        cand AS (SELECT DISTINCT least(p.doc_id, i.doc_id) AS a_id,
-                        greatest(p.doc_id, i.doc_id) AS b_id
-                 FROM pr p JOIN ix i ON p.h = i.h AND p.doc_id <> i.doc_id)
+        ixall AS (SELECT doc_id, ${AnalysisQueries.hash32Sql("s")} AS h
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        ix AS (SELECT doc_id, h FROM ixall
+               QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${Dedup.DefaultMaxShingleDf}),
+        cand AS (SELECT DISTINCT least(pid, iid) AS a_id, greatest(pid, iid) AS b_id
+                 FROM (SELECT p.doc_id AS pid, i.doc_id AS iid, p.np,
+                              COUNT(*) AS nh
+                       FROM pr p JOIN ix i ON p.h = i.h AND p.doc_id <> i.doc_id
+                       GROUP BY 1, 2, 3
+                       HAVING COUNT(*) >= least(2, np))),
+        hs AS (SELECT doc_id,
+                      list_transform(shingles, s -> ${AnalysisQueries.hash60Sql("s")}) AS hset,
+                      len(shingles) AS n
+               FROM sh)
         SELECT c.a_id, c.b_id,
-               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-                 / len(a.shingles) AS cont_a,
-               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-                 / len(b.shingles) AS cont_b
-        FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+               CAST(len(list_filter(list_distinct(a.hset), x -> list_contains(b.hset, x))) AS DOUBLE)
+                 / a.n AS cont_a,
+               CAST(len(list_filter(list_distinct(a.hset), x -> list_contains(b.hset, x))) AS DOUBLE)
+                 / b.n AS cont_b
+        FROM cand c JOIN hs a ON a.doc_id = c.a_id JOIN hs b ON b.doc_id = c.b_id
         WHERE greatest(
-                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-                  / len(a.shingles),
-                CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-                  / len(b.shingles)) >= 0.7
+                CAST(len(list_filter(list_distinct(a.hset), x -> list_contains(b.hset, x))) AS DOUBLE)
+                  / a.n,
+                CAST(len(list_filter(list_distinct(a.hset), x -> list_contains(b.hset, x))) AS DOUBLE)
+                  / b.n) >= 0.7
         ORDER BY a_id, b_id"""),
       (s, d) => {
         // shingleSets, not shingleSignatures: the containment blocking
@@ -1521,9 +1532,8 @@ object PipelineQueries {
         // materialize 128 unused permutations per row
         val sh = Dedup.shingleSets(spread(documents(s, d)), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // uncapped (maxShingleDf default): the oracle's index CTE has
-        // no df cap, and a capped run would drop pairs the oracle keeps
-        // on a degenerate corpus (q26/q27 follow the same convention)
+        // defaults: df-capped index (DefaultMaxShingleDf — the oracle
+        // QUALIFY replays it) + 2-hit probe gate + hashed verify
         Dedup.containmentPairs(sh, "doc_id", threshold = 0.7)
           .orderBy("a_id", "b_id")
       }),

@@ -43,8 +43,14 @@ class BandingSpec extends AnyFunSuite {
       "shared signature frames must be wide enough for the 0.5 banding")
     // near-dedup default threshold
     assert(Pipeline.bandingFor(0.8) == ((18, 6)))
-    // q92's containment probe count
+    // q92's containment probe count: single-hit and (the round-9
+    // default) 2-hit calibrations — both hold the >= 99.5% capture
+    // floor at their own threshold
     assert(Pipeline.containmentProbesFor(0.7) == 5)
+    assert(Pipeline.containmentProbesFor(0.7, minHits = 2) == 7)
+    assert(Pipeline.containmentProbesFor(0.9, minHits = 2) == 4)
+    // degenerate: full containment needs exactly minHits probes
+    assert(Pipeline.containmentProbesFor(1.0, minHits = 2) == 2)
   }
 
   test("bandingFor maximizes rows-per-band (selectivity) within the budget") {

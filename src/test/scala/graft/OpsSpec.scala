@@ -479,8 +479,8 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getLong(1) == 15500000000000L)
     // pairwise (ordered, both directions): 2*(u.v + u.w + v.w)
     // u.v = 3e12-2e12 = 1e12; u.w = .5e12+1e12 = 1.5e12; v.w = 1.5e12-0.5e12 = 1e12
-    // sum = 2*3.5e12 = 7e12
-    assert(row.getDecimal(2).longValueExact() == 7000000000000L)
+    // sum = 2*3.5e12 = 7e12 — stringified at the edge (DECIMAL policy)
+    assert(row.getString(2) == "7000000000000")
   }
 
   test("target mix hits exact per-stratum quotas at the feasible volume") {

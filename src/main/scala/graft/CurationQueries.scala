@@ -245,6 +245,52 @@ object CurationQueries {
             graft.ops.TextStats.totalTokens(raw, "text"),
             graft.ops.TextStats.totalTokens(target, "text"))
           .orderBy("doc_id")
+      }),
+
+    // Dangling-mass PageRank ([[ops.Graph.pageRank]] with
+    // `redistributeDangling = true`) over the DIRECTED customer ->
+    // supplier trade graph — every supplier is a sink, the worst case
+    // for the default leak simplification (q125 sidesteps it by
+    // symmetrizing). Each iteration adds the exact integer share
+    // `dm div N` (dm = summed sink rank) to every node before damping,
+    // conserving mass up to the floors; the oracle unrolls 3
+    // iterations with the same all-integer arithmetic, bit-identical.
+    QueryDef("q148_pagerank_dangling",
+      Some {
+        def iter(prev: String, name: String) = s"""
+        $name AS (SELECT n.node,
+                    CAST(150 + (850 * (COALESCE(c.s, 0) + dm.share)) // 1000
+                      AS BIGINT) AS pr
+                  FROM n
+                  LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+                             FROM e JOIN $prev p ON p.node = e.src
+                             JOIN d ON d.src = e.src
+                             GROUP BY e.dst) c ON c.node = n.node
+                  CROSS JOIN (SELECT COALESCE(SUM(p.pr), 0)
+                                       // (SELECT nv FROM nn) AS share
+                              FROM $prev p JOIN sk ON sk.node = p.node) dm)"""
+        s"""
+        WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                          l_suppkey * 2 + 1 AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM n),
+        sk AS (SELECT node FROM n WHERE node NOT IN (SELECT src FROM d)),
+        p0 AS (SELECT node, CAST(1000 AS BIGINT) AS pr FROM n),
+        ${iter("p0", "p1")},${iter("p1", "p2")},${iter("p2", "p3")}
+        SELECT node, pr FROM p3 ORDER BY node"""
+      },
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.ops.Graph.pageRank(edges, iters = 3,
+            redistributeDangling = true)
+          .orderBy("node")
       })
   )
 }

@@ -36,14 +36,32 @@ object Graph {
     *
     * The node set is src ∪ dst of the edge list. A node with no
     * in-edges holds the base rank 150 every iteration (it still feeds
-    * its out-edges); a sink (no out-edges) accumulates rank but
-    * redistributes nothing — its mass leaks, the standard
+    * its out-edges); by default a sink (no out-edges) accumulates rank
+    * but redistributes nothing — its mass leaks, the standard
     * simplification when dangling-mass redistribution isn't needed for
     * a RANKING (it rescales uniformly). Isolated nodes (no edges at
     * all) are not ranked — union self-loops if they must appear.
+    *
+    * `redistributeDangling = true` turns on integer-exact dangling-
+    * mass redistribution: each iteration adds `dm div N` to every
+    * node's contribution sum before damping, where `dm` is the summed
+    * rank of all sink nodes and `N` the node count —
+    *
+    * `pr'(v) = 150 + (850 * ((sum of pr(u) div outdeg(u)) +
+    * dm div N)) div 1000`
+    *
+    * — so total mass is conserved up to the integer floors. Use it
+    * when absolute rank MASS matters (mix-design weighting over
+    * bipartite-ish source graphs, where sinks are the norm and the
+    * leak compounds per iteration), not just the ordering. Costs one
+    * extra nodes-sized aggregate per iteration (the sink-mass sum — a
+    * scan of the rank frame, no new shuffle of the edge list); the
+    * per-node share rides in on a broadcast one-row frame, keeping the
+    * whole loop one lazy plan with no driver-side actions.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame =
-    pageRankReleasable(edges, iters)._1
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               redistributeDangling: Boolean = false): DataFrame =
+    pageRankReleasable(edges, iters, redistributeDangling)._1
 
   /** [[pageRank]] plus the release handle for the two LOOP-INVARIANT
     * caches (prepared edges, node set). Catalyst does not dedup common
@@ -56,8 +74,9 @@ object Graph {
     * call the handle once the ranking is materialized; the
     * handle-less form suits one-shot jobs.
     */
-  def pageRankReleasable(edges: DataFrame,
-                         iters: Int = 5): (DataFrame, () => Unit) = {
+  def pageRankReleasable(edges: DataFrame, iters: Int = 5,
+                         redistributeDangling: Boolean = false)
+      : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst"))
@@ -72,9 +91,21 @@ object Graph {
     // (rank-into-join + contribution agg; both nodes-sized).
     val prepared = e.join(deg, "src")
       .repartition(col("src")).persist(disk)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().repartition(col("node")).persist(disk)
+    // with redistribution on, the cached node frame also carries the
+    // loop-invariant sink flag (no out-edges), so the per-iteration
+    // sink-mass sum is a filter over the rank frame — no extra join
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = (if (!redistributeDangling) nodes0
+      else nodes0
+        .join(deg.select(col("src").as("node"), lit(true).as("_has_out")),
+          Seq("node"), "left")
+        .select(col("node"),
+          not(coalesce(col("_has_out"), lit(false))).as("_sink")))
+      .repartition(col("node")).persist(disk)
+    // one-row node count, loop-invariant and LAZY (an agg over the
+    // cached node frame — no driver-side count() action at build time)
+    val nTot = nodes.agg(count(lit(1)).cast(LongType).as("_n"))
     var pr = nodes.withColumn("pr", lit(1000L))
     for (_ <- 1 to iters) {
       val contribs = prepared
@@ -86,12 +117,28 @@ object Graph {
       // left join from the FULL node set: a node with no in-edges gets
       // the base 150, instead of silently dropping out of the frame
       // (which would also zero its out-contributions next iteration)
-      pr = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150L) + expr("(850 * coalesce(_s, 0L)) div 1000"))
-            .cast(LongType).as("pr"))
+      pr = if (!redistributeDangling)
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150L) + expr("(850 * coalesce(_s, 0L)) div 1000"))
+              .cast(LongType).as("pr"))
+      else {
+        // per-node dangling share, exact integer: dm div N. A one-row
+        // broadcast frame instead of a driver-side scalar keeps the
+        // loop a single lazy plan (no eager job per iteration).
+        val share = pr.filter(col("_sink"))
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
+          .crossJoin(nTot)
+          .select(expr("_dm div _n").as("_share"))
+        nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(share))
+          .select(col("node"), col("_sink"),
+            (lit(150L) + expr("(850 * (coalesce(_s, 0L) + _share)) div 1000"))
+              .cast(LongType).as("pr"))
+      }
     }
-    (pr, () => { prepared.unpersist(); nodes.unpersist(); () })
+    (pr.select(col("node"), col("pr")),
+      () => { prepared.unpersist(); nodes.unpersist(); () })
     // NO per-iteration localCheckpoint, deliberately — measured A/B at
     // sf0.1/sf1 (PLANS.md round 8): the checkpointed loop is ~2.2x
     // slower at sf0.1 (7.8 vs 3.5 s) and still slower at sf1 — with a

@@ -981,6 +981,36 @@ class OpsSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 150L, 2L -> 277L, 3L -> 1000L), s"got $d2")
   }
 
+  test("pageRank dangling-mass redistribution: hand-iterated + fixed point") {
+    import spark.implicits._
+    // no sinks -> redistribution is the identity: the 2-cycle fixed
+    // point holds bit-for-bit with the flag on
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val prCyc = graft.ops.Graph.pageRank(cyc, iters = 3,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prCyc == Map(1L -> 1000L, 2L -> 1000L), s"got $prCyc")
+    // directed 1->2 (node 2 a sink), N=2, hand-iterated:
+    // iter1: dm=1000, share=500
+    //   pr(1) = 150 + 850*(0+500)//1000    = 575
+    //   pr(2) = 150 + 850*(1000+500)//1000 = 1425
+    // iter2: dm=1425, share=712; contrib(2)=575
+    //   pr(1) = 150 + 850*712//1000        = 755
+    //   pr(2) = 150 + 850*(575+712)//1000  = 1243
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    val it1 = graft.ops.Graph.pageRank(edge, iters = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it1 == Map(1L -> 575L, 2L -> 1425L), s"got $it1")
+    val it2 = graft.ops.Graph.pageRank(edge, iters = 2,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it2 == Map(1L -> 755L, 2L -> 1243L), s"got $it2")
+    // mass conservation up to integer floors: leak variant loses the
+    // whole sink mass instead
+    assert(it2.values.sum == 1998L)
+  }
+
   test("transition matrix counts per-user consecutive pairs with exact ppm rows") {
     import spark.implicits._
     // u1: A,B,A,C -> A->B, B->A, A->C; u2: A,B -> A->B

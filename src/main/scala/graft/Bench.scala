@@ -45,25 +45,68 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3))
     val names = Queries.all.sortBy(_.name)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      names.map { q =>
-        val t0 = System.nanoTime()
-        // a throwing query records near-zero seconds — report it, or a
-        // regression-to-error would read as a speedup
-        if (!run(q)) failed += q.name
-        q.name -> (System.nanoTime() - t0) / 1e9
-      }
+    val byName = scala.collection.mutable.LinkedHashMap(
+      names.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    def timedPass(qs: Seq[QueryDef]): Unit = qs.foreach { q =>
+      val t0 = System.nanoTime()
+      // a throwing query records near-zero seconds — report it, or a
+      // regression-to-error would read as a speedup
+      if (!run(q)) failed += q.name
+      byName(q.name) += (System.nanoTime() - t0) / 1e9
     }
+    (1 to passes).foreach(_ => timedPass(names))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
+    }
+    // Sub-second queries get EXTRA passes up to >= 5 samples: at this
+    // scale their single-pass timings are dominated by scheduling/GC
+    // noise (round-8 verdict: 245% spread on a 0.3 s query), which made
+    // small regressions in them undiagnosable. The extra samples are
+    // cheap by construction (the queries are sub-second) and the
+    // reported spread for >= 5 samples is TRIMMED (global min and max
+    // dropped) — (max-min)/median over raw samples only grows with
+    // sample count, the opposite of what more measurement should do.
+    val minSamplesSubSec = 5
+    // trim grows with sample count (~n/4 off each end — middle 3 of 5,
+    // middle 5 of 9), so escalated queries converge instead of letting
+    // (max-min)/median grow with every extra sample
+    def spreadOf(xs: Seq[Double]): Double = {
+      val med = median(xs)
+      if (med <= 0) 0.0
+      else {
+        val cut = if (xs.length >= minSamplesSubSec) xs.length / 4 else 0
+        val core = xs.sorted.slice(cut, xs.length - cut)
+        (core.max - core.min) / med
+      }
+    }
+    if (passes < minSamplesSubSec) {
+      val subSec = names.filter(q => !failed(q.name) &&
+        median(byName(q.name).toSeq) < 1.0)
+      (passes until minSamplesSubSec).foreach(_ => timedPass(subSec))
+      // multi-second queries only re-run when their raw spread says the
+      // 3 base passes caught an outlier (one GC'd pass on a 1 s query
+      // read as 391% spread in round 9's first run) — the common case
+      // stays 3 passes, so the top-up costs seconds, not a fourth full
+      // sweep
+      val slowNoisy = names.filter(q => !failed(q.name) &&
+        median(byName(q.name).toSeq) >= 1.0 &&
+        spreadOf(byName(q.name).toSeq) >= 0.5)
+      (passes until minSamplesSubSec).foreach(_ => timedPass(slowNoisy))
+      // escalation: sub-second queries still past 50% trimmed spread
+      // (bimodal timings — GC, broadcast races) get up to 9 samples
+      (minSamplesSubSec until 9).foreach { _ =>
+        val noisy = subSec.filter(q => !failed(q.name) &&
+          spreadOf(byName(q.name).toSeq) >= 0.5)
+        if (noisy.nonEmpty) timedPass(noisy)
+      }
     }
     // failed queries are excluded from the medians/total entirely — a
     // throwing query records near-zero seconds, and summing those would
     // report a regression-to-error as a speedup
     val results = names.filterNot(q => failed(q.name)).map { q =>
-      val xs = samples.map(_.find(_._1 == q.name).get._2)
-      (q.name, median(xs), if (median(xs) > 0) (xs.max - xs.min) / median(xs) else 0.0)
+      val xs = byName(q.name).toSeq
+      (q.name, median(xs), spreadOf(xs), xs.length)
     }
     // The harness captures only the LAST 2000 chars of stdout and
     // parses the final JSON line out of them — a line carrying 72 full
@@ -77,16 +120,17 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // per-query relative spread (pct of median), so an outlier is
-    // attributable by name instead of hiding behind one aggregate;
-    // sub-200ms medians are dominated by scheduling noise and excluded
-    // from the aggregate/worst (but still listed on the detail line)
+    // per-query relative spread (pct of median) and sample count, so an
+    // outlier is attributable by name instead of hiding behind one
+    // aggregate; sub-200ms medians are dominated by scheduling noise
+    // and excluded from the aggregate/worst (but still listed on the
+    // detail line). Detail entry shape: [median_sec, spread_pct, n].
     val detailJson = results
-      .map { case (k, v, sp) =>
-        "\"" + k + "\":[" + fmt(v) + "," + math.round(sp * 100) + "]" }
+      .map { case (k, v, sp, n) =>
+        "\"" + k + "\":[" + fmt(v) + "," + math.round(sp * 100) + "," + n + "]" }
       .mkString("{", ",", "}")
     val measurable = results.filter(_._2 > 0.2)
     val maxSpread = if (measurable.isEmpty) 0.0 else measurable.map(_._3).max * 100
@@ -94,7 +138,7 @@ object Bench {
       else short(measurable.maxBy(_._3)._1)
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}"""
-    val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct]":$detailJson}"""
+    val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct,n_passes]":$detailJson}"""
     println(detailLine)
     println(machineLine)
     // Durable per-query record: the harness keeps only the last ~2 KB

@@ -167,7 +167,12 @@ object ScaleBench {
       // repetition screen (pure scan), quantile buckets (scaffold)
       "q140_exact_decontamination", "q141_bigram_info", "q142_bpe_pairs",
       "q143_target_mix", "q144_embedding_diversity",
-      "q145_max_token_run", "q146_quantile_buckets")
+      "q145_max_token_run", "q146_quantile_buckets",
+      // round 9: DSIR importance (token-key window + target-count
+      // join), dangling PageRank (one extra nodes-sized agg/iter over
+      // the q125-family loop; directed graph so suppliers are sinks
+      // AND unshifted l_suppkey gives them 10x degree at sf1)
+      "q147_importance_score", "q148_pagerank_dangling")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

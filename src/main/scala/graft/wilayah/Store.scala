@@ -55,12 +55,24 @@ object Store {
     * location first (the merge reads the live files, and Spark cannot
     * overwrite its own input in-flight), then swaps atomically-enough
     * for a single-writer batch ETL.
+    *
+    * The shuffle is `repartitionByRange(level, kode)`, NOT
+    * `repartition(level)`: hash-on-level caps write parallelism at
+    * the number of DISTINCT LEVELS (4) — measured at 50x geometry
+    * volume the whole rewrite serialized behind one fat level-4 task
+    * (96 s for a 48 MB warehouse; PLANS.md round 9). Range
+    * partitioning keeps every task a contiguous (level, kode) slice —
+    * `partitionBy` still routes rows to their level directory, files
+    * within a directory hold disjoint sorted kode ranges, so parquet
+    * min/max row-group pruning on kode prefixes is exactly as sharp —
+    * while the write fans out across the cluster. At 100 TB this is
+    * the difference between 4 writers and all of them.
     */
   def write(df: DataFrame, warehousePath: String): Unit = {
     val spark = df.sparkSession
     val tmp = warehousePath + ".tmp"
-    df.repartition(col("level"))
-      .sortWithinPartitions(Key)
+    df.repartitionByRange(col("level"), col(Key))
+      .sortWithinPartitions("level", Key)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("level")
       .parquet(tmp)
@@ -74,8 +86,13 @@ object Store {
     } else {
       rename(new java.io.File(tmp), dst)
     }
-    // new files on disk — drop any cached plans over the old ones
-    spark.catalog.clearCache()
+    // new files on disk — invalidate cached plans/file listings over
+    // THIS path only. clearCache() (rounds <= 8) nuked every cache in
+    // the session: in a long-lived cluster session that silently
+    // un-persists unrelated frames (measured: a 50x replicate-and-sync
+    // harness re-ran the JTS kernel once per branch, 98 s for a 7 s
+    // write — PLANS.md round 9).
+    spark.catalog.refreshByPath(warehousePath)
   }
 
   /** renameTo reports failure by RETURN VALUE — ignoring it would let a
@@ -105,8 +122,10 @@ object Store {
 
     val tmp = new java.io.File(warehousePath + ".ptmp")
     deleteRec(tmp)
-    merged.repartition(col("level"))
-      .sortWithinPartitions(Key)
+    // range-partitioned for the same reason as [[write]]: the rewrite
+    // of a touched level must fan out, not serialize on one task
+    merged.repartitionByRange(col("level"), col(Key))
+      .sortWithinPartitions("level", Key)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("level")
       .parquet(tmp.getPath)
@@ -121,7 +140,8 @@ object Store {
       }
     }
     deleteRec(tmp)
-    spark.catalog.clearCache()
+    // path-scoped invalidation, same rationale as [[write]]
+    spark.catalog.refreshByPath(warehousePath)
   }
 
   /** Key-uniqueness check (the PK constraint Spark must emulate —

@@ -26,51 +26,44 @@ object Bench {
       try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case scala.util.control.NonFatal(_) => false }
 
-    // Warmup: one full untimed pass — first execution pays codegen/JIT
-    // (measured 8s cold vs 1.7s warm on the minhash family), and a
-    // partial warmup just moves that cost into the timed pass for the
-    // same total wall-clock (measured: 91s wall / 42.6s metric partial
-    // vs 98s wall / 33s metric full).
+    // Table-load warmup once (file listing, footer reads), then
+    // QUERY-MAJOR measurement: per query — untimed warmup run, timed
+    // passes, adaptive extra passes, then clearCache. First execution
+    // pays codegen/JIT (measured 8s cold vs 1.7s warm on the minhash
+    // family); the per-query warmup also populates the caches that
+    // query's own plan persists (signature frames etc.), so the timed
+    // passes measure the documented cached-signature steady state.
+    // The per-query clearCache is the cache-ISOLATION discipline
+    // ScaleBench adopted in round 6: without it 149 queries' internal
+    // persists pile up across the whole run and the eviction/GC
+    // pressure lands on whichever queries run late (alphabetic order
+    // put the q9x family there). A query's cost now includes building
+    // its own frames — no freeloading on an earlier query's cache.
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-      Queries.all.foreach(run)
     } catch { case scala.util.control.NonFatal(_) => () }
 
-    // Median of 3 timed passes per query: single-pass timings vary
+    // Median of >= 3 timed passes per query: single-pass timings vary
     // ±15% run-to-run at this scale (JIT, GC, OS noise), which hides
-    // small regressions; the median cuts the spread to a few percent.
-    // clamp to >= 1 (0 would crash median() after the whole warmup ran);
-    // non-numeric falls back to the default
+    // small regressions. clamp to >= 1; non-numeric falls back.
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3))
     val names = Queries.all.sortBy(_.name)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val byName = scala.collection.mutable.LinkedHashMap(
       names.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
-    def timedPass(qs: Seq[QueryDef]): Unit = qs.foreach { q =>
-      val t0 = System.nanoTime()
-      // a throwing query records near-zero seconds — report it, or a
-      // regression-to-error would read as a speedup
-      if (!run(q)) failed += q.name
-      byName(q.name) += (System.nanoTime() - t0) / 1e9
-    }
-    (1 to passes).foreach(_ => timedPass(names))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
     }
-    // Sub-second queries get EXTRA passes up to >= 5 samples: at this
-    // scale their single-pass timings are dominated by scheduling/GC
-    // noise (round-8 verdict: 245% spread on a 0.3 s query), which made
-    // small regressions in them undiagnosable. The extra samples are
-    // cheap by construction (the queries are sub-second) and the
-    // reported spread for >= 5 samples is TRIMMED (global min and max
-    // dropped) — (max-min)/median over raw samples only grows with
-    // sample count, the opposite of what more measurement should do.
+    // Sub-second queries get EXTRA passes up to >= 5 samples: their
+    // single-pass timings are dominated by scheduling/GC noise
+    // (round-8 verdict: 245% spread on a 0.3 s query), which made
+    // small regressions in them undiagnosable. The reported spread for
+    // >= 5 samples is TRIMMED (~n/4 off each end — middle 3 of 5,
+    // middle 5 of 9): raw (max-min)/median only grows with sample
+    // count, the opposite of what more measurement should do.
     val minSamplesSubSec = 5
-    // trim grows with sample count (~n/4 off each end — middle 3 of 5,
-    // middle 5 of 9), so escalated queries converge instead of letting
-    // (max-min)/median grow with every extra sample
     def spreadOf(xs: Seq[Double]): Double = {
       val med = median(xs)
       if (med <= 0) 0.0
@@ -80,26 +73,31 @@ object Bench {
         (core.max - core.min) / med
       }
     }
-    if (passes < minSamplesSubSec) {
-      val subSec = names.filter(q => !failed(q.name) &&
-        median(byName(q.name).toSeq) < 1.0)
-      (passes until minSamplesSubSec).foreach(_ => timedPass(subSec))
-      // multi-second queries only re-run when their raw spread says the
-      // 3 base passes caught an outlier (one GC'd pass on a 1 s query
-      // read as 391% spread in round 9's first run) — the common case
-      // stays 3 passes, so the top-up costs seconds, not a fourth full
-      // sweep
-      val slowNoisy = names.filter(q => !failed(q.name) &&
-        median(byName(q.name).toSeq) >= 1.0 &&
-        spreadOf(byName(q.name).toSeq) >= 0.5)
-      (passes until minSamplesSubSec).foreach(_ => timedPass(slowNoisy))
-      // escalation: sub-second queries still past 50% trimmed spread
-      // (bimodal timings — GC, broadcast races) get up to 9 samples
-      (minSamplesSubSec until 9).foreach { _ =>
-        val noisy = subSec.filter(q => !failed(q.name) &&
-          spreadOf(byName(q.name).toSeq) >= 0.5)
-        if (noisy.nonEmpty) timedPass(noisy)
+    names.foreach { q =>
+      run(q) // untimed warmup (codegen/JIT + this query's caches)
+      def pass(): Unit = {
+        val t0 = System.nanoTime()
+        // a throwing query records near-zero seconds — report it, or a
+        // regression-to-error would read as a speedup
+        if (!run(q)) failed += q.name
+        byName(q.name) += (System.nanoTime() - t0) / 1e9
       }
+      (1 to passes).foreach(_ => pass())
+      def xs = byName(q.name).toSeq
+      if (!failed(q.name) && passes < minSamplesSubSec) {
+        // sub-second: always >= 5 samples, escalating to 9 while the
+        // trimmed spread stays >= 50% (bimodal timings — GC, broadcast
+        // races). Multi-second: top up to 5 only when the base passes
+        // caught an outlier (one GC'd pass on a 1 s query read as 391%
+        // spread in round 9's first run) — the common case stays
+        // `passes` runs.
+        if (median(xs) < 1.0) {
+          (passes until minSamplesSubSec).foreach(_ => pass())
+          while (xs.length < 9 && spreadOf(xs) >= 0.5) pass()
+        } else if (spreadOf(xs) >= 0.5)
+          (passes until minSamplesSubSec).foreach(_ => pass())
+      }
+      spark.catalog.clearCache()
     }
     // failed queries are excluded from the medians/total entirely — a
     // throwing query records near-zero seconds, and summing those would

@@ -122,10 +122,12 @@ class PlansSpec extends AnyFunSuite {
     // q144: the diversity audit crosses TWO one-row aggregates
     // (corpus self-dot total x ||sum v||^2) — a 1x1 join by
     // construction
+    // q148: each PageRank iteration broadcasts the one-row dangling
+    // share (dm div N) into the nodes frame — constant per probe row
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
       "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
       "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift",
-      "q144_embedding_diversity")
+      "q144_embedding_diversity", "q148_pagerank_dangling")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

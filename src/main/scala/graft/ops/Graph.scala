@@ -106,6 +106,17 @@ object Graph {
     // one-row node count, loop-invariant and LAZY (an agg over the
     // cached node frame — no driver-side count() action at build time)
     val nTot = nodes.agg(count(lit(1)).cast(LongType).as("_n"))
+    // The redistribution loop references the rank frame TWICE per
+    // iteration (edge contributions + sink-mass sum). Unpersisted that
+    // doubles the evaluated lineage every iteration — 2^iters scans of
+    // the base — because Catalyst does not dedup common subtrees. A
+    // LAZY persist per iteration keeps it linear: within one action
+    // both branches hit the same InMemoryRelation (materialized once,
+    // on first use — no eager count() that would move the loop's cost
+    // out of the measured plan), and the handle releases them all.
+    // The leak-mode loop stays unpersisted: single-reference lineage,
+    // and the round-8 A/B measured the uncached chain faster there.
+    val iterCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pr = nodes.withColumn("pr", lit(1000L))
     for (_ <- 1 to iters) {
       val contribs = prepared
@@ -130,15 +141,21 @@ object Graph {
           .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
           .crossJoin(nTot)
           .select(expr("_dm div _n").as("_share"))
-        nodes.join(contribs, Seq("node"), "left")
+        val next = nodes.join(contribs, Seq("node"), "left")
           .crossJoin(broadcast(share))
           .select(col("node"), col("_sink"),
             (lit(150L) + expr("(850 * (coalesce(_s, 0L) + _share)) div 1000"))
               .cast(LongType).as("pr"))
+          .persist(disk)
+        iterCaches += next
+        next
       }
     }
     (pr.select(col("node"), col("pr")),
-      () => { prepared.unpersist(); nodes.unpersist(); () })
+      () => {
+        prepared.unpersist(); nodes.unpersist()
+        iterCaches.foreach(_.unpersist()); ()
+      })
     // NO per-iteration localCheckpoint, deliberately — measured A/B at
     // sf0.1/sf1 (PLANS.md round 8): the checkpointed loop is ~2.2x
     // slower at sf0.1 (7.8 vs 3.5 s) and still slower at sf1 — with a

@@ -168,6 +168,30 @@ class BandingSpec extends AnyFunSuite {
     assert(crossPair.isEmpty, s"spurious pair above threshold: $crossPair")
   }
 
+  test("containment df cap drops hot-shingle index entries (documented trade-off)") {
+    import spark.implicits._
+    // 30 long docs all embed boilerplate phrase P; one short doc IS
+    // exactly P (containment 1.0 in every long doc, blockable ONLY via
+    // P's shingles — which have df 31). Under the default cap (10000)
+    // all 30 pairs surface; with the cap below the df the hot entries
+    // leave the index, the probe join's fanout is bounded, and the
+    // pairs are lost — exactly the recall caveat the scaladoc states.
+    val p = "common boiler plate text"
+    val docs = ((0 until 30).map(i =>
+        (i.toLong, s"$p unique$i tail$i words$i here$i")) :+
+      (99L, p)).toDF("doc_id", "text")
+    val sig = Dedup.shingleSignatures(docs, "doc_id", "text")
+    val full = Dedup.containmentPairs(sig, "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == (0 until 30).map(i => (i.toLong, 99L)).toSet,
+      s"uncapped should find all 30 short-in-long pairs, got $full")
+    val capped = Dedup.containmentPairs(sig, "doc_id", threshold = 0.9,
+        maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.isEmpty,
+      s"df cap 10 must drop the df-31 boiler shingles, got $capped")
+  }
+
   test("containment probing captures planted low-Jaccard containment pairs") {
     import spark.implicits._
     // 20 planted (short, long) pairs: the short doc's shingles are

@@ -135,7 +135,12 @@ object Bench {
     val worst = if (measurable.isEmpty) ""
       else short(measurable.maxBy(_._3)._1)
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}"""
+    // adaptive sampling means some medians derive from more than
+    // `passes` runs; report the max so the machine line doesn't claim
+    // median-of-3 confidence for a median-of-9 number (per-query n is
+    // in the detail entries)
+    val passesMax = if (results.isEmpty) passes else results.map(_._4).max
+    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}"""
     val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct,n_passes]":$detailJson}"""
     println(detailLine)
     println(machineLine)
@@ -150,7 +155,7 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
       java.nio.file.Files.writeString(dir.resolve(s"detail_$sfName.json"),
-        s"""{"sf":"$sfDir","passes":$passes,"total_sec":${fmt(total)},""" +
+        s"""{"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"total_sec":${fmt(total)},""" +
           s""""failed":$failedJson,"queries":$detailJson}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")

@@ -971,6 +971,14 @@ object Dedup {
     * inert until a shingle is genuine boilerplate — at which point a
     * doc contained in others ONLY via that shingle was never a
     * meaningful containment hit. Pass `Int.MaxValue` to disable.
+    *
+    * NOTE (round-9 default change): both `maxShingleDf` (uncapped →
+    * 10000) and the blocking gate (1-hit → 2-hit) changed defaults
+    * this round. A caller PINNING `probeShingles` must pin it for the
+    * gate in force — the old single-hit m=5 at t=0.7 under the 2-hit
+    * default captures only P(Bin(5,0.7)>=2) ≈ 96.9%; pass
+    * `minProbeHits = 1` alongside a pinned single-hit m, or leave
+    * both at their defaults.
     */
   def containmentPairs(
       sig: DataFrame,
@@ -1004,16 +1012,24 @@ object Dedup {
       .select(col("_iid"), Pipeline.wordHash32(col("_s")).as("_h"))
     // the df cap keys on the hash too: modulo 32-bit collisions this
     // is the per-shingle document frequency, and collisions only make
-    // the cap infinitesimally more conservative. Hot hashes are a
-    // TINY set (df > cap needs a boilerplate shingle), so the cap is
-    // a map-side-combined agg + broadcast anti-join — not a
-    // token-mass window sort
+    // the cap infinitesimally more conservative. Map-side-combined agg
+    // + anti-join either way (never a token-mass window sort); the
+    // BROADCAST hint is applied only for caps >= 1000, where a hot
+    // shingle is >= 1000-doc boilerplate and the hot set is sparse by
+    // construction — measured at sf1 the hint is worth ~1.5x (the
+    // planner's size estimate for the agg output grows with the corpus
+    // and tips the un-hinted plan into a sort-merge shuffle of the
+    // whole index). A SMALL cap can legitimately produce a huge hot
+    // set (df > 50 on a web corpus), where a forced broadcast would
+    // abort on the broadcast limit — those stay un-hinted and let the
+    // planner/AQE decide from actual sizes.
     val index = if (maxShingleDf == Int.MaxValue) indexAll
       else {
         val hot = indexAll.groupBy("_h")
           .agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxShingleDf).select("_h")
-        indexAll.join(broadcast(hot), Seq("_h"), "left_anti")
+        val build = if (maxShingleDf >= 1000) broadcast(hot) else hot
+        indexAll.join(build, Seq("_h"), "left_anti")
       }
     // per-direction hit counts: the aggregate keys are (probing doc,
     // indexed doc), so the gate composes per-direction capture — a

@@ -225,7 +225,15 @@ object Pipeline {
         p
       }
       var m = minHits
-      while (missProb(m) > 1 - targetRecall && m < 10000) m += 1
+      while (missProb(m) > 1 - targetRecall && m < 100000) m += 1
+      // fail LOUDLY if the bound ever binds (a degenerate threshold
+      // like 1e-6 would need m beyond any practical probe budget):
+      // silently returning an m that under-delivers the documented
+      // capture floor would corrupt every downstream recall claim
+      require(missProb(m) <= 1 - targetRecall,
+        s"containment threshold $threshold needs > $m probes for " +
+          s"recall $targetRecall (minHits=$minHits) — not a practical " +
+          "blocking configuration; lower targetRecall or raise threshold")
       m
     }
   }

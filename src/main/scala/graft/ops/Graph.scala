@@ -63,12 +63,19 @@ object Graph {
                redistributeDangling: Boolean = false): DataFrame =
     pageRankReleasable(edges, iters, redistributeDangling)._1
 
-  /** [[pageRank]] plus the release handle for the two LOOP-INVARIANT
-    * caches (prepared edges, node set). Catalyst does not dedup common
+  /** [[pageRank]] plus the release handle for EVERY cache the loop
+    * pins: the two loop-invariant frames (prepared edges, node set)
+    * and — with `redistributeDangling` — each iteration's persisted
+    * rank frame. Catalyst does not dedup common
     * subtrees, so uncached these frames — including whatever join/
     * distinct chain DERIVED the edge list — would re-execute once per
     * iteration reference (iters x for the edges, iters+1 x for the
     * nodes): the derivation, not the iteration math, dominates.
+    * The handle-less [[pageRank]] LEAKS all of them until session end
+    * or an external clearCache — fine for one-shot jobs (the q148
+    * bench clears per query); long-lived sessions, especially with
+    * redistribution on (iters extra nodes-sized frames per call),
+    * must use this form and call the handle.
     * Measured A/B at sf0.1 (q125's trade graph, 5 iterations —
     * PLANS.md round 9 carries the numbers). Long-lived sessions must
     * call the handle once the ranking is materialized; the

@@ -43,36 +43,63 @@ object Bench {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     } catch { case scala.util.control.NonFatal(_) => () }
 
-    // Median of >= 3 timed passes per query: single-pass timings vary
-    // ±15% run-to-run at this scale (JIT, GC, OS noise), which hides
-    // small regressions. clamp to >= 1; non-numeric falls back.
-    val passes = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3))
+    // EVERY query gets >= 5 timed passes (round-9 lesson: the driver's
+    // record executed on a contended box, and 3-pass medians on
+    // multi-second queries had no outlier protection — 140.7 s reported
+    // for a 61.6 s engine). 5 samples make the n/4 trim meaningful for
+    // every median; env override exists for fast local iteration only.
+    val minSamples = 5
+    val envPasses =
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+    val passes = math.max(1, envPasses.getOrElse(minSamples))
+    // an EXPLICIT env override is honored verbatim (fast local
+    // iteration: one pass, no top-up); the >=5 floor binds the
+    // default/official configuration
+    val samplesFloor = envPasses.fold(minSamples)(p => math.max(1, p))
     val names = Queries.all.sortBy(_.name)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val byName = scala.collection.mutable.LinkedHashMap(
       names.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    // true median: even-length samples average the two middle elements
+    // (upper-middle alone biased even-count medians slightly high)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.length / 2)
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    // Sub-second queries get EXTRA passes up to >= 5 samples: their
-    // single-pass timings are dominated by scheduling/GC noise
-    // (round-8 verdict: 245% spread on a 0.3 s query), which made
-    // small regressions in them undiagnosable. The reported spread for
-    // >= 5 samples is TRIMMED (~n/4 off each end — middle 3 of 5,
-    // middle 5 of 9): raw (max-min)/median only grows with sample
-    // count, the opposite of what more measurement should do.
-    val minSamplesSubSec = 5
+    // Reported spread for >= 5 samples is TRIMMED (~n/4 off each end —
+    // middle 3 of 5, middle 5 of 9): raw (max-min)/median only grows
+    // with sample count, the opposite of what more measurement should
+    // do. The trimmed MEDIAN equals the plain median (symmetric trim),
+    // so medians are reported over all samples.
     def spreadOf(xs: Seq[Double]): Double = {
       val med = median(xs)
       if (med <= 0) 0.0
       else {
-        val cut = if (xs.length >= minSamplesSubSec) xs.length / 4 else 0
+        val cut = if (xs.length >= minSamples) xs.length / 4 else 0
         val core = xs.sorted.slice(cut, xs.length - cut)
         (core.max - core.min) / med
       }
     }
+    // Calibration probe: a fixed ~0.1-0.2 s scan+agg timed between
+    // queries. Its cost is constant by construction, so its timing
+    // series is a pure measure of MACHINE weather during the run:
+    // a contended box (external load, as in the driver's round-9
+    // record — uniform 1.5-6x slowdowns, spreads to 435%) shows up as
+    // sustained probe inflation, and the run self-annotates instead of
+    // reading as an engine regression.
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probePlan() = Tables.load(spark, sfDir, "lineitem")
+      .select(fsum(col("l_extendedprice") * col("l_quantity")).as("v"))
+    def probe(timed: Boolean): Unit =
+      try {
+        val t0 = System.nanoTime()
+        probePlan().write.format("noop").mode("overwrite").save()
+        if (timed) probeTimes += (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => () }
+    probe(timed = false) // codegen/JIT warmup for the probe plan itself
+    probe(timed = true)  // baseline point before the first query
     names.foreach { q =>
       run(q) // untimed warmup (codegen/JIT + this query's caches)
       def pass(): Unit = {
@@ -84,20 +111,18 @@ object Bench {
       }
       (1 to passes).foreach(_ => pass())
       def xs = byName(q.name).toSeq
-      if (!failed(q.name) && passes < minSamplesSubSec) {
-        // sub-second: always >= 5 samples, escalating to 9 while the
-        // trimmed spread stays >= 50% (bimodal timings — GC, broadcast
-        // races). Multi-second: top up to 5 only when the base passes
-        // caught an outlier (one GC'd pass on a 1 s query read as 391%
-        // spread in round 9's first run) — the common case stays
-        // `passes` runs.
-        if (median(xs) < 1.0) {
-          (passes until minSamplesSubSec).foreach(_ => pass())
-          while (xs.length < 9 && spreadOf(xs) >= 0.5) pass()
-        } else if (spreadOf(xs) >= 0.5)
-          (passes until minSamplesSubSec).foreach(_ => pass())
+      if (!failed(q.name)) {
+        // every query: >= samplesFloor samples, escalating to 9 while
+        // the trimmed spread stays >= 50% (bimodal timings — GC,
+        // broadcast races). Round 9 gated escalation on median < 1 s
+        // and only topped multi-second queries to 5 after observing a
+        // 50% spread on 3 — exactly the gap that let a contended box
+        // distort multi-second medians.
+        (xs.length until samplesFloor).foreach(_ => pass())
+        while (xs.length < 9 && spreadOf(xs) >= 0.5) pass()
       }
       spark.catalog.clearCache()
+      probe(timed = true) // weather sample between queries
     }
     // failed queries are excluded from the medians/total entirely — a
     // throwing query records near-zero seconds, and summing those would
@@ -140,7 +165,21 @@ object Bench {
     // median-of-3 confidence for a median-of-9 number (per-query n is
     // in the detail entries)
     val passesMax = if (results.isEmpty) passes else results.map(_._4).max
-    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","failed":$failedJson}"""
+    // Probe verdict: the probe plan is constant, so its median is the
+    // run's floor and its inflation profile is the contention record.
+    // `contended` trips on SUSTAINED load — >10% of probes over 2x the
+    // probe median — not on a single GC'd sample (a one-off blip is
+    // exactly what a max-based drift would false-flag on).
+    val probeXs = probeTimes.toSeq
+    val probeMed = if (probeXs.isEmpty) 0.0 else median(probeXs)
+    val probeDrift =
+      if (probeXs.isEmpty || probeMed <= 0) 0.0
+      else (probeXs.max - probeXs.min) / probeMed
+    val probeSlowFrac =
+      if (probeXs.isEmpty || probeMed <= 0) 0.0
+      else probeXs.count(_ > 2 * probeMed).toDouble / probeXs.length
+    val contended = probeSlowFrac > 0.10
+    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","probe_median_sec":${fmt(probeMed)},"probe_drift_pct":${math.round(probeDrift * 100)},"probe_slow_frac_pct":${math.round(probeSlowFrac * 100)},"contended":$contended,"failed":$failedJson}"""
     val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct,n_passes]":$detailJson}"""
     println(detailLine)
     println(machineLine)
@@ -154,8 +193,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "/root/repo/bench_history"))
       java.nio.file.Files.createDirectories(dir)
       val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      // probe_times preserves the full weather series in run order, so
+      // a contended window is attributable to the queries measured
+      // inside it (probe i brackets query i in sorted-name order)
+      val probeJson = probeXs.map(fmt).mkString("[", ",", "]")
       java.nio.file.Files.writeString(dir.resolve(s"detail_$sfName.json"),
         s"""{"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"total_sec":${fmt(total)},""" +
+          s""""probe_median_sec":${fmt(probeMed)},"probe_drift_pct":${math.round(probeDrift * 100)},""" +
+          s""""contended":$contended,"probe_times":$probeJson,""" +
           s""""failed":$failedJson,"queries":$detailJson}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")

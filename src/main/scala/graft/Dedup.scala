@@ -29,6 +29,16 @@ object Dedup {
     */
   val DefaultMaxShingleDf: Int = 10000
 
+  /** Largest hot-shingle set (row count) [[containmentPairs]] will hint
+    * for broadcast: 4M single-BIGINT rows is ~64 MB materialized — a
+    * comfortable executor-memory footprint at 1000-executor scale and
+    * far under Spark's 8 GB broadcast hard cap. Measured against the
+    * ACTUAL hot-set count (the set of >df-cap shingles is unbounded by
+    * the cap value alone on an arbitrary corpus); bigger hot sets fall
+    * back to the planner/AQE's own size-based join choice.
+    */
+  val MaxBroadcastHotKeys: Long = 4000000L
+
   /** Column-metadata key recording the shingle width a signature
     * frame's `shingles` column was built with.
     */
@@ -972,6 +982,22 @@ object Dedup {
     * doc contained in others ONLY via that shingle was never a
     * meaningful containment hit. Pass `Int.MaxValue` to disable.
     *
+    * The df cap applies to BOTH sides (round 10): probes that are
+    * themselves capped-out boilerplate are dropped, and the hit gate's
+    * per-doc probe count `np` counts only SURVIVING probes — so the
+    * P(Binomial(m, c) >= minProbeHits) capture bound holds with m = the
+    * post-cap probe count even for a doc whose probe sample is mostly
+    * boilerplate (with np counted pre-cap, such a doc could never meet
+    * a gate its surviving probes cannot reach). When the cap is active
+    * this function materializes the hot-shingle set eagerly (persist +
+    * count — one extra job at plan-build time, the [[graft.ops.Sampling]]
+    * strata-count precedent): the count decides whether the anti-join
+    * build side is safely broadcastable from its ACTUAL size rather
+    * than from the cap value, and the persist keeps the hot-set
+    * aggregation single-evaluation across the two anti-joins. The
+    * cache entry is session-scoped (freed by `clearCache`/session
+    * stop, like the query-internal signature persists).
+    *
     * NOTE (round-9 default change): both `maxShingleDf` (uncapped →
     * 10000) and the blocking gate (1-hit → 2-hit) changed defaults
     * this round. A caller PINNING `probeShingles` must pin it for the
@@ -1002,8 +1028,7 @@ object Dedup {
     // identical hash, so both engines see the same candidate set
     def tagStruct(s: org.apache.spark.sql.Column) =
       struct(Pipeline.wordHash32(s).as("h"), s.as("s"))
-    val probes = sig.select(col(idCol).as("_pid"),
-      least(lit(m), size(col("shingles"))).as("_np"),
+    val probesAll = sig.select(col(idCol).as("_pid"),
       explode(transform(
         slice(array_sort(transform(col("shingles"), tagStruct(_))), 1, m),
         x => x("h"))).as("_h"))
@@ -1013,31 +1038,44 @@ object Dedup {
     // the df cap keys on the hash too: modulo 32-bit collisions this
     // is the per-shingle document frequency, and collisions only make
     // the cap infinitesimally more conservative. Map-side-combined agg
-    // + anti-join either way (never a token-mass window sort); the
-    // BROADCAST hint is applied only for caps >= 1000, where a hot
-    // shingle is >= 1000-doc boilerplate and the hot set is sparse by
-    // construction — measured at sf1 the hint is worth ~1.5x (the
-    // planner's size estimate for the agg output grows with the corpus
-    // and tips the un-hinted plan into a sort-merge shuffle of the
-    // whole index). A SMALL cap can legitimately produce a huge hot
-    // set (df > 50 on a web corpus), where a forced broadcast would
-    // abort on the broadcast limit — those stay un-hinted and let the
-    // planner/AQE decide from actual sizes.
-    val index = if (maxShingleDf == Int.MaxValue) indexAll
+    // + anti-join either way (never a token-mass window sort). The hot
+    // set is persisted and COUNTED here (one plan-build-time job — the
+    // Sampling strata-count precedent): the count gates the BROADCAST
+    // hint on the hot set's ACTUAL size, not on the cap value — a high
+    // cap usually means sparse boilerplate (measured at sf1 the hint is
+    // worth ~1.5x: the planner's growing size estimate for the agg
+    // output otherwise tips the plan into a sort-merge shuffle of the
+    // whole index), but nothing bounds the >cap-df set a priori on an
+    // arbitrary corpus, and a forced broadcast of an unexpectedly huge
+    // hot set would abort on the broadcast limit. Oversized hot sets
+    // stay un-hinted and let the planner/AQE decide from actual sizes.
+    // The persist also keeps the agg single-evaluation across the TWO
+    // anti-joins (index and probes) — the q148 doubled-lineage lesson.
+    val (probes, index) = if (maxShingleDf == Int.MaxValue)
+        (probesAll, indexAll)
       else {
         val hot = indexAll.groupBy("_h")
           .agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxShingleDf).select("_h")
-        val build = if (maxShingleDf >= 1000) broadcast(hot) else hot
-        indexAll.join(build, Seq("_h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val build = if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot)
+          else hot
+        (probesAll.join(build, Seq("_h"), "left_anti"),
+         indexAll.join(build, Seq("_h"), "left_anti"))
       }
+    // per-doc SURVIVING probe count: capped-out probes contribute
+    // neither hits nor np, so the gate a doc must meet is one its
+    // remaining probes can actually reach (np counted pre-cap would
+    // silently zero the capture bound for boilerplate-probed docs)
+    val np = probes.groupBy("_pid").agg(count(lit(1)).as("_np"))
     // per-direction hit counts: the aggregate keys are (probing doc,
     // indexed doc), so the gate composes per-direction capture — a
     // one-shingle doc (np=1) keeps the single-hit gate it can satisfy
     val cand = probes.join(index,
         probes("_h") === index("_h") && col("_pid") =!= col("_iid"))
-      .groupBy("_pid", "_iid", "_np")
+      .groupBy("_pid", "_iid")
       .agg(count(lit(1)).as("_hits"))
+      .join(np, "_pid")
       .filter(col("_hits") >= least(lit(minProbeHits), col("_np")))
       .select(least(col("_pid"), col("_iid")).as("a_id"),
         greatest(col("_pid"), col("_iid")).as("b_id"))

@@ -1488,28 +1488,37 @@ object PipelineQueries {
     // a long one, where symmetric Jaccard reads near zero. Blocking is
     // on CONTAINMENT (bottom-m-by-hash shingle probes against the
     // df-capped corpus shingle inverted index; per-direction >= 2-hit
-    // gate, m derived from the threshold for >= 99.5% capture at it),
-    // NOT Jaccard-tuned LSH — the oracle replays probe selection, the
-    // df cap, the hit-count gate, and the 60-bit dictionary-encoded
-    // verify, hash for hash.
+    // gate, m derived from the threshold for >= 99.5% capture at it;
+    // since round 10 the df cap drops capped-out PROBES too and the
+    // gate's np counts surviving probes, so the capture bound holds
+    // for boilerplate-probed docs), NOT Jaccard-tuned LSH — the oracle
+    // replays probe selection, the two-sided df cap, the post-cap np,
+    // the hit-count gate, and the 60-bit dictionary-encoded verify,
+    // hash for hash.
     QueryDef("q92_containment_pairs",
       Some(s"""
         WITH $shinglesCte,
-        pr AS (SELECT doc_id, least(${Pipeline.containmentProbesFor(0.7, minHits = 2)}, len(shingles)) AS np,
+        pr AS (SELECT doc_id,
                  unnest(list_transform(
                    list_sort([{'h': ${AnalysisQueries.hash32Sql("s")}, 's': s} for s in shingles])[1:${Pipeline.containmentProbesFor(0.7, minHits = 2)}],
                    x -> x.h)) AS h
                FROM sh),
         ixall AS (SELECT doc_id, ${AnalysisQueries.hash32Sql("s")} AS h
                   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        hot AS (SELECT h FROM ixall GROUP BY h
+                HAVING COUNT(*) > ${Dedup.DefaultMaxShingleDf}),
         ix AS (SELECT doc_id, h FROM ixall
-               QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${Dedup.DefaultMaxShingleDf}),
+               WHERE h NOT IN (SELECT h FROM hot)),
+        prk AS (SELECT doc_id, h FROM pr
+                WHERE h NOT IN (SELECT h FROM hot)),
+        np AS (SELECT doc_id, COUNT(*) AS np FROM prk GROUP BY 1),
         cand AS (SELECT DISTINCT least(pid, iid) AS a_id, greatest(pid, iid) AS b_id
-                 FROM (SELECT p.doc_id AS pid, i.doc_id AS iid, p.np,
+                 FROM (SELECT p.doc_id AS pid, i.doc_id AS iid,
                               COUNT(*) AS nh
-                       FROM pr p JOIN ix i ON p.h = i.h AND p.doc_id <> i.doc_id
-                       GROUP BY 1, 2, 3
-                       HAVING COUNT(*) >= least(2, np))),
+                       FROM prk p JOIN ix i ON p.h = i.h AND p.doc_id <> i.doc_id
+                       GROUP BY 1, 2) c
+                 JOIN np ON np.doc_id = c.pid
+                 WHERE c.nh >= least(2, np.np)),
         hs AS (SELECT doc_id,
                       list_transform(shingles, s -> ${AnalysisQueries.hash60Sql("s")}) AS hset,
                       len(shingles) AS n

@@ -26,6 +26,50 @@ object CurationQueries {
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
                     (a, b) -> a*16 + b)"""
 
+  // Oracle mirror of ops.TextStats.bpeTrain's k-iteration loop,
+  // mechanically unrolled (the q148 unrolled-PageRank technique):
+  // v0 = framed word-frequency table ("ab" -> "<a><b>"); per step i,
+  // p_i = adjacent-symbol pair counts, b_i = the (n desc, l, r) argmax,
+  // v_i = one literal replace applying the merge (left-to-right
+  // non-overlapping — the greedy BPE rule, same builtin both engines).
+  private def bpeCtes(k: Int): String = {
+    val head = """
+        v0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n_w
+               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+               GROUP BY 1)"""
+    val iters = (1 to k).map { i => s"""
+        p$i AS (SELECT p.l AS l, p.r AS r, CAST(SUM(n_w) AS BIGINT) AS n
+                FROM (SELECT unnest([{'l': sy[j], 'r': sy[j+1]}
+                                     for j in range(1, len(sy))]) AS p, n_w
+                      FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+                                                '><') AS sy, n_w
+                            FROM v${i - 1}))
+                GROUP BY p.l, p.r),
+        b$i AS (SELECT CAST($i AS BIGINT) AS step, l, r, l || r AS merged, n
+                FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+        v$i AS (SELECT replace(v.s, '<' || b.l || '><' || b.r || '>',
+                               '<' || b.merged || '>') AS s, v.n_w
+                FROM v${i - 1} v CROSS JOIN b$i b)"""
+    }.mkString(",")
+    head + "," + iters
+  }
+
+  private def bpeUnion(k: Int): String =
+    (1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+
+  private val BpeMerges = 8
+
+  // q151 planted near-dup "images" (101-byte ASCII payloads; the stub
+  // decode samples byte (k*37) mod len as pixel k). B differs from A in
+  // ONE byte (offset 50) -> at most 2 dHash bits flip; the third plant
+  // repeats A exactly (distance 0). Ids sit in the 910001+ range, clash
+  // -checked like q101's plants.
+  private val PhashPlantA =
+    "the quick brown fox jumps over the lazy dog while seven wizards brew strong potions at dawnxxxxxxxxxx"
+  private val PhashPlantB =
+    "the quick brown fox jumps over the lazy dog while Qeven wizards brew strong potions at dawnxxxxxxxxxx"
+
   val all: Seq[QueryDef] = Seq(
 
     // EXACT n-gram decontamination ([[Dedup.exactNgramOverlap]]): per
@@ -291,6 +335,123 @@ object CurationQueries {
         graft.ops.Graph.pageRank(edges, iters = 3,
             redistributeDangling = true)
           .orderBy("node")
+      }),
+
+    // Iterated BPE tokenizer training ([[ops.TextStats.bpeTrain]]):
+    // the first 8 merge rules in training order — per step, the
+    // (count desc, l, r) argmax adjacent-symbol pair under all prior
+    // merges. q142 mines only step 1's candidates; this is the actual
+    // training loop, vocabulary-sized per iteration, merge applied as
+    // one literal replace over the framed symbol string (greedy
+    // left-to-right — the same builtin semantics both engines). The
+    // oracle unrolls all 8 iterations.
+    QueryDef("q149_bpe_train",
+      Some(s"""
+        WITH ${bpeCtes(BpeMerges)}
+        SELECT step, l, r, merged, n FROM (${bpeUnion(BpeMerges)})
+        ORDER BY step"""),
+      (s, d) => graft.ops.TextStats.bpeTrain(
+        spread(documents(s, d)), "text", BpeMerges)),
+
+    // BPE apply / real token counts ([[ops.TextStats
+    // .bpeSegmentCounts]]): segment the corpus with the 8 learned
+    // merges — the fold runs once per DISTINCT word (broadcast merge
+    // list, one replace per step), then a token-explode join against
+    // the vocabulary-sized count table. n_bpe_tokens is the REAL
+    // subword count that replaces q34's heuristic estimate in packing
+    // (q69) and length ops (q123).
+    QueryDef("q150_bpe_segment",
+      Some(s"""
+        WITH ${bpeCtes(BpeMerges)},
+        ms AS (SELECT list(l || ' ' || r ORDER BY step) AS ms
+               FROM (${bpeUnion(BpeMerges)})),
+        vt AS (SELECT w, CAST(length(f) - length(replace(f, '<', ''))
+                 AS BIGINT) AS n_sym
+               FROM (SELECT w, list_reduce(
+                       list_prepend(regexp_replace(w, '(.)', '<\\1>', 'g'),
+                                    ms.ms),
+                       (acc, x) -> replace(acc,
+                         '<' || split_part(x, ' ', 1) || '><'
+                             || split_part(x, ' ', 2) || '>',
+                         '<' || replace(x, ' ', '') || '>')) AS f
+                     FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                          CROSS JOIN ms)),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+        SELECT tok.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(vt.n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM tok JOIN vt USING (w)
+        GROUP BY tok.doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        graft.ops.TextStats.bpeSegmentCounts(docs, "doc_id", "text",
+            graft.ops.TextStats.bpeTrain(docs, "text", BpeMerges))
+          .orderBy("doc_id")
+      }),
+
+    // Perceptual-hash image near-dup ([[Multimodal.perceptualHash]] +
+    // [[Pipeline.simhash64Pairs]]): 64-bit dHash over the stub-decoded
+    // payload (9x8 sampled "pixels", horizontal-gradient bits), then
+    // the SAME 4x16-bit pigeonhole blocking + exact hamming verify as
+    // q101 — content-level image dedup where q35's md5 only catches
+    // byte-exact copies. Natural corpus phashes sit far apart (no
+    // pairs within dist 6 at sf0.01/0.1), so three plants exercise the
+    // gate: one single-byte edit (dist <= 2) and one exact repeat
+    // (dist 0). The oracle replays pixel sampling, both 32-bit halves,
+    // chunking, and the verify.
+    QueryDef("q151_phash_neardup",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(910001 AS BIGINT), '$PhashPlantA'),
+            (CAST(910002 AS BIGINT), '$PhashPlantB'),
+            (CAST(910003 AS BIGINT), '$PhashPlantA')) v(doc_id, text)),
+        px AS (SELECT doc_id,
+                 [ascii(substr(text, ((k*37) % greatest(octet_length(CAST(text AS BLOB)), 1)) + 1, 1))
+                  for k in range(0, 72)] AS p
+               FROM corpus),
+        sig AS (SELECT doc_id,
+                  CAST(list_sum([CASE WHEN p[(b//8)*9 + (b%8) + 1] > p[(b//8)*9 + (b%8) + 2]
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                        for b in range(0, 32)]) AS BIGINT) AS lo,
+                  CAST(list_sum([CASE WHEN p[((b+32)//8)*9 + ((b+32)%8) + 1] > p[((b+32)//8)*9 + ((b+32)%8) + 2]
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                        for b in range(0, 32)]) AS BIGINT) AS hi
+                FROM px),
+        ch AS (SELECT doc_id, lo, hi, c,
+                 CASE WHEN c < 2 THEN (lo >> (CAST(c AS INTEGER) * 16)) & 65535
+                      ELSE (hi >> ((CAST(c AS INTEGER) - 2) * 16)) & 65535 END AS chunk
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                        x.lo AS xlo, x.hi AS xhi, y.lo AS ylo, y.hi AS yhi
+                 FROM ch x JOIN ch y
+                   ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        SELECT a_id, b_id, dist FROM (
+          SELECT a_id, b_id,
+                 CAST(bit_count(xor(xlo, ylo)) + bit_count(xor(xhi, yhi)) AS INTEGER) AS dist
+          FROM cand) WHERE dist <= 3 ORDER BY a_id, b_id"""),
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq((910001L, PhashPlantA), (910002L, PhashPlantB),
+          (910003L, PhashPlantA)).toDF("doc_id", "text")
+        // plants' ids are fixed in the oracle too — fail loudly on
+        // actual membership (the q101 discipline)
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(910001L, 910003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q151's planted id range " +
+            "(910001-910003); re-site the plants")
+        val corpus = spread(documents(s, d)).select("doc_id", "text")
+          .unionAll(planted)
+        val media = corpus
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[Multimodal.MediaDoc]
+        Pipeline.simhash64Pairs(
+            Multimodal.perceptualHash(media), "doc_id", maxDist = 3)
+          .orderBy("a_id", "b_id")
       })
   )
 }

@@ -80,6 +80,52 @@ object Multimodal {
     }
   }
 
+  /** 64-bit dHash-style PERCEPTUAL fingerprint of a media payload —
+    * the content near-dup signature for images (robust to small pixel
+    * edits, unlike [[MediaFeatures.content_hash]]'s exact md5).
+    *
+    * Classic dHash: sample the decoded image down to a 9x8 grayscale
+    * grid, then bit (r*8+c) = 1 iff pixel(r,c) > pixel(r,c+1) — 64
+    * horizontal-gradient comparisons. The DECODE is this file's
+    * deterministic stub (no codec here): "pixel" k is the byte at
+    * offset (k*37) mod byte_len (37 is coprime to typical lengths, so
+    * the 72 samples spread over the payload; a single-byte edit
+    * perturbs at most 2 bits). Real deployments replace the sampling
+    * with an actual decode+resize; everything downstream — the
+    * (lo, hi) 32-bit split that avoids 64-bit signed folds in the
+    * oracle, the pigeonhole blocking, the hamming verify — is the real
+    * contract, shared verbatim with [[graft.Pipeline.simhash64Pairs]].
+    *
+    * Output columns are named `simhash_lo`/`simhash_hi` so the frame
+    * feeds `simhash64Pairs` directly: hamming-near pairs at distance
+    * <= 3 via the 4x16-bit chunk equi-join — never an all-pairs
+    * comparison. Empty payloads hash to (0, 0).
+    */
+  def perceptualHash(ds: Dataset[MediaDoc]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec init would go here (shared with decode)
+      it.map { m =>
+        val b = m.content
+        def px(k: Int): Int =
+          if (b.length == 0) 0 else b((k * 37) % b.length) & 0xFF
+        var lo = 0L
+        var hi = 0L
+        var bit = 0
+        while (bit < 64) {
+          val r = bit / 8
+          val c = bit % 8
+          if (px(r * 9 + c) > px(r * 9 + c + 1)) {
+            if (bit < 32) lo |= 1L << bit
+            else hi |= 1L << (bit - 32)
+          }
+          bit += 1
+        }
+        (m.doc_id, lo, hi)
+      }
+    }.toDF("doc_id", "simhash_lo", "simhash_hi")
+  }
+
   /** Decode + feature-extract, one codec instance per partition.
     * `mapPartitions` (not `map`) so codec setup cost amortizes across
     * the partition's rows — the standard Spark batch shape for

@@ -181,6 +181,141 @@ object TextStats {
       .limit(k)
   }
 
+  /** Iterated BPE tokenizer TRAINING: the first `merges` byte-pair-
+    * encoding merge rules over the corpus, in training order. Output:
+    * (step, l, r, merged, n) — at each step the (count desc, l asc,
+    * r asc) argmax adjacent-symbol pair under all PRIOR merges, with
+    * its count at selection time. The deterministic tiebreak makes the
+    * whole table engine-exact. [[bpePairCounts]] is this operator's
+    * k=1 candidate view.
+    *
+    * Trains on the word-FREQUENCY table (one corpus-wide token
+    * aggregate, then every character touch is per DISTINCT word — the
+    * standard BPE scaling collapse). Each word is carried as a framed
+    * symbol string ("ab" -> "<a><b>"): applying merge (x, y) is then
+    * ONE literal `replace(s, '<x><y>', '<xy>')`, whose left-to-right
+    * non-overlapping scan is exactly BPE's greedy merge rule ("aaa"
+    * + (a,a) -> [aa, a]) and is bit-identical across engines — no
+    * per-row loop, no UDF, and the oracle replays it with the same
+    * builtin. PRECONDITION: tokens must not contain the framing
+    * characters '<' '>' (true of any whitespace/punct-stripped
+    * tokenizer; [[graft.Pipeline.words]] corpora here are [a-z]+).
+    *
+    * Loop shape: `merges` iterations over the vocabulary-sized frame;
+    * per iteration one pair-explode + pair-keyed aggregate, a top-1
+    * (TakeOrderedAndProject) fetched to the DRIVER as one row, and a
+    * literal-replace projection building the next vocab (persisted per
+    * iteration — eagerly materialized by the next step's fetch, so
+    * each iteration's work runs once). The driver fetch is deliberate,
+    * against the [[graft.ops.Graph.pageRankReleasable]] no-action
+    * discipline: here the argmax parametrizes the next plan's
+    * STRUCTURE (the replace arguments), and carrying it as a broadcast
+    * one-row frame instead embeds the full prior plan in BOTH the step
+    * frame and the next vocab — the logical plan TREE doubles per
+    * iteration (measured: a 2 GB plan string at 8 merges; persists
+    * bound execution, not the analyzed tree). One single-row fetch per
+    * merge is nothing at any corpus scale. If the vocabulary exhausts
+    * its pairs early, the table ends at the last real merge. [[bpeTrain]]
+    * leaks the loop caches until session end / clearCache (fine for
+    * one-shot jobs); long-lived sessions use the Releasable form and
+    * call the handle once consumers are done. Merge counts are
+    * analysis-scale (tens); a production 30k-merge tokenizer train is
+    * a different harness (iterate on a materialized vocab table).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeTrainReleasable(docs, textCol, merges)._1
+
+  /** [[bpeTrain]] plus the release handle for the loop's caches. */
+  def bpeTrainReleasable(docs: DataFrame, textCol: String,
+                         merges: Int): (DataFrame, () => Unit) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("n_w"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("n_w"))
+      .persist(disk)
+    caches += vocab
+    val rows = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val sy = split(expr("substring(s, 2, length(s) - 2)"), "><")
+      val pairs = vocab
+        .select(col("n_w"), sy.as("_sy"))
+        .filter(size(col("_sy")) >= 2)
+        .select(col("n_w"), explode(zip_with(
+          slice(col("_sy"), lit(1), size(col("_sy")) - 1),
+          slice(col("_sy"), lit(2), size(col("_sy")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n_w")).cast(LongType).as("n"))
+      // ONE-row driver fetch of the argmax (see scaladoc: carrying it
+      // as a broadcast frame doubles the plan tree per iteration)
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        rows += ((step.toLong, l, r, l + r, top(0).getLong(2)))
+        val next = vocab
+          .select(call_function("replace", col("s"),
+            lit("<" + l + "><" + r + ">"), lit("<" + l + r + ">")).as("s"),
+            col("n_w"))
+          .persist(disk)
+        caches += next
+        vocab = next
+        step += 1
+      }
+    }
+    import spark.implicits._
+    (rows.result().toDF("step", "l", "r", "merged", "n"),
+      () => { caches.foreach(_.unpersist()); () })
+  }
+
+  /** APPLY a trained BPE merge table ([[bpeTrain]] output) to a
+    * corpus: per document, the whitespace word count and the REAL
+    * post-merge subword token count — the drop-in replacement for a
+    * heuristic subword estimate in sequence packing and length
+    * bucketing (feed `n_bpe_tokens` wherever those consume a token
+    * count). Output: (id, n_words, n_bpe_tokens).
+    *
+    * Scale shape: the merge fold runs once per DISTINCT word (the
+    * merge list arrives as one broadcast array row; the fold is a
+    * scan-side HOF over the framed symbol string — `merges` literal
+    * replaces per word, in step order), then one token-explode join
+    * of the corpus against the vocabulary-sized count table and one
+    * doc-keyed aggregate. Same framing precondition as [[bpeTrain]].
+    */
+  def bpeSegmentCounts(docs: DataFrame, idCol: String, textCol: String,
+                       mergeTable: DataFrame): DataFrame = {
+    // one-row merge array in step order (array_sort on (step, l, r)
+    // structs orders by step — collect_list alone has no order)
+    val ms = mergeTable
+      .select(struct(col("step"), col("l"), col("r")).as("m"))
+      .agg(array_sort(collect_list(col("m"))).as("_ms"))
+    val vocabTok = docs
+      .select(explode(words(col(textCol))).as("w")).distinct()
+      .crossJoin(broadcast(ms))
+      .withColumn("_f", expr(
+        """aggregate(_ms, regexp_replace(w, '(.)', '<$1>'),
+             (acc, x) -> replace(acc, concat('<', x.l, '><', x.r, '>'),
+                                 concat('<', x.l, x.r, '>')))"""))
+      // symbol count = number of '<' frames left after all merges
+      .select(col("w"),
+        (length(col("_f")) - length(expr("replace(_f, '<', '')")))
+          .cast(LongType).as("_n_sym"))
+    docs
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .join(vocabTok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_words"),
+        sum(col("_n_sym")).cast(LongType).as("n_bpe_tokens"))
+  }
+
   /** BIGRAM-model information score: per document, the summed
     * CONDITIONAL self-information of its adjacent token pairs under
     * the corpus MLE bigram model — for each occurrence of bigram

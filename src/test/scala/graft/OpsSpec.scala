@@ -1162,6 +1162,60 @@ class OpsSpec extends AnyFunSuite {
       "doc_id", "text").isEmpty)  // 3 tokens < k + window - 1
   }
 
+  test("BPE training learns the hand-computed merge sequence greedily") {
+    import spark.implicits._
+    // word freq: aaa x3, ab x2. Hand-run:
+    //   step 1: (a,a) 2 per "aaa" x3 = 6 beats (a,b) 2 -> merge "aa";
+    //           "aaa" -> [aa, a] (GREEDY left-to-right, not [a, aa])
+    //   step 2: (aa,a) 3 beats (a,b) 2 -> merge "aaa"
+    //   step 3: (a,b) 2 is all that remains -> merge "ab"
+    //   step 4: no pairs left -> table ends at 3 rows
+    val docs = Seq("aaa aaa ab", "aaa ab").toDF("text")
+    val (table, release) =
+      graft.ops.TextStats.bpeTrainReleasable(docs, "text", merges = 4)
+    val got = table.orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "a", "aaa", 3L),
+      (3L, "a", "b", "ab", 2L)))
+    release()
+
+    // even-run greedy rule: "aaaa" + (a,a) -> [aa, aa] (so step 2's
+    // top pair is (aa,aa) with the full word frequency, which the
+    // non-greedy [aa, a, a] segmentation could not produce)
+    val runs = Seq("aaaa aaaa").toDF("text")
+    val (t2, release2) =
+      graft.ops.TextStats.bpeTrainReleasable(runs, "text", merges = 3)
+    val got2 = t2.orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got2.toSeq == Seq(
+      (1L, "a", "a", "aa", 2L * 3),
+      (2L, "aa", "aa", "aaaa", 2L)))
+    release2()
+  }
+
+  test("BPE apply counts real subword tokens under the learned merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab")).toDF("doc_id", "text")
+    val full = graft.ops.TextStats.bpeTrain(docs, "text", merges = 4)
+    val gotFull = graft.ops.TextStats
+      .bpeSegmentCounts(docs, "doc_id", "text", full)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all three merges learned -> every word collapses to one token
+    assert(gotFull.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+    // only the first merge -> "aaa" = [aa, a], "ab" = [a, b]: 2 each
+    val one = graft.ops.TextStats.bpeTrain(docs, "text", merges = 1)
+    val gotOne = graft.ops.TextStats
+      .bpeSegmentCounts(docs, "doc_id", "text", one)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotOne.toSeq == Seq((1L, 3L, 6L), (2L, 2L, 4L)))
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

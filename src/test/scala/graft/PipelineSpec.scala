@@ -1277,4 +1277,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.keySet == Set((1L, 2L)))
     assert(pairs((1L, 2L)) == (fps(1L) & fps(2L)).size.toLong)
   }
+
+  test("perceptual-hash near-dup equals the brute-force hamming pairs") {
+    import spark.implicits._
+    // real corpus + the q151 plants (one single-byte edit, one exact
+    // repeat) so the blocked path has pairs to find
+    val a = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions at dawnxxxxxxxxxx"
+    val b = a.updated(50, 'Q')
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(Seq((910001L, a), (910002L, b), (910003L, a))
+        .toDF("doc_id", "text"))
+    val media = corpus
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[Multimodal.MediaDoc]
+    val ph = Multimodal.perceptualHash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // reference dHash, computed independently in Scala from the bytes
+    def refHash(s: String): (Long, Long) = {
+      val bytes = s.getBytes("UTF-8")
+      def px(k: Int): Int =
+        if (bytes.isEmpty) 0 else bytes((k * 37) % bytes.length) & 0xFF
+      var lo = 0L; var hi = 0L
+      for (bit <- 0 until 64) {
+        val r = bit / 8; val c = bit % 8
+        if (px(r * 9 + c) > px(r * 9 + c + 1)) {
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+      }
+      (lo, hi)
+    }
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    val hashes = ph.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.foreach { case (id, t) =>
+      assert(hashes(id) == refHash(t), s"hash mismatch for doc $id")
+    }
+
+    // brute-force all-pairs hamming <= 3 vs the pigeonhole-blocked op
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (alo, ahi) = hashes(ids(i)); (blo, bhi) = hashes(ids(j))
+      d = java.lang.Long.bitCount(alo ^ blo) + java.lang.Long.bitCount(ahi ^ bhi)
+      if d <= 3
+    } yield (ids(i), ids(j), d)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one near pair")
+    val blocked = Pipeline.simhash64Pairs(ph, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute)
+    ph.unpersist()
+  }
 }

@@ -60,6 +60,22 @@ object CurationQueries {
 
   private val BpeMerges = 8
 
+  // Synthetic per-doc URL for the host-curation family (the corpus has
+  // no URL column — the derivation is the multimodal-stub discipline:
+  // deterministic, shared VERBATIM by engine and oracle, exercising
+  // scheme/userinfo/mixed-case-host/port variation so the extraction
+  // regex earns its groups). ~7 hosts per source.
+  private val SynthUrlSql = """
+        (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END) ||
+        source || '-' || CAST(doc_id % 7 AS STRING) || '.Example.COM' ||
+        (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        '/docs/' || CAST(doc_id AS STRING)"""
+
+  // Oracle mirror of ops.Web.host (the same regex, literally).
+  private val HostSql =
+    s"lower(regexp_extract(url, '${graft.ops.Web.HostRegex}', 1))"
+
   // q151 planted near-dup "images" (101-byte ASCII payloads; the stub
   // decode samples byte (k*37) mod len as pixel k). B differs from A in
   // ONE byte (offset 50) -> at most 2 dHash bits flip; the third plant
@@ -452,6 +468,51 @@ object CurationQueries {
         Pipeline.simhash64Pairs(
             Multimodal.perceptualHash(media), "doc_id", maxDist = 3)
           .orderBy("a_id", "b_id")
-      })
+      }),
+
+    // Per-host corpus footprint ([[ops.Web.hostStats]]): host via one
+    // engine-portable regexp_extract (NOT parse_url — no other engine
+    // replays its corner cases), lower-cased, then a host-keyed
+    // doc/token aggregate — the frame every per-host policy (caps,
+    // priors, blocklists) starts from. The synthetic URLs exercise
+    // scheme variation, userinfo skipping, a mixed-case host, and a
+    // port that must NOT leak into the host.
+    QueryDef("q152_host_stats",
+      Some(s"""
+        WITH u AS (SELECT doc_id, text, $SynthUrlSql AS url FROM documents),
+        h AS (SELECT $HostSql AS host,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+              FROM u)
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(t) AS BIGINT) AS n_tokens
+        FROM h GROUP BY host ORDER BY host"""),
+      (s, d) => graft.ops.Web.hostStats(
+          spread(documents(s, d)).withColumn("url", expr(SynthUrlSql)),
+          "url", "text")
+        .orderBy("host")),
+
+    // Per-host cap downweighting ([[ops.Web.hostCapSample]]): keep
+    // each doc with probability min(1, cap / n_docs(host)) via the
+    // md5-slot filter — over-represented hosts thin to a uniform
+    // sample instead of dominating the mix (the web-corpus
+    // downweighting staple; prioritySample keyed on host is the exact-
+    // cap variant). The keep threshold is an INTEGER ppm (cap*1e6 div
+    // n) — a double weight through floor(w*1e6) can land one slot off
+    // across engines. The oracle replays host, counts, ppm, and slots.
+    QueryDef("q153_host_cap_sample",
+      Some(s"""
+        WITH u AS (SELECT doc_id, $SynthUrlSql AS url FROM documents),
+        h AS (SELECT doc_id, $HostSql AS host FROM u),
+        k AS (SELECT host, least(1000000, (2 * 1000000) // COUNT(*)) AS keep_ppm
+              FROM h GROUP BY host)
+        SELECT h.doc_id, h.host, CAST(k.keep_ppm AS BIGINT) AS keep_ppm
+        FROM h JOIN k USING (host)
+        WHERE ${hash32Sql("CAST(h.doc_id AS VARCHAR)")} % 1000000 < k.keep_ppm
+        ORDER BY h.doc_id"""),
+      (s, d) => graft.ops.Web.hostCapSample(
+          spread(documents(s, d)).withColumn("url", expr(SynthUrlSql)),
+          "doc_id", "url", maxDocsPerHost = 2)
+        .select(col("doc_id"), col("host"), col("keep_ppm"))
+        .orderBy("doc_id"))
   )
 }

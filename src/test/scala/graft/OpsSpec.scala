@@ -1216,6 +1216,46 @@ class OpsSpec extends AnyFunSuite {
     assert(gotOne.toSeq == Seq((1L, 3L, 6L), (2L, 2L, 4L)))
   }
 
+  test("host extraction handles userinfo, ports, case, and junk URLs") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://example.com/path",
+      "http://Sub.Example.COM:8080/x?q=1",
+      "ftp://user:pw@Files.example.org/pub",
+      "https://bare-host.net",
+      "https://h.example.com#frag",
+      "not a url at all")
+      .toDF("url")
+    val got = urls.select(graft.ops.Web.host(col("url")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.com", "sub.example.com",
+      "files.example.org", "bare-host.net", "h.example.com", ""))
+  }
+
+  test("host cap sample keeps small hosts whole and thins big ones") {
+    import spark.implicits._
+    // host a.com: 40 docs, host b.com: 2 docs; cap 10
+    val docs = ((1L to 40L).map(i => (i, s"https://a.com/$i")) ++
+        Seq((101L, "https://b.com/x"), (102L, "https://b.com/y")))
+      .toDF("doc_id", "url")
+    val got = graft.ops.Web.hostCapSample(docs, "doc_id", "url",
+      maxDocsPerHost = 10).collect()
+    val byHost = got.groupBy(_.getAs[String]("host"))
+    // under-cap host: ppm = 1e6, everything kept
+    assert(byHost("b.com").length == 2)
+    assert(byHost("b.com").forall(_.getAs[Long]("keep_ppm") == 1000000L))
+    // over-cap host: ppm = 250000, kept set is the md5-slot subset
+    val aKept = byHost.getOrElse("a.com", Array.empty)
+    assert(aKept.forall(_.getAs[Long]("keep_ppm") == 250000L))
+    val expected = (1L to 40L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L < 250000L
+    }.toSet
+    assert(aKept.map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
   test("length histogram buckets docs by power-of-two token count") {
     import spark.implicits._
     val docs = Seq("t", "t t t", "t t t t", "t t t t t t t",

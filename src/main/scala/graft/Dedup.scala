@@ -171,29 +171,46 @@ object Dedup {
     * materializes the checkpoint — a separate `count()` per iteration
     * would double the job count of the loop (the visible cost of the
     * two slowest bench queries, q84/q104).
+    *
+    * FAULT TOLERANCE at cluster scale: the default `localCheckpoint`
+    * stores blocks on executors only — fast (no DFS round-trip) but a
+    * single lost executor aborts a long components run because the
+    * truncated lineage cannot be recomputed. Pass
+    * `reliableCheckpointDir = Some(path)` (an HDFS/S3/DFS path on a
+    * real cluster) to switch every per-iteration materialization to a
+    * RELIABLE `checkpoint()`: blocks live in the DFS, executor loss is
+    * survivable, at the cost of one DFS write per iteration. Default
+    * stays local for single-node/bench parity. Checkpoint files
+    * accumulate one directory per iteration under the supplied path;
+    * set `spark.cleaner.referenceTracking.cleanCheckpoints=true` or
+    * clean the directory after the run.
     */
   def clusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
                maxIters: Int = 50,
                // observability hook: called once with the converged
                // iteration count (scale runs attribute cost to
                // iterations x per-iteration shuffle through it)
-               onConverged: Int => Unit = _ => ()): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
-    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
-      .localCheckpoint()
+               onConverged: Int => Unit = _ => (),
+               reliableCheckpointDir: Option[String] = None): DataFrame = {
+    reliableCheckpointDir.foreach(dir =>
+      pairs.sparkSession.sparkContext.setCheckpointDir(dir))
+    // both variants are EAGER: the observe metric below is collected
+    // by the same job that materializes the checkpoint
+    val ckpt: DataFrame => DataFrame =
+      if (reliableCheckpointDir.isDefined) _.checkpoint() else _.localCheckpoint()
+    val edges = ckpt(pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    var labels = ckpt(allIds.select(col(idCol).as("id"), col(idCol).as("cluster")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, col("b_id") === col("id"))
         .groupBy(col("a_id")).agg(min("cluster").as("ncluster"))
       val obs = org.apache.spark.sql.Observation()
-      val updated = labels.join(neighborMin, col("id") === col("a_id"), "left")
+      val updated = ckpt(labels.join(neighborMin, col("id") === col("a_id"), "left")
         .select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("next"))
-        .observe(obs, count(when(col("next") < col("cluster"), true)).as("changed"))
-        .localCheckpoint()
+        .observe(obs, count(when(col("next") < col("cluster"), true)).as("changed")))
       changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("id"), col("next").as("cluster"))
       iter += 1

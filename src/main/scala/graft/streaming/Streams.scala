@@ -345,6 +345,78 @@ object Streams {
     ContaminationMonitor(hits, evalGrams)
   }
 
+  /** Streaming VERIFIED near-dup pairs: arriving docs vs a STATIC
+    * reference corpus, every emission exact-Jaccard-CONFIRMED at
+    * `threshold` — the verified closure of [[streamingLshCandidates]],
+    * which emits band-collision CANDIDATES only. Same stream-static
+    * shape as [[streamingContaminationHits]], but the static band
+    * buckets carry each member's 60-bit-hashed shingle set as the
+    * verify payload ([[graft.Dedup.verifiedPairsHashed]]'s
+    * dictionary-encoded verify, 8 bytes/shingle), so the exact
+    * hashed-set Jaccard runs INLINE on the collided pairs — no
+    * downstream batch verify step.
+    *
+    * BATCH/STREAM PARITY: replaying the corpus itself as the arrival
+    * stream confirms exactly the batch `verifiedPairsHashed` pair set
+    * with bit-identical `jaccard_ppm` (`inter*1e6 div union`) —
+    * StreamsSpec proves set equality. Output: (a_id, b_id,
+    * jaccard_ppm, ts) with a_id < b_id, each pair emitted once within
+    * the watermark horizon. Input columns: (`idCol`, ts, `textCol`).
+    *
+    * Scale shape: static side derived once and persisted (re-planned
+    * every micro-batch otherwise); per arrival, `bands` bucket lookups
+    * against an equi-join key and exact verifies only on collisions —
+    * the batch plan's blocking economics, incrementalized.
+    */
+  def streamingVerifiedNearDupPairs(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      k: Int = graft.Pipeline.AutoBanding,
+      bands: Int = graft.Pipeline.AutoBanding,
+      horizonMinutes: Int = 10): ContaminationMonitor = {
+    import org.apache.spark.sql.functions.size
+    val (kR, bR) = graft.Pipeline.resolveBanding(threshold, k, bands)
+    // FLOOR like the batch gate: admits a hair below a non-ppm-exact
+    // threshold rather than dropping exactly-at-threshold pairs
+    val tPpm = math.floor(threshold * 1000000).toInt
+    val staticBuckets = graft.Dedup.shingleSignatures(corpus, idCol, textCol, 3, kR)
+      .select(col(idCol).as("_cid"),
+        transform(col("shingles"), graft.Pipeline.wordHash60(_)).as("_hb"),
+        explode(graft.Pipeline.lshBands(col("sig"), bR, kR / bR)).as("bb"))
+      .select(col("_cid"), col("_hb"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = graft.Pipeline.words(col(textCol))
+    val shingles = graft.Pipeline.wordShingles(w, 3)
+    val sig = graft.Pipeline.minhashSignature(shingles, kR)
+    val inter = size(array_intersect(col("_ha"), col("_hb")))
+    val union = size(col("_ha")) + size(col("_hb")) - inter
+    val hits = docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .filter(size(w) >= 3)
+      .select(col(idCol).as("_sid"), col("ts"),
+        transform(shingles, graft.Pipeline.wordHash60(_)).as("_ha"),
+        explode(graft.Pipeline.lshBands(sig, bR, kR / bR)).as("bb"))
+      .select(col("_sid"), col("ts"), col("_ha"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .join(staticBuckets, Seq("band", "bh"))
+      // an arrival that IS a corpus member collides with itself in
+      // every band at jaccard 1.0 — a self-pair, not a near-dup
+      .filter(col("_sid") =!= col("_cid"))
+      .withColumn("_i", inter.cast("long"))
+      .withColumn("_u", union.cast("long"))
+      .filter(col("_i") * 1000000L >= col("_u") * tPpm)
+      .select(least(col("_sid"), col("_cid")).as("a_id"),
+        greatest(col("_sid"), col("_cid")).as("b_id"),
+        expr("(1000000 * _i) div _u").as("jaccard_ppm"),
+        col("ts"))
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+    ContaminationMonitor(hits, staticBuckets)
+  }
+
   /** EMBEDDING-space streaming contamination monitor: flag arriving
     * vectors whose cosine vs ANY static test vector reaches
     * `minCosine` — the streaming companion of

@@ -240,6 +240,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-checkpoint components loop matches the local-checkpoint result") {
+    import spark.implicits._
+    // the fault-tolerant (DFS checkpoint) variant must be a pure
+    // execution-strategy swap: identical labels, identical iteration
+    // count, on both a hand-planted graph and the real pair frame
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+      val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+      var itersLocal = -1; var itersReliable = -1
+      val local = Dedup.clusters(pairs, ids, "doc_id",
+          onConverged = i => itersLocal = i)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.clusters(pairs, ids, "doc_id",
+          onConverged = i => itersReliable = i,
+          reliableCheckpointDir = Some(ckptDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      assert(itersReliable == itersLocal)
+      // the reliable run actually wrote RDD checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint wrote nothing to the checkpoint dir")
+
+      val realPairs = Queries.byName("q27_jaccard_neardup").build(spark, sf)
+        .select("a_id", "b_id")
+      val realIds = Tables.documents(spark, sf).select("doc_id")
+      val localReal = Dedup.clusters(realPairs, realIds, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliableReal = Dedup.clusters(realPairs, realIds, "doc_id",
+          reliableCheckpointDir = Some(ckptDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliableReal == localReal)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("language-ID is total and deterministic across runs") {
     val a = Queries.byName("q32_langid").build(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -124,10 +124,14 @@ class PlansSpec extends AnyFunSuite {
     // construction
     // q148: each PageRank iteration broadcasts the one-row dangling
     // share (dm div N) into the nodes frame — constant per probe row
+    // q150: the learned merge list rides a one-row broadcast array
+    // (vocabulary-bounded, step-ordered) into the vocab-sized token
+    // frame — the apply loop is a fold over that constant array
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
       "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
       "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift",
-      "q144_embedding_diversity", "q148_pagerank_dangling")
+      "q144_embedding_diversity", "q148_pagerank_dangling",
+      "q150_bpe_segment")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

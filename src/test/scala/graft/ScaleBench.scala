@@ -33,10 +33,12 @@ object ScaleGen {
     val sf = "/root/testdata/sf0.1"
     val reps = 10
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$Out/$name.parquet")
-      println(s"wrote $name")
-    }
+    // args = table-name subset to (re)generate; empty = everything
+    def write(name: String, df: => DataFrame): Unit =
+      if (args.isEmpty || args.contains(name)) {
+        df.write.mode("overwrite").parquet(s"$Out/$name.parquet")
+        println(s"wrote $name")
+      }
 
     val docs = Tables.documents(spark, sf)
     write("documents", (0 until reps).map { i =>
@@ -86,6 +88,66 @@ object ScaleGen {
 
     write("nation", Tables.nation(spark, sf))
     write("region", Tables.region(spark, sf))
+
+    // part replicates with keys shifted consistently with
+    // lineitem.l_partkey; supplier copies ONCE like the dims —
+    // l_suppkey is deliberately unshifted (the hub-skew dimension the
+    // PageRank sweeps exercise), so supplier joins stay consistent
+    val prt = Tables.part(spark, sf)
+    write("part", (0 until reps).map { i =>
+      prt.withColumn("p_partkey", col("p_partkey") + lit(i * off))
+    }.reduce(_ unionAll _))
+    write("supplier", Tables.supplier(spark, sf))
+    spark.stop()
+  }
+}
+
+/** ~sf10 (100x sf0.1) documents replica set — the second decade of
+  * scaling evidence for the flagship dedup chain (VERDICT r9 item 3).
+  * Same decorrelation recipe as [[ScaleGen]]: ids shifted by replica,
+  * every token suffixed per replica so cross-replica Jaccard is 0 and
+  * within-replica near-dup structure intact.
+  */
+object Scale10Gen {
+  val Out = "/root/repo/target/sf10-bench"
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("32", "scale10-gen")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    (0 until 100).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          x => concat(x, lit(s"_r$i"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+    println("wrote sf10 documents")
+    spark.stop()
+  }
+}
+
+/** Flagship dedup-chain timing at three decades (sf0.1 / ~sf1 / ~sf10):
+  * decontaminate -> containment -> leakage-safe split, per-stage
+  * attribution (one warmup + median of 3 per stage per scale).
+  */
+object Scale10Chain {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("32", "scale10-chain")
+    val names = Seq("q61_decontamination", "q92_containment_pairs",
+      "q104_leakage_safe_split")
+    def run(name: String, dir: String): Unit =
+      Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
+    for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out, Scale10Gen.Out)) {
+      for (n <- names) {
+        run(n, dir)
+        val xs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(n, dir); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"""{"dir":"$dir","query":"$n","median_sec":${xs(1)}%.2f,"passes":[${xs.map(x => f"$x%.2f").mkString(",")}]}""")
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }
@@ -172,7 +234,45 @@ object ScaleBench {
       // join), dangling PageRank (one extra nodes-sized agg/iter over
       // the q125-family loop; directed graph so suppliers are sinks
       // AND unshifted l_suppkey gives them 10x degree at sf1)
-      "q147_importance_score", "q148_pagerank_dangling")
+      "q147_importance_score", "q148_pagerank_dangling",
+      // round 10: FULL-inventory closure (verdict item 3) — the ~70
+      // queries with no prior 10x evidence. Mostly the cheap half of
+      // the inventory: single-agg scans, dimension joins (nation/
+      // region copy once -> flat), set ops, window families, and the
+      // sampling/scoring scans. part replicates key-shifted with
+      // lineitem.l_partkey; supplier copies once (unshifted l_suppkey
+      // = the deliberate hub-skew dimension).
+      "q01_pricing_summary", "q02_grouped_count", "q03_filtered_count",
+      "q04_status_pivot", "q05_existence", "q06_proj_rename",
+      "q07_prefix_filter", "q08_topk_search", "q09_null_tolerant_prefix",
+      "q10_code_synthesis", "q12_semi_join", "q13_anti_join",
+      "q14_hierarchy_join", "q15_union", "q16_intersect", "q17_except",
+      "q18_last_writer_wins", "q19_running_total", "q20_monthly_rollup",
+      "q21_scalar_funcs", "q22_regex_classify", "q23_distinct_agg",
+      "q24_exact_dedup", "q25_fingerprint_dedup",
+      "q26_minhash_lsh_candidates", "q28_simhash_neardup",
+      "q29_cosine_topk", "q30_ann_bucketed", "q31_embedding_neardup",
+      "q32_langid", "q33_quality_score", "q34_token_stats",
+      "q35_multimodal_features", "q36_outer_join", "q37_rollup",
+      "q38_window_rank", "q39_group_collect", "q40_date_funcs",
+      "q41_asof_join", "q42_range_join", "q43_approx_distinct",
+      "q44_cube", "q45_regex_tokens", "q46_null_semantics",
+      "q47_array_ops", "q48_grouped_topk", "q51_salted_agg",
+      "q52_ivf_ann", "q53_approx_quantile", "q54_sessionization",
+      "q55_frame_sampling", "q56_window_distribution", "q57_pivot",
+      "q58_unpivot", "q59_set_ops_all", "q60_string_funcs2",
+      "q62_grouping_sets", "q63_array_hof", "q64_recursive_hierarchy",
+      "q66_repetition_score", "q67_quality_gate",
+      "q71_simhash64_signatures", "q72_vocab_topk", "q73_pii_redaction",
+      "q79_length_buckets", "q83_weighted_sample",
+      "q110_dataset_card", "q128_diverse_sample",
+      // round 10: the new operator families (q149-q153) get first-
+      // decade evidence alongside the closure. q149/q150's merge loop
+      // is vocabulary-bounded (sublinear in corpus tokens); q151's
+      // phash pair join is pigeonhole-blocked; q152/q153 are one
+      // host-keyed aggregate (+ one join for the cap filter)
+      "q149_bpe_train", "q150_bpe_segment", "q151_phash_neardup",
+      "q152_host_stats", "q153_host_cap_sample")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

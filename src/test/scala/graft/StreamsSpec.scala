@@ -298,6 +298,51 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming verified near-dup pairs match batch verifiedPairsHashed exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val threshold = 0.5
+    // the real corpus slice plus planted exact duplicates (shifted ids)
+    // so the parity check is guaranteed non-vacuous
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select("doc_id", "text")
+    val corpus = base.unionByName(
+      base.orderBy("doc_id").limit(5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // batch truth: the dictionary-encoded exact-verify pair set
+    val (k, _) = Pipeline.resolveBanding(threshold,
+      Pipeline.AutoBanding, Pipeline.AutoBanding)
+    val sig = Dedup.shingleSignatures(corpus, "doc_id", "text", 3, k)
+    val batch = Dedup.verifiedPairsHashed(sig, "doc_id", threshold)
+      .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(batch.nonEmpty, "planted duplicates produced no batch pairs")
+    // stream the corpus itself as arrivals against the static corpus
+    val arrivals = corpus.as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, ts(0), text) }
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val monitor = Streams.streamingVerifiedNearDupPairs(
+      in.toDF().toDF("doc_id", "ts", "text"), corpus, "doc_id", "text", threshold)
+    val q = monitor.hits
+      .writeStream.format("memory").queryName("vpairs").outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("vpairs")
+        .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)]
+        .collect().toSet
+      // set equality INCLUDING the integer-exact jaccard_ppm values
+      assert(got == batch)
+      // re-arrivals within the horizon do not re-emit confirmed pairs
+      in.addData(arrivals.take(10).map { case (id, _, t) => (id, ts(1), t) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("vpairs").count() == batch.size)
+      monitor.close()
+      assert(!monitor.testBuckets.storageLevel.useMemory)
+    } finally q.stop()
+  }
+
   test("streaming canary tripwire flags sentinel substrings once per doc+canary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -60,6 +60,25 @@ object CurationQueries {
 
   private val BpeMerges = 8
 
+  // Oracle mirror of ops.TextStats.bpeSegmentCounts' vocabulary table:
+  // ms = the ordered merge list, vt = per-distinct-word subword count
+  // after folding all k merges (shared by q150 and q154).
+  private val BpeVtCtes: String = s"""
+        ms AS (SELECT list(l || ' ' || r ORDER BY step) AS ms
+               FROM (${bpeUnion(BpeMerges)})),
+        vt AS (SELECT w, CAST(length(f) - length(replace(f, '<', ''))
+                 AS BIGINT) AS n_sym
+               FROM (SELECT w, list_reduce(
+                       list_prepend(regexp_replace(w, '(.)', '<\\1>', 'g'),
+                                    ms.ms),
+                       (acc, x) -> replace(acc,
+                         '<' || split_part(x, ' ', 1) || '><'
+                             || split_part(x, ' ', 2) || '>',
+                         '<' || replace(x, ' ', '') || '>')) AS f
+                     FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                          CROSS JOIN ms))"""
+
   // Synthetic per-doc URL for the host-curation family (the corpus has
   // no URL column — the derivation is the multimodal-stub discipline:
   // deterministic, shared VERBATIM by engine and oracle, exercising
@@ -379,20 +398,7 @@ object CurationQueries {
     QueryDef("q150_bpe_segment",
       Some(s"""
         WITH ${bpeCtes(BpeMerges)},
-        ms AS (SELECT list(l || ' ' || r ORDER BY step) AS ms
-               FROM (${bpeUnion(BpeMerges)})),
-        vt AS (SELECT w, CAST(length(f) - length(replace(f, '<', ''))
-                 AS BIGINT) AS n_sym
-               FROM (SELECT w, list_reduce(
-                       list_prepend(regexp_replace(w, '(.)', '<\\1>', 'g'),
-                                    ms.ms),
-                       (acc, x) -> replace(acc,
-                         '<' || split_part(x, ' ', 1) || '><'
-                             || split_part(x, ' ', 2) || '>',
-                         '<' || replace(x, ' ', '') || '>')) AS f
-                     FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
-                           FROM documents)
-                          CROSS JOIN ms)),
+        $BpeVtCtes,
         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                 FROM documents)
         SELECT tok.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -513,6 +519,40 @@ object CurationQueries {
           spread(documents(s, d)).withColumn("url", expr(SynthUrlSql)),
           "doc_id", "url", maxDocsPerHost = 2)
         .select(col("doc_id"), col("host"), col("keep_ppm"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // REAL-tokenizer sequence packing: q69's greedy contiguous packing
+    // driven by q150's learned-BPE subword counts instead of q34's
+    // chars/4 heuristic — the composition the verdict asked for
+    // ("wire real token counts into packing"). The bin assignment runs
+    // on the same hierarchical prefix-sum scaffold (no single-task
+    // global window); only the token-mass column changes. The oracle
+    // replays the full train -> segment -> pack chain.
+    QueryDef("q154_bpe_packing",
+      Some(s"""
+        WITH ${bpeCtes(BpeMerges)},
+        $BpeVtCtes,
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+        bt AS (SELECT tok.doc_id AS doc_id,
+                      CAST(SUM(vt.n_sym) AS BIGINT) AS n_tok
+               FROM tok JOIN vt USING (w) GROUP BY tok.doc_id),
+        j AS (SELECT d.doc_id, d.source, bt.n_tok
+              FROM documents d JOIN bt USING (doc_id))
+        SELECT doc_id, source, n_tok,
+               CAST((COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048) AS BIGINT) AS bin
+        FROM j ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val counts = graft.ops.TextStats.bpeSegmentCounts(docs, "doc_id",
+          "text", graft.ops.TextStats.bpeTrain(docs, "text", BpeMerges))
+        val withSrc = docs.select("doc_id", "source")
+          .join(counts.select(col("doc_id"),
+            col("n_bpe_tokens").as("n_tok")), Seq("doc_id"))
+        graft.ops.Sampling.packSequences(withSrc, "doc_id", "source",
+            "n_tok", 2048L)
+          .orderBy("doc_id")
+      })
   )
 }

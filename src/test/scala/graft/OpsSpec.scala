@@ -1216,6 +1216,29 @@ class OpsSpec extends AnyFunSuite {
     assert(gotOne.toSeq == Seq((1L, 3L, 6L), (2L, 2L, 4L)))
   }
 
+  test("packing on BPE counts bins by the real token mass") {
+    import spark.implicits._
+    // budget 5: s-source docs pack on their BPE masses (3, 3, 2 under
+    // the full merge set -> cum_before 0, 3, 6 -> bins 0, 0, 1), which
+    // differ from the chars/4 heuristic (would be 3/3/1 -> all bin 0)
+    val docs = Seq(
+      (1L, "s", "aaa aaa ab"), (2L, "s", "aaa aaa ab"),
+      (3L, "s", "aaa ab"), (4L, "t", "aaa ab")).toDF("doc_id", "source", "text")
+    val merges = graft.ops.TextStats.bpeTrain(docs, "text", merges = 4)
+    val counts = graft.ops.TextStats
+      .bpeSegmentCounts(docs, "doc_id", "text", merges)
+    val withSrc = docs.select("doc_id", "source")
+      .join(counts.select(col("doc_id"), col("n_bpe_tokens").as("n_tok")),
+        Seq("doc_id"))
+    val got = graft.ops.Sampling
+      .packSequences(withSrc, "doc_id", "source", "n_tok", budget = 5L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("bin")))
+    assert(got.toSeq == Seq((1L, 3L, 0L), (2L, 3L, 0L), (3L, 2L, 1L),
+      (4L, 2L, 0L)))
+  }
+
   test("host extraction handles userinfo, ports, case, and junk URLs") {
     import spark.implicits._
     val urls = Seq(

@@ -272,7 +272,10 @@ object ScaleBench {
       // phash pair join is pigeonhole-blocked; q152/q153 are one
       // host-keyed aggregate (+ one join for the cap filter)
       "q149_bpe_train", "q150_bpe_segment", "q151_phash_neardup",
-      "q152_host_stats", "q153_host_cap_sample")
+      "q152_host_stats", "q153_host_cap_sample",
+      // round 10: real-tokenizer packing (q150's segment chain + one
+      // doc-keyed join + the prefix-sum scaffold)
+      "q154_bpe_packing")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

@@ -79,6 +79,31 @@ object CurationQueries {
                            FROM documents)
                           CROSS JOIN ms))"""
 
+  // q156 encoding-QA plants (the q151 discipline: fixed ids, text
+  // shared character-for-character by engine and oracle). One per
+  // broken-decode signature; Scala unicode escapes here, chr()
+  // composition in the SQL via [[sqlStr]].
+  private val EncPlantRepl = "clean prefix \ufffd\ufffd then more text"
+  private val EncPlantMoji = "latin1 mirror \u00c3\u00a9 and \u00c2\u00a0 tail"
+  private val EncPlantCtrl = "ctl \u0000 bell \u0007 esc \u001b end \u009d"
+
+  // Render a Scala string as a DuckDB expression producing the IDENTICAL
+  // string: printable-ASCII runs as literals, everything else (and
+  // quotes) as chr(codepoint) — control characters never appear raw in
+  // the SQL text, so the verify dump's JSON stays clean.
+  private def sqlStr(s: String): String = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += "'" + sb.toString + "'"; sb.clear() }
+    s.foreach { c =>
+      if (c >= ' ' && c < 127 && c != '\'') sb.append(c)
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
   // Synthetic per-doc URL for the host-curation family (the corpus has
   // no URL column — the derivation is the multimodal-stub discipline:
   // deterministic, shared VERBATIM by engine and oracle, exercising
@@ -553,6 +578,171 @@ object CurationQueries {
         graft.ops.Sampling.packSequences(withSrc, "doc_id", "source",
             "n_tok", 2048L)
           .orderBy("doc_id")
+      }),
+
+    // Duplicated-span removal ([[ops.TextStats.stripDuplicateSpans]]):
+    // CCNet/RefinedWeb-style corpus "line dedup" — every 4-token span
+    // whose corpus-wide count reaches 2 is deleted from EVERY doc
+    // carrying it, survivors reassembled in order (q105 strips only a
+    // shared PREFIX; q107 maps duplicate chunks but removes nothing).
+    // Span boundaries are positional because this corpus has no
+    // newlines; production text chunks on real line breaks. The
+    // small-vocabulary corpus collides 4-grams naturally, so the
+    // operator fires without plants. Oracle replays chunking, the
+    // 60-bit span hash, the df gate, and the ordered reassembly.
+    QueryDef("q155_strip_dup_spans",
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (SELECT doc_id, unnest(range(0, greatest((len(w) + 3)//4, 1))) AS i, w FROM w),
+        ch AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                      array_to_string(w[i*4+1 : i*4+4], ' ') AS chunk FROM c),
+        hh AS (SELECT doc_id, i, chunk, ${hash60Sql("chunk")} AS h FROM ch),
+        hot AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) >= 2),
+        m AS (SELECT doc_id, i, chunk,
+                     h IN (SELECT h FROM hot) AS is_hot FROM hh)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT is_hot THEN chunk END,
+                                   ' ' ORDER BY i), '') AS text
+        FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => graft.ops.TextStats.stripDuplicateSpans(
+          spread(documents(s, d)).select("doc_id", "text"),
+          "doc_id", "text", span = 4, minDf = 2)
+        .orderBy("doc_id")),
+
+    // Encoding/mojibake QA ([[ops.TextStats.encodingQa]]): per-doc
+    // counts of U+FFFD replacement chars, UTF-8-as-Latin-1 marker
+    // bytes (U+00C3/U+00C2), and never-in-text control chars (NUL,
+    // BEL, ESC, U+009D) — pure scan-side translate()-diff arithmetic,
+    // no regex engine. The corpus is clean ASCII, so three planted
+    // docs (the q151 discipline: fixed ids, text shared
+    // character-for-character with the oracle via chr() composition)
+    // exercise each signature.
+    QueryDef("q156_encoding_qa",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(920001 AS BIGINT), ${sqlStr(EncPlantRepl)}),
+            (CAST(920002 AS BIGINT), ${sqlStr(EncPlantMoji)}),
+            (CAST(920003 AS BIGINT), ${sqlStr(EncPlantCtrl)})) v(doc_id, text))
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_repl,
+               CAST(length(text) - length(replace(replace(text, chr(195), ''), chr(194), '')) AS BIGINT) AS n_moji,
+               CAST(length(text) - length(replace(replace(replace(replace(text,
+                      chr(0), ''), chr(7), ''), chr(27), ''), chr(157), '')) AS BIGINT) AS n_ctrl,
+               (length(text) - length(replace(text, chr(65533), '')))
+                 + (length(text) - length(replace(replace(text, chr(195), ''), chr(194), '')))
+                 + (length(text) - length(replace(replace(replace(replace(text,
+                      chr(0), ''), chr(7), ''), chr(27), ''), chr(157), ''))) > 0 AS flagged
+        FROM corpus ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(920001L, 920003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q156's planted id range " +
+            "(920001-920003); re-site the plants")
+        val planted = Seq((920001L, EncPlantRepl), (920002L, EncPlantMoji),
+          (920003L, EncPlantCtrl)).toDF("doc_id", "text")
+        graft.ops.TextStats.encodingQa(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
+    // Tokenizer fertility audit ([[ops.TextStats.tokenizerFertility]]):
+    // per language, subword tokens per word in exact integer ppm under
+    // the q149 learned merges — the multilingual-fairness/cost metric
+    // tokenizer reviews publish (high-fertility languages pay more
+    // compute per word). Composes the q150 segment chain with one
+    // lang-keyed aggregate.
+    QueryDef("q157_tokenizer_fertility",
+      Some(s"""
+        WITH ${bpeCtes(BpeMerges)},
+        $BpeVtCtes,
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+        bt AS (SELECT tok.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_w,
+                      CAST(SUM(vt.n_sym) AS BIGINT) AS n_b
+               FROM tok JOIN vt USING (w) GROUP BY tok.doc_id),
+        j AS (SELECT d.lang, bt.n_w, bt.n_b
+              FROM documents d JOIN bt USING (doc_id))
+        SELECT lang, CAST(SUM(n_w) AS BIGINT) AS n_words,
+               CAST(SUM(n_b) AS BIGINT) AS n_bpe_tokens,
+               CAST((SUM(n_b) * 1000000) // SUM(n_w) AS BIGINT) AS fertility_ppm
+        FROM j GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val counts = graft.ops.TextStats.bpeSegmentCounts(docs, "doc_id",
+          "text", graft.ops.TextStats.bpeTrain(docs, "text", BpeMerges))
+        graft.ops.TextStats.tokenizerFertility(
+          counts.join(docs.select("doc_id", "lang"), Seq("doc_id")), "lang")
+      }),
+
+    // Hybrid retrieval fusion ([[ops.Search.rrfFuse]]): BM25 top-20
+    // (q111's exact integer ranking) fused with a TF-IDF query-score
+    // top-20 over the same terms by reciprocal-rank fusion — rank-only
+    // combination, so the two incommensurable score scales never need
+    // calibration; 1e6 div (60 + rank) integer micro-units per side.
+    // The rank windows run over 20-row retrieval results (bounded by
+    // construction, never the corpus). Oracle replays both rankings
+    // and the fusion.
+    QueryDef("q158_hybrid_rrf",
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM w),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+                  FROM base),
+        ft AS (SELECT doc_id, dl, unnest(w) AS t FROM base),
+        m AS (SELECT doc_id, dl, t FROM ft WHERE t IN ('join', 'hash', 'scan')),
+        dfreq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM m GROUP BY t),
+        tf AS (SELECT doc_id, t, dl, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM m GROUP BY doc_id, t, dl),
+        sc AS (SELECT doc_id,
+                 ((n_docs - df) * 1000 + 500) // (2*df + 1)
+                   * (44 * tf * avgdl) // (20*tf*avgdl + 6*avgdl + 18*dl) AS s
+               FROM tf JOIN dfreq USING (t) CROSS JOIN stats),
+        bm AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+               FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        bmr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bm),
+        t2 AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf2 FROM m GROUP BY doc_id, t),
+        d2 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df2 FROM t2 GROUP BY t),
+        ti AS (SELECT doc_id, CAST(SUM(tf2 * ((1000000 * n_docs) // df2)) AS BIGINT) AS score
+               FROM t2 JOIN d2 USING (t) CROSS JOIN stats GROUP BY doc_id
+               ORDER BY score DESC, doc_id LIMIT 20),
+        tir AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_tfidf FROM ti)
+        SELECT COALESCE(bmr.doc_id, tir.doc_id) AS doc_id, rank_bm25, rank_tfidf,
+               CAST(COALESCE(1000000 // (60 + rank_bm25), 0)
+                  + COALESCE(1000000 // (60 + rank_tfidf), 0) AS BIGINT) AS rrf_micro
+        FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id
+        ORDER BY rrf_micro DESC, doc_id LIMIT 10"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val terms = Seq("join", "hash", "scan")
+        val bm = graft.ops.Search.bm25Search(docs, "doc_id", "text",
+          terms, k = 20)
+        val toks = docs
+          .select(col("doc_id"),
+            explode(graft.Pipeline.words(col("text"))).as("w"))
+          .filter(col("w").isin(terms: _*))
+        val tfd = toks.groupBy("doc_id", "w")
+          .agg(count(lit(1)).cast("long").as("tf"))
+        val dfq = tfd.groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+        // corpus size resolved to a literal up front (metadata-only
+        // parquet count — the q75 discipline; a scalar cross join would
+        // plan a nested-loop join)
+        val n = documents(s, d).count()
+        val tfidf = tfd.join(broadcast(dfq), "w")
+          .withColumn("_s", expr(s"tf * ((1000000 * ${n}L) div df)"))
+          .groupBy("doc_id").agg(sum(col("_s")).cast("long").as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        graft.ops.Search.rrfFuse(bm, tfidf, "doc_id", k = 10)
+          .select(col("doc_id"), col("rank_a").as("rank_bm25"),
+            col("rank_b").as("rank_tfidf"), col("rrf_micro"))
       })
   )
 }

@@ -130,4 +130,40 @@ object Search {
       .select(col("canary"), coalesce(col("_n"), lit(0L)).as("n_docs"),
         col("_f").as("first_doc"))
   }
+
+  /** Reciprocal-rank fusion of two ranked retrievals (Cormack et al.
+    * 2009): each side contributes `1e6 div (kRrf + rank)` integer
+    * micro-units per document (0 when the document is absent from that
+    * side), summed and re-ranked — the standard way to combine a
+    * lexical ranking (BM25) with a second signal (TF-IDF, embedding
+    * similarity, a quality prior) WITHOUT calibrating their
+    * incommensurable score scales: only ranks enter the fusion, and
+    * the integer division keeps it bit-identical across engines.
+    *
+    * Both inputs must be (idCol, score) frames as the retrieval
+    * operators return them ([[bm25Search]], `Similarity.topK`…); ranks
+    * are assigned by (score desc, id) — deterministic total order.
+    * The rank windows are GLOBAL but each input is a top-k retrieval
+    * result (tens to hundreds of rows), so the single-task window is
+    * bounded by construction — this operator fuses result lists, it
+    * never touches the corpus. Returns
+    * (idCol, rank_a, rank_b, rrf_micro), rrf desc, id tiebreak,
+    * top `k` rows.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              k: Int, kRrf: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(kRrf >= 0, s"kRrf must be non-negative, got $kRrf")
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rk: String) =
+      df.select(col(idCol), row_number().over(
+          Window.orderBy(col("score").desc, col(idCol)))
+        .cast(LongType).as(rk))
+    ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($kRrf + rank_a)"), lit(0L)) +
+        coalesce(expr(s"1000000 div ($kRrf + rank_b)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -745,4 +745,98 @@ object TextStats {
       .agg(count(lit(1)).cast(LongType).as("n_types"),
         sum(col("c")).cast(LongType).as("n_occurrences"))
       .orderBy("band_lo")
+
+  /** CCNet/RefinedWeb-style duplicated-SPAN removal — the corpus-level
+    * "line dedup" cleaning pass: any fixed-width token span whose
+    * corpus-wide occurrence count reaches `minDf` is deleted from
+    * EVERY document carrying it, and the survivors are reassembled in
+    * order. This is the cleaning complement of [[stripBoilerplate]]
+    * (which only strips a shared PREFIX) and of `Chunking
+    * .chunkDedupMap` (which maps duplicate chunks to a canonical copy
+    * but removes nothing): repeated navigation/footer/license spans
+    * embedded MID-document disappear wherever they occur.
+    *
+    * Span boundaries are positional ([[Chunking.chunk]] with zero
+    * overlap) because this corpus carries no newline structure;
+    * production text would chunk on real line breaks — everything
+    * downstream of the splitter is identical.
+    *
+    * Shape at scale: the span explode is linear in tokens; the df
+    * count is one map-side-combined aggregate on 60-bit span hashes
+    * (8 B/key); the hot-span membership join is a plain equi-join on
+    * that hash (AQE broadcasts it while the hot set is small — it is
+    * NOT force-broadcast, a boilerplate-heavy crawl can out-grow the
+    * limit); reassembly is one doc-keyed aggregate whose state is
+    * bounded by the document's own length. Returns
+    * (idCol, n_spans, n_removed, textCol) — a fully-cleaned doc keeps
+    * its row with an empty string.
+    */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          span: Int = 4, minDf: Int = 2): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    require(minDf >= 2, s"minDf below 2 would delete every span, got $minDf")
+    val ch = Chunking.chunk(docs, idCol, textCol, size = span, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        graft.Pipeline.wordHash60(col("chunk")).as("_h"))
+    val hot = ch.groupBy("_h")
+      .agg(count(lit(1)).cast(LongType).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_h"), lit(true).as("_hot"))
+    ch.join(hot, Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_spans"),
+        sum(when(col("_hot"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_removed"),
+        // collect_list skips the nulls the `when` leaves for hot spans;
+        // the struct sort restores document order before the join
+        array_join(transform(
+          array_sort(collect_list(when(col("_hot").isNull,
+            struct(col("chunk_idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as(textCol))
+  }
+
+  /** Encoding/mojibake QA: per-document counts of the three classic
+    * broken-decode signatures — U+FFFD replacement characters (lossy
+    * decode already happened), the UTF-8-read-as-Latin-1 marker bytes
+    * Ã (U+00C3) / Â (U+00C2), and C0/C1 control characters that never
+    * belong in text (NUL, BEL, ESC, U+009D) — plus the aggregate flag.
+    * A corpus passes this gate before any tokenizer sees it: every one
+    * of these characters inflates subword vocabularies and poisons
+    * dedup hashes.
+    *
+    * Pure scan-side arithmetic: each count is `length(text) −
+    * length(translate(text, chars, ''))` — one codegen'd projection,
+    * no regex engine (Java and RE2 character-class corner cases differ;
+    * `translate`/`replace` semantics do not). Zero shuffle at any
+    * scale. Returns (idCol, n_repl, n_moji, n_ctrl, flagged).
+    */
+  def encodingQa(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def countOf(chars: String): Column =
+      (length(col(textCol)) -
+        length(translate(col(textCol), chars, ""))).cast(LongType)
+    docs.select(col(idCol),
+        countOf("\ufffd").as("n_repl"),
+        countOf("\u00c3\u00c2").as("n_moji"),
+        countOf("\u0000\u0007\u001b\u009d").as("n_ctrl"))
+      .withColumn("flagged",
+        col("n_repl") + col("n_moji") + col("n_ctrl") > 0)
+  }
+
+  /** Tokenizer fertility audit: per group (language, source, script…),
+    * subword tokens per word in exact integer ppm —
+    * `(Σ n_bpe_tokens · 1e6) div (Σ n_words)` over
+    * [[bpeSegmentCounts]] output. High-fertility groups pay more
+    * compute per word under the learned tokenizer — the fairness /
+    * cost metric multilingual tokenizer reviews publish. Input is the
+    * (id, n_words, n_bpe_tokens) frame joined with the group column;
+    * one group-keyed aggregate, group-cardinality output.
+    */
+  def tokenizerFertility(counts: DataFrame, groupCol: String): DataFrame =
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("n_words")).cast(LongType).as("n_words"),
+        sum(col("n_bpe_tokens")).cast(LongType).as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("(n_bpe_tokens * 1000000) div n_words"))
+      .orderBy(col(groupCol))
 }

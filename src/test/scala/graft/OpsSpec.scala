@@ -1239,6 +1239,77 @@ class OpsSpec extends AnyFunSuite {
       (4L, 2L, 0L)))
   }
 
+  test("duplicated spans vanish from every doc; survivors keep order") {
+    import spark.implicits._
+    // "a b c d" occurs in 3 docs (df 3 >= 2) -> removed everywhere,
+    // including mid-document; unique spans and the short tail survive
+    val docs = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "p q r s a b c d"),
+      (3L, "a b c d"),
+      (4L, "m n o")).toDF("doc_id", "text")
+    val got = graft.ops.TextStats
+      .stripDuplicateSpans(docs, "doc_id", "text", span = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text")))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, "x y z w"),
+      (2L, 2L, 1L, "p q r s"),
+      (3L, 1L, 1L, ""),
+      (4L, 1L, 0L, "m n o")))
+  }
+
+  test("encoding QA counts each broken-decode signature exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "repl \ufffd here \ufffd\ufffd end"),
+      (3L, "moji \u00c3\u00a9 \u00c2\u00a0 mixed \u00c3"),
+      (4L, "ctl \u0000 \u0007 and \u001b \u009d")).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.encodingQa(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_repl"),
+        r.getAs[Long]("n_moji"), r.getAs[Long]("n_ctrl"),
+        r.getAs[Boolean]("flagged")))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, false),
+      (2L, 3L, 0L, 0L, true),
+      (3L, 0L, 3L, 0L, true), // two Ã + one Â; é and NBSP NOT counted
+      (4L, 0L, 0L, 4L, true)))
+  }
+
+  test("tokenizer fertility is the exact ppm ratio per group") {
+    import spark.implicits._
+    val counts = Seq(
+      (1L, "en", 2L, 5L), (2L, "en", 3L, 7L), (3L, "de", 2L, 2L))
+      .toDF("doc_id", "lang", "n_words", "n_bpe_tokens")
+    val got = graft.ops.TextStats.tokenizerFertility(counts, "lang")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("fertility_ppm")))
+    assert(got.toSeq == Seq(("de", 2L, 2L, 1000000L),
+      ("en", 5L, 12L, 2400000L))) // (12 * 1e6) div 5
+  }
+
+  test("RRF fusion sums integer reciprocal ranks, absent side = 0") {
+    import spark.implicits._
+    val a = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("doc_id", "score")
+    val b = Seq((2L, 9L), (4L, 8L)).toDF("doc_id", "score")
+    val got = graft.ops.Search.rrfFuse(a, b, "doc_id", k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("rank_a")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("rank_b")).map(_.toLong),
+        r.getAs[Long]("rrf_micro")))
+    // 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    assert(got.toSeq == Seq(
+      (2L, Some(2L), Some(1L), 32522L), // both lists -> sums
+      (1L, Some(1L), None, 16393L),
+      (4L, None, Some(2L), 16129L),
+      (3L, Some(3L), None, 15873L)))
+  }
+
   test("host extraction handles userinfo, ports, case, and junk URLs") {
     import spark.implicits._
     val urls = Seq(

@@ -127,11 +127,16 @@ class PlansSpec extends AnyFunSuite {
     // q150: the learned merge list rides a one-row broadcast array
     // (vocabulary-bounded, step-ordered) into the vocab-sized token
     // frame — the apply loop is a fold over that constant array
+    // q154/q157: compose the q150 segment chain, inheriting exactly
+    // that one cross join (packing / fertility add only equi-joins)
+    // q158: embeds bm25Search, inheriting q111's one-row corpus-stats
+    // broadcast (the fusion itself is equi-joins over 20-row lists)
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
       "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
       "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift",
       "q144_embedding_diversity", "q148_pagerank_dangling",
-      "q150_bpe_segment")
+      "q150_bpe_segment", "q154_bpe_packing", "q157_tokenizer_fertility",
+      "q158_hybrid_rrf")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

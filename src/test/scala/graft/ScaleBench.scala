@@ -275,7 +275,13 @@ object ScaleBench {
       "q152_host_stats", "q153_host_cap_sample",
       // round 10: real-tokenizer packing (q150's segment chain + one
       // doc-keyed join + the prefix-sum scaffold)
-      "q154_bpe_packing")
+      "q154_bpe_packing",
+      // round 10, second batch: span dedup (linear explode + hashed df
+      // agg + equi-join), encoding QA (pure scan), fertility (q150
+      // chain + one group agg), hybrid RRF (two bounded top-20
+      // retrievals + a 40-row fusion)
+      "q155_strip_dup_spans", "q156_encoding_qa",
+      "q157_tokenizer_fertility", "q158_hybrid_rrf")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

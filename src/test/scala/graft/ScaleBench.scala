@@ -134,8 +134,12 @@ object Scale10Gen {
 object Scale10Chain {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("32", "scale10-chain")
-    val names = Seq("q61_decontamination", "q92_containment_pairs",
-      "q104_leakage_safe_split")
+    // default = the flagship chain; pass names (documents-only
+    // queries — the sf10 set holds just that table) for targeted
+    // second-decade sweeps, e.g. the pair-volume-honest verify family
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q61_decontamination", "q92_containment_pairs",
+        "q104_leakage_safe_split")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out, Scale10Gen.Out)) {

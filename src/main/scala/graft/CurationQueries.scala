@@ -60,6 +60,11 @@ object CurationQueries {
 
   private val BpeMerges = 8
 
+  // KMV sketch width for q159 — small enough that the oracle's window
+  // replay stays cheap, large enough that ~700 distinct bigrams per
+  // source engage the estimator branch (n >= k).
+  private val KmvK = 64
+
   // Oracle mirror of ops.TextStats.bpeSegmentCounts' vocabulary table:
   // ms = the ordered merge list, vt = per-distinct-word subword count
   // after folding all k merges (shared by q150 and q154).
@@ -743,6 +748,61 @@ object CurationQueries {
         graft.ops.Search.rrfFuse(bm, tfidf, "doc_id", k = 10)
           .select(col("doc_id"), col("rank_a").as("rank_bm25"),
             col("rank_b").as("rank_tfidf"), col("rrf_micro"))
+      }),
+
+    // KMV distinct-count sketch ([[ops.Sketches]]): per-source distinct
+    // BIGRAM cardinality (vocab alone is ~31/source — under k, exact
+    // path only) via the bottom-64 estimator, next to the exact count
+    // and the integer-ppm error. The ENGINE path goes through the
+    // mergeable form — per-parity shard sketches merged with kmvMerge —
+    // while the oracle computes the one-shot bottom-64 directly, so the
+    // hash equality PROVES merge-exactness (bottom-k of a union is the
+    // bottom-k of the pooled bottom-k's), not just the estimator.
+    QueryDef("q159_kmv_distinct",
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT source, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+              FROM w WHERE len(w) >= 2),
+        d AS (SELECT DISTINCT source, ${hash60Sql("bg")} AS h FROM b),
+        r AS (SELECT source, h,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM d),
+        kth AS (SELECT source, MAX(CASE WHEN rn = $KmvK THEN h END) AS hk,
+                       CAST(MAX(n) AS BIGINT) AS n_exact
+                FROM r GROUP BY source),
+        e AS (SELECT source,
+                     CASE WHEN n_exact < $KmvK THEN n_exact
+                          ELSE CAST((CAST(${KmvK - 1} AS HUGEINT)
+                                     * CAST(1152921504606846976 AS HUGEINT))
+                                    // greatest(hk, 1) AS BIGINT) END AS est,
+                     n_exact
+              FROM kth)
+        SELECT source, CAST(est AS BIGINT) AS est_distinct,
+               n_exact AS exact_distinct,
+               CAST((abs(est - n_exact) * 1000000) // n_exact AS BIGINT) AS err_ppm
+        FROM e ORDER BY source"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val w = graft.Pipeline.words(col("text"))
+        val bg = docs.filter(size(w) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(zip_with(
+              slice(w, lit(1), size(w) - 1),
+              slice(w, lit(2), size(w) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("bg"))
+        val shards = bg.withColumn("_p", pmod(col("doc_id"), lit(2)))
+        val perShard = graft.ops.Sketches.kmvSketch(
+          shards, Seq("source", "_p"), "bg", KmvK)
+        val est = graft.ops.Sketches.kmvEstimate(
+          graft.ops.Sketches.kmvMerge(perShard, Seq("source"), KmvK), KmvK)
+        val exact = bg.groupBy("source")
+          .agg(countDistinct(col("bg")).cast("long").as("exact_distinct"))
+        est.join(exact, "source")
+          .select(col("source"), col("est_distinct"), col("exact_distinct"),
+            expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct")
+              .as("err_ppm"))
+          .orderBy("source")
       })
   )
 }

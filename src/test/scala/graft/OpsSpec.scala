@@ -1362,4 +1362,32 @@ class OpsSpec extends AnyFunSuite {
       4L -> (2L, 11L, 4L, 7L),  // 4 and 7 tokens -> [4,8)
       8L -> (1L, 8L, 8L, 8L)))  // 8 tokens -> [8,16)
   }
+
+  test("KMV sketch: merge of shard sketches equals the direct sketch; " +
+    "small groups estimate exactly; estimator lands within 4 RSE") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    val k = 32
+    // group "big": 5000 distinct values; group "small": 7 distinct
+    val vals = ((1 to 5000).map(i => ("big", s"v$i")) ++
+      (1 to 7).map(i => ("small", s"s$i")) ++
+      (1 to 500).map(i => ("big", s"v$i"))) // duplicates must not matter
+      .toDF("g", "v")
+    val direct = Sketches.kmvSketch(vals, Seq("g"), "v", k)
+    // shard by value hash parity, sketch each shard, merge
+    val shards = vals.withColumn("_p",
+      pmod(graft.Pipeline.wordHash32(col("v")), lit(3)))
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(shards, Seq("g", "_p"), "v", k), Seq("g"), k)
+    val d = direct.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val m = merged.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(d == m, "merged shard sketches must equal the direct sketch")
+    val est = Sketches.kmvEstimate(direct, k)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est("small") == 7L, "under-k groups are exact by construction")
+    // RSE for bottom-k is ~1/sqrt(k-2); 4 sigma on 5000 distinct
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est("big") - 5000.0) < 4 * rse * 5000,
+      s"estimate ${est("big")} too far from 5000")
+  }
 }

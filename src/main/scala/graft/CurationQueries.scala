@@ -125,6 +125,35 @@ object CurationQueries {
   private val HostSql =
     s"lower(regexp_extract(url, '${graft.ops.Web.HostRegex}', 1))"
 
+  // q160 synthetic URLs: canonical VARIANTS of a smaller set of
+  // resources — scheme case, www., default ports (:80/:443 — dropped)
+  // vs a real :8443 (kept), a trailing slash, a fragment. doc_id and
+  // doc_id+100 always canonicalize identically while differing in
+  // www./slash/fragment dressing, so every rule participates in a
+  // collapsed group. Shared verbatim by engine and oracle.
+  private val CanonUrlSynthSql = """
+        (CASE WHEN doc_id % 4 = 1 THEN 'HTTP'
+              WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END) ||
+        CAST(doc_id % 25 AS STRING) || '.example.com' ||
+        (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 2 THEN ':443'
+              WHEN doc_id % 4 = 3 THEN ':8443' ELSE '' END) ||
+        '/Page/' || CAST(doc_id % 2 AS STRING) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""
+
+  // q161 synthetic URLs: three registrable domains, one in five docs on
+  // a cdnN. subdomain — so the suffix-blocklist gate must catch both a
+  // whole domain (with its subdomains) and one exact host.
+  private val BlockUrlSynthSql = """
+        'https://' ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN 'cdn' || CAST(doc_id % 4 AS STRING) || '.' ELSE '' END) ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'spamfarm.biz'
+              WHEN doc_id % 3 = 1 THEN 'goodsite.org' ELSE 'mixed.net' END) ||
+        '/p/' || CAST(doc_id AS STRING)"""
+
   // q151 planted near-dup "images" (101-byte ASCII payloads; the stub
   // decode samples byte (k*37) mod len as pixel k). B differs from A in
   // ONE byte (offset 50) -> at most 2 dHash bits flip; the third plant
@@ -803,6 +832,69 @@ object CurationQueries {
             expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct")
               .as("err_ppm"))
           .orderBy("source")
+      }),
+
+    // URL canonicalization + URL-level dedup ([[ops.Web.canonicalUrl]],
+    // [[ops.Web.urlDedup]]): the cheapest dedup tier on a crawl — the
+    // same resource fetched under cosmetic URL variants (scheme case,
+    // www., default port, fragment, trailing slash) collapses on its
+    // canonical form BEFORE any text is compared. One canonical-key
+    // aggregate keeping the lowest doc_id. The oracle replays every
+    // rule: the same component regexes, the same default-port and
+    // empty-scheme cases.
+    QueryDef("q160_url_dedup",
+      Some(s"""
+        WITH u AS (SELECT doc_id, $CanonUrlSynthSql AS url FROM documents),
+        c AS (SELECT doc_id,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace($HostSql, '^www\\.', '') AS h,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
+                regexp_replace(regexp_replace(
+                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(.*)$$', 1),
+                  '#.*$$', ''), '/$$', '') AS rest
+              FROM u),
+        canon AS (SELECT doc_id,
+                CASE WHEN scheme = '' THEN '' ELSE scheme || '://' || h ||
+                  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                        THEN '' ELSE ':' || port END) || rest END AS canon_url
+              FROM c)
+        SELECT canon_url, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM canon GROUP BY canon_url ORDER BY canon_url"""),
+      (s, d) => graft.ops.Web.urlDedup(
+          spread(documents(s, d)).withColumn("url", expr(CanonUrlSynthSql)),
+          "doc_id", "url")
+        .orderBy("canon_url")),
+
+    // Domain-blocklist filter ([[ops.Web.blocklistFilter]]): drop docs
+    // whose host or ANY dot-suffix of it is listed — 'spamfarm.biz'
+    // takes out the bare domain and every cdnN. subdomain, while
+    // 'cdn2.mixed.net' takes out exactly that host and leaves its
+    // siblings. Suffix explode (bounded by label count) -> semi-join
+    // against the broadcast list -> id anti-join. The oracle replays
+    // the suffix expansion and both match granularities.
+    QueryDef("q161_blocklist_filter",
+      Some(s"""
+        WITH u AS (SELECT doc_id, $BlockUrlSynthSql AS url FROM documents),
+        h AS (SELECT doc_id, $HostSql AS host FROM u),
+        s AS (SELECT doc_id,
+                unnest([array_to_string(l[i:], '.')
+                        for i in range(1, greatest(len(l), 2))]) AS suf
+              FROM (SELECT doc_id, string_split(host, '.') AS l FROM h)),
+        b AS (SELECT DISTINCT doc_id FROM s
+              WHERE suf IN ('spamfarm.biz', 'cdn2.mixed.net'))
+        SELECT doc_id, host FROM h
+        WHERE doc_id NOT IN (SELECT doc_id FROM b)
+        ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = spread(documents(s, d))
+          .withColumn("url", expr(BlockUrlSynthSql))
+        val blocklist = Seq("spamfarm.biz", "cdn2.mixed.net").toDF("domain")
+        graft.ops.Web.blocklistFilter(docs, "doc_id", "url", blocklist)
+          .select(col("doc_id"), graft.ops.Web.host(col("url")).as("host"))
+          .orderBy("doc_id")
       })
   )
 }

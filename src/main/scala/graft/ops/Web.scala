@@ -86,4 +86,84 @@ object Web {
         pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
           lit(1000000L)) < col("keep_ppm"))
   }
+
+  /** Canonical form of a URL — the dedup key for URL-level dedup (the
+    * cheapest dedup tier on a crawl: the same page fetched under
+    * cosmetic URL variants collapses before any text is compared).
+    * Rules, each a pure scan-side expression:
+    *   - scheme and host lower-cased (case-insensitive per RFC 3986);
+    *   - userinfo dropped (never identifies a distinct resource);
+    *   - a leading `www.` stripped from the host;
+    *   - the default port for the (canonical) scheme dropped
+    *     (`http:80`, `https:443`); other ports kept;
+    *   - the fragment dropped (client-side only);
+    *   - one trailing `/` stripped (path case is preserved — unlike
+    *     hosts, paths ARE case-sensitive).
+    * URLs that don't parse (no `scheme://`) canonicalize to the empty
+    * string and group together — junk stays visible, never errors.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val port = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    // path + query, fragment off, one trailing slash off
+    val rest = regexp_replace(regexp_replace(
+      regexp_extract(url,
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(.*)$", 1),
+      "#.*$", ""), "/$", "")
+    when(scheme === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), h, portPart, rest))
+  }
+
+  /** URL-level dedup groups: one row per canonical URL with the kept
+    * doc (lowest id — deterministic) and the variant count. One
+    * canonical-key aggregate; join the result back on `keep_id` to
+    * materialize the surviving docs.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(canonicalUrl(col(urlCol)).as("canon_url"), col(idCol))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).cast(LongType).as("n_variants"))
+
+  /** Every dot-suffix of the host down to the registrable-ish 2-label
+    * tail: `a.b.example.com` -> [a.b.example.com, b.example.com,
+    * example.com]. The match domain for suffix blocklists; a naive
+    * eTLD boundary (public-suffix-list multi-label TLDs like `co.uk`
+    * match one level too deep — swap in a PSL walk where that matters).
+    */
+  def hostSuffixes(url: Column): Column = {
+    val labels = split(host(url), "\\.")
+    transform(sequence(lit(1), greatest(size(labels) - 1, lit(1))),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Domain-blocklist filter: drop docs whose host — or ANY dot-suffix
+    * of it — appears in `blocklist` (a one-column `domain` frame), so
+    * one `example.com` entry blocks every subdomain while
+    * `tracker.good.org` blocks only that host. The standard crawl
+    * hygiene gate (spam/SEO-farm/adult lists key on domains).
+    *
+    * Shape: suffix explode (bounded by label count, ~3-4x) -> semi-join
+    * against the broadcast blocklist -> anti-join the survivors back on
+    * the id. Blocklists are small next to a corpus (1e5 rows vs 1e9
+    * docs), so the semi-join never shuffles the corpus; the anti-join
+    * is id-keyed against the (tiny) blocked-id set, which AQE also
+    * broadcasts.
+    */
+  def blocklistFilter(docs: DataFrame, idCol: String, urlCol: String,
+                      blocklist: DataFrame): DataFrame = {
+    val blockedIds = docs
+      .select(col(idCol), explode(hostSuffixes(col(urlCol))).as("_suf"))
+      .join(broadcast(blocklist.select(col("domain").as("_suf"))), Seq("_suf"),
+        "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(blockedIds, Seq(idCol), "left_anti")
+  }
 }

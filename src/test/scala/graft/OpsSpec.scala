@@ -1390,4 +1390,45 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(est("big") - 5000.0) < 4 * rse * 5000,
       s"estimate ${est("big")} too far from 5000")
   }
+
+  test("canonicalUrl: every rule, one assertion each") {
+    import spark.implicits._
+    import graft.ops.Web
+    val cases = Seq(
+      // scheme + host case, userinfo, default port, fragment, slash
+      "HTTP://user:pw@WWW.Example.COM:80/A/b/?q=1#frag" ->
+        "http://example.com/A/b/?q=1",
+      "https://example.com:443/" -> "https://example.com",
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      "http://www.example.com" -> "http://example.com",
+      // path case preserved; non-www subdomain kept
+      "https://cdn.Example.com/KeepCase" -> "https://cdn.example.com/KeepCase",
+      // wwwx is not www.
+      "http://wwwx.example.com/p" -> "http://wwwx.example.com/p",
+      "not a url" -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Web.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonicalUrl($in)") }
+  }
+
+  test("blocklistFilter: domain entry blocks subdomains, host entry " +
+    "blocks exactly; survivors keep their columns") {
+    import spark.implicits._
+    import graft.ops.Web
+    val docs = Seq(
+      (1L, "https://spamfarm.biz/a"),        // blocked: bare domain
+      (2L, "https://x.spamfarm.biz/b"),      // blocked: suffix
+      (3L, "https://deep.x.spamfarm.biz/c"), // blocked: 2-deep suffix
+      (4L, "https://cdn2.mixed.net/d"),      // blocked: exact host
+      (5L, "https://cdn3.mixed.net/e"),      // kept: sibling host
+      (6L, "https://mixed.net/f"),           // kept: bare domain not listed
+      (7L, "https://goodsite.org/g"))        // kept
+      .toDF("doc_id", "url")
+    val block = Seq("spamfarm.biz", "cdn2.mixed.net").toDF("domain")
+    val kept = Web.blocklistFilter(docs, "doc_id", "url", block)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(5L, 6L, 7L))
+  }
 }

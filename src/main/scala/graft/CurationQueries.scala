@@ -154,6 +154,24 @@ object CurationQueries {
               WHEN doc_id % 3 = 1 THEN 'goodsite.org' ELSE 'mixed.net' END) ||
         '/p/' || CAST(doc_id AS STRING)"""
 
+  // Oracle dot/cosine over DOUBLE[] (the q29 fold-order contract:
+  // DuckDB's init-less list_reduce == Spark's 0.0-seeded fold,
+  // bit-identical).
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // q163 planted "videos": 97 bytes -> 7 stub frames of 13 disjoint
+  // bytes each, sampled frames 0/2/4/6. B edits ONE byte (offset 26,
+  // inside frame 2's slice — chosen so a gradient comparison actually
+  // crosses) and exactly one sampled frame's signature flips: A/B
+  // share 3 of 4 frames; C repeats A exactly (shares 4).
+  private val VideoPlantA =
+    "the quick brown fox jumps over the lazy dog while seven wizards brew strong potions at dawnxxxxxx"
+  private val VideoPlantB =
+    "the quick brown fox jumps Qver the lazy dog while seven wizards brew strong potions at dawnxxxxxx"
+
   // q151 planted near-dup "images" (101-byte ASCII payloads; the stub
   // decode samples byte (k*37) mod len as pixel k). B differs from A in
   // ONE byte (offset 50) -> at most 2 dHash bits flip; the third plant
@@ -895,6 +913,100 @@ object CurationQueries {
         graft.ops.Web.blocklistFilter(docs, "doc_id", "url", blocklist)
           .select(col("doc_id"), graft.ops.Web.host(col("url")).as("host"))
           .orderBy("doc_id")
+      }),
+
+    // Cross-modal agreement gate ([[Multimodal.crossModalAgreement]]):
+    // cosine between each doc's stub IMAGE embedding (byte-sampled,
+    // exact dyadic components — the disclosed-stub discipline standing
+    // in for a vision encoder) and its text embedding, keeping pairs at
+    // cosine >= 0.05 — the LAION-style filter that drops mismatched
+    // caption/image pairs from a multimodal corpus. One id equi-join +
+    // the fused cosine kernel; the oracle replays pixel sampling, the
+    // centering arithmetic, and the q29 fold-order cosine.
+    QueryDef("q162_crossmodal_agreement",
+      Some(s"""
+        WITH iv AS (SELECT doc_id,
+                [CAST(ascii(substr(text, ((d*37) % greatest(octet_length(CAST(text AS BLOB)), 1)) + 1, 1)) - 128 AS DOUBLE) / 128.0
+                 for d in range(0, 64)] AS v
+              FROM documents),
+        tv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS w FROM embeddings),
+        j AS (SELECT iv.doc_id AS doc_id, ${cosSql("v", "w")} AS cosine
+              FROM iv JOIN tv ON iv.doc_id = tv.vec_id)
+        SELECT doc_id, cosine FROM j WHERE cosine >= 0.05 ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = spread(documents(s, d))
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[Multimodal.MediaDoc]
+        Multimodal.crossModalAgreement(media, embeddings(s, d),
+            "vec_id", "embedding", minCos = 0.05)
+          .orderBy("doc_id")
+      }),
+
+    // Video near-dup by frame vote ([[Multimodal.frameSignatures]] +
+    // [[Multimodal.frameVoteNearDup]]): per-frame dHash over DISJOINT
+    // payload slices (the real-codec layout the whole-payload q151
+    // stub can't model), pairs voted by identical (position, signature)
+    // frames — a localized edit flips one frame and the other frames
+    // still vote. Plants: B = A with one byte edited inside frame 2
+    // (shares 3 of 4 sampled frames), C = A exactly (shares 4). The
+    // oracle replays slicing, per-frame sampling, both signature
+    // halves, the df cap, and the vote.
+    QueryDef("q163_video_frame_neardup",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(930001 AS BIGINT), '$VideoPlantA'),
+            (CAST(930002 AS BIGINT), '$VideoPlantB'),
+            (CAST(930003 AS BIGINT), '$VideoPlantA')) v(doc_id, text)),
+        m AS (SELECT doc_id, text,
+                     1 + (octet_length(CAST(text AS BLOB)) % 7) AS nf,
+                     octet_length(CAST(text AS BLOB))
+                       // (1 + (octet_length(CAST(text AS BLOB)) % 7)) AS sl
+              FROM corpus),
+        f AS (SELECT doc_id, text, sl, unnest(range(0, nf, 2)) AS i FROM m),
+        px AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+                 [CASE WHEN sl = 0 THEN 0
+                       ELSE ascii(substr(text, i*sl + ((k*37) % sl) + 1, 1)) END
+                  for k in range(0, 72)] AS p
+               FROM f),
+        sig AS (SELECT doc_id, i,
+                  CAST(list_sum([CASE WHEN p[(b//8)*9 + (b%8) + 1] > p[(b//8)*9 + (b%8) + 2]
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                        for b in range(0, 32)]) AS BIGINT) AS lo,
+                  CAST(list_sum([CASE WHEN p[((b+32)//8)*9 + ((b+32)%8) + 1] > p[((b+32)//8)*9 + ((b+32)%8) + 2]
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                        for b in range(0, 32)]) AS BIGINT) AS hi
+                FROM px),
+        ok AS (SELECT s.* FROM sig s
+               JOIN (SELECT i, lo, hi FROM sig GROUP BY i, lo, hi
+                     HAVING COUNT(*) <= 1000) k
+                 ON s.i = k.i AND s.lo = k.lo AND s.hi = k.hi)
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               CAST(COUNT(DISTINCT x.i) AS BIGINT) AS n_shared
+        FROM ok x JOIN ok y
+          ON x.i = y.i AND x.lo = y.lo AND x.hi = y.hi
+             AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id HAVING COUNT(DISTINCT x.i) >= 2
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(930001L, 930003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q163's planted id range " +
+            "(930001-930003); re-site the plants")
+        val planted = Seq((930001L, VideoPlantA), (930002L, VideoPlantB),
+          (930003L, VideoPlantA)).toDF("doc_id", "text")
+        val media = spread(documents(s, d)).select("doc_id", "text")
+          .unionAll(planted)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[Multimodal.MediaDoc]
+        Multimodal.frameVoteNearDup(
+            Multimodal.frameSignatures(media), "doc_id", minShared = 2)
+          .orderBy("a_id", "b_id")
       })
   )
 }

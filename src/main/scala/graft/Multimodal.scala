@@ -141,4 +141,124 @@ object Multimodal {
       }
     }
   }
+
+  /** STUB image embedding: `dims` components in [-1, 1), component d
+    * reading "pixel" d exactly like [[perceptualHash]] (byte at offset
+    * `(d*37) mod len`) and centering it: `(px - 128) / 128.0` — exact
+    * dyadic rationals, so every engine computes identical doubles. A
+    * real deployment swaps this body for a vision-encoder call; the
+    * contract — bytes in, unit-scale fixed-width vector out, computed
+    * per-partition next to the blobs — is the real shape. Output:
+    * `(doc_id, img_vec: array<double>)`.
+    */
+  def stubImageEmbedding(ds: Dataset[MediaDoc], dims: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition encoder init would go here
+      it.map { m =>
+        val b = m.content
+        val v = Array.tabulate(dims) { d =>
+          val px = if (b.length == 0) 0 else b((d * 37) % b.length) & 0xFF
+          (px - 128) / 128.0
+        }
+        (m.doc_id, v)
+      }
+    }.toDF("doc_id", "img_vec")
+  }
+
+  /** CLIP-style caption-image agreement gate: cosine between the
+    * media's ([[stubImageEmbedding]]) vector and its caption's text
+    * embedding; rows below `minCos` drop — the multimodal-corpus
+    * filter that removes mismatched caption/image pairs (the LAION
+    * recipe). One equi-join on the id (both sides co-partition by it
+    * at scale), cosine via the fused codegen kernel, scan-side filter.
+    * Output: `(doc_id, cosine)` for the surviving pairs.
+    */
+  def crossModalAgreement(media: Dataset[MediaDoc], textVecs: DataFrame,
+                          idCol: String, vecCol: String,
+                          minCos: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stubImageEmbedding(media)
+      .join(textVecs.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_tv")),
+        col("doc_id") === col("_id"))
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.cosineSim(col("img_vec"), col("_tv"))
+          .as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
+  /** Per-sampled-frame 64-bit dHash. Unlike [[perceptualHash]] (whole
+    * payload), each frame reads its own DISJOINT byte slice — frame i
+    * of an n-frame payload owns `[i*len/n, (i+1)*len/n)`, the way real
+    * codecs lay frames out — so an edit localized in the payload
+    * perturbs only the frames whose bytes it touches. "Pixel" k of
+    * frame i is the slice byte at `(k*37) mod sliceLen`; bits are the
+    * same 9x8 horizontal-gradient comparisons as [[perceptualHash]].
+    * Output: `(doc_id, frame_idx, sig_lo, sig_hi)`, one row per
+    * sampled (every `every`-th) frame.
+    */
+  def frameSignatures(ds: Dataset[MediaDoc], every: Int = 2): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val b = m.content
+        val (_, _, nFrames) = FakeCodec.decode(b)
+        val sliceLen = b.length / nFrames
+        (0 until nFrames by every).iterator.map { i =>
+          def px(k: Int): Int =
+            if (sliceLen == 0) 0
+            else b(i * sliceLen + (k * 37) % sliceLen) & 0xFF
+          var lo = 0L
+          var hi = 0L
+          var bit = 0
+          while (bit < 64) {
+            val r = bit / 8
+            val c = bit % 8
+            if (px(r * 9 + c) > px(r * 9 + c + 1)) {
+              if (bit < 32) lo |= 1L << bit
+              else hi |= 1L << (bit - 32)
+            }
+            bit += 1
+          }
+          (m.doc_id, i, lo, hi)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "sig_lo", "sig_hi")
+  }
+
+  /** Video near-dup by FRAME VOTE: two videos pair when at least
+    * `minShared` sampled frame positions carry the identical frame
+    * dHash — re-encodes and localized edits keep most frames'
+    * signatures, so the vote catches what whole-payload hashing
+    * ([[MediaFeatures.content_hash]], [[perceptualHash]]) misses.
+    * Blocking is the `(frame_idx, sig)` equi-join — only same-position
+    * identical-signature frames meet, never all video pairs. Constant
+    * frames (black, title cards) make hot signature keys at corpus
+    * scale: keys seen on more than `maxSigDf` frames are dropped from
+    * candidacy (the q92 df-cap discipline — a capped key contributes
+    * no votes; raise the cap when black-frame-only overlap matters).
+    * Output: `(a_id, b_id, n_shared)` with `a_id < b_id`.
+    */
+  def frameVoteNearDup(frames: DataFrame, idCol: String, minShared: Int,
+                       maxSigDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val keyCols = Seq("frame_idx", "sig_lo", "sig_hi")
+    val keyed = frames.select(
+      (col(idCol) +: keyCols.map(col)): _*)
+    val ok = keyed.join(
+      keyed.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxSigDf)
+        .select(keyCols.map(col): _*),
+      keyCols)
+    ok.select(col(idCol).as("a_id"), col("frame_idx"), col("sig_lo"), col("sig_hi"))
+      .join(ok.select(col(idCol).as("b_id"), col("frame_idx"), col("sig_lo"), col("sig_hi")),
+        keyCols)
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("frame_idx")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

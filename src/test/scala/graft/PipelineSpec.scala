@@ -1369,4 +1369,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == brute)
     ph.unpersist()
   }
+
+  test("frameVoteNearDup equals the brute-force frame-equality vote; " +
+    "a one-byte edit drops exactly the edited frame's vote") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions at dawnxxxxxx"          // 97 B, 7 frames
+    val b = a.updated(26, 'Q').toString                     // frame 2 slice
+    val docs = Seq((1L, a), (2L, b), (3L, a),
+      (4L, "completely unrelated text with its own rhythm and length pads"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[Multimodal.MediaDoc]
+    val frames = Multimodal.frameSignatures(docs)
+    // reference vote: per pair, count equal (frame_idx, sig) rows
+    val byDoc = frames.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      n = (byDoc(ids(i)) intersect byDoc(ids(j))).size
+      if n >= 2
+    } yield (ids(i), ids(j), n.toLong)).toSet
+    val got = Multimodal.frameVoteNearDup(frames, "doc_id", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 3L)), "edited video must share 3 of 4 frames")
+    assert(got.contains((1L, 3L, 4L)), "exact copy must share all 4 frames")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated video must not pair")
+  }
+
+  test("stubImageEmbedding components and crossModalAgreement gate") {
+    import spark.implicits._
+    val t = "abcdef"
+    val media = Seq((1L, t)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[Multimodal.MediaDoc]
+    val vec = Multimodal.stubImageEmbedding(media).collect()(0)
+      .getSeq[Double](1)
+    val bytes = t.getBytes
+    (0 until 64).foreach { dd =>
+      val px = bytes((dd * 37) % bytes.length) & 0xFF
+      assert(vec(dd) == (px - 128) / 128.0, s"component $dd")
+    }
+    // agreement gate: text vec = img vec -> cosine 1 (kept);
+    // negated -> cosine -1 (dropped)
+    val tv = Seq((1L, vec.toArray), (2L, vec.map(-_).toArray))
+      .toDF("vec_id", "embedding")
+    val media2 = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[Multimodal.MediaDoc]
+    val kept = Multimodal.crossModalAgreement(media2, tv,
+      "vec_id", "embedding", minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(kept.map(_._1).toSeq == Seq(1L))
+    assert(math.abs(kept(0)._2 - 1.0) < 1e-12)
+  }
 }

@@ -154,6 +154,26 @@ object CurationQueries {
               WHEN doc_id % 3 = 1 THEN 'goodsite.org' ELSE 'mixed.net' END) ||
         '/p/' || CAST(doc_id AS STRING)"""
 
+  // q165 synthetic HTML wrapper: script+style junk, a heading, the doc
+  // text in a <p>, one link whose visible text carries entities, an
+  // &nbsp; — every htmlExtract rule participates. Shared verbatim.
+  private val HtmlSynthSql = """
+        '<html><head><style>p{}</style><script>var x=1;</script></head><body><h1>T ' ||
+        CAST(doc_id AS STRING) || '</h1><p>' || text || '</p><a href="/l/' ||
+        CAST(doc_id % 9 AS STRING) || '">' || source ||
+        ' more &amp; more</a>&nbsp;tail</body></html>'"""
+
+  // Oracle mirror of ops.Web.htmlExtract's clean chain (DuckDB needs
+  // the 'g' flag for global regexp_replace; Spark is global already).
+  private def htmlDecodeSql(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')" }
+  private def htmlCleanSql(e: String): String =
+    s"""trim(regexp_replace(${htmlDecodeSql(
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"""
+
   // Oracle dot/cosine over DOUBLE[] (the q29 fold-order contract:
   // DuckDB's init-less list_reduce == Spark's 0.0-seeded fold,
   // bit-identical).
@@ -1007,6 +1027,57 @@ object CurationQueries {
         Multimodal.frameVoteNearDup(
             Multimodal.frameSignatures(media), "doc_id", minShared = 2)
           .orderBy("a_id", "b_id")
-      })
+      }),
+
+    // Model-based quality gate ([[ops.TextStats.qualityLogit]]): a
+    // FROZEN linear classifier (disclosed integer weights standing in
+    // for an offline-trained fastText-style model) over three scan-side
+    // features — type-token ratio, stopword share, mean word length —
+    // with the sigmoid >= 0.5 keep rule reduced to logit >= 0, so no
+    // transcendental ever evaluates and the gate replays exactly.
+    // Splits this corpus ~63/37. Pure per-row projection: no shuffle.
+    QueryDef("q164_quality_logit",
+      Some("""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        f AS (SELECT doc_id,
+                (1000000 * len(list_distinct(w))) // len(w) AS ttr_ppm,
+                (1000000 * len(list_filter(w, x -> x IN ('a', 'the')))) // len(w) AS stop_ppm,
+                (1000 * (length(text) - len(w) + 1)) // len(w) AS mwl_milli
+              FROM t WHERE len(w) >= 1)
+        SELECT doc_id, ttr_ppm, stop_ppm, mwl_milli,
+               CAST(-5000000 + 8*ttr_ppm + 6*stop_ppm + 300*mwl_milli AS BIGINT) AS logit_micro,
+               (-5000000 + 8*ttr_ppm + 6*stop_ppm + 300*mwl_milli) >= 0 AS kept
+        FROM f ORDER BY doc_id"""),
+      (s, d) => graft.ops.TextStats.qualityLogit(
+          spread(documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // HTML main-text extraction + link density ([[ops.Web.htmlExtract]]):
+    // the first stage of a web corpus — script/style blocks removed
+    // wholesale, tags to spaces, a fixed entity subset decoded (&amp;
+    // last, single-pass), whitespace collapsed; link_density_ppm =
+    // visible chars inside <a> over total visible chars, the
+    // boilerplate/link-farm signal. Pure per-row regex projection. The
+    // oracle replays the identical chain (with DuckDB's explicit 'g'
+    // flags) over the shared synthetic wrapper.
+    QueryDef("q165_html_extract",
+      Some(s"""
+        WITH u AS (SELECT doc_id, $HtmlSynthSql AS h FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(regexp_replace(h,
+                 '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS h2 FROM u),
+        t AS (SELECT doc_id, ${htmlCleanSql("h2")} AS text,
+                [CAST(length(${htmlCleanSql("x")}) AS BIGINT)
+                 for x in regexp_extract_all(h2, '(?s)<a[^>]*>(.*?)</a>', 1)] AS lk
+              FROM s1)
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(COALESCE(list_sum(lk), 0) AS BIGINT) AS link_chars,
+               (1000000 * CAST(COALESCE(list_sum(lk), 0) AS BIGINT))
+                 // greatest(length(text), 1) AS link_density_ppm
+        FROM t ORDER BY doc_id"""),
+      (s, d) => graft.ops.Web.htmlExtract(
+          spread(documents(s, d)).withColumn("html", expr(HtmlSynthSql)),
+          "doc_id", "html")
+        .orderBy("doc_id"))
   )
 }

@@ -839,4 +839,54 @@ object TextStats {
       .withColumn("fertility_ppm",
         expr("(n_bpe_tokens * 1000000) div n_words"))
       .orderBy(col(groupCol))
+
+  /** Disclosed fixed weights for [[qualityLogit]] — the stand-in for a
+    * classifier trained offline (fastText-style quality models ship as
+    * frozen weights exactly like this; only the feature extraction
+    * runs in the pipeline). Integer micro-logit per feature unit.
+    */
+  case class LogitWeights(bias: Long = -5000000L, wTtr: Long = 8L,
+                          wStop: Long = 6L, wMwl: Long = 300L)
+
+  /** Model-based quality gate: a frozen linear classifier over three
+    * scan-side integer features —
+    *   - `ttr_ppm`   type-token ratio (lexical diversity),
+    *   - `stop_ppm`  stopword share (fluent prose carries function
+    *                 words; keyword spam doesn't),
+    *   - `mwl_milli` mean word length in millichars —
+    * combined as `logit_micro = bias + w·features`, kept when >= 0.
+    * Comparing the LOGIT against 0 is exactly the sigmoid >= 0.5 rule
+    * without evaluating any transcendental, so the gate replays
+    * bit-identically on every engine (the CCNet/RefinedWeb model-filter
+    * stage with the model's forward pass reduced to its exact integer
+    * form).
+    *
+    * 100 TB shape: a pure per-row projection — no shuffle, no state;
+    * the features come from one `split` shared across the three
+    * expressions. Output: id, the three features, `logit_micro`, and
+    * `kept` (emit-all audit form; filter on `kept` to materialize the
+    * survivors).
+    */
+  def qualityLogit(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Seq("a", "the"),
+                   w: LogitWeights = LogitWeights()): DataFrame = {
+    val ws = words(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .filter(size(ws) >= 1)
+      .select(col(idCol),
+        expr(s"(1000000L * size(array_distinct(split($textCol, ' '))))" +
+          s" div size(split($textCol, ' '))").as("ttr_ppm"),
+        (lit(1000000L) * size(filter(ws, t => array_contains(stopArr, t))))
+          .as("_stop_n"),
+        size(ws).cast(LongType).as("_n"),
+        expr(s"(1000L * (length($textCol) - size(split($textCol, ' ')) + 1))" +
+          s" div size(split($textCol, ' '))").as("mwl_milli"))
+      .withColumn("stop_ppm", expr("_stop_n div _n"))
+      .withColumn("logit_micro",
+        lit(w.bias) + lit(w.wTtr) * col("ttr_ppm") +
+          lit(w.wStop) * col("stop_ppm") + lit(w.wMwl) * col("mwl_milli"))
+      .select(col(idCol), col("ttr_ppm"), col("stop_ppm"), col("mwl_milli"),
+        col("logit_micro"), (col("logit_micro") >= 0L).as("kept"))
+  }
 }

@@ -166,4 +166,50 @@ object Web {
       .select(col(idCol)).distinct()
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
+
+  /** Entity subset decoded by [[htmlExtract]] — `&amp;` last so an
+    * `&amp;lt;` stays a literal `&lt;` (single-pass semantics).
+    */
+  private def decodeEntities(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\\\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')" }
+
+  /** HTML -> visible text, plus the link-density quality signal — the
+    * FIRST stage of a web corpus (jusText/trafilatura territory; this
+    * is the deterministic regex core of it, engine-portable so the
+    * oracle replays it):
+    *   - `<script>`/`<style>` blocks removed wholesale (their content
+    *     is never visible text);
+    *   - remaining tags become spaces, a small entity subset decodes
+    *     (`&lt; &gt; &quot; &#39; &nbsp; &amp;` — `&amp;` last, so
+    *     `&amp;lt;` stays literal), whitespace collapses;
+    *   - `link_chars` = visible chars inside `<a>` elements, cleaned
+    *     the same way, and `link_density_ppm = 1e6 * link_chars /
+    *     n_chars` — boilerplate-heavy pages (nav, link farms) score
+    *     high and feed the quality gates downstream.
+    * A pure per-row projection (no shuffle, codegen regex). Output:
+    * id, `text`, `n_chars`, `link_chars`, `link_density_ppm`.
+    */
+  def htmlExtract(docs: DataFrame, idCol: String,
+                  htmlCol: String): DataFrame = {
+    def clean(e: String): String =
+      s"trim(regexp_replace(${decodeEntities(
+        s"regexp_replace($e, '<[^>]*>', ' ')")}, '\\\\s+', ' '))"
+    docs
+      .withColumn("_h", regexp_replace(
+        regexp_replace(col(htmlCol), "(?s)<script[^>]*>.*?</script>", " "),
+        "(?s)<style[^>]*>.*?</style>", " "))
+      .withColumn("_t", expr(clean("_h")))
+      .withColumn("_lc", expr(
+        s"""aggregate(transform(
+              regexp_extract_all(_h, '(?s)<a[^>]*>(.*?)</a>', 1),
+              x -> cast(length(${clean("x")}) as bigint)), 0L, (a, x) -> a + x)"""))
+      .select(col(idCol), col("_t").as("text"),
+        length(col("_t")).cast(LongType).as("n_chars"),
+        col("_lc").as("link_chars"),
+        expr("(1000000L * _lc) div greatest(length(_t), 1)")
+          .as("link_density_ppm"))
+  }
 }

@@ -1431,4 +1431,33 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(5L, 6L, 7L))
   }
+
+  test("qualityLogit: hand-computed features and gate on a known doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = graft.ops.TextStats.qualityLogit(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getLong(1) == 1000000L * 5 / 6, "ttr: 5 distinct of 6")
+    assert(r.getLong(2) == 1000000L * 2 / 6, "stop: two 'the' of 6")
+    assert(r.getLong(3) == 1000L * 17 / 6, "mwl: 17 word chars over 6")
+    val logit = -5000000L + 8 * r.getLong(1) + 6 * r.getLong(2) + 300 * r.getLong(3)
+    assert(r.getLong(4) == logit)
+    assert(r.getBoolean(5) == (logit >= 0))
+  }
+
+  test("htmlExtract: script with a '<' inside, style, entities, nested " +
+    "link markup, whitespace collapse") {
+    import spark.implicits._
+    val html = "<html><head><style>p{x}</style>" +
+      "<script>if(a<b){alert(1)}</script></head>" +
+      "<body><h1>Title</h1><p>Hello &amp; welcome</p>" +
+      "<a href=\"/x\"><b>bold link</b></a> tail&nbsp;end</body></html>"
+    val r = graft.ops.Web.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect()(0)
+    assert(r.getString(1) == "Title Hello & welcome bold link tail end")
+    assert(r.getLong(2) == 40L)
+    assert(r.getLong(3) == 9L, "link chars = len('bold link')")
+    assert(r.getLong(4) == 1000000L * 9 / 40)
+  }
 }

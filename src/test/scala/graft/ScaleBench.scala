@@ -50,9 +50,12 @@ object ScaleGen {
     }.reduce(_ unionAll _))
 
     val emb = Tables.embeddings(spark, sf)
+    // vec_id shift matches documents' doc_id shift so id-equality
+    // joins across the two tables (q162 crossmodal) stay 1:1 per
+    // replica; embedding-only queries only need uniqueness
     write("embeddings", (0 until reps).map { i =>
       emb.select(
-        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         zip_with(col("embedding"), typedLit(signs(i)),
           (x, s) => (x * s).cast("float")).as("embedding"),
         col("label"))

@@ -178,6 +178,75 @@ object CorpusPipeline {
       Dedup.clusterSizes(docs, idCol, textCol, dedupThreshold))
   }
 
+  /** Per-stage surviving counts for [[ingest]] — same observability
+    * semantics as [[Report]] (counts can over-count under executor-loss
+    * recomputation; the corpus itself is unaffected).
+    */
+  final case class IngestReport(
+      input: Long,
+      afterBlocklist: Long,
+      afterUrlDedup: Long,
+      afterExtraction: Long,
+      afterEncodingQa: Long,
+      afterModelGate: Long) {
+    def json: String =
+      s"""{"input":$input,"after_blocklist":$afterBlocklist,""" +
+        s""""after_url_dedup":$afterUrlDedup,"after_extraction":$afterExtraction,""" +
+        s""""after_encoding_qa":$afterEncodingQa,"after_model_gate":$afterModelGate}"""
+  }
+
+  /** CRAWL-SIDE ingest: raw fetches `(id, url, html, ...)` -> a
+    * documents frame ready for [[clean]]/[[prepare]], the stages in
+    * cheapest-first order (metadata before content, regex before
+    * anything keyed):
+    *
+    *   1. domain blocklist   ([[ops.Web.blocklistFilter]] — broadcast
+    *                          suffix semi-join, corpus never shuffles)
+    *   2. canonical-URL dedup ([[ops.Web.urlDedup]] — one canonical-key
+    *                          aggregate + an id semi-join)
+    *   3. HTML extraction + link-density gate ([[ops.Web.htmlExtract]]
+    *                          — per-row regex projection)
+    *   4. encoding QA gate   ([[ops.TextStats.encodingClean]] — per-row
+    *                          translate arithmetic)
+    *   5. frozen model gate  ([[ops.TextStats.qualityLogitKeep]] —
+    *                          per-row integer logit)
+    *
+    * Counts ride observe nodes; the single returned-frame action the
+    * caller runs delivers all six ([[ingestReport]] forces one count).
+    * Output carries the input columns (minus the raw HTML) plus
+    * `text`, `n_chars`, `link_chars`, `link_density_ppm`.
+    */
+  def ingest(crawl: DataFrame, blocklist: DataFrame,
+             idCol: String = "doc_id", urlCol: String = "url",
+             htmlCol: String = "html",
+             maxLinkDensityPpm: Long = 500000L,
+             stopwords: Seq[String] = Seq("a", "the"),
+             weights: ops.TextStats.LogitWeights = ops.TextStats.LogitWeights())
+      : (DataFrame, () => IngestReport) = {
+    val obs = Seq.fill(5)(org.apache.spark.sql.Observation())
+    val src = crawl.observe(obs(0), count(lit(1)).as("n"))
+    val unblocked = ops.Web.blocklistFilter(src, idCol, urlCol, blocklist)
+      .observe(obs(1), count(lit(1)).as("n"))
+    val unique = unblocked.join(
+        ops.Web.urlDedup(unblocked, idCol, urlCol)
+          .select(col("keep_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      .observe(obs(2), count(lit(1)).as("n"))
+    val extracted = ops.Web.htmlExtract(unique, idCol, htmlCol)
+      .filter(col("link_density_ppm") <= maxLinkDensityPpm)
+      .observe(obs(3), count(lit(1)).as("n"))
+    val encoded = extracted.filter(ops.TextStats.encodingClean("text"))
+      .observe(obs(4), count(lit(1)).as("n"))
+    val gated = encoded.filter(
+      ops.TextStats.qualityLogitKeep("text", stopwords, weights))
+    val report = () => {
+      val n = gated.count()
+      IngestReport(metric(obs(0)), metric(obs(1)), metric(obs(2)),
+        metric(obs(3)), metric(obs(4)), n)
+    }
+    (gated, report)
+  }
+
   /** Run the full chain. The upstream caches (sig, exact) are released
     * before returning — the counts materialized `near`'s cache, which
     * alone roots everything downstream — while `near` stays cached so

@@ -1078,6 +1078,8 @@ object CurationQueries {
       (s, d) => graft.ops.Web.htmlExtract(
           spread(documents(s, d)).withColumn("html", expr(HtmlSynthSql)),
           "doc_id", "html")
+        .select("doc_id", "text", "n_chars", "link_chars",
+          "link_density_ppm")
         .orderBy("doc_id"))
   )
 }

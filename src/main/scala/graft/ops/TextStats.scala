@@ -867,6 +867,32 @@ object TextStats {
     * `kept` (emit-all audit form; filter on `kept` to materialize the
     * survivors).
     */
+  /** Scan-side predicate form of [[encodingQa]]'s gate: true when the
+    * text carries NONE of the broken-decode marker characters — the
+    * filter shape for pipeline composition (no join back against the
+    * audit frame). Equality of the two forms is spec-enforced.
+    */
+  def encodingClean(textCol: String): Column =
+    length(col(textCol)) === length(translate(col(textCol),
+      "\ufffd\u00c3\u00c2\u0000\u0007\u001b\u009d", ""))
+
+  /** Scan-side predicate form of [[qualityLogit]]'s keep rule — the
+    * same integer features and frozen weights as one boolean
+    * expression, for pipeline composition without materializing the
+    * audit frame. Equality of the two forms is spec-enforced.
+    */
+  def qualityLogitKeep(textCol: String,
+                       stopwords: Seq[String] = Seq("a", "the"),
+                       w: LogitWeights = LogitWeights()): Column = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val n = s"size(split($textCol, ' '))"
+    expr(s"""$n >= 1 AND ${w.bias}L
+      + ${w.wTtr}L * ((1000000L * size(array_distinct(split($textCol, ' ')))) div $n)
+      + ${w.wStop}L * ((1000000L * size(filter(split($textCol, ' '), x -> x IN ($sw)))) div $n)
+      + ${w.wMwl}L * ((1000L * (length($textCol) - $n + 1)) div $n)
+      >= 0L""")
+  }
+
   def qualityLogit(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String] = Seq("a", "the"),
                    w: LogitWeights = LogitWeights()): DataFrame = {

@@ -206,10 +206,14 @@ object Web {
         s"""aggregate(transform(
               regexp_extract_all(_h, '(?s)<a[^>]*>(.*?)</a>', 1),
               x -> cast(length(${clean("x")}) as bigint)), 0L, (a, x) -> a + x)"""))
-      .select(col(idCol), col("_t").as("text"),
-        length(col("_t")).cast(LongType).as("n_chars"),
-        col("_lc").as("link_chars"),
-        expr("(1000000L * _lc) div greatest(length(_t), 1)")
-          .as("link_density_ppm"))
+      // input columns survive (minus the raw HTML) so the extraction
+      // chains straight into the corpus pipeline; a pre-existing
+      // `text`/`n_chars` is REPLACED by the extracted view
+      .withColumn("text", col("_t"))
+      .withColumn("n_chars", length(col("_t")).cast(LongType))
+      .withColumn("link_chars", col("_lc"))
+      .withColumn("link_density_ppm",
+        expr("(1000000L * _lc) div greatest(length(_t), 1)"))
+      .drop("_h", "_t", "_lc", htmlCol)
   }
 }

@@ -1427,4 +1427,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.map(_._1).toSeq == Seq(1L))
     assert(math.abs(kept(0)._2 - 1.0) < 1e-12)
   }
+
+  test("crawl ingest facade: each stage drops exactly its target; " +
+    "predicate gates equal their audit-frame forms") {
+    import spark.implicits._
+    def page(text: String) =
+      s"<html><body><p>$text</p><a href='/l'>x</a></body></html>"
+    val goodText = "the quick brown fox jumps over a lazy dog while the " +
+      "seven wizards brew strong potions"
+    val crawl = Seq(
+      (1L, "https://good.org/a", page(goodText)),               // survives
+      (2L, "https://x.spam.biz/b", page(goodText)),             // blocklist
+      (3L, "https://good.org/c", page(goodText)),               // url-dup keep
+      (4L, "https://www.good.org/c/", page(goodText)),          // url-dup drop
+      (5L, "https://good.org/farm", "<html><body>" +
+        "<a href='/1'>click here now please</a>" +
+        "<a href='/2'>more links over here</a><p>hi</p></body></html>"),
+      (6L, "https://good.org/moji", page("broken � decode " + goodText)),
+      (7L, "https://good.org/spam", page(Seq.fill(20)("spam").mkString(" "))))
+      .toDF("doc_id", "url", "html")
+    val block = Seq("spam.biz").toDF("domain")
+    val (corpus, report) = CorpusPipeline.ingest(crawl, block)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+    val r = report()
+    assert(r == CorpusPipeline.IngestReport(7, 6, 5, 4, 3, 2), r.toString)
+
+    // the two gate forms must agree: audit-frame kept == predicate keep
+    val texts = Seq((1L, goodText), (2L, "� bad"), (3L, "spam spam spam"))
+      .toDF("doc_id", "text")
+    val auditKept = graft.ops.TextStats.qualityLogit(texts, "doc_id", "text")
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val predKept = texts.filter(graft.ops.TextStats.qualityLogitKeep("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auditKept == predKept)
+    val qaClean = graft.ops.TextStats.encodingQa(texts, "doc_id", "text")
+      .filter(!col("flagged")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val predClean = texts.filter(graft.ops.TextStats.encodingClean("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qaClean == predClean)
+  }
 }

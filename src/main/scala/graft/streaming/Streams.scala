@@ -531,6 +531,44 @@ object Streams {
       .drop("_h")
   }
 
+  /** Streaming form of [[graft.CorpusPipeline.ingest]] — the crawl
+    * hygiene chain applied ON ARRIVAL, same stages, stream-legal
+    * shapes:
+    *   - domain blocklist: the batch operator's suffix semi-join would
+    *     anti-join the stream against a stream-derived id set (an
+    *     unsupported stream-stream anti join), so the list — static
+    *     and small by nature — is applied as the equivalent SCAN-SIDE
+    *     suffix-overlap predicate;
+    *   - canonical-URL dedup: watermarked
+    *     `dropDuplicatesWithinWatermark` on [[graft.ops.Web
+    *     .canonicalUrl]] (first arrival wins — the streaming analogue
+    *     of the batch lowest-id rule);
+    *   - HTML extraction + link-density, encoding QA, frozen model
+    *     gate: pure per-row predicates, shared VERBATIM with the batch
+    *     facade — batch and stream gates cannot drift.
+    * Expects columns (ts, `urlCol`, `htmlCol`, ...).
+    */
+  def streamingCrawlGate(crawl: DataFrame, blocked: Seq[String],
+                         idCol: String = "doc_id", urlCol: String = "url",
+                         htmlCol: String = "html",
+                         maxLinkDensityPpm: Long = 500000L,
+                         horizonMinutes: Int = 10): DataFrame = {
+    import graft.ops.{TextStats, Web}
+    require(blocked.nonEmpty, "empty blocklist: drop the stage instead")
+    val notBlocked = !arrays_overlap(
+      Web.hostSuffixes(col(urlCol)), array(blocked.map(lit(_)): _*))
+    val deduped = crawl
+      .filter(notBlocked)
+      .withColumn("_canon", Web.canonicalUrl(col(urlCol)))
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .dropDuplicatesWithinWatermark("_canon")
+      .drop("_canon")
+    Web.htmlExtract(deduped, idCol, htmlCol)
+      .filter(col("link_density_ppm") <= maxLinkDensityPpm)
+      .filter(TextStats.encodingClean("text"))
+      .filter(TextStats.qualityLogitKeep("text"))
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

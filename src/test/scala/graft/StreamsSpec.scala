@@ -169,6 +169,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl gate matches the batch ingest facade verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def page(text: String) =
+      s"<html><body><p>$text</p><a href='/l'>x</a></body></html>"
+    val goodText = "the quick brown fox jumps over a lazy dog while the " +
+      "seven wizards brew strong potions"
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val q = Streams.streamingCrawlGate(
+        in.toDF().toDF("ts", "doc_id", "url", "html"),
+        blocked = Seq("spam.biz"))
+      .writeStream.format("memory").queryName("crawl_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, "https://good.org/a", page(goodText)),       // kept
+        (ts(1), 2L, "https://x.spam.biz/b", page(goodText)),     // blocklist
+        (ts(2), 3L, "https://good.org/c", page(goodText)),       // kept
+        (ts(3), 4L, "https://www.good.org/c/", page(goodText)),  // URL dup
+        (ts(4), 5L, "https://good.org/farm", "<html><body>" +
+          "<a href='/1'>click here now please</a>" +
+          "<a href='/2'>more links over here</a><p>hi</p></body></html>"),
+        (ts(5), 6L, "https://good.org/moji",
+          page("broken � decode " + goodText)),             // mojibake
+        (ts(6), 7L, "https://good.org/spam",
+          page(Seq.fill(20)("spam").mkString(" "))))             // model gate
+      q.processAllAvailable()
+      val kept = spark.table("crawl_gate").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      // identical verdicts to PipelineSpec's batch ingest fixture
+      // (first-arrival URL dedup == lowest-id here: ids arrive in order)
+      assert(kept == Set(1L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("scan-side curation (quality gate + split assignment) applies unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

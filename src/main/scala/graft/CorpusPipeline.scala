@@ -172,7 +172,17 @@ object CorpusPipeline {
         sourceCol, textCol, tot),
       "source_entropy" -> ops.TextStats.sourceEntropy(docs, sourceCol,
         textCol, tot),
-      "frequency_spectrum" -> ops.TextStats.frequencySpectrum(docs, textCol))
+      "frequency_spectrum" -> ops.TextStats.frequencySpectrum(docs, textCol),
+      // bounded sketch member (q159 operator): per-source distinct-token
+      // estimate via the mergeable bottom-64 KMV — the member a sharded
+      // 100 TB audit computes per shard and rolls up without ever
+      // shuffling the distinct values themselves
+      "distinct_tokens" -> ops.Sketches.kmvEstimate(
+        ops.Sketches.kmvSketch(
+          docs.select(col(sourceCol),
+            explode(graft.Pipeline.words(col(textCol))).as("_w")),
+          Seq(sourceCol), "_w", k = 64),
+        k = 64).select(col(sourceCol), col("est_distinct")))
     if (!withClusters) base
     else base + ("cluster_sizes" ->
       Dedup.clusterSizes(docs, idCol, textCol, dedupThreshold))

@@ -163,6 +163,18 @@ object CurationQueries {
         CAST(doc_id % 9 AS STRING) || '">' || source ||
         ' more &amp; more</a>&nbsp;tail</body></html>'"""
 
+  // q167 synthetic HTML: the tag SKELETON varies on doc_id % 3 (nav
+  // block) and % 4 (image+caption) -> four template families whose
+  // member texts all differ. Shared verbatim.
+  private val HtmlTemplSql = """
+        '<html><body><h1>t</h1>' ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN '<nav><a href="/">home</a></nav>' ELSE '' END) ||
+        '<p>' || text || '</p>' ||
+        (CASE WHEN doc_id % 4 = 0
+              THEN '<img src="/i.png"/><p>cap</p>' ELSE '' END) ||
+        '</body></html>'"""
+
   // Oracle mirror of ops.Web.htmlExtract's clean chain (DuckDB needs
   // the 'g' flag for global regexp_replace; Spark is global already).
   private def htmlDecodeSql(e: String): String =
@@ -1080,6 +1092,89 @@ object CurationQueries {
           "doc_id", "html")
         .select("doc_id", "text", "n_chars", "link_chars",
           "link_density_ppm")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Gopher-style heuristic rule bundle ([[ops.TextStats
+    // .gopherRules]]): the five Rae-et-al quality filters in exact
+    // integer form, emit-all (per-rule verdicts + the conjunction).
+    // The corpus splits the word-count and stopword rules naturally
+    // (~277/500 and ~317/500 at sf0.01); two plants exercise the
+    // symbol and alphabetic rules the clean corpus never trips.
+    QueryDef("q166_gopher_rules",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(940001 AS BIGINT),
+             '### sale ### sale ... now ### sale ... now the a deal deal deal'),
+            (CAST(940002 AS BIGINT), '111 222 333 444')) v(doc_id, text)),
+        t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus
+              WHERE len(string_split(text, ' ')) >= 1),
+        f AS (SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tok,
+                (1000 * (length(text) - len(w) + 1)) // len(w) AS mwl_milli,
+                (1000000 * ((length(text) - length(replace(text, '#', ''))) +
+                  ((length(text) - length(replace(text, '...', ''))) // 3)))
+                  // len(w) AS sym_ppm,
+                CAST(len(list_intersect(list_distinct(w),
+                  ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with', 'a']))
+                  AS BIGINT) AS stop_kinds,
+                (1000000 * len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))))
+                  // len(w) AS alpha_ppm
+              FROM t)
+        SELECT doc_id, n_tok, mwl_milli, sym_ppm, stop_kinds, alpha_ppm,
+               n_tok BETWEEN 50 AND 100000 AS r_wordcount,
+               mwl_milli BETWEEN 3000 AND 10000 AS r_wordlen,
+               sym_ppm <= 100000 AS r_symbols,
+               stop_kinds >= 2 AS r_stopwords,
+               alpha_ppm >= 800000 AS r_alpha,
+               (n_tok BETWEEN 50 AND 100000) AND (mwl_milli BETWEEN 3000 AND 10000)
+                 AND sym_ppm <= 100000 AND stop_kinds >= 2
+                 AND alpha_ppm >= 800000 AS pass
+        FROM f ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(940001L, 940002L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q166's planted id range " +
+            "(940001-940002); re-site the plants")
+        val planted = Seq(
+          (940001L,
+            "### sale ### sale ... now ### sale ... now the a deal deal deal"),
+          (940002L, "111 222 333 444")).toDF("doc_id", "text")
+        graft.ops.TextStats.gopherRules(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
+    // HTML template fingerprint clusters ([[ops.Web
+    // .templateFingerprint]]): pages grouped by the 60-bit hash of
+    // their opening-tag skeleton — the same-generator signal
+    // (SEO-farm/mirror-skin families) that text-level near-dup never
+    // pairs because the TEXT differs. The synthetic wrapper varies the
+    // skeleton on doc_id % 3 (a nav block) and % 4 (an image+caption),
+    // yielding four template families; the oracle replays the tag
+    // extraction, the join-and-hash, and the grouping.
+    QueryDef("q167_template_clusters",
+      Some(s"""
+        WITH u AS (SELECT doc_id, $HtmlTemplSql AS h FROM documents),
+        f AS (SELECT doc_id, ${hash60Sql(
+          "array_to_string(regexp_extract_all(h, '<([a-zA-Z][a-zA-Z0-9]*)', 1), ' ')")}
+                AS tpl_hash
+              FROM u)
+        SELECT tpl_hash, CAST(COUNT(*) AS BIGINT) AS n_pages,
+               MIN(doc_id) AS exemplar_id
+        FROM f GROUP BY tpl_hash ORDER BY tpl_hash"""),
+      (s, d) => graft.ops.Web.templateFingerprint(
+          spread(documents(s, d)).withColumn("html", expr(HtmlTemplSql)),
+          "doc_id", "html")
+        .groupBy("tpl_hash")
+        .agg(count(lit(1)).cast("long").as("n_pages"),
+          min(col("doc_id")).as("exemplar_id"))
+        .orderBy("tpl_hash"))
   )
 }

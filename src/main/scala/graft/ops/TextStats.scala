@@ -893,6 +893,56 @@ object TextStats {
       >= 0L""")
   }
 
+  /** Gopher-style heuristic rule bundle (the Rae et al. 2021 quality
+    * filters, exact integer form) — the rule set most public pipelines
+    * (Gopher, MassiveText, RefinedWeb, Dolma) apply before any model
+    * gate. Five rules, each an integer-ratio feature with its
+    * pass/fail boolean, plus the conjunction:
+    *   - `r_wordcount` `minTokens <= n_tok <= maxTokens`
+    *   - `r_wordlen`   mean word length within [min,max] millichars
+    *   - `r_symbols`   '#' chars + '...' runs per token <= cap ppm
+    *   - `r_stopwords` at least `minStopKinds` DISTINCT stopwords
+    *   - `r_alpha`     words containing a letter >= floor ppm
+    * Emit-all audit form (every rule's verdict survives — the shape a
+    * filter-rate report needs); filter on `pass` to apply. Pure
+    * per-row projection, no shuffle; docs with zero tokens are
+    * excluded like [[qualityLogit]].
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minMwlMilli: Long = 3000, maxMwlMilli: Long = 10000,
+                  maxSymbolPpm: Long = 100000, minStopKinds: Int = 2,
+                  minAlphaPpm: Long = 800000,
+                  stopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have",
+                      "with", "a")): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val n = s"size(split($textCol, ' '))"
+    docs
+      .filter(size(words(col(textCol))) >= 1)
+      .select(col(idCol),
+        expr(s"cast($n as bigint)").as("n_tok"),
+        expr(s"(1000L * (length($textCol) - $n + 1)) div $n").as("mwl_milli"),
+        expr(s"""(1000000L * ((length($textCol) -
+            length(replace($textCol, '#', ''))) +
+          ((length($textCol) - length(replace($textCol, '...', ''))) div 3)))
+          div $n""").as("sym_ppm"),
+        expr(s"cast(size(array_intersect(array_distinct(split($textCol, ' ')), " +
+          s"array($sw))) as bigint)").as("stop_kinds"),
+        expr(s"(1000000L * size(filter(split($textCol, ' '), " +
+          s"x -> x rlike '[a-zA-Z]'))) div $n").as("alpha_ppm"))
+      .withColumn("r_wordcount",
+        col("n_tok").between(minTokens, maxTokens))
+      .withColumn("r_wordlen",
+        col("mwl_milli").between(minMwlMilli, maxMwlMilli))
+      .withColumn("r_symbols", col("sym_ppm") <= maxSymbolPpm)
+      .withColumn("r_stopwords", col("stop_kinds") >= minStopKinds)
+      .withColumn("r_alpha", col("alpha_ppm") >= minAlphaPpm)
+      .withColumn("pass",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbols") &&
+          col("r_stopwords") && col("r_alpha"))
+  }
+
   def qualityLogit(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String] = Seq("a", "the"),
                    w: LogitWeights = LogitWeights()): DataFrame = {

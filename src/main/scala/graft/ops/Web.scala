@@ -167,6 +167,23 @@ object Web {
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** Structural TEMPLATE fingerprint: the 60-bit hash of a page's
+    * opening-tag sequence (`<html><body><h1>...` -> "html body h1 ...")
+    * — pages emitted by the same generator share it even when their
+    * text is entirely different, so grouping by it finds template
+    * families (SEO farms, mirror skins, boilerplate shells) that
+    * text-level near-dup never pairs. Scan-side regex + one hash; the
+    * downstream group-by is a high-cardinality key aggregate. Closing
+    * tags are deliberately excluded — generators vary self-closing
+    * style, the opening skeleton is the stable signature.
+    */
+  def templateFingerprint(docs: DataFrame, idCol: String,
+                          htmlCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.Pipeline.wordHash60(array_join(
+        expr(s"regexp_extract_all($htmlCol, '<([a-zA-Z][a-zA-Z0-9]*)', 1)"),
+        " ")).as("tpl_hash"))
+
   /** Entity subset decoded by [[htmlExtract]] — `&amp;` last so an
     * `&amp;lt;` stays a literal `&lt;` (single-pass semantics).
     */

@@ -1460,4 +1460,43 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 9L, "link chars = len('bold link')")
     assert(r.getLong(4) == 1000000L * 9 / 40)
   }
+
+  test("gopherRules: each rule trips on its target document") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over a lazy dog while seven " +
+      "wizards brew strong potions at dawn and they chant of old rites " +
+      "that have kept with time ") * 2 + "end word here now"  // > 50 tokens
+    val docs = Seq(
+      (1L, good),                                   // passes all
+      (2L, "the a short doc"),                      // fails wordcount only
+      (3L, good + " ### ### ### ### ### ### ### ### ### ### ### ### " +
+        "### ### ### ### ### ### ### ###"),         // fails symbols
+      (4L, (1 to 60).map(_.toString).mkString(" ") + " the a"), // fails alpha
+      (5L, Seq.fill(12)("wizard potion spell rune glyph")
+        .mkString(" ")))                            // 60 tokens, no stopwords
+      .toDF("doc_id", "text")
+    val res = graft.ops.TextStats.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))
+      .toMap
+    assert(res(1L) == ((true, true, true, true, true, true)))
+    assert(!res(2L)._1 && !res(2L)._6 && res(2L)._3 && res(2L)._4)
+    assert(!res(3L)._3, "symbol-heavy doc must fail r_symbols")
+    assert(!res(4L)._5, "digit doc must fail r_alpha")
+    assert(!res(5L)._4, "stopword-stripped doc must fail r_stopwords")
+  }
+
+  test("templateFingerprint: same skeleton different text -> same hash; " +
+    "one extra tag -> different hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><body><p>alpha text</p></body></html>"),
+      (2L, "<html><body><p>totally different words</p></body></html>"),
+      (3L, "<html><body><p>alpha text</p><img src='x'/></body></html>"))
+      .toDF("doc_id", "html")
+    val h = graft.ops.Web.templateFingerprint(docs, "doc_id", "html")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "text must not affect the template hash")
+    assert(h(1L) != h(3L), "an extra tag must change the template hash")
+  }
 }

@@ -1257,7 +1257,20 @@ class PipelineSpec extends AnyFunSuite {
     val a = CorpusPipeline.audit(docs, nShards = 8)
     assert(a.keySet == Set("card", "length_histogram", "shard_balance",
       "source_divergence", "source_entropy", "frequency_spectrum",
-      "cluster_sizes"))
+      "distinct_tokens", "cluster_sizes"))
+    // sketch member: per-source vocab is ~31 (< k=64), so the KMV
+    // estimate is EXACT here — equal to the true distinct count
+    val est = a("distinct_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(
+          graft.Pipeline.words(org.apache.spark.sql.functions.col("text")))
+          .as("w"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.countDistinct("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact)
     // spot-check two members against the standalone operators
     val tot = graft.ops.TextStats.totalTokens(docs, "text")
     val standaloneDiv = graft.ops.TextStats

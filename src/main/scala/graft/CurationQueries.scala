@@ -163,6 +163,18 @@ object CurationQueries {
         CAST(doc_id % 9 AS STRING) || '">' || source ||
         ' more &amp; more</a>&nbsp;tail</body></html>'"""
 
+  // q168 script plants (unicode escapes here, chr() composition in the
+  // oracle via [[sqlStr]] — identical code points both sides).
+  private val ScriptPlantCjk =
+    "\u6df1\u5ea6 \u5b66\u4e60 \u6a21\u578b \u8bad\u7ec3 \u6570\u636e"
+  private val ScriptPlantCyr =
+    "\u043e\u0431\u0443\u0447\u0435\u043d\u0438\u0435 " +
+      "\u043c\u043e\u0434\u0435\u043b\u0435\u0439 \u043d\u0430 " +
+      "\u0434\u0430\u043d\u043d\u044b\u0445 \u0432\u0430\u0436\u043d\u043e"
+  private val ScriptPlantMix =
+    "model \u5b66\u4e60 \u043e\u0431\u0443\u0447\u0435\u043d\u0438\u0435 " +
+      "123 train"
+
   // q167 synthetic HTML: the tag SKELETON varies on doc_id % 3 (nav
   // block) and % 4 (image+caption) -> four template families whose
   // member texts all differ. Shared verbatim.
@@ -1175,6 +1187,54 @@ object CurationQueries {
         .groupBy("tpl_hash")
         .agg(count(lit(1)).cast("long").as("n_pages"),
           min(col("doc_id")).as("exemplar_id"))
-        .orderBy("tpl_hash"))
+        .orderBy("tpl_hash")),
+
+    // Unicode-script mix profile ([[ops.TextStats.scriptProfile]]):
+    // per-doc ppm of non-space chars in Latin / BMP-CJK / Cyrillic /
+    // digit ranges — the language-ID complement (an "en" doc that is
+    // 40% CJK is mislabeled or spam). Explicit code-point RANGES, not
+    // \\p{script=...} classes whose names differ per regex dialect.
+    // The ASCII corpus is all-Latin, so three plants (chr-composed in
+    // the oracle, escape-composed in Scala — identical code points)
+    // exercise the CJK, Cyrillic, and mixed-script paths.
+    QueryDef("q168_script_profile",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(950001 AS BIGINT), ${sqlStr(ScriptPlantCjk)}),
+            (CAST(950002 AS BIGINT), ${sqlStr(ScriptPlantCyr)}),
+            (CAST(950003 AS BIGINT), ${sqlStr(ScriptPlantMix)})) v(doc_id, text)),
+        f AS (SELECT doc_id,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+                CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS lat,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[' || chr(19968) || '-' || chr(40959) || ']', '', 'g')) AS BIGINT) AS cjk,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g')) AS BIGINT) AS cyr,
+                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dig
+              FROM corpus)
+        SELECT doc_id, n_chars,
+               (1000000 * lat) // greatest(n_chars, 1) AS latin_ppm,
+               (1000000 * cjk) // greatest(n_chars, 1) AS cjk_ppm,
+               (1000000 * cyr) // greatest(n_chars, 1) AS cyrillic_ppm,
+               (1000000 * dig) // greatest(n_chars, 1) AS digit_ppm
+        FROM f ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(950001L, 950003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q168's planted id range " +
+            "(950001-950003); re-site the plants")
+        val planted = Seq((950001L, ScriptPlantCjk), (950002L, ScriptPlantCyr),
+          (950003L, ScriptPlantMix)).toDF("doc_id", "text")
+        graft.ops.TextStats.scriptProfile(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      })
   )
 }

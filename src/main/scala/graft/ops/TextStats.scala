@@ -943,6 +943,40 @@ object TextStats {
           col("r_stopwords") && col("r_alpha"))
   }
 
+  /** Unicode-SCRIPT mix profile: per doc, the ppm of non-space
+    * characters that are Latin letters, CJK ideographs, Cyrillic
+    * letters, and ASCII digits — the script-mix signal multilingual
+    * curation keys on, complementing a language-ID label (an "en" doc
+    * that is 40% CJK is mislabeled, mixed boilerplate, or spam; a "zh"
+    * corpus slice with low CJK ppm is mojibake suspect).
+    *
+    * Counts are regexp-removal arithmetic over explicit CODE-POINT
+    * RANGES (BMP CJK U+4E00-U+9FFF, Cyrillic U+0400-U+04FF) — not
+    * `\\p{script=...}` classes, whose dialect names differ between
+    * regex engines; ranges behave identically everywhere. Pure per-row
+    * projection. Output: id, n_chars (non-space), latin_ppm, cjk_ppm,
+    * cyrillic_ppm, digit_ppm.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def removed(cls: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast(LongType)
+    docs
+      .select(col(idCol),
+        length(regexp_replace(col(textCol), " ", "")).cast(LongType)
+          .as("n_chars"),
+        removed("[A-Za-z]").as("_lat"),
+        removed("[\u4e00-\u9fff]").as("_cjk"),
+        removed("[\u0400-\u04ff]").as("_cyr"),
+        removed("[0-9]").as("_dig"))
+      .select(col(idCol), col("n_chars"),
+        expr("(1000000L * _lat) div greatest(n_chars, 1)").as("latin_ppm"),
+        expr("(1000000L * _cjk) div greatest(n_chars, 1)").as("cjk_ppm"),
+        expr("(1000000L * _cyr) div greatest(n_chars, 1)").as("cyrillic_ppm"),
+        expr("(1000000L * _dig) div greatest(n_chars, 1)").as("digit_ppm"))
+  }
+
   def qualityLogit(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String] = Seq("a", "the"),
                    w: LogitWeights = LogitWeights()): DataFrame = {

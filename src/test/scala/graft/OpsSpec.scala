@@ -1499,4 +1499,22 @@ class OpsSpec extends AnyFunSuite {
     assert(h(1L) == h(2L), "text must not affect the template hash")
     assert(h(1L) != h(3L), "an extra tag must change the template hash")
   }
+
+  test("scriptProfile: pure and mixed-script docs profile exactly") {
+    import spark.implicits._
+    val mix = "model \u5b66\u4e60 " +
+      "\u043e\u0431\u0443\u0447\u0435\u043d\u0438\u0435 123 train"
+    val docs = Seq(
+      (1L, "\u6df1\u5ea6 \u5b66\u4e60"),  // 4 CJK chars
+      (2L, mix))                           // 10 latin, 2 cjk, 8 cyr, 3 digit
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextStats.scriptProfile(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap
+    assert(r(1L) == ((4L, 0L, 1000000L, 0L, 0L)))
+    val n = 23L
+    assert(r(2L) == ((n, 1000000L * 10 / n, 1000000L * 2 / n,
+      1000000L * 8 / n, 1000000L * 3 / n)))
+  }
 }

@@ -178,8 +178,32 @@ object Bench {
     val probeSlowFrac =
       if (probeXs.isEmpty || probeMed <= 0) 0.0
       else probeXs.count(_ > 2 * probeMed).toDouble / probeXs.length
-    val contended = probeSlowFrac > 0.10
-    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","probe_median_sec":${fmt(probeMed)},"probe_drift_pct":${math.round(probeDrift * 100)},"probe_slow_frac_pct":${math.round(probeSlowFrac * 100)},"contended":$contended,"failed":$failedJson}"""
+    // CROSS-RUN weather: within-run drift misses a box that is
+    // UNIFORMLY slower than when the last committed record was taken
+    // (round-10 measurement: two clean runs at 1.3-1.5x the round-9
+    // medians on untouched queries, probes flat — sustained co-tenant
+    // load looks like a regression without an absolute anchor). The
+    // probe plan is frozen, so its median against the PREVIOUS run's
+    // detail file is that anchor: probe_vs_prev_pct > ~25 means
+    // "slower weather than the committed baseline", and per-query
+    // comparisons against history should be scaled accordingly.
+    val historyDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "/root/repo/bench_history"))
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val detailPath = historyDir.resolve(s"detail_$sfName.json")
+    val prevProbe: Option[Double] =
+      try {
+        val txt = java.nio.file.Files.readString(detailPath)
+        """"probe_median_sec":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val probeVsPrevPct: Option[Long] = prevProbe
+      .filter(_ => probeMed > 0)
+      .map(p => math.round((probeMed / p - 1) * 100))
+    val probeVsPrevJson = probeVsPrevPct.map(_.toString).getOrElse("null")
+    val contended = probeSlowFrac > 0.10 ||
+      probeVsPrevPct.exists(_ > 25)
+    val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","probe_median_sec":${fmt(probeMed)},"probe_drift_pct":${math.round(probeDrift * 100)},"probe_slow_frac_pct":${math.round(probeSlowFrac * 100)},"probe_vs_prev_pct":$probeVsPrevJson,"contended":$contended,"failed":$failedJson}"""
     val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct,n_passes]":$detailJson}"""
     println(detailLine)
     println(machineLine)
@@ -189,17 +213,15 @@ object Bench {
     // committed each round, so the NEXT round can always diff complete
     // per-query medians via git history regardless of stdout capture.
     try {
-      val dir = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "/root/repo/bench_history"))
-      java.nio.file.Files.createDirectories(dir)
-      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      java.nio.file.Files.createDirectories(historyDir)
       // probe_times preserves the full weather series in run order, so
       // a contended window is attributable to the queries measured
       // inside it (probe i brackets query i in sorted-name order)
       val probeJson = probeXs.map(fmt).mkString("[", ",", "]")
-      java.nio.file.Files.writeString(dir.resolve(s"detail_$sfName.json"),
+      java.nio.file.Files.writeString(detailPath,
         s"""{"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"total_sec":${fmt(total)},""" +
           s""""probe_median_sec":${fmt(probeMed)},"probe_drift_pct":${math.round(probeDrift * 100)},""" +
+          s""""probe_vs_prev_pct":$probeVsPrevJson,""" +
           s""""contended":$contended,"probe_times":$probeJson,""" +
           s""""failed":$failedJson,"queries":$detailJson}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>

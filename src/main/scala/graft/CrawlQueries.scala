@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 third batch (q169+): crawl-graph and stream-shaping
+  * operators — intra-host duplication, host language composition,
+  * HITS hubs/authorities, the outlink host graph ranked by PageRank,
+  * GPT-style context-window blocking, freshness-decay weighting, and
+  * the Gopher within-doc repetition bundle.
+  *
+  * Same oracle discipline as the earlier batches: integer arithmetic
+  * wherever a float would be order- or rounding-sensitive, md5-hash
+  * determinism for every sampling decision, and DuckDB mirrors that
+  * replay the identical math (iterative rankings unroll as chained
+  * CTEs — the q125/q148 technique).
+  */
+object CrawlQueries {
+  import Tables._
+
+  // Oracle mirror of Pipeline.wordHash32 (the md5-slot recipe).
+  private def hash32Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
+                    (a, b) -> a*16 + b)"""
+
+  // Synthetic per-doc URL (the q152 discipline: the corpus has no URL
+  // column, so the derivation is deterministic and shared VERBATIM by
+  // engine and oracle). ~7 hosts per source.
+  private val SynthUrlSql = """
+        (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        source || '-' || CAST(doc_id % 7 AS STRING) || '.example.com' ||
+        '/docs/' || CAST(doc_id AS STRING)"""
+
+  // q169 plants: three copies of one text — two on the SAME host
+  // (960001 and 960008 share doc_id % 7 = 1 and source 'src0'), one
+  // alone on another host (960003 % 7 = 3): the intra-host rule must
+  // count the co-hosted pair and spare the lone cross-host copy.
+  private val DupPlantText = "planted duplicate page body for host audit"
+
+  // q172 synthetic page HTML: two absolute cross-host links (a ring
+  // link to the source's next host and, on doc_id % 3 = 0, a link to
+  // the shared 'hub.example.com') plus one RELATIVE link that resolves
+  // to the page's own host and must drop as a self-edge.
+  private val LinkHtmlSql = """
+        '<p>body</p><a href="https://' || source || '-' ||
+        CAST((doc_id + 1) % 7 AS STRING) ||
+        '.example.com/p">ring</a> <a href="/local/nav">self</a>' ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN ' <a href="https://hub.example.com/h">hub</a>'
+              ELSE '' END)"""
+
+  // Oracle mirror of ops.Web.host (the same regex, literally).
+  private val HostSql =
+    s"lower(regexp_extract(url, '${graft.ops.Web.HostRegex}', 1))"
+
+  // q175 plant: a degenerate chorus doc that trips BOTH repetition
+  // rules (top-2-gram chars and duplicated-5-gram chars); the natural
+  // corpus exercises the non-degenerate path.
+  private val RepPlantText =
+    Seq.fill(12)("buy now buy now limited offer").mkString(" ")
+
+  // One HITS iteration as chained CTEs (the integer normalize-by-
+  // micro-total form of ops.Graph.hits): ar/at = raw authority sums +
+  // total, a = normalized over the full node set; hr/ht/h mirror for
+  // hubs. Every SUM casts to BIGINT up front (DuckDB SUM(BIGINT) is
+  // HUGEINT, a representation mismatch the checker flags).
+  private def hitsIter(i: Int): String = s"""
+        ar$i AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS s
+                 FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+        at$i AS (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t FROM ar$i),
+        a$i AS (SELECT n.node,
+                  CAST(COALESCE(ar.s, 0) // greatest(t // 1000000, 1) AS BIGINT) AS a
+                FROM n LEFT JOIN ar$i ar ON ar.node = n.node CROSS JOIN at$i),
+        hr$i AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS s
+                 FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+        ht$i AS (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t FROM hr$i),
+        h$i AS (SELECT n.node,
+                  CAST(COALESCE(hr.s, 0) // greatest(t // 1000000, 1) AS BIGINT) AS h
+                FROM n LEFT JOIN hr$i hr ON hr.node = n.node CROSS JOIN ht$i)"""
+
+  // One integer-PageRank iteration over host-string nodes (the q125
+  // milli-unit recipe, node type changed).
+  private def prIter(prev: String, name: String): String = s"""
+        $name AS (SELECT n.node,
+                    CAST(150 + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS pr
+                  FROM n LEFT JOIN (
+                    SELECT e.dst AS node, CAST(SUM(p.pr // d.deg) AS BIGINT) AS s
+                    FROM e JOIN $prev p ON p.node = e.src
+                    JOIN deg d ON d.src = e.src GROUP BY e.dst) s
+                  ON s.node = n.node)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Intra-host exact-duplication report ([[ops.Web.hostDupStats]]):
+    // per host, docs whose md5 content digest repeats WITHIN the host
+    // — the "template-y host" downweight signal, caught before any
+    // text-level near-dup is paid for. The sf-corpus texts are all
+    // distinct, so three plants exercise the rule: two copies co-hosted
+    // (counted), a third copy alone on another host (spared — exact
+    // cross-host duplication is q24's jurisdiction, not this report's).
+    QueryDef("q169_host_dup",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(960001 AS BIGINT), 'src0', '$DupPlantText'),
+            (CAST(960008 AS BIGINT), 'src0', '$DupPlantText'),
+            (CAST(960003 AS BIGINT), 'src0', '$DupPlantText')) v(doc_id, source, text)),
+        u AS (SELECT doc_id, text, $SynthUrlSql AS url FROM corpus),
+        h AS (SELECT $HostSql AS host, md5(text) AS dig FROM u),
+        g AS (SELECT host, dig, CAST(COUNT(*) AS BIGINT) AS n
+              FROM h GROUP BY host, dig)
+        SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               CAST((1000000 * SUM(CASE WHEN n >= 2 THEN n ELSE 0 END))
+                 // SUM(n) AS BIGINT) AS dup_ppm
+        FROM g GROUP BY host ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").isin(960001L, 960008L, 960003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q169's planted ids; re-site the plants")
+        val planted = Seq((960001L, "src0", DupPlantText),
+          (960008L, "src0", DupPlantText), (960003L, "src0", DupPlantText))
+          .toDF("doc_id", "source", "text")
+        graft.ops.Web.hostDupStats(
+            spread(documents(s, d)).select("doc_id", "source", "text")
+              .unionAll(planted)
+              .withColumn("url", expr(SynthUrlSql)),
+            "url", "text")
+          .orderBy("host")
+      }),
+
+    // Host × language composition ([[ops.Web.hostLangProfile]]): per
+    // (host, lang) doc count and its integer-ppm share of the host —
+    // the host-granularity mislabeling/mixed-content screen (a host
+    // splitting 60/40 across languages is boilerplate-wrapped or
+    // mislabeled). One bounded aggregate + a host-partitioned share
+    // window over rows bounded by the language count.
+    QueryDef("q170_host_lang_mix",
+      Some(s"""
+        WITH u AS (SELECT doc_id, lang, $SynthUrlSql AS url FROM documents),
+        g AS (SELECT $HostSql AS host, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM u GROUP BY 1, 2)
+        SELECT host, lang, n_docs,
+               CAST((1000000 * n_docs) //
+                 CAST(SUM(n_docs) OVER (PARTITION BY host) AS BIGINT) AS BIGINT)
+                 AS share_ppm
+        FROM g ORDER BY host, lang"""),
+      (s, d) => graft.ops.Web.hostLangProfile(
+          spread(documents(s, d)).withColumn("url", expr(SynthUrlSql)),
+          "url", "lang")
+        .orderBy("host", "lang")),
+
+    // HITS hubs and authorities ([[ops.Graph.hits]]) over the DIRECTED
+    // customer -> supplier trade graph (the q148 graph): customers are
+    // pure hubs, suppliers pure authorities — the bipartite shape HITS
+    // separates and PageRank conflates. 3 fixed iterations in integer
+    // micro-units; the normalizer divides the TOTAL down to micro-scale
+    // first (`raw div max(1, total div 1e6)`), so no intermediate ever
+    // multiplies an unbounded sum — overflow-safe to ~9e12 nodes. The
+    // oracle unrolls all 3 iterations as chained CTEs, bit-exact.
+    QueryDef("q171_hits",
+      Some(s"""
+        WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+        ${hitsIter(1)},${hitsIter(2)},${hitsIter(3)}
+        SELECT n.node, h3.h AS hub, a3.a AS auth
+        FROM n JOIN h3 ON h3.node = n.node JOIN a3 ON a3.node = n.node
+        ORDER BY n.node"""),
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.ops.Graph.hits(edges, iters = 3).orderBy("node")
+      }),
+
+    // Crawl-derived host authority ([[ops.Web.outlinkHostEdges]] +
+    // [[ops.Graph.pageRank]]): hrefs lifted from raw page HTML,
+    // absolute links resolving to their own host and relative links to
+    // the page's host (dropping as self-edges), distinct cross-host
+    // edges ranked by 3-iteration integer PageRank — the Common-Crawl-
+    // style domain ranking that seeds crawl frontiers and source
+    // weights. The synthetic pages link each host to the source's next
+    // host (a ring) and every third page to a shared hub, which must
+    // surface as the top-ranked authority. The oracle replays the
+    // extraction, the resolution rule, and the unrolled iterations.
+    QueryDef("q172_host_graph_rank",
+      Some(s"""
+        WITH u AS (SELECT doc_id, source, $SynthUrlSql AS url,
+                          $LinkHtmlSql AS html
+                   FROM documents),
+        x AS (SELECT $HostSql AS src, unnest(regexp_extract_all(html,
+                '<[aA][^>]* href="([^"]*)"', 1)) AS href
+              FROM u),
+        r AS (SELECT src,
+                CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN lower(regexp_extract(href, '${graft.ops.Web.HostRegex}', 1))
+                     ELSE src END AS dst
+              FROM x),
+        e AS (SELECT DISTINCT src, dst FROM r
+              WHERE src <> '' AND dst <> '' AND src <> dst),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        p0 AS (SELECT node, CAST(1000 AS BIGINT) AS pr FROM n),
+        ${prIter("p0", "p1")},${prIter("p1", "p2")},${prIter("p2", "p3")}
+        SELECT node AS host, pr FROM p3 ORDER BY host"""),
+      (s, d) => {
+        val pages = spread(documents(s, d))
+          .withColumn("url", expr(SynthUrlSql))
+          .withColumn("html", expr(LinkHtmlSql))
+        graft.ops.Graph.pageRank(
+            graft.ops.Web.outlinkHostEdges(pages, "url", "html"), iters = 3)
+          .select(col("node").as("host"), col("pr"))
+          .orderBy("host")
+      }),
+
+    // GPT-style context-window blocking ([[ops.Sampling
+    // .contextBlocks]]): the corpus as ONE token stream in doc_id
+    // order, chopped into 512-token blocks — each doc's stream offset,
+    // the blocks it spans, and the boundary-fragmentation flag (docs
+    // cut by a block boundary train with severed context; their rate is
+    // the metric a blocking review reports). Offsets ride the
+    // hierarchical prefix-sum scaffold, never a single-task global
+    // window; the oracle replays it as one window sum.
+    QueryDef("q173_context_blocks",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+        p AS (SELECT doc_id, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_start
+              FROM t)
+        SELECT doc_id, n_tok, tok_start,
+               tok_start // 512 AS first_block,
+               (tok_start + greatest(n_tok, 1) - 1) // 512 AS last_block,
+               (tok_start + greatest(n_tok, 1) - 1) // 512
+                 - tok_start // 512 + 1 AS n_blocks,
+               ((tok_start + greatest(n_tok, 1) - 1) // 512
+                 - tok_start // 512 + 1) > 1 AS boundary_frag
+        FROM p ORDER BY doc_id"""),
+      (s, d) => graft.ops.Sampling.contextBlocks(
+          spread(documents(s, d)).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "doc_id", "n_tok", ctxLen = 512L)
+        .select("doc_id", "n_tok", "tok_start", "first_block",
+          "last_block", "n_blocks", "boundary_frag")
+        .orderBy("doc_id")),
+
+    // Freshness-decay weighting ([[ops.Sampling.freshnessWeights]]):
+    // each event weighted by a stepwise half-life rule — weight halves
+    // EXACTLY per 7 elapsed days via an integer right-shift (1e6 >>
+    // (age div 7)), bit-identical where a float exp() is not — and kept
+    // by the md5-slot draw at that weight. `asOfDay` is a pinned
+    // constant (day 19760; the corpus spans 19723-19752), never
+    // wall-clock, so the scoring replays deterministically.
+    QueryDef("q174_freshness_decay",
+      Some(s"""
+        WITH e AS (SELECT event_id,
+                     epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        f AS (SELECT event_id,
+                CAST(greatest(0, 19760 - day) AS BIGINT) AS age_days
+              FROM e),
+        w AS (SELECT event_id, age_days,
+                CAST(1000000 >> least(age_days // 7, 62) AS BIGINT) AS weight_ppm
+              FROM f)
+        SELECT event_id, age_days, weight_ppm,
+               ${hash32Sql("CAST(event_id AS VARCHAR)")} % 1000000 < weight_ppm AS kept
+        FROM w ORDER BY event_id"""),
+      (s, d) => graft.ops.Sampling.freshnessWeights(
+          events(s, d).select(col("event_id"),
+            expr("(ts_ns div 1000) div 86400000000").as("_day")),
+          "event_id", col("_day"), asOfDay = 19760L, halfLifeDays = 7L)
+        .select("event_id", "age_days", "weight_ppm", "kept")
+        .orderBy("event_id")),
+
+    // Within-doc repetition bundle ([[ops.TextStats.repetitionRules]]
+    // — the Gopher §A1.1 character-fraction family): chars claimed by
+    // the most frequent 2-gram and by all duplicated 5-grams, in
+    // occurrence-weighted integer ppm, with per-rule verdicts. The
+    // planted chorus doc trips both rules; the natural corpus
+    // exercises the pass path. Ties on the top gram break (count desc,
+    // gram asc) — deterministic on both engines.
+    QueryDef("q175_repetition_rules",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(970001 AS BIGINT), '$RepPlantText'),
+        b AS (SELECT doc_id, string_split(text, ' ') AS w,
+                     CAST(length(text) AS BIGINT) AS n_chars
+              FROM corpus),
+        g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                     FROM b WHERE len(w) >= 2)),
+        c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n
+               FROM g2 GROUP BY doc_id, g),
+        t2 AS (SELECT doc_id, n * length(g) AS charge,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY n DESC, g) AS rn
+               FROM c2),
+        top2 AS (SELECT doc_id, charge FROM t2 WHERE rn = 1),
+        g5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+               FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                     FROM b WHERE len(w) >= 5)),
+        c5 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n
+               FROM g5 GROUP BY doc_id, g),
+        dup5 AS (SELECT doc_id, CAST(SUM(n * length(g)) AS BIGINT) AS charge
+                 FROM c5 WHERE n >= 2 GROUP BY doc_id)
+        SELECT b.doc_id, b.n_chars,
+               CAST((1000000 * COALESCE(top2.charge, 0))
+                 // greatest(b.n_chars, 1) AS BIGINT) AS top_ppm,
+               CAST((1000000 * COALESCE(dup5.charge, 0))
+                 // greatest(b.n_chars, 1) AS BIGINT) AS dup_ppm,
+               (1000000 * COALESCE(top2.charge, 0))
+                 // greatest(b.n_chars, 1) <= 200000 AS r_top,
+               (1000000 * COALESCE(dup5.charge, 0))
+                 // greatest(b.n_chars, 1) <= 150000 AS r_dup,
+               ((1000000 * COALESCE(top2.charge, 0))
+                 // greatest(b.n_chars, 1) <= 200000) AND
+               ((1000000 * COALESCE(dup5.charge, 0))
+                 // greatest(b.n_chars, 1) <= 150000) AS pass
+        FROM b LEFT JOIN top2 ON top2.doc_id = b.doc_id
+               LEFT JOIN dup5 ON dup5.doc_id = b.doc_id
+        ORDER BY b.doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id") === 970001L).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q175's planted id; re-site the plant")
+        val planted = Seq((970001L, RepPlantText)).toDF("doc_id", "text")
+        graft.ops.TextStats.repetitionRules(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      })
+  )
+}

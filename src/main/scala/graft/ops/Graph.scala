@@ -178,4 +178,93 @@ object Graph {
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node"))
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
+
+  /** HITS hubs-and-authorities over a DIRECTED edge list `(src, dst)`,
+    * fixed iteration count, integer micro-units — the second classic
+    * link-analysis ranking (Kleinberg 1999), and the one that fits
+    * naturally BIPARTITE curation graphs (pages ↔ domains, documents ↔
+    * sources, customers ↔ suppliers) where PageRank's single score
+    * conflates the two roles: a good HUB points at good authorities, a
+    * good AUTHORITY is pointed at by good hubs.
+    *
+    * Per iteration (h starts at 1e6 per node):
+    *
+    *   a_raw(v) = sum over (u,v) edges of h(u)
+    *   a(v)     = a_raw(v) div max(1, (sum of a_raw) div 1e6)
+    *   h_raw(u) = sum over (u,v) edges of a(v)
+    *   h(u)     = h_raw(u) div max(1, (sum of h_raw) div 1e6)
+    *
+    * The normalizer divides the TOTAL down to micro-scale first and
+    * then divides each node by it — every intermediate stays below
+    * `n * 1e6` (no `1e6 * unbounded-sum` multiply), so the arithmetic
+    * cannot overflow BIGINT until ~9e12 nodes; every step is an exact
+    * integer op, order-independent and bit-identical across engines /
+    * partitionings / retries. L1-style normalization (classic HITS uses
+    * L2) keeps it integer-exact; the RANKING is what HITS is for, and
+    * per-iteration normalization only rescales.
+    *
+    * Scale shape: the edge list is persisted twice, pre-partitioned on
+    * each join key (`src` for the authority step, `dst` for the hub
+    * step), so each iteration is two nodes-sized rank shuffles against
+    * exchange-free edge joins + two map-side-combined sums; the two
+    * totals ride broadcast one-row frames (no driver actions in the
+    * loop — the q148 discipline). Each iteration's raw-sum frame is
+    * referenced twice (its total + the normalized scores), so it gets a
+    * LAZY persist to keep lineage linear (the doubled-lineage lesson).
+    *
+    * Output: `(node, hub, auth)` in micro-units. Nodes with no
+    * out-edges have hub 0; no in-edges, auth 0. Use
+    * [[hitsReleasable]] in long-lived sessions.
+    */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame =
+    hitsReleasable(edges, iters)._1
+
+  /** [[hits]] plus the release handle for every cache the loop pins
+    * (two edge frames, the node set, and 2×iters raw-sum frames).
+    */
+  def hitsReleasable(edges: DataFrame, iters: Int = 3)
+      : (DataFrame, () => Unit) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"))
+    val eSrc = e.repartition(col("src")).persist(disk)
+    val eDst = e.repartition(col("dst")).persist(disk)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).persist(disk)
+    val iterCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // one normalized step: raw-sum frame -> (node, outCol) over the full
+    // node set (missing nodes score 0, but stay in the frame so the
+    // other role's next join sees them)
+    def step(rawIn: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val raw = rawIn.persist(disk)
+      iterCaches += raw
+      val tot = raw.agg(coalesce(sum(col(rawCol)), lit(0L)).as("_tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"coalesce($rawCol, 0L) div greatest(_tot div 1000000, 1L)")
+            .as(outCol))
+    }
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      a = step(
+        eSrc.join(h, eSrc("src") === h("node"))
+          .select(col("dst").as("node"), col("h").as("_c"))
+          .groupBy(col("node")).agg(sum(col("_c")).as("_a_raw")),
+        "_a_raw", "a")
+      h = step(
+        eDst.join(a, eDst("dst") === a("node"))
+          .select(col("src").as("node"), col("a").as("_c"))
+          .groupBy(col("node")).agg(sum(col("_c")).as("_h_raw")),
+        "_h_raw", "h")
+    }
+    (h.join(a, Seq("node")).select(col("node"), col("h").as("hub"),
+        col("a").as("auth")),
+      () => {
+        eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
+        iterCaches.foreach(_.unpersist()); ()
+      })
+  }
 }

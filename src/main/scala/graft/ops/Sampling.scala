@@ -417,4 +417,74 @@ object Sampling {
     (pref.withColumn("bin", expr(s"_cum_before div $budget"))
       .drop("_cum_before"), release)
   }
+
+  /** GPT-style CONTEXT-WINDOW blocking: the corpus is one token stream
+    * (docs concatenated in `idCol` order) chopped into fixed
+    * `ctxLen`-token blocks — the shape a pretraining data loader
+    * actually consumes, where [[packSequences]] bins whole docs. Each
+    * doc gets its stream offset and the blocks it lands in:
+    *
+    *   - `tok_start`    exclusive prefix sum of `tokensCol`
+    *   - `first_block`  `tok_start div ctxLen`
+    *   - `last_block`   `(tok_start + max(n,1) - 1) div ctxLen`
+    *   - `n_blocks`     blocks spanned; `boundary_frag` = spans > 1 —
+    *     the fraction of frag docs is the attention-contamination /
+    *     truncation metric a blocking review reports (docs cut by a
+    *     block boundary train with severed context).
+    *
+    * The offsets come from [[Hierarchical.prefixSum]] (range slices +
+    * broadcast offsets — never a single-task global window), and every
+    * derived column is exact integer division. Zero-token docs occupy
+    * their start block nominally (n_blocks 1). Same release contract
+    * as [[packSequencesReleasable]].
+    */
+  def contextBlocksReleasable(df: DataFrame, idCol: String,
+                              tokensCol: String, ctxLen: Long,
+                              chunks: Int = 0): (DataFrame, () => Unit) = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    val (pref, release) = Hierarchical.prefixSum(df,
+      Seq(col(idCol)), Seq.empty, col(tokensCol), "tok_start", chunks)
+    (pref
+      .withColumn("first_block", expr(s"tok_start div $ctxLen"))
+      .withColumn("last_block",
+        expr(s"(tok_start + greatest($tokensCol, 1L) - 1L) div $ctxLen"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1L)
+      .withColumn("boundary_frag", col("n_blocks") > 1L), release)
+  }
+
+  /** Handle-less [[contextBlocksReleasable]] for one-shot jobs. */
+  def contextBlocks(df: DataFrame, idCol: String, tokensCol: String,
+                    ctxLen: Long, chunks: Int = 0): DataFrame =
+    contextBlocksReleasable(df, idCol, tokensCol, ctxLen, chunks)._1
+
+  /** Freshness-DECAY weighting: emit-all audit frame scoring each row
+    * by its age under a stepwise half-life rule —
+    *
+    *   `age_days`   = max(0, asOfDay − dayCol)   (future rows age 0)
+    *   `weight_ppm` = 1e6 >> min(age_days div halfLifeDays, 62)
+    *   `kept`       = md5-slot(id) % 1e6 < weight_ppm
+    *
+    * — the recency bias every news/web refresh applies (a row one
+    * half-life old keeps with p=1/2, two with p=1/4...). The shift
+    * halves EXACTLY per elapsed half-life: a stepwise integer
+    * exponential that is bit-identical across engines, where
+    * `exp(-age*ln2/h)` through floats is not. `dayCol` is an integer
+    * epoch day (micros div 86400e6, the [[Events.cohortRetention]]
+    * convention); `asOfDay` is an explicit parameter — never wall-clock
+    * — so the scoring replays deterministically. Pure scan-side
+    * projection, zero shuffle; filter on `kept` to apply, or feed
+    * `weight_ppm` to mix design.
+    */
+  def freshnessWeights(df: DataFrame, idCol: String, dayCol: Column,
+                       asOfDay: Long, halfLifeDays: Long): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    df
+      .withColumn("age_days", greatest(lit(0L), lit(asOfDay) - dayCol))
+      .withColumn("weight_ppm",
+        expr(s"shiftright(1000000L, " +
+          s"cast(least(age_days div ${halfLifeDays}L, 62L) as int))"))
+      .withColumn("kept",
+        pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+          lit(1000000L)) < col("weight_ppm"))
+  }
 }

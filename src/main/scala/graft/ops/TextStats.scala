@@ -943,6 +943,70 @@ object TextStats {
           col("r_stopwords") && col("r_alpha"))
   }
 
+  /** WITHIN-DOC repetition rules (the Gopher §A1.1 character-fraction
+    * family — the complement of [[maxTokenRun]]'s run screen and
+    * [[graft.Pipeline.duplicateTokenFraction]]'s token-share form):
+    *
+    *   - `top_ppm` — characters claimed by the doc's MOST FREQUENT
+    *     `topN`-gram (`count × gram length`, char-fraction ppm): high
+    *     values are chorus/listing/keyword-stuffing docs whose single
+    *     phrase dominates;
+    *   - `dup_ppm` — characters claimed by ALL `dupN`-grams occurring
+    *     >= 2 times in the doc: the diffuse-repetition signal (looping
+    *     generators, boilerplate interleave) a single top gram misses.
+    *
+    * Character claims are OCCURRENCE-weighted: overlapping occurrences
+    * each charge the full gram length (Gopher's published method for
+    * the top-gram rule; its dup-gram interval-union refinement is
+    * deliberately not replicated — the over-count is monotone, so the
+    * FILTER direction is preserved, and the occurrence form is exact
+    * integer and engine-replayable), so ppm can exceed 1e6 on
+    * degenerate docs. The top gram ties break (count desc, gram asc) —
+    * deterministic on every engine.
+    *
+    * Shape: two gram explodes -> two (doc, gram)-keyed counts (map-side
+    * combined; doc-keyed windows/aggs on high-cardinality keys) joined
+    * back to the doc frame. Docs shorter than a gram width score 0 for
+    * that rule and pass it. Output: id, n_chars, top_ppm, dup_ppm,
+    * r_top, r_dup, pass.
+    */
+  def repetitionRules(docs: DataFrame, idCol: String, textCol: String,
+                      topN: Int = 2, dupN: Int = 5,
+                      maxTopPpm: Long = 200000,
+                      maxDupPpm: Long = 150000): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"gram widths must be >= 1: $topN, $dupN")
+    val base = docs.select(col(idCol), words(col(textCol)).as("_w"),
+      length(col(textCol)).cast(LongType).as("n_chars"))
+    def gramCounts(n: Int): DataFrame = base
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(_w) - ${n - 1}), i -> " +
+          s"array_join(slice(_w, i, $n), ' '))")).as("_g"))
+      .groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).cast(LongType).as("_n"))
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_n").desc, col("_g").asc)
+    val top = gramCounts(topN)
+      .withColumn("_rn", row_number().over(topW))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), (col("_n") * length(col("_g"))).as("_top_charge"))
+    val dup = gramCounts(dupN)
+      .filter(col("_n") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("_n") * length(col("_g"))).as("_dup_charge"))
+    base.select(col(idCol), col("n_chars"))
+      .join(top, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        expr("(1000000L * coalesce(_top_charge, 0L)) div greatest(n_chars, 1L)")
+          .as("top_ppm"),
+        expr("(1000000L * coalesce(_dup_charge, 0L)) div greatest(n_chars, 1L)")
+          .as("dup_ppm"))
+      .withColumn("r_top", col("top_ppm") <= maxTopPpm)
+      .withColumn("r_dup", col("dup_ppm") <= maxDupPpm)
+      .withColumn("pass", col("r_top") && col("r_dup"))
+  }
+
   /** Unicode-SCRIPT mix profile: per doc, the ppm of non-space
     * characters that are Latin letters, CJK ideographs, Cyrillic
     * letters, and ASCII digits — the script-mix signal multilingual

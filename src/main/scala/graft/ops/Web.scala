@@ -167,6 +167,81 @@ object Web {
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** Intra-host exact-duplication report: per host, how much of its
+    * content is byte-identical repetition — `(host, n_docs, n_dup_docs,
+    * dup_ppm)` where `n_dup_docs` counts docs whose md5 content digest
+    * appears >= 2 times WITHIN the host. The "template-y host" signal:
+    * a host serving the same page under many URLs (session ids, print
+    * views, mirrors) shows high `dup_ppm` and is a downweight/
+    * cap candidate before any text-level near-dup is paid for.
+    *
+    * Shape: scan-side digest (docs never shuffle their text — 16-byte
+    * digests do), one (host, digest)-keyed count, one host-keyed
+    * rollup. Both aggregates are map-side combined; output is one row
+    * per host.
+    */
+  def hostDupStats(docs: DataFrame, urlCol: String,
+                   textCol: String): DataFrame =
+    docs
+      .select(host(col(urlCol)).as("host"),
+        md5(col(textCol).cast("binary")).as("_dig"))
+      .groupBy(col("host"), col("_dig"))
+      .agg(count(lit(1)).cast(LongType).as("_n"))
+      .groupBy(col("host"))
+      .agg(sum(col("_n")).cast(LongType).as("n_docs"),
+        sum(when(col("_n") >= 2, col("_n")).otherwise(0L))
+          .cast(LongType).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("(1000000L * n_dup_docs) div n_docs"))
+
+  /** Host × language composition: per (host, lang), the doc count and
+    * its share of the host in integer ppm — the mislabeling/mixed-
+    * content screen at host granularity (a host whose pages split
+    * 60/40 across languages is boilerplate-wrapped, mistranslated, or
+    * mislabeled; language-ID audits key on it). One (host, lang)
+    * aggregate + a host-partitioned share window over the aggregated
+    * frame — bounded per host by the language count, never by docs.
+    */
+  def hostLangProfile(docs: DataFrame, urlCol: String,
+                      langCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+    docs
+      .select(host(col(urlCol)).as("host"), col(langCol).as("lang"))
+      .groupBy(col("host"), col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .withColumn("_host_tot", sum(col("n_docs")).over(w))
+      .withColumn("share_ppm", expr("(1000000L * n_docs) div _host_tot"))
+      .drop("_host_tot")
+  }
+
+  /** Outlink HOST GRAPH from raw HTML: one `(src, dst)` edge per
+    * distinct (page-host, linked-host) pair — the input to
+    * [[Graph.pageRank]] / [[Graph.hits]] for crawl-derived domain
+    * authority (the Common-Crawl-style host ranking that seeds crawl
+    * frontiers and source weights).
+    *
+    * `href` values are lifted with one `regexp_extract_all` over
+    * double-quoted anchors; absolute URLs (`scheme://...`) resolve to
+    * their own host, everything else (path-relative, query-relative)
+    * resolves to the PAGE's host. Self-edges (on-site navigation) and
+    * edges with an unparseable end are dropped — the graph is about
+    * cross-host endorsement. Scan-side extract + explode, one distinct
+    * on the (src, dst) pair.
+    */
+  def outlinkHostEdges(docs: DataFrame, urlCol: String,
+                       htmlCol: String): DataFrame = {
+    val srcHost = host(col(urlCol))
+    val hrefs = expr(
+      s"""regexp_extract_all($htmlCol, '<[aA][^>]* href="([^"]*)"', 1)""")
+    docs
+      .select(srcHost.as("src"), explode(hrefs).as("_href"))
+      .withColumn("dst",
+        when(col("_href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+          host(col("_href"))).otherwise(col("src")))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
   /** Structural TEMPLATE fingerprint: the 60-bit hash of a page's
     * opening-tag sequence (`<html><body><h1>...` -> "html body h1 ...")
     * — pages emitted by the same generator share it even when their

@@ -1517,4 +1517,125 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2L) == ((n, 1000000L * 10 / n, 1000000L * 2 / n,
       1000000L * 8 / n, 1000000L * 3 / n)))
   }
+
+  test("hits: hand-iterated bipartite graph, integer-exact") {
+    import spark.implicits._
+    // 1 -> 3, 2 -> 3, 2 -> 4: hubs {1,2}, authorities {3,4}
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = graft.ops.Graph.hits(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // iter1: a_raw(3)=2e6, a_raw(4)=1e6, tot 3e6 -> a(3)=666666, a(4)=333333
+    //        h_raw(1)=666666, h_raw(2)=999999, tot 1666665 -> norm 1
+    // iter2: a_raw(3)=1666665, a_raw(4)=999999, tot 2666664 -> norm 2
+    //        -> a(3)=833332, a(4)=499999
+    //        h_raw(1)=833332, h_raw(2)=1333331, tot 2166663 -> norm 2
+    //        -> h(1)=416666, h(2)=666665
+    assert(r(1L) == ((416666L, 0L)))
+    assert(r(2L) == ((666665L, 0L)))
+    assert(r(3L) == ((0L, 833332L)))
+    assert(r(4L) == ((0L, 499999L)))
+  }
+
+  test("contextBlocks: stream offsets, spans, and the frag flag") {
+    import spark.implicits._
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 50L), (4L, 600L), (5L, 0L))
+      .toDF("doc_id", "n_tok")
+    val r = graft.ops.Sampling.contextBlocks(docs, "doc_id", "n_tok", 512L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("tok_start"), x.getAs[Long]("first_block"),
+          x.getAs[Long]("last_block"), x.getAs[Long]("n_blocks"),
+          x.getAs[Boolean]("boundary_frag"))).toMap
+    assert(r(1L) == ((0L, 0L, 0L, 1L, false)))
+    assert(r(2L) == ((300L, 0L, 1L, 2L, true)), "straddles the 512 boundary")
+    assert(r(3L) == ((600L, 1L, 1L, 1L, false)))
+    assert(r(4L) == ((650L, 1L, 2L, 2L, true)), "600 tokens span two blocks")
+    assert(r(5L) == ((1250L, 2L, 2L, 1L, false)),
+      "zero-token doc occupies its start block nominally")
+  }
+
+  test("freshnessWeights halve exactly per elapsed half-life") {
+    import spark.implicits._
+    val rows = Seq((1L, 100L), (2L, 95L), (3L, 85L), (4L, 60L), (5L, 120L))
+      .toDF("id", "day")
+    val r = graft.ops.Sampling.freshnessWeights(rows, "id", col("day"),
+        asOfDay = 100L, halfLifeDays = 10L)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("age_days"), x.getAs[Long]("weight_ppm"),
+          x.getAs[Boolean]("kept"))).toMap
+    assert(r(1L)._1 == 0L && r(1L)._2 == 1000000L && r(1L)._3,
+      "age 0 keeps everything")
+    assert(r(2L)._2 == 1000000L, "within the first half-life, full weight")
+    assert(r(3L) == ((15L, 500000L, r(3L)._3)))
+    assert(r(4L) == ((40L, 62500L, r(4L)._3)), "4 half-lives = 1/16")
+    assert(r(5L)._1 == 0L && r(5L)._2 == 1000000L && r(5L)._3,
+      "future rows clamp to age 0")
+  }
+
+  test("repetitionRules: hand-computed top-gram and dup-gram charges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y z"),                              // 9 chars
+      (2L, Seq.fill(4)("a b c").mkString(" ")),       // 23 chars, degenerate
+      (3L, "hi"))                                     // too short for any gram
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextStats.repetitionRules(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_chars"), x.getAs[Long]("top_ppm"),
+          x.getAs[Long]("dup_ppm"), x.getAs[Boolean]("pass"))).toMap
+    // doc1: top 2-gram "x y" x2, len 3 -> 6 chars of 9; no dup 5-gram
+    assert(r(1L) == ((9L, 1000000L * 6 / 9, 0L, false)))
+    // doc2: 2-grams "a b"=4 "b c"=4 "c a"=3, tie breaks to "a b" (asc);
+    // 5-grams all duplicated: counts 3+3+2, len 9 -> 72 chars "claimed"
+    // of 23 (occurrence over-count can exceed 1e6 - documented)
+    assert(r(2L) == ((23L, 1000000L * 12 / 23, 1000000L * 72 / 23, false)))
+    // doc3: no grams at either width -> zero charges, passes
+    assert(r(3L) == ((2L, 0L, 0L, true)))
+  }
+
+  test("hostDupStats counts only WITHIN-host digest repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/1", "same text"),
+      (2L, "https://a.com/2", "same text"),
+      (3L, "https://A.com/3", "other text"),   // case-folds into a.com
+      (4L, "https://b.com/1", "same text"))    // lone cross-host copy
+      .toDF("doc_id", "url", "text")
+    val r = graft.ops.Web.hostDupStats(docs, "url", "text")
+      .collect().map(x => x.getAs[String]("host") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_dup_docs"),
+          x.getAs[Long]("dup_ppm"))).toMap
+    assert(r("a.com") == ((3L, 2L, 666666L)))
+    assert(r("b.com") == ((1L, 0L, 0L)),
+      "a cross-host copy is not intra-host duplication")
+  }
+
+  test("hostLangProfile shares sum per host in integer ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/1", "en"), (2L, "https://a.com/2", "en"),
+      (3L, "https://a.com/3", "id"), (4L, "https://b.com/1", "en"))
+      .toDF("doc_id", "url", "lang")
+    val r = graft.ops.Web.hostLangProfile(docs, "url", "lang")
+      .collect().map(x => (x.getAs[String]("host"), x.getAs[String]("lang")) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("share_ppm"))).toMap
+    assert(r(("a.com", "en")) == ((2L, 666666L)))
+    assert(r(("a.com", "id")) == ((1L, 333333L)))
+    assert(r(("b.com", "en")) == ((1L, 1000000L)))
+  }
+
+  test("outlinkHostEdges resolves links and drops self/junk edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://x.com/p",
+        """<a href="https://y.com/a">abs</a> <a href="/rel">rel</a>""" +
+          """ <a href="https://X.COM/self">self</a>""" +
+          """ <a href="HTTPS://Z.com/up">case</a>"""),
+      (2L, "notaurl", """<a href="https://y.com/b">from junk</a>"""))
+      .toDF("doc_id", "url", "html")
+    val edges = graft.ops.Web.outlinkHostEdges(docs, "url", "html")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // relative link -> own host -> self edge dropped; absolute self
+    // link dropped; junk page host '' dropped; host case folds
+    assert(edges == Set(("x.com", "y.com"), ("x.com", "z.com")))
+  }
 }

@@ -188,6 +188,26 @@ object CorpusPipeline {
       Dedup.clusterSizes(docs, idCol, textCol, dedupThreshold))
   }
 
+  /** HOST-level audit bundle — the per-domain review frames a crawl
+    * release publishes, each an oracle-checked operator:
+    *   - `footprint` — [[ops.Web.hostStats]] doc/token volume (q152)
+    *   - `dup`       — [[ops.Web.hostDupStats]] intra-host exact
+    *                   duplication (q169)
+    *   - `lang_mix`  — [[ops.Web.hostLangProfile]] language shares
+    *                   (q170)
+    * All lazy; hosts are high-cardinality keys, so every member is one
+    * map-side-combined aggregate with one output row per host (or per
+    * host × language). Feed `dup`/`footprint` into
+    * [[ops.Web.hostCapSample]] thresholds or a blocklist draft.
+    */
+  def hostAudit(docs: DataFrame, urlCol: String = "url",
+                textCol: String = "text",
+                langCol: String = "lang"): Map[String, DataFrame] =
+    Map(
+      "footprint" -> ops.Web.hostStats(docs, urlCol, textCol),
+      "dup" -> ops.Web.hostDupStats(docs, urlCol, textCol),
+      "lang_mix" -> ops.Web.hostLangProfile(docs, urlCol, langCol))
+
   /** Per-stage surviving counts for [[ingest]] — same observability
     * semantics as [[Report]] (counts can over-count under executor-loss
     * recomputation; the corpus itself is unaffected).

@@ -569,6 +569,62 @@ object Streams {
       .filter(TextStats.qualityLogitKeep("text"))
   }
 
+  case class HostAdmit(doc_id: Long, host: String, seq: Long, ts: Timestamp)
+  // state classes must be encoder-visible (non-private), like
+  // SessionState below
+  case class HostCapState(n: Long, lastMs: Long)
+
+  /** Streaming per-host admission cap: the FIRST `cap` docs to arrive
+    * per host pass, later ones drop — the streaming analogue of
+    * [[graft.ops.Web.hostCapSample]]. Batch sampling keys on the md5
+    * slot because it knows each host's final volume; a stream cannot,
+    * so it keys on ARRIVAL ORDER — the honest streaming semantics,
+    * deterministic given event times (arrivals sort (ts, id) within
+    * each micro-batch, so replays admit the same docs).
+    *
+    * State is ONE counter per host, evicted by event-time timeout one
+    * horizon past the host's last arrival — at crawl scale state
+    * tracks only ACTIVE hosts, and the cap is per activity window (a
+    * host silent for a horizon restarts its allowance; whole-corpus
+    * caps are the batch operator's job). Emits (doc_id, host, seq, ts)
+    * with `seq` the 1-based arrival index among the host's admissions.
+    *
+    * Input columns: (`idCol`, ts, `urlCol`).
+    */
+  def streamingHostCapGate(docs: DataFrame, cap: Long,
+                           idCol: String = "doc_id", urlCol: String = "url",
+                           horizonMinutes: Int = 10): Dataset[HostAdmit] = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60_000L
+    docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .select(col(idCol).as("id"), col("ts"),
+        graft.ops.Web.host(col(urlCol)).as("host"))
+      .as[(Long, Timestamp, String)]
+      .groupByKey { case (_, _, host) => host }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (host: String, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[HostCapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.toSeq
+              .sortBy { case (id, ts, _) => (ts.getTime, id) }
+            var st = state.getOption.getOrElse(HostCapState(0L, 0L))
+            val out = Seq.newBuilder[HostAdmit]
+            arrivals.foreach { case (id, ts, _) =>
+              if (st.n < cap) out += HostAdmit(id, host, st.n + 1, ts)
+              st = HostCapState(st.n + 1, math.max(st.lastMs, ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   // ===== custom keyed state =====
 
   case class KeyedEvent(user_id: Long, ts: Timestamp, value: Double)

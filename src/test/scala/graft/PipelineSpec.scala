@@ -1480,4 +1480,28 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(qaClean == predClean)
   }
+
+  test("host audit bundle members equal their standalone operators") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/1", "same text", "en"),
+      (2L, "https://a.com/2", "same text", "en"),
+      (3L, "https://a.com/3", "other words", "id"),
+      (4L, "https://b.com/1", "same text", "en"))
+      .toDF("doc_id", "url", "text", "lang")
+    val a = CorpusPipeline.hostAudit(docs)
+    assert(a.keySet == Set("footprint", "dup", "lang_mix"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(a("footprint")) ==
+      rows(graft.ops.Web.hostStats(docs, "url", "text")))
+    assert(rows(a("dup")) ==
+      rows(graft.ops.Web.hostDupStats(docs, "url", "text")))
+    assert(rows(a("lang_mix")) ==
+      rows(graft.ops.Web.hostLangProfile(docs, "url", "lang")))
+    // and the dup member actually fires on the planted intra-host pair
+    val dup = a("dup").collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[Long]("n_dup_docs")).toMap
+    assert(dup("a.com") == 2L && dup("b.com") == 0L)
+  }
 }

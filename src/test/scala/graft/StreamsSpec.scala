@@ -674,4 +674,31 @@ class StreamsSpec extends AnyFunSuite {
       assert(adv.count(_.user_id == 7) == 1) // only the original view
     } finally q.stop()
   }
+
+  test("streaming host-cap gate admits the first k arrivals per host") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "url")
+    val q = Streams.streamingHostCapGate(df, cap = 2).writeStream
+      .format("memory").queryName("host_cap").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "https://a.com/1"), (2L, ts(1), "https://a.com/2"),
+        (3L, ts(2), "https://a.com/3"),   // third a.com arrival: dropped
+        (10L, ts(0), "https://b.com/1"))
+      q.processAllAvailable()
+      val first = spark.table("host_cap").as[Streams.HostAdmit].collect()
+      assert(first.map(_.doc_id).toSet == Set(1L, 2L, 10L))
+      assert(first.filter(_.host == "a.com").map(a => a.doc_id -> a.seq)
+        .toMap == Map(1L -> 1L, 2L -> 2L), "seq is the admission index")
+      // the counter persists across micro-batches: a.com stays capped,
+      // b.com still has allowance
+      in.addData((4L, ts(3), "https://a.com/4"), (11L, ts(3), "https://b.com/2"))
+      q.processAllAvailable()
+      val ids = spark.table("host_cap").as[Streams.HostAdmit]
+        .collect().map(_.doc_id).toSet
+      assert(ids == Set(1L, 2L, 10L, 11L))
+    } finally q.stop()
+  }
 }

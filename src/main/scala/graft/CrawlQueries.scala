@@ -58,6 +58,37 @@ object CrawlQueries {
   private val RepPlantText =
     Seq.fill(12)("buy now buy now limited offer").mkString(" ")
 
+  // q176/q177 synthetic SFT transcript (turns joined by ' ||| ', each
+  // 'role: body'; shared VERBATIM by engine and oracle). The first
+  // turn is one of 25 prompts (so prompt dedup collapses ~20-doc
+  // groups); doc_id % 4 steers the structure: 0 = clean pair, 1 =
+  // user/user alternation violation, 2 = prompt-only (no assistant),
+  // 3 = clean two-exchange transcript.
+  private val SynthConvSql = """
+        'user: question ' || CAST(doc_id % 25 AS STRING) ||
+        (CASE doc_id % 4
+          WHEN 0 THEN ' ||| assistant: ' || text
+          WHEN 1 THEN ' ||| user: again please ||| assistant: ' || text
+          WHEN 2 THEN ''
+          ELSE ' ||| assistant: ' || text ||
+               ' ||| user: ok thanks ||| assistant: short answer'
+         END)"""
+
+  // q178 plants: a Luhn-valid 16-digit PAN, the same number with the
+  // check digit broken, and a valid 15-digit (Amex-length) number —
+  // the screen must count 1/0/1 valid of 1/1/1 candidates. The
+  // natural corpus has no 13-19-digit runs (all-word texts).
+  private val LuhnPlantValid16 = "order 4532015112830366 confirmed"
+  private val LuhnPlantInvalid = "ref 4532015112830367 pending"
+  private val LuhnPlantValid15 = "amex 378282246310005 charged"
+
+  // q180 plants: self-contained unk exercise — 'common' appears 4x
+  // across the two plants (>= minCount 3, known), the zz* tokens once
+  // each (unk). The natural corpus vocabulary has no count-<3 tokens
+  // at any shipped SF, so without plants the rule never fires.
+  private val UnkPlantA = "common common zzrare1 zzrare2"
+  private val UnkPlantB = "common common zzfiller"
+
   // One HITS iteration as chained CTEs (the integer normalize-by-
   // micro-total form of ops.Graph.hits): ar/at = raw authority sums +
   // total, a = normalized over the full node set; hr/ht/h mirror for
@@ -343,6 +374,203 @@ object CrawlQueries {
             spread(documents(s, d)).select("doc_id", "text")
               .unionAll(planted),
             "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
+    // SFT transcript structure audit ([[ops.Dialog.turnStats]]): per
+    // conversation — turn count, starts-user / ends-assistant, role
+    // validity, alternation, and the role token split (the assistant
+    // share IS the supervised token budget once user turns are loss-
+    // masked). The synthetic transcripts exercise every verdict:
+    // doc_id % 4 = 1 violates alternation, % 4 = 2 lacks the
+    // assistant turn. Pure scan-side HOFs; the oracle replays the
+    // anchored-regex parse over the identical transcript.
+    QueryDef("q176_dialog_stats",
+      Some(s"""
+        WITH c AS (SELECT doc_id, $SynthConvSql AS conv FROM documents),
+        t AS (SELECT doc_id, string_split(conv, ' ||| ') AS ts FROM c),
+        r AS (SELECT doc_id, ts,
+                [regexp_extract(x, '^(user|assistant|system): ', 1) for x in ts] AS roles,
+                [regexp_replace(x, '^(user|assistant|system): ', '') for x in ts] AS bodies
+              FROM t),
+        f AS (SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_turns,
+                roles[1] = 'user' AS starts_user,
+                roles[-1] = 'assistant' AS ends_assistant,
+                len(list_filter(roles, r -> r = '')) = 0 AS roles_ok,
+                CASE WHEN len(ts) < 2 THEN true
+                     ELSE len([i for i in range(1, len(roles))
+                               if roles[i] = roles[i+1]]) = 0 END AS alternation_ok,
+                CAST(COALESCE(list_sum([CASE WHEN roles[i] = 'user'
+                    THEN len(string_split(bodies[i], ' ')) ELSE 0 END
+                  for i in range(1, len(roles) + 1)]), 0) AS BIGINT) AS user_tok,
+                CAST(COALESCE(list_sum([CASE WHEN roles[i] = 'assistant'
+                    THEN len(string_split(bodies[i], ' ')) ELSE 0 END
+                  for i in range(1, len(roles) + 1)]), 0) AS BIGINT) AS asst_tok
+              FROM r)
+        SELECT doc_id, n_turns, starts_user, ends_assistant, roles_ok,
+               alternation_ok, user_tok, asst_tok,
+               (1000000 * asst_tok) // greatest(user_tok + asst_tok, 1) AS asst_share_ppm,
+               starts_user AND ends_assistant AND roles_ok
+                 AND alternation_ok AS well_formed
+        FROM f ORDER BY doc_id"""),
+      (s, d) => graft.ops.Dialog.turnStats(
+          spread(documents(s, d)).withColumn("conv", expr(SynthConvSql)),
+          "doc_id", "conv")
+        .select("doc_id", "n_turns", "starts_user", "ends_assistant",
+          "roles_ok", "alternation_ok", "user_tok", "asst_tok",
+          "asst_share_ppm", "well_formed")
+        .orderBy("doc_id")),
+
+    // Prompt-level dedup ([[ops.Dialog.promptDedup]]): transcripts
+    // sharing a first-turn body collapse (the same question with two
+    // different answers is exactly the pair whole-transcript dedup
+    // misses — and the one that teaches answer memorization). The 25
+    // synthetic prompts collapse ~20-doc groups; keep = lowest id.
+    QueryDef("q177_prompt_dedup",
+      Some(s"""
+        WITH c AS (SELECT doc_id, $SynthConvSql AS conv FROM documents),
+        p AS (SELECT doc_id,
+                md5(regexp_replace(string_split(conv, ' ||| ')[1],
+                  '^(user|assistant|system): ', '')) AS prompt_digest
+              FROM c)
+        SELECT prompt_digest, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM p GROUP BY 1 ORDER BY prompt_digest"""),
+      (s, d) => graft.ops.Dialog.promptDedup(
+          spread(documents(s, d)).withColumn("conv", expr(SynthConvSql)),
+          "doc_id", "conv")
+        .orderBy("prompt_digest")),
+
+    // Payment-card screen with the Luhn checksum ([[ops.Redact
+    // .luhnScreen]]): maximal 13-19-digit runs (greedy extract-all +
+    // HOF length filter — RE2 has no lookarounds, so no {13,19}
+    // boundary pattern) checked by the exact integer mod-10 fold.
+    // Plants: a valid 16-digit PAN, the same number with a broken
+    // check digit (candidate but NOT valid — the checksum is what
+    // separates card numbers from order ids), a valid 15-digit Amex.
+    QueryDef("q178_luhn_screen",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(980001 AS BIGINT), '$LuhnPlantValid16'),
+            (CAST(980002 AS BIGINT), '$LuhnPlantInvalid'),
+            (CAST(980003 AS BIGINT), '$LuhnPlantValid15')) v(doc_id, text)),
+        c AS (SELECT doc_id,
+                list_filter(regexp_extract_all(text, '[0-9]+'),
+                  x -> length(x) BETWEEN 13 AND 19) AS cands
+              FROM corpus),
+        v AS (SELECT doc_id, cands,
+                list_filter(cands, cd -> list_sum(
+                  [CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(cd), i, 1) AS INT)
+                        WHEN 2 * CAST(substr(reverse(cd), i, 1) AS INT) > 9
+                        THEN 2 * CAST(substr(reverse(cd), i, 1) AS INT) - 9
+                        ELSE 2 * CAST(substr(reverse(cd), i, 1) AS INT) END
+                   for i in range(1, length(cd) + 1)]) % 10 = 0) AS valids
+              FROM c)
+        SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+               CAST(len(valids) AS BIGINT) AS n_luhn_valid,
+               len(valids) > 0 AS flagged
+        FROM v ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").between(980001L, 980003L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q178's planted id range " +
+            "(980001-980003); re-site the plants")
+        val planted = Seq((980001L, LuhnPlantValid16),
+          (980002L, LuhnPlantInvalid), (980003L, LuhnPlantValid15))
+          .toDF("doc_id", "text")
+        graft.ops.Redact.luhnScreen(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
+    // Event burst screen ([[ops.Events.burstScreen]]): per (type,
+    // day) counts vs the type's exact lower-median daily count —
+    // burst fires at >= 3x median (bot spikes / replay storms distort
+    // behavioural statistics before they reach training). A planted
+    // 300-event 'view' day (~4.5x the natural ~66/day) trips the
+    // flag; id-range clash-checked like every plant.
+    QueryDef("q179_event_bursts",
+      Some("""
+        WITH base AS (SELECT event_type,
+                        epoch_us(ts) // 86400000000 AS day
+                      FROM events
+                      UNION ALL
+                      SELECT 'view' AS event_type, 19740 AS day
+                      FROM range(1, 301)),
+        c AS (SELECT event_type, CAST(day AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2),
+        m AS (SELECT event_type, day, n,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY n, day) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS m
+              FROM c),
+        med AS (SELECT event_type, n AS med FROM m WHERE rn = (m + 1) // 2)
+        SELECT c.event_type, c.day, c.n, med.med,
+               c.n * 1000000 >= 3000000 * med.med AS burst
+        FROM c JOIN med ON med.event_type = c.event_type
+        ORDER BY c.event_type, c.day"""),
+      (s, d) => {
+        val ev = events(s, d)
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+        require(maxId < 99000001L,
+          s"event ids reach $maxId — q179's planted id range collides")
+        val plant = s.range(1, 301)
+          .select((lit(99000000L) + col("id")).as("event_id"),
+            lit("view").as("event_type"), lit(19740L).as("day"))
+        val base = ev.select(col("event_id"), col("event_type"),
+            expr("(ts_ns div 1000) div 86400000000").as("day"))
+          .unionAll(plant)
+        graft.ops.Events.burstScreen(base, "event_type", col("day"))
+          .orderBy("event_type", "day")
+      }),
+
+    // UNK-rate audit ([[ops.TextStats.unkRate]]): per doc, the share
+    // of token occurrences a minCount-3 vocabulary maps to <unk> —
+    // the closed-vocab readability screen. The shipped corpus has no
+    // count-<3 tokens (every natural doc scores 0 — the emit-all pass
+    // path), so two self-contained plants exercise the rule: their
+    // shared 'common' token clears the cutoff, the zz* singletons
+    // fall under it.
+    QueryDef("q180_unk_rate",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(985001 AS BIGINT), '$UnkPlantA'),
+            (CAST(985002 AS BIGINT), '$UnkPlantB')) v(doc_id, text)),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, w),
+        f AS (SELECT doc_id, tf,
+                     CAST(SUM(tf) OVER (PARTITION BY w) AS BIGINT) AS freq
+              FROM tf)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN freq < 3 THEN tf ELSE 0 END) AS BIGINT) AS n_unk,
+               (1000000 * CAST(SUM(CASE WHEN freq < 3 THEN tf ELSE 0 END) AS BIGINT))
+                 // CAST(SUM(tf) AS BIGINT) AS unk_ppm
+        FROM f GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").isin(985001L, 985002L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q180's planted ids; re-site the plants")
+        val planted = Seq((985001L, UnkPlantA), (985002L, UnkPlantB))
+          .toDF("doc_id", "text")
+        graft.ops.TextStats.unkRate(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text", minCount = 3L)
           .orderBy("doc_id")
       })
   )

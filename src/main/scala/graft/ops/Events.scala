@@ -139,4 +139,40 @@ object Events {
       .withColumn("p_ppm", expr("(1000000 * n) div _tot").cast(LongType))
       .drop("_tot")
   }
+
+  /** BURST screen: per (event type, day), the event count against the
+    * type's LOWER-MEDIAN daily count — `burst` fires when
+    * `n * 1e6 >= factorPpm * median`, the bot-spike / replay-storm /
+    * broken-client signal an event-stream QA wants before the data
+    * feeds behavioural training (a 3x-median day of `purchase` events
+    * is a promotion or a fraud run; either way it distorts transition
+    * statistics).
+    *
+    * The median is the exact value at rank `(m+1) div 2` under the
+    * deterministic (count, day) total order — integer-exact and
+    * engine-replayable where percentile interpolation is not. Shape:
+    * one (type, day) count (map-side combined), two type-partitioned
+    * windows over the DAY-count frame (bounded: types × days rows,
+    * never raw events), one broadcast-sized median join back. Output:
+    * `(event_type, day, n, med, burst)`.
+    */
+  def burstScreen(events: DataFrame, typeCol: String, dayCol: Column,
+                  factorPpm: Long = 3000000L): DataFrame = {
+    require(factorPpm >= 1000000L,
+      s"factorPpm below 1e6 flags sub-median days, got $factorPpm")
+    val counts = events
+      .select(col(typeCol).as("event_type"), dayCol.as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val byN = Window.partitionBy("event_type").orderBy(col("n"), col("day"))
+    val all = Window.partitionBy("event_type")
+    val med = counts
+      .withColumn("_rn", row_number().over(byN))
+      .withColumn("_m", count(lit(1)).over(all))
+      .filter(col("_rn") === expr("(_m + 1) div 2"))
+      .select(col("event_type").as("_mt"), col("n").as("med"))
+    counts.join(med, col("event_type") === col("_mt"))
+      .drop("_mt")
+      .withColumn("burst", expr(s"n * 1000000L >= ${factorPpm}L * med"))
+  }
 }

@@ -52,4 +52,40 @@ object Redact {
 
   def ipv4Count(text: Column): Column =
     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("bigint")
+
+  /** Payment-card screen with the LUHN CHECKSUM: candidate = any
+    * maximal digit run of 13-19 chars (card number lengths), hit = a
+    * candidate whose Luhn mod-10 checksum validates — the standard
+    * card-number detector, and the checksum is what separates real
+    * card numbers from order ids and timestamps at ~10:1 (a random
+    * digit run passes Luhn 1 in 10; a real PAN always does).
+    *
+    * Maximal runs come from a greedy `[0-9]+` extract-all with an HOF
+    * length filter — NOT a `{13,19}` pattern with lookarounds, which
+    * RE2 (the oracle's engine) does not support. The checksum is an
+    * exact integer fold over the reversed digits (doubled digits fold
+    * `2d-9`), inside whole-stage codegen; per-doc output
+    * `(n_candidates, n_luhn_valid, flagged)` — a pure scan-side
+    * projection, zero shuffle at any scale.
+    */
+  def luhnScreen(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val luhn =
+      "aggregate(sequence(1, length(c)), 0L, (acc, i) -> acc + " +
+        "CASE WHEN i % 2 = 1 THEN cast(substring(reverse(c), i, 1) as int) " +
+        "WHEN 2 * cast(substring(reverse(c), i, 1) as int) > 9 " +
+        "THEN 2 * cast(substring(reverse(c), i, 1) as int) - 9 " +
+        "ELSE 2 * cast(substring(reverse(c), i, 1) as int) END) % 10 = 0"
+    docs
+      .select(org.apache.spark.sql.functions.col(idCol),
+        expr(s"filter(regexp_extract_all($textCol, '[0-9]+', 0), " +
+          s"c -> length(c) between 13 and 19)").as("_cands"))
+      .select(org.apache.spark.sql.functions.col(idCol),
+        size(org.apache.spark.sql.functions.col("_cands")).cast("bigint")
+          .as("n_candidates"),
+        size(expr(s"filter(_cands, c -> $luhn)")).cast("bigint")
+          .as("n_luhn_valid"))
+      .withColumn("flagged",
+        org.apache.spark.sql.functions.col("n_luhn_valid") > 0L)
+  }
 }

@@ -64,6 +64,33 @@ object TextStats {
     docs.agg(coalesce(sum(size(words(col(textCol)))), lit(0L))
       .cast(LongType)).head.getLong(0)
 
+  /** UNK-rate audit: per doc, the share of token OCCURRENCES whose
+    * corpus-wide count falls below `minCount` — the tokens a
+    * vocabulary built at that cutoff maps to `<unk>`. High `unk_ppm`
+    * docs are the ones a closed-vocab model effectively cannot read
+    * (typo floods, foreign scripts, id dumps), and the corpus-level
+    * mean is the coverage number a vocabulary review publishes.
+    *
+    * Same shape as [[informationScore]]: per-doc term frequencies,
+    * corpus frequency via ONE window over the token key (single
+    * execution, no self-join), one doc-keyed aggregate. Output:
+    * `(id, n_tok, n_unk, unk_ppm)`.
+    */
+  def unkRate(docs: DataFrame, idCol: String, textCol: String,
+              minCount: Long): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    docs
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("_freq", sum(col("tf")).over(Window.partitionBy("w")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast(LongType).as("n_tok"),
+        sum(when(col("_freq") < minCount, col("tf")).otherwise(0L))
+          .cast(LongType).as("n_unk"))
+      .withColumn("unk_ppm", expr("(1000000L * n_unk) div n_tok"))
+  }
+
   /** DSIR-style IMPORTANCE score (data selection by importance
     * resampling, Xie et al. 2023, unigram form): per raw-corpus doc,
     * the integer log-likelihood-ratio proxy

@@ -1623,6 +1623,105 @@ class OpsSpec extends AnyFunSuite {
     assert(r(("b.com", "en")) == ((1L, 1000000L)))
   }
 
+  test("dialog turnStats verdicts: alternation, role validity, token split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "user: hi there | assistant: hello friend again"),
+      (2L, "user: a | user: b | assistant: c"),       // alternation violated
+      (3L, "user: only a question"),                  // no assistant turn
+      (4L, "narrator: once upon | assistant: ok"),    // unknown role
+      (5L, "assistant: unsolicited | user: what"))    // starts wrong, ends wrong
+      .toDF("doc_id", "conv")
+    val r = graft.ops.Dialog.turnStats(docs, "doc_id", "conv",
+        delimRegex = " \\| ")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_turns"), x.getAs[Boolean]("starts_user"),
+          x.getAs[Boolean]("ends_assistant"), x.getAs[Boolean]("roles_ok"),
+          x.getAs[Boolean]("alternation_ok"), x.getAs[Long]("user_tok"),
+          x.getAs[Long]("asst_tok"), x.getAs[Boolean]("well_formed"))).toMap
+    assert(r(1L) == ((2L, true, true, true, true, 2L, 3L, true)))
+    assert(r(2L)._5 == false && r(2L)._8 == false, "user/user must fail")
+    assert(r(3L) == ((1L, true, false, true, true, 3L, 0L, false)))
+    assert(r(4L)._4 == false, "unknown role must fail roles_ok")
+    assert(!r(5L)._2 && !r(5L)._3 && !r(5L)._8)
+    // asst share: doc1 = 3 of 5 tokens
+    val share = graft.ops.Dialog.turnStats(docs, "doc_id", "conv", " \\| ")
+      .filter(col("doc_id") === 1L).head.getAs[Long]("asst_share_ppm")
+    assert(share == 1000000L * 3 / 5)
+  }
+
+  test("promptDedup groups transcripts by first-turn body only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "user: what is spark | assistant: an engine"),
+      (2L, "user: what is spark | assistant: a framework"), // same prompt
+      (3L, "user: what is duckdb | assistant: a database"))
+      .toDF("doc_id", "conv")
+    val r = graft.ops.Dialog.promptDedup(docs, "doc_id", "conv", " \\| ")
+      .collect().map(x => x.getAs[Long]("keep_id") ->
+        x.getAs[Long]("n_variants")).toMap
+    assert(r == Map(1L -> 2L, 3L -> 1L),
+      "same question with different answers must collapse to the lowest id")
+  }
+
+  test("luhnScreen: checksum separates valid PANs from near-misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4532015112830366 now"),      // valid 16-digit
+      (2L, "pay 4532015112830367 now"),      // check digit broken
+      (3L, "amex 378282246310005 ok"),       // valid 15-digit
+      (4L, "order 123456789012 is short"),   // 12 digits: not a candidate
+      (5L, "no digits at all here"),
+      (6L, "two 4532015112830366 and 378282246310005 in one"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Redact.luhnScreen(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_candidates"), x.getAs[Long]("n_luhn_valid"),
+          x.getAs[Boolean]("flagged"))).toMap
+    assert(r(1L) == ((1L, 1L, true)))
+    assert(r(2L) == ((1L, 0L, false)), "failing checksum must not flag")
+    assert(r(3L) == ((1L, 1L, true)))
+    assert(r(4L) == ((0L, 0L, false)), "12 digits is below candidate length")
+    assert(r(5L) == ((0L, 0L, false)))
+    assert(r(6L) == ((2L, 2L, true)))
+  }
+
+  test("burstScreen flags days at >= factor x the type's lower median") {
+    import spark.implicits._
+    val events = (
+      (1 to 10).map(i => ("a", 100L + i % 4)) ++        // a: days 100-103
+        Seq.fill(30)(("a", 110L)) ++                    // a: burst day
+        (1 to 8).map(i => ("b", 100L + i % 4))          // b: flat
+      ).zipWithIndex.map { case ((t, d), i) => (i.toLong, t, d) }
+      .toDF("event_id", "event_type", "day")
+    val r = graft.ops.Events.burstScreen(events, "event_type", col("day"))
+      .collect().map(x => (x.getAs[String]("event_type"), x.getAs[Long]("day")) ->
+        (x.getAs[Long]("n"), x.getAs[Long]("med"), x.getAs[Boolean]("burst")))
+      .toMap
+    // a: day counts [2,2,3,3,30] -> rank (5+1)/2=3 under (n, day) -> med 3
+    assert(r(("a", 110L)) == ((30L, 3L, true)), "30 >= 3x3 must flag")
+    assert(!r(("a", 101L))._3 && !r(("a", 102L))._3)
+    // b: [2,2,2,2] -> med 2; nothing reaches 6
+    assert(r.filterKeys(_._1 == "b").values.forall(!_._3))
+  }
+
+  test("unkRate charges occurrences of below-cutoff tokens only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare1 rare2"),
+      (2L, "common common filler"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextStats.unkRate(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tok"), x.getAs[Long]("n_unk"),
+          x.getAs[Long]("unk_ppm"))).toMap
+    // 'common' appears 7x (known); rare1/rare2/filler once each (unk)
+    assert(r(1L) == ((4L, 2L, 500000L)))
+    assert(r(2L) == ((3L, 1L, 1000000L / 3)))
+    assert(r(3L) == ((3L, 0L, 0L)))
+  }
+
   test("outlinkHostEdges resolves links and drops self/junk edges") {
     import spark.implicits._
     val docs = Seq(

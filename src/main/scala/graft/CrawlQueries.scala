@@ -17,9 +17,19 @@ import org.apache.spark.sql.functions._
 object CrawlQueries {
   import Tables._
 
-  // Oracle mirror of Pipeline.wordHash32 (the md5-slot recipe).
+  // Oracle mirrors of Pipeline.wordHash32/wordHash60 (the md5-slot /
+  // membership-key recipes). The comprehension variable is `hx`, NOT
+  // `i` — these templates interpolate into outer list comprehensions
+  // whose own loop variable is often `i`, and DuckDB lambda scoping
+  // would silently capture the INNER variable (q182 found this: every
+  // boundary hash keyed on the digit position instead of the token
+  // position).
   private def hash32Sql(e: String): String =
-    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), hx, 1)) - 1 for hx in range(1, 9)],
+                    (a, b) -> a*16 + b)"""
+
+  private def hash60Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), hx, 1)) - 1 for hx in range(1, 16)],
                     (a, b) -> a*16 + b)"""
 
   // Synthetic per-doc URL (the q152 discipline: the corpus has no URL
@@ -88,6 +98,30 @@ object CrawlQueries {
   // at any shipped SF, so without plants the rule never fires.
   private val UnkPlantA = "common common zzrare1 zzrare2"
   private val UnkPlantB = "common common zzfiller"
+
+  // q181 synthetic HTML: three simple anchors per page — a ring link
+  // to the source's next host (text varies with the source), a
+  // RELATIVE link (resolves to the page's own host), and on every
+  // third page a link to the shared hub with fixed text. Shared
+  // verbatim; the q172 resolution rule applies.
+  private val AnchorHtmlSql = """
+        '<p>body</p><a href="https://' || source || '-' ||
+        CAST((doc_id + 1) % 7 AS STRING) ||
+        '.example.com/p">visit ' || source || ' mirror</a>' ||
+        '<a href="/nav">home nav</a>' ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN '<a href="https://hub.example.com/h">central hub resource</a>'
+              ELSE '' END)"""
+
+  // q182 plants: B = A with three tokens INSERTED at the front — the
+  // CDC showcase: content-defined boundaries re-sync after the edit,
+  // so the tail chunks stay byte-identical and the duplication report
+  // fires; positional chunking would share nothing.
+  private val CdcPlantA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+      "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+  private val CdcPlantB = "inserted prefix words " + CdcPlantA
 
   // One HITS iteration as chained CTEs (the integer normalize-by-
   // micro-total form of ops.Graph.hits): ar/at = raw authority sums +
@@ -519,14 +553,11 @@ object CrawlQueries {
         FROM c JOIN med ON med.event_type = c.event_type
         ORDER BY c.event_type, c.day"""),
       (s, d) => {
-        val ev = events(s, d)
-        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
-        require(maxId < 99000001L,
-          s"event ids reach $maxId — q179's planted id range collides")
+        // the screen keys on (type, day) only — the plant needs no
+        // event ids, so no id-range clash is possible at any SF
         val plant = s.range(1, 301)
-          .select((lit(99000000L) + col("id")).as("event_id"),
-            lit("view").as("event_type"), lit(19740L).as("day"))
-        val base = ev.select(col("event_id"), col("event_type"),
+          .select(lit("view").as("event_type"), lit(19740L).as("day"))
+        val base = events(s, d).select(col("event_type"),
             expr("(ts_ns div 1000) div 86400000000").as("day"))
           .unionAll(plant)
         graft.ops.Events.burstScreen(base, "event_type", col("day"))
@@ -571,6 +602,145 @@ object CrawlQueries {
             spread(documents(s, d)).select("doc_id", "text")
               .unionAll(planted),
             "doc_id", "text", minCount = 3L)
+          .orderBy("doc_id")
+      }),
+
+    // Anchor-text profile ([[ops.Web.anchorTexts]]): the top-3 terms
+    // the (synthetic) web uses to LINK to each host — the off-page
+    // description signal search and domain classification key on.
+    // Two-group extract-all zipped positionally, the q172 resolution
+    // rule, and the q127 packed-order GroupedTopK; the oracle replays
+    // the zip, the resolution, and the (n desc, hash desc) tiebreak.
+    QueryDef("q181_anchor_text",
+      Some(s"""
+        WITH u AS (SELECT doc_id, source, $SynthUrlSql AS url,
+                          $AnchorHtmlSql AS html
+                   FROM documents),
+        x AS (SELECT $HostSql AS src,
+                regexp_extract_all(html, '<[aA] href="([^"]*)">([^<]*)</[aA]>', 1) AS hs,
+                regexp_extract_all(html, '<[aA] href="([^"]*)">([^<]*)</[aA]>', 2) AS txt
+              FROM u),
+        p AS (SELECT src, unnest([{'h': hs[i], 't': txt[i]}
+                                  for i in range(1, len(hs) + 1)]) AS l
+              FROM x),
+        r AS (SELECT CASE WHEN regexp_matches(l.h, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                          THEN lower(regexp_extract(l.h, '${graft.ops.Web.HostRegex}', 1))
+                          ELSE src END AS dst_host,
+                     unnest(string_split(lower(l.t), ' ')) AS term
+              FROM p),
+        c AS (SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM r WHERE dst_host <> '' AND term <> ''
+              GROUP BY dst_host, term),
+        k AS (SELECT dst_host, term, n,
+                     ROW_NUMBER() OVER (PARTITION BY dst_host
+                       ORDER BY n DESC, ${hash32Sql("term")} DESC) AS rn
+              FROM c)
+        SELECT dst_host, term, n FROM k WHERE rn <= 3
+        ORDER BY dst_host, n DESC, term"""),
+      (s, d) => graft.ops.Web.anchorTexts(
+          spread(documents(s, d))
+            .withColumn("url", expr(SynthUrlSql))
+            .withColumn("html", expr(AnchorHtmlSql)),
+          "url", "html", k = 3)
+        .orderBy(col("dst_host"), col("n").desc, col("term"))),
+
+    // Content-defined chunk duplication ([[ops.Chunking.cdcDupStats]]):
+    // rsync/FastCDC-style chunking — a boundary falls where the hash
+    // of the last 3 tokens ≡ 0 (mod 8), so boundaries are decided by
+    // CONTENT and re-sync after an edit. The planted pair (B = A with
+    // three tokens inserted at the front) shares its tail chunks —
+    // the property fixed-width spans (q155) and positional chunks
+    // (q106/q107) fundamentally lack. The oracle replays boundary
+    // detection, slicing, the digest df gate, and the token charge.
+    QueryDef("q182_cdc_dup",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(975001 AS BIGINT), '$CdcPlantA'),
+            (CAST(975002 AS BIGINT), '$CdcPlantB')) v(doc_id, text)),
+        w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        b AS (SELECT doc_id, w,
+                list_prepend(1, [i + 1 for i in range(3, len(w))
+                  if ${hash60Sql("array_to_string(w[i-2:i], ' ')")} % 8 = 0]) AS starts
+              FROM w),
+        ch AS (SELECT doc_id, unnest([{'idx': j - 1,
+                 'chunk': array_to_string(w[starts[j] :
+                   CASE WHEN j < len(starts) THEN starts[j+1] - 1
+                        ELSE len(w) END], ' '),
+                 'nt': (CASE WHEN j < len(starts) THEN starts[j+1]
+                             ELSE len(w) + 1 END) - starts[j]}
+                for j in range(1, len(starts) + 1)]) AS c
+               FROM b),
+        f AS (SELECT doc_id, c.chunk AS chunk, CAST(c.nt AS BIGINT) AS nt FROM ch),
+        d AS (SELECT doc_id, nt,
+                     COUNT(*) OVER (PARTITION BY md5(chunk)) AS df
+              FROM f)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(nt) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN df >= 2 THEN nt ELSE 0 END) AS BIGINT) AS dup_tok,
+               (1000000 * CAST(SUM(CASE WHEN df >= 2 THEN nt ELSE 0 END) AS BIGINT))
+                 // greatest(CAST(SUM(nt) AS BIGINT), 1) AS dup_ppm
+        FROM d GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val clash = documents(s, d)
+          .filter(col("doc_id").isin(975001L, 975002L)).count()
+        require(clash == 0L,
+          s"$clash corpus doc(s) occupy q182's planted ids; re-site the plants")
+        val planted = Seq((975001L, CdcPlantA), (975002L, CdcPlantB))
+          .toDF("doc_id", "text")
+        graft.ops.Chunking.cdcDupStats(
+            spread(documents(s, d)).select("doc_id", "text")
+              .unionAll(planted),
+            "doc_id", "text", window = 3, modulus = 8)
+          .orderBy("doc_id")
+      }),
+
+    // Authority-weighted sampling ([[ops.Web.authorityWeightedSample]]):
+    // the full crawl-composition — outlink host graph (q172's pages)
+    // -> integer PageRank -> per-host keep_ppm = (pr * 1e6) div
+    // max_pr -> md5-slot draw per doc. The oracle replays the whole
+    // chain: extraction, resolution, three unrolled iterations, the
+    // normalization, and the slot filter.
+    QueryDef("q183_authority_sample",
+      Some(s"""
+        WITH u AS (SELECT doc_id, source, $SynthUrlSql AS url,
+                          $LinkHtmlSql AS html
+                   FROM documents),
+        x AS (SELECT $HostSql AS src, unnest(regexp_extract_all(html,
+                '<[aA][^>]* href="([^"]*)"', 1)) AS href
+              FROM u),
+        r AS (SELECT src,
+                CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN lower(regexp_extract(href, '${graft.ops.Web.HostRegex}', 1))
+                     ELSE src END AS dst
+              FROM x),
+        e AS (SELECT DISTINCT src, dst FROM r
+              WHERE src <> '' AND dst <> '' AND src <> dst),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        p0 AS (SELECT node, CAST(1000 AS BIGINT) AS pr FROM n),
+        ${prIter("p0", "p1")},${prIter("p1", "p2")},${prIter("p2", "p3")},
+        mx AS (SELECT MAX(pr) AS mx FROM p3),
+        kp AS (SELECT node AS host, CAST((pr * 1000000) // greatest(mx, 1) AS BIGINT) AS keep_ppm
+               FROM p3 CROSS JOIN mx),
+        dh AS (SELECT doc_id, $HostSql AS host FROM u)
+        SELECT dh.doc_id, dh.host, kp.keep_ppm
+        FROM dh JOIN kp USING (host)
+        WHERE ${hash32Sql("CAST(dh.doc_id AS VARCHAR)")} % 1000000 < kp.keep_ppm
+        ORDER BY dh.doc_id"""),
+      (s, d) => {
+        val pages = spread(documents(s, d))
+          .withColumn("url", expr(SynthUrlSql))
+          .withColumn("html", expr(LinkHtmlSql))
+        val ranks = graft.ops.Graph.pageRank(
+            graft.ops.Web.outlinkHostEdges(pages, "url", "html"), iters = 3)
+          .select(col("node").as("host"), col("pr"))
+        graft.ops.Web.authorityWeightedSample(
+            pages.select("doc_id", "url"), "doc_id", "url", ranks)
+          .select("doc_id", "host", "keep_ppm")
           .orderBy("doc_id")
       })
   )

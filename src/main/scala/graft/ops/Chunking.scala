@@ -52,6 +52,72 @@ object Chunking {
           .cast(LongType).as("n_tok"))
   }
 
+  /** CONTENT-DEFINED chunking (the rsync/CDC family): a chunk boundary
+    * falls after token `i` whenever the 60-bit hash of the last
+    * `window` tokens ≡ 0 (mod `modulus`) — boundaries are decided by
+    * CONTENT, not position, so an insertion near the start re-syncs at
+    * the next content boundary and every later chunk is byte-identical
+    * to the original's. That re-sync is the property positional
+    * chunking ([[chunk]]) and fixed-width span dedup
+    * ([[TextStats.stripDuplicateSpans]]) fundamentally lack: one
+    * leading edit shifts ALL their windows. Expected chunk length ≈
+    * `modulus` tokens (+ the window warm-up).
+    *
+    * Pure scan-side HOFs (boundary scan + slicing — the explode
+    * multiplies rows by ~len/modulus); deterministic md5-derived
+    * hashes, so chunk identities replay across runs/engines/retries.
+    * Output: (idCol, chunk_idx, chunk, n_tok). Docs with no interior
+    * boundary yield one chunk.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 3, modulus: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    docs
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      // boundary AFTER token i, i in [window, n-1] (never after the
+      // last token — the tail chunk is always non-empty)
+      .withColumn("_starts", expr(
+        s"""concat(array(1), transform(filter(
+              CASE WHEN size(_w) > $window
+                   THEN sequence($window, size(_w) - 1) ELSE array() END,
+              i -> cast(conv(substring(md5(array_join(
+                     slice(_w, i - ${window - 1}, $window), ' ')), 1, 15),
+                     16, 10) as bigint) % ${modulus}L = 0L),
+            b -> b + 1))"""))
+      .select(col(idCol), col("_w"), explode(expr(
+        s"""transform(sequence(1, size(_starts)), j -> struct(
+              cast(j - 1 as bigint) as chunk_idx,
+              slice(_w, element_at(_starts, j),
+                (IF(j < size(_starts), element_at(_starts, j + 1),
+                    size(_w) + 1)) - element_at(_starts, j)) as toks))"""))
+        .as("_c"))
+      .select(col(idCol), col("_c.chunk_idx").as("chunk_idx"),
+        array_join(col("_c.toks"), " ").as("chunk"),
+        org.apache.spark.sql.functions.size(col("_c.toks"))
+          .cast(LongType).as("n_tok"))
+  }
+
+  /** Per-doc CDC duplication report: the token share of each doc
+    * sitting in chunks whose content appears >= 2 times corpus-wide —
+    * the storage/near-dup savings estimate that SURVIVES edits
+    * (because [[cdcChunks]] boundaries re-sync). One digest-keyed
+    * window over the chunk frame + one doc-keyed aggregate. Output:
+    * (id, n_chunks, n_tok, dup_tok, dup_ppm).
+    */
+  def cdcDupStats(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int = 3, modulus: Int = 8): DataFrame =
+    cdcChunks(docs, idCol, textCol, window, modulus)
+      .withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(md5(col("chunk")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(col("n_tok")).cast(LongType).as("n_tok"),
+        sum(when(col("_df") >= 2, col("n_tok")).otherwise(0L))
+          .cast(LongType).as("dup_tok"))
+      .withColumn("dup_ppm",
+        expr("(1000000L * dup_tok) div greatest(n_tok, 1L)"))
+
   /** Chunk-level dedup map: for every chunk whose text also appears as
     * an earlier chunk (lexicographically first (doc, idx) on the md5
     * digest), emit the back-reference — the "store once, point

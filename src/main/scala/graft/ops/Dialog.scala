@@ -83,17 +83,23 @@ object Dialog {
     * materialize the kept transcripts; one digest-keyed aggregate
     * (16-byte digests through the shuffle, never the transcripts).
     */
+  /** First-turn-body digest — the prompt-dedup key, shared VERBATIM by
+    * [[promptDedup]] and the streaming gate so batch and stream cannot
+    * drift. Column-API regex args, NOT an expr() SQL string: the SQL
+    * parser consumes backslash escapes and ' \|\|\| ' would reach the
+    * regex engine as the match-anything alternation ' ||| '.
+    */
+  def promptDigest(conv: org.apache.spark.sql.Column,
+                   delimRegex: String = " \\|\\|\\| ")
+      : org.apache.spark.sql.Column =
+    md5(regexp_replace(element_at(split(conv, delimRegex), 1),
+      lit(RolePrefix), lit("")).cast("binary"))
+
   def promptDedup(docs: DataFrame, idCol: String, convCol: String,
                   delimRegex: String = " \\|\\|\\| "): DataFrame =
-    // Column-API regex args, NOT an expr() SQL string: the SQL parser
-    // consumes the backslash escapes and ' \|\|\| ' would reach the
-    // regex engine as the match-anything alternation ' ||| '
     docs
       .select(col(idCol),
-        md5(regexp_replace(
-          element_at(split(col(convCol), delimRegex), 1),
-          lit(RolePrefix), lit("")).cast("binary"))
-          .as("prompt_digest"))
+        promptDigest(col(convCol), delimRegex).as("prompt_digest"))
       .groupBy(col("prompt_digest"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).cast("long").as("n_variants"))

@@ -242,6 +242,75 @@ object Web {
       .select(col("src"), col("dst")).distinct()
   }
 
+  /** ANCHOR-TEXT profile: the top-k terms the web uses to LINK to each
+    * host — the classic off-page description signal (anchor text
+    * describes the destination better than the destination describes
+    * itself; search engines and domain classifiers both key on it).
+    *
+    * Extraction: one two-group regex over simple anchors
+    * (`<a href="...">text</a>`), both groups lifted by
+    * `regexp_extract_all` (same matches, so the arrays zip
+    * positionally); absolute hrefs resolve to their own host,
+    * relative ones to the page's host (the [[outlinkHostEdges]]
+    * rule). Terms are the lower-cased space tokens of the anchor
+    * text. Top-k per destination host rides the
+    * [[graft.plans.GroupedTopK]] bounded heaps with the q127 packed
+    * order (`n * 2^32 + hash32(term)` — tie-free, oracle-replayable),
+    * never a per-host sort. Output: (dst_host, term, n).
+    */
+  def anchorTexts(docs: DataFrame, urlCol: String, htmlCol: String,
+                  k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pat = "<[aA] href=\"([^\"]*)\">([^<]*)</[aA]>"
+    val counts = docs
+      .select(host(col(urlCol)).as("_src"),
+        expr(s"""zip_with(
+            regexp_extract_all($htmlCol, '$pat', 1),
+            regexp_extract_all($htmlCol, '$pat', 2),
+            (h, t) -> struct(h as href, t as txt))""").as("_links"))
+      .select(col("_src"), explode(col("_links")).as("_l"))
+      .select(
+        when(col("_l.href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+          host(col("_l.href"))).otherwise(col("_src")).as("dst_host"),
+        explode(split(lower(col("_l.txt")), " ")).as("term"))
+      .filter(col("dst_host") =!= "" && col("term") =!= "")
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .withColumn("_ord",
+        col("n") * 4294967296L + graft.Pipeline.wordHash32(col("term")))
+    graft.plans.GroupedTopK.perKey(counts, Seq("dst_host"), "_ord", k)
+      .select(col("dst_host"), col("term"), col("n"))
+  }
+
+  /** Authority-weighted sampling: keep each doc with probability
+    * proportional to its HOST's link authority — the crawl-frontier /
+    * mix-design composition (extract the outlink graph, rank hosts
+    * with integer PageRank, thin the corpus toward endorsed domains).
+    * `keep_ppm = (pr(host) * 1e6) div max_pr`, an exact integer
+    * derived from the rank frame itself (hosts absent from the graph
+    * — never linked, never linking — keep nothing: links are the
+    * evidence), decided by the md5-slot draw. `hostRanks` is
+    * [[Graph.pageRank]] output over [[outlinkHostEdges]] re-keyed as
+    * `(host, pr)`; the max rides a broadcast one-row frame (no driver
+    * action). One bounded join; the filter is scan-side.
+    */
+  def authorityWeightedSample(docs: DataFrame, idCol: String,
+                              urlCol: String,
+                              hostRanks: DataFrame): DataFrame = {
+    val maxPr = hostRanks.agg(coalesce(max(col("pr")), lit(1L)).as("_max_pr"))
+    val keyed = hostRanks.select(col("host").as("_rh"),
+        col("pr").as("_pr"))
+      .crossJoin(broadcast(maxPr))
+      .select(col("_rh"),
+        expr("(_pr * 1000000L) div greatest(_max_pr, 1L)").as("keep_ppm"))
+    docs.withColumn("host", host(col(urlCol)))
+      .join(keyed, col("host") === col("_rh"))
+      .drop("_rh")
+      .filter(
+        pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+          lit(1000000L)) < col("keep_ppm"))
+  }
+
   /** Structural TEMPLATE fingerprint: the 60-bit hash of a page's
     * opening-tag sequence (`<html><body><h1>...` -> "html body h1 ...")
     * — pages emitted by the same generator share it even when their

@@ -569,6 +569,23 @@ object Streams {
       .filter(TextStats.qualityLogitKeep("text"))
   }
 
+  /** Streaming PROMPT-level dedup for SFT transcript streams: an
+    * arriving conversation drops when its first-turn body digest
+    * ([[graft.ops.Dialog.promptDigest]], shared verbatim with the
+    * batch operator) was already seen within the watermark horizon —
+    * first arrival wins, the streaming analogue of the batch
+    * lowest-id rule. Composes with [[graft.ops.Dialog.turnStats]]'
+    * `well_formed` predicate (a pure scan-side column) for a full
+    * on-arrival SFT gate. Expects columns (ts, `convCol`, ...).
+    */
+  def streamingPromptDedup(convs: DataFrame, convCol: String = "conv",
+                           horizonMinutes: Int = 10): DataFrame =
+    convs
+      .withColumn("_pd", graft.ops.Dialog.promptDigest(col(convCol)))
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .dropDuplicatesWithinWatermark("_pd")
+      .drop("_pd")
+
   case class HostAdmit(doc_id: Long, host: String, seq: Long, ts: Timestamp)
   // state classes must be encoder-visible (non-private), like
   // SessionState below

@@ -1722,6 +1722,75 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 0L, 0L)))
   }
 
+  test("cdcChunks: boundaries re-sync after a leading edit; chunks cover the doc") {
+    import spark.implicits._
+    val a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve")
+    val b = "inserted prefix words " + a
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = graft.ops.Chunking.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // coverage: chunks joined in order reconstruct each doc exactly
+    val rebuilt = ch.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString(" ") }
+    assert(rebuilt(1L) == a && rebuilt(2L) == b)
+    // re-sync: after the 3-token insertion, B's tail chunks are
+    // byte-identical to A's (content-defined boundaries re-lock) —
+    // positional chunking would share nothing
+    val aChunks = ch.filter(_._1 == 1L).map(_._3).toSet
+    val bChunks = ch.filter(_._1 == 2L).map(_._3).toSet
+    assert((aChunks intersect bChunks).nonEmpty,
+      s"no shared chunks after re-sync: a=$aChunks b=$bChunks")
+    // and the dup report charges exactly the shared-token mass
+    val stats = graft.ops.Chunking.cdcDupStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("dup_tok"))).toMap
+    val sharedTok = (aChunks intersect bChunks).toSeq
+      .map(_.split(" ").length.toLong).sum
+    assert(stats(1L) == ((36L, sharedTok)))
+    assert(stats(2L) == ((39L, sharedTok)))
+  }
+
+  test("anchorTexts resolves destinations and ranks terms per host") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://x.com/1",
+        """<a href="https://y.com/a">great search engine</a>""" +
+          """<a href="/local">home page</a>"""),
+      (2L, "https://z.com/1",
+        """<a href="https://y.com/b">search results</a>"""))
+      .toDF("doc_id", "url", "html")
+    val r = graft.ops.Web.anchorTexts(docs, "url", "html", k = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    // y.com: 'search' appears in two anchors (from different pages)
+    assert(r(("y.com", "search")) == 2L)
+    assert(r.keys.count(_._1 == "y.com") == 2, "k=2 caps y.com's terms")
+    // the relative link's terms accrue to the PAGE's host
+    assert(r.keys.filter(_._1 == "x.com").map(_._2).toSet
+      .subsetOf(Set("home", "page")))
+  }
+
+  test("authorityWeightedSample keeps everything on the top host, " +
+    "proportionally elsewhere") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"https://${if (i <= 20) "big" else "small"}.com/$i"))
+      .toDF("doc_id", "url")
+    val ranks = Seq(("big.com", 4000L), ("small.com", 1000L))
+      .toDF("host", "pr")
+    val kept = graft.ops.Web.authorityWeightedSample(
+        docs, "doc_id", "url", ranks)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("keep_ppm"))
+    // keep_ppm: big = 1e6 (max host -> slot always below), small = 250000
+    assert(kept.filter(_._1 <= 20L).map(_._2).forall(_ == 1000000L))
+    assert(kept.count(_._1 <= 20L) == 20, "max-pr host keeps every doc")
+    assert(kept.filter(_._1 > 20L).map(_._2).forall(_ == 250000L))
+    assert(kept.count(_._1 > 20L) < 20, "quarter-rate host thins")
+  }
+
   test("outlinkHostEdges resolves links and drops self/junk edges") {
     import spark.implicits._
     val docs = Seq(

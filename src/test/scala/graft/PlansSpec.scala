@@ -131,12 +131,15 @@ class PlansSpec extends AnyFunSuite {
     // that one cross join (packing / fertility add only equi-joins)
     // q158: embeds bm25Search, inheriting q111's one-row corpus-stats
     // broadcast (the fusion itself is equi-joins over 20-row lists)
+    // q183: the authority-sample normalizer crosses the one-row
+    // max-rank aggregate into the host-rank frame (hosts-sized) —
+    // constant per probe row, the q148 shape
     val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
       "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
       "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift",
       "q144_embedding_diversity", "q148_pagerank_dangling",
       "q150_bpe_segment", "q154_bpe_packing", "q157_tokenizer_fertility",
-      "q158_hybrid_rrf")
+      "q158_hybrid_rrf", "q183_authority_sample")
     Queries.all.foreach { q =>
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

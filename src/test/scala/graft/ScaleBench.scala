@@ -288,7 +288,22 @@ object ScaleBench {
       // chain + one group agg), hybrid RRF (two bounded top-20
       // retrievals + a 40-row fusion)
       "q155_strip_dup_spans", "q156_encoding_qa",
-      "q157_tokenizer_fertility", "q158_hybrid_rrf")
+      "q157_tokenizer_fertility", "q158_hybrid_rrf",
+      // round 10, batches 3-4: host family (bounded host keys), HITS
+      // (post plan-fix: driver-collected normalization literals), the
+      // outlink host graph + PR, prefix-sum blocking, pure-scan decay
+      // weights, gram-explode repetition, dialog/Luhn/unk scans, and
+      // the burst screen's bounded day-count windows
+      "q169_host_dup", "q170_host_lang_mix", "q171_hits",
+      "q172_host_graph_rank", "q173_context_blocks",
+      "q174_freshness_decay", "q175_repetition_rules",
+      "q176_dialog_stats", "q177_prompt_dedup", "q178_luhn_screen",
+      "q179_event_bursts", "q180_unk_rate",
+      // round 10, batch 5: anchor terms (bounded GroupedTopK), CDC
+      // chunk dedup (scan-side boundary HOFs + digest window), the
+      // authority-sampling composition (bounded host graph + scan
+      // filter)
+      "q181_anchor_text", "q182_cdc_dup", "q183_authority_sample")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

@@ -675,6 +675,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming prompt dedup drops same-question transcripts on arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "conv")
+    val q = Streams.streamingPromptDedup(df).writeStream
+      .format("memory").queryName("prompt_dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "user: what is spark ||| assistant: an engine"),
+        (2L, ts(1), "user: what is duckdb ||| assistant: a database"))
+      q.processAllAvailable()
+      // same PROMPT, different answer, later micro-batch: dropped
+      in.addData(
+        (3L, ts(2), "user: what is spark ||| assistant: a framework"),
+        (4L, ts(2), "user: what is scala ||| assistant: a language"))
+      q.processAllAvailable()
+      val ids = spark.table("prompt_dedup").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L),
+        "first arrival wins; the repeated question must drop")
+    } finally q.stop()
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -742,6 +742,41 @@ object CrawlQueries {
             pages.select("doc_id", "url"), "doc_id", "url", ranks)
           .select("doc_id", "host", "keep_ppm")
           .orderBy("doc_id")
+      }),
+
+    // Degree-distribution audit ([[ops.Graph.degreeHistogram]]): node
+    // counts per power-of-two degree band, out and in separately,
+    // over the directed trade graph — the power-law / hub-skew report
+    // that sizes salting and caps BEFORE a graph workload runs (the
+    // supplier hubs the scale sweeps keep exercising live in the top
+    // in-band here). Two bounded aggregates; <= 64 rows per direction.
+    QueryDef("q184_degree_histogram",
+      Some("""
+        WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        i AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY dst),
+        b AS (SELECT 'out' AS direction,
+                     CASE WHEN deg <= 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(1 << (length(bin(deg)) - 1) AS BIGINT) END AS band_lo
+              FROM o
+              UNION ALL
+              SELECT 'in' AS direction,
+                     CASE WHEN deg <= 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(1 << (length(bin(deg)) - 1) AS BIGINT) END AS band_lo
+              FROM i)
+        SELECT direction, band_lo, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM b GROUP BY direction, band_lo
+        ORDER BY direction, band_lo"""),
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.ops.Graph.degreeHistogram(edges)
+          .orderBy("direction", "band_lo")
       })
   )
 }

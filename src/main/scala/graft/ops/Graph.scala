@@ -179,6 +179,25 @@ object Graph {
     edges.select(col("src").as("node"))
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
 
+  /** Degree-distribution audit over a directed edge list: node counts
+    * per power-of-two degree band, separately for out- and in-degree —
+    * the power-law / hub-skew report that decides salting and cap
+    * parameters BEFORE a graph workload runs (a band histogram is how
+    * you see the 10x-degree supplier hub the scale sweeps keep
+    * exercising). `2^floor(log2(deg))` via integer bit-length (no
+    * libm); two bounded aggregates, output <= 64 rows per direction.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    def side(keyCol: String, direction: String): DataFrame =
+      edges.groupBy(col(keyCol).as("_n"))
+        .agg(count(lit(1)).cast(LongType).as("_deg"))
+        .select(lit(direction).as("direction"),
+          graft.ops.TextStats.pow2Band(col("_deg")).as("band_lo"))
+        .groupBy("direction", "band_lo")
+        .agg(count(lit(1)).cast(LongType).as("n_nodes"))
+    side("src", "out").unionAll(side("dst", "in"))
+  }
+
   /** HITS hubs-and-authorities over a DIRECTED edge list `(src, dst)`,
     * fixed iteration count, integer micro-units — the second classic
     * link-analysis ranking (Kleinberg 1999), and the one that fits

@@ -1791,6 +1791,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count(_._1 > 20L) < 20, "quarter-rate host thins")
   }
 
+  test("degreeHistogram bands out- and in-degrees by power of two") {
+    import spark.implicits._
+    // out-degrees: 1 -> {3 edges}, 2 -> {1}; in-degrees: 3 <- 2, 4 <- 1, 5 <- 1
+    val edges = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = graft.ops.Graph.degreeHistogram(edges)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r(("out", 2L)) == 1L, "node 1 has out-degree 3 -> band 2")
+    assert(r(("out", 1L)) == 1L, "node 2 has out-degree 1 -> band 1")
+    assert(r(("in", 2L)) == 1L, "node 3 has in-degree 2 -> band 2")
+    assert(r(("in", 1L)) == 2L, "nodes 4 and 5 have in-degree 1")
+    assert(r.size == 4)
+  }
+
   test("outlinkHostEdges resolves links and drops self/junk edges") {
     import spark.implicits._
     val docs = Seq(

@@ -492,3 +492,46 @@ object PipelineDemo {
     spark.stop()
   }
 }
+
+/** Runnable crawl-side demo: synthesizes a crawl (URLs + linked HTML
+  * pages over the documents corpus — the q152/q172 derivations), then
+  * drives the full web-curation path end-to-end:
+  * ingest (blocklist → URL dedup → extraction → encoding QA → model
+  * gate) → host audit → outlink graph → PageRank → authority-weighted
+  * thinning. `sbt "runMain graft.CrawlDemo [sfDir]"` — one JSON line.
+  */
+object CrawlDemo {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark: SparkSession = Sessions.fromEnv("graft-crawl-demo")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val crawl = Tables.documents(spark, sf)
+      .withColumn("url", expr("""
+        (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        source || '-' || CAST(doc_id % 7 AS STRING) || '.example.com' ||
+        '/docs/' || CAST(doc_id AS STRING)"""))
+      .withColumn("html", expr("""
+        '<html><body><p>' || text || '</p><a href="https://' || source ||
+        '-' || CAST((doc_id + 1) % 7 AS STRING) ||
+        '.example.com/p">ring</a>' ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN '<a href="https://hub.example.com/h">hub</a>'
+              ELSE '' END) || '</body></html>'"""))
+      .drop("text", "n_chars")
+    import spark.implicits._
+    val blocklist = Seq("src3-1.example.com").toDF("domain")
+    val (docs, report) = CorpusPipeline.ingest(crawl, blocklist)
+    val rep = report() // one action: all six observed counts
+    val audit = CorpusPipeline.hostAudit(
+      docs.withColumn("lang", lit("en")))
+    val nHosts = audit("footprint").count()
+    val ranks = ops.Graph.pageRank(
+        ops.Web.outlinkHostEdges(crawl, "url", "html"), iters = 3)
+      .select(col("node").as("host"), col("pr"))
+    val kept = ops.Web.authorityWeightedSample(
+      docs.select("doc_id", "url"), "doc_id", "url", ranks).count()
+    println(s"""{"corpus":"$sf","ingest":${rep.json},""" +
+      s""""hosts":$nHosts,"authority_kept":$kept}""")
+    spark.stop()
+  }
+}

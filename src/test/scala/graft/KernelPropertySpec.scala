@@ -214,4 +214,82 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(fps(ia) == ref, s"selection mismatch for doc $ia")
     }
   }
+
+  test("cdcChunks reassemble every generated doc exactly, in order") {
+    import spark.implicits._
+    // plain word tokens (split-on-space contract: no empties)
+    val genWord = Gen.frequency(
+      5 -> Gen.alphaLowerStr.map(s => if (s.isEmpty) "w" else s.take(6)),
+      2 -> Gen.oneOf("dup", "dup", "alpha", "beta"))
+    val genWordsDoc = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, genWord))
+    val docs = (0 until 200).map(i =>
+      (i.toLong, genWordsDoc.apply(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(List("w")).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val ch = graft.ops.Chunking.cdcChunks(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val byDoc = ch.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val cs = byDoc(id).sortBy(_._2)
+      assert(cs.map(_._3).mkString(" ") == text,
+        s"doc $id does not reassemble from its chunks")
+      assert(cs.forall(_._4 >= 1), s"doc $id has an empty chunk")
+      assert(cs.map(_._2).toSeq == cs.indices.map(_.toLong),
+        s"doc $id chunk indices not dense")
+    }
+  }
+
+  test("luhnScreen agrees with a driver-side Luhn reference on random digit runs") {
+    import spark.implicits._
+    def luhnRef(s: String): Boolean =
+      s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = 2 * d; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    val genRun = for {
+      n <- Gen.choose(11, 21) // straddles the 13..19 candidate band
+      ds <- Gen.listOfN(n, Gen.choose(0, 9))
+    } yield ds.mkString
+    val runs = (0 until 150).map(i =>
+      genRun.apply(Gen.Parameters.default, Seed(2000L + i)).getOrElse("123"))
+    val docs = runs.zipWithIndex
+      .map { case (r, i) => (i.toLong, s"pay $r now") }.toDF("doc_id", "text")
+    val res = graft.ops.Redact.luhnScreen(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    runs.zipWithIndex.foreach { case (r, i) =>
+      val isCand = r.length >= 13 && r.length <= 19
+      val expect = (if (isCand) 1L else 0L,
+        if (isCand && luhnRef(r)) 1L else 0L)
+      assert(res(i.toLong) == expect, s"run $r (len ${r.length})")
+    }
+  }
+
+  test("turnStats alternation/role verdicts match a driver-side reference") {
+    import spark.implicits._
+    val genRole = Gen.frequency(4 -> Gen.const("user"),
+      4 -> Gen.const("assistant"), 1 -> Gen.const("system"),
+      1 -> Gen.const("narrator")) // unknown role exercises roles_ok
+    val genConv = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genRole))
+    val convs = (0 until 150).map { i =>
+      val roles = genConv.apply(Gen.Parameters.default, Seed(3000L + i))
+        .getOrElse(List("user"))
+      (i.toLong, roles, roles.map(r => s"$r: word one two").mkString(" ||| "))
+    }
+    val df = convs.map(c => (c._1, c._3)).toDF("doc_id", "conv")
+    val res = graft.ops.Dialog.turnStats(df, "doc_id", "conv")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_turns"), r.getAs[Boolean]("roles_ok"),
+          r.getAs[Boolean]("alternation_ok"), r.getAs[Long]("user_tok"),
+          r.getAs[Long]("asst_tok"))).toMap
+    val known = Set("user", "assistant", "system")
+    convs.foreach { case (id, roles, _) =>
+      val expect = (roles.length.toLong,
+        roles.forall(known),
+        roles.length < 2 || roles.sliding(2).forall(p => p.head != p(1)),
+        3L * roles.count(_ == "user"),
+        3L * roles.count(_ == "assistant"))
+      assert(res(id) == expect, s"doc $id roles $roles")
+    }
+  }
 }

@@ -777,6 +777,132 @@ object CrawlQueries {
           .distinct()
         graft.ops.Graph.degreeHistogram(edges)
           .orderBy("direction", "band_lo")
+      }),
+
+    // Bloom membership sketch ([[ops.Sketches.bloomSketch]] /
+    // [[ops.Sketches.bloomMightContain]]): per-source 1024-bit bitmap
+    // over the token vocabulary in 63-bit words (bit 63 never set —
+    // engine-portable shifts), probed with each source's 3 smallest
+    // tokens (must read present: no false negatives) and 2 absent
+    // sentinels. The at-scale membership pre-gate: a shard ships ~17
+    // longs per group, never the vocabulary; OR-merge proven in the
+    // spec. The oracle replays positions, masks, bit_or, and the
+    // all-bits-set conjunction.
+    QueryDef("q185_bloom_membership",
+      Some(s"""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        dt AS (SELECT DISTINCT source, w FROM tok),
+        pos AS (SELECT source, unnest([
+                  ${hash60Sql("'0_' || w")} % 1024,
+                  ${hash60Sql("'1_' || w")} % 1024,
+                  ${hash60Sql("'2_' || w")} % 1024]) AS p
+                FROM dt),
+        bm AS (SELECT source, p // 63 AS wi,
+                      bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+               FROM pos GROUP BY 1, 2),
+        pr AS (SELECT source, w AS probe
+               FROM (SELECT source, w, ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY w) AS rn FROM dt)
+               WHERE rn <= 3
+               UNION ALL
+               SELECT DISTINCT source, 'zzabsentbloom1' FROM dt
+               UNION ALL
+               SELECT DISTINCT source, 'zzabsentbloom2' FROM dt),
+        pp AS (SELECT source, probe, unnest([
+                 ${hash60Sql("'0_' || probe")} % 1024,
+                 ${hash60Sql("'1_' || probe")} % 1024,
+                 ${hash60Sql("'2_' || probe")} % 1024]) AS p
+               FROM pr),
+        hit AS (SELECT pp.source AS source, pp.probe AS probe,
+                  (COALESCE(bm.bits, 0) &
+                    (1::BIGINT << CAST(pp.p % 63 AS INT))) <> 0 AS h
+                FROM pp LEFT JOIN bm
+                  ON bm.source = pp.source AND bm.wi = pp.p // 63),
+        mc AS (SELECT source, probe, bool_and(h) AS might_contain
+               FROM hit GROUP BY 1, 2)
+        SELECT mc.source AS source, mc.probe AS probe, mc.might_contain,
+               dt.w IS NOT NULL AS actually_in
+        FROM mc LEFT JOIN dt ON dt.source = mc.source AND dt.w = mc.probe
+        ORDER BY mc.source, mc.probe"""),
+      (s, d) => {
+        val dt = spread(documents(s, d))
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        val sketch = graft.ops.Sketches.bloomSketch(dt, Seq("source"), "w")
+        val w3 = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("w")
+        val probes = dt.withColumn("_rn", row_number().over(w3))
+          .filter(col("_rn") <= 3)
+          .select(col("source"), col("w").as("probe"))
+          .unionAll(dt.select("source").distinct()
+            .select(col("source"), explode(array(lit("zzabsentbloom1"),
+              lit("zzabsentbloom2"))).as("probe")))
+        graft.ops.Sketches.bloomMightContain(sketch, probes,
+            Seq("source"), "probe")
+          .join(dt.select(col("source").as("_as"), col("w").as("_aw"),
+              lit(true).as("_ai")),
+            col("source") === col("_as") && col("probe") === col("_aw"),
+            "left")
+          .select(col("source"), col("probe"), col("might_contain"),
+            coalesce(col("_ai"), lit(false)).as("actually_in"))
+          .orderBy("source", "probe")
+      }),
+
+    // Count-min frequency sketch ([[ops.Sketches.cmsSketch]] /
+    // [[ops.Sketches.cmsEstimate]]): per-source 4x256 integer counter
+    // grid over token occurrences, probed with each source's 3 most
+    // frequent tokens (deterministic tiebreak) and an absent sentinel
+    // — estimates never under-count (collisions only add), the
+    // bounded-memory frequency table for vocabularies too large to
+    // materialize. The oracle replays the counter build and the
+    // min-over-depth estimate bit-for-bit.
+    QueryDef("q186_cms_frequency",
+      Some(s"""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        sk AS (SELECT source, d, ${hash60Sql("CAST(d AS VARCHAR) || '_' || w")} % 256 AS pos,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+               GROUP BY 1, 2, 3),
+        ex AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS exact_n
+               FROM tok GROUP BY 1, 2),
+        pr AS (SELECT source, w AS probe, exact_n
+               FROM (SELECT source, w, exact_n, ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY exact_n DESC, w) AS rn
+                     FROM ex)
+               WHERE rn <= 3
+               UNION ALL
+               SELECT DISTINCT source, 'zzabsentcms', CAST(0 AS BIGINT) FROM tok),
+        pp AS (SELECT source, probe, exact_n, d,
+                      ${hash60Sql("CAST(d AS VARCHAR) || '_' || probe")} % 256 AS pos
+               FROM pr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)),
+        est AS (SELECT pp.source AS source, pp.probe AS probe,
+                       pp.exact_n AS exact_n,
+                       CAST(MIN(COALESCE(sk.n, 0)) AS BIGINT) AS est_n
+                FROM pp LEFT JOIN sk
+                  ON sk.source = pp.source AND sk.d = pp.d AND sk.pos = pp.pos
+                GROUP BY 1, 2, 3)
+        SELECT source, probe, exact_n, est_n, est_n >= exact_n AS no_undercount
+        FROM est ORDER BY source, probe"""),
+      (s, d) => {
+        val tok = spread(documents(s, d))
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val sketch = graft.ops.Sketches.cmsSketch(tok, Seq("source"), "w")
+        val exact = tok.groupBy("source", "w")
+          .agg(count(lit(1)).cast("long").as("exact_n"))
+        val w3 = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("exact_n").desc, col("w"))
+        val probes = exact.withColumn("_rn", row_number().over(w3))
+          .filter(col("_rn") <= 3)
+          .select(col("source"), col("w").as("probe"), col("exact_n"))
+          .unionAll(tok.select("source").distinct()
+            .select(col("source"), lit("zzabsentcms").as("probe"),
+              lit(0L).as("exact_n")))
+        graft.ops.Sketches.cmsEstimate(sketch,
+            probes.select("source", "probe"), Seq("source"), "probe")
+          .join(probes, Seq("source", "probe"))
+          .select(col("source"), col("probe"), col("exact_n"), col("est_n"),
+            (col("est_n") >= col("exact_n")).as("no_undercount"))
+          .orderBy("source", "probe")
       })
   )
 }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.types._
 import graft.Pipeline.wordHash60
 import graft.plans.GroupedTopK
 
-/** Mergeable cardinality sketches.
+/** Mergeable sketches: KMV cardinality, Bloom membership, count-min
+  * frequency — the bounded-summary family a sharded 100 TB audit
+  * computes per shard and rolls up without shuffling values.
   *
   * KMV (k-minimum-values): keep the k smallest DISTINCT 60-bit hashes
   * of a value per group; the k-th smallest estimates the distinct count
@@ -87,4 +89,150 @@ object Sketches {
     GroupedTopK.perKey(hashes.distinct(), groupCols, "_h", k, largest = false)
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("_h"))).as("kmv"))
+
+  // ===== Bloom filter (mergeable membership) =====
+
+  /** BLOOM membership sketch: per group, a `bits`-wide bitmap stored as
+    * 63-bit WORDS (ceil(bits/63) longs — bit 63 never set: DuckDB's
+    * BIGINT shift raises on `1 << 63`, so the portable word is 63 bits
+    * and every mask stays positive on every engine) — `khash` md5-derived positions set per distinct
+    * value. THE at-scale membership tool: a 100 TB decontamination
+    * pre-gate ships a few KB of bitmap per shard instead of the
+    * vocabulary, with a quantifiable false-positive rate
+    * (`(1-e^{-kn/m})^k`) and NO false negatives — the conservative
+    * direction a leakage gate needs (a Bloom "maybe" routes to the
+    * exact verify; a Bloom "no" is definitive).
+    *
+    * Deterministic by construction (positions are
+    * `hash60(i || '_' || value) % bits`), so sketches replay across
+    * engines and MERGE by bitwise OR ([[bloomMerge]]) — per-shard
+    * bitmaps roll up through a rows-per-group exchange of
+    * ceil(bits/63) longs. Output: groupCols + (word_idx, bits) — one
+    * row per word, absent words are all-zero.
+    *
+    * Shape: value explode ×khash (scan-side position arithmetic) →
+    * one (group, word)-keyed `bit_or` aggregate, map-side combined,
+    * output bounded by groups × ceil(bits/63).
+    */
+  def bloomSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  bits: Int = 1024, khash: Int = 3): DataFrame = {
+    require(bits >= 63, s"bits must be >= 63, got $bits")
+    require(khash >= 1, s"khash must be >= 1, got $khash")
+    df
+      .select((groupCols.map(col) :+ col(valueCol).cast(StringType).as("_v")): _*)
+      .select((groupCols.map(col) :+ explode(expr(
+        s"""transform(sequence(0, ${khash - 1}), i ->
+              cast(conv(substring(md5(cast(i as string) || '_' || _v), 1, 15),
+                16, 10) as bigint) % ${bits}L)""")).as("_pos")): _*)
+      .select((groupCols.map(col) :+
+        expr("_pos div 63").as("word_idx") :+
+        expr("shiftleft(1L, cast(_pos % 63 as int))").as("_m")): _*)
+      .groupBy((groupCols.map(col) :+ col("word_idx")): _*)
+      .agg(bit_or(col("_m")).as("bits"))
+  }
+
+  /** OR-merge per-shard Bloom sketches (same bits/khash) into one
+    * bitmap per group — the union's sketch exactly.
+    */
+  def bloomMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("word_idx")): _*)
+      .agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership probe: for each (group, probe value), `might_contain` =
+    * all khash positions set in the group's bitmap. Probes explode
+    * ×khash, LEFT-join the sketch on (group, word) — an absent word is
+    * an unset bit — and a probe is "in" iff every position hits. No
+    * false negatives; false positives at the textbook rate.
+    * `probes` must carry groupCols + `probeCol`.
+    */
+  def bloomMightContain(sketch: DataFrame, probes: DataFrame,
+                        groupCols: Seq[String], probeCol: String,
+                        bits: Int = 1024, khash: Int = 3): DataFrame = {
+    val exploded = probes
+      .select((groupCols.map(col) :+ col(probeCol)): _*)
+      .select((groupCols.map(col) :+ col(probeCol) :+ explode(expr(
+        s"""transform(sequence(0, ${khash - 1}), i ->
+              cast(conv(substring(md5(cast(i as string) || '_' ||
+                cast($probeCol as string)), 1, 15), 16, 10) as bigint)
+                % ${bits}L)""")).as("_pos")): _*)
+      .withColumn("_w", expr("_pos div 63"))
+    val keyed = sketch.select(
+      (groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"_sg$i") } :+
+        col("word_idx").as("_sw") :+ col("bits").as("_sb")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"_sg$i") }
+      .reduce(_ && _) && col("_w") === col("_sw")
+    exploded.join(keyed, cond, "left")
+      .withColumn("_hit",
+        expr("coalesce(_sb, 0L) & shiftleft(1L, cast(_pos % 63 as int))") =!= 0L)
+      .groupBy((groupCols.map(col) :+ col(probeCol)): _*)
+      .agg((count(lit(1)) === sum(when(col("_hit"), 1L).otherwise(0L)))
+        .as("might_contain"))
+  }
+
+  // ===== Count-min sketch (mergeable frequency) =====
+
+  /** COUNT-MIN frequency sketch: `depth` rows of `width` counters; an
+    * occurrence of a value increments counter `(d, hash60(d||'_'||v) %
+    * width)` for every row d. Estimates never UNDER-count (collisions
+    * only add), the error bound is the classic `n/width` per row with
+    * the min over `depth` independent rows — the bounded-memory
+    * frequency table for vocabularies too large to materialize (the
+    * 100 TB complement of an exact unigram count: fixed
+    * `depth × width` longs per group, merge = counter-wise SUM).
+    *
+    * Deterministic md5-derived positions, pure integer counters — the
+    * oracle replays sketch AND estimate bit-for-bit. Shape: occurrence
+    * explode ×depth → one (group, d, pos) count, map-side combined,
+    * output bounded by groups × depth × width.
+    */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad cms shape: $depth x $width")
+    df
+      .select((groupCols.map(col) :+ col(valueCol).cast(StringType).as("_v")): _*)
+      .select((groupCols.map(col) :+ explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), d -> struct(
+              cast(d as bigint) as d,
+              cast(conv(substring(md5(cast(d as string) || '_' || _v), 1, 15),
+                16, 10) as bigint) % ${width}L as pos))""")).as("_c")): _*)
+      .groupBy((groupCols.map(col) :+ col("_c.d").as("d") :+
+        col("_c.pos").as("pos")): _*)
+      .agg(count(lit(1)).cast(LongType).as("n"))
+  }
+
+  /** SUM-merge per-shard count-min sketches (same depth/width). */
+  def cmsMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("d") :+ col("pos")): _*)
+      .agg(sum(col("n")).cast(LongType).as("n"))
+
+  /** Frequency estimate: per (group, probe), `est_n` = min over depth
+    * rows of the probed counter (an absent counter is 0 — the probe
+    * was never counted there). `est_n >= true count` always; equality
+    * except under collisions. `probes` must carry groupCols +
+    * `probeCol`.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  groupCols: Seq[String], probeCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val exploded = probes
+      .select((groupCols.map(col) :+ col(probeCol)): _*)
+      .select((groupCols.map(col) :+ col(probeCol) :+ explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), d -> struct(
+              cast(d as bigint) as d,
+              cast(conv(substring(md5(cast(d as string) || '_' ||
+                cast($probeCol as string)), 1, 15), 16, 10) as bigint)
+                % ${width}L as pos))""")).as("_c")): _*)
+      .select((groupCols.map(col) :+ col(probeCol) :+
+        col("_c.d").as("_d") :+ col("_c.pos").as("_p")): _*)
+    val keyed = sketch.select(
+      (groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"_sg$i") } :+
+        col("d").as("_sd") :+ col("pos").as("_sp") :+ col("n").as("_sn")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"_sg$i") }
+      .reduce(_ && _) && col("_d") === col("_sd") && col("_p") === col("_sp")
+    exploded.join(keyed, cond, "left")
+      .groupBy((groupCols.map(col) :+ col(probeCol)): _*)
+      .agg(min(coalesce(col("_sn"), lit(0L))).cast(LongType).as("est_n"))
+  }
 }

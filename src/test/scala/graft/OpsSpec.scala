@@ -1791,6 +1791,57 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count(_._1 > 20L) < 20, "quarter-rate host thins")
   }
 
+  test("bloom sketch: no false negatives; shard OR-merge equals direct") {
+    import spark.implicits._
+    val vals = (1 to 200).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val sketch = graft.ops.Sketches.bloomSketch(vals, Seq("g"), "v")
+    // every inserted value must read present (the Bloom guarantee)
+    val present = graft.ops.Sketches.bloomMightContain(
+        sketch, vals.select(col("g"), col("v").as("p")), Seq("g"), "p")
+      .collect()
+    assert(present.length == 200 &&
+      present.forall(_.getAs[Boolean]("might_contain")),
+      "an inserted value must never read absent")
+    // shard merge: two halves OR-merged == the direct whole-set sketch
+    val sa = graft.ops.Sketches.bloomSketch(
+      vals.filter(col("v") <= "tok150"), Seq("g"), "v")
+    val sb = graft.ops.Sketches.bloomSketch(
+      vals.filter(col("v") > "tok150"), Seq("g"), "v")
+    val merged = graft.ops.Sketches.bloomMerge(sa.unionAll(sb), Seq("g"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val direct = sketch
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(merged == direct, "OR-merge must equal the direct sketch")
+    // bit 63 is never set (63-bit portable words): all masks positive
+    assert(direct.values.forall(_ >= 0L))
+  }
+
+  test("count-min sketch: never under-counts; shard SUM-merge equals direct") {
+    import spark.implicits._
+    // skewed occurrences: tok1 x 50, tok2 x 10, the rest singletons
+    val occs = (Seq.fill(50)("tok1") ++ Seq.fill(10)("tok2") ++
+      (3 to 120).map(i => s"tok$i")).map(("g", _)).toDF("g", "v")
+    val sketch = graft.ops.Sketches.cmsSketch(occs, Seq("g"), "v")
+    val exact = occs.groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = exact.keys.toSeq.map(("g", _)).toDF("g", "p")
+    val est = graft.ops.Sketches.cmsEstimate(sketch, probes, Seq("g"), "p")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    exact.foreach { case (v, n) =>
+      assert(est(v) >= n, s"$v estimated ${est(v)} below true $n") }
+    assert(est("tok1") == 50L && est("tok2") == 10L,
+      "heavy tokens at this load estimate exactly (no heavy collisions)")
+    // shard merge: two halves SUM-merged == the direct sketch
+    val sa = graft.ops.Sketches.cmsSketch(occs.limit(80), Seq("g"), "v")
+    val sb = graft.ops.Sketches.cmsSketch(
+      occs.exceptAll(occs.limit(80)), Seq("g"), "v")
+    val merged = graft.ops.Sketches.cmsMerge(sa.unionAll(sb), Seq("g"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val direct = sketch
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(merged == direct, "SUM-merge must equal the direct sketch")
+  }
+
   test("degreeHistogram bands out- and in-degrees by power of two") {
     import spark.implicits._
     // out-degrees: 1 -> {3 edges}, 2 -> {1}; in-degrees: 3 <- 2, 4 <- 1, 5 <- 1

@@ -303,7 +303,12 @@ object ScaleBench {
       // chunk dedup (scan-side boundary HOFs + digest window), the
       // authority-sampling composition (bounded host graph + scan
       // filter)
-      "q181_anchor_text", "q182_cdc_dup", "q183_authority_sample")
+      "q181_anchor_text", "q182_cdc_dup", "q183_authority_sample",
+      // round 10, batch 6: degree bands (two bounded aggs), bloom /
+      // cms sketches (explode xk -> bounded counter/bitmap aggs,
+      // probes join bounded frames)
+      "q184_degree_histogram", "q185_bloom_membership",
+      "q186_cms_frequency")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

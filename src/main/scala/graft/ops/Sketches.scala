@@ -114,16 +114,25 @@ object Sketches {
     * one (group, word)-keyed `bit_or` aggregate, map-side combined,
     * output bounded by groups × ceil(bits/63).
     */
+  /** The khash bit positions of a value — shared VERBATIM by the batch
+    * sketch, the probe, and the streaming maintainer, so none can
+    * drift. Returns `array<long>` of positions in [0, bits).
+    */
+  def bloomPositions(value: String, bits: Int, khash: Int)
+      : org.apache.spark.sql.Column =
+    expr(
+      s"""transform(sequence(0, ${khash - 1}), i ->
+            cast(conv(substring(md5(cast(i as string) || '_' ||
+              cast($value as string)), 1, 15), 16, 10) as bigint)
+              % ${bits}L)""")
+
   def bloomSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   bits: Int = 1024, khash: Int = 3): DataFrame = {
     require(bits >= 63, s"bits must be >= 63, got $bits")
     require(khash >= 1, s"khash must be >= 1, got $khash")
     df
-      .select((groupCols.map(col) :+ col(valueCol).cast(StringType).as("_v")): _*)
-      .select((groupCols.map(col) :+ explode(expr(
-        s"""transform(sequence(0, ${khash - 1}), i ->
-              cast(conv(substring(md5(cast(i as string) || '_' || _v), 1, 15),
-                16, 10) as bigint) % ${bits}L)""")).as("_pos")): _*)
+      .select((groupCols.map(col) :+
+        explode(bloomPositions(valueCol, bits, khash)).as("_pos")): _*)
       .select((groupCols.map(col) :+
         expr("_pos div 63").as("word_idx") :+
         expr("shiftleft(1L, cast(_pos % 63 as int))").as("_m")): _*)
@@ -150,11 +159,8 @@ object Sketches {
                         bits: Int = 1024, khash: Int = 3): DataFrame = {
     val exploded = probes
       .select((groupCols.map(col) :+ col(probeCol)): _*)
-      .select((groupCols.map(col) :+ col(probeCol) :+ explode(expr(
-        s"""transform(sequence(0, ${khash - 1}), i ->
-              cast(conv(substring(md5(cast(i as string) || '_' ||
-                cast($probeCol as string)), 1, 15), 16, 10) as bigint)
-                % ${bits}L)""")).as("_pos")): _*)
+      .select((groupCols.map(col) :+ col(probeCol) :+
+        explode(bloomPositions(probeCol, bits, khash)).as("_pos")): _*)
       .withColumn("_w", expr("_pos div 63"))
     val keyed = sketch.select(
       (groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"_sg$i") } :+

@@ -586,6 +586,49 @@ object Streams {
       .dropDuplicatesWithinWatermark("_pd")
       .drop("_pd")
 
+  case class BloomWord(group: String, word_idx: Long, bits: Long)
+  case class BloomWordState(bits: Long)
+
+  /** Streaming Bloom-sketch maintenance: the per-group membership
+    * bitmap ([[graft.ops.Sketches.bloomSketch]]) kept up to date ON
+    * ARRIVAL — each micro-batch ORs its values' bit positions
+    * ([[graft.ops.Sketches.bloomPositions]], shared VERBATIM with the
+    * batch recipe, so stream and batch sketches cannot drift) into
+    * per-(group, word) state and emits the word's new bitmap whenever
+    * it changes. "Latest emission per (group, word)" IS the batch
+    * sketch of everything seen — StreamsSpec proves bit equality.
+    *
+    * State is bounded by groups × ceil(bits/63) longs — the sketch
+    * itself — so no timeout/eviction is needed (that boundedness is
+    * exactly why sketches are the streaming-native summary; contrast
+    * the dedup monitors, whose per-key state must watermark-evict).
+    * Input columns: (`groupCol`, `valueCol`).
+    */
+  def streamingBloomSketch(values: DataFrame, groupCol: String,
+                           valueCol: String, bits: Int = 1024,
+                           khash: Int = 3): Dataset[BloomWord] = {
+    import values.sparkSession.implicits._
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        explode(graft.ops.Sketches.bloomPositions(valueCol, bits, khash))
+          .as("_pos"))
+      .select(col("g"), expr("_pos div 63").as("w"),
+        expr("shiftleft(1L, cast(_pos % 63 as int))").as("m"))
+      .as[(String, Long, Long)]
+      .groupByKey { case (g, w, _) => (g, w) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[BloomWordState]) =>
+          val prior = state.getOption.map(_.bits).getOrElse(0L)
+          val next = rows.foldLeft(prior) { case (acc, (_, _, m)) => acc | m }
+          if (next != prior) {
+            state.update(BloomWordState(next))
+            Iterator.single(BloomWord(key._1, key._2, next))
+          } else Iterator.empty
+      }
+  }
+
   case class HostAdmit(doc_id: Long, host: String, seq: Long, ts: Timestamp)
   // state classes must be encoder-visible (non-private), like
   // SessionState below

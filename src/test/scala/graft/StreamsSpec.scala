@@ -699,6 +699,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom sketch converges bit-exactly to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val df = in.toDF().toDF("g", "v")
+    val q = Streams.streamingBloomSketch(df, "g", "v").writeStream
+      .format("memory").queryName("bloom_stream").outputMode("append").start()
+    try {
+      in.addData(("a", "alpha"), ("a", "beta"), ("b", "gamma"))
+      q.processAllAvailable()
+      // a duplicate value flips no bits -> no new emission for its words
+      val n1 = spark.table("bloom_stream").count()
+      in.addData(("a", "alpha"))
+      q.processAllAvailable()
+      assert(spark.table("bloom_stream").count() == n1,
+        "re-inserting a value must not emit (no bits changed)")
+      in.addData(("a", "delta"), ("b", "epsilon"))
+      q.processAllAvailable()
+      // latest emission per (group, word) == the batch sketch of all
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group", "word_idx")
+      import org.apache.spark.sql.functions.row_number
+      val streamed = spark.table("bloom_stream")
+        .withColumn("_rn", row_number().over(
+          w.orderBy(org.apache.spark.sql.functions.col("bits").desc)))
+        .filter(org.apache.spark.sql.functions.col("_rn") === 1)
+        .select("group", "word_idx", "bits")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.ops.Sketches.bloomSketch(
+          Seq(("a", "alpha"), ("a", "beta"), ("a", "delta"),
+            ("b", "gamma"), ("b", "epsilon")).toDF("g", "v"),
+          Seq("g"), "v")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch,
+        "stream-maintained bitmap must equal the batch sketch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

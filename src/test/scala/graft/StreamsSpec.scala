@@ -699,6 +699,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming host-cap counter state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-hostcap-ckpt").toString
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = Streams.streamingHostCapGate(
+        in.toDF().toDF("doc_id", "ts", "url"), cap = 2)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add(r.getLong(0)))
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData((1L, ts(0), "https://a.com/1"), (2L, ts(1), "https://a.com/2"))
+      q1.processAllAvailable()
+      assert(out.asScala.toSet == Set(1L, 2L))
+    } finally q1.stop()
+    // restart: the per-host counter must be RECOVERED, so a.com stays
+    // capped — without checkpoint recovery doc 3 would be re-admitted
+    val q2 = start()
+    try {
+      in.addData((3L, ts(2), "https://a.com/3"), (4L, ts(2), "https://b.com/1"))
+      q2.processAllAvailable()
+      assert(out.asScala.toSet == Set(1L, 2L, 4L),
+        s"a.com must stay capped across the restart; got ${out.asScala.toSet}")
+    } finally q2.stop()
+  }
+
   test("streaming bloom sketch converges bit-exactly to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -123,6 +123,22 @@ object CrawlQueries {
       "one two three four five six seven eight nine ten eleven twelve"
   private val CdcPlantB = "inserted prefix words " + CdcPlantA
 
+  // q187 synthetic URLs: four dressings of each of 20 resources —
+  // two param ORDERINGS of the same query, a tracking-decorated
+  // variant (utm_source + gclid interleaved with real params), and an
+  // all-tracking variant that must canonicalize to the bare path.
+  // A www. on even ids keeps the base canonicalUrl rules in play.
+  private val TrackUrlSynthSql = """
+        'https://' ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+        'site' || CAST(doc_id % 20 AS STRING) || '.example.com/p' ||
+        (CASE doc_id % 4
+          WHEN 0 THEN '?a=1&b=2'
+          WHEN 1 THEN '?b=2&a=1'
+          WHEN 2 THEN '?utm_source=feed&a=1&gclid=xyz&b=2'
+          ELSE '?utm_campaign=x'
+         END)"""
+
   // One HITS iteration as chained CTEs (the integer normalize-by-
   // micro-total form of ops.Graph.hits): ar/at = raw authority sums +
   // total, a = normalized over the full node set; hr/ht/h mirror for
@@ -903,6 +919,94 @@ object CrawlQueries {
           .select(col("source"), col("probe"), col("exact_n"), col("est_n"),
             (col("est_n") >= col("exact_n")).as("no_undercount"))
           .orderBy("source", "probe")
-      })
+      }),
+
+    // STRONG URL canonicalization ([[ops.Web.canonicalUrlStrong]]):
+    // q160's rules plus query-string normalization — tracking params
+    // (utm_*, gclid, fbclid, msclkid, ref) dropped and the survivors
+    // SORTED, so two orderings of the same query and any analytics
+    // dressing collapse; an all-tracking query string reduces to the
+    // bare path. The aggressive crawl-frontier dedup key (opt-in —
+    // canonicalUrl stays the conservative default). The oracle
+    // replays the full base chain plus split/filter/sort.
+    QueryDef("q187_url_dedup_strong",
+      Some(s"""
+        WITH u AS (SELECT doc_id, $TrackUrlSynthSql AS url FROM documents),
+        c AS (SELECT doc_id,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace($HostSql, '^www\\.', '') AS h,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
+                regexp_replace(regexp_replace(
+                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(.*)$$', 1),
+                  '#.*$$', ''), '/$$', '') AS rest
+              FROM u),
+        base AS (SELECT doc_id,
+                CASE WHEN scheme = '' THEN '' ELSE scheme || '://' || h ||
+                  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                        THEN '' ELSE ':' || port END) || rest END AS b
+              FROM c),
+        sp AS (SELECT doc_id, regexp_extract(b, '^([^?]*)', 1) AS path,
+                      regexp_extract(b, '^[^?]*\\?(.*)$$', 1) AS qs
+               FROM base),
+        k AS (SELECT doc_id, path, qs,
+                -- COALESCE: DuckDB's array_to_string([]) is NULL where
+                -- Spark's array_join is '' — the all-tracking case
+                COALESCE(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                  p -> NOT regexp_matches(p,
+                    '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)='))), '&'), '') AS kept
+              FROM sp)
+        SELECT CASE WHEN qs = '' OR kept = '' THEN path
+                    ELSE path || '?' || kept END AS canon_url,
+               MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM k GROUP BY 1 ORDER BY canon_url"""),
+      (s, d) => spread(documents(s, d))
+        .withColumn("url", expr(TrackUrlSynthSql))
+        .select(graft.ops.Web.canonicalUrlStrong(col("url")).as("canon_url"),
+          col("doc_id"))
+        .groupBy("canon_url")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).cast("long").as("n_variants"))
+        .orderBy("canon_url")),
+
+    // TOKEN-budget target mix ([[ops.Sampling.targetMixTokens]]):
+    // q143's exact-distribution selection with the targets over TOKEN
+    // MASS — how mixes are actually specified, and materially
+    // different whenever strata have different length profiles. A row
+    // is kept while its stratum's token prefix-sum is under the quota
+    // (the boundary row completes the budget — the packSequences
+    // greedy rule). The oracle replays totals, feasible volume,
+    // quotas, the slot order, and the token window.
+    QueryDef("q188_target_mix_tokens",
+      Some(s"""
+        WITH tg AS (SELECT * FROM (VALUES ('en', 500000), ('zh', 150000),
+                      ('es', 150000), ('de', 100000), ('fr', 100000)) AS v(lang, ppm)),
+        tok AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents),
+        tt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS ts
+               FROM tok GROUP BY lang),
+        t AS (SELECT MIN((tt.ts * 1000000) // tg.ppm) AS t
+              FROM tg JOIN tt USING (lang)),
+        q AS (SELECT tg.lang, (t.t * tg.ppm) // 1000000 AS quota
+              FROM tg CROSS JOIN t),
+        r AS (SELECT doc_id, lang, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                  ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tb
+              FROM tok)
+        SELECT r.doc_id, r.lang, r.n_tok, r.tb AS tok_before
+        FROM r JOIN q ON r.lang = q.lang AND r.tb < q.quota
+        ORDER BY r.doc_id"""),
+      (s, d) => graft.ops.Sampling.targetMixTokens(
+          spread(documents(s, d))
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "doc_id", "lang", "n_tok",
+          Seq(("en", 500000), ("zh", 150000), ("es", 150000),
+            ("de", 100000), ("fr", 100000)))
+        .select("doc_id", "lang", "n_tok", "tok_before")
+        .orderBy("doc_id"))
   )
 }

@@ -204,6 +204,70 @@ object Sampling {
                 targets: Seq[(String, Int)], chunks: Int = 0): DataFrame =
     targetMixReleasable(df, idCol, strataCol, targets, chunks)._1
 
+  /** TOKEN-budget target mix: like [[targetMix]] but the target
+    * distribution is over TOKEN MASS, not document counts — which is
+    * how training mixes are actually specified ("30% code by tokens"),
+    * and materially different whenever strata have different length
+    * profiles (a doc-count mix over long-doc code and short-doc chat
+    * lands nowhere near the token spec).
+    *
+    * Feasible volume `T = min_s floor(tok_s * 1e6 / ppm_s)` (total
+    * tokens, bounded by the stratum the target over-weights most);
+    * per-stratum token quota `(T * ppm_s) div 1e6`. Selection is by
+    * md5-slot priority with id tiebreak; a row is kept while the
+    * stratum's token prefix-sum BEFORE it is under the quota — the
+    * boundary row completes the budget (row-granular selection cannot
+    * hit an exact token count; the overshoot is < one document, the
+    * same greedy rule as [[packSequences]] bins). Ranks ride
+    * [[Hierarchical.prefixSum]]; stratum token totals are collected
+    * driver-side (strata are few by construction).
+    *
+    * Output: the selected rows with `tok_before` (tokens taken from
+    * the stratum before this row). Same release contract as
+    * [[targetMixReleasable]].
+    */
+  def targetMixTokensReleasable(df: DataFrame, idCol: String,
+                                strataCol: String, tokensCol: String,
+                                targets: Seq[(String, Int)],
+                                chunks: Int = 0): (DataFrame, () => Unit) = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.map(_._2).forall(_ > 0),
+      s"target ppm weights must be positive: $targets")
+    require(targets.map(_._2.toLong).sum == 1000000L,
+      s"target ppm weights must sum to 1000000, got ${targets.map(_._2.toLong).sum}")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate stratum in targets: $targets")
+    val spark = df.sparkSession
+    val toks = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).cast(org.apache.spark.sql.types.LongType)
+        .as("_t"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+      .collect { case (s: String, n) => s -> n }.toMap
+    val t = targets.map { case (s, ppm) =>
+      toks.getOrElse(s, 0L) * 1000000L / ppm }.min
+    val quotas = targets.map { case (s, ppm) => (s, t * ppm / 1000000L) }
+    import spark.implicits._
+    val quotaDf = quotas.toDF("_q_stratum", "_quota")
+    val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+      lit(1000000L))
+    val (ranked, release) = Hierarchical.prefixSum(
+      df.join(broadcast(quotaDf), col(strataCol) === col("_q_stratum"))
+        .withColumn("_slot", slot),
+      Seq(col("_slot"), col(idCol)), Seq(strataCol), col(tokensCol),
+      "_tok_before", chunks)
+    val out = ranked.filter(col("_tok_before") < col("_quota"))
+      .withColumn("tok_before", col("_tok_before"))
+      .drop("_q_stratum", "_quota", "_slot", "_tok_before")
+    (out, release)
+  }
+
+  /** Handle-less [[targetMixTokensReleasable]] for one-shot jobs. */
+  def targetMixTokens(df: DataFrame, idCol: String, strataCol: String,
+                      tokensCol: String, targets: Seq[(String, Int)],
+                      chunks: Int = 0): DataFrame =
+    targetMixTokensReleasable(df, idCol, strataCol, tokensCol, targets,
+      chunks)._1
+
   /** Deterministic FIXED-COUNT sample: exactly `min(k, stratum size)`
     * rows per stratum, chosen by md5-hash priority — "give me a uniform
     * 10k-document audit sample per language" where [[stratified]]'s

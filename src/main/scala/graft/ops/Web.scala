@@ -120,6 +120,27 @@ object Web {
       .otherwise(concat(scheme, lit("://"), h, portPart, rest))
   }
 
+  /** STRONG canonical form: [[canonicalUrl]] plus query-string
+    * normalization — tracking parameters dropped (`utm_*`, `gclid`,
+    * `fbclid`, `msclkid`, `ref`, the analytics decorations that mint
+    * unlimited aliases of one resource) and the SURVIVING parameters
+    * sorted (param order is almost never semantic; sorting collapses
+    * `?a=1&b=2` with `?b=2&a=1`). An empty survivor set drops the
+    * `?` entirely. The aggressive dedup key for crawl frontiers —
+    * opt-in because a rare site DOES key content on param order or a
+    * `ref` param; [[canonicalUrl]] stays the conservative default.
+    * Pure scan-side HOFs over the split query string.
+    */
+  def canonicalUrlStrong(url: Column): Column = {
+    val base = canonicalUrl(url)
+    val path = regexp_extract(base, "^([^?]*)", 1)
+    val query = regexp_extract(base, "^[^?]*\\?(.*)$", 1)
+    val kept = array_join(sort_array(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="))), "&")
+    when(query === "" || kept === "", path)
+      .otherwise(concat(path, lit("?"), kept))
+  }
+
   /** URL-level dedup groups: one row per canonical URL with the kept
     * doc (lowest id — deterministic) and the variant count. One
     * canonical-key aggregate; join the result back on `keep_id` to

@@ -1842,6 +1842,51 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == direct, "SUM-merge must equal the direct sketch")
   }
 
+  test("canonicalUrlStrong sorts params, strips tracking, keeps the rest") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.com/p?b=2&a=1"),
+      (2L, "https://www.a.com/p?a=1&b=2"),                 // reorder + www
+      (3L, "https://a.com/p?utm_source=f&a=1&gclid=g&b=2"), // tracking interleaved
+      (4L, "https://a.com/p?utm_campaign=x"),               // all-tracking
+      (5L, "https://a.com/p?ref=hn&a=1"),                   // ref dropped
+      (6L, "https://a.com/p?prefix_utm=keep&a=1"))          // not a tracking KEY
+      .toDF("doc_id", "url")
+    val r = urls.select(col("doc_id"),
+        graft.ops.Web.canonicalUrlStrong(col("url")).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "https://a.com/p?a=1&b=2")
+    assert(r(2L) == r(1L), "order + www dressing must collapse")
+    assert(r(3L) == r(1L), "tracking params must strip away")
+    assert(r(4L) == "https://a.com/p", "all-tracking query -> bare path")
+    assert(r(5L) == "https://a.com/p?a=1")
+    assert(r(6L) == "https://a.com/p?a=1&prefix_utm=keep",
+      "only anchored tracking KEYS are dropped")
+  }
+
+  test("targetMixTokens fills token quotas with the boundary-row rule") {
+    import spark.implicits._
+    // en: 3 docs x 100 tok = 300; de: 2 docs x 50 = 100
+    // targets 750000/250000 -> T = min(300e6/750000, 100e6/250000) = 400
+    // -> quotas: en 300 tokens (all docs), de 100 (both docs)
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 100L), (3L, "en", 100L),
+      (10L, "de", 50L), (11L, "de", 50L))
+      .toDF("doc_id", "lang", "n_tok")
+    val kept = graft.ops.Sampling.targetMixTokens(docs, "doc_id", "lang",
+        "n_tok", Seq(("en", 750000), ("de", 250000)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 10L, 11L), "feasible mix keeps everything")
+    // skewed target: de is binding -> en quota = 100 tokens -> exactly
+    // ONE en doc survives (the boundary row completes the budget)
+    val kept2 = graft.ops.Sampling.targetMixTokens(docs, "doc_id", "lang",
+        "n_tok", Seq(("en", 500000), ("de", 500000)))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("doc_id"))
+    assert(kept2.count(_._1 == "en") == 1,
+      s"en must thin to its 100-token quota: ${kept2.toSeq}")
+    assert(kept2.count(_._1 == "de") == 2, "binding stratum fully consumed")
+  }
+
   test("degreeHistogram bands out- and in-degrees by power of two") {
     import spark.implicits._
     // out-degrees: 1 -> {3 edges}, 2 -> {1}; in-degrees: 3 <- 2, 4 <- 1, 5 <- 1

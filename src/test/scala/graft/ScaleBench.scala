@@ -308,7 +308,10 @@ object ScaleBench {
       // cms sketches (explode xk -> bounded counter/bitmap aggs,
       // probes join bounded frames)
       "q184_degree_histogram", "q185_bloom_membership",
-      "q186_cms_frequency")
+      "q186_cms_frequency",
+      // round 10, batch 7: scan-side strong canonicalization + one
+      // bounded agg; token-budget mix on the prefix-sum scaffold
+      "q187_url_dedup_strong", "q188_target_mix_tokens")
     // targeted reruns: pass query names as args to time a subset
     val names = if (args.nonEmpty) args.toSeq else allNames
     def run(name: String, dir: String): Unit =

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Round-10 third batch (q169+): crawl-graph and stream-shaping
@@ -41,8 +42,8 @@ object CrawlQueries {
         '/docs/' || CAST(doc_id AS STRING)"""
 
   // q169 plants: three copies of one text — two on the SAME host
-  // (960001 and 960008 share doc_id % 7 = 1 and source 'src0'), one
-  // alone on another host (960003 % 7 = 3): the intra-host rule must
+  // (960001 and 960008 share doc_id % 7 = 0 and source 'src0'), one
+  // alone on another host (960003 % 7 = 2): the intra-host rule must
   // count the co-hosted pair and spare the lone cross-host copy.
   private val DupPlantText = "planted duplicate page body for host audit"
 
@@ -61,6 +62,18 @@ object CrawlQueries {
   // Oracle mirror of ops.Web.host (the same regex, literally).
   private val HostSql =
     s"lower(regexp_extract(url, '${graft.ops.Web.HostRegex}', 1))"
+
+  // Plant-id collision guard folded INTO the plan: a corpus doc that
+  // lands on a planted id has its text rewritten to a sentinel the
+  // oracle never applies, so a collision surfaces as a correctness
+  // hash mismatch instead of costing a separate driver-side count job
+  // per build. With no collision (true at every shipped SF) the
+  // `when` is a scan-side no-op.
+  private def guardPlantIds(df: DataFrame, ids: Seq[Long]): DataFrame =
+    df.withColumn("text",
+      when(col("doc_id").isin(ids: _*),
+        lit("corpus doc occupies a planted id; re-site the plants"))
+        .otherwise(col("text")))
 
   // q175 plant: a degenerate chorus doc that trips BOTH repetition
   // rules (top-2-gram chars and duplicated-5-gram chars); the natural
@@ -126,8 +139,10 @@ object CrawlQueries {
   // q187 synthetic URLs: four dressings of each of 20 resources —
   // two param ORDERINGS of the same query, a tracking-decorated
   // variant (utm_source + gclid interleaved with real params), and an
-  // all-tracking variant that must canonicalize to the bare path.
-  // A www. on even ids keeps the base canonicalUrl rules in play.
+  // all-tracking variant (UPPERCASE key + a valueless gclid — the
+  // case-insensitive optional-'=' tolerance) that must canonicalize
+  // to the bare path. A www. on even ids keeps the base canonicalUrl
+  // rules in play.
   private val TrackUrlSynthSql = """
         'https://' ||
         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
@@ -136,7 +151,7 @@ object CrawlQueries {
           WHEN 0 THEN '?a=1&b=2'
           WHEN 1 THEN '?b=2&a=1'
           WHEN 2 THEN '?utm_source=feed&a=1&gclid=xyz&b=2'
-          ELSE '?utm_campaign=x'
+          ELSE '?UTM_Campaign=x&gclid'
          END)"""
 
   // One HITS iteration as chained CTEs (the integer normalize-by-
@@ -198,15 +213,13 @@ object CrawlQueries {
         FROM g GROUP BY host ORDER BY host"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").isin(960001L, 960008L, 960003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q169's planted ids; re-site the plants")
         val planted = Seq((960001L, "src0", DupPlantText),
           (960008L, "src0", DupPlantText), (960003L, "src0", DupPlantText))
           .toDF("doc_id", "source", "text")
         graft.ops.Web.hostDupStats(
-            spread(documents(s, d)).select("doc_id", "source", "text")
+            guardPlantIds(
+              spread(documents(s, d)).select("doc_id", "source", "text"),
+              Seq(960001L, 960008L, 960003L))
               .unionAll(planted)
               .withColumn("url", expr(SynthUrlSql)),
             "url", "text")
@@ -415,13 +428,10 @@ object CrawlQueries {
         ORDER BY b.doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id") === 970001L).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q175's planted id; re-site the plant")
         val planted = Seq((970001L, RepPlantText)).toDF("doc_id", "text")
         graft.ops.TextStats.repetitionRules(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(970001L))
               .unionAll(planted),
             "doc_id", "text")
           .orderBy("doc_id")
@@ -526,16 +536,12 @@ object CrawlQueries {
         FROM v ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(980001L, 980003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q178's planted id range " +
-            "(980001-980003); re-site the plants")
         val planted = Seq((980001L, LuhnPlantValid16),
           (980002L, LuhnPlantInvalid), (980003L, LuhnPlantValid15))
           .toDF("doc_id", "text")
         graft.ops.Redact.luhnScreen(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(980001L, 980002L, 980003L))
               .unionAll(planted),
             "doc_id", "text")
           .orderBy("doc_id")
@@ -608,14 +614,11 @@ object CrawlQueries {
         FROM f GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").isin(985001L, 985002L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q180's planted ids; re-site the plants")
         val planted = Seq((985001L, UnkPlantA), (985002L, UnkPlantB))
           .toDF("doc_id", "text")
         graft.ops.TextStats.unkRate(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(985001L, 985002L))
               .unionAll(planted),
             "doc_id", "text", minCount = 3L)
           .orderBy("doc_id")
@@ -701,14 +704,11 @@ object CrawlQueries {
         FROM d GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").isin(975001L, 975002L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q182's planted ids; re-site the plants")
         val planted = Seq((975001L, CdcPlantA), (975002L, CdcPlantB))
           .toDF("doc_id", "text")
         graft.ops.Chunking.cdcDupStats(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(975001L, 975002L))
               .unionAll(planted),
             "doc_id", "text", window = 3, modulus = 8)
           .orderBy("doc_id")
@@ -954,7 +954,7 @@ object CrawlQueries {
                 -- Spark's array_join is '' — the all-tracking case
                 COALESCE(array_to_string(list_sort(list_filter(string_split(qs, '&'),
                   p -> NOT regexp_matches(p,
-                    '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)='))), '&'), '') AS kept
+                    '${graft.ops.Web.TrackingParamRegex}'))), '&'), '') AS kept
               FROM sp)
         SELECT CASE WHEN qs = '' OR kept = '' THEN path
                     ELSE path || '?' || kept END AS canon_url,
@@ -986,8 +986,11 @@ object CrawlQueries {
                 FROM documents),
         tt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS ts
                FROM tok GROUP BY lang),
-        t AS (SELECT MIN((tt.ts * 1000000) // tg.ppm) AS t
-              FROM tg JOIN tt USING (lang)),
+        -- LEFT JOIN + COALESCE mirrors the engine's strict reading: a
+        -- targeted stratum absent from the corpus means T = 0 and an
+        -- empty selection, not a silently-dropped constraint
+        t AS (SELECT MIN((COALESCE(tt.ts, 0) * 1000000) // tg.ppm) AS t
+              FROM tg LEFT JOIN tt USING (lang)),
         q AS (SELECT tg.lang, (t.t * tg.ppm) // 1000000 AS quota
               FROM tg CROSS JOIN t),
         r AS (SELECT doc_id, lang, n_tok,

@@ -181,9 +181,12 @@ object Sampling {
     val counts = df.groupBy(col(strataCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1))
       .collect { case (s: String, n) => s -> n }.toMap
+    // BigInt: n * 1e6 overflows Long past ~9.2e12 rows — inside the
+    // operator's advertised envelope. t * ppm / 1e6 <= n_s for every
+    // stratum (t is the min), so the quota always fits a Long.
     val t = targets.map { case (s, ppm) =>
-      counts.getOrElse(s, 0L) * 1000000L / ppm }.min
-    val quotas = targets.map { case (s, ppm) => (s, t * ppm / 1000000L) }
+      BigInt(counts.getOrElse(s, 0L)) * 1000000 / ppm }.min
+    val quotas = targets.map { case (s, ppm) => (s, (t * ppm / 1000000).toLong) }
     import spark.implicits._
     val quotaDf = quotas.toDF("_q_stratum", "_quota")
     val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
@@ -243,9 +246,13 @@ object Sampling {
         .as("_t"))
       .collect().map(r => r.get(0) -> r.getLong(1))
       .collect { case (s: String, n) => s -> n }.toMap
+    // BigInt: tok_s * 1e6 overflows Long past ~9.2e12 tokens (~37 TB
+    // of text — inside the 100 TB envelope) and would silently turn T
+    // negative. t * ppm / 1e6 <= tok_s for every stratum (t is the
+    // min over tok_s * 1e6 / ppm_s), so each quota fits a Long.
     val t = targets.map { case (s, ppm) =>
-      toks.getOrElse(s, 0L) * 1000000L / ppm }.min
-    val quotas = targets.map { case (s, ppm) => (s, t * ppm / 1000000L) }
+      BigInt(toks.getOrElse(s, 0L)) * 1000000 / ppm }.min
+    val quotas = targets.map { case (s, ppm) => (s, (t * ppm / 1000000).toLong) }
     import spark.implicits._
     val quotaDf = quotas.toDF("_q_stratum", "_quota")
     val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),

@@ -108,7 +108,9 @@ object Sketches {
     * engines and MERGE by bitwise OR ([[bloomMerge]]) — per-shard
     * bitmaps roll up through a rows-per-group exchange of
     * ceil(bits/63) longs. Output: groupCols + (word_idx, bits) — one
-    * row per word, absent words are all-zero.
+    * row per word that has at least one bit set; absent words are
+    * implicitly all-zero (the probe and merge operators handle the
+    * absence; a consumer reading the frame directly must too).
     *
     * Shape: value explode ×khash (scan-side position arithmetic) →
     * one (group, word)-keyed `bit_or` aggregate, map-side combined,

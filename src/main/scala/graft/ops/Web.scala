@@ -135,11 +135,20 @@ object Web {
     val base = canonicalUrl(url)
     val path = regexp_extract(base, "^([^?]*)", 1)
     val query = regexp_extract(base, "^[^?]*\\?(.*)$", 1)
+    // (?i) + optional '=': valueless tracking params ('?gclid') and
+    // uppercase keys ('UTM_Source=x') must not survive the dedup key
     val kept = array_join(sort_array(filter(split(query, "&"),
-      p => !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="))), "&")
+      p => !p.rlike(TrackingParamRegex))), "&")
     when(query === "" || kept === "", path)
       .otherwise(concat(path, lit("?"), kept))
   }
+
+  /** Tracking-param match for [[canonicalUrlStrong]] — case-insensitive,
+    * `=` optional (a bare `?gclid` is still a tracking decoration).
+    * Shared with the oracle mirror so engine and replay cannot drift.
+    */
+  val TrackingParamRegex: String =
+    "(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)"
 
   /** URL-level dedup groups: one row per canonical URL with the kept
     * doc (lowest id — deterministic) and the variant count. One

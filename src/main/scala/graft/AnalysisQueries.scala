@@ -234,16 +234,12 @@ object AnalysisQueries {
           .toDF("doc_id", "text")
         // the planted ids are fixed in the oracle SQL too, so a real doc
         // AT one of them would silently merge with a plant and skew the
-        // pair results — fail loudly on actual MEMBERSHIP (a max-based
-        // bound rejects legitimate sparse id spaces, e.g. the 10x
-        // replica set whose ids jump past 90M with 900001-900003
-        // unoccupied; single pruned-filter count, same one-scan cost)
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(900001L, 900003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q101's planted id range " +
-            "(900001-900003); re-site the plants")
-        val corpus = spread(documents(s, d)).select("doc_id", "text")
+        // pair results — the plan-folded guard (Tables.guardPlantIds)
+        // poisons such a doc's text so the collision surfaces as a
+        // correctness mismatch, with no extra driver-side count job
+        val corpus = guardPlantIds(
+            spread(documents(s, d)).select("doc_id", "text"),
+            Seq(900001L, 900002L, 900003L))
           .unionAll(planted)
         val sims = Pipeline.simhash64(corpus, "doc_id", "text")
         Pipeline.simhash64Pairs(sims, "doc_id", maxDist = 3)
@@ -559,17 +555,14 @@ object AnalysisQueries {
         WHERE a_id <> b_id ORDER BY a_id, b_id"""),
       (s, d) => {
         import s.implicits._
-        // membership check, not a max bound — see the q101 guard note
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(910001L, 910002L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q114's planted id range " +
-            "(910001-910002); re-site the plants")
         val planted = Seq(
           (910001L, "aa0 bb0 cc0 dd0 ee0 ff0 seamx seamy"),
           (910002L, "seamx seamy gg0 hh0 ii0 jj0 kk0 ll0"))
           .toDF("doc_id", "text")
-        val corpus = spread(documents(s, d)).select("doc_id", "text")
+        // plan-folded collision guard — see the q101 guard note
+        val corpus = guardPlantIds(
+            spread(documents(s, d)).select("doc_id", "text"),
+            Seq(910001L, 910002L))
           .unionAll(planted)
         graft.ops.TextStats.boundaryOverlaps(corpus, "doc_id", "text", k = 2)
           .orderBy("a_id", "b_id")

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Round-10 third batch (q169+): crawl-graph and stream-shaping
@@ -63,17 +62,7 @@ object CrawlQueries {
   private val HostSql =
     s"lower(regexp_extract(url, '${graft.ops.Web.HostRegex}', 1))"
 
-  // Plant-id collision guard folded INTO the plan: a corpus doc that
-  // lands on a planted id has its text rewritten to a sentinel the
-  // oracle never applies, so a collision surfaces as a correctness
-  // hash mismatch instead of costing a separate driver-side count job
-  // per build. With no collision (true at every shipped SF) the
-  // `when` is a scan-side no-op.
-  private def guardPlantIds(df: DataFrame, ids: Seq[Long]): DataFrame =
-    df.withColumn("text",
-      when(col("doc_id").isin(ids: _*),
-        lit("corpus doc occupies a planted id; re-site the plants"))
-        .otherwise(col("text")))
+  // plant-id collision guards ride Tables.guardPlantIds (plan-folded)
 
   // q175 plant: a degenerate chorus doc that trips BOTH repetition
   // rules (top-2-gram chars and duplicated-5-gram chars); the natural

@@ -580,14 +580,10 @@ object CurationQueries {
         import s.implicits._
         val planted = Seq((910001L, PhashPlantA), (910002L, PhashPlantB),
           (910003L, PhashPlantA)).toDF("doc_id", "text")
-        // plants' ids are fixed in the oracle too — fail loudly on
-        // actual membership (the q101 discipline)
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(910001L, 910003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q151's planted id range " +
-            "(910001-910003); re-site the plants")
-        val corpus = spread(documents(s, d)).select("doc_id", "text")
+        // plan-folded collision guard (the q101 discipline, zero jobs)
+        val corpus = guardPlantIds(
+            spread(documents(s, d)).select("doc_id", "text"),
+            Seq(910001L, 910002L, 910003L))
           .unionAll(planted)
         val media = corpus
           .select(col("doc_id"), col("text").cast("binary").as("content"))
@@ -735,15 +731,11 @@ object CurationQueries {
         FROM corpus ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(920001L, 920003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q156's planted id range " +
-            "(920001-920003); re-site the plants")
         val planted = Seq((920001L, EncPlantRepl), (920002L, EncPlantMoji),
           (920003L, EncPlantCtrl)).toDF("doc_id", "text")
         graft.ops.TextStats.encodingQa(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(920001L, 920002L, 920003L))
               .unionAll(planted),
             "doc_id", "text")
           .orderBy("doc_id")
@@ -1037,14 +1029,11 @@ object CurationQueries {
         ORDER BY a_id, b_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(930001L, 930003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q163's planted id range " +
-            "(930001-930003); re-site the plants")
         val planted = Seq((930001L, VideoPlantA), (930002L, VideoPlantB),
           (930003L, VideoPlantA)).toDF("doc_id", "text")
-        val media = spread(documents(s, d)).select("doc_id", "text")
+        val media = guardPlantIds(
+            spread(documents(s, d)).select("doc_id", "text"),
+            Seq(930001L, 930002L, 930003L))
           .unionAll(planted)
           .select(col("doc_id"), col("text").cast("binary").as("content"))
           .as[Multimodal.MediaDoc]
@@ -1147,17 +1136,13 @@ object CurationQueries {
         FROM f ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(940001L, 940002L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q166's planted id range " +
-            "(940001-940002); re-site the plants")
         val planted = Seq(
           (940001L,
             "### sale ### sale ... now ### sale ... now the a deal deal deal"),
           (940002L, "111 222 333 444")).toDF("doc_id", "text")
         graft.ops.TextStats.gopherRules(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(940001L, 940002L))
               .unionAll(planted),
             "doc_id", "text")
           .orderBy("doc_id")
@@ -1223,15 +1208,11 @@ object CurationQueries {
         FROM f ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val clash = documents(s, d)
-          .filter(col("doc_id").between(950001L, 950003L)).count()
-        require(clash == 0L,
-          s"$clash corpus doc(s) occupy q168's planted id range " +
-            "(950001-950003); re-site the plants")
         val planted = Seq((950001L, ScriptPlantCjk), (950002L, ScriptPlantCyr),
           (950003L, ScriptPlantMix)).toDF("doc_id", "text")
         graft.ops.TextStats.scriptProfile(
-            spread(documents(s, d)).select("doc_id", "text")
+            guardPlantIds(spread(documents(s, d)).select("doc_id", "text"),
+              Seq(950001L, 950002L, 950003L))
               .unionAll(planted),
             "doc_id", "text")
           .orderBy("doc_id")

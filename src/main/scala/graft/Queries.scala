@@ -39,7 +39,8 @@ object Queries {
     s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
 
   val all: Seq[QueryDef] = core ++ extra ++ advanced ++ PipelineQueries.all ++
-    AnalysisQueries.all ++ CurationQueries.all ++ CrawlQueries.all
+    AnalysisQueries.all ++ CurationQueries.all ++ CrawlQueries.all ++
+    DomainQueries.all
 
   private lazy val core: Seq[QueryDef] = Seq(
 

@@ -43,6 +43,19 @@ object Tables {
     else df
   }
 
+  /** Plant-id collision guard folded INTO the plan: a corpus doc that
+    * lands on a planted id has its `text` rewritten to a sentinel the
+    * oracle never applies, so a collision surfaces as a correctness
+    * hash mismatch instead of costing a separate driver-side count job
+    * per build. With no collision (true at every shipped SF) the
+    * `when` is a scan-side no-op.
+    */
+  def guardPlantIds(df: DataFrame, ids: Seq[Long]): DataFrame =
+    df.withColumn("text",
+      when(col("doc_id").isin(ids: _*),
+        lit("corpus doc occupies a planted id; re-site the plants"))
+        .otherwise(col("text")))
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -43,14 +43,17 @@ object Web {
     * host-keyed aggregate; token counts are scan-side array sizes
     * (the tokens themselves never materialize).
     */
-  def hostStats(docs: DataFrame, urlCol: String,
-                textCol: String): DataFrame =
+  def hostStats(docs: DataFrame, urlCol: String, textCol: String,
+                byRegistrable: Boolean = false): DataFrame = {
+    val key = if (byRegistrable) registrableDomain(col(urlCol))
+              else host(col(urlCol))
     docs
-      .select(host(col(urlCol)).as("host"),
+      .select(key.as("host"),
         size(words(col(textCol))).cast(LongType).as("_t"))
       .groupBy(col("host"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("_t")).cast(LongType).as("n_tokens"))
+  }
 
   /** Per-host cap DOWNWEIGHTING: keep each doc with probability
     * `min(1, maxDocsPerHost / n_docs(host))` via the deterministic
@@ -72,10 +75,17 @@ object Web {
     * host-keyed join + a scan-side filter.
     */
   def hostCapSample(docs: DataFrame, idCol: String, urlCol: String,
-                    maxDocsPerHost: Long): DataFrame = {
+                    maxDocsPerHost: Long,
+                    byRegistrable: Boolean = false): DataFrame = {
     require(maxDocsPerHost >= 1,
       s"maxDocsPerHost must be >= 1, got $maxDocsPerHost")
-    val withHost = docs.withColumn("host", host(col(urlCol)))
+    // byRegistrable: the cap buckets on the OWNERSHIP boundary —
+    // `blog.example.co.uk` and `shop.example.co.uk` share one
+    // allowance, while `a.co.uk` and `b.co.uk` (different
+    // registrants) do not
+    val key = if (byRegistrable) registrableDomain(col(urlCol))
+              else host(col(urlCol))
+    val withHost = docs.withColumn("host", key)
     val caps = withHost.groupBy(col("host"))
       .agg(count(lit(1)).cast(LongType).as("_n"))
       .select(col("host"),
@@ -166,12 +176,168 @@ object Web {
     * tail: `a.b.example.com` -> [a.b.example.com, b.example.com,
     * example.com]. The match domain for suffix blocklists; a naive
     * eTLD boundary (public-suffix-list multi-label TLDs like `co.uk`
-    * match one level too deep — swap in a PSL walk where that matters).
+    * match one level too deep — use [[registrableSuffixes]] where the
+    * boundary matters).
     */
   def hostSuffixes(url: Column): Column = {
     val labels = split(host(url), "\\.")
     transform(sequence(lit(1), greatest(size(labels) - 1, lit(1))),
       i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Public-suffix rule set for [[registrableDomain]] — the four rule
+    * shapes of the PSL algorithm (publicsuffix.org/list/): explicit
+    * 2- and 3-label suffixes, whole-TLD wildcards (`*.ck` — ANY single
+    * label under the TLD is a public suffix), and wildcard exceptions
+    * (`!www.ck` — registrable despite the wildcard). Every 1-label TLD
+    * is implicitly a public suffix (the PSL's default `*` rule), so it
+    * never needs listing. [[Psl.Icann]] is the frozen default; pass a
+    * fuller set parsed from the published list when the corpus needs
+    * complete coverage — the ALGORITHM is total, only the snapshot is
+    * a subset.
+    */
+  final case class PslRules(suffix2: Seq[String], suffix3: Seq[String],
+                            wild1: Seq[String], exception2: Seq[String])
+
+  /** Frozen snapshot (subset) of the ICANN section of the public
+    * suffix list: the high-traffic multi-label ccTLD registries
+    * (uk/au/nz/jp/br/cn/in/za/kr/id/mx/ar/tr/tw/hk/sg/my/th/ph/vn/ua/
+    * pl/il/eg/sa/ae/ng/ke/co/pe/ve/uy and the US state space), the
+    * Australian state education 3-label branch, and the whole-TLD
+    * wildcards with their `www.ck` exception. A snapshot by necessity
+    * — the live list churns — and a subset by choice: entries here are
+    * the ones a web crawl's host mass actually concentrates on.
+    */
+  object Psl {
+    private val UsStates =
+      ("al ak az ar ca co ct de fl ga hi id il in ia ks ky la me md " +
+        "ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc " +
+        "sd tn tx ut vt va wa wv wi wy dc").split(" ").toSeq
+
+    val Icann: PslRules = PslRules(
+      suffix2 =
+        Seq("co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+          "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+          "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+          "id.au",
+          "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+          "gen.nz", "geek.nz", "maori.nz", "iwi.nz",
+          "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+          "gr.jp", "lg.jp",
+          "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+          "art.br", "adv.br", "eco.br", "blog.br",
+          "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+          "mil.cn",
+          "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+          "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+          "co.za", "org.za", "net.za", "gov.za", "ac.za", "edu.za",
+          "web.za", "mil.za",
+          "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr",
+          "mil.kr", "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr",
+          "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+          "mil.id", "net.id", "my.id", "biz.id",
+          "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+          "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+          "mil.ar", "tur.ar",
+          "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr",
+          "k12.tr", "av.tr", "dr.tr", "bel.tr", "pol.tr", "web.tr",
+          "gen.tr",
+          "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw",
+          "idv.tw", "game.tw", "ebiz.tw", "club.tw",
+          "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+          "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+          "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+          "name.my",
+          "co.th", "net.th", "org.th", "ac.th", "go.th", "in.th",
+          "mi.th", "or.th",
+          "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph",
+          "ngo.ph", "i.ph",
+          "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+          "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn",
+          "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+          "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+          "biz.pl", "waw.pl",
+          "co.il", "org.il", "net.il", "ac.il", "gov.il", "k12.il",
+          "muni.il", "idf.il",
+          "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+          "mil.eg", "eun.eg", "name.eg",
+          "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+          "pub.sa", "sch.sa",
+          "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "mil.ae",
+          "sch.ae",
+          "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "i.ng",
+          "mil.ng", "mobi.ng", "name.ng", "sch.ng",
+          "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+          "me.ke", "mobi.ke", "info.ke",
+          "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+          "mil.co",
+          "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+          "nom.pe",
+          "com.ve", "net.ve", "org.ve", "co.ve", "edu.ve", "gob.ve",
+          "mil.ve", "info.ve", "web.ve",
+          "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy") ++
+          UsStates.map(_ + ".us"),
+      suffix3 =
+        Seq("act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au",
+          "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au"),
+      wild1 = Seq("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg"),
+      exception2 = Seq("www.ck"))
+  }
+
+  /** Length (in labels) of the host's longest matching public suffix
+    * under the PSL algorithm: exceptions beat wildcards, explicit
+    * 3-label rules beat 2-label/wildcard rules, and the implicit `*`
+    * default makes every bare TLD a 1-label suffix. Pure scan-side
+    * arithmetic over the label array; the membership tests compile to
+    * `InSet` hash probes inside whole-stage codegen.
+    */
+  private def pslMatchLen(labels: Column, r: PslRules): Column = {
+    val n = size(labels)
+    val last1 = array_join(slice(labels, n, lit(1)), ".")
+    val suf2 = when(n >= 2, array_join(slice(labels, n - 1, lit(2)), "."))
+    val suf3 = when(n >= 3, array_join(slice(labels, n - 2, lit(3)), "."))
+    when(suf2.isin(r.exception2: _*), lit(1))
+      .when(suf3.isin(r.suffix3: _*), lit(3))
+      .when(last1.isin(r.wild1: _*) || suf2.isin(r.suffix2: _*), lit(2))
+      .otherwise(lit(1))
+  }
+
+  /** REGISTRABLE domain (eTLD+1) of a URL's host: the public suffix
+    * plus one label — the boundary at which ownership changes, and
+    * therefore the RIGHT grouping key for per-domain caps, blocklists,
+    * and authority (the naive 2-label tail puts `a.co.uk` and
+    * `b.co.uk` — different registrants — in one bucket, and makes a
+    * `co.uk` blocklist entry expressible; reference analog: the
+    * hierarchy-prefix containment discipline of init_db.sql:55,81 —
+    * the prefix boundary must be the semantic one). A host that IS a
+    * public suffix (or doesn't parse) yields `''` — it has no
+    * registrant, and junk stays visible in its own group rather than
+    * erroring. Pure scan-side expressions.
+    */
+  def registrableDomain(url: Column,
+                        rules: PslRules = Psl.Icann): Column = {
+    val h = host(url)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val m = pslMatchLen(labels, rules)
+    when(h === "" || n <= m, lit(""))
+      .otherwise(array_join(slice(labels, n - m, m + lit(1)), "."))
+  }
+
+  /** Dot-suffixes of the host down to the REGISTRABLE domain only —
+    * the PSL-aware match domain for [[blocklistFilter]]: a bare public
+    * suffix (`co.uk`) is never generated, so a blocklist entry for one
+    * cannot match anything, while `example.co.uk` still blocks every
+    * subdomain. A host that is itself a public suffix (or junk)
+    * yields just `[host]` — exact-host blocking stays expressible.
+    */
+  def registrableSuffixes(url: Column,
+                          rules: PslRules = Psl.Icann): Column = {
+    val labels = split(host(url), "\\.")
+    val n = size(labels)
+    val m = pslMatchLen(labels, rules)
+    transform(sequence(lit(1), greatest(n - m, lit(1))),
+      i => array_join(slice(labels, i, n - i + 1), "."))
   }
 
   /** Domain-blocklist filter: drop docs whose host — or ANY dot-suffix
@@ -188,9 +354,15 @@ object Web {
     * broadcasts.
     */
   def blocklistFilter(docs: DataFrame, idCol: String, urlCol: String,
-                      blocklist: DataFrame): DataFrame = {
+                      blocklist: DataFrame,
+                      registrableOnly: Boolean = false): DataFrame = {
+    // registrableOnly: match suffixes only down to the registrable
+    // domain, so a blocklist entry naming a bare public suffix
+    // (`co.uk`) blocks nothing instead of an entire registry
+    val sufs = if (registrableOnly) registrableSuffixes(col(urlCol))
+               else hostSuffixes(col(urlCol))
     val blockedIds = docs
-      .select(col(idCol), explode(hostSuffixes(col(urlCol))).as("_suf"))
+      .select(col(idCol), explode(sufs).as("_suf"))
       .join(broadcast(blocklist.select(col("domain").as("_suf"))), Seq("_suf"),
         "left_semi")
       .select(col(idCol)).distinct()

@@ -1917,4 +1917,51 @@ class OpsSpec extends AnyFunSuite {
     // link dropped; junk page host '' dropped; host case folds
     assert(edges == Set(("x.com", "y.com"), ("x.com", "z.com")))
   }
+
+  test("registrableDomain walks the PSL boundary table") {
+    import spark.implicits._
+    val cases = Seq(
+      // (url, expected registrable domain)
+      ("https://a.b.example.co.uk/p", "example.co.uk"),   // 2-label suffix
+      ("https://example.co.uk/p", "example.co.uk"),
+      ("https://www.example.com.au/p", "example.com.au"),
+      ("https://blog.example.com/p", "example.com"),      // implicit TLD rule
+      ("https://example.com/p", "example.com"),
+      ("http://deep.school.act.edu.au/p", "school.act.edu.au"), // 3-label
+      ("https://foo.bar.ck/p", "foo.bar.ck"),             // *.ck wildcard
+      ("https://www.ck/p", "www.ck"),                     // !www.ck exception
+      ("https://co.uk/p", ""),                            // host IS a suffix
+      ("https://bar.ck/p", ""),                           // wildcard suffix
+      ("https://uk/p", ""),                               // bare TLD
+      ("https://va.us/p", ""),                            // US state space
+      ("https://city.va.us/p", "city.va.us"),
+      ("not a url", ""))                                  // junk
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.ops.Web.registrableDomain(col("url")).as("reg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (url, want) =>
+      assert(got(url) == want, s"registrableDomain($url)")
+    }
+  }
+
+  test("registrable-only blocklist cannot match a bare public suffix") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.bad.co.uk/a"),
+      (2L, "https://shop.bad.co.uk/b"),
+      (3L, "https://good.co.uk/c"),
+      (4L, "https://deep.good.co.uk/d"))
+      .toDF("doc_id", "url")
+    val bl = Seq("bad.co.uk", "co.uk").toDF("domain")
+    val kept = graft.ops.Web.blocklistFilter(docs, "doc_id", "url", bl,
+        registrableOnly = true)
+      .select("doc_id").as[Long].collect().toSet
+    // bad.co.uk blocks its subdomains; the bare suffix entry is inert
+    assert(kept == Set(3L, 4L))
+    // naive suffixes WOULD let co.uk wipe the registry — the contrast
+    val naiveKept = graft.ops.Web.blocklistFilter(docs, "doc_id", "url", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(naiveKept.isEmpty)
+  }
 }

@@ -49,13 +49,25 @@ object CrawlQueries {
   // q172 synthetic page HTML: two absolute cross-host links (a ring
   // link to the source's next host and, on doc_id % 3 = 0, a link to
   // the shared 'hub.example.com') plus one RELATIVE link that resolves
-  // to the page's own host and must drop as a self-edge.
+  // to the page's own host and must drop as a self-edge. Two
+  // tolerance plants exercise the round-11 href regex: a SINGLE-quoted
+  // href behind a class attribute (quote built with chr(39) — Spark's
+  // literal parser treats '' as juxtaposition, so a shared quoted
+  // fragment would diverge between engines) and an href-not-first
+  // double-quoted anchor.
   private val LinkHtmlSql = """
         '<p>body</p><a href="https://' || source || '-' ||
         CAST((doc_id + 1) % 7 AS STRING) ||
         '.example.com/p">ring</a> <a href="/local/nav">self</a>' ||
         (CASE WHEN doc_id % 3 = 0
               THEN ' <a href="https://hub.example.com/h">hub</a>'
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN ' <a class="m" href=' || chr(39) ||
+                   'https://alt.example.com/x' || chr(39) || '>alt</a>'
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 4 = 1
+              THEN ' <a rel="x" href="https://attr.example.com/y">attr</a>'
               ELSE '' END)"""
 
   // Oracle mirror of ops.Web.host (the same regex, literally).
@@ -113,6 +125,11 @@ object CrawlQueries {
         '<a href="/nav">home nav</a>' ||
         (CASE WHEN doc_id % 3 = 0
               THEN '<a href="https://hub.example.com/h">central hub resource</a>'
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 2
+              THEN '<a rel="nofollow" href=' || chr(39) ||
+                   'https://hub.example.com/h' || chr(39) ||
+                   '>trusted hub</a>'
               ELSE '' END)"""
 
   // q182 plants: B = A with three tokens INSERTED at the front — the
@@ -280,7 +297,7 @@ object CrawlQueries {
                           $LinkHtmlSql AS html
                    FROM documents),
         x AS (SELECT $HostSql AS src, unnest(regexp_extract_all(html,
-                '<[aA][^>]* href="([^"]*)"', 1)) AS href
+                '${graft.ops.Web.sqlPatternLit(graft.ops.Web.HrefRegex)}', 1)) AS href
               FROM u),
         r AS (SELECT src,
                 CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
@@ -625,8 +642,8 @@ object CrawlQueries {
                           $AnchorHtmlSql AS html
                    FROM documents),
         x AS (SELECT $HostSql AS src,
-                regexp_extract_all(html, '<[aA] href="([^"]*)">([^<]*)</[aA]>', 1) AS hs,
-                regexp_extract_all(html, '<[aA] href="([^"]*)">([^<]*)</[aA]>', 2) AS txt
+                regexp_extract_all(html, '${graft.ops.Web.sqlPatternLit(graft.ops.Web.AnchorRegex)}', 1) AS hs,
+                regexp_extract_all(html, '${graft.ops.Web.sqlPatternLit(graft.ops.Web.AnchorRegex)}', 2) AS txt
               FROM u),
         p AS (SELECT src, unnest([{'h': hs[i], 't': txt[i]}
                                   for i in range(1, len(hs) + 1)]) AS l
@@ -715,7 +732,7 @@ object CrawlQueries {
                           $LinkHtmlSql AS html
                    FROM documents),
         x AS (SELECT $HostSql AS src, unnest(regexp_extract_all(html,
-                '<[aA][^>]* href="([^"]*)"', 1)) AS href
+                '${graft.ops.Web.sqlPatternLit(graft.ops.Web.HrefRegex)}', 1)) AS href
               FROM u),
         r AS (SELECT src,
                 CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')

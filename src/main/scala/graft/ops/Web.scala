@@ -429,11 +429,35 @@ object Web {
     * cross-host endorsement. Scan-side extract + explode, one distinct
     * on the (src, dst) pair.
     */
+  /** Shared href-lift pattern for [[outlinkHostEdges]] and
+    * [[anchorTexts]]: attributes BEFORE href allowed (`<a class=..
+    * href=..>`), single- OR double-quoted values, optional spaces
+    * around `=` — the two tolerances real HTML actually needs.
+    * Documented approximations (kept for engine portability — RE2 has
+    * no lookbehind): the quote pair may mismatch (`"url'`), and a
+    * `data-href`-style attribute can match (it still lifts a URL, so
+    * a host graph degrades gracefully). Group 1 is the href value;
+    * group 2 (present only in [[AnchorRegex]]) the anchor text.
+    */
+  val HrefRegex: String =
+    "<[aA][ \\t][^>]*href[ \\t]*=[ \\t]*['\"]([^'\"]*)['\"]"
+
+  /** [[HrefRegex]] extended with the anchor body as group 2. */
+  val AnchorRegex: String = HrefRegex + "[^>]*>([^<]*)</[aA]>"
+
+  /** [[HrefRegex]]/[[AnchorRegex]] as a single-quoted SQL literal for
+    * the DuckDB oracle mirrors (quotes doubled; DuckDB passes
+    * backslashes through to RE2 verbatim). The ENGINE side uses the
+    * raw Scala string via the Column API — no SQL string parsing —
+    * because Spark's literal parser treats `''` as juxtaposition, not
+    * an escaped quote, so a shared quoted fragment would diverge.
+    */
+  def sqlPatternLit(re: String): String = re.replace("'", "''")
+
   def outlinkHostEdges(docs: DataFrame, urlCol: String,
                        htmlCol: String): DataFrame = {
     val srcHost = host(col(urlCol))
-    val hrefs = expr(
-      s"""regexp_extract_all($htmlCol, '<[aA][^>]* href="([^"]*)"', 1)""")
+    val hrefs = regexp_extract_all(col(htmlCol), lit(HrefRegex), lit(1))
     docs
       .select(srcHost.as("src"), explode(hrefs).as("_href"))
       .withColumn("dst",
@@ -449,8 +473,8 @@ object Web {
     * describes the destination better than the destination describes
     * itself; search engines and domain classifiers both key on it).
     *
-    * Extraction: one two-group regex over simple anchors
-    * (`<a href="...">text</a>`), both groups lifted by
+    * Extraction: the two-group [[AnchorRegex]] (attribute- and
+    * quote-tolerant), both groups lifted by
     * `regexp_extract_all` (same matches, so the arrays zip
     * positionally); absolute hrefs resolve to their own host,
     * relative ones to the page's host (the [[outlinkHostEdges]]
@@ -463,13 +487,12 @@ object Web {
   def anchorTexts(docs: DataFrame, urlCol: String, htmlCol: String,
                   k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pat = "<[aA] href=\"([^\"]*)\">([^<]*)</[aA]>"
     val counts = docs
       .select(host(col(urlCol)).as("_src"),
-        expr(s"""zip_with(
-            regexp_extract_all($htmlCol, '$pat', 1),
-            regexp_extract_all($htmlCol, '$pat', 2),
-            (h, t) -> struct(h as href, t as txt))""").as("_links"))
+        zip_with(
+          regexp_extract_all(col(htmlCol), lit(AnchorRegex), lit(1)),
+          regexp_extract_all(col(htmlCol), lit(AnchorRegex), lit(2)),
+          (h, t) => struct(h.as("href"), t.as("txt"))).as("_links"))
       .select(col("_src"), explode(col("_links")).as("_l"))
       .select(
         when(col("_l.href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),

@@ -1909,13 +1909,33 @@ class OpsSpec extends AnyFunSuite {
         """<a href="https://y.com/a">abs</a> <a href="/rel">rel</a>""" +
           """ <a href="https://X.COM/self">self</a>""" +
           """ <a href="HTTPS://Z.com/up">case</a>"""),
-      (2L, "notaurl", """<a href="https://y.com/b">from junk</a>"""))
+      (2L, "notaurl", """<a href="https://y.com/b">from junk</a>"""),
+      // round-11 href tolerances: attribute before href, single quotes
+      (3L, "https://w.com/p",
+        """<a class="nav" rel="x" href="https://q.com/a">attr-first</a>""" +
+          """ <a href='https://sq.com/b'>single-quoted</a>"""))
       .toDF("doc_id", "url", "html")
     val edges = graft.ops.Web.outlinkHostEdges(docs, "url", "html")
       .collect().map(x => (x.getString(0), x.getString(1))).toSet
     // relative link -> own host -> self edge dropped; absolute self
-    // link dropped; junk page host '' dropped; host case folds
-    assert(edges == Set(("x.com", "y.com"), ("x.com", "z.com")))
+    // link dropped; junk page host '' dropped; host case folds;
+    // attribute-prefixed and single-quoted hrefs both lift
+    assert(edges == Set(("x.com", "y.com"), ("x.com", "z.com"),
+      ("w.com", "q.com"), ("w.com", "sq.com")))
+  }
+
+  test("anchorTexts tolerates attribute-prefixed and single-quoted anchors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://x.com/p",
+        """<a rel="nofollow" href='https://hub.com/h'>great hub</a>""" +
+          """ <a href="https://hub.com/h2">great site</a>"""))
+      .toDF("doc_id", "url", "html")
+    val terms = graft.ops.Web.anchorTexts(docs, "url", "html", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(terms == Map(("hub.com", "great") -> 2L,
+      ("hub.com", "hub") -> 1L, ("hub.com", "site") -> 1L))
   }
 
   test("registrableDomain walks the PSL boundary table") {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -64,18 +64,27 @@ object Dedup {
     * that these operators would never use.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                  shingleN: Int = 3): DataFrame = {
+                  shingleN: Int = 3,
+                  tokenizer: Column => Column = Pipeline.words)
+      : DataFrame = {
     val shMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(ShingleNMetadataKey, shingleN.toLong).build()
-    df.select(col(idCol), Pipeline.words(col(textCol)).as("_w"))
+    df.select(col(idCol), tokenizer(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= shingleN)
       .select(col(idCol),
         Pipeline.wordShingles(col("_w"), shingleN).as("shingles", shMeta))
   }
 
+  /** `tokenizer` routes the shingle base tokens: [[Pipeline.words]]
+    * (default) for space-delimited corpora, [[Pipeline.wordsAuto]]
+    * for mixed corpora with no-space scripts (CJK/Thai), where space
+    * tokens give the whole near-dup chain zero recall.
+    */
   def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3,
-                        minhashK: Int = Pipeline.DefaultSigK): DataFrame = {
+                        minhashK: Int = Pipeline.DefaultSigK,
+                        tokenizer: Column => Column = Pipeline.words)
+      : DataFrame = {
     // provenance metadata: consumers validate the banding k against the
     // k the signatures were actually built with (a mismatch would
     // silently change recall or hash empty band slices), and that the
@@ -83,7 +92,7 @@ object Dedup {
     // compare 5-gram vs 3-gram sets — Jaccard collapses silently)
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(Pipeline.SigKMetadataKey, minhashK.toLong).build()
-    shingleSets(df, idCol, textCol, shingleN)
+    shingleSets(df, idCol, textCol, shingleN, tokenizer)
       .withColumn("sig",
         Pipeline.minhashSignature(col("shingles"), minhashK).as("sig", sigMeta))
   }

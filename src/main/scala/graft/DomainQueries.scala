@@ -79,6 +79,56 @@ object DomainQueries {
         'site' || CAST(doc_id % 5 AS STRING) || '.co.uk/docs/' ||
         CAST(doc_id AS STRING)"""
 
+  private def hash60Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), hx, 1)) - 1 for hx in range(1, 16)],
+                    (a, b) -> a*16 + b)"""
+
+  // Oracle mirror of Pipeline.wordsAuto: char bigrams when the
+  // majority of non-space chars are no-space-script codepoints, space
+  // tokens otherwise. regexp_replace carries the 'g' flag (DuckDB
+  // replaces first-only by default; Spark replaces all). The
+  // comprehension variable is `bx`, not `i` (the q182 scoping trap).
+  private def wordsAutoSql(text: String): String = {
+    val stripped = s"regexp_replace($text, ' ', '', 'g')"
+    val ns =
+      s"length(regexp_replace($text, '${Pipeline.NotNoSpaceScriptClass}', '', 'g'))"
+    s"""(CASE WHEN $ns * 2 > length($stripped)
+          THEN (CASE WHEN length($stripped) <= 1 THEN [$stripped]
+                     ELSE [substr($stripped, bx, 2)
+                           for bx in range(1, length($stripped))] END)
+          ELSE string_split($text, ' ') END)"""
+  }
+
+  // q192 synthetic corpus over doc_id < 24: two CJK near-dup families
+  // (a Chinese and a Japanese base, each with three tail variants — a
+  // space tokenizer sees each as ONE token and finds nothing), an
+  // English near-dup family as the dispatch control (must route
+  // through SPACE tokens), and per-doc noise rows that must pair with
+  // nothing. Perturbation picks by doc_id % 12 range (no integer
+  // division — `//` vs `div` differs between the engines).
+  private val CjkBaseA =
+    "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少床前明月光疑是地上霜举头望明月低头思故乡"
+  private val CjkBaseB =
+    "吾輩は猫である名前はまだ無いどこで生れたかとんと見当がつかぬ何でも薄暗いじめじめした所で泣いていた事だけは記憶している"
+  private val EngBase =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+  private val CjkSynthSql = s"""
+        (CASE doc_id % 4
+          WHEN 0 THEN '$CjkBaseA' ||
+            (CASE WHEN doc_id % 12 < 4 THEN ''
+                  WHEN doc_id % 12 < 8 THEN '完' ELSE '终了' END)
+          WHEN 1 THEN '$CjkBaseB' ||
+            (CASE WHEN doc_id % 12 < 4 THEN ''
+                  WHEN doc_id % 12 < 8 THEN '完' ELSE '终了' END)
+          WHEN 2 THEN '$EngBase' ||
+            (CASE WHEN doc_id % 12 < 4 THEN ''
+                  WHEN doc_id % 12 < 8 THEN ' indeed' ELSE ' very truly' END)
+          ELSE 'noise' || CAST(doc_id AS STRING) ||
+               ' filler' || CAST(doc_id AS STRING) ||
+               ' tail' || CAST(doc_id AS STRING) ||
+               ' end' || CAST(doc_id AS STRING)
+         END)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Registrable-domain extraction ([[ops.Web.registrableDomain]]):
@@ -154,6 +204,49 @@ object DomainQueries {
           .select(col("doc_id"),
             graft.ops.Web.host(col("url")).as("host"))
           .orderBy("doc_id")
+      }),
+
+    // Script-aware near-dup ([[Pipeline.wordsAuto]] feeding the full
+    // q138 chain — shingles, MinHash, threshold-derived LSH bands,
+    // hashed verify): CJK documents tokenize as char bigrams, so the
+    // two planted CJK families PAIR (with the space tokenizer their
+    // recall is exactly zero — each doc is one token and the shingle
+    // gate drops it), while the English control family routes through
+    // space tokens unchanged and noise rows pair with nothing. The
+    // oracle replays the dispatch, the bigram surrogate, and the
+    // entire LSH chain.
+    QueryDef("q192_cjk_neardup",
+      Some(s"""
+        WITH corpus AS (SELECT doc_id, $CjkSynthSql AS text
+                        FROM documents WHERE doc_id < 24),
+        t AS (SELECT doc_id, ${wordsAutoSql("text")} AS w FROM corpus),
+        sh AS (SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in range(1, len(w)-1)]) AS shingles
+               FROM t WHERE len(w) >= 3),
+        ${PipelineQueries.minhashSigCte("doc_id", PipelineQueries.lshK05)}
+        ${PipelineQueries.bandedCandCte(PipelineQueries.lshBands05,
+          PipelineQueries.lshRows05)},
+        h AS (SELECT doc_id, list_transform(shingles, s -> ${hash60Sql("s")}) AS hs FROM sh),
+        v AS (SELECT c.a_id, c.b_id,
+                CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS i,
+                CAST(len(a.hs) + len(b.hs)
+                     - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS u
+              FROM cand c
+              JOIN h a ON a.doc_id = c.a_id
+              JOIN h b ON b.doc_id = c.b_id)
+        SELECT a_id, b_id, (1000000 * i) // u AS jaccard_ppm
+        FROM v WHERE i * 1000000 >= u * 500000
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val corpus = spread(documents(s, d)).filter(col("doc_id") < 24)
+          .select(col("doc_id"), expr(CjkSynthSql).as("text"))
+        val sig = Dedup.shingleSignatures(corpus, "doc_id", "text",
+            tokenizer = Pipeline.wordsAuto)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.verifiedPairsHashed(sig, "doc_id", threshold = 0.5,
+            maxBucketSize = Int.MaxValue)
+          .orderBy("a_id", "b_id")
       })
   )
 }

@@ -25,6 +25,52 @@ object Pipeline {
   /** Whitespace tokens. Documents are single-space separated. */
   def words(text: Column): Column = split(text, " ")
 
+  /** Codepoint ranges of the major NO-SPACE scripts — writing systems
+    * that don't delimit words with spaces, so a space tokenizer sees a
+    * whole sentence as one "word" and every shingle-keyed operator
+    * (near-dup, fertility, Gopher rules) silently gets ZERO recall:
+    * Hiragana/Katakana, CJK ideographs (unified + ext A + compat),
+    * Thai, Lao, Myanmar, Khmer. Literal characters, not \\u escapes —
+    * Java regex and RE2 (the oracle) differ on escape syntax but both
+    * read literal codepoint ranges identically.
+    */
+  val NoSpaceScriptRanges: String =
+    "぀-ヿ㐀-䶿一-鿿豈-﫿" +
+      "฀-๿຀-໿က-႟ក-៿"
+  val NoSpaceScriptClass: String = s"[$NoSpaceScriptRanges]"
+  val NotNoSpaceScriptClass: String = s"[^$NoSpaceScriptRanges]"
+
+  /** Character-bigram word surrogate for no-space scripts: spaces
+    * stripped, then every adjacent codepoint pair — the standard CJK
+    * n-gram fallback (a char bigram carries roughly one CJK word's
+    * information; shingles of bigrams then behave like word shingles
+    * do for English). A 0/1-char text yields itself as the single
+    * token. Pure scan-side HOFs.
+    */
+  def charBigrams(text: Column): Column = {
+    val s = regexp_replace(text, " ", "")
+    when(length(s) <= 1, array(s))
+      .otherwise(transform(sequence(lit(1), length(s) - 1),
+        i => substr(s, i, lit(2))))
+  }
+
+  /** Script-dispatching tokens: [[charBigrams]] when the majority of
+    * non-space characters are no-space-script codepoints, [[words]]
+    * otherwise — the drop-in tokenizer that gives the shingle family
+    * real recall on CJK/Thai corpora (with [[words]] a CJK sentence is
+    * ONE token and near-dup recall is exactly zero). The dispatch is
+    * per-document and deterministic, so the DuckDB oracle replays it;
+    * mixed-script documents fall to whichever mass dominates (ties to
+    * space tokens — strict majority switches).
+    */
+  def wordsAuto(text: Column): Column = {
+    val noSpaceScript =
+      length(regexp_replace(text, NotNoSpaceScriptClass, ""))
+    val nonSpace = length(regexp_replace(text, " ", ""))
+    when(noSpaceScript * 2 > nonSpace, charBigrams(text))
+      .otherwise(words(text))
+  }
+
   /** Distinct word n-gram shingles ("a b c" style). Callers must
     * guard size(words) >= n (empty-sequence semantics differ across
     * engines for degenerate docs). Backed by the native

@@ -44,7 +44,7 @@ object PipelineQueries {
   // minhashBase/minhashSignature exactly (see Pipeline.minhashA for
   // why the modular WRAP is load-bearing: an order-preserving map
   // collapses banding to one Bernoulli per pair).
-  private def minhashSigCte(keep: String, k: Int): String = s"""
+  private[graft] def minhashSigCte(keep: String, k: Int): String = s"""
     hw AS (SELECT $keep,
              list_transform(shingles, s ->
                (65599 * list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 for i in range(1, 9)],
@@ -76,7 +76,7 @@ object PipelineQueries {
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 16)],
                     (a, b) -> a*16 + b)"""
 
-  private def bandedCandCte(bands: Int, rows: Int): String = s""",
+  private[graft] def bandedCandCte(bands: Int, rows: Int): String = s""",
     banded AS (SELECT doc_id, b, ${hash60Sql(s"array_to_string(sig[b*$rows+1 : b*$rows+$rows], '|')")} AS bh
                FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

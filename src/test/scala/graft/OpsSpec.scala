@@ -1938,6 +1938,48 @@ class OpsSpec extends AnyFunSuite {
       ("hub.com", "hub") -> 1L, ("hub.com", "site") -> 1L))
   }
 
+  test("wordsAuto dispatches no-space scripts to char bigrams") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", "hello world again"),
+      ("zh", "春眠不觉晓处处闻啼鸟"),
+      ("ja", "吾輩は猫である"),
+      ("th", "สวัสดีครับผม"),
+      ("mix-latin", "mostly latin text 春"),
+      ("one", "春"))
+      .toDF("k", "text")
+    val got = rows.select(col("k"),
+        graft.Pipeline.wordsAuto(col("text")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("en") == Seq("hello", "world", "again"), "space split")
+    assert(got("zh") == Seq("春眠", "眠不", "不觉", "觉晓", "晓处",
+      "处处", "处闻", "闻啼", "啼鸟"), "adjacent char bigrams")
+    assert(got("ja").head == "吾輩" && got("ja").length == 6)
+    assert(got("th").length == "สวัสดีครับผม".length - 1, "Thai routes too")
+    assert(got("mix-latin") == Seq("mostly", "latin", "text", "春"),
+      "latin majority keeps space tokens")
+    assert(got("one") == Seq("春"), "single char is its own token")
+  }
+
+  test("CJK near-dup has recall with wordsAuto and zero with words") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少床前明月光疑是地上霜"),
+      (2L, "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少床前明月光疑是地上霜完"),
+      (3L, "全然違う内容の文書でありまして前の二つとは何の関係も無いのです"))
+      .toDF("doc_id", "text")
+    def pairs(tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.verifiedPairsHashed(
+          Dedup.shingleSignatures(docs, "doc_id", "text", tokenizer = tok),
+          "doc_id", threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs(graft.Pipeline.wordsAuto) == Set((1L, 2L)),
+      "bigram tokens find the planted pair and spare the unrelated doc")
+    // the space tokenizer sees each doc as ONE token; the shingle gate
+    // (>= 3 tokens) drops everything — recall is exactly zero
+    assert(pairs(graft.Pipeline.words).isEmpty)
+  }
+
   test("registrableDomain walks the PSL boundary table") {
     import spark.implicits._
     val cases = Seq(

@@ -194,16 +194,27 @@ object Sketches {
     * explode ×depth → one (group, d, pos) count, map-side combined,
     * output bounded by groups × depth × width.
     */
+  /** The depth counter cells `(d, pos)` of a value — shared VERBATIM
+    * by the batch sketch, the estimate probe, and the streaming
+    * maintainer, so none can drift. `value` is a SQL expression;
+    * returns `array<struct<d: long, pos: long>>`.
+    */
+  def cmsPositions(value: String, depth: Int, width: Int)
+      : org.apache.spark.sql.Column =
+    expr(
+      s"""transform(sequence(0, ${depth - 1}), d -> struct(
+            cast(d as bigint) as d,
+            cast(conv(substring(md5(cast(d as string) || '_' ||
+              cast($value as string)), 1, 15),
+              16, 10) as bigint) % ${width}L as pos))""")
+
   def cmsSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad cms shape: $depth x $width")
     df
       .select((groupCols.map(col) :+ col(valueCol).cast(StringType).as("_v")): _*)
-      .select((groupCols.map(col) :+ explode(expr(
-        s"""transform(sequence(0, ${depth - 1}), d -> struct(
-              cast(d as bigint) as d,
-              cast(conv(substring(md5(cast(d as string) || '_' || _v), 1, 15),
-                16, 10) as bigint) % ${width}L as pos))""")).as("_c")): _*)
+      .select((groupCols.map(col) :+
+        explode(cmsPositions("_v", depth, width)).as("_c")): _*)
       .groupBy((groupCols.map(col) :+ col("_c.d").as("d") :+
         col("_c.pos").as("pos")): _*)
       .agg(count(lit(1)).cast(LongType).as("n"))
@@ -225,12 +236,8 @@ object Sketches {
                   depth: Int = 4, width: Int = 256): DataFrame = {
     val exploded = probes
       .select((groupCols.map(col) :+ col(probeCol)): _*)
-      .select((groupCols.map(col) :+ col(probeCol) :+ explode(expr(
-        s"""transform(sequence(0, ${depth - 1}), d -> struct(
-              cast(d as bigint) as d,
-              cast(conv(substring(md5(cast(d as string) || '_' ||
-                cast($probeCol as string)), 1, 15), 16, 10) as bigint)
-                % ${width}L as pos))""")).as("_c")): _*)
+      .select((groupCols.map(col) :+ col(probeCol) :+
+        explode(cmsPositions(probeCol, depth, width)).as("_c")): _*)
       .select((groupCols.map(col) :+ col(probeCol) :+
         col("_c.d").as("_d") :+ col("_c.pos").as("_p")): _*)
     val keyed = sketch.select(

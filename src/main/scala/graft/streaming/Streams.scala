@@ -629,6 +629,96 @@ object Streams {
       }
   }
 
+  case class KmvGroupSketch(group: String, kmv: Seq[Long])
+  case class KmvState(hashes: Seq[Long])
+
+  /** Streaming KMV maintenance: the per-group k-minimum-values
+    * distinct-count sketch ([[graft.ops.Sketches.kmvSketch]]) kept up
+    * to date ON ARRIVAL — each micro-batch re-mins the union of the
+    * held bottom-k with the batch's 60-bit value hashes
+    * ([[graft.Pipeline.wordHash60]] via the same recipe as the batch
+    * sketch, so stream and batch sketches cannot drift) and emits the
+    * group's new ascending `kmv` array whenever it changes (a value
+    * hashing above the current k-th minimum — the overwhelmingly
+    * common arrival once the sketch fills — changes nothing and emits
+    * nothing). "Latest emission per group" IS the batch sketch of
+    * everything seen; pass it to [[graft.ops.Sketches.kmvEstimate]]
+    * or merge it with batch shards via [[graft.ops.Sketches
+    * .kmvMerge]].
+    *
+    * State is bounded by groups × k longs — the sketch itself — so no
+    * timeout/eviction is needed (the same boundedness argument as the
+    * Bloom maintainer). Input columns: (`groupCol`, `valueCol`).
+    */
+  def streamingKmvSketch(values: DataFrame, groupCol: String,
+                         valueCol: String, k: Int = 64)
+      : Dataset[KmvGroupSketch] = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import values.sparkSession.implicits._
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        graft.Pipeline.wordHash60(col(valueCol).cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          val prior = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          val next =
+            (prior ++ rows.map(_._2)).distinct.sorted.take(k)
+          if (next != prior) {
+            state.update(KmvState(next))
+            Iterator.single(KmvGroupSketch(group, next))
+          } else Iterator.empty
+      }
+  }
+
+  case class CmsCell(group: String, d: Long, pos: Long, n: Long)
+  case class CmsCellState(n: Long)
+
+  /** Streaming count-min maintenance: the per-group frequency sketch
+    * ([[graft.ops.Sketches.cmsSketch]]) kept up to date ON ARRIVAL —
+    * each micro-batch SUMs its values' counter increments
+    * ([[graft.ops.Sketches.cmsPositions]], shared VERBATIM with the
+    * batch recipe) into per-(group, d, pos) state and emits the
+    * counter's new value whenever it grows. "Latest emission per
+    * (group, d, pos)" IS the batch sketch of everything seen (counters
+    * only grow, so latest = max); probe it with [[graft.ops.Sketches
+    * .cmsEstimate]] or SUM-merge it with batch shards via
+    * [[graft.ops.Sketches.cmsMerge]].
+    *
+    * State is bounded by groups × depth × width longs — the sketch
+    * itself — so no timeout/eviction is needed. Input columns:
+    * (`groupCol`, `valueCol`).
+    */
+  def streamingCmsSketch(values: DataFrame, groupCol: String,
+                         valueCol: String, depth: Int = 4,
+                         width: Int = 256): Dataset[CmsCell] = {
+    require(depth >= 1 && width >= 2, s"bad cms shape: $depth x $width")
+    import values.sparkSession.implicits._
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("_v"))
+      .select(col("g"),
+        explode(graft.ops.Sketches.cmsPositions("_v", depth, width))
+          .as("_c"))
+      .select(col("g"), col("_c.d").as("d"), col("_c.pos").as("pos"))
+      .as[(String, Long, Long)]
+      .groupByKey { case (g, d, pos) => (g, d, pos) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[CmsCellState]) =>
+          val prior = state.getOption.map(_.n).getOrElse(0L)
+          val next = prior + rows.size
+          if (next != prior) {
+            state.update(CmsCellState(next))
+            Iterator.single(CmsCell(key._1, key._2, key._3, next))
+          } else Iterator.empty
+      }
+  }
+
   case class HostAdmit(doc_id: Long, host: String, seq: Long, ts: Timestamp)
   // state classes must be encoder-visible (non-private), like
   // SessionState below

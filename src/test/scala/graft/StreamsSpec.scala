@@ -771,6 +771,88 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kmv sketch equals the batch sketch across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    // latest emission per group (batches arrive in order)
+    val latest = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    def start() = Streams.streamingKmvSketch(
+        in.toDF().toDF("g", "v"), "g", "v", k = 4)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getString(0), r.getSeq[Long](1)))
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(("a", "w1"), ("a", "w2"), ("a", "w3"), ("b", "x1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the held bottom-k must be RECOVERED — without it the
+    // re-minned union would restart from empty and under-fill
+    val q2 = start()
+    try {
+      in.addData(("a", "w1"), ("a", "w4"), ("a", "w5"), ("a", "w6"),
+        ("b", "x2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch = graft.ops.Sketches.kmvSketch(
+        Seq(("a", "w1"), ("a", "w2"), ("a", "w3"), ("a", "w4"),
+          ("a", "w5"), ("a", "w6"), ("b", "x1"), ("b", "x2"))
+          .toDF("g", "v"),
+        Seq("g"), "v", k = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(latest.asScala.toMap == batch,
+      "stream-maintained bottom-k must equal the batch sketch exactly")
+    assert(latest.get("a").length == 4, "group a overfilled its k slots")
+  }
+
+  test("streaming count-min sketch equals the batch sketch across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    // counters only grow, so latest emission per cell = max = current
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+    def start() = Streams.streamingCmsSketch(
+        in.toDF().toDF("g", "v"), "g", "v", depth = 2, width = 8)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest.put((r.getString(0), r.getLong(1), r.getLong(2)),
+            r.getLong(3)))
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(("a", "t1"), ("a", "t1"), ("a", "t2"), ("b", "t1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: counters must resume from their checkpointed values —
+    // a reset would under-count every earlier arrival
+    val q2 = start()
+    try {
+      in.addData(("a", "t1"), ("b", "t3"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch = graft.ops.Sketches.cmsSketch(
+        Seq(("a", "t1"), ("a", "t1"), ("a", "t2"), ("a", "t1"),
+          ("b", "t1"), ("b", "t3")).toDF("g", "v"),
+        Seq("g"), "v", depth = 2, width = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(latest.asScala.toMap == batch,
+      "stream-maintained counters must equal the batch sketch exactly")
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -115,17 +115,36 @@ object Scale10Gen {
   val Out = "/root/repo/target/sf10-bench"
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("32", "scale10-gen")
-    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
-    (0 until 100).map { i =>
+    val sf = "/root/testdata/sf0.1"
+    def write(name: String, df: => DataFrame): Unit =
+      if (args.isEmpty || args.contains(name)) {
+        df.repartition(32).write.mode("overwrite")
+          .parquet(s"$Out/$name.parquet")
+        println(s"wrote sf10 $name")
+      }
+    val docs = Tables.documents(spark, sf)
+    write("documents", (0 until 100).map { i =>
       docs.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           x => concat(x, lit(s"_r$i"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
-    println("wrote sf10 documents")
+    }.reduce(_ unionAll _))
+    // lineitem/orders at 100x for the second decade of the trade-graph
+    // family (q171/q184): keys shifted per replica like ScaleGen;
+    // l_suppkey deliberately unshifted — the hub-skew dimension keeps
+    // 100x degree on the supplier side, the adversarial shape
+    val off = 100000000L
+    val li = Tables.lineitem(spark, sf)
+    write("lineitem", (0 until 100).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+    }.reduce(_ unionAll _))
+    val ord = Tables.orders(spark, sf)
+    write("orders", (0 until 100).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }.reduce(_ unionAll _))
     spark.stop()
   }
 }

@@ -202,9 +202,11 @@ object CorpusPipeline {
     */
   def hostAudit(docs: DataFrame, urlCol: String = "url",
                 textCol: String = "text",
-                langCol: String = "lang"): Map[String, DataFrame] =
+                langCol: String = "lang",
+                byRegistrable: Boolean = false): Map[String, DataFrame] =
     Map(
-      "footprint" -> ops.Web.hostStats(docs, urlCol, textCol),
+      "footprint" -> ops.Web.hostStats(docs, urlCol, textCol,
+        byRegistrable = byRegistrable),
       "dup" -> ops.Web.hostDupStats(docs, urlCol, textCol),
       "lang_mix" -> ops.Web.hostLangProfile(docs, urlCol, langCol))
 

@@ -743,14 +743,19 @@ object Streams {
     */
   def streamingHostCapGate(docs: DataFrame, cap: Long,
                            idCol: String = "doc_id", urlCol: String = "url",
-                           horizonMinutes: Int = 10): Dataset[HostAdmit] = {
+                           horizonMinutes: Int = 10,
+                           byRegistrable: Boolean = false): Dataset[HostAdmit] = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     import docs.sparkSession.implicits._
     val horizonMs = horizonMinutes * 60_000L
+    // byRegistrable mirrors the batch operator: admission buckets on
+    // the OWNERSHIP boundary, so a crawl spraying subdomains of one
+    // registrant cannot multiply its allowance
+    val key = if (byRegistrable) graft.ops.Web.registrableDomain(col(urlCol))
+              else graft.ops.Web.host(col(urlCol))
     docs
       .withWatermark("ts", s"$horizonMinutes minutes")
-      .select(col(idCol).as("id"), col("ts"),
-        graft.ops.Web.host(col(urlCol)).as("host"))
+      .select(col(idCol).as("id"), col("ts"), key.as("host"))
       .as[(Long, Timestamp, String)]
       .groupByKey { case (_, _, host) => host }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

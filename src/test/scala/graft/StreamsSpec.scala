@@ -771,6 +771,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming host-cap gate can bucket on the registrable domain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "url")
+    val q = Streams.streamingHostCapGate(df, cap = 2, byRegistrable = true)
+      .writeStream
+      .format("memory").queryName("reg_cap").outputMode("append").start()
+    try {
+      // three SUBDOMAINS of one co.uk registrant share the allowance;
+      // a different registrant under the same public suffix does not
+      in.addData(
+        (1L, ts(0), "https://www.bad.co.uk/1"),
+        (2L, ts(1), "https://blog.bad.co.uk/2"),
+        (3L, ts(2), "https://shop.bad.co.uk/3"),
+        (10L, ts(0), "https://good.co.uk/1"))
+      q.processAllAvailable()
+      val got = spark.table("reg_cap").as[Streams.HostAdmit].collect()
+      assert(got.map(_.doc_id).toSet == Set(1L, 2L, 10L),
+        "the third subdomain arrival of bad.co.uk must drop")
+      assert(got.forall(a => a.host == "bad.co.uk" || a.host == "good.co.uk"),
+        "admission keys on the registrable domain, not the host")
+    } finally q.stop()
+  }
+
   test("streaming kmv sketch equals the batch sketch across a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

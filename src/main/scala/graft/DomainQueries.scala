@@ -247,6 +247,58 @@ object DomainQueries {
         Dedup.verifiedPairsHashed(sig, "doc_id", threshold = 0.5,
             maxBucketSize = Int.MaxValue)
           .orderBy("a_id", "b_id")
+      }),
+
+    // Script-aware TOKEN-BUDGET mixing ([[Pipeline.tokenCountAuto]]
+    // feeding [[ops.Sampling.targetMixTokens]]): the q188 machinery
+    // over a bilingual corpus where the zh documents carry REAL CJK
+    // text — with `size(split(text, ' '))` each would count as ONE
+    // token and a "40% zh by tokens" budget would allocate zh nearly
+    // nothing; the bigram surrogate charges them their character
+    // mass. The oracle replays the dispatch, the surrogate counts,
+    // totals, feasible volume, quotas, slot order, and token window.
+    QueryDef("q193_cjk_token_budget",
+      Some(s"""
+        WITH tg AS (SELECT * FROM (VALUES ('en', 600000), ('zh', 400000)) AS v(lang, ppm)),
+        c AS (SELECT doc_id, lang,
+                (CASE WHEN lang = 'zh'
+                      THEN substr(repeat('$CjkBaseA', 20), 1,
+                                  (CAST(n_chars AS INTEGER) % 200) + 30)
+                      ELSE text END) AS t
+              FROM documents WHERE lang IN ('en', 'zh')),
+        tok AS (SELECT doc_id, lang,
+                  CAST(len(${wordsAutoSql("t")}) AS BIGINT) AS n_tok
+                FROM c),
+        tt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS ts
+               FROM tok GROUP BY lang),
+        t AS (SELECT MIN((COALESCE(tt.ts, 0) * 1000000) // tg.ppm) AS t
+              FROM tg LEFT JOIN tt USING (lang)),
+        q AS (SELECT tg.lang, (t.t * tg.ppm) // 1000000 AS quota
+              FROM tg CROSS JOIN t),
+        r AS (SELECT doc_id, lang, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                  ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tb
+              FROM tok)
+        SELECT r.doc_id, r.lang, r.n_tok, r.tb AS tok_before
+        FROM r JOIN q ON r.lang = q.lang AND r.tb < q.quota
+        ORDER BY r.doc_id"""),
+      (s, d) => {
+        val c = spread(documents(s, d))
+          .filter(col("lang").isin("en", "zh"))
+          .select(col("doc_id"), col("lang"),
+            when(col("lang") === "zh",
+              substr(repeat(lit(CjkBaseA), 20), lit(1),
+                pmod(col("n_chars").cast("int"), lit(200)) + 30))
+              .otherwise(col("text")).as("t"))
+        graft.ops.Sampling.targetMixTokens(
+            c.select(col("doc_id"), col("lang"),
+              Pipeline.tokenCountAuto(col("t")).as("n_tok")),
+            "doc_id", "lang", "n_tok",
+            Seq(("en", 600000), ("zh", 400000)))
+          .select("doc_id", "lang", "n_tok", "tok_before")
+          .orderBy("doc_id")
       })
   )
 }

@@ -71,6 +71,17 @@ object Pipeline {
       .otherwise(words(text))
   }
 
+  /** Script-aware token COUNT — the token-mass column for mixing /
+    * packing / budgeting over mixed corpora ([[graft.ops.Sampling
+    * .targetMixTokens]], `packSequences`, `contextBlocks`): with
+    * `size(split(text, ' '))` a CJK document counts as ONE token and a
+    * "30% zh by tokens" budget allocates it ~nothing; the bigram
+    * surrogate charges it roughly its character count, the right
+    * order of magnitude for any CJK tokenizer.
+    */
+  def tokenCountAuto(text: Column): Column =
+    size(wordsAuto(text)).cast(org.apache.spark.sql.types.LongType)
+
   /** Distinct word n-gram shingles ("a b c" style). Callers must
     * guard size(words) >= n (empty-sequence semantics differ across
     * engines for degenerate docs). Backed by the native

@@ -659,6 +659,39 @@ object Dedup {
         sum(col("size")).cast(LongType).as("n_docs"))
   }
 
+  /** SOFT dedup — keep every document but DOWN-WEIGHT duplicate
+    * clusters so each cluster contributes one document's worth of
+    * sampling mass: `weight_ppm = 1e6 div cluster_size` (the SoftDeDup
+    * move — hard dedup throws away the choice of which near-dup to
+    * train on and any frequency signal; reweighting preserves both
+    * while removing the over-counting). Feeds [[ops.Sampling.weighted]]
+    * directly. `pairs` is any verified near-dup pair frame
+    * (`a_id`/`b_id`); docs in no pair are their own cluster at weight
+    * 1e6.
+    *
+    * Shape: label propagation over the PAIRED nodes only ([[clusters]]
+    * — pair-graph-sized, the tiny side of a dedup run), one
+    * cluster-keyed count, then one left join onto the id frame;
+    * singletons never enter the loop. Output:
+    * (idCol, cluster, cluster_size, weight_ppm).
+    */
+  def softDedupWeights(pairs: DataFrame, allIds: DataFrame,
+                       idCol: String): DataFrame = {
+    val nodes = pairs.select(col("a_id").as(idCol))
+      .unionAll(pairs.select(col("b_id").as(idCol))).distinct()
+    val lab = clusters(pairs, nodes, idCol)
+    val sized = lab.join(
+      lab.groupBy("cluster").agg(count(lit(1)).cast(LongType).as("_sz")),
+      Seq("cluster"))
+    allIds.select(col(idCol))
+      .join(sized.select(col(idCol), col("cluster"), col("_sz")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        coalesce(col("_sz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+  }
+
   /** [[verifiedPairs]] with the verify payload DICTIONARY-ENCODED: the
     * candidate join-backs ship each doc's shingle set as 60-bit hashes
     * (8 bytes/shingle) instead of raw n-gram strings (~20 bytes) — the

@@ -129,6 +129,119 @@ object DomainQueries {
                ' end' || CAST(doc_id AS STRING)
          END)"""
 
+  // [[ops.Web.canonicalUrl]] as one self-contained SQL expression over
+  // a url-typed operand — the q160 canon CTE inlined so snapshot
+  // queries can canonicalize two sides without CTE name collisions.
+  private def canonUrlSql(u: String): String = {
+    val scheme = s"lower(regexp_extract($u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val h = s"regexp_replace(lower(regexp_extract($u, '${graft.ops.Web.HostRegex}', 1)), '^www\\.', '')"
+    val port = s"regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1)"
+    val rest = s"""regexp_replace(regexp_replace(
+      regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(.*)$$', 1),
+      '#.*$$', ''), '/$$', '')"""
+    s"""(CASE WHEN $scheme = '' THEN '' ELSE $scheme || '://' || $h ||
+          (CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
+                     OR ($scheme = 'https' AND $port = '443')
+                THEN '' ELSE ':' || $port END) || $rest END)"""
+  }
+
+  // q194 snapshot synth: the OLD snapshot fetched `HTTPS://www.…`, the
+  // NEW one `https://…/` (scheme case, www., trailing slash) — the
+  // delta must join through the canonical key, not the raw URL.
+  // doc_id % 4 partitions the fates: 0 unchanged, 1 dropped from the
+  // new snapshot (no output row), 2 changed (' v2' appended), 3 new
+  // (absent from the old snapshot).
+  private val SnapOldUrlSql =
+    """'HTTPS://www.site' || CAST(doc_id % 5 AS STRING) || '.com/p/' || CAST(doc_id AS STRING)"""
+  private val SnapNewUrlSql =
+    """'https://site' || CAST(doc_id % 5 AS STRING) || '.com/p/' || CAST(doc_id AS STRING) || '/'"""
+
+  // q196 paragraph synth: pa = first 5 words, pb = next 5; every third
+  // doc repeats pa as its closing paragraph (the pagination stutter
+  // the op removes), the rest close with a distinct variant.
+  // Engine/oracle mirror each other (slice semantics clamp on both).
+
+  // q197 domain synth: sites keyed by LANGUAGE (each lang community
+  // runs its own .co.uk site — domain quality then genuinely varies),
+  // plus a 'rare' site sampled at ~1% (doc_id % 97) that stays under
+  // the minDocs evidence bar and must survive regardless of its mean.
+  private val DomainUrlSynthSql = """
+        (CASE WHEN doc_id % 97 = 0
+          THEN 'https://www.rare-site.co.uk/p/' || CAST(doc_id AS STRING)
+          ELSE 'https://www.' || lang || '-site.co.uk/p/' || CAST(doc_id AS STRING)
+         END)"""
+
+  // q198 robots synth (shared verbatim — chr(10) is the newline in
+  // BOTH engines): per host hN, block 1 is a foreign agent, block 2 is
+  // the `*` group (/private always; an empty Disallow and a comment
+  // that must not emit; /tmp on even hosts), block 3 (host 3 only) is
+  // a MULTI-AGENT header including `*` — its /multi rule applies —
+  // and block 4 is another foreign agent.
+  private val RobotsContentSql = """
+        ('User-agent: googlebot' || chr(10) ||
+         'Disallow: /gbot' || chr(10) ||
+         'User-agent: *' || chr(10) ||
+         'Disallow: /private' || chr(10) ||
+         'Disallow:' || chr(10) ||
+         '# crawl budget note' || chr(10) ||
+         (CASE WHEN doc_id % 2 = 0 THEN 'Disallow: /tmp' || chr(10) ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 3
+           THEN 'User-agent: bingbot' || chr(10) || 'User-agent: *' || chr(10) ||
+                'Disallow: /multi' || chr(10)
+           ELSE '' END) ||
+         'User-agent: other' || chr(10) ||
+         'Disallow: /other')"""
+  private val RobotsHostSql =
+    """'h' || CAST(doc_id % 5 AS STRING) || '.example.com'"""
+  // q199 corpus URLs over the same 5 hosts; paths cycle through the
+  // rule surface (/private always blocked, /tmp blocked on even hosts,
+  // /multi blocked on host 3 only, /public and /gbot never — the
+  // googlebot rule must NOT fire for the `*` filter).
+  private val RobotsUrlSynthSql = """
+        ('https://h' || CAST(doc_id % 5 AS STRING) || '.example.com' ||
+         (CASE doc_id % 7
+           WHEN 0 THEN '/private/' || CAST(doc_id AS STRING)
+           WHEN 1 THEN '/tmp/' || CAST(doc_id AS STRING)
+           WHEN 2 THEN '/multi/' || CAST(doc_id AS STRING)
+           WHEN 3 THEN '/gbot/' || CAST(doc_id AS STRING)
+           ELSE '/public/' || CAST(doc_id AS STRING) END))"""
+
+  // Oracle replay of [[ops.Web.robotsRules]] over a CTE `rb(host,
+  // content)`: line explode with index, comment/CR strip, block ids
+  // from agent-run starts, star flag per (host, block), Disallow
+  // prefixes of star blocks. Emits CTE `rules(host, prefix)`.
+  private val RobotsRulesCtes = s"""
+        ls AS (SELECT host, unnest(string_split(content, chr(10))) AS raw,
+                      unnest(range(1, len(string_split(content, chr(10))) + 1)) AS i
+               FROM rb),
+        ln AS (SELECT host, i,
+                 trim(regexp_replace(raw, '[#\r].*$$', '')) AS l
+               FROM ls),
+        ag AS (SELECT host, i, l,
+                 regexp_matches(l, '(?i)^user-agent\\s*:') AS is_agent,
+                 lower(trim(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$$', 1))) AS agent
+               FROM ln),
+        st AS (SELECT host, i, l, is_agent, agent,
+                 CASE WHEN is_agent AND NOT COALESCE(
+                   LAG(is_agent) OVER (PARTITION BY host ORDER BY i), false)
+                   THEN 1 ELSE 0 END AS starts
+               FROM ag),
+        bk AS (SELECT host, i, l, is_agent, agent,
+                 SUM(starts) OVER (PARTITION BY host ORDER BY i) AS blk
+               FROM st),
+        sb AS (SELECT host, i, l, blk,
+                 MAX(CASE WHEN is_agent AND agent = '*' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host, blk) AS star
+               FROM bk),
+        rules AS (SELECT DISTINCT host,
+                    trim(regexp_extract(l, '(?i)^disallow\\s*:(.*)$$', 1)) AS prefix
+                  FROM sb
+                  WHERE star = 1 AND regexp_matches(l, '(?i)^disallow\\s*:')
+                    AND trim(regexp_extract(l, '(?i)^disallow\\s*:(.*)$$', 1)) <> '')"""
+
+  private val RobotsPathSql =
+    """regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*([^?#]*)', 1)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Registrable-domain extraction ([[ops.Web.registrableDomain]]):
@@ -299,6 +412,221 @@ object DomainQueries {
             Seq(("en", 600000), ("zh", 400000)))
           .select("doc_id", "lang", "n_tok", "tok_before")
           .orderBy("doc_id")
-      })
+      }),
+
+    // Snapshot delta ([[ops.Web.snapshotDelta]]): classify the new
+    // crawl snapshot against the previous one on the CANONICAL url key
+    // — new / changed / unchanged — the incremental-recrawl gate that
+    // keeps the unchanged majority out of the expensive downstream.
+    // The synth snapshots disagree on scheme case, www., and trailing
+    // slash, so the join only works through canonicalization; the
+    // oracle replays the canon rules inline on both sides.
+    QueryDef("q194_snapshot_delta",
+      Some(s"""
+        WITH o AS (SELECT doc_id, $SnapOldUrlSql AS url, text
+                   FROM documents WHERE doc_id % 4 <> 3),
+        n AS (SELECT doc_id, $SnapNewUrlSql AS url,
+                text || (CASE WHEN doc_id % 4 = 2 THEN ' v2' ELSE '' END) AS text
+              FROM documents WHERE doc_id % 4 <> 1),
+        og AS (SELECT ${canonUrlSql("url")} AS url_key, MIN(md5(text)) AS odig
+               FROM o GROUP BY url_key),
+        nc AS (SELECT doc_id, ${canonUrlSql("url")} AS url_key,
+                 md5(text) AS dig FROM n)
+        SELECT nc.doc_id, nc.url_key,
+               CASE WHEN og.odig IS NULL THEN 'new'
+                    WHEN og.odig = nc.dig THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM nc LEFT JOIN og USING (url_key)
+        ORDER BY nc.doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val old = docs.filter(col("doc_id") % 4 =!= 3)
+          .select(col("doc_id"), expr(SnapOldUrlSql).as("url"), col("text"))
+        val nw = docs.filter(col("doc_id") % 4 =!= 1)
+          .select(col("doc_id"), expr(SnapNewUrlSql).as("url"),
+            concat(col("text"),
+              when(col("doc_id") % 4 === 2, lit(" v2")).otherwise(lit("")))
+              .as("text"))
+        graft.ops.Web.snapshotDelta(old, nw, "doc_id", "url", "text")
+          .orderBy("doc_id")
+      }),
+
+    // Soft dedup ([[Dedup.softDedupWeights]]): keep every document,
+    // down-weight near-dup clusters to one document's worth of
+    // sampling mass — weight_ppm = 1e6 div cluster_size over the
+    // LSH-candidate components (the q84 graph), singletons at 1e6.
+    // The oracle replays the recursive transitive closure and the
+    // integer weights; the frame feeds Sampling.weighted unchanged.
+    QueryDef("q195_soft_dedup_weights",
+      Some(s"""
+        WITH RECURSIVE ${PipelineQueries.lshCte},
+        sym AS (SELECT a_id AS u, b_id AS v FROM cand
+                UNION SELECT b_id AS u, a_id AS v FROM cand),
+        reach(u, r) AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+        lab AS (SELECT u, MIN(r) AS cluster FROM reach GROUP BY u),
+        sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM lab GROUP BY cluster)
+        SELECT d.doc_id,
+               CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+               COALESCE(s.sz, 1) AS cluster_size,
+               1000000 // COALESCE(s.sz, 1) AS weight_ppm
+        FROM documents d
+        LEFT JOIN lab l ON l.u = d.doc_id
+        LEFT JOIN sz s ON s.cluster = l.cluster
+        ORDER BY d.doc_id"""),
+      (s, d) => {
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = spread(documents(s, d))
+        val sh = Dedup.shingleSignatures(docs, "doc_id", "text").persist(disk)
+        val pairs = graft.Pipeline.lshCandidatePairs(sh, "doc_id",
+          PipelineQueries.lshK05, PipelineQueries.lshBands05).persist(disk)
+        Dedup.softDedupWeights(pairs, docs.select("doc_id"), "doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // Intra-document paragraph dedup ([[ops.TextStats.dedupParagraphs]]):
+    // drop repeats of a paragraph WITHIN its own document, first
+    // occurrence kept in place — the scraper-stutter cleaner. Every
+    // third synth doc closes by repeating its opening paragraph; the
+    // oracle replays the keep-first filter positionally (1-based
+    // list_position vs 0-based lambda index, both sides exact).
+    QueryDef("q196_paragraph_dedup",
+      Some("""
+        WITH c AS (SELECT doc_id,
+                     array_to_string(string_split(text, ' ')[1:5], ' ') AS pa,
+                     array_to_string(string_split(text, ' ')[6:10], ' ') AS pb
+                   FROM documents),
+        t AS (SELECT doc_id, pa || chr(10) || pb || chr(10) ||
+                (CASE WHEN doc_id % 3 = 0 THEN pa ELSE pb || ' x' END) AS t2
+              FROM c),
+        p AS (SELECT doc_id, string_split(t2, chr(10)) AS ps FROM t),
+        k AS (SELECT doc_id, ps,
+                list_filter(ps, (x, i) -> list_position(ps, x) = i) AS ks
+              FROM p)
+        SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+               CAST(len(ps) AS BIGINT) AS n_para,
+               CAST(len(ps) - len(ks) AS BIGINT) AS n_removed
+        FROM k ORDER BY doc_id"""),
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val pa = array_join(slice(w, 1, 5), " ")
+        val pb = array_join(slice(w, 6, 5), " ")
+        val synth = spread(documents(s, d)).select(col("doc_id"),
+          concat_ws("\n", pa, pb,
+            when(col("doc_id") % 3 === 0, pa)
+              .otherwise(concat(pb, lit(" x")))).as("text"))
+        graft.ops.TextStats.dedupParagraphs(synth, "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
+    // Domain-level score gate ([[ops.Web.domainScoreGate]] over
+    // [[ops.TextStats.qualityLogitMicro]]): judge the SITE, not the
+    // page — language-community sites inherit their language's logit
+    // mean, the low-mean domain drops wholesale, and the ~1% 'rare'
+    // site stays under the minDocs evidence bar and survives. One
+    // domain-keyed aggregate; the oracle replays the PSL walk, the
+    // per-doc logit, and the integer domain mean.
+    QueryDef("q197_domain_score_gate",
+      Some(s"""
+        WITH u AS (SELECT doc_id, lang, text, $DomainUrlSynthSql AS url
+                   FROM documents),
+        sc AS (SELECT doc_id, url,
+                 CASE WHEN len(string_split(text, ' ')) < 1 THEN -5000000 ELSE -5000000
+                   + 8 * ((1000000 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')))
+                   + 6 * ((1000000 * len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the')))) // len(string_split(text, ' ')))
+                   + 300 * ((1000 * (length(text) - len(string_split(text, ' ')) + 1)) // len(string_split(text, ' '))) END AS score
+               FROM u),
+        hh AS (SELECT doc_id, score, $HostSql AS h FROM sc),
+        ${regDomainCtes("doc_id, score")},
+        v AS (SELECT reg, CAST(COUNT(*) AS BIGINT) AS domain_docs,
+                SUM(score) // COUNT(*) AS domain_mean_micro
+              FROM rd GROUP BY reg),
+        keep AS (SELECT reg, domain_docs, domain_mean_micro FROM v
+                 WHERE domain_docs < 10 OR domain_mean_micro >= 700000)
+        SELECT rd.doc_id, rd.reg AS reg_domain, k.domain_docs,
+               CAST(k.domain_mean_micro AS BIGINT) AS domain_mean_micro
+        FROM rd JOIN keep k USING (reg)
+        ORDER BY rd.doc_id"""),
+      (s, d) => graft.ops.Web.domainScoreGate(
+          spread(documents(s, d))
+            .select(col("doc_id"), expr(DomainUrlSynthSql).as("url"),
+              graft.ops.TextStats.qualityLogitMicro("text").as("score")),
+          "doc_id", "url", "score", minDocs = 10, minMeanMicro = 700000L)
+        .select(col("doc_id"), col("reg_domain"), col("domain_docs"),
+          col("domain_mean_micro"))
+        .orderBy("doc_id")),
+
+    // robots.txt parsing ([[ops.Web.robotsRules]]): Disallow rules of
+    // the `User-agent: *` groups, with robots BLOCK semantics — a rule
+    // belongs to every agent of its block's consecutive agent header,
+    // so the multi-agent block counts as ours; foreign-agent rules,
+    // empty Disallows, and comments never emit. The oracle replays the
+    // line windows over the shared synth verbatim.
+    QueryDef("q198_robots_rules",
+      Some(s"""
+        WITH rb AS (SELECT $RobotsHostSql AS host, $RobotsContentSql AS content
+                    FROM documents WHERE doc_id < 5),
+        $RobotsRulesCtes
+        SELECT host, prefix FROM rules ORDER BY host, prefix"""),
+      (s, d) => graft.ops.Web.robotsRules(
+          spread(documents(s, d)).filter(col("doc_id") < 5)
+            .select(expr(RobotsHostSql).as("host"),
+              expr(RobotsContentSql).as("content")),
+          "host", "content")
+        .orderBy("host", "prefix")),
+
+    // robots.txt filter ([[ops.Web.robotsFilter]]): apply the parsed
+    // `*` rules to a corpus — /private dies everywhere, /tmp on even
+    // hosts, /multi on host 3 only, and /gbot survives (that rule
+    // belongs to googlebot, not to `*`). Broadcast rules join + path
+    // prefix check + one anti-join; the oracle replays parse AND apply.
+    QueryDef("q199_robots_filter",
+      Some(s"""
+        WITH rb AS (SELECT $RobotsHostSql AS host, $RobotsContentSql AS content
+                    FROM documents WHERE doc_id < 5),
+        $RobotsRulesCtes,
+        u AS (SELECT doc_id, $RobotsUrlSynthSql AS url FROM documents),
+        px AS (SELECT doc_id, url, $HostSql AS host, $RobotsPathSql AS path
+               FROM u)
+        SELECT doc_id, url FROM px
+        WHERE NOT EXISTS (SELECT 1 FROM rules r
+                          WHERE r.host = px.host
+                            AND starts_with(px.path, r.prefix))
+        ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d))
+        val rules = graft.ops.Web.robotsRules(
+          docs.filter(col("doc_id") < 5)
+            .select(expr(RobotsHostSql).as("host"),
+              expr(RobotsContentSql).as("content")),
+          "host", "content")
+        graft.ops.Web.robotsFilter(
+            docs.select(col("doc_id"), expr(RobotsUrlSynthSql).as("url")),
+            "doc_id", "url", rules)
+          .orderBy("doc_id")
+      }),
+
+    // Curriculum schedule ([[ops.Sampling.curriculumOrder]]): exact
+    // length-quartile phases on the prefix-sum scaffold (never a
+    // single-partition ntile) + a deterministic md5 intra-phase
+    // shuffle slot; the training order IS the (phase, slot, id) sort
+    // key. The oracle replays the rank formula and the slot hash.
+    QueryDef("q200_curriculum_order",
+      Some(s"""
+        WITH r AS (SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+                     COUNT(*) OVER () AS n
+                   FROM documents)
+        SELECT doc_id, CAST(((rn - 1) * 4) // n + 1 AS BIGINT) AS phase,
+               CAST(${hash32Sql("'ep1_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS BIGINT) AS slot
+        FROM r ORDER BY phase, slot, doc_id"""),
+      (s, d) => graft.ops.Sampling.curriculumOrder(
+          spread(documents(s, d)).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", phases = 4, seed = "ep1")
+        .select(col("doc_id"), col("phase"), col("slot"))
+        .orderBy("phase", "slot", "doc_id"))
   )
 }

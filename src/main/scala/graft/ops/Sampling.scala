@@ -328,6 +328,34 @@ object Sampling {
       Seq(col("_shuf"), col(idCol)), outCol)
       .drop("_shuf")
 
+  /** CURRICULUM schedule: assign each row a difficulty `phase` (1-based
+    * k-tile of `scoreCol` under the exact (score, id) total order —
+    * [[Ranking.quantileBuckets]], never a single-partition ntile) plus
+    * a deterministic intra-phase shuffle `slot` (md5 of seed + id, ppm)
+    * — the easy→hard training-order primitive. The TRAINING ORDER is
+    * the sort key `(phase, slot, idCol)`; materialize it with
+    * `repartitionByRange(phase, slot, id).sortWithinPartitions(...)`
+    * at write time rather than a global row index (a materialized
+    * global index costs a second scaffold pass and goes stale on any
+    * upstream filter; the key does not). The slot decorrelates
+    * within-phase order from the score, so each phase streams as an
+    * unbiased sample of its difficulty band.
+    *
+    * Shape: one hierarchical prefix-sum scaffold for the rank (the
+    * q146 machinery), scan-side hashing for the slot. Re-seedable per
+    * epoch. Output: input columns + `phase`, `slot`.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      phases: Int, seed: String = "curriculum",
+                      chunks: Int = 0): DataFrame = {
+    require(phases >= 1, s"phase count must be >= 1, got $phases")
+    Ranking.quantileBuckets(df, scoreCol, idCol, phases, chunks = chunks)
+      .withColumnRenamed("bucket", "phase")
+      .withColumn("slot", pmod(graft.Pipeline.wordHash32(
+        concat(lit(seed), lit("_"), col(idCol).cast("string"))),
+        lit(1000000L)))
+  }
+
   /** Greedy contiguous sequence packing: within each stratum, rows in
     * `idCol` order are appended to a bin until the token budget is
     * crossed — `bin = cum_tokens_before div budget` (a doc that

@@ -823,6 +823,34 @@ object TextStats {
           x => x.getField("chunk")), " ").as(textCol))
   }
 
+  /** INTRA-document paragraph dedup: drop every repeat of a paragraph
+    * WITHIN its own document, keeping the first occurrence in place —
+    * the scraper-artifact cleaner (pagination re-serving the same
+    * intro, templated section repeats, infinite-scroll stutter) that
+    * runs before any corpus-level span dedup: repeats inside one doc
+    * would otherwise inflate that doc's n-gram mass and trip the
+    * repetition gates on content that is fine once de-stuttered.
+    *
+    * Pure scan-side HOF — split on the separator, keep element `i` iff
+    * its FIRST index in the array is `i` (`array_position` is 1-based,
+    * the filter lambda index 0-based), re-join. Zero shuffle at any
+    * scale; per-row cost is quadratic in the PARAGRAPH count of one
+    * document (tens), never in corpus size. Returns
+    * (idCol, textCol, n_para, n_removed) with textCol rewritten.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    docs
+      .withColumn("_p", split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn("_k", expr(
+        s"filter(_p, (x, i) -> array_position(_p, x) == i + 1)"))
+      .select(col(idCol),
+        array_join(col("_k"), sep).as(textCol),
+        size(col("_p")).cast(LongType).as("n_para"),
+        (size(col("_p")) - size(col("_k"))).cast(LongType).as("n_removed"))
+  }
+
   /** Encoding/mojibake QA: per-document counts of the three classic
     * broken-decode signatures — U+FFFD replacement characters (lossy
     * decode already happened), the UTF-8-read-as-Latin-1 marker bytes
@@ -918,6 +946,25 @@ object TextStats {
       + ${w.wStop}L * ((1000000L * size(filter(split($textCol, ' '), x -> x IN ($sw)))) div $n)
       + ${w.wMwl}L * ((1000L * (length($textCol) - $n + 1)) div $n)
       >= 0L""")
+  }
+
+  /** Scan-side SCORE form of [[qualityLogit]] — the integer
+    * `logit_micro` itself as one Column (not the keep boolean, not the
+    * audit frame), for operators that aggregate the score onward
+    * (e.g. [[Web.domainScoreGate]]'s per-domain mean). Zero-token
+    * documents score at the bias (no division-by-zero; they carry no
+    * evidence either way). Same frozen weights, same integer `div`
+    * features as the other two forms.
+    */
+  def qualityLogitMicro(textCol: String,
+                        stopwords: Seq[String] = Seq("a", "the"),
+                        w: LogitWeights = LogitWeights()): Column = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val n = s"size(split($textCol, ' '))"
+    expr(s"""CASE WHEN $n < 1 THEN ${w.bias}L ELSE ${w.bias}L
+      + ${w.wTtr}L * ((1000000L * size(array_distinct(split($textCol, ' ')))) div $n)
+      + ${w.wStop}L * ((1000000L * size(filter(split($textCol, ' '), x -> x IN ($sw)))) div $n)
+      + ${w.wMwl}L * ((1000L * (length($textCol) - $n + 1)) div $n) END""")
   }
 
   /** Gopher-style heuristic rule bundle (the Rae et al. 2021 quality

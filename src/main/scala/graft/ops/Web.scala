@@ -602,4 +602,142 @@ object Web {
         expr("(1000000L * _lc) div greatest(length(_t), 1)"))
       .drop("_h", "_t", "_lc", htmlCol)
   }
+
+  /** SNAPSHOT DELTA — classify every document of a new crawl snapshot
+    * against the previous one, keyed on the canonical URL: `new` (the
+    * URL was not in the old snapshot), `changed` (same URL, different
+    * content digest), `unchanged` (same URL, same digest). The
+    * incremental-crawl primitive: only `new`+`changed` pages flow into
+    * the expensive downstream (extraction, quality, near-dup) while
+    * `unchanged` reuses last snapshot's verdicts — at a monthly
+    * 100 TB recrawl the unchanged share is the majority, so this gate
+    * is the single biggest cost lever in the pipeline.
+    *
+    * Shape: both sides reduce to (url_key, 16-byte digest) scan-side
+    * (the text never shuffles), then ONE equi-join on the url key —
+    * high-cardinality, evenly spread, map-side projected. If the old
+    * snapshot repeats a url key (it shouldn't, post-[[urlDedup]]), its
+    * digests are min-merged so the join stays 1:1 and deterministic.
+    * Output: idCol, `url_key`, `status`.
+    */
+  def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame,
+                    idCol: String, urlCol: String,
+                    textCol: String): DataFrame = {
+    val old = oldDocs
+      .select(canonicalUrl(col(urlCol)).as("url_key"),
+        md5(col(textCol).cast("binary")).as("_old_dig"))
+      .groupBy(col("url_key"))
+      .agg(min(col("_old_dig")).as("_old_dig"))
+    newDocs
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("url_key"),
+        md5(col(textCol).cast("binary")).as("_dig"))
+      .join(old, Seq("url_key"), "left")
+      .select(col(idCol), col("url_key"),
+        when(col("_old_dig").isNull, lit("new"))
+          .when(col("_old_dig") === col("_dig"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** robots.txt -> `(host, prefix)` Disallow rules for `User-agent: *`.
+    * Robots group semantics, deterministically: a BLOCK is one or more
+    * consecutive `User-agent:` lines followed by its rule lines; a
+    * `Disallow:` applies to every agent declared in its block's
+    * header, so the block counts as ours iff any of those agents is
+    * `*`. Comments (`#...`) and a trailing `\r` are stripped first;
+    * an empty `Disallow:` (allow-all) emits no rule. Matching is
+    * case-insensitive on the directive, exact on the path prefix.
+    *
+    * Shape: one line explode per robots file, then two host-partitioned
+    * windows over LINE counts (robots files are a few KB — the
+    * partition is bounded by file size, never by corpus size), one
+    * (host, block)-keyed max for the star flag. Output one row per
+    * (host, prefix).
+    */
+  def robotsRules(robots: DataFrame, hostCol: String,
+                  contentCol: String): DataFrame = {
+    val byIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("_i"))
+    robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("_i", "_raw")))
+      // comment + CR strip, then trim
+      .withColumn("_ln", trim(regexp_replace(col("_raw"), "[#\r].*$", "")))
+      .withColumn("_agent",
+        lower(trim(regexp_extract(col("_ln"), "(?i)^user-agent\\s*:(.*)$", 1))))
+      .withColumn("_is_agent",
+        col("_ln").rlike("(?i)^user-agent\\s*:"))
+      // block starts at an agent line NOT preceded by an agent line
+      .withColumn("_starts", when(col("_is_agent") &&
+        !coalesce(lag(col("_is_agent"), 1).over(byIdx), lit(false)), 1L)
+        .otherwise(0L))
+      .withColumn("_blk", sum(col("_starts")).over(byIdx))
+      .withColumn("_star", max(when(col("_is_agent") &&
+          col("_agent") === "*", 1).otherwise(0))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"), col("_blk"))) === 1)
+      .withColumn("prefix",
+        trim(regexp_extract(col("_ln"), "(?i)^disallow\\s*:(.*)$", 1)))
+      .filter(col("_star") && col("prefix") =!= "" &&
+        col("_ln").rlike("(?i)^disallow\\s*:"))
+      .select(col("host"), col("prefix"))
+      .distinct()
+  }
+
+  /** Apply [[robotsRules]]-shaped `(host, prefix)` rules to a corpus:
+    * drop every document whose URL path starts with a disallowed
+    * prefix for its (exact) host — the crawl-politeness filter run
+    * retroactively over an already-fetched corpus (a crawler that
+    * honored robots at fetch time still re-screens when sites change
+    * their policy between snapshots).
+    *
+    * Shape: paths extract scan-side; the rules frame is per-host tiny
+    * (a few prefixes per host) and joins BROADCAST against the corpus
+    * on the host key, prefix check scan-side, blocked ids out via one
+    * anti-join — the corpus never shuffles.
+    */
+  def robotsFilter(docs: DataFrame, idCol: String, urlCol: String,
+                   rules: DataFrame): DataFrame = {
+    val path = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*([^?#]*)", 1)
+    val blocked = docs
+      .select(col(idCol), host(col(urlCol)).as("host"), path.as("_path"))
+      .join(broadcast(rules.select(col("host"), col("prefix"))), Seq("host"))
+      .filter(col("_path").startsWith(col("prefix")))
+      .select(col(idCol)).distinct()
+    docs.join(blocked, Seq(idCol), "left_anti")
+  }
+
+  /** DOMAIN-level score gate: aggregate a per-document score to its
+    * registrable domain and drop every document of a domain whose MEAN
+    * score falls below the threshold — the RefinedWeb/FineWeb-style
+    * "judge the site, not the page" curation step (a spam farm's
+    * individual pages can each sneak past a per-page gate; their
+    * domain mean cannot). Domains with fewer than `minDocs` documents
+    * are kept — too little evidence to damn a site.
+    *
+    * Shape: one domain-keyed partial-agg shuffle over (domain, score)
+    * pairs (the documents themselves don't move), then one equi-join
+    * of the bounded per-domain verdict frame back onto the corpus —
+    * broadcast when small, AQE otherwise. Output: the surviving rows
+    * plus `reg_domain`, `domain_docs`, `domain_mean_micro` audit
+    * columns.
+    */
+  def domainScoreGate(docs: DataFrame, idCol: String, urlCol: String,
+                      scoreCol: String, minDocs: Int = 3,
+                      minMeanMicro: Long = 0L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val verdict = docs
+      .select(registrableDomain(col(urlCol)).as("reg_domain"),
+        col(scoreCol).cast(LongType).as("_s"))
+      .groupBy(col("reg_domain"))
+      .agg(count(lit(1)).cast(LongType).as("domain_docs"),
+        sum(col("_s")).as("_sum"))
+      // integer mean (micro units survive): engine-portable `div`
+      .withColumn("domain_mean_micro", expr("_sum div domain_docs"))
+      .filter(col("domain_docs") < minDocs ||
+        col("domain_mean_micro") >= minMeanMicro)
+      .drop("_sum")
+    docs.withColumn("reg_domain", registrableDomain(col(urlCol)))
+      .join(verdict, Seq("reg_domain"))
+  }
 }

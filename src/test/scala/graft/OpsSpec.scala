@@ -2026,4 +2026,136 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(naiveKept.isEmpty)
   }
+
+  test("robotsRules: block semantics, multi-agent headers, comments, case") {
+    import spark.implicits._
+    val content =
+      "User-agent: googlebot\n" +
+      "Disallow: /gbot\n" +          // foreign agent — never emits
+      "USER-AGENT: BingBot\r\n" +    // multi-agent header incl. * ...
+      "user-agent: *\r\n" +          // ... with CRLF endings and case
+      "disallow: /shared\n" +
+      "Disallow: /x # trailing comment\n" +
+      "Disallow:\n" +                // empty = allow-all, no rule
+      "# Disallow: /commented\n" +   // comment line, no rule
+      "User-agent: other\n" +
+      "Disallow: /other"             // next block — foreign again
+    val rules = graft.ops.Web.robotsRules(
+        Seq(("h.example.com", content)).toDF("host", "content"),
+        "host", "content")
+      .as[(String, String)].collect().toSet
+    assert(rules == Set(
+      ("h.example.com", "/shared"),
+      ("h.example.com", "/x")))
+  }
+
+  test("robotsFilter drops disallowed paths only on their own host") {
+    import spark.implicits._
+    val rules = Seq(("a.com", "/private"), ("b.com", "/tmp"))
+      .toDF("host", "prefix")
+    val docs = Seq(
+      (1L, "https://a.com/private/x"),  // blocked (a.com /private)
+      (2L, "https://b.com/private/x"),  // kept (rule is a.com's)
+      (3L, "https://b.com/tmp/y"),      // blocked
+      (4L, "https://a.com/public/z"),   // kept
+      (5L, "https://a.com/private"))    // blocked (prefix == path)
+      .toDF("doc_id", "url")
+    val kept = graft.ops.Web.robotsFilter(docs, "doc_id", "url", rules)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("snapshotDelta classifies through the canonical url key") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "HTTPS://www.a.com/p/1", "one"),
+      (2L, "https://a.com/p/2", "two"),
+      (3L, "https://a.com/p/3", "three"))
+      .toDF("doc_id", "url", "text")
+    val nw = Seq(
+      (11L, "https://a.com/p/1/", "one"),        // unchanged (canon match)
+      (12L, "https://a.com:443/p/2", "two v2"),  // changed
+      (14L, "https://a.com/p/4", "four"))        // new
+      .toDF("doc_id", "url", "text")
+    val got = graft.ops.Web.snapshotDelta(old, nw, "doc_id", "url", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(11L -> "unchanged", 12L -> "changed", 14L -> "new"))
+  }
+
+  test("dedupParagraphs keeps the first occurrence in place") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro\nbody\nintro\nbody\ntail"),  // two repeats
+      (2L, "a\nb\nc"),                          // none
+      (3L, "same\nsame\nsame"))                 // collapses to one
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.dedupParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "text", "n_para", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("intro\nbody\ntail", 5L, 2L)))
+    assert(got(2L) == (("a\nb\nc", 3L, 0L)))
+    assert(got(3L) == (("same", 3L, 2L)))
+  }
+
+  test("softDedupWeights: cluster mass sums to one doc's worth; singletons full") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val ids = (1L to 12L).toDF("doc_id")
+    val got = Dedup.softDedupWeights(pairs, ids, "doc_id")
+      .select("doc_id", "cluster", "cluster_size", "weight_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 3L, 333333L)))
+    assert(got(2L) == ((1L, 3L, 333333L)))
+    assert(got(3L) == ((1L, 3L, 333333L)))
+    assert(got(10L) == ((10L, 2L, 500000L)))
+    assert(got(11L) == ((10L, 2L, 500000L)))
+    // untouched docs are their own cluster at full weight
+    assert(got(5L) == ((5L, 1L, 1000000L)))
+    assert(got.size == 12)
+  }
+
+  test("domainScoreGate: low-mean domain drops; under-evidence domain survives") {
+    import spark.implicits._
+    // bad-site: 3 docs, mean -10 < 0 -> dropped. good-site: 3 docs,
+    // mean 10 -> kept. tiny-site: 2 docs (< minDocs=3), mean -100 ->
+    // kept (not enough evidence to damn the site).
+    val docs = Seq(
+      (1L, "https://www.bad-site.com/a", -10L),
+      (2L, "https://blog.bad-site.com/b", -10L),
+      (3L, "https://bad-site.com/c", -10L),
+      (4L, "https://good-site.com/a", 10L),
+      (5L, "https://good-site.com/b", 10L),
+      (6L, "https://good-site.com/c", 10L),
+      (7L, "https://tiny-site.com/a", -100L),
+      (8L, "https://tiny-site.com/b", -100L))
+      .toDF("doc_id", "url", "score")
+    val kept = graft.ops.Web.domainScoreGate(docs, "doc_id", "url", "score",
+        minDocs = 3, minMeanMicro = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("curriculumOrder: contiguous score phases, deterministic re-seedable slots") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, i * 7 % 40)).toDF("doc_id", "score")
+    val a = graft.ops.Sampling.curriculumOrder(df, "doc_id", "score", 4)
+      .select("doc_id", "score", "phase", "slot")
+      .as[(Long, Long, Long, Long)].collect()
+    // 4 equal phases; phases are contiguous ranges of the score order
+    assert(a.map(_._3).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(a.count(_._3 == 1L) == 10)
+    val maxByPhase = a.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByPhase = a.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (1L to 3L).foreach(p => assert(maxByPhase(p) <= minByPhase(p + 1)))
+    // same seed — identical slots; different seed — a fresh permutation
+    val b = graft.ops.Sampling.curriculumOrder(df, "doc_id", "score", 4)
+      .select("doc_id", "slot").as[(Long, Long)].collect().toMap
+    assert(a.forall(r => b(r._1) == r._4))
+    val c = graft.ops.Sampling.curriculumOrder(df, "doc_id", "score", 4,
+        seed = "ep2")
+      .select("doc_id", "slot").as[(Long, Long)].collect().toMap
+    assert(a.exists(r => c(r._1) != r._4))
+  }
 }

@@ -622,21 +622,31 @@ object Web {
     */
   def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame,
                     idCol: String, urlCol: String,
-                    textCol: String): DataFrame = {
-    val old = oldDocs
-      .select(canonicalUrl(col(urlCol)).as("url_key"),
-        md5(col(textCol).cast("binary")).as("_old_dig"))
-      .groupBy(col("url_key"))
-      .agg(min(col("_old_dig")).as("_old_dig"))
+                    textCol: String): DataFrame =
     newDocs
       .select(col(idCol), canonicalUrl(col(urlCol)).as("url_key"),
         md5(col(textCol).cast("binary")).as("_dig"))
-      .join(old, Seq("url_key"), "left")
+      .join(snapshotDigests(oldDocs, urlCol, textCol), Seq("url_key"), "left")
       .select(col(idCol), col("url_key"),
         when(col("_old_dig").isNull, lit("new"))
           .when(col("_old_dig") === col("_dig"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
-  }
+
+  /** The previous snapshot reduced to its delta-join form —
+    * `(url_key, _old_dig)`, one row per canonical URL (repeats
+    * min-merged so the delta join stays 1:1 and deterministic).
+    * Shared by [[snapshotDelta]] and the streaming gate
+    * ([[graft.streaming.Streams.streamingSnapshotDelta]]) so the two
+    * classifications cannot drift; persist/write this frame once per
+    * recrawl and reuse it across both.
+    */
+  def snapshotDigests(oldDocs: DataFrame, urlCol: String,
+                      textCol: String): DataFrame =
+    oldDocs
+      .select(canonicalUrl(col(urlCol)).as("url_key"),
+        md5(col(textCol).cast("binary")).as("_old_dig"))
+      .groupBy(col("url_key"))
+      .agg(min(col("_old_dig")).as("_old_dig"))
 
   /** robots.txt -> `(host, prefix)` Disallow rules for `User-agent: *`.
     * Robots group semantics, deterministically: a BLOCK is one or more

@@ -569,6 +569,39 @@ object Streams {
       .filter(TextStats.qualityLogitKeep("text"))
   }
 
+  /** Streaming SNAPSHOT-DELTA gate: classify arriving recrawl pages
+    * against the PREVIOUS snapshot's digest frame
+    * ([[graft.ops.Web.snapshotDigests]], shared VERBATIM with the
+    * batch operator — the two classifications cannot drift) as
+    * new / changed / unchanged ON ARRIVAL, so only new+changed pages
+    * flow into the expensive downstream while the unchanged majority
+    * is dropped (or routed to verdict reuse) per micro-batch.
+    *
+    * A stream-STATIC left join: the old-snapshot frame is bounded (one
+    * 16-byte digest per canonical URL) and joins without streaming
+    * state — no watermark needed, restart-safe by construction.
+    * `keepUnchanged = false` (the default) filters the unchanged rows
+    * out; `true` keeps them with their status for audit sinks.
+    */
+  def streamingSnapshotDelta(pages: DataFrame, oldSnapshot: DataFrame,
+                             idCol: String = "doc_id",
+                             urlCol: String = "url",
+                             textCol: String = "text",
+                             keepUnchanged: Boolean = false): DataFrame = {
+    val classified = pages
+      .withColumn("url_key", graft.ops.Web.canonicalUrl(col(urlCol)))
+      .withColumn("_dig", md5(col(textCol).cast("binary")))
+      .join(graft.ops.Web.snapshotDigests(oldSnapshot, urlCol, textCol),
+        Seq("url_key"), "left")
+      .withColumn("status",
+        when(col("_old_dig").isNull, lit("new"))
+          .when(col("_old_dig") === col("_dig"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("_dig", "_old_dig")
+    if (keepUnchanged) classified
+    else classified.filter(col("status") =!= "unchanged")
+  }
+
   /** Streaming PROMPT-level dedup for SFT transcript streams: an
     * arriving conversation drops when its first-turn body digest
     * ([[graft.ops.Dialog.promptDigest]], shared verbatim with the

@@ -204,6 +204,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming snapshot delta matches the batch classification") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val old = Seq(
+      ("HTTPS://www.a.com/p/1", "one"),
+      ("https://a.com/p/2", "two"),
+      ("https://a.com/p/3", "three"))
+      .toDF("url", "text")
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val pages = in.toDF().toDF("ts", "doc_id", "url", "text")
+    val q = Streams.streamingSnapshotDelta(pages, old, keepUnchanged = true)
+      .writeStream.format("memory").queryName("snap_delta")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 11L, "https://a.com/p/1/", "one"),        // unchanged
+        (ts(1), 12L, "https://a.com:443/p/2", "two v2"),  // changed
+        (ts(2), 14L, "https://a.com/p/4", "four"))        // new
+      q.processAllAvailable()
+      val got = spark.table("snap_delta").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      // identical verdicts to OpsSpec's batch snapshotDelta fixture
+      assert(got == Map(11L -> "unchanged", 12L -> "changed", 14L -> "new"))
+      // the default gate drops the unchanged majority on arrival
+      val in2 = MemoryStream[(Timestamp, Long, String, String)]
+      val q2 = Streams.streamingSnapshotDelta(
+          in2.toDF().toDF("ts", "doc_id", "url", "text"), old)
+        .writeStream.format("memory").queryName("snap_delta_gate")
+        .outputMode("append").start()
+      try {
+        in2.addData(
+          (ts(0), 11L, "https://a.com/p/1/", "one"),
+          (ts(1), 12L, "https://a.com:443/p/2", "two v2"))
+        q2.processAllAvailable()
+        val kept = spark.table("snap_delta_gate").collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(kept == Set(12L))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("scan-side curation (quality gate + split assignment) applies unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -206,6 +206,16 @@ object DomainQueries {
            WHEN 3 THEN '/gbot/' || CAST(doc_id AS STRING)
            ELSE '/public/' || CAST(doc_id AS STRING) END))"""
 
+  // q202 markdown synth (shared verbatim): an ATX heading, emphasis +
+  // a link + inline code, a fenced code block, then the document text
+  // as the prose body — every strip rule fires on every row.
+  private val MarkdownSynthSql = """
+        ('# Title ' || CAST(doc_id AS STRING) || chr(10) ||
+         '**intro** [link text](http://example.com/' || CAST(doc_id AS STRING) ||
+         ') `code` sample' || chr(10) ||
+         '```' || chr(10) || 'secret block ' || CAST(doc_id AS STRING) ||
+         chr(10) || '```' || chr(10) || text)"""
+
   // Oracle replay of [[ops.Web.robotsRules]] over a CTE `rb(host,
   // content)`: line explode with index, comment/CR strip, block ids
   // from agent-run starts, star flag per (host, block), Disallow
@@ -627,6 +637,133 @@ object DomainQueries {
           spread(documents(s, d)).select("doc_id", "n_chars"),
           "doc_id", "n_chars", phases = 4, seed = "ep1")
         .select(col("doc_id"), col("phase"), col("slot"))
-        .orderBy("phase", "slot", "doc_id"))
+        .orderBy("phase", "slot", "doc_id")),
+
+    // Per-domain boilerplate line removal ([[ops.Web
+    // .domainBoilerplateStrip]]): a line in >= minDf distinct docs of
+    // ONE registrable domain is template chrome and strips from that
+    // domain only — each lang-site's shared copyright footer dies; the
+    // same footer text on the under-threshold 'rare' site survives.
+    // The oracle replays the PSL key, the 60-bit line hashes, the
+    // distinct-doc df, and the index-ordered reassembly.
+    QueryDef("q201_domain_boilerplate",
+      Some(s"""
+        WITH u AS (SELECT doc_id, lang, text, $DomainUrlSynthSql AS url
+                   FROM documents),
+        c AS (SELECT doc_id, url,
+                array_to_string(string_split(text, ' ')[1:5], ' ') || chr(10) ||
+                array_to_string(string_split(text, ' ')[6:10], ' ') || chr(10) ||
+                'copyright ' || lang || ' site network' AS t2
+              FROM u),
+        hh AS (SELECT doc_id, t2, $HostSql AS h FROM c),
+        ${regDomainCtes("doc_id, t2")},
+        ln AS (SELECT doc_id, reg,
+                 unnest(string_split(t2, chr(10))) AS l,
+                 unnest(range(1, len(string_split(t2, chr(10))) + 1)) AS i
+               FROM rd),
+        lh AS (SELECT doc_id, reg, l, i, ${hash60Sql("l")} AS lhash FROM ln),
+        hot AS (SELECT reg, lhash FROM
+                  (SELECT reg, lhash, COUNT(DISTINCT doc_id) AS df
+                   FROM lh GROUP BY reg, lhash)
+                WHERE df >= 5),
+        k AS (SELECT lh.doc_id, lh.l, lh.i,
+                (hot.lhash IS NOT NULL) AS ishot
+              FROM lh LEFT JOIN hot
+                ON hot.reg = lh.reg AND hot.lhash = lh.lhash)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN NOT ishot THEN l END,
+                                   chr(10) ORDER BY i), '') AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN ishot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM k GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val synth = spread(documents(s, d)).select(col("doc_id"),
+          expr(DomainUrlSynthSql).as("url"),
+          concat_ws("\n",
+            array_join(slice(w, 1, 5), " "),
+            array_join(slice(w, 6, 5), " "),
+            concat(lit("copyright "), col("lang"), lit(" site network")))
+            .as("text"))
+        graft.ops.Web.domainBoilerplateStrip(synth, "doc_id", "url", "text",
+            minDf = 5)
+          .orderBy("doc_id")
+      }),
+
+    // Markdown -> plain text ([[ops.TextStats.markdownStrip]]): fenced
+    // code blocks out wholesale, links/images keep their text/alt (the
+    // URL never enters the prose stream), inline-code/emphasis markers
+    // drop, ATX heading markers drop, whitespace collapses. The oracle
+    // replays the identical regex chain (DuckDB 'g' flags, RE2 \\1
+    // backreference vs Spark's $$1).
+    QueryDef("q202_markdown_strip",
+      Some(s"""
+        WITH m AS (SELECT doc_id, $MarkdownSynthSql AS md FROM documents),
+        s5 AS (SELECT doc_id, md, trim(regexp_replace(
+                 regexp_replace(
+                   translate(
+                     regexp_replace(
+                       regexp_replace(md, '(?s)```.*?```', ' ', 'g'),
+                       '!?\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+                     '`*_~', ''),
+                   '(?m)^#+ *', '', 'g'),
+                 '\\s+', ' ', 'g')) AS t
+               FROM m)
+        SELECT doc_id, t AS text,
+               CAST(length(md) - length(t) AS BIGINT) AS md_removed
+        FROM s5 ORDER BY doc_id"""),
+      (s, d) => graft.ops.TextStats.markdownStrip(
+          spread(documents(s, d))
+            .select(col("doc_id"), expr(MarkdownSynthSql).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Move-aware snapshot delta ([[ops.Web.snapshotDelta]] with
+    // detectMoves): a url-new page whose BODY existed in the old
+    // snapshot under another URL is `moved`, not `new` — slug changes
+    // re-use last snapshot's verdicts instead of re-paying the
+    // pipeline. One extra digest-keyed join against the old distinct
+    // digest set; the oracle replays both joins and the arbitration.
+    QueryDef("q203_snapshot_moves",
+      Some(s"""
+        WITH o0 AS (SELECT doc_id, $SnapOldUrlSql AS url, text
+                    FROM documents WHERE doc_id % 4 <> 3),
+        o AS (SELECT * FROM o0
+              UNION ALL SELECT -1, 'https://old.example.com/planted',
+                'moved body here'),
+        n AS (SELECT doc_id, $SnapNewUrlSql AS url,
+                CASE WHEN doc_id % 8 = 7 THEN 'moved body here'
+                     WHEN doc_id % 4 = 2 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 4 <> 1),
+        og AS (SELECT ${canonUrlSql("url")} AS url_key, MIN(md5(text)) AS odig
+               FROM o GROUP BY url_key),
+        od AS (SELECT DISTINCT md5(text) AS dig FROM o),
+        nc AS (SELECT doc_id, ${canonUrlSql("url")} AS url_key,
+                 md5(text) AS dig FROM n)
+        SELECT nc.doc_id, nc.url_key,
+               CASE WHEN og.odig IS NULL AND od.dig IS NULL THEN 'new'
+                    WHEN og.odig IS NULL THEN 'moved'
+                    WHEN og.odig = nc.dig THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM nc LEFT JOIN og USING (url_key)
+                LEFT JOIN od ON od.dig = nc.dig
+        ORDER BY nc.doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = spread(documents(s, d))
+        val old = docs.filter(col("doc_id") % 4 =!= 3)
+          .select(col("doc_id"), expr(SnapOldUrlSql).as("url"), col("text"))
+          .unionAll(Seq((-1L, "https://old.example.com/planted",
+            "moved body here")).toDF("doc_id", "url", "text"))
+        val nw = docs.filter(col("doc_id") % 4 =!= 1)
+          .select(col("doc_id"), expr(SnapNewUrlSql).as("url"),
+            when(col("doc_id") % 8 === 7, lit("moved body here"))
+              .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        graft.ops.Web.snapshotDelta(old, nw, "doc_id", "url", "text",
+            detectMoves = true)
+          .orderBy("doc_id")
+      })
   )
 }

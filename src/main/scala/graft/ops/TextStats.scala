@@ -851,6 +851,39 @@ object TextStats {
         (size(col("_p")) - size(col("_k"))).cast(LongType).as("n_removed"))
   }
 
+  /** Markdown -> plain text (the deterministic regex core of it,
+    * engine-portable so the oracle replays it) — the format normalizer
+    * for corpora that arrive as markdown (GitHub READMEs, forum
+    * exports, docs sites), run before tokenization so heading hashes
+    * and link URLs stop polluting n-gram statistics:
+    *   - fenced code blocks (``` ... ```) removed WHOLESALE (code is
+    *     routed to a code pipeline, not prose);
+    *   - images `![alt](url)` keep the alt, links `[text](url)` keep
+    *     the text (the url never enters the prose stream);
+    *   - inline-code backticks drop, keeping the content;
+    *   - ATX heading markers (leading `#`s) drop, keeping the title;
+    *   - emphasis/strike markers (`*`, `_`, `~`) drop everywhere
+    *     (documented bluntness: a literal asterisk in prose also goes
+    *     — acceptable for corpus statistics, exactly replayable);
+    *   - whitespace collapses, result trims.
+    * Pure per-row regex projection, zero shuffle. Returns
+    * (idCol, textCol rewritten, `md_removed` = chars removed).
+    */
+  def markdownStrip(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs
+      .withColumn("_s0", col(textCol))
+      .withColumn("_s1", regexp_replace(col("_s0"), "(?s)```.*?```", " "))
+      .withColumn("_s2", regexp_replace(col("_s1"),
+        "!?\\[([^\\]]*)\\]\\([^)]*\\)", "$1"))
+      .withColumn("_s3", translate(col("_s2"), "`*_~", ""))
+      .withColumn("_s4", regexp_replace(col("_s3"), "(?m)^#+ *", ""))
+      .withColumn("_s5", trim(regexp_replace(col("_s4"), "\\s+", " ")))
+      .withColumn("md_removed",
+        (length(col("_s0")) - length(col("_s5"))).cast(LongType))
+      .withColumn(textCol, col("_s5"))
+      .select(col(idCol), col(textCol), col("md_removed"))
+
   /** Encoding/mojibake QA: per-document counts of the three classic
     * broken-decode signatures — U+FFFD replacement characters (lossy
     * decode already happened), the UTF-8-read-as-Latin-1 marker bytes

@@ -619,18 +619,46 @@ object Web {
     * snapshot repeats a url key (it shouldn't, post-[[urlDedup]]), its
     * digests are min-merged so the join stays 1:1 and deterministic.
     * Output: idCol, `url_key`, `status`.
+    *
+    * `detectMoves = true` adds a fourth verdict: `moved` — the URL is
+    * new but the body existed in the old snapshot under another URL
+    * (site restructures, slug changes) — via one extra digest-keyed
+    * join against the old snapshot's distinct digest set; a recrawl
+    * pipeline routes `moved` to verdict reuse like `unchanged` instead
+    * of re-paying quality + near-dup for a page that merely moved.
     */
   def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame,
                     idCol: String, urlCol: String,
-                    textCol: String): DataFrame =
-    newDocs
+                    textCol: String, detectMoves: Boolean = false): DataFrame = {
+    val base = newDocs
       .select(col(idCol), canonicalUrl(col(urlCol)).as("url_key"),
         md5(col(textCol).cast("binary")).as("_dig"))
       .join(snapshotDigests(oldDocs, urlCol, textCol), Seq("url_key"), "left")
-      .select(col(idCol), col("url_key"),
-        when(col("_old_dig").isNull, lit("new"))
-          .when(col("_old_dig") === col("_dig"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"))
+    val classified =
+      if (!detectMoves) base
+        .withColumn("status",
+          when(col("_old_dig").isNull, lit("new"))
+            .when(col("_old_dig") === col("_dig"), lit("unchanged"))
+            .otherwise(lit("changed")))
+      else {
+        // moved = the URL is new but the BODY existed somewhere in the
+        // old snapshot (site restructures, slug changes): second join
+        // against the distinct old digest set, digest-keyed. Only the
+        // url-missing rows need it, but a conditional join isn't a
+        // plan shape — the left join is cheap (16-byte keys both
+        // sides) and the status expression arbitrates.
+        val oldDigs = oldDocs
+          .select(md5(col(textCol).cast("binary")).as("_dig"))
+          .distinct().withColumn("_seen", lit(true))
+        base.join(oldDigs, Seq("_dig"), "left")
+          .withColumn("status",
+            when(col("_old_dig").isNull && col("_seen").isNull, lit("new"))
+              .when(col("_old_dig").isNull, lit("moved"))
+              .when(col("_old_dig") === col("_dig"), lit("unchanged"))
+              .otherwise(lit("changed")))
+      }
+    classified.select(col(idCol), col("url_key"), col("status"))
+  }
 
   /** The previous snapshot reduced to its delta-join form —
     * `(url_key, _old_dig)`, one row per canonical URL (repeats
@@ -647,6 +675,56 @@ object Web {
         md5(col(textCol).cast("binary")).as("_old_dig"))
       .groupBy(col("url_key"))
       .agg(min(col("_old_dig")).as("_old_dig"))
+
+  /** Per-DOMAIN boilerplate line removal (the RefinedWeb/C4 move at
+    * the ownership boundary): a line that appears in >= `minDf`
+    * DISTINCT documents of one registrable domain is template chrome
+    * (nav, footer, cookie banner, copyright) and is stripped from
+    * every document of that domain; the same line on another domain is
+    * untouched (a quote going viral is content there). Complements
+    * [[TextStats.stripDuplicateSpans]] (corpus-wide fixed token spans)
+    * and [[TextStats.boilerplatePrefixes]] (document-opening prefixes)
+    * with the per-site LINE granularity real web chrome has.
+    *
+    * Shape: lines shuffle once as (domain, 60-bit line hash, id)
+    * triples for the distinct-doc df (two map-side-combined
+    * aggregates); the hot-line frame (bounded by template lines per
+    * domain, far smaller than the corpus) equi-joins back; reassembly
+    * is one doc-keyed aggregate ordered by line index, state bounded
+    * by the document's own length. Returns
+    * (idCol, textCol, n_lines, n_removed) — a fully-boilerplate doc
+    * keeps its row with an empty string.
+    */
+  def domainBoilerplateStrip(docs: DataFrame, idCol: String, urlCol: String,
+                             textCol: String, minDf: Int = 3,
+                             sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf below 2 would delete every line, got $minDf")
+    val lines = docs
+      .select(col(idCol), registrableDomain(col(urlCol)).as("_reg"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("_i", "_l")))
+      .withColumn("_lh", graft.Pipeline.wordHash60(col("_l")))
+    val hot = lines
+      .select(col("_reg"), col("_lh"), col(idCol))
+      .distinct()
+      .groupBy(col("_reg"), col("_lh"))
+      .agg(count(lit(1)).cast(LongType).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_reg"), col("_lh"), lit(true).as("_hot"))
+    lines.join(hot, Seq("_reg", "_lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_lines"),
+        sum(when(col("_hot"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_removed"),
+        // collect_list skips the nulls the `when` leaves for hot
+        // lines; the struct sort restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("_hot").isNull,
+            struct(col("_i"), col("_l"))))),
+          x => x.getField("_l")), sep).as(textCol))
+      .select(col(idCol), col(textCol), col("n_lines"), col("n_removed"))
+  }
 
   /** robots.txt -> `(host, prefix)` Disallow rules for `User-agent: *`.
     * Robots group semantics, deterministically: a BLOCK is one or more

@@ -2137,6 +2137,53 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(4L, 5L, 6L, 7L, 8L))
   }
 
+  test("domainBoilerplateStrip: template lines die per-domain, content survives elsewhere") {
+    import spark.implicits._
+    // footer shared by all 3 a.com docs (df 3 >= minDf 3) — stripped
+    // there; the SAME line on b.com (df 1) is content and survives
+    val docs = Seq(
+      (1L, "https://a.com/1", "alpha\nfooter line\nbody one"),
+      (2L, "https://a.com/2", "beta\nfooter line"),
+      (3L, "https://www.a.com/3", "footer line\ngamma"),
+      (4L, "https://b.com/1", "footer line\ndelta"))
+      .toDF("doc_id", "url", "text")
+    val got = graft.ops.Web.domainBoilerplateStrip(docs, "doc_id", "url",
+        "text", minDf = 3)
+      .select("doc_id", "text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("alpha\nbody one", 3L, 1L)))
+    assert(got(2L) == (("beta", 2L, 1L)))
+    assert(got(3L) == (("gamma", 2L, 1L)))   // www. folds into a.com
+    assert(got(4L) == (("footer line\ndelta", 2L, 0L)))
+  }
+
+  test("markdownStrip applies every rule and charges removed chars") {
+    import spark.implicits._
+    val md = "# Title\n**bold** [text](http://u) `c`\n```\nhidden\n```\n*em* plain"
+    val got = graft.ops.TextStats.markdownStrip(
+        Seq((1L, md)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("text", "md_removed").as[(String, Long)].collect().head
+    assert(got._1 == "Title bold text c em plain")
+    assert(got._2 == md.length - got._1.length)
+  }
+
+  test("snapshotDelta detectMoves: relocated body is moved, not new") {
+    import spark.implicits._
+    val old = Seq(
+      ("https://a.com/old-slug", "stable body"),
+      ("https://a.com/p2", "two")).toDF("url", "text")
+    val nw = Seq(
+      (1L, "https://a.com/new-slug", "stable body"),  // moved
+      (2L, "https://a.com/p2", "two"),                // unchanged
+      (3L, "https://a.com/p3", "brand new"))          // new
+      .toDF("doc_id", "url", "text")
+    val got = graft.ops.Web.snapshotDelta(old, nw, "doc_id", "url", "text",
+        detectMoves = true)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "moved", 2L -> "unchanged", 3L -> "new"))
+  }
+
   test("curriculumOrder: contiguous score phases, deterministic re-seedable slots") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, i * 7 % 40)).toDF("doc_id", "score")

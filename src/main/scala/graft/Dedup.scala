@@ -830,6 +830,59 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("agree"), col("est_ppm"))
   }
 
+  /** 1-bit (b-bit) MinHash signature: the k permutation minima reduced
+    * to their PARITY and packed into 63-bit portable words (bit 63
+    * never set — DuckDB's BIGINT shift raises on it) —
+    * `ceil(k/63)` longs instead of k, a 63x payload cut (k=120: two
+    * longs vs 960 bytes). Li & König's estimator recovers Jaccard from
+    * the bit-agreement fraction: for one random bit,
+    * `P(match) = J + (1-J)/2`, so `J = 2·match_frac − 1`. The sd at
+    * fixed k widens ~sqrt(3)x vs full minima near J=0.5 — the price of
+    * 63x less shuffle payload; size k accordingly.
+    */
+  def bbitSignature(sigCol: String, k: Int): Column = {
+    require(k >= 1, s"signature width must be >= 1, got $k")
+    val nw = (k + 62) / 63
+    expr(s"""transform(sequence(0, ${nw - 1}), w ->
+      aggregate(sequence(0, 62), 0L, (acc, j) ->
+        acc + (CASE WHEN w * 63 + j < $k
+               THEN (element_at($sigCol, w * 63 + j + 1) % 2) << j
+               ELSE 0L END)))""")
+  }
+
+  /** [[estimatedPairs]] with the verify payload cut to ONE BIT per
+    * permutation: candidates from the usual threshold-derived banding,
+    * scored by the b-bit estimator over packed parity words —
+    * `agree = k − Σ bit_count(xor(word_a, word_b))`,
+    * `est_ppm = max(0, 2·agree·1e6 div k − 1e6)`. The per-doc payload
+    * through the pair shuffle drops from k longs to ceil(k/63) longs —
+    * the third rung of the measured payload ladder (shingle strings →
+    * 60-bit hashes → full signatures → parity words); use as the
+    * cheapest at-scale triage and route borderline pairs upward.
+    * Returns (a_id, b_id, agree, est_ppm) for est_ppm >= threshold.
+    */
+  def estimatedPairsBbit(
+      sig: DataFrame,
+      idCol: String,
+      threshold: Double,
+      minhashK: Int = Pipeline.AutoBanding,
+      bands: Int = Pipeline.AutoBanding,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (k, b) = resolveBanding(threshold, minhashK, bands)
+    val packed = sig.select(col(idCol),
+      bbitSignature("sig", k).as("_bs"))
+    Pipeline.lshCandidatePairs(sig, idCol, k, b, maxBucketSize)
+      .join(packed.select(col(idCol).as("a_id"), col("_bs").as("_pa")), "a_id")
+      .join(packed.select(col(idCol).as("b_id"), col("_bs").as("_pb")), "b_id")
+      .withColumn("agree", expr(
+        s"$k - aggregate(zip_with(_pa, _pb, (x, y) -> bit_count(x ^ y))," +
+          " 0, (a, c) -> a + c)").cast("long"))
+      .withColumn("est_ppm",
+        expr(s"greatest(0L, (2L * agree * 1000000L) div $k - 1000000L)"))
+      .filter(col("est_ppm") >= math.floor(threshold * 1e6).toLong)
+      .select(col("a_id"), col("b_id"), col("agree"), col("est_ppm"))
+  }
+
   /** Dedup savings report: ONE row quantifying what near-dedup at
     * `threshold` would remove — docs and tokens dropped when every
     * duplicate cluster keeps its lowest id. The go/no-go number a

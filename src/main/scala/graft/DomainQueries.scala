@@ -764,6 +764,114 @@ object DomainQueries {
         graft.ops.Web.snapshotDelta(old, nw, "doc_id", "url", "text",
             detectMoves = true)
           .orderBy("doc_id")
+      }),
+
+    // KMV set-overlap estimation ([[ops.Sketches.kmvOverlap]]): the
+    // cross-corpus question (shared vocabulary between the even- and
+    // odd-doc halves, per language) answered from two k-longs
+    // sketches — union sketch by pooled bottom-k, Jaccard from sketch
+    // membership, intersection by product — next to the EXACT overlap
+    // for context. The oracle replays hashes, bottom-64 windows, the
+    // union slice, and the HUGEINT estimator arithmetic.
+    QueryDef("q204_kmv_overlap",
+      Some(s"""
+        WITH t AS (SELECT lang, doc_id % 2 AS side,
+                     unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        d AS (SELECT DISTINCT lang, side, ${hash60Sql("w")} AS h FROM t),
+        r AS (SELECT lang, side, h,
+                ROW_NUMBER() OVER (PARTITION BY lang, side ORDER BY h) AS rn
+              FROM d),
+        sk AS (SELECT lang, side, list(h ORDER BY h) AS l
+               FROM r WHERE rn <= 64 GROUP BY lang, side),
+        j AS (SELECT a.lang, a.l AS la, b.l AS lb,
+                list_sort(list_distinct(a.l || b.l))[1:64] AS u
+              FROM sk a JOIN sk b ON a.lang = b.lang
+              WHERE a.side = 0 AND b.side = 1),
+        e AS (SELECT lang, la, lb, u,
+                CAST(len(list_filter(u, h ->
+                  list_contains(la, h) AND list_contains(lb, h))) AS BIGINT) AS m,
+                CASE WHEN len(u) < 64 THEN CAST(len(u) AS BIGINT)
+                     ELSE CAST(CAST(63 AS HUGEINT)
+                               * CAST(1152921504606846976 AS HUGEINT)
+                               // greatest(u[64], 1) AS BIGINT) END AS est_union
+              FROM j),
+        est AS (SELECT lang, est_union,
+                  (m * 1000000) // greatest(len(u), 1) AS jaccard_ppm,
+                  CAST(CAST((m * 1000000) // greatest(len(u), 1) AS HUGEINT)
+                       * CAST(est_union AS HUGEINT) // 1000000 AS BIGINT)
+                    AS est_intersection
+                FROM e),
+        dw AS (SELECT DISTINCT lang, side, w FROM t),
+        x AS (SELECT lang,
+                CAST(COUNT(DISTINCT w) AS BIGINT) AS nu,
+                CAST(COUNT(DISTINCT CASE WHEN inboth THEN w END) AS BIGINT) AS ni
+              FROM (SELECT lang, w, COUNT(DISTINCT side) = 2 AS inboth
+                    FROM dw GROUP BY lang, w)
+              GROUP BY lang)
+        SELECT est.lang, est.est_union, CAST(est.jaccard_ppm AS BIGINT) AS jaccard_ppm,
+               est.est_intersection,
+               (x.ni * 1000000) // x.nu AS exact_jaccard_ppm
+        FROM est JOIN x ON est.lang = x.lang
+        ORDER BY est.lang"""),
+      (s, d) => {
+        val toks = spread(documents(s, d))
+          .select(col("lang"), (col("doc_id") % 2).as("side"),
+            explode(Pipeline.words(col("text"))).as("w"))
+        def sk(side: Int) = graft.ops.Sketches.kmvSketch(
+          toks.filter(col("side") === side), Seq("lang"), "w", 64)
+        val est = graft.ops.Sketches.kmvOverlap(sk(0), sk(1), Seq("lang"), 64)
+        val sides = toks.select("lang", "w", "side").distinct()
+          .groupBy("lang", "w")
+          .agg((countDistinct(col("side")) === 2).as("both"))
+        val exact = sides.groupBy("lang")
+          .agg(countDistinct(col("w")).cast("long").as("_nu"),
+            countDistinct(when(col("both"), col("w"))).cast("long").as("_ni"))
+          .select(col("lang"),
+            expr("(_ni * 1000000L) div _nu").as("exact_jaccard_ppm"))
+        est.join(exact, "lang")
+          .select(col("lang"), col("est_union"), col("jaccard_ppm"),
+            col("est_intersection"), col("exact_jaccard_ppm"))
+          .orderBy("lang")
+      }),
+
+    // 1-bit MinHash pair estimation ([[Dedup.estimatedPairsBbit]]):
+    // the q113 estimate with the verify payload packed to PARITY WORDS
+    // (two longs for k=120 — 63x less pair-shuffle payload), Jaccard
+    // recovered by the Li-König 2·match−1 estimator over
+    // bit_count(xor) agreement. The oracle replays the signature
+    // parities, the 63-bit packing, and the integer estimator.
+    QueryDef("q205_bbit_pairs",
+      Some(s"""
+        WITH ${PipelineQueries.lshCte},
+        pk AS (SELECT doc_id, list_transform(range(0, 2), wx ->
+                 list_reduce(list_transform(range(0, 63), jx ->
+                   CASE WHEN wx * 63 + jx < ${PipelineQueries.lshK05}
+                        THEN ((sig[wx * 63 + jx + 1] % 2) << jx)
+                        ELSE 0 END),
+                   (ax, bx) -> ax + bx)) AS pw
+               FROM sig),
+        v AS (SELECT c.a_id, c.b_id,
+                CAST(${PipelineQueries.lshK05} - list_reduce(
+                  list_transform(range(1, 3), wx ->
+                    CAST(bit_count(xor(a.pw[wx], b.pw[wx])) AS BIGINT)),
+                  (x, y) -> x + y) AS BIGINT) AS agree
+              FROM cand c
+              JOIN pk a ON a.doc_id = c.a_id
+              JOIN pk b ON b.doc_id = c.b_id)
+        SELECT a_id, b_id, CAST(agree AS BIGINT) AS agree,
+               CAST(greatest(0, (2 * agree * 1000000) // ${PipelineQueries.lshK05}
+                    - 1000000) AS BIGINT) AS est_ppm
+        FROM v
+        WHERE greatest(0, (2 * agree * 1000000) // ${PipelineQueries.lshK05}
+              - 1000000) >= 500000
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sig = Dedup.shingleSignatures(spread(documents(s, d)),
+            "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.estimatedPairsBbit(sig, "doc_id", threshold = 0.5)
+          .orderBy("a_id", "b_id")
       })
   )
 }

@@ -78,6 +78,48 @@ object Sketches {
           s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
             s" div greatest(element_at(kmv, $k), 1L)")))
 
+  /** SET-OVERLAP estimate between two KMV sketches of the same k (the
+    * classic KMV set-operation estimator): per group present in BOTH
+    * frames, form the union sketch (bottom-k of the pooled arrays —
+    * exactly the sketch of the unioned sets), estimate
+    * `jaccard_ppm = 1e6 · |{h ∈ U_k : h ∈ A_k ∧ h ∈ B_k}| / |U_k|`,
+    * `est_union` by the bottom-k estimator, and
+    * `est_intersection = jaccard · est_union`. The cross-corpus /
+    * cross-snapshot question ("how much vocabulary do two snapshots
+    * share", "what fraction of domain A's shingles appear in B")
+    * answered from two k-longs summaries — the underlying sets never
+    * meet, never travel, and can live on different clusters.
+    *
+    * Shape: one group-keyed equi-join of two bounded sketch frames;
+    * everything after is per-row HOF arithmetic. Groups that never
+    * filled k slots estimate exactly. Output: groupCols +
+    * (est_union, jaccard_ppm, est_intersection).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                 k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val ka = a.select((groupCols.map(col) :+ col("kmv").as("_ka")): _*)
+    val kb = b.select((groupCols.map(col) :+ col("kmv").as("_kb")): _*)
+    ka.join(kb, groupCols)
+      .withColumn("_u",
+        slice(array_sort(array_union(col("_ka"), col("_kb"))), 1, k))
+      .withColumn("_match",
+        size(filter(col("_u"), h =>
+          array_contains(col("_ka"), h) && array_contains(col("_kb"), h)))
+          .cast(LongType))
+      .withColumn("est_union",
+        when(size(col("_u")) < k, size(col("_u")).cast(LongType))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+              s" div greatest(element_at(_u, $k), 1L) AS BIGINT)")))
+      .withColumn("jaccard_ppm",
+        expr("(_match * 1000000L) div greatest(size(_u), 1)"))
+      .withColumn("est_intersection", expr(
+        "CAST(CAST(jaccard_ppm AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0))" +
+          " div 1000000L AS BIGINT)"))
+      .drop("_ka", "_kb", "_u", "_match")
+  }
+
   /** Shared tail: distinct (group, hash) -> bounded k-min heaps ->
     * one ascending array per group. The distinct is a map-side-combined
     * hash aggregate; the k-min is [[GroupedTopK]] with `largest=false`

@@ -2184,6 +2184,54 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "moved", 2L -> "unchanged", 3L -> "new"))
   }
 
+  test("kmvOverlap is exact while sketches hold every hash; estimator tracks truth past k") {
+    import spark.implicits._
+    // 30 shared + 20 only-a + 10 only-b = union 60, J = 0.5
+    val a = ((0 until 30) ++ (100 until 120)).map(i => ("g", s"tok$i"))
+      .toDF("g", "w")
+    val b = ((0 until 30) ++ (200 until 210)).map(i => ("g", s"tok$i"))
+      .toDF("g", "w")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches.kmvSketch(df, Seq("g"), "w", k = 64)
+    // k=64 > 60 distinct: union sketch holds everything -> EXACT
+    val exact = graft.ops.Sketches.kmvOverlap(sk(a), sk(b), Seq("g"), 64)
+      .select("est_union", "jaccard_ppm", "est_intersection")
+      .as[(Long, Long, Long)].collect().head
+    assert(exact == ((60L, 500000L, 30L)))
+    // k=16 < 60: an estimate now — jaccard within 3 sd (~3*sqrt(.25/16))
+    val est = graft.ops.Sketches.kmvOverlap(
+        graft.ops.Sketches.kmvSketch(a, Seq("g"), "w", 16),
+        graft.ops.Sketches.kmvSketch(b, Seq("g"), "w", 16),
+        Seq("g"), 16)
+      .select("jaccard_ppm").as[Long].collect().head
+    assert(math.abs(est - 500000L) <= 375000L, s"jaccard_ppm=$est")
+  }
+
+  test("bbit packing preserves signature parities; identical docs estimate 1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),  // identical
+      (3L, "totally different words in this other document here now"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.shingleSignatures(docs, "doc_id", "text")
+    val k = Pipeline.bandingFor(0.5)._1 * Pipeline.bandingFor(0.5)._2
+    // packing round-trip: unpacked bit j == sig(j) % 2
+    val row = sig.select(col("sig"),
+        Dedup.bbitSignature("sig", k).as("bs")).collect().head
+    val sigArr = row.getSeq[Long](0)
+    val words = row.getSeq[Long](1)
+    (0 until k).foreach { j =>
+      val bit = (words(j / 63) >> (j % 63)) & 1L
+      assert(bit == sigArr(j) % 2, s"bit $j")
+    }
+    val pairs = Dedup.estimatedPairsBbit(sig, "doc_id", threshold = 0.5)
+      .select("a_id", "b_id", "agree", "est_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == k && pairs.head._4 == 1000000L)
+  }
+
   test("curriculumOrder: contiguous score phases, deterministic re-seedable slots") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, i * 7 % 40)).toDF("doc_id", "score")

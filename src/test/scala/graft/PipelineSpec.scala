@@ -1481,6 +1481,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(qaClean == predClean)
   }
 
+  test("recrawl facade: unchanged majority skips the ingest chain; " +
+    "new + changed pay it; moved reuses verdicts") {
+    import spark.implicits._
+    def page(text: String) =
+      s"<html><body><p>$text</p><a href='/l'>x</a></body></html>"
+    val goodText = "the quick brown fox jumps over a lazy dog while the " +
+      "seven wizards brew strong potions"
+    val old = Seq(
+      (101L, "https://good.org/a", page(goodText + " one")),
+      (102L, "https://good.org/b", page(goodText + " two")),
+      (103L, "https://good.org/old-slug", page(goodText + " moved body")))
+      .toDF("doc_id", "url", "html")
+    val pages = Seq(
+      (1L, "https://good.org/a", page(goodText + " one")),       // unchanged
+      (2L, "https://good.org/b", page(goodText + " two edited")), // changed
+      (3L, "https://good.org/new-slug", page(goodText + " moved body")), // moved
+      (4L, "https://good.org/c", page(goodText + " brand new")))  // new
+      .toDF("doc_id", "url", "html")
+    val block = Seq("spam.biz").toDF("domain")
+    val (corpus, report) = CorpusPipeline.recrawl(pages, old, block)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // only the changed + new pages reach (and survive) the chain
+    assert(ids == Seq(2L, 4L))
+    val r = report()
+    assert((r.nNew, r.nChanged, r.nMoved, r.nUnchanged) == ((1L, 1L, 1L, 1L)),
+      r.json)
+    assert(r.ingest.input == 2L && r.ingest.afterModelGate == 2L, r.json)
+    // reuseMoved = false routes the relocated body through ingest too
+    val (corpus2, _) = CorpusPipeline.recrawl(pages, old, block,
+      reuseMoved = false)
+    assert(corpus2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L, 4L))
+  }
+
   test("host audit bundle members equal their standalone operators") {
     import spark.implicits._
     val docs = Seq(

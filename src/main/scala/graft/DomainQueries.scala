@@ -872,6 +872,74 @@ object DomainQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Dedup.estimatedPairsBbit(sig, "doc_id", threshold = 0.5)
           .orderBy("a_id", "b_id")
-      })
+      }),
+
+    // Alias-farm detection ([[ops.Web.urlPatternStats]] over
+    // [[ops.Web.urlPatternKey]]): URL families by digit-collapsed
+    // canonical pattern, scored by urls-per-distinct-body — the
+    // session-id farm (one body, many ?session=N aliases) reads
+    // alias_ppm near 1e6 while the legitimate /article/N family
+    // (every URL a distinct body) reads 0. The oracle replays canon,
+    // the digit collapse, and both rollups.
+    QueryDef("q206_url_alias_farms",
+      Some(s"""
+        WITH u AS (SELECT doc_id,
+                     (CASE doc_id % 3
+                       WHEN 0 THEN 'https://farm.com/view?session=' || CAST(doc_id AS STRING)
+                       WHEN 1 THEN 'https://news.com/article/' || CAST(doc_id AS STRING)
+                       ELSE 'https://static.org/about/page' || CAST(doc_id % 2 AS STRING)
+                      END) AS url,
+                     (CASE WHEN doc_id % 3 = 0 THEN 'the farm body'
+                           ELSE text END) AS t
+                   FROM documents),
+        c AS (SELECT doc_id, ${canonUrlSql("url")} AS canon, t FROM u),
+        p AS (SELECT CASE WHEN canon = '' THEN '' ELSE
+                 regexp_extract(canon, '^([a-z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) ||
+                 regexp_replace(regexp_extract(canon, '^[a-z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$$', 1),
+                                '[0-9]+', 'N', 'g') END AS url_pattern,
+                 md5(t) AS dig
+              FROM c),
+        g AS (SELECT url_pattern, dig, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p GROUP BY url_pattern, dig)
+        SELECT url_pattern, CAST(SUM(n) AS BIGINT) AS n_urls,
+               CAST(COUNT(*) AS BIGINT) AS n_bodies,
+               CAST((1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS BIGINT) AS alias_ppm
+        FROM g GROUP BY url_pattern ORDER BY url_pattern"""),
+      (s, d) => graft.ops.Web.urlPatternStats(
+          spread(documents(s, d)).select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("https://farm.com/view?session="),
+                col("doc_id").cast("string")))
+              .when(col("doc_id") % 3 === 1,
+                concat(lit("https://news.com/article/"),
+                  col("doc_id").cast("string")))
+              .otherwise(concat(lit("https://static.org/about/page"),
+                (col("doc_id") % 2).cast("string"))).as("url"),
+            when(col("doc_id") % 3 === 0, lit("the farm body"))
+              .otherwise(col("text")).as("t")),
+          "url", "t")
+        .orderBy("url_pattern")),
+
+    // Hot-key advisory report ([[ops.Skew.hotKeyReport]]): the
+    // measurement half of the salting story — the topK heaviest
+    // shuffle keys with integer corpus share and the salt count that
+    // spreads each back to a fair task's load (ceil(share ·
+    // parallelism)). Run before keying a 100 TB aggregate on a new
+    // column. One map-side-combined count + a k-row TakeOrdered; the
+    // oracle replays the count, the (n desc, key) tiebreak, and the
+    // ceil-div recommendation.
+    QueryDef("q207_hot_key_report",
+      Some("""
+        WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM lineitem GROUP BY l_suppkey),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT l_suppkey, n,
+               (n * 1000000) // t.total AS share_ppm,
+               greatest(1, (n * 200 + t.total - 1) // t.total) AS rec_salts
+        FROM c CROSS JOIN t
+        ORDER BY n DESC, l_suppkey LIMIT 20"""),
+      (s, d) => graft.ops.Skew.hotKeyReport(
+          Tables.lineitem(s, d).select("l_suppkey"),
+          "l_suppkey", topK = 20, parallelism = 200))
   )
 }

@@ -63,4 +63,35 @@ object Skew {
       "_salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** HOT-KEY advisory report — the measurement half of the salting
+    * story: the `topK` heaviest keys of a would-be shuffle key, each
+    * with its integer share of the corpus and the salt count that
+    * spreads it back to an average task's load
+    * (`rec_salts = ceil(share · parallelism)` — a key holding 5% of
+    * the rows on a 200-task shuffle needs ~10 salt groups; keys at or
+    * under one task's fair share recommend 1, i.e. no salting). Run
+    * this BEFORE keying a 100 TB aggregate/join on a new column; feed
+    * the answer to [[saltedCountSum]]/[[saltedJoin]] or to AQE skew
+    * thresholds.
+    *
+    * Shape: one map-side-combined key count, then a k-row
+    * TakeOrdered — the full per-key frame never sorts globally and
+    * never reaches the driver. Output:
+    * (key, n, share_ppm, rec_salts), heaviest first.
+    */
+  def hotKeyReport(df: DataFrame, keyCol: String, topK: Int = 20,
+                   parallelism: Int = 200): DataFrame = {
+    require(topK >= 1 && parallelism >= 1,
+      s"topK and parallelism must be >= 1, got $topK / $parallelism")
+    val total = df.count()
+    require(total > 0, "hotKeyReport needs a non-empty frame")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+      .withColumn("share_ppm", expr(s"(n * 1000000L) div ${total}L"))
+      .withColumn("rec_salts", expr(
+        s"greatest(1L, (n * ${parallelism}L + ${total}L - 1L) div ${total}L)"))
+  }
 }

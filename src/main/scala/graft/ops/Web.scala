@@ -676,6 +676,46 @@ object Web {
       .groupBy(col("url_key"))
       .agg(min(col("_old_dig")).as("_old_dig"))
 
+  /** URL PATTERN key: [[canonicalUrl]] with every digit run in the
+    * path/query collapsed to `N` — `/article/12345?page=7` and
+    * `/article/99?page=2` share `/article/N?page=N`. The alias-FAMILY
+    * key (pagination, session counters, numeric slugs), one level
+    * blunter than [[canonicalUrlStrong]]: not a dedup key by itself (a
+    * news site's every article shares one pattern) but the GROUPING
+    * key alias detection needs. Host stays untouched (digits in
+    * hostnames are identity: `site1.com` != `site2.com`).
+    */
+  def urlPatternKey(url: Column): Column = {
+    val canon = canonicalUrl(url)
+    val hostPart = regexp_extract(canon, "^([a-z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = regexp_extract(canon, "^[a-z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    when(canon === "", lit(""))
+      .otherwise(concat(hostPart, regexp_replace(rest, "[0-9]+", "N")))
+  }
+
+  /** ALIAS-FARM detection over [[urlPatternKey]] families: per URL
+    * pattern, how many URLs it mints vs how many DISTINCT bodies those
+    * URLs serve — `alias_ppm = 1e6 · (n_urls − n_bodies) / n_urls`. A
+    * pattern with thousands of URLs and one body is a session-id /
+    * print-view / tracking-alias farm: feed its keys to the crawl
+    * frontier's skip list and collapse its corpus rows before text
+    * dedup pays for them. One (pattern, digest)-keyed count + one
+    * pattern rollup, both map-side combined; digests travel, bodies
+    * never do. Output: (url_pattern, n_urls, n_bodies, alias_ppm).
+    */
+  def urlPatternStats(docs: DataFrame, urlCol: String,
+                      textCol: String): DataFrame =
+    docs
+      .select(urlPatternKey(col(urlCol)).as("url_pattern"),
+        md5(col(textCol).cast("binary")).as("_dig"))
+      .groupBy(col("url_pattern"), col("_dig"))
+      .agg(count(lit(1)).cast(LongType).as("_n"))
+      .groupBy(col("url_pattern"))
+      .agg(sum(col("_n")).cast(LongType).as("n_urls"),
+        count(lit(1)).cast(LongType).as("n_bodies"))
+      .withColumn("alias_ppm",
+        expr("(1000000L * (n_urls - n_bodies)) div n_urls"))
+
   /** Per-DOMAIN boilerplate line removal (the RefinedWeb/C4 move at
     * the ownership boundary): a line that appears in >= `minDf`
     * DISTINCT documents of one registrable domain is template chrome

@@ -2184,6 +2184,53 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "moved", 2L -> "unchanged", 3L -> "new"))
   }
 
+  test("urlPatternKey collapses path/query digits, never host digits; stats flag the farm") {
+    import spark.implicits._
+    val key = graft.ops.Web.urlPatternKey(col("url"))
+    val got = Seq(
+      "https://site1.com/article/123?page=7",
+      "https://site1.com/article/99?page=2",
+      "https://site2.com/article/123",
+      "not a url")
+      .toDF("url").select(col("url"), key.as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://site1.com/article/123?page=7") ==
+      "https://site1.com/article/N?page=N")
+    assert(got("https://site1.com/article/99?page=2") ==
+      "https://site1.com/article/N?page=N")
+    // host digits are identity, never collapsed
+    assert(got("https://site2.com/article/123") ==
+      "https://site2.com/article/N")
+    assert(got("not a url") == "")
+
+    val docs = Seq(
+      (1L, "https://farm.com/v?s=1", "same body"),
+      (2L, "https://farm.com/v?s=2", "same body"),
+      (3L, "https://farm.com/v?s=3", "same body"),
+      (4L, "https://news.com/a/1", "story one"),
+      (5L, "https://news.com/a/2", "story two"))
+      .toDF("doc_id", "url", "text")
+    val stats = graft.ops.Web.urlPatternStats(docs, "url", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats("https://farm.com/v?s=N") == ((3L, 1L, 666666L)))
+    assert(stats("https://news.com/a/N") == ((2L, 2L, 0L)))
+  }
+
+  test("hotKeyReport: shares, ceil-div salt recommendation, (n desc, key) order") {
+    import spark.implicits._
+    // 100 rows: key 1 holds 50, key 2 holds 30, keys 3..22 hold 1 each
+    val rows = Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ (3L to 22L)
+    val rep = graft.ops.Skew.hotKeyReport(rows.toDF("k"), "k",
+        topK = 3, parallelism = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rep.toSeq == Seq(
+      (1L, 50L, 500000L, 5L),   // 50% of 10 tasks -> 5 salts
+      (2L, 30L, 300000L, 3L),
+      (3L, 1L, 10000L, 1L)))    // fair share -> no salting
+  }
+
   test("kmvOverlap is exact while sketches hold every hash; estimator tracks truth past k") {
     import spark.implicits._
     // 30 shared + 20 only-a + 10 only-b = union 60, J = 0.5

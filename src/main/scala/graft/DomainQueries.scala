@@ -940,6 +940,186 @@ object DomainQueries {
         ORDER BY n DESC, l_suppkey LIMIT 20"""),
       (s, d) => graft.ops.Skew.hotKeyReport(
           Tables.lineitem(s, d).select("l_suppkey"),
-          "l_suppkey", topK = 20, parallelism = 200))
+          "l_suppkey", topK = 20, parallelism = 200)),
+
+    // Misra-Gries mergeable heavy hitters ([[ops.Sketches.mgSketch]] /
+    // [[ops.Sketches.mgMerge]]): per-source word heavy-hitter
+    // summaries built per SHARD (doc_id parity), then MERGED — the
+    // gate runs the roll-up path, proving per-shard summaries combine
+    // into a valid corpus summary exactly as the mergeable-summaries
+    // result promises. Selection ties break on `n·2^60 + hash60(v)`,
+    // so both engines pick identical survivors; the oracle replays
+    // the per-shard compress, the counter-sum merge, and the
+    // re-compress bit-for-bit.
+    QueryDef("q208_mg_heavy_hitters",
+      Some(s"""
+        WITH w AS (SELECT source, doc_id % 2 AS p,
+                          unnest(string_split(text, ' ')) AS v
+                   FROM documents),
+        c AS (SELECT source, p, v, CAST(COUNT(*) AS BIGINT) AS n
+              FROM w GROUP BY source, p, v),
+        o AS (SELECT source, p, v, n,
+                CAST(n AS HUGEINT) * 1152921504606846976 + ${hash60Sql("v")} AS ord
+              FROM c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, p
+                                           ORDER BY ord DESC) AS rk FROM o),
+        cs AS (SELECT source, p,
+                      MAX(CASE WHEN rk = 9 THEN n ELSE 0 END) AS csub
+               FROM r GROUP BY source, p),
+        s AS (SELECT r.source, r.v, r.n - cs.csub AS n
+              FROM r JOIN cs USING (source, p)
+              WHERE r.rk <= 8 AND r.n > cs.csub),
+        m AS (SELECT source, v, CAST(SUM(n) AS BIGINT) AS n
+              FROM s GROUP BY source, v),
+        o2 AS (SELECT source, v, n,
+                 CAST(n AS HUGEINT) * 1152921504606846976 + ${hash60Sql("v")} AS ord
+               FROM m),
+        r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY ord DESC) AS rk FROM o2),
+        cs2 AS (SELECT source,
+                       MAX(CASE WHEN rk = 9 THEN n ELSE 0 END) AS csub
+                FROM r2 GROUP BY source)
+        SELECT r2.source, r2.v AS value,
+               CAST(r2.n - cs2.csub AS BIGINT) AS n_lb
+        FROM r2 JOIN cs2 USING (source)
+        WHERE r2.rk <= 8 AND r2.n > cs2.csub
+        ORDER BY source, n_lb DESC, value"""),
+      (s, d) => {
+        val w = spread(documents(s, d)).select(col("source"),
+          pmod(col("doc_id"), lit(2)).as("_p"),
+          explode(graft.Pipeline.words(col("text"))).as("w"))
+        val perShard = graft.ops.Sketches.mgSketch(
+          w, Seq("source", "_p"), "w", k = 8)
+        graft.ops.Sketches.mgMerge(perShard, Seq("source"), k = 8)
+          .orderBy(col("source"), col("n_lb").desc, col("value"))
+      }),
+
+    // Log-bucket histogram quantiles ([[ops.Sketches.histSketch]] /
+    // [[ops.Sketches.histMerge]] / [[ops.Sketches.histQuantiles]]):
+    // doc-length p50/p90/p99 per source from per-shard 64-row
+    // histograms rolled up by counter SUM — the mergeable quantile
+    // summary (the gate runs the shard+merge path; merge is exactly
+    // the direct histogram, so the oracle replays the direct
+    // semantics: integer-pure bit-length buckets, CDF walk to
+    // ceil(q·N/1e6), inclusive 2^b - 1 upper bound).
+    QueryDef("q209_hist_quantiles",
+      Some("""
+        WITH b AS (SELECT source,
+                     CAST(len(list_filter([(1::BIGINT << bb) for bb in range(0, 63)],
+                                          p -> p <= n_chars)) AS BIGINT) AS bucket
+                   FROM documents),
+        h AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY source, bucket),
+        t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total
+              FROM h GROUP BY source),
+        c AS (SELECT h.source, h.bucket,
+                     SUM(h.n) OVER (PARTITION BY h.source
+                                    ORDER BY h.bucket) AS cum, t.total
+              FROM h JOIN t USING (source)),
+        q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+        SELECT c.source, CAST(q.q_ppm AS BIGINT) AS q_ppm,
+               MIN(c.bucket) AS bucket,
+               CAST((1::BIGINT << CAST(MIN(c.bucket) AS INT)) - 1 AS BIGINT) AS value_ub
+        FROM c CROSS JOIN q
+        WHERE c.cum >= (CAST(q.q_ppm AS BIGINT) * c.total + 999999) // 1000000
+        GROUP BY c.source, q.q_ppm
+        ORDER BY source, q_ppm"""),
+      (s, d) => {
+        val sh = spread(documents(s, d)).select(col("source"),
+          pmod(col("doc_id"), lit(2)).as("_p"), col("n_chars"))
+        val merged = graft.ops.Sketches.histMerge(
+          graft.ops.Sketches.histSketch(sh, Seq("source", "_p"), "n_chars"),
+          Seq("source"))
+        graft.ops.Sketches.histQuantiles(merged, Seq("source"),
+            Seq(500000, 900000, 990000))
+          .orderBy("source", "q_ppm")
+      }),
+
+    // Bloom-pruned exact decontamination
+    // ([[ops.Sketches.bloomPrunedAnti]]): drop every document whose
+    // text appears in the deny set (the doc_id % 11 rows), with the
+    // deny side broadcast as a Bloom BITMAP instead of an exact set —
+    // the clean majority is cleared scan-side (a Bloom "no" is
+    // definitive) and only the maybe-sliver pays the exact verify
+    // join. The RESULT is exactly the anti join, which is all the
+    // oracle needs to say.
+    QueryDef("q210_bloom_pruned_anti",
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 11 = 0)
+        ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = spread(documents(s, d)).select(col("doc_id"), col("text"))
+        val deny = documents(s, d).filter(col("doc_id") % 11 === 0)
+          .select(col("text").as("t"))
+        graft.ops.Sketches.bloomPrunedAnti(docs, "text", deny, "t",
+            bits = 4096, khash = 3)
+          .select("doc_id").orderBy("doc_id")
+      }),
+
+    // Z-order file-layout audit ([[ops.Layout.zorderFileStats]]): lay
+    // lineitem out along the Morton curve of (partkey, suppkey)
+    // buckets and report each planned 4096-row file's per-dimension
+    // bounding box — the parquet-footer min/max a reader would prune
+    // on, i.e. the data-skipping win of the layout, measured BEFORE a
+    // 100 TB rewrite. The oracle replays the bit interleave, the
+    // (z, x, y) total order, and the fixed-size file cut.
+    QueryDef("q211_zorder_layout",
+      Some("""
+        WITH v AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+                   FROM lineitem),
+        z AS (SELECT x, y,
+                list_sum([(((x >> bb) & 1) << (2*bb)) +
+                          (((y >> bb) & 1) << (2*bb+1))
+                          for bb in range(0, 8)]) AS z
+              FROM v),
+        r AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY z, x, y) - 1 AS rn
+              FROM z)
+        SELECT rn // 4096 AS file_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM r GROUP BY file_id ORDER BY file_id"""),
+      (s, d) => graft.ops.Layout.zorderFileStats(
+          Tables.lineitem(s, d).select(
+            (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y")),
+          "x", "y", bits = 8, rowsPerFile = 4096L)
+        .orderBy("file_id")),
+
+    // Obfuscation-tolerant blocklist screen
+    // ([[ops.Redact.obfuscatedBlocklistScreen]]): leet-speak
+    // normalization (digit/symbol map + separator deletion) before
+    // term matching, so "v1agra" / "c@sino" / "s.p.a.m" stop slipping
+    // past a literal blocklist. Planted obfuscations by doc_id % 4
+    // (one clean residue); the oracle replays the translate map, both
+    // separator passes, and the whole-word match.
+    QueryDef("q212_obfuscated_blocklist",
+      Some("""
+        WITH u AS (SELECT doc_id, text ||
+                     (CASE doc_id % 4 WHEN 0 THEN ' v1agra w1n'
+                        WHEN 1 THEN ' fr3e c@sino'
+                        WHEN 2 THEN ' s.p.a.m inside' ELSE '' END) AS t
+                   FROM documents),
+        n1 AS (SELECT doc_id,
+                 translate(lower(t), '0134578@$!', 'oieastbasi') AS t
+               FROM u),
+        n2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+                 '([a-z])[._*-]+([a-z])', '\1\2', 'g'),
+                 '([a-z])[._*-]+([a-z])', '\1\2', 'g') AS t FROM n1),
+        w AS (SELECT doc_id, string_split_regex(t, '[^a-z]+') AS w FROM n2)
+        SELECT doc_id,
+               CAST(len(list_filter(w, x ->
+                 list_contains(['viagra', 'casino', 'spam'], x))) AS BIGINT)
+                 AS n_hits,
+               len(list_filter(w, x ->
+                 list_contains(['viagra', 'casino', 'spam'], x))) > 0
+                 AS flagged
+        FROM w ORDER BY doc_id"""),
+      (s, d) => graft.ops.Redact.obfuscatedBlocklistScreen(
+          spread(documents(s, d)).select(col("doc_id"),
+            concat(col("text"), element_at(array(lit(" v1agra w1n"),
+              lit(" fr3e c@sino"), lit(" s.p.a.m inside"), lit("")),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("text")),
+          "doc_id", "text", Seq("viagra", "casino", "spam"))
+        .orderBy("doc_id"))
   )
 }

@@ -88,4 +88,51 @@ object Redact {
       .withColumn("flagged",
         org.apache.spark.sql.functions.col("n_luhn_valid") > 0L)
   }
+
+  /** LEET-SPEAK normalization for blocklist matching: lowercase, map
+    * the canonical digit/symbol substitutions onto their letters
+    * (0→o 1→i 3→e 4→a 5→s 7→t 8→b @→a $→s !→i), then delete
+    * `. - _ *` separators BETWEEN letters ("s.p.a.m" → "spam") while
+    * leaving real word boundaries (spaces) alone. A term blocklist
+    * matched on raw text misses every obfuscated spelling
+    * ("v1agra", "c@sino", "s-p-a-m"); matched on this normal form it
+    * does not. Pure scan-side codegen'd transforms.
+    *
+    * The separator deletion is a bounded-pass global regex (letter,
+    * separators, letter → the two letters), applied TWICE: a global
+    * replace consumes its trailing letter, so alternating runs like
+    * "b.a.d" need a second pass; two passes close any run (pass one
+    * halves the separator count between every letter pair). Both
+    * engines apply the same two passes — no lookaround, RE2-safe.
+    */
+  def deobfuscate(text: Column): Column = {
+    val mapped = translate(lower(text), "0134578@$!", "oieastbasi")
+    val once = regexp_replace(mapped, "([a-z])[._*-]+([a-z])", "$1$2")
+    regexp_replace(once, "([a-z])[._*-]+([a-z])", "$1$2")
+  }
+
+  /** Blocklist hits on the DEOBFUSCATED normal form: per doc, the
+    * number of `terms` occurring as whole words of
+    * `deobfuscate(text)` plus the flag. Terms must be lowercase
+    * letters (the normal form's alphabet); the match is a bounded
+    * size/filter HOF over the tokenized normal form against the term
+    * list as a literal array — scan-side, no shuffle, no join.
+    */
+  def obfuscatedBlocklistScreen(docs: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String,
+                                terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z]+")),
+      s"terms must be non-empty lowercase words, got $terms")
+    val termArr = terms.map(t => s"'$t'").mkString(", ")
+    docs
+      .select(org.apache.spark.sql.functions.col(idCol),
+        deobfuscate(org.apache.spark.sql.functions.col(textCol)).as("_norm"))
+      .withColumn("_w", split(org.apache.spark.sql.functions.col("_norm"),
+        "[^a-z]+"))
+      .select(org.apache.spark.sql.functions.col(idCol),
+        expr(s"CAST(size(filter(_w, w -> array_contains(array($termArr), w)))" +
+          " AS BIGINT)").as("n_hits"))
+      .withColumn("flagged", org.apache.spark.sql.functions.col("n_hits") > 0L)
+  }
 }

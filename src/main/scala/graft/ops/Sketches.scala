@@ -267,6 +267,193 @@ object Sketches {
     sketches.groupBy((groupCols.map(col) :+ col("d") :+ col("pos")): _*)
       .agg(sum(col("n")).cast(LongType).as("n"))
 
+  // ===== Misra-Gries (mergeable heavy hitters) =====
+
+  /** MISRA-GRIES summary: per group, at most `k` (value, n_lb) rows
+    * where `n_lb` is a LOWER bound on the value's count with the
+    * classic deficiency guarantee `true - n_lb <= N/(k+1)` (N = the
+    * group's total occurrences) — the deterministic heavy-hitters
+    * complement of [[cmsSketch]]: count-min never under-counts but
+    * cannot enumerate its keys; Misra-Gries enumerates the candidates
+    * (every value with true count > N/(k+1) is guaranteed present) at
+    * the cost of under-counting. Together they bracket a frequency.
+    *
+    * Construction is the one-shot compress of the exact count table:
+    * keep the k heaviest values, subtract the (k+1)-th heaviest count
+    * from the kept counts, drop non-positive. Summaries MERGE
+    * ([[mgMerge]]) by summing counters and re-compressing — the
+    * mergeable-summaries result (Agarwal et al., PODS'12): the merged
+    * deficiency is at most the sum of the parts', so per-shard
+    * summaries roll up to a corpus summary through a <= k-rows-per-
+    * group exchange; the count table never travels.
+    *
+    * Determinism (the oracle replays bit-for-bit): selection orders by
+    * the composite `n * 2^60 + hash60(value)` so count ties break on
+    * the value hash — no engine-dependent LIMIT tie. Shape: one
+    * map-side-combined count, a [[GroupedTopK]] bounded-heap top-(k+1)
+    * on the composite (never a vocabulary-wide sort), then a window
+    * over the <= (k+1)-rows-per-group survivors.
+    * Output: groupCols + (value: string, n_lb: long).
+    */
+  def mgSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
+    mgCompress(
+      df.select((groupCols.map(col) :+
+          col(valueCol).cast(StringType).as("value")): _*)
+        .groupBy((groupCols.map(col) :+ col("value")): _*)
+        .agg(count(lit(1)).cast(LongType).as("_n")),
+      groupCols, k)
+  }
+
+  /** Merge per-shard Misra-Gries summaries (same k; a frame of pooled
+    * sketch rows, like [[kmvMerge]]/[[bloomMerge]]): sum each value's
+    * surviving counters across shards, re-compress. The result is a
+    * valid k-summary of the union whose deficiency is bounded by the
+    * sum of the shard deficiencies.
+    */
+  def mgMerge(sketches: DataFrame, groupCols: Seq[String],
+              k: Int): DataFrame =
+    mgCompress(
+      sketches.groupBy((groupCols.map(col) :+ col("value")): _*)
+        .agg(sum(col("n_lb")).cast(LongType).as("_n")),
+      groupCols, k)
+
+  /** Shared compress: top-(k+1) by `n * 2^60 + hash60(value)` per
+    * group (bounded heaps), subtract the (k+1)-th count, keep positive.
+    * Expects (groupCols, value, _n); the window runs over <= k+1 rows
+    * per group, not the count table.
+    */
+  private def mgCompress(counts: DataFrame, groupCols: Seq[String],
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = counts.withColumn("_ord", expr(
+      s"CAST(_n AS DECIMAL(38,0)) * $HashSpace" +
+        " + CAST(cast(conv(substring(md5(value), 1, 15), 16, 10) as bigint)" +
+        " AS DECIMAL(38,0))"))
+    val top = GroupedTopK.perKey(keyed, groupCols, "_ord", k + 1,
+      largest = true)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val wOrd = w.orderBy(col("_ord").desc)
+    top
+      .withColumn("_rk", row_number().over(wOrd))
+      .withColumn("_csub",
+        max(when(col("_rk") === k + 1, col("_n")).otherwise(0L)).over(w))
+      .filter(col("_rk") <= k && col("_n") > col("_csub"))
+      .select((groupCols.map(col) :+ col("value") :+
+        (col("_n") - col("_csub")).cast(LongType).as("n_lb")): _*)
+  }
+
+  // ===== Log-bucket histogram (mergeable quantiles) =====
+
+  /** LOG2-BUCKET histogram: per group, occurrence counts of a
+    * non-negative long measure bucketed by bit length — bucket b holds
+    * values in [2^(b-1), 2^b), bucket 0 holds exactly 0. The mergeable
+    * QUANTILE summary completing the sketch family (cardinality /
+    * membership / frequency / quantiles): at most 64 rows per group,
+    * merge = counter SUM, and any quantile of the distribution is
+    * answerable to within the bucket's 2x relative width — the right
+    * tool for doc-length / token-count / bytes-per-host distributions
+    * at 100 TB, where an exact percentile is a global sort nobody
+    * needs.
+    *
+    * The bucket index is INTEGER-PURE (a count of powers of two <= v,
+    * evaluated over a 63-element sequence in one codegen'd HOF) — no
+    * log2 floating point, so engines can't disagree at bucket
+    * boundaries. Values must be >= 0 (negative raises downstream of a
+    * documented require).
+    */
+  def histSketch(df: DataFrame, groupCols: Seq[String],
+                 valueCol: String): DataFrame =
+    df.select((groupCols.map(col) :+ histBucket(valueCol).as("bucket")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).cast(LongType).as("n"))
+
+  /** The integer-pure bucket index of a non-negative long SQL
+    * expression: |{b in [0,62] : 2^b <= v}|. Shared by the sketch and
+    * any probe so the recipe cannot drift.
+    */
+  def histBucket(value: String): org.apache.spark.sql.Column =
+    expr(s"""CAST(size(filter(transform(sequence(0, 62),
+                b -> shiftleft(1L, b)), p -> p <= CAST($value AS BIGINT)))
+             AS BIGINT)""")
+
+  /** SUM-merge per-shard histograms into one per group. */
+  def histMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("n")).cast(LongType).as("n"))
+
+  /** Quantile estimates from a histogram: for each requested ppm
+    * quantile, the smallest bucket whose cumulative count reaches
+    * `ceil(ppm * N / 1e6)` (the standard inverted-CDF reading), with
+    * its inclusive value upper bound `2^bucket - 1`. Per-group work is
+    * a HOF walk over the <= 64 sorted (bucket, n) pairs — no window,
+    * no sort beyond the 64-element array. Output: groupCols +
+    * (q_ppm, bucket, value_ub), one row per group per quantile.
+    */
+  def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                    ppms: Seq[Int]): DataFrame = {
+    require(ppms.nonEmpty && ppms.forall(p => p >= 1 && p <= 1000000),
+      s"quantile ppms must be in [1, 1e6], got $ppms")
+    val ppmArr = ppms.mkString(", ")
+    sketch
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n"))))
+        .as("_h"), sum(col("n")).cast(LongType).as("_total"))
+      .select((groupCols.map(col) :+
+        explode(expr(s"""transform(array($ppmArr), q -> struct(
+            CAST(q AS BIGINT) AS q_ppm,
+            aggregate(_h, named_struct('cum', 0L, 'b', -1L),
+              (acc, e) -> IF(acc.b >= 0L OR acc.cum + e.n <
+                               (CAST(q AS BIGINT) * _total + 999999L) div 1000000L,
+                             named_struct('cum', acc.cum + e.n, 'b', acc.b),
+                             named_struct('cum', acc.cum + e.n, 'b', e.bucket)),
+              acc -> acc.b) AS bucket))""")).as("_q")): _*)
+      .select((groupCols.map(col) :+ col("_q.q_ppm").as("q_ppm") :+
+        col("_q.bucket").as("bucket") :+
+        expr("CAST(shiftleft(1L, CAST(_q.bucket AS INT)) - 1L AS BIGINT)")
+          .as("value_ub")): _*)
+  }
+
+  // ===== Bloom-pruned exact anti join (sketch-accelerated decontamination) =====
+
+  /** EXACT anti join with a Bloom pre-gate: rows of `df` whose
+    * `valueCol` does NOT appear in `deny(denyCol)` — semantically
+    * identical to `df.join(deny, df(valueCol) === deny(denyCol),
+    * "left_anti")`, but the plan only SHUFFLES candidates. The deny
+    * side is sketched into a `bits`-wide Bloom bitmap
+    * ([[bloomSketch]]), the bitmap (ceil(bits/63) longs — KBs at
+    * bits = 2^20) broadcasts to every scan task, and each row tests
+    * membership scan-side: a Bloom "no" is definitive (no false
+    * negatives), so the clean majority never enters the join; only
+    * the "maybe" sliver — true hits plus the textbook false-positive
+    * rate — pays the exact verify. THE 100 TB decontamination shape
+    * when the deny set is too large to broadcast exactly but its
+    * bitmap is not: join traffic drops from |corpus| to |maybes|.
+    *
+    * Output: the surviving rows of `df`, schema unchanged.
+    */
+  def bloomPrunedAnti(df: DataFrame, valueCol: String, deny: DataFrame,
+                      denyCol: String, bits: Int = 1 << 16,
+                      khash: Int = 3): DataFrame = {
+    val sketch = bloomSketch(
+      deny.select(col(denyCol)).withColumn("_g", lit(1)),
+      Seq("_g"), denyCol, bits, khash)
+    val bitmap = sketch.groupBy().agg(map_from_entries(
+      collect_list(struct(col("word_idx"), col("bits")))).as("_bm"))
+    val tagged = df.crossJoin(broadcast(bitmap))
+      .withColumn("_pa", bloomPositions(valueCol, bits, khash))
+      .withColumn("_maybe", expr(
+        """forall(_pa, p -> (coalesce(element_at(_bm, p div 63), 0L)
+             & shiftleft(1L, cast(p % 63 as int))) != 0L)"""))
+      .drop("_bm", "_pa")
+    val clean = tagged.filter(!col("_maybe")).drop("_maybe")
+    val denyKeyed = deny.select(col(denyCol).as("_deny_v")).distinct()
+    val verified = tagged.filter(col("_maybe")).drop("_maybe")
+      .join(denyKeyed, col(valueCol) === col("_deny_v"), "left_anti")
+    clean.unionByName(verified)
+  }
+
   /** Frequency estimate: per (group, probe), `est_n` = min over depth
     * rows of the probed counter (an absent counter is 0 — the probe
     * was never counted there). `est_n >= true count` always; equality

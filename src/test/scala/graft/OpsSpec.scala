@@ -2300,4 +2300,103 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "slot").as[(Long, Long)].collect().toMap
     assert(a.exists(r => c(r._1) != r._4))
   }
+
+  test("mgSketch: exact under k, compress subtracts the (k+1)-th, merge re-compresses") {
+    import spark.implicits._
+    def bag(pairs: (String, Int)*): org.apache.spark.sql.DataFrame =
+      pairs.flatMap { case (v, n) => Seq.fill(n)(v) }.toDF("v")
+    // k >= distinct values: the summary IS the exact count table
+    val exact = graft.ops.Sketches.mgSketch(
+        bag("a" -> 3, "b" -> 2).withColumn("g", lit(1)), Seq("g"), "v", 8)
+      .select("value", "n_lb").as[(String, Long)].collect().toMap
+    assert(exact == Map("a" -> 3L, "b" -> 2L))
+    // k = 2 over counts 10,7,3,2,1: csub = 3rd heaviest = 3
+    val mg = graft.ops.Sketches.mgSketch(
+        bag("a" -> 10, "b" -> 7, "c" -> 3, "d" -> 2, "e" -> 1)
+          .withColumn("g", lit(1)), Seq("g"), "v", 2)
+      .select("value", "n_lb").as[(String, Long)].collect().toMap
+    assert(mg == Map("a" -> 7L, "b" -> 4L))
+    // merge: shard1 {a6 c3} (exact at k=2), shard2 {b7 a4 d2 e1} -> csub 2
+    // -> {b5 a2}; pooled {a8 b5 c3} -> csub 3 -> {a5 b2}
+    val s1 = graft.ops.Sketches.mgSketch(
+      bag("a" -> 6, "c" -> 3).withColumn("g", lit(1)), Seq("g"), "v", 2)
+    val s2 = graft.ops.Sketches.mgSketch(
+      bag("a" -> 4, "b" -> 7, "d" -> 2, "e" -> 1)
+        .withColumn("g", lit(1)), Seq("g"), "v", 2)
+    val merged = graft.ops.Sketches.mgMerge(s1.unionByName(s2), Seq("g"), 2)
+      .select("value", "n_lb").as[(String, Long)].collect().toMap
+    assert(merged == Map("a" -> 5L, "b" -> 2L))
+    // MG guarantee on the merged summary: deficiency <= sum of shard N/(k+1)
+    assert(10L - merged("a") <= 9L / 3 + 14L / 3 + 1)
+  }
+
+  test("histSketch buckets by bit length; merge sums; quantiles walk the CDF") {
+    import spark.implicits._
+    val vals = Seq(0L, 1L, 2L, 3L, 8L, 1000L).toDF("v").withColumn("g", lit(1))
+    val sk = graft.ops.Sketches.histSketch(vals, Seq("g"), "v")
+    val got = sk.select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 4L -> 1L, 10L -> 1L))
+    // shard/merge equals direct
+    val sh = vals.withColumn("p", expr("v % 2"))
+    val merged = graft.ops.Sketches.histMerge(
+      graft.ops.Sketches.histSketch(sh, Seq("g", "p"), "v"), Seq("g"))
+    assert(merged.select("bucket", "n").as[(Long, Long)].collect().toMap == got)
+    // p50: target ceil(3) -> cum 1,2,4 -> bucket 2 (ub 3); p100 -> bucket 10
+    val q = graft.ops.Sketches.histQuantiles(sk, Seq("g"),
+        Seq(500000, 1000000))
+      .select("q_ppm", "bucket", "value_ub").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(q(500000L) == ((2L, 3L)))
+    assert(q(1000000L) == ((10L, 1023L)))
+  }
+
+  test("bloomPrunedAnti equals the exact anti join") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"text-$i")).toDF("doc_id", "v")
+    val deny = (1L to 300L).filter(_ % 7 == 0).map(i => s"text-$i").toDF("d")
+    val got = graft.ops.Sketches.bloomPrunedAnti(docs, "v", deny, "d",
+        bits = 256, khash = 3) // tiny bitmap FORCES false positives
+      .select("doc_id").as[Long].collect().toSet
+    val want = docs.join(deny, docs("v") === deny("d"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && want.size == 300 - 42)
+  }
+
+  test("zorderKey2 interleaves bits; file stats carry tight per-dim boxes") {
+    import spark.implicits._
+    // x=5 (101), y=3 (011): z = 1 + 2 + 8 + 16 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(graft.ops.Layout.zorderKey2("x", "y", 3).as("z"))
+      .as[Long].head()
+    assert(z == 27L)
+    // a full 4x4 grid in 4-row files follows the curve: each file is a
+    // 2x2 block — tight boxes on BOTH dims (a row-major sort would put
+    // a whole x-row in one file and span all of y)
+    val grid = (for { x <- 0 to 3; y <- 0 to 3 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val stats = graft.ops.Layout.zorderFileStats(grid, "x", "y",
+        bits = 2, rowsPerFile = 4L)
+      .select("file_id", "n", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.length == 4 && stats.forall(_._2 == 4L))
+    assert(stats.forall(s => s._4 - s._3 == 1L && s._6 - s._5 == 1L))
+  }
+
+  test("deobfuscate normalizes leet-speak; blocklist screen catches obfuscations") {
+    import spark.implicits._
+    val norm = Seq("V1agra! c@sino s.p.a.m b.a.d 3ggs")
+      .toDF("t").select(graft.ops.Redact.deobfuscate(col("t")).as("n"))
+      .as[String].head()
+    assert(norm == "viagrai casino spam bad eggs")
+    val docs = Seq(
+      (1L, "buy v1agra now"), (2L, "c-a-s-i-n-o night"),
+      (3L, "plain text"), (4L, "S.P.A.M and spam")).toDF("doc_id", "text")
+    val got = graft.ops.Redact.obfuscatedBlocklistScreen(docs, "doc_id",
+        "text", Seq("viagra", "casino", "spam"))
+      .select("doc_id", "n_hits", "flagged")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((1L, true)), 2L -> ((1L, true)),
+      3L -> ((0L, false)), 4L -> ((2L, true))))
+  }
 }

@@ -467,6 +467,19 @@ object Pipeline {
   def wordHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)
 
+  /** JVM-side mirror of [[wordHash60]] (first 15 md5 hex digits of the
+    * UTF-8 bytes as a long) for driver/state code that must order by
+    * the SAME key the column recipe produces — the streaming
+    * Misra-Gries maintainer's tie-break. PipelineSpec asserts the two
+    * agree value-for-value.
+    */
+  def wordHash60Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** 32-bit SimHash per document: per-bit majority vote over token
     * hashes (tokens weighted by multiplicity), computed entirely in the
     * scan projection by the native [[graft.plans.SimHash32]] kernel —

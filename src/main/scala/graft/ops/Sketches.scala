@@ -431,6 +431,16 @@ object Sketches {
     * when the deny set is too large to broadcast exactly but its
     * bitmap is not: join traffic drops from |corpus| to |maybes|.
     *
+    * Plan shape (audited): the clean branch and the verify branch
+    * each SCAN `df` once — two columnar scans by design. The
+    * single-scan alternative (null-keyed anti join carrying the clean
+    * majority through the shuffle) hashes every clean row to the one
+    * null partition — a mega-skew; two pruned scans + a sliver
+    * shuffle beat one scan + a full-corpus or skewed shuffle in
+    * exactly the regime this operator exists for. (Spark's own
+    * InjectRuntimeFilter draws the same line: it bloom-gates semi/
+    * inner probes, never anti joins.)
+    *
     * Output: the surviving rows of `df`, schema unchanged.
     */
   def bloomPrunedAnti(df: DataFrame, valueCol: String, deny: DataFrame,

@@ -752,6 +752,108 @@ object Streams {
       }
   }
 
+  case class MgGroupSketch(group: String, values: Seq[String],
+                           n_lbs: Seq[Long])
+  case class MgState(values: Seq[String], counts: Seq[Long])
+
+  /** Streaming Misra-Gries maintenance: the per-group heavy-hitters
+    * summary ([[graft.ops.Sketches.mgSketch]]) kept up to date ON
+    * ARRIVAL — each micro-batch counts its values, SUMS them into the
+    * held counters, and re-compresses with the batch rule verbatim
+    * (order by `n, hash60(value)` descending, subtract the (k+1)-th
+    * count, keep positive; [[graft.Pipeline.wordHash60Jvm]] is the
+    * JVM mirror of the column recipe, so stream and batch tie-breaks
+    * cannot drift). Emits the group's whole new summary whenever it
+    * changes; "latest emission per group" IS the current summary —
+    * the [[streamingKmvSketch]] whole-array emission contract.
+    *
+    * Semantics: the result equals the left-fold of [[graft.ops
+    * .Sketches.mgMerge]] over the micro-batch sequence (each batch
+    * entering as its exact count table — the sequential Misra-Gries
+    * algorithm), NOT the one-shot batch compress of the union: MG
+    * summaries are order-dependent, and the fold is the honest
+    * streaming semantics. The guarantee still telescopes — deficiency
+    * grows by at most batchN/(k+1) per batch, so `n_lb <= true <=
+    * n_lb + totalN/(k+1)` holds over everything seen. State is
+    * bounded by groups × k (value, count) pairs — the sketch itself —
+    * so no timeout/eviction is needed. Input columns: (`groupCol`,
+    * `valueCol`).
+    */
+  def streamingMgSketch(values: DataFrame, groupCol: String,
+                        valueCol: String, k: Int = 16)
+      : Dataset[MgGroupSketch] = {
+    require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
+    import values.sparkSession.implicits._
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, String)],
+         state: GroupState[MgState]) =>
+          val prior: Seq[(String, Long)] = state.getOption
+            .map(s => s.values.zip(s.counts)).getOrElse(Seq.empty)
+          val merged = scala.collection.mutable.HashMap
+            .empty[String, Long] ++= prior
+          rows.foreach { case (_, v) =>
+            merged.update(v, merged.getOrElse(v, 0L) + 1L)
+          }
+          // the batch compress verbatim: (n, hash60) desc, csub =
+          // (k+1)-th count, keep the top k with n - csub > 0
+          val ordered = merged.toSeq.sortBy { case (v, n) =>
+            (-n, -graft.Pipeline.wordHash60Jvm(v))
+          }
+          val csub = if (ordered.size <= k) 0L else ordered(k)._2
+          val next = ordered.take(k)
+            .map { case (v, n) => (v, n - csub) }
+            .filter(_._2 > 0L)
+          if (next != prior) {
+            state.update(MgState(next.map(_._1), next.map(_._2)))
+            Iterator.single(
+              MgGroupSketch(group, next.map(_._1), next.map(_._2)))
+          } else Iterator.empty
+      }
+  }
+
+  case class HistCell(group: String, bucket: Long, n: Long)
+  case class HistCellState(n: Long)
+
+  /** Streaming log-bucket histogram maintenance: the per-group
+    * quantile summary ([[graft.ops.Sketches.histSketch]]) kept up to
+    * date ON ARRIVAL — each micro-batch buckets its values by the
+    * integer-pure bit-length recipe ([[graft.ops.Sketches
+    * .histBucket]], shared VERBATIM with the batch sketch) and SUMS
+    * them into per-(group, bucket) counters, emitting a counter's new
+    * value whenever it grows. Counters only grow, so "latest emission
+    * per (group, bucket)" IS the batch histogram of everything seen —
+    * feed it to [[graft.ops.Sketches.histQuantiles]] for a live
+    * p50/p99, or SUM-merge with batch shards via [[graft.ops.Sketches
+    * .histMerge]]. State is bounded by groups × 64 longs. Input
+    * columns: (`groupCol`, `valueCol` non-negative long).
+    */
+  def streamingHistSketch(values: DataFrame, groupCol: String,
+                          valueCol: String): Dataset[HistCell] = {
+    import values.sparkSession.implicits._
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        graft.ops.Sketches.histBucket(valueCol).as("b"))
+      .as[(String, Long)]
+      .groupByKey { case (g, b) => (g, b) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long)],
+         state: GroupState[HistCellState]) =>
+          val prior = state.getOption.map(_.n).getOrElse(0L)
+          val next = prior + rows.size
+          if (next != prior) {
+            state.update(HistCellState(next))
+            Iterator.single(HistCell(key._1, key._2, next))
+          } else Iterator.empty
+      }
+  }
+
   case class HostAdmit(doc_id: Long, host: String, seq: Long, ts: Timestamp)
   // state classes must be encoder-visible (non-private), like
   // SessionState below

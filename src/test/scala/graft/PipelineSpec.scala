@@ -1538,4 +1538,16 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("host") -> r.getAs[Long]("n_dup_docs")).toMap
     assert(dup("a.com") == 2L && dup("b.com") == 0L)
   }
+
+  test("wordHash60Jvm mirrors the wordHash60 column recipe value-for-value") {
+    import spark.implicits._
+    val vals = Seq("alpha", "beta", "", "cjk-\u4e16\u754c", "v1", "x" * 500)
+    val fromCol = vals.toDF("w")
+      .select(col("w"), graft.Pipeline.wordHash60(col("w")).as("h"))
+      .as[(String, Long)].collect().toMap
+    vals.foreach { v =>
+      assert(graft.Pipeline.wordHash60Jvm(v) == fromCol(v),
+        s"JVM/column hash60 disagree on '$v'")
+    }
+  }
 }

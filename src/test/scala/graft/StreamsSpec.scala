@@ -919,6 +919,97 @@ class StreamsSpec extends AnyFunSuite {
       "stream-maintained counters must equal the batch sketch exactly")
   }
 
+  test("streaming MG sketch equals the batch-merge fold across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-mg-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    // whole-summary emissions: latest per group = current summary
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[String], Seq[Long])]()
+    def start() = Streams.streamingMgSketch(
+        in.toDF().toDF("g", "v"), "g", "v", k = 2)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getString(0),
+          (r.getSeq[String](1), r.getSeq[Long](2))))
+      }
+      .outputMode("append").start()
+    // batch 1: v1 x5, v2 x3, v3 x1 -> csub = 1 -> {v1 -> 4, v2 -> 2}
+    val b1 = Seq.fill(5)("v1") ++ Seq.fill(3)("v2") ++ Seq("v3")
+    val q1 = start()
+    try {
+      in.addData(b1.map(("a", _)): _*)
+      q1.processAllAvailable()
+      assert(latest.get("a") == ((Seq("v1", "v2"), Seq(4L, 2L))))
+    } finally q1.stop()
+    // restart: counters must be RECOVERED — a reset would forget v1/v2
+    // entirely and the fold below would not match
+    // batch 2: v4 x5, v5 x3 -> merged {v4 5, v1 4, v5 3, v2 2} ->
+    // csub = 3 -> {v4 -> 2, v1 -> 1} (all counts distinct: no
+    // hash-tie dependence in this fixture)
+    val b2 = Seq.fill(5)("v4") ++ Seq.fill(3)("v5")
+    val q2 = start()
+    try {
+      in.addData(b2.map(("a", _)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(latest.get("a") == ((Seq("v4", "v1"), Seq(2L, 1L))))
+    // the documented contract: = the left-fold of batch mgMerge over
+    // the micro-batches (batch 2 enters as its exact count table)
+    val s1 = graft.ops.Sketches.mgSketch(
+      b1.map(("a", _)).toDF("g", "v"), Seq("g"), "v", 2)
+    val s2exact = graft.ops.Sketches.mgSketch(
+      b2.map(("a", _)).toDF("g", "v"), Seq("g"), "v", 8)
+    val fold = graft.ops.Sketches.mgMerge(s1.unionByName(s2exact),
+        Seq("g"), 2)
+      .orderBy(org.apache.spark.sql.functions.col("n_lb").desc)
+      .select("value", "n_lb").as[(String, Long)].collect()
+    assert(fold.toSeq == Seq("v4" -> 2L, "v1" -> 1L),
+      "streaming summary must equal the batch mgMerge fold")
+  }
+
+  test("streaming hist sketch equals the batch sketch across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-hist-ckpt").toString
+    val in = MemoryStream[(String, Long)]
+    // counters only grow: latest emission per (group, bucket) = current
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    def start() = Streams.streamingHistSketch(
+        in.toDF().toDF("g", "v"), "g", "v")
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest.put((r.getString(0), r.getLong(1)), r.getLong(2)))
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(("a", 0L), ("a", 1L), ("a", 5L), ("b", 9L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: a reset would under-count the earlier arrivals
+    val q2 = start()
+    try {
+      in.addData(("a", 5L), ("b", 1000L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch = graft.ops.Sketches.histSketch(
+        Seq(("a", 0L), ("a", 1L), ("a", 5L), ("a", 5L),
+          ("b", 9L), ("b", 1000L)).toDF("g", "v"),
+        Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(latest.asScala.toMap == batch,
+      "stream-maintained histogram must equal the batch sketch exactly")
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -124,16 +124,20 @@ object Bench {
       spark.catalog.clearCache()
       probe(timed = true) // weather sample between queries
     }
-    // Post-sweep outlier re-measure (round-10 verdict item 6): a query
-    // whose trimmed spread stayed >= 50% after escalating to 9 passes
-    // was measured under a sustained load blip (the driver's r10 run:
-    // q91 held 299% spread at 9 passes while its same-HEAD clean
-    // median was 4x lower). Re-measure it ALONE at the end of the run
-    // — fresh warmup + samplesFloor passes on a (usually) quieter box
-    // — and report the BETTER median of the two series: timing noise
-    // only ever inflates, so min-of-medians is the honest steady-state
-    // estimate. Both medians stay visible in the machine line's
-    // `remeasured` map.
+    // Post-sweep outlier re-measure (round-10 verdict item 6, made
+    // SYMMETRIC per the round-11 advice): a query whose trimmed spread
+    // stayed >= 50% after escalating to 9 passes was measured under a
+    // load blip (the driver's r10 run: q91 held 299% spread at 9
+    // passes while its same-HEAD clean median was 4x lower).
+    // Re-measure it ALONE at the end of the run — fresh warmup +
+    // samplesFloor passes on a (usually) quieter box — but keep the
+    // FIRST series' median as the reported metric either way: a
+    // min-of-medians replacement could only ever lower totals, which
+    // reports the best face of a genuinely bimodal regression and
+    // makes medians non-comparable across rounds. Both medians are
+    // attributable in the machine line's `remeasured` map; a reader
+    // sees "first median X under spread, quiet-box retry said Y" and
+    // judges the weather, the number itself stays one rule.
     val remeasured =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     names.filterNot(q => failed(q.name)).foreach { q =>
@@ -145,10 +149,6 @@ object Bench {
         }
         spark.catalog.clearCache()
         remeasured(q.name) = (median(first), median(retry))
-        if (median(retry) < median(first)) {
-          byName(q.name).clear()
-          byName(q.name) ++= retry
-        }
       }
     }
     // failed queries are excluded from the medians/total entirely — a

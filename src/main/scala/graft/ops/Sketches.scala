@@ -360,8 +360,9 @@ object Sketches {
     * The bucket index is INTEGER-PURE (a count of powers of two <= v,
     * evaluated over a 63-element sequence in one codegen'd HOF) — no
     * log2 floating point, so engines can't disagree at bucket
-    * boundaries. Values must be >= 0 (negative raises downstream of a
-    * documented require).
+    * boundaries. Values are expected >= 0; a NEGATIVE value clamps
+    * into bucket 0 together with legitimate zeros (no power of two is
+    * <= it) — pre-filter if zeros and negatives must stay separable.
     */
   def histSketch(df: DataFrame, groupCols: Seq[String],
                  valueCol: String): DataFrame =
@@ -446,19 +447,27 @@ object Sketches {
   def bloomPrunedAnti(df: DataFrame, valueCol: String, deny: DataFrame,
                       denyCol: String, bits: Int = 1 << 16,
                       khash: Int = 3): DataFrame = {
+    // a NULL deny entry equality-matches nothing (it cannot remove any
+    // row from an anti join) and would null the bitmap's map key —
+    // drop it on both the sketch and the verify side
+    val denyVals = deny.select(col(denyCol)).filter(col(denyCol).isNotNull)
     val sketch = bloomSketch(
-      deny.select(col(denyCol)).withColumn("_g", lit(1)),
+      denyVals.withColumn("_g", lit(1)),
       Seq("_g"), denyCol, bits, khash)
     val bitmap = sketch.groupBy().agg(map_from_entries(
       collect_list(struct(col("word_idx"), col("bits")))).as("_bm"))
     val tagged = df.crossJoin(broadcast(bitmap))
       .withColumn("_pa", bloomPositions(valueCol, bits, khash))
-      .withColumn("_maybe", expr(
+      // NULL values: md5(NULL) nulls the positions and the forall —
+      // coalesce to false routes the row to the CLEAN branch, keeping
+      // it, exactly as the documented-equivalent left_anti join does
+      // (a NULL key matches nothing, so anti keeps it)
+      .withColumn("_maybe", coalesce(expr(
         """forall(_pa, p -> (coalesce(element_at(_bm, p div 63), 0L)
-             & shiftleft(1L, cast(p % 63 as int))) != 0L)"""))
+             & shiftleft(1L, cast(p % 63 as int))) != 0L)"""), lit(false)))
       .drop("_bm", "_pa")
     val clean = tagged.filter(!col("_maybe")).drop("_maybe")
-    val denyKeyed = deny.select(col(denyCol).as("_deny_v")).distinct()
+    val denyKeyed = denyVals.select(col(denyCol).as("_deny_v")).distinct()
     val verified = tagged.filter(col("_maybe")).drop("_maybe")
       .join(denyKeyed, col(valueCol) === col("_deny_v"), "left_anti")
     clean.unionByName(verified)

@@ -2352,14 +2352,22 @@ class OpsSpec extends AnyFunSuite {
 
   test("bloomPrunedAnti equals the exact anti join") {
     import spark.implicits._
-    val docs = (1L to 300L).map(i => (i, s"text-$i")).toDF("doc_id", "v")
-    val deny = (1L to 300L).filter(_ % 7 == 0).map(i => s"text-$i").toDF("d")
+    // NULL values in BOTH frames: a NULL key matches nothing in an
+    // anti join, so null-valued docs must SURVIVE (round-11 advice:
+    // md5(null) nulls the membership test — uncoalesced, both branches
+    // dropped the row)
+    val docs = ((1L to 300L).map(i => (i, s"text-$i")) ++
+      Seq((1000L, null.asInstanceOf[String]), (1001L, null.asInstanceOf[String])))
+      .toDF("doc_id", "v")
+    val deny = ((1L to 300L).filter(_ % 7 == 0).map(i => s"text-$i") :+
+      null.asInstanceOf[String]).toDF("d")
     val got = graft.ops.Sketches.bloomPrunedAnti(docs, "v", deny, "d",
         bits = 256, khash = 3) // tiny bitmap FORCES false positives
       .select("doc_id").as[Long].collect().toSet
     val want = docs.join(deny, docs("v") === deny("d"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
-    assert(got == want && want.size == 300 - 42)
+    assert(got == want && want.size == 300 - 42 + 2)
+    assert(got.contains(1000L) && got.contains(1001L))
   }
 
   test("zorderKey2 interleaves bits; file stats carry tight per-dim boxes") {

@@ -111,43 +111,84 @@ class PlansSpec extends AnyFunSuite {
       .filter(col("kode_wilayah_kemendagri").startsWith("11.73.01")).count())
   }
 
-  test("no query silently plans a cartesian or nested-loop join") {
-    // queries where a nested-loop is INTENTIONAL: a broadcast cross
-    // join against a bounded build side — a literally-one-row probe
-    // (the ANN query vector, the temperature-mix / BM25 corpus-stats
-    // row, the drift monitor's two one-row mean vectors) or the
-    // k-centroid set of the k-means E-step / SemDeDup assignment
-    // (n x k comparisons IS the operator's semantics, k << n)
-    // — constant work per probe row, safe at any scale.
-    // q144: the diversity audit crosses TWO one-row aggregates
-    // (corpus self-dot total x ||sum v||^2) — a 1x1 join by
-    // construction
-    // q148: each PageRank iteration broadcasts the one-row dangling
-    // share (dm div N) into the nodes frame — constant per probe row
-    // q150: the learned merge list rides a one-row broadcast array
-    // (vocabulary-bounded, step-ordered) into the vocab-sized token
-    // frame — the apply loop is a fold over that constant array
-    // q154/q157: compose the q150 segment chain, inheriting exactly
-    // that one cross join (packing / fertility add only equi-joins)
-    // q158: embeds bm25Search, inheriting q111's one-row corpus-stats
-    // broadcast (the fusion itself is equi-joins over 20-row lists)
-    // q183: the authority-sample normalizer crosses the one-row
-    // max-rank aggregate into the host-rank frame (hosts-sized) —
-    // constant per probe row, the q148 shape
-    val oneRowBuild = Set("q29_cosine_topk", "q30_ann_bucketed", "q52_ivf_ann",
-      "q77_centroid_assign", "q87_temperature_mix", "q90_semantic_dedup",
-      "q93_epoch_mix", "q111_bm25_search", "q118_embedding_drift",
-      "q144_embedding_diversity", "q148_pagerank_dangling",
-      "q150_bpe_segment", "q154_bpe_packing", "q157_tokenizer_fertility",
-      "q158_hybrid_rrf", "q183_authority_sample")
-    Queries.all.foreach { q =>
-      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"${q.name} plans a CartesianProduct")
-      if (!oneRowBuild(q.name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"${q.name} plans a BroadcastNestedLoopJoin")
+  test("no query silently plans a cartesian or unbounded nested-loop join") {
+    // A nested-loop join is legitimate ONLY when its BUILD side is
+    // bounded by construction — then the join is constant work per
+    // probe row and safe at any corpus scale. This guard is
+    // STRUCTURAL (round-11 verdict item 1: a name allowlist missed
+    // q210 and reddened the suite): every BroadcastNestedLoopJoin in
+    // every query's physical plan must show boundedness evidence on
+    // its build subtree —
+    //  - a global (groupless) aggregate anywhere below it: emits
+    //    exactly one row (the ANN query vector, BM25/temperature-mix
+    //    corpus stats, the PageRank dangling share, the bloom bitmap,
+    //    the BPE merge-list array, the authority max-rank), or
+    //  - an explicit limit, or a tiny literal relation;
+    //  - otherwise the build subtree is EXECUTED and must produce
+    //    <= 64 rows at test SF — the k-centroid / SemDeDup /
+    //    IVF-probe builds (modulus-selected centroid frames): n x k
+    //    comparisons IS the operator's semantics with k << n, which
+    //    is a cardinality fact, not a plan shape. 64 discriminates:
+    //    the fixed TPC-H dims (region 5, nation 25) pass — a cross
+    //    against a fixed dim is constant per probe row — while every
+    //    SF-growing table (documents/embeddings 500+ here) fails.
+    // A CartesianProduct (both sides unbounded, no broadcast) is
+    // never acceptable.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val maxBuildRows = 64
+    // descends through exchange reuse (ReusedExchangeExec is a leaf
+    // holding the referenced exchange — collect() won't walk it)
+    def boundedEvidence(p: SparkPlan): Boolean = {
+      val self = p match {
+        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+        case _: GlobalLimitExec | _: LocalLimitExec => true
+        case l: LocalTableScanExec => l.rows.lengthCompare(maxBuildRows) <= 0
+        case _ => false
+      }
+      self || (p match {
+        case r: ReusedExchangeExec => boundedEvidence(r.child)
+        case other => other.children.exists(boundedEvidence)
+      })
     }
+    def stripExchange(p: SparkPlan): SparkPlan = p match {
+      case e: BroadcastExchangeExec => stripExchange(e.child)
+      case r: ReusedExchangeExec => stripExchange(r.child)
+      // codegen wrappers around the exchange (the BNLJ's build input
+      // rides inside the join's WholeStageCodegen span)
+      case i: org.apache.spark.sql.execution.InputAdapter => stripExchange(i.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => stripExchange(w.child)
+      case other => other
+    }
+    // AQE re-plans lazily (the executed plan is a single adaptive root
+    // whose children only materialize on execution) — audit the static
+    // physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Queries.all.foreach { q =>
+        val plan = q.build(spark, sf).queryExecution.executedPlan
+        assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+          s"${q.name} plans a CartesianProduct")
+        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+          val build = if (j.buildSide == BuildLeft) j.left else j.right
+          lazy val measured =
+            try Some(stripExchange(build).executeTake(maxBuildRows + 1).length)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[nlj-guard] ${q.name} build-side " +
+                s"execution failed: $e"); None }
+          assert(boundedEvidence(build) ||
+              measured.exists(_ <= maxBuildRows),
+            s"${q.name} plans a BroadcastNestedLoopJoin whose build side " +
+              s"shows no boundedness evidence (no groupless aggregate / " +
+              s"limit; measured rows: ${measured.fold("unexecutable")(n =>
+                if (n > maxBuildRows) s"> $maxBuildRows" else n.toString)}):\n$build")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("hot scan paths stay inside whole-stage codegen") {

@@ -1120,6 +1120,88 @@ object DomainQueries {
               lit(" fr3e c@sino"), lit(" s.p.a.m inside"), lit("")),
               (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("text")),
           "doc_id", "text", Seq("viagra", "casino", "spam"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // 3-dimensional Z-order layout audit ([[ops.Layout.zorderKeyN]] /
+    // [[ops.Layout.zorderFileStatsN]]): the Morton curve generalized
+    // to (partkey, suppkey, orderkey) buckets — bit i of dimension d
+    // lands at result bit 3i+d, the bits budget split evenly. The
+    // oracle replays the 3-way interleave, the (z, x, y, w) total
+    // order, and the fixed-size file cut.
+    QueryDef("q213_zorder3_layout",
+      Some("""
+        WITH v AS (SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
+                          l_orderkey % 64 AS w FROM lineitem),
+        z AS (SELECT x, y, w,
+                list_sum([(((x >> bb) & 1) << (3*bb)) +
+                          (((y >> bb) & 1) << (3*bb+1)) +
+                          (((w >> bb) & 1) << (3*bb+2))
+                          for bb in range(0, 6)]) AS z
+              FROM v),
+        r AS (SELECT x, y, w,
+                ROW_NUMBER() OVER (ORDER BY z, x, y, w) - 1 AS rn FROM z)
+        SELECT rn // 4096 AS file_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               MIN(w) AS w_min, MAX(w) AS w_max
+        FROM r GROUP BY file_id ORDER BY file_id"""),
+      (s, d) => graft.ops.Layout.zorderFileStatsN(
+          Tables.lineitem(s, d).select(
+            (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"),
+            (col("l_orderkey") % 64).as("w")),
+          Seq("x", "y", "w"), bits = 6, rowsPerFile = 4096L)
+        .orderBy("file_id")),
+
+    // Z-order vs one-column-sort skipping DIFF ([[ops.Layout
+    // .sortFileStats]] against [[ops.Layout.zorderFileStats]]): the
+    // same data laid out both ways, each layout's per-file bounding
+    // boxes rolled up to (files, total x-width, total y-width) — the
+    // quantified claim behind the q211 audit: under the x-major sort
+    // only x's boxes are tight (y's width sum approaches
+    // files x domain), under the Z-order BOTH stay tight. Two rows;
+    // the oracle replays both rank orders and the rollup.
+    QueryDef("q214_layout_skipping_diff",
+      Some("""
+        WITH v AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+                   FROM lineitem),
+        z AS (SELECT x, y,
+                list_sum([(((x >> bb) & 1) << (2*bb)) +
+                          (((y >> bb) & 1) << (2*bb+1))
+                          for bb in range(0, 8)]) AS z
+              FROM v),
+        rz AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY z, x, y) - 1 AS rn
+               FROM z),
+        fz AS (SELECT rn // 4096 AS f, MIN(x) AS xmn, MAX(x) AS xmx,
+                      MIN(y) AS ymn, MAX(y) AS ymx FROM rz GROUP BY f),
+        rs AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y) - 1 AS rn
+               FROM v),
+        fs AS (SELECT rn // 4096 AS f, MIN(x) AS xmn, MAX(x) AS xmx,
+                      MIN(y) AS ymn, MAX(y) AS ymx FROM rs GROUP BY f)
+        SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(xmx - xmn) AS BIGINT) AS x_width_sum,
+               CAST(SUM(ymx - ymn) AS BIGINT) AS y_width_sum
+        FROM fz
+        UNION ALL
+        SELECT 'sort_x' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(xmx - xmn) AS BIGINT) AS x_width_sum,
+               CAST(SUM(ymx - ymn) AS BIGINT) AS y_width_sum
+        FROM fs
+        ORDER BY layout"""),
+      (s, d) => {
+        val v = Tables.lineitem(s, d).select(
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        def roll(stats: org.apache.spark.sql.DataFrame, tag: String) =
+          stats.agg(
+            count(lit(1)).cast("long").as("n_files"),
+            sum(col("x_max") - col("x_min")).cast("long").as("x_width_sum"),
+            sum(col("y_max") - col("y_min")).cast("long").as("y_width_sum"))
+          .select(lit(tag).as("layout"), col("n_files"),
+            col("x_width_sum"), col("y_width_sum"))
+        roll(graft.ops.Layout.zorderFileStats(v, "x", "y",
+            bits = 8, rowsPerFile = 4096L), "zorder")
+          .unionByName(roll(graft.ops.Layout.sortFileStats(v, Seq("x", "y"),
+            rowsPerFile = 4096L), "sort_x"))
+          .orderBy("layout")
+      })
   )
 }

@@ -30,12 +30,33 @@ object Layout {
     */
   def zorderKey2(x: String, y: String, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    // fold over bit positions: acc | x_bit << 2i | y_bit << (2i+1)
+    zorderKeyN(Seq(x, y), bits)
+  }
+
+  /** MORTON (Z-order) interleave of N (2-4) non-negative dimension
+    * values, `bits` bits each (N*bits <= 62 — the result never touches
+    * the sign bit). Round-robin placement: bit i of dimension d lands
+    * at result bit N*i + d, so [[zorderKey2]] is exactly the N=2 case.
+    * The bits budget splits EVENLY across dimensions by design — an
+    * uneven split is just a different bucketing of the inputs, which
+    * callers own (dimension values must already be bucketed/
+    * rank-encoded into [0, 2^bits)). One codegen'd HOF per row; no
+    * shuffle, no UDF.
+    */
+  def zorderKeyN(dims: Seq[String], bits: Int): Column = {
+    require(dims.length >= 2 && dims.length <= 4,
+      s"zorderKeyN interleaves 2-4 dimensions, got ${dims.length}")
+    val n = dims.length
+    require(bits >= 1 && n * bits <= 62,
+      s"need bits >= 1 and ${n} * bits <= 62, got bits = $bits")
+    // acc | d0_bit << (N*i) | d1_bit << (N*i + 1) | ...
+    val body = dims.zipWithIndex.map { case (d, j) =>
+      s"| shiftleft(shiftright(CAST(($d) AS BIGINT), i) & 1L, $n * i + $j)"
+    }.mkString("\n            ")
     expr(
       s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
             acc
-            | shiftleft(shiftright(CAST(($x) AS BIGINT), i) & 1L, 2 * i)
-            | shiftleft(shiftright(CAST(($y) AS BIGINT), i) & 1L, 2 * i + 1))""")
+            $body)""")
   }
 
   /** Z-ORDER FILE-LAYOUT AUDIT: lay the frame out along the Morton
@@ -58,19 +79,13 @@ object Layout {
   def zorderFileStatsReleasable(df: DataFrame, xCol: String, yCol: String,
                                 bits: Int, rowsPerFile: Long,
                                 chunks: Int = 0): (DataFrame, () => Unit) = {
-    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1, got $rowsPerFile")
-    val z = df.select(col(xCol).cast("long").as("_x"),
-        col(yCol).cast("long").as("_y"))
-      .withColumn("_z", zorderKey2("_x", "_y", bits))
-    val (ranked, release) = Hierarchical.prefixSum(z,
-      Seq(col("_z"), col("_x"), col("_y")), Nil, lit(1L), "_rank", chunks)
-    val stats = ranked
-      .withColumn("file_id", expr(s"_rank div ${rowsPerFile}L"))
-      .groupBy(col("file_id"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        min(col("_x")).as("x_min"), max(col("_x")).as("x_max"),
-        min(col("_y")).as("y_min"), max(col("_y")).as("y_max"))
-    (stats, release)
+    val named = df.select(col(xCol).cast("long").as("_zx"),
+      col(yCol).cast("long").as("_zy"))
+    val (stats, release) = zorderFileStatsNReleasable(named,
+      Seq("_zx", "_zy"), bits, rowsPerFile, chunks)
+    (stats.select(col("file_id"), col("n"),
+      col("_zx_min").as("x_min"), col("_zx_max").as("x_max"),
+      col("_zy_min").as("y_min"), col("_zy_max").as("y_max")), release)
   }
 
   /** Handle-less [[zorderFileStatsReleasable]] for one-shot jobs. */
@@ -78,4 +93,68 @@ object Layout {
                       bits: Int, rowsPerFile: Long,
                       chunks: Int = 0): DataFrame =
     zorderFileStatsReleasable(df, xCol, yCol, bits, rowsPerFile, chunks)._1
+
+  /** N-dimensional [[zorderFileStatsReleasable]]: lay the frame out
+    * along the Morton curve of `dimCols` (2-4 dims, [[zorderKeyN]])
+    * and report each planned file's row count and per-dimension
+    * bounding box as `<col>_min`/`<col>_max`. Total order
+    * (z, dims...) — rows tying on it are interchangeable for every
+    * reported statistic.
+    */
+  def zorderFileStatsNReleasable(df: DataFrame, dimCols: Seq[String],
+                                 bits: Int, rowsPerFile: Long,
+                                 chunks: Int = 0): (DataFrame, () => Unit) = {
+    val base = df
+      .select(dimCols.map(c => col(c).cast("long").as(c)): _*)
+      .withColumn("_z", zorderKeyN(dimCols, bits))
+    fileStatsBy(base, col("_z") +: dimCols.map(col), dimCols,
+      rowsPerFile, chunks)
+  }
+
+  /** Handle-less [[zorderFileStatsNReleasable]] for one-shot jobs. */
+  def zorderFileStatsN(df: DataFrame, dimCols: Seq[String], bits: Int,
+                       rowsPerFile: Long, chunks: Int = 0): DataFrame =
+    zorderFileStatsNReleasable(df, dimCols, bits, rowsPerFile, chunks)._1
+
+  /** The BASELINE a Z-order diff quantifies against: the same
+    * file-layout audit under a plain lexicographic sort on `dimCols`
+    * in the given order (the "one-column sort" layout — the first
+    * column's boxes come out tight, every later column's span the
+    * whole domain within each leading-value run). The trailing
+    * columns participate in the total order only to make ties —
+    * and therefore the reported boxes — deterministic. Diff against
+    * [[zorderFileStatsN]] to put a number on the skipping win before
+    * burning a 100 TB rewrite.
+    */
+  def sortFileStatsReleasable(df: DataFrame, dimCols: Seq[String],
+                              rowsPerFile: Long,
+                              chunks: Int = 0): (DataFrame, () => Unit) = {
+    val base = df.select(dimCols.map(c => col(c).cast("long").as(c)): _*)
+    fileStatsBy(base, dimCols.map(col), dimCols, rowsPerFile, chunks)
+  }
+
+  /** Handle-less [[sortFileStatsReleasable]] for one-shot jobs. */
+  def sortFileStats(df: DataFrame, dimCols: Seq[String],
+                    rowsPerFile: Long, chunks: Int = 0): DataFrame =
+    sortFileStatsReleasable(df, dimCols, rowsPerFile, chunks)._1
+
+  /** Shared layout-audit core: global rank under `order` via
+    * [[Hierarchical.prefixSum]] (range slices + broadcast offsets —
+    * never a single-task window), fixed-size file cut, per-file count
+    * + per-dimension min/max.
+    */
+  private def fileStatsBy(base: DataFrame, order: Seq[Column],
+                          dimCols: Seq[String], rowsPerFile: Long,
+                          chunks: Int): (DataFrame, () => Unit) = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1, got $rowsPerFile")
+    val (ranked, release) = Hierarchical.prefixSum(base, order, Nil,
+      lit(1L), "_rank", chunks)
+    val aggs = count(lit(1)).cast("long").as("n") +: dimCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val stats = ranked
+      .withColumn("file_id", expr(s"_rank div ${rowsPerFile}L"))
+      .groupBy(col("file_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    (stats, release)
+  }
 }

@@ -185,19 +185,97 @@ object Web {
       i => array_join(slice(labels, i, size(labels) - i + 1), "."))
   }
 
-  /** Public-suffix rule set for [[registrableDomain]] — the four rule
+  /** Public-suffix rule set for [[registrableDomain]] — the rule
     * shapes of the PSL algorithm (publicsuffix.org/list/): explicit
-    * 2- and 3-label suffixes, whole-TLD wildcards (`*.ck` — ANY single
-    * label under the TLD is a public suffix), and wildcard exceptions
-    * (`!www.ck` — registrable despite the wildcard). Every 1-label TLD
-    * is implicitly a public suffix (the PSL's default `*` rule), so it
-    * never needs listing. [[Psl.Icann]] is the frozen default; pass a
-    * fuller set parsed from the published list when the corpus needs
+    * 2-/3-/4-label suffixes, wildcards (`*.ck` — ANY single label
+    * under the parent is a public suffix; `*.kawasaki.jp` the 2-label
+    * parent form), and wildcard exceptions (`!www.ck`,
+    * `!city.kawasaki.jp` — registrable despite the wildcard). Every
+    * 1-label TLD is implicitly a public suffix (the PSL's default `*`
+    * rule), so it never needs listing. These seven Seqs cover every
+    * shape in the published list's current ICANN section (plain rules
+    * top out at 4 labels — the US `pvt.k12.<state>.us` family;
+    * wildcards at 2-label parents — the JP city registries).
+    * [[Psl.Icann]] is the frozen default; [[PslRules.fromFile]] loads
+    * a full published `public_suffix_list.dat` when the corpus needs
     * complete coverage — the ALGORITHM is total, only the snapshot is
     * a subset.
     */
   final case class PslRules(suffix2: Seq[String], suffix3: Seq[String],
-                            wild1: Seq[String], exception2: Seq[String])
+                            wild1: Seq[String], exception2: Seq[String],
+                            suffix4: Seq[String] = Nil,
+                            wild2: Seq[String] = Nil,
+                            exception3: Seq[String] = Nil)
+
+  object PslRules {
+    /** Parse a published `public_suffix_list.dat` (the live format:
+      * `//` comments, blank lines, one rule per line, optional
+      * ICANN/PRIVATE section markers) into the rule Seqs the frozen
+      * snapshot hand-encodes. `icannOnly` (default) keeps only the
+      * `===BEGIN ICANN DOMAINS===` section when markers are present —
+      * the PRIVATE section's registry-like entries (github.io,
+      * `*.compute.amazonaws.com`) answer a different question than
+      * crawl ownership grouping, and carry shapes (deep wildcards)
+      * outside the engine's ladder. 1-label plain rules are dropped
+      * (the implicit default `*` rule already makes every bare TLD a
+      * public suffix); anything deeper than the supported shapes
+      * raises rather than silently degrading the boundary.
+      */
+    def fromFile(path: String, icannOnly: Boolean = true): PslRules =
+      fromLines(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path)).split("\n").toSeq, icannOnly)
+
+    def fromLines(lines: Seq[String], icannOnly: Boolean = true): PslRules = {
+      val begin = "// ===BEGIN ICANN DOMAINS==="
+      val end = "// ===END ICANN DOMAINS==="
+      val trimmed = lines.map(_.trim)
+      val scoped =
+        if (icannOnly && trimmed.contains(begin))
+          trimmed.dropWhile(_ != begin).takeWhile(_ != end)
+        else trimmed
+      // a rule is the line's first whitespace-delimited token (the
+      // published format allows trailing commentary on a line)
+      val rules = scoped
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(_.split("\\s+")(0).toLowerCase)
+      import scala.collection.mutable.ArrayBuffer
+      val s2, s3, s4, w1, w2, e2, e3, bad = ArrayBuffer.empty[String]
+      rules.foreach { r =>
+        // a malformed rule (empty label: leading/trailing/double dot)
+        // must not silently become a different-depth rule
+        if (r.split("\\.", -1).exists(_.isEmpty)) bad += r
+        else if (r.startsWith("!")) r.drop(1).split("\\.").length match {
+          case 2 => e2 += r.drop(1)
+          case 3 => e3 += r.drop(1)
+          case _ => bad += r
+        }
+        else if (r.startsWith("*.")) {
+          val parent = r.drop(2)
+          if (parent.contains("*")) bad += r
+          else parent.split("\\.").length match {
+            case 1 => w1 += parent
+            case 2 => w2 += parent
+            case _ => bad += r
+          }
+        }
+        else if (r == "*") () // the implicit default rule, always on
+        else if (r.contains("*")) bad += r // interior wildcards unsupported
+        else r.split("\\.").length match {
+          case 1 => () // implicit default already covers bare TLDs
+          case 2 => s2 += r
+          case 3 => s3 += r
+          case 4 => s4 += r
+          case _ => bad += r
+        }
+      }
+      require(bad.isEmpty,
+        s"unsupported PSL rule shapes (beyond 4-label suffix / 2-label " +
+          s"wildcard parent / 3-label exception): ${bad.take(10).mkString(", ")}")
+      PslRules(s2.distinct.toSeq, s3.distinct.toSeq, w1.distinct.toSeq,
+        e2.distinct.toSeq, s4.distinct.toSeq, w2.distinct.toSeq,
+        e3.distinct.toSeq)
+    }
+  }
 
   /** Frozen snapshot (subset) of the ICANN section of the public
     * suffix list: the high-traffic multi-label ccTLD registries
@@ -285,8 +363,8 @@ object Web {
   }
 
   /** Length (in labels) of the host's longest matching public suffix
-    * under the PSL algorithm: exceptions beat wildcards, explicit
-    * 3-label rules beat 2-label/wildcard rules, and the implicit `*`
+    * under the PSL algorithm: exceptions beat wildcards, longer
+    * explicit rules beat shorter/wildcard rules, and the implicit `*`
     * default makes every bare TLD a 1-label suffix. Pure scan-side
     * arithmetic over the label array; the membership tests compile to
     * `InSet` hash probes inside whole-stage codegen.
@@ -296,9 +374,17 @@ object Web {
     val last1 = array_join(slice(labels, n, lit(1)), ".")
     val suf2 = when(n >= 2, array_join(slice(labels, n - 1, lit(2)), "."))
     val suf3 = when(n >= 3, array_join(slice(labels, n - 2, lit(3)), "."))
-    when(suf2.isin(r.exception2: _*), lit(1))
-      .when(suf3.isin(r.suffix3: _*), lit(3))
-      .when(last1.isin(r.wild1: _*) || suf2.isin(r.suffix2: _*), lit(2))
+    val suf4 = when(n >= 4, array_join(slice(labels, n - 3, lit(4)), "."))
+    // an empty rule Seq must test FALSE, not null-propagate
+    def inSet(c: Column, s: Seq[String]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s: _*)
+    // PSL precedence: exceptions beat wildcards; otherwise the rule
+    // with the MOST labels prevails — the ladder tests longest first
+    when(inSet(suf3, r.exception3), lit(2))
+      .when(inSet(suf2, r.exception2), lit(1))
+      .when(inSet(suf4, r.suffix4), lit(4))
+      .when(inSet(suf3, r.suffix3) || inSet(suf2, r.wild2), lit(3))
+      .when(inSet(last1, r.wild1) || inSet(suf2, r.suffix2), lit(2))
       .otherwise(lit(1))
   }
 

@@ -2007,6 +2007,82 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PslRules.fromFile parses the bundled PSL excerpt to exactly Psl.Icann") {
+    val path = getClass.getResource("/public_suffix_excerpt.dat").getPath
+    val parsed = graft.ops.Web.PslRules.fromFile(path)
+    val icann = graft.ops.Web.Psl.Icann
+    // rule-set equality field by field (order-free: the engine's InSet
+    // probes are set semantics)
+    assert(parsed.suffix2.toSet == icann.suffix2.toSet)
+    assert(parsed.suffix3.toSet == icann.suffix3.toSet)
+    assert(parsed.wild1.toSet == icann.wild1.toSet)
+    assert(parsed.exception2.toSet == icann.exception2.toSet)
+    // the excerpt's PRIVATE section (github.io, a deep wildcard) must
+    // be skipped by the default icannOnly load — no leakage into any Seq
+    assert(parsed.suffix4.isEmpty && parsed.wild2.isEmpty &&
+      parsed.exception3.isEmpty)
+    assert(!parsed.suffix2.contains("github.io"))
+    // and the loaded rules drive registrableDomain identically
+    import spark.implicits._
+    val urls = Seq("https://a.b.example.co.uk/p", "https://foo.bar.ck/p",
+      "https://www.ck/p", "https://city.va.us/p", "https://co.uk/p")
+    val both = urls.toDF("url").select(
+      graft.ops.Web.registrableDomain(col("url")).as("frozen"),
+      graft.ops.Web.registrableDomain(col("url"), parsed).as("loaded"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // loading the PRIVATE section too is LOUD, not lossy: its 3-deep
+    // wildcard (*.compute.amazonaws.com) is outside the ladder and the
+    // strict loader raises instead of silently degrading the boundary
+    intercept[IllegalArgumentException] {
+      graft.ops.Web.PslRules.fromFile(path, icannOnly = false)
+    }
+    // well-shaped private entries do load when asked for
+    assert(graft.ops.Web.PslRules
+      .fromLines(Seq("github.io", "blogspot.com"), icannOnly = false)
+      .suffix2.toSet == Set("github.io", "blogspot.com"))
+  }
+
+  test("PslRules.fromLines rejects unsupported shapes; full ladder handles 4-label/2-wildcard/3-exception") {
+    // the loader must be loud on shapes the ladder can't express
+    intercept[IllegalArgumentException] {
+      graft.ops.Web.PslRules.fromLines(Seq("a.b.c.d.e"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Web.PslRules.fromLines(Seq("*.a.b.c"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Web.PslRules.fromLines(Seq("!a.b.c.d"))
+    }
+    // the JP city registries: *.kawasaki.jp wildcard with the
+    // !city.kawasaki.jp exception, plus the US 4-label k12 family —
+    // today's complete ICANN section fits these shapes
+    val r = graft.ops.Web.PslRules.fromLines(Seq(
+      "// jp", "jp", "co.jp", "*.kawasaki.jp", "!city.kawasaki.jp",
+      "// us", "pvt.k12.ma.us"))
+    assert(r.wild2 == Seq("kawasaki.jp") && r.exception3 == Seq("city.kawasaki.jp")
+      && r.suffix4 == Seq("pvt.k12.ma.us") && r.suffix2 == Seq("co.jp"))
+    import spark.implicits._
+    val cases = Seq(
+      // *.kawasaki.jp: any single label under it is a public suffix
+      ("https://x.a.kawasaki.jp/p", "x.a.kawasaki.jp"),
+      ("https://a.kawasaki.jp/p", ""),              // host IS a suffix
+      // the exception makes city.kawasaki.jp itself registrable
+      ("https://city.kawasaki.jp/p", "city.kawasaki.jp"),
+      ("https://sub.city.kawasaki.jp/p", "city.kawasaki.jp"),
+      // 4-label explicit suffix
+      ("https://school.pvt.k12.ma.us/p", "school.pvt.k12.ma.us"),
+      ("https://pvt.k12.ma.us/p", ""),
+      ("https://shop.example.co.jp/p", "example.co.jp"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.ops.Web.registrableDomain(col("url"), r).as("reg"))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    cases.foreach { case (url, want) =>
+      assert(got(url) == want, s"registrableDomain($url) under loaded rules")
+    }
+  }
+
   test("registrable-only blocklist cannot match a bare public suffix") {
     import spark.implicits._
     val docs = Seq(
@@ -2388,6 +2464,62 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(stats.length == 4 && stats.forall(_._2 == 4L))
     assert(stats.forall(s => s._4 - s._3 == 1L && s._6 - s._5 == 1L))
+  }
+
+  test("zorderKeyN bit table: 3- and 4-dim interleaves; N=2 equals zorderKey2") {
+    import spark.implicits._
+    // hand-computed: bit i of dim d lands at result bit N*i + d
+    // N=3, bits=3: x=5(101)->bits at 0,6 =65; y=3(011)->1,4 =18;
+    // w=6(110)->5,8 =288; z = 65+18+288 = 371
+    val z3 = Seq((5L, 3L, 6L)).toDF("x", "y", "w")
+      .select(graft.ops.Layout.zorderKeyN(Seq("x", "y", "w"), 3).as("z"))
+      .as[Long].head()
+    assert(z3 == 371L)
+    // N=4, bits=1: four ones -> 1111b = 15
+    val z4 = Seq((1L, 1L, 1L, 1L)).toDF("a", "b", "c", "d")
+      .select(graft.ops.Layout.zorderKeyN(Seq("a", "b", "c", "d"), 1).as("z"))
+      .as[Long].head()
+    assert(z4 == 15L)
+    // N=4, bits=2: a=2(10),b=0,c=1(01),d=3(11)
+    // a: bit1 -> pos 4+0=4 (16); c: bit0 -> pos 2 (4);
+    // d: bit0 -> pos 3 (8), bit1 -> pos 7 (128); z = 16+4+8+128 = 156
+    val z42 = Seq((2L, 0L, 1L, 3L)).toDF("a", "b", "c", "d")
+      .select(graft.ops.Layout.zorderKeyN(Seq("a", "b", "c", "d"), 2).as("z"))
+      .as[Long].head()
+    assert(z42 == 156L)
+    // N=2 delegation: identical to zorderKey2 over a value grid
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val diff = grid.select(
+      graft.ops.Layout.zorderKey2("x", "y", 3).as("a"),
+      graft.ops.Layout.zorderKeyN(Seq("x", "y"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+    // guardrails: dims in [2,4], N*bits <= 62
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.zorderKeyN(Seq("x"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.zorderKeyN(Seq("a", "b", "c", "d"), 16)
+    }
+  }
+
+  test("sortFileStats is the x-major baseline: tight x boxes, full-width y boxes") {
+    import spark.implicits._
+    // 16x16 grid in 64-row files: under sort (x, y) each file holds 4
+    // full x-runs -> x width 3, y width 15; under z-order both are 7
+    val grid = (for { x <- 0 to 15; y <- 0 to 15 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val srt = graft.ops.Layout.sortFileStats(grid, Seq("x", "y"), 64L)
+      .select("n", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(srt.length == 4 && srt.forall(_._1 == 64L))
+    assert(srt.forall(s => s._3 - s._2 == 3L && s._5 - s._4 == 15L))
+    val zo = graft.ops.Layout.zorderFileStatsN(grid, Seq("x", "y"), 4, 64L)
+      .select("n", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(zo.length == 4 && zo.forall(_._1 == 64L))
+    assert(zo.forall(s => s._3 - s._2 == 7L && s._5 - s._4 == 7L))
   }
 
   test("deobfuscate normalizes leet-speak; blocklist screen catches obfuscations") {

@@ -189,12 +189,12 @@ object CurationQueries {
 
   // Oracle mirror of ops.Web.htmlExtract's clean chain (DuckDB needs
   // the 'g' flag for global regexp_replace; Spark is global already).
-  private def htmlDecodeSql(e: String): String =
+  private[graft] def htmlDecodeSql(e: String): String =
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(e) { case (acc, (from, to)) =>
         s"replace($acc, '$from', '$to')" }
-  private def htmlCleanSql(e: String): String =
+  private[graft] def htmlCleanSql(e: String): String =
     s"""trim(regexp_replace(${htmlDecodeSql(
       s"regexp_replace($e, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"""
 

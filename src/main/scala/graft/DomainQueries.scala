@@ -156,6 +156,46 @@ object DomainQueries {
   private val SnapNewUrlSql =
     """'https://site' || CAST(doc_id % 5 AS STRING) || '.com/p/' || CAST(doc_id AS STRING) || '/'"""
 
+  // q215 recrawl synth (shared verbatim Spark/oracle). The NEW crawl's
+  // url id drifts for doc_id % 8 = 6 (slug change onto doc_id-4's url
+  // -> a canonical-url collision for the dedup stage AND a `changed`
+  // verdict against the collided url's old digest); the url grammar
+  // mixes a blockable domain (uid % 3 = 0) and an optional cdn
+  // subdomain (uid % 5 = 0, exercises suffix blocking). The html
+  // wrapper exercises every htmlExtract rule, plus a link-farm plant
+  // (id % 10 = 4: the doc's own text as anchor text -> link density
+  // hovers at the 50% gate, deterministically on both engines).
+  private val RecrawlUidSql =
+    "(CASE WHEN doc_id % 8 = 6 THEN doc_id - 4 ELSE doc_id END)"
+  private def recrawlUrlSql(uid: String): String =
+    s"""'https://' ||
+        (CASE WHEN ($uid) % 5 = 0
+              THEN 'cdn' || CAST(($uid) % 4 AS STRING) || '.' ELSE '' END) ||
+        (CASE WHEN ($uid) % 3 = 0 THEN 'spamfarm.biz'
+              WHEN ($uid) % 3 = 1 THEN 'goodsite.org' ELSE 'mixed.net' END) ||
+        '/p/' || CAST(($uid) AS STRING)"""
+  private def recrawlHtmlSql(id: String, txt: String): String =
+    s"""'<html><head><style>p|BRACES|</style><script>var x=1;</script></head><body><h1>T ' ||
+        CAST($id AS STRING) || '</h1><p>' || $txt || '</p><a href="/l/' ||
+        CAST(($id) % 9 AS STRING) || '">' || source ||
+        ' more &amp; more</a>&nbsp;tail' ||
+        (CASE WHEN ($id) % 10 = 4
+              THEN '<a href="/f">' || $txt || '</a>' ELSE '' END) ||
+        '</body></html>'""".replace("|BRACES|", "{}")
+  // the changed-rows rule: ' v2' suffix, one-in-five of them also
+  // carrying a U+00C3 mojibake marker so the encoding gate has work
+  // inside the owing set (appending outside it would flip the digest
+  // and the status instead). chr(195), NOT chr(65533): Spark's chr
+  // wraps its argument mod 256, so U+FFFD is inexpressible by the
+  // shared-SQL discipline while 195 is the same code point on both
+  // engines.
+  private val RecrawlNewTextSql =
+    """(CASE WHEN doc_id % 4 = 2
+         THEN text || ' v2' ||
+              (CASE WHEN doc_id % 20 = 2 THEN chr(195) ELSE '' END)
+         ELSE text END)"""
+  private val RecrawlMovedHtml = "<html><body><p>moved body</p></body></html>"
+
   // q196 paragraph synth: pa = first 5 words, pb = next 5; every third
   // doc repeats pa as its closing paragraph (the pagination stutter
   // the op removes), the rest close with a distinct variant.
@@ -1202,6 +1242,111 @@ object DomainQueries {
           .unionByName(roll(graft.ops.Layout.sortFileStats(v, Seq("x", "y"),
             rowsPerFile = 4096L), "sort_x"))
           .orderBy("layout")
+      }),
+
+    // INCREMENTAL RECRAWL, end to end ([[CorpusPipeline.recrawl]]):
+    // the delta -> gate -> reuse chain as ONE oracle row — snapshot
+    // delta on the canonical url key (with move detection against the
+    // old digest set), only `new`+`changed` pages paying the full
+    // ingest chain (domain blocklist, canonical-url dedup, HTML
+    // extraction + link-density gate, encoding QA, frozen model
+    // gate). Unchanged/moved majorities never appear downstream —
+    // the single biggest cost lever of a standing 100 TB pipeline,
+    // previously PipelineSpec-only. The oracle replays every stage
+    // from the shared synth SQL: both joins + the four-way status
+    // arbitration, the host-suffix block, the min-id canon dedup, the
+    // q165 extraction chain, the q156 marker count, the q164 logit.
+    QueryDef("q215_recrawl_e2e",
+      Some(s"""
+        WITH base AS (SELECT doc_id, text, source FROM documents
+                      WHERE doc_id < 900000),
+        o AS (SELECT doc_id, ${recrawlUrlSql("doc_id")} AS url,
+                ${recrawlHtmlSql("doc_id", "text")} AS html
+              FROM base WHERE doc_id % 4 <> 3
+              UNION ALL
+              SELECT 910000, 'https://goodsite.org/moved-old',
+                     '$RecrawlMovedHtml'),
+        nt AS (SELECT doc_id, source, $RecrawlNewTextSql AS text,
+                 $RecrawlUidSql AS uid
+               FROM base WHERE doc_id % 4 <> 1),
+        n AS (SELECT doc_id, ${recrawlUrlSql("uid")} AS url,
+                ${recrawlHtmlSql("doc_id", "text")} AS html
+              FROM nt
+              UNION ALL
+              SELECT 910001, 'https://goodsite.org/moved-new',
+                     '$RecrawlMovedHtml'),
+        og AS (SELECT ${canonUrlSql("url")} AS url_key,
+                      MIN(md5(html)) AS odig
+               FROM o GROUP BY url_key),
+        od AS (SELECT DISTINCT md5(html) AS dig FROM o),
+        nc AS (SELECT doc_id, ${canonUrlSql("url")} AS url_key,
+                 md5(html) AS dig FROM n),
+        owing AS (SELECT nc.doc_id
+                  FROM nc LEFT JOIN og USING (url_key)
+                          LEFT JOIN od ON od.dig = nc.dig
+                  WHERE (og.odig IS NULL AND od.dig IS NULL)
+                     OR (og.odig IS NOT NULL AND og.odig <> nc.dig)),
+        f AS (SELECT n.* FROM n JOIN owing USING (doc_id)),
+        unb AS (SELECT * FROM f
+                WHERE NOT ($HostSql = 'spamfarm.biz'
+                           OR $HostSql LIKE '%.spamfarm.biz')),
+        ded AS (SELECT ${canonUrlSql("url")} AS cu, MIN(doc_id) AS keep
+                FROM unb GROUP BY cu),
+        uq AS (SELECT unb.* FROM unb
+               JOIN ded ON ${canonUrlSql("unb.url")} = ded.cu
+                       AND unb.doc_id = ded.keep),
+        s1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(html,
+                 '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS h2 FROM uq),
+        t AS (SELECT doc_id, url, ${CurationQueries.htmlCleanSql("h2")} AS text,
+                [CAST(length(${CurationQueries.htmlCleanSql("x")}) AS BIGINT)
+                 for x in regexp_extract_all(h2, '(?s)<a[^>]*>(.*?)</a>', 1)] AS lk
+              FROM s1),
+        x AS (SELECT doc_id, url, text,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(COALESCE(list_sum(lk), 0) AS BIGINT) AS link_chars,
+                (1000000 * CAST(COALESCE(list_sum(lk), 0) AS BIGINT))
+                  // greatest(length(text), 1) AS link_density_ppm
+              FROM t),
+        ld AS (SELECT * FROM x WHERE link_density_ppm <= 500000),
+        enc AS (SELECT * FROM ld
+                WHERE (length(text) - length(replace(text, chr(65533), '')))
+                  + (length(text) - length(replace(replace(text,
+                      chr(195), ''), chr(194), '')))
+                  + (length(text) - length(replace(replace(replace(replace(text,
+                      chr(0), ''), chr(7), ''), chr(27), ''), chr(157), ''))) = 0),
+        q AS (SELECT enc.*, string_split(text, ' ') AS w FROM enc)
+        SELECT doc_id, url, text, n_chars, link_chars, link_density_ppm
+        FROM q
+        WHERE len(w) >= 1
+          AND -5000000 + 8*((1000000 * len(list_distinct(w))) // len(w))
+              + 6*((1000000 * len(list_filter(w, x -> x IN ('a', 'the')))) // len(w))
+              + 300*((1000 * (length(text) - len(w) + 1)) // len(w)) >= 0
+        ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val base = documents(s, d).filter(col("doc_id") < 900000L)
+          .select(col("doc_id"), col("text"), col("source"))
+        val oldPages = spread(base.filter(col("doc_id") % 4 =!= 3))
+          .withColumn("url", expr(recrawlUrlSql("doc_id")))
+          .withColumn("html", expr(recrawlHtmlSql("doc_id", "text")))
+          .select("doc_id", "url", "html")
+          .unionAll(Seq((910000L, "https://goodsite.org/moved-old",
+            RecrawlMovedHtml)).toDF("doc_id", "url", "html"))
+        val newPages = spread(base.filter(col("doc_id") % 4 =!= 1))
+          .withColumn("text", expr(RecrawlNewTextSql))
+          .withColumn("uid", expr(RecrawlUidSql))
+          .withColumn("url", expr(recrawlUrlSql("uid")))
+          .withColumn("html", expr(recrawlHtmlSql("doc_id", "text")))
+          .select("doc_id", "url", "html")
+          .unionAll(Seq((910001L, "https://goodsite.org/moved-new",
+            RecrawlMovedHtml)).toDF("doc_id", "url", "html"))
+        val blocklist = Seq("spamfarm.biz").toDF("domain")
+        val (gated, _) = graft.CorpusPipeline.recrawl(
+          newPages, oldPages, blocklist)
+        gated.select("doc_id", "url", "text", "n_chars", "link_chars",
+            "link_density_ppm")
+          .orderBy("doc_id")
       })
   )
 }

@@ -94,4 +94,32 @@ object Skew {
       .withColumn("rec_salts", expr(
         s"greatest(1L, (n * ${parallelism}L + ${total}L - 1L) div ${total}L)"))
   }
+
+  /** The ADVISORY LOOP closed: [[hotKeyReport]] measures, its
+    * `rec_salts` column feeds a PER-KEY salted aggregation — each hot
+    * key spreads over exactly the salt count its share demands, cold
+    * keys (absent from the report, or at fair share) stay unsalted
+    * (`rec_salts = 1` -> one partial group, no extra cost). The
+    * result is exactly `groupBy(keyCol).agg(count, sum(valueCol))`:
+    * COUNT and SUM decompose over partial groups regardless of how
+    * many each key uses.
+    *
+    * Shape: one extra pass for the report (map-side-combined count +
+    * k-row TakeOrdered), the k-row advice frame BROADCAST back onto
+    * the corpus (never a corpus shuffle), then the two-stage salted
+    * aggregate. The salt is content-hashed ([[rowSalt]]'s
+    * retry-stability argument) modulo the key's own advised count.
+    */
+  def advisedCountSum(df: DataFrame, keyCol: String, valueCol: String,
+                      topK: Int = 20, parallelism: Int = 200): DataFrame = {
+    val advice = hotKeyReport(df, keyCol, topK, parallelism)
+      .select(col(keyCol), col("rec_salts"))
+    df.join(broadcast(advice), Seq(keyCol), "left")
+      .withColumn("_salt", pmod(hash(df.columns.map(col): _*),
+        coalesce(col("rec_salts"), lit(1L))))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(sum("_n").as("n"), sum("_s").as("total"))
+  }
 }

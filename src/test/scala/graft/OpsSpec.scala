@@ -2307,6 +2307,29 @@ class OpsSpec extends AnyFunSuite {
       (3L, 1L, 10000L, 1L)))    // fair share -> no salting
   }
 
+  test("advisedCountSum closes the report->salt loop and equals the plain aggregate") {
+    import spark.implicits._
+    // hot key 1 (60%), warm key 2 (25%), cold keys 3..17 (1 row each);
+    // values vary so SUM is a real check, not a row count in disguise
+    val rows = (Seq.fill(60)(1L) ++ Seq.fill(25)(2L) ++ (3L to 17L))
+      .zipWithIndex.map { case (k, i) => (k, (i % 7).toLong) }
+    val df = rows.toDF("k", "v")
+    val got = graft.ops.Skew.advisedCountSum(df, "k", "v",
+        topK = 5, parallelism = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want)
+    // and the advice actually recommended spreading the hot key
+    val rec = graft.ops.Skew.hotKeyReport(df, "k", topK = 5,
+        parallelism = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rec(1L) == 6L && rec(2L) == 3L) // ceil(.6*10), ceil(.25*10)
+  }
+
   test("kmvOverlap is exact while sketches hold every hash; estimator tracks truth past k") {
     import spark.implicits._
     // 30 shared + 20 only-a + 10 only-b = union 60, J = 0.5

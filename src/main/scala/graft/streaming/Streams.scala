@@ -854,6 +854,139 @@ object Streams {
       }
   }
 
+  case class UrlFarmReport(url_pattern: String, n_urls: Long,
+                           n_bodies: Long, alias_ppm: Long,
+                           saturated: Boolean)
+  case class UrlFarmState(nUrls: Long, digs: Seq[String],
+                          saturated: Boolean)
+
+  /** Streaming URL alias-farm monitor — [[graft.ops.Web
+    * .urlPatternStats]] (the batch q206 advisory) kept up to date ON
+    * ARRIVAL: per digit-collapsed URL pattern, the arrival count and
+    * the count of DISTINCT bodies seen, with
+    * `alias_ppm = (n_urls - n_bodies) / n_urls` in integer ppm — a
+    * pattern minting many URLs over few bodies is a session-id /
+    * tracking-decoration alias farm, and a stream catches it WHILE the
+    * crawler is still wasting fetches on it.
+    *
+    * State per pattern is BOUNDED at `maxBodies` digests (+ one
+    * counter): an alias farm by definition has FEW distinct bodies, so
+    * the interesting patterns never saturate; a healthy pattern that
+    * reaches `maxBodies` distinct bodies stops tracking digests
+    * exactly — it reports `saturated = true` with `n_bodies` as a
+    * LOWER bound (so `alias_ppm` an upper bound), which can only
+    * over-flag, never hide a farm. Below saturation the report equals
+    * the batch operator on everything seen (spec-enforced). Emits on
+    * change; latest emission per pattern is current. Input columns:
+    * (`urlCol`, `textCol`).
+    */
+  def streamingUrlAliasFarms(docs: DataFrame, urlCol: String,
+                             textCol: String,
+                             maxBodies: Int = 64): Dataset[UrlFarmReport] = {
+    require(maxBodies >= 1, s"maxBodies must be >= 1, got $maxBodies")
+    import docs.sparkSession.implicits._
+    docs
+      .select(graft.ops.Web.urlPatternKey(col(urlCol)).as("p"),
+        md5(col(textCol).cast("binary")).as("d"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (pattern: String, rows: Iterator[(String, String)],
+         state: GroupState[UrlFarmState]) =>
+          val prior = state.getOption.getOrElse(
+            UrlFarmState(0L, Seq.empty, saturated = false))
+          var n = prior.nUrls
+          val digs = scala.collection.mutable.LinkedHashSet.empty[String]
+          digs ++= prior.digs
+          var saturated = prior.saturated
+          rows.foreach { case (_, d) =>
+            n += 1L
+            if (!saturated && !digs.contains(d)) {
+              if (digs.size < maxBodies) digs += d
+              else saturated = true
+            }
+          }
+          val next = UrlFarmState(n, digs.toSeq, saturated)
+          if (next != prior) {
+            state.update(next)
+            val bodies = digs.size.toLong
+            Iterator.single(UrlFarmReport(pattern, n, bodies,
+              1000000L * (n - bodies) / n, saturated))
+          } else Iterator.empty
+      }
+  }
+
+  case class HotKeyAdvice(group: String, value: String, n_lb: Long,
+                          share_ppm: Long, rec_salts: Long, total: Long)
+  case class HotKeyState(values: Seq[String], counts: Seq[Long],
+                         total: Long)
+
+  /** Streaming hot-key monitor — [[graft.ops.Skew.hotKeyReport]] (the
+    * batch q207 advisory) maintained live: per group, a Misra-Gries
+    * summary of the key distribution PLUS the exact arrival total,
+    * re-emitting the full advice set (key, count lower bound, integer
+    * share, recommended salt count) whenever a micro-batch changes it.
+    * Feed the latest advice to [[graft.ops.Skew.advisedCountSum]] /
+    * AQE skew thresholds without a batch pass over the corpus: a key
+    * going viral mid-crawl shows up here batches later, not at the
+    * next nightly report.
+    *
+    * State is bounded by k entries + one counter per group. Counts are
+    * MG LOWER bounds (within total/(k+1) of truth — size k at 8x the
+    * advisory's topK and the error is under an eighth of a fair
+    * share); exact when the group's distinct keys fit in k, where the
+    * advice equals the batch report row for row (spec-enforced).
+    * `rec_salts = ceil(share_lb * parallelism)` inherits the bound:
+    * it can only under-advise by the MG error, never over. Input
+    * columns: (`groupCol`, `keyCol`).
+    */
+  def streamingHotKeys(values: DataFrame, groupCol: String,
+                       keyCol: String, k: Int = 160,
+                       parallelism: Int = 200): Dataset[HotKeyAdvice] = {
+    require(k >= 1 && parallelism >= 1,
+      s"k and parallelism must be >= 1, got $k / $parallelism")
+    import values.sparkSession.implicits._
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, String)],
+         state: GroupState[HotKeyState]) =>
+          val prior = state.getOption.getOrElse(
+            HotKeyState(Seq.empty, Seq.empty, 0L))
+          val merged = scala.collection.mutable.HashMap.empty[String, Long]
+          merged ++= prior.values.zip(prior.counts)
+          var total = prior.total
+          rows.foreach { case (_, v) =>
+            total += 1L
+            merged.update(v, merged.getOrElse(v, 0L) + 1L)
+          }
+          // the MG compress verbatim ([[streamingMgSketch]] /
+          // [[graft.ops.Sketches.mgSketch]]): (n, hash60) desc order,
+          // csub = (k+1)-th count, survivors n - csub > 0
+          val ordered = merged.toSeq.sortBy { case (v, n) =>
+            (-n, -graft.Pipeline.wordHash60Jvm(v))
+          }
+          val csub = if (ordered.size <= k) 0L else ordered(k)._2
+          val kept = ordered.take(k)
+            .map { case (v, n) => (v, n - csub) }
+            .filter(_._2 > 0L)
+          val next = HotKeyState(kept.map(_._1), kept.map(_._2), total)
+          if (next != prior) {
+            state.update(next)
+            kept.iterator.map { case (v, n) =>
+              HotKeyAdvice(group, v, n, 1000000L * n / total,
+                math.max(1L,
+                  (n * parallelism + total - 1L) / total), total)
+            }
+          } else Iterator.empty
+      }
+  }
+
   case class HostAdmit(doc_id: Long, host: String, seq: Long, ts: Timestamp)
   // state classes must be encoder-visible (non-private), like
   // SessionState below

@@ -1036,4 +1036,103 @@ class StreamsSpec extends AnyFunSuite {
       assert(ids == Set(1L, 2L, 10L, 11L))
     } finally q.stop()
   }
+
+  test("streaming url alias-farm monitor equals the batch advisory across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-farm-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Boolean)]()
+    def start() = Streams.streamingUrlAliasFarms(
+        in.toDF().toDF("url", "text"), "url", "text", maxBodies = 2)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      }
+      .outputMode("append").start()
+    // farm.com/view?session=N: 3 urls, 1 body; news.com/article/N:
+    // 2 urls, 2 bodies
+    val b1 = Seq(
+      ("https://farm.com/view?session=1", "the farm body"),
+      ("https://farm.com/view?session=2", "the farm body"),
+      ("https://news.com/article/7", "story seven"))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart: counts and digest sets must be RECOVERED — a reset
+    // would see session=3's body as new and report 1 url / 1 body
+    val b2 = Seq(
+      ("https://farm.com/view?session=3", "the farm body"),
+      ("https://news.com/article/8", "story eight"),
+      ("https://news.com/article/9", "story nine")) // 3rd body: saturates
+    val q2 = start()
+    try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(latest.get("https://farm.com/view?session=N") ==
+      ((3L, 1L, 666666L, false)))
+    // saturated pattern: n_bodies is a LOWER bound (maxBodies), ppm an
+    // upper bound, and the flag says so
+    assert(latest.get("https://news.com/article/N") ==
+      ((3L, 2L, 333333L, true)))
+    // below saturation the monitor equals the batch advisory exactly
+    val batch = graft.ops.Web.urlPatternStats(
+        (b1 ++ b2).toDF("url", "text"), "url", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val farm = latest.get("https://farm.com/view?session=N")
+    assert(batch("https://farm.com/view?session=N") ==
+      ((farm._1, farm._2, farm._3)))
+  }
+
+  test("streaming hot-key monitor equals the batch report across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-hotkey-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    // each changed batch re-emits the full advice set; keep the rows
+    // of the highest total per (group, key) = the current advice
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (Long, Long, Long, Long)]()
+    def start() = Streams.streamingHotKeys(
+        in.toDF().toDF("g", "v"), "g", "v", k = 8, parallelism = 10)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val key = (r.getString(0), r.getString(1))
+          val row = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+          latest.merge(key, row,
+            (a, b) => if (b._4 >= a._4) b else a)
+        }
+      }
+      .outputMode("append").start()
+    // batch 1: k1 x5, k2 x3, k3 x2 (10 arrivals)
+    val b1 = Seq.fill(5)("k1") ++ Seq.fill(3)("k2") ++ Seq.fill(2)("k3")
+    val q1 = start()
+    try {
+      in.addData(b1.map(("a", _)): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: totals and counters recovered; batch 2 doubles k1
+    val b2 = Seq.fill(5)("k1") ++ Seq.fill(5)("k4")
+    val q2 = start()
+    try {
+      in.addData(b2.map(("a", _)): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    // distinct keys (4) fit in k=8 -> counts exact -> row-for-row
+    // equality with the batch report at the same parallelism
+    val rep = graft.ops.Skew.hotKeyReport(
+        (b1 ++ b2).map(("a", _)).map(_._2).toDF("v"), "v",
+        topK = 8, parallelism = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val live = latest.asScala.toMap
+    assert(live.keySet == rep.keySet.map(("a", _)))
+    rep.foreach { case (k, (n, share, salts)) =>
+      assert(live(("a", k)) == ((n, share, salts, 20L)),
+        s"advice for $k")
+    }
+  }
 }

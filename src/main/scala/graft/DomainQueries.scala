@@ -1259,7 +1259,7 @@ object DomainQueries {
     QueryDef("q215_recrawl_e2e",
       Some(s"""
         WITH base AS (SELECT doc_id, text, source FROM documents
-                      WHERE doc_id < 900000),
+                      WHERE doc_id NOT IN (910000, 910001)),
         o AS (SELECT doc_id, ${recrawlUrlSql("doc_id")} AS url,
                 ${recrawlHtmlSql("doc_id", "text")} AS html
               FROM base WHERE doc_id % 4 <> 3
@@ -1325,7 +1325,8 @@ object DomainQueries {
         ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val base = documents(s, d).filter(col("doc_id") < 900000L)
+        val base = documents(s, d)
+          .filter(!col("doc_id").isin(910000L, 910001L))
           .select(col("doc_id"), col("text"), col("source"))
         val oldPages = spread(base.filter(col("doc_id") % 4 =!= 3))
           .withColumn("url", expr(recrawlUrlSql("doc_id")))

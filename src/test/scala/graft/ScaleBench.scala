@@ -153,6 +153,36 @@ object Scale10Gen {
   * decontaminate -> containment -> leakage-safe split, per-stage
   * attribution (one warmup + median of 3 per stage per scale).
   */
+/** ~sf100 (1000x sf0.1) documents-only replica set — the THIRD decade
+  * for the bounded-state sketch family (round-11 verdict item 8): the
+  * flat lines (q208 MG, q209 histogram) claim corpus-size-free cost
+  * beyond the map-side scan, and 1000x is where that claim matters.
+  * Same decorrelation recipe as [[Scale10Gen]] (ids shifted, tokens
+  * suffixed per replica), generated as ONE explode plan — a 1000-branch
+  * union spends minutes in analysis for no reason.
+  */
+object Scale100Gen {
+  val Out = "/root/repo/target/sf100-bench"
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("32", "scale100-gen")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    docs
+      .select(explode(expr("sequence(0, 999)")).as("rep"),
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          x => concat(x, lit("_r"), col("rep").cast("string"))), " ")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+    println("wrote sf100 documents")
+    spark.stop()
+  }
+}
+
 object Scale10Chain {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("32", "scale10-chain")
@@ -164,7 +194,12 @@ object Scale10Chain {
         "q104_leakage_safe_split")
     def run(name: String, dir: String): Unit =
       Queries.byName(name).build(spark, dir).write.format("noop").mode("overwrite").save()
-    for (dir <- Seq("/root/testdata/sf0.1", ScaleGen.Out, Scale10Gen.Out)) {
+    // SPARK_GRAFT_SCALE_DIRS overrides the decade list (e.g. the
+    // sketch family's third decade runs sf0.1 + sf10 + sf100)
+    val dirs = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("/root/testdata/sf0.1", ScaleGen.Out, Scale10Gen.Out))
+    for (dir <- dirs) {
       for (n <- names) {
         run(n, dir)
         val xs = (1 to 3).map { _ =>

@@ -1348,6 +1348,147 @@ object DomainQueries {
         gated.select("doc_id", "url", "text", "n_chars", "link_chars",
             "link_density_ppm")
           .orderBy("doc_id")
+      }),
+
+    // Advised salted aggregation ([[ops.Skew.advisedCountSum]]): the
+    // q207 hot-key report's per-key rec_salts broadcast back onto the
+    // corpus — each hot key spreads over exactly its advised salt
+    // count, cold keys stay unsalted — over the suite's natural skew
+    // dimension (l_suppkey, 10 suppliers x 60k lineitems). COUNT and
+    // SUM decompose over partial groups, so the oracle is the PLAIN
+    // aggregate: the salting must be invisible in the result, which
+    // is precisely the operator's contract (the q51 salted-agg
+    // argument, now with the measurement loop choosing the salts).
+    QueryDef("q216_advised_agg",
+      Some("""
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l_linenumber) AS BIGINT) AS total
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""),
+      (s, d) => graft.ops.Skew.advisedCountSum(
+          Tables.lineitem(s, d).select("l_suppkey", "l_linenumber"),
+          "l_suppkey", "l_linenumber", topK = 20, parallelism = 32)
+        .select(col("l_suppkey"), col("n").cast("long").as("n"),
+          col("total").cast("long").as("total"))
+        .orderBy("l_suppkey"))
+  ) :+ q217 :+ q218
+
+  // q217's boundary derivation as SQL, per dimension: the q209
+  // histogram + CDF walk (global, no source grouping), distinct
+  // value_ub of the k-1 quantiles. Emitted twice (x / y chains).
+  private def histBoundsSql(src: String, vcol: String,
+                            tag: String): String = s"""
+        h$tag AS (SELECT CAST(len(list_filter([(1::BIGINT << bb) for bb in range(0, 63)],
+                                p -> p <= $vcol)) AS BIGINT) AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM $src GROUP BY bucket),
+        c$tag AS (SELECT h.bucket, SUM(h.n) OVER (ORDER BY h.bucket) AS cum,
+                         t.total
+                  FROM h$tag h CROSS JOIN
+                       (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h$tag) t),
+        q$tag AS (SELECT q.q_ppm, MIN(c.bucket) AS bucket
+                  FROM c$tag c CROSS JOIN
+                       (SELECT unnest([125000, 250000, 375000, 500000,
+                                       625000, 750000, 875000]) AS q_ppm) q
+                  WHERE c.cum >= (CAST(q.q_ppm AS BIGINT) * c.total + 999999) // 1000000
+                  GROUP BY q.q_ppm),
+        b$tag AS (SELECT DISTINCT
+                    CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS b
+                  FROM q$tag)"""
+
+  /** Quantile-bucketed Z-order audit ([[ops.Layout.histQuantileBuckets]]
+    * feeding [[ops.Layout.zorderFileStatsN]]): the rank-encoding half
+    * of the Morton contract done with the MERGEABLE histogram — raw
+    * skewed values (price, quantity) bucket through the k-quantile
+    * boundaries the log2 histogram derives, then interleave. The
+    * oracle replays the histogram, the CDF walk, the boundary dedupe,
+    * the per-row bucket index, and the q211 layout machinery.
+    */
+  private lazy val q217: QueryDef =
+    QueryDef("q217_quantile_zorder",
+      Some(s"""
+        WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS x,
+                          CAST(floor(l_quantity) AS BIGINT) AS y
+                   FROM lineitem),
+        ${histBoundsSql("v", "x", "x")},
+        ${histBoundsSql("v", "y", "yy")},
+        e AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bx WHERE bx.b < v.x) AS xb,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM byy WHERE byy.b < v.y) AS yb
+              FROM v),
+        z AS (SELECT xb, yb,
+                list_sum([(((xb >> bb) & 1) << (2*bb)) +
+                          (((yb >> bb) & 1) << (2*bb+1))
+                          for bb in range(0, 3)]) AS z
+              FROM e),
+        r AS (SELECT xb, yb,
+                ROW_NUMBER() OVER (ORDER BY z, xb, yb) - 1 AS rn FROM z)
+        SELECT rn // 4096 AS file_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(xb) AS xb_min, MAX(xb) AS xb_max,
+               MIN(yb) AS yb_min, MAX(yb) AS yb_max
+        FROM r GROUP BY file_id ORDER BY file_id"""),
+      (s, d) => {
+        val v = Tables.lineitem(s, d).select(
+          expr("CAST(floor(l_extendedprice) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("y"))
+        val (bx, _) = graft.ops.Layout.histQuantileBuckets(v, "x", 8)
+        val (bxy, _) = graft.ops.Layout.histQuantileBuckets(bx, "y", 8)
+        graft.ops.Layout.zorderFileStatsN(
+            bxy.select(col("x_qb").as("xb"), col("y_qb").as("yb")),
+            Seq("xb", "yb"), bits = 3, rowsPerFile = 4096L)
+          .orderBy("file_id")
       })
-  )
+
+  /** CCNet-style reference-LM scoring
+    * ([[ops.TextStats.referenceSurprisal]]): a bigram model trained on
+    * the curated English slice (src0-src2) scores the WHOLE corpus —
+    * seen bigrams at their MLE conditional bits, unseen-but-known
+    * words through the unigram backoff (+4 bits), OOV words at the
+    * <unk> price (+8 bits). The model is three reference-bounded
+    * broadcast frames; the corpus never shuffles on a gram key. The
+    * oracle replays model build, both fallbacks, and the integer
+    * bit-length log.
+    */
+  private lazy val q218: QueryDef =
+    QueryDef("q218_ref_surprisal",
+      Some("""
+        WITH ref AS (SELECT text FROM documents
+                     WHERE lang = 'en' AND source IN ('src0', 'src1', 'src2')),
+        rw AS (SELECT string_split(text, ' ') AS w FROM ref
+               WHERE len(string_split(text, ' ')) >= 2),
+        rp AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM rw),
+        bt0 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS b FROM rp GROUP BY bg),
+        bt AS (SELECT bg, b,
+                 CAST(SUM(b) OVER (PARTITION BY string_split(bg, ' ')[1]) AS BIGINT) AS cl
+               FROM bt0),
+        ru AS (SELECT unnest(string_split(text, ' ')) AS t FROM ref),
+        ut AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS u FROM ru GROUP BY t),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM ru),
+        dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+        dp AS (SELECT doc_id,
+                 unnest([{'bg': w[i] || ' ' || w[i+1], 'r': w[i+1]}
+                         for i in range(1, len(w))]) AS p
+               FROM dw),
+        tf AS (SELECT doc_id, p.bg AS bg, p.r AS r,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+               FROM dp GROUP BY 1, 2, 3),
+        j AS (SELECT tf.doc_id, tf.tf,
+                CASE WHEN bt.b IS NOT NULL THEN length(bin(bt.cl // bt.b)) - 1
+                     WHEN ut.u IS NOT NULL THEN 4 + length(bin(tot.tot // ut.u)) - 1
+                     ELSE 8 + length(bin(tot.tot)) - 1 END AS bits
+              FROM tf LEFT JOIN bt USING (bg)
+                      LEFT JOIN ut ON ut.t = tf.r CROSS JOIN tot)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_pairs,
+               CAST(SUM(tf * bits) AS BIGINT) AS bits,
+               (1000 * CAST(SUM(tf * bits) AS BIGINT)) // CAST(SUM(tf) AS BIGINT)
+                 AS mean_millibits
+        FROM j GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2"))
+          .select("text")
+        graft.ops.TextStats.referenceSurprisal(docs, ref, "doc_id", "text")
+          .orderBy("doc_id")
+      })
 }

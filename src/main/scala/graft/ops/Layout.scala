@@ -138,6 +138,41 @@ object Layout {
                     rowsPerFile: Long, chunks: Int = 0): DataFrame =
     sortFileStatsReleasable(df, dimCols, rowsPerFile, chunks)._1
 
+  /** QUANTILE-BUCKET rank encoding for Z-order inputs — the missing
+    * half of [[zorderKeyN]]'s contract ("dimension values must already
+    * be bucketed/rank-encoded": interleaving RAW skewed values wastes
+    * high bits; interleaving ranks is what makes the curve
+    * space-filling). Boundaries come from the MERGEABLE log-bucket
+    * histogram ([[Sketches.histSketch]] + [[Sketches.histQuantiles]]):
+    * the k-1 quantile upper bounds (integer-pure, engine-portable)
+    * collect to the driver — at most 63 longs, the bounded-summary
+    * shape — and the bucket index is a scan-side HOF
+    * (`|{b : b < v}|` over the literal boundary array), zero shuffle
+    * beyond the sketch's own bounded aggregate. Adjacent quantiles
+    * falling in one histogram bucket dedupe, so the encoding yields
+    * AT MOST k buckets (fewer on concentrated distributions) — always
+    * < 2^bits for `bits = ceil(log2 k)`.
+    *
+    * Returns the frame with `<valueCol>_qb` appended plus the
+    * boundary list (for audits / replays). Values must be >= 0 after
+    * long cast (the histogram's domain); floor-cast doubles BEFORE
+    * calling if the column is continuous.
+    */
+  def histQuantileBuckets(df: DataFrame, valueCol: String,
+                          k: Int): (DataFrame, Seq[Long]) = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    val ppms = (1 until k).map(i => (i.toLong * 1000000L / k).toInt)
+    val sk = Sketches.histSketch(df.select(col(valueCol)), Nil, valueCol)
+    val bounds = Sketches.histQuantiles(sk, Nil, ppms)
+      .select(col("value_ub")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val arr = bounds.map(b => s"${b}L").mkString(", ")
+    val bucketed = df.withColumn(s"${valueCol}_qb", expr(
+      s"""CAST(size(filter(array($arr),
+           b -> b < CAST($valueCol AS BIGINT))) AS BIGINT)"""))
+    (bucketed, bounds)
+  }
+
   /** Shared layout-audit core: global rank under `order` via
     * [[Hierarchical.prefixSum]] (range slices + broadcast offsets —
     * never a single-task window), fixed-size file cut, per-file count

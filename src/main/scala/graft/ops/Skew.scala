@@ -112,11 +112,13 @@ object Skew {
     */
   def advisedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                       topK: Int = 20, parallelism: Int = 200): DataFrame = {
+    // advice column renamed on the way in: the input frame owns its
+    // namespace (it may legitimately carry a `rec_salts` of its own)
     val advice = hotKeyReport(df, keyCol, topK, parallelism)
-      .select(col(keyCol), col("rec_salts"))
+      .select(col(keyCol), col("rec_salts").as("_adv_salts"))
     df.join(broadcast(advice), Seq(keyCol), "left")
       .withColumn("_salt", pmod(hash(df.columns.map(col): _*),
-        coalesce(col("rec_salts"), lit(1L))))
+        coalesce(col("_adv_salts"), lit(1L))))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(keyCol))

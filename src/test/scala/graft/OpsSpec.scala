@@ -2527,6 +2527,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("referenceSurprisal scores seen / backoff / OOV pairs") {
+    import spark.implicits._
+    // ref tokens a,b,a,c,a,b: tot=6, u(a)=3 u(b)=2 u(c)=1
+    // ref bigrams: "a b"x2, "b a"x1, "a c"x1; cl(a)=3, cl(b)=1
+    val ref = Seq("a b a c", "a b").toDF("text")
+    val docs = Seq(1L -> "a b a c", 2L -> "c c", 3L -> "a z",
+      4L -> "solo").toDF("doc_id", "text")
+    val out = graft.ops.TextStats
+      .referenceSurprisal(docs, ref, "doc_id", "text")
+      .select("doc_id", "n_pairs", "bits", "mean_millibits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1 all seen: floor(lg 3/2)=0, floor(lg 1/1)=0, floor(lg 3/1)=1
+    assert(out(1L) == ((3L, 1L, 333L)))
+    // doc 2 "c c": unseen bigram, c in vocab -> 4 + floor(lg 6/1) = 6
+    assert(out(2L) == ((1L, 6L, 6000L)))
+    // doc 3 "a z": z OOV -> 8 + floor(lg 6) = 10
+    assert(out(3L) == ((1L, 10L, 10000L)))
+    // doc 4 has one token -> no pairs -> excluded
+    assert(!out.contains(4L))
+  }
+
+  test("histQuantileBuckets rank-encodes from the mergeable histogram") {
+    import spark.implicits._
+    // 64 x value 1 (hist bucket 1), 32 x 2 (bucket 2), 16 x 10
+    // (bucket 4), 16 x 100 (bucket 7); N=128. k=4 -> ppms 25/50/75:
+    // q25 ub 1, q50 ub 1 (cum 64 >= 64), q75 ub 3 -> bounds [1, 3]
+    val vals = Seq.fill(64)(1L) ++ Seq.fill(32)(2L) ++
+      Seq.fill(16)(10L) ++ Seq.fill(16)(100L)
+    val (bucketed, bounds) = graft.ops.Layout.histQuantileBuckets(
+      vals.toDF("v"), "v", k = 4)
+    assert(bounds == Seq(1L, 3L))
+    val enc = bucketed.select("v", "v_qb").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(enc == Map(1L -> 0L, 2L -> 1L, 10L -> 2L, 100L -> 2L))
+    // always fewer than 2^ceil(log2 k) buckets - safe as a zorder dim
+    assert(enc.values.max < 4)
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.histQuantileBuckets(vals.toDF("v"), "v", 1)
+    }
+  }
+
   test("sortFileStats is the x-major baseline: tight x boxes, full-width y boxes") {
     import spark.implicits._
     // 16x16 grid in 64-row files: under sort (x, y) each file holds 4

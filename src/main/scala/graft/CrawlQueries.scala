@@ -1016,6 +1016,65 @@ object CrawlQueries {
           Seq(("en", 500000), ("zh", 150000), ("es", 150000),
             ("de", 100000), ("fr", 100000)))
         .select("doc_id", "lang", "n_tok", "tok_before")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Trusted-frontier ranking ([[ops.Graph.personalizedPageRank]]
+    // over [[ops.Web.outlinkHostEdges]]): TrustRank seeded at the
+    // curated sources' hosts (src0-src2 — the same slice q218 trains
+    // its reference LM on), propagated 3 damped hops over the outlink
+    // host graph. Hosts the curated sites link into (the hub) inherit
+    // trust; hosts unreachable from any seed score exactly 0 — the
+    // crawl-frontier priority signal, derived instead of hand-kept.
+    // The oracle replays the graph build and the seed-concentrated
+    // base through the unrolled iterations.
+    QueryDef("q220_trusted_frontier",
+      Some {
+        def iter(prev: String, name: String) = s"""
+        $name AS (SELECT s.node,
+                    CAST(CASE WHEN s.seed THEN (150 * t.n) // t.ns ELSE 0 END
+                         + (850 * COALESCE(c.cs, 0)) // 1000 AS BIGINT) AS pr
+                  FROM s CROSS JOIN t LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.pr // d.deg) AS cs
+                    FROM e JOIN $prev p ON p.node = e.src
+                    JOIN deg d ON d.src = e.src GROUP BY e.dst) c
+                  ON c.node = s.node)"""
+        s"""
+        WITH u AS (SELECT doc_id, source, $SynthUrlSql AS url,
+                          $LinkHtmlSql AS html
+                   FROM documents),
+        x AS (SELECT $HostSql AS src, unnest(regexp_extract_all(html,
+                '${graft.ops.Web.sqlPatternLit(graft.ops.Web.HrefRegex)}', 1)) AS href
+              FROM u),
+        r AS (SELECT src,
+                CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN lower(regexp_extract(href, '${graft.ops.Web.HostRegex}', 1))
+                     ELSE src END AS dst
+              FROM x),
+        e AS (SELECT DISTINCT src, dst FROM r
+              WHERE src <> '' AND dst <> '' AND src <> dst),
+        s AS (SELECT node, regexp_matches(node, '^src[0-2]-') AS seed
+              FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT) AS ns
+              FROM s),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        p0 AS (SELECT node, CAST(CASE WHEN seed THEN (1000 * t.n) // t.ns
+                                      ELSE 0 END AS BIGINT) AS pr
+               FROM s CROSS JOIN t),
+        ${iter("p0", "p1")},${iter("p1", "p2")},${iter("p2", "p3")}
+        SELECT node AS host, pr FROM p3 ORDER BY host"""
+      },
+      (s, d) => {
+        val pages = spread(documents(s, d))
+          .withColumn("url", expr(SynthUrlSql))
+          .withColumn("html", expr(LinkHtmlSql))
+        val edges = graft.ops.Web.outlinkHostEdges(pages, "url", "html")
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node")))
+          .distinct().filter(col("node").rlike("^src[0-2]-"))
+        graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 3)
+          .select(col("node").as("host"), col("pr"))
+          .orderBy("host")
+      })
   )
 }

@@ -1370,7 +1370,7 @@ object DomainQueries {
         .select(col("l_suppkey"), col("n").cast("long").as("n"),
           col("total").cast("long").as("total"))
         .orderBy("l_suppkey"))
-  ) :+ q217 :+ q218
+  ) :+ q217 :+ q218 :+ q219
 
   // q217's boundary derivation as SQL, per dimension: the q209
   // histogram + CDF walk (global, no source grouping), distinct
@@ -1490,5 +1490,58 @@ object DomainQueries {
           .select("text")
         graft.ops.TextStats.referenceSurprisal(docs, ref, "doc_id", "text")
           .orderBy("doc_id")
+      })
+
+  /** Seed-teleport (personalized) PageRank
+    * ([[ops.Graph.personalizedPageRank]]): TrustRank over the q125
+    * trade graph with every seventh supplier as the trusted seed set —
+    * authority flows outward from the seeds, unreachable nodes stay at
+    * exactly 0, and total teleport mass matches plain PageRank's so the
+    * two scores are comparable. The oracle unrolls the five damped
+    * iterations as chained CTEs, bit-identical integer milli-units.
+    */
+  private lazy val q219: QueryDef =
+    QueryDef("q219_trust_rank",
+      Some {
+        def iter(prev: String, name: String) = s"""
+        $name AS (SELECT s.node,
+                    CAST(CASE WHEN s.seed THEN (150 * t.n) // t.ns ELSE 0 END
+                         + (850 * COALESCE(c.cs, 0)) // 1000 AS BIGINT) AS pr
+                  FROM s CROSS JOIN t LEFT JOIN
+                    (SELECT e.dst AS node, SUM(p.pr // d.deg) AS cs
+                     FROM e JOIN $prev p ON p.node = e.src
+                            JOIN d ON d.src = e.src
+                     GROUP BY e.dst) c ON c.node = s.node)"""
+        s"""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0),
+        d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        s AS (SELECT node, (node % 2 = 1 AND ((node - 1) // 2) % 7 = 1) AS seed
+              FROM (SELECT DISTINCT src AS node FROM e)),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT) AS ns
+              FROM s),
+        p0 AS (SELECT node, CAST(CASE WHEN seed THEN (1000 * t.n) // t.ns
+                                      ELSE 0 END AS BIGINT) AS pr
+               FROM s CROSS JOIN t),
+        ${iter("p0", "p1")},${iter("p1", "p2")},${iter("p2", "p3")},${iter("p3", "p4")},${iter("p4", "p5")}
+        SELECT node, pr FROM p5 ORDER BY node"""
+      },
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val e0 = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = Tables.lineitem(s, d)
+          .filter(col("l_suppkey") % 7 === 1)
+          .select((col("l_suppkey") * 2 + 1).as("node")).distinct()
+        graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 5)
+          .orderBy("node")
       })
 }

@@ -172,6 +172,86 @@ object Graph {
     // lineage is unbounded; this one's is bounded by `iters`.
   }
 
+  /** Personalized PageRank — teleport mass concentrated on a SEED set
+    * instead of spread uniformly, the TrustRank shape (Gyöngyi et al.,
+    * VLDB'04): authority flows outward from trusted nodes, so a page
+    * ranks high only if it is reachable from the seeds in few damped
+    * hops. The crawl-curation use: seed the known-good host list,
+    * rank the web graph, and let the score gate frontier priority /
+    * mix weight — the principled replacement for a hand-kept
+    * allowlist radius.
+    *
+    * Same all-integer milli-unit discipline as [[pageRank]], with the
+    * uniform base swapped for a seed-concentrated one (`N` nodes, `S`
+    * seeds; total teleport mass is preserved, so scores are
+    * comparable with [[pageRank]]'s):
+    *
+    * `pr0(v) = (1000 * N) div S` if seed else 0
+    * `pr'(v) = ((150 * N) div S if seed else 0)
+    *           + (850 * sum over (u,v) of (pr(u) div outdeg(u))) div 1000`
+    *
+    * Non-seed nodes unreachable from the seed set stay at exactly 0 —
+    * that is the feature, not a leak. Sinks drop their mass (the
+    * [[pageRank]] ranking simplification). `seeds` must expose a
+    * `node` column; seed ids absent from the edge list are ignored,
+    * and at least one seed must intersect the graph (S counts the
+    * intersection — an empty intersection nulls every rank out).
+    *
+    * Scale shape is [[pageRank]]'s: prepared edges cached
+    * pre-partitioned on `src`, each iteration one src-keyed join +
+    * one dst-keyed partial-combinable sum; the seed flag rides on the
+    * cached node frame and (N, S) is a loop-invariant one-row
+    * broadcast — no driver action anywhere in the loop.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5): DataFrame =
+    personalizedPageRankReleasable(edges, seeds, iters)._1
+
+  /** [[personalizedPageRank]] plus the release handle for the two
+    * loop-invariant caches (prepared edges, flagged node set) — same
+    * contract split as [[pageRankReleasable]].
+    */
+  def personalizedPageRankReleasable(edges: DataFrame, seeds: DataFrame,
+                                     iters: Int = 5)
+      : (DataFrame, () => Unit) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast(LongType).as("deg"))
+    val prepared = e.join(deg, "src")
+      .repartition(col("src")).persist(disk)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("_s0", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s0"), lit(false)).as("_seed"))
+      .repartition(col("node")).persist(disk)
+    // loop-invariant one-row (N, S): an agg over the cached node frame
+    val totals = nodes.agg(count(lit(1)).cast(LongType).as("_n"),
+      sum(when(col("_seed"), lit(1L)).otherwise(lit(0L)))
+        .cast(LongType).as("_ns"))
+    var pr = nodes.crossJoin(broadcast(totals))
+      .select(col("node"),
+        when(col("_seed"), expr("(1000 * _n) div _ns")).otherwise(lit(0L))
+          .cast(LongType).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = prepared
+        .join(pr, prepared("src") === pr("node"))
+        .select(col("dst"), expr("pr div deg").as("_c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("_c")).as("_s"))
+        .withColumnRenamed("dst", "node")
+      pr = nodes.crossJoin(broadcast(totals))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("_seed"), expr("(150 * _n) div _ns")).otherwise(lit(0L))
+            + expr("(850 * coalesce(_s, 0L)) div 1000"))
+            .cast(LongType).as("pr"))
+    }
+    (pr.select(col("node"), col("pr")),
+      () => { prepared.unpersist(); nodes.unpersist(); () })
+  }
+
   /** Undirected degree table for an edge list that already carries
     * both directions: `(node, degree)`.
     */

@@ -2527,6 +2527,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank concentrates teleport mass on the seeds") {
+    import spark.implicits._
+    // 3-cycle 1->2->3->1, all out-degrees 1; seeds {1} (99 is absent
+    // from the graph and must be ignored). N=3, S=1:
+    //   p0 = (3000, 0, 0)
+    //   p1: pr(1)=450+0, pr(2)=0+(850*3000)div 1000=2550, pr(3)=0
+    //   p2: pr(1)=450, pr(2)=(850*450)div 1000=382,
+    //       pr(3)=(850*2550)div 1000=2167
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    def run(iters: Int): Map[Long, Long] = {
+      val (df, release) = graft.ops.Graph
+        .personalizedPageRankReleasable(edges, seeds, iters)
+      val out = df.as[(Long, Long)].collect().toMap
+      release(); out
+    }
+    assert(run(1) == Map(1L -> 450L, 2L -> 2550L, 3L -> 0L))
+    assert(run(2) == Map(1L -> 450L, 2L -> 382L, 3L -> 2167L))
+  }
+
   test("referenceSurprisal scores seen / backoff / OOV pairs") {
     import spark.implicits._
     // ref tokens a,b,a,c,a,b: tot=6, u(a)=3 u(b)=2 u(c)=1

@@ -1370,7 +1370,7 @@ object DomainQueries {
         .select(col("l_suppkey"), col("n").cast("long").as("n"),
           col("total").cast("long").as("total"))
         .orderBy("l_suppkey"))
-  ) :+ q217 :+ q218 :+ q219
+  ) :+ q217 :+ q218 :+ q219 :+ q221
 
   // q217's boundary derivation as SQL, per dimension: the q209
   // histogram + CDF walk (global, no source grouping), distinct
@@ -1543,5 +1543,71 @@ object DomainQueries {
           .select((col("l_suppkey") * 2 + 1).as("node")).distinct()
         graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 5)
           .orderBy("node")
+      })
+
+  /** Deterministic HyperLogLog ([[ops.Sketches.hllSketch]]/
+    * [[ops.Sketches.hllMerge]]/[[ops.Sketches.hllEstimate]]):
+    * per-source distinct-BIGRAM cardinality (~700/source — above the
+    * 2.5m small-range threshold where the RAW estimator is valid; the
+    * token vocab's ~31 would sit in the regime the docstring routes to
+    * KMV/register-count instead) via md5-derived registers — the
+    * ENGINE path builds per-parity-shard register tables and MERGES
+    * them (per-bucket max), the oracle builds the one-shot table
+    * directly, so the hash equality proves merge-exactness (max of
+    * maxes) on top of the integer RAW estimator. The same portability
+    * recipe as q159's KMV, in the denser summary: m 6-bit ranks
+    * instead of k 60-bit order statistics.
+    */
+  private lazy val q221: QueryDef =
+    QueryDef("q221_hll_distinct",
+      Some(s"""
+        WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+        t AS (SELECT doc_id, source,
+                unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS w
+              FROM ws WHERE len(w) >= 2),
+        h AS (SELECT DISTINCT source, ${hash60Sql("w")} AS h FROM t),
+        b AS (SELECT source, h % 64 AS bucket,
+                     CASE WHEN h // 64 = 0 THEN 55
+                          ELSE 55 - length(bin(h // 64)) END AS rho
+              FROM h),
+        reg AS (SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS r
+                FROM b GROUP BY source, bucket),
+        e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                     SUM(1::HUGEINT * (1::BIGINT << CAST(60 - r AS INT))) AS s
+              FROM reg GROUP BY source),
+        est AS (SELECT source, n_buckets,
+                  CAST((709::HUGEINT * 64 * 64 * (1::BIGINT << 60))
+                       // (1000::HUGEINT *
+                           (s + (64 - n_buckets)::HUGEINT * (1::BIGINT << 60)))
+                       AS BIGINT) AS est_distinct
+                FROM e),
+        x AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+              FROM t GROUP BY source)
+        SELECT est.source, est.n_buckets, est.est_distinct, x.exact_distinct,
+               (abs(est.est_distinct - x.exact_distinct) * 1000000)
+                 // x.exact_distinct AS err_ppm
+        FROM est JOIN x ON est.source = x.source ORDER BY est.source"""),
+      (s, d) => {
+        val w = graft.Pipeline.words(col("text"))
+        val toks = Tables.documents(s, d).filter(size(w) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(zip_with(
+              slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("w"))
+        val shards = toks.withColumn("_p", pmod(col("doc_id"), lit(2)))
+        val perShard = graft.ops.Sketches.hllSketch(
+          shards, Seq("source", "_p"), "w", p = 6)
+        val est = graft.ops.Sketches.hllEstimate(
+          graft.ops.Sketches.hllMerge(perShard, Seq("source")),
+          Seq("source"), p = 6)
+        val exact = toks.groupBy("source")
+          .agg(countDistinct(col("w")).cast("long").as("exact_distinct"))
+        est.join(exact, "source")
+          .select(col("source"), col("n_buckets"), col("est_distinct"),
+            col("exact_distinct"),
+            expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct")
+              .as("err_ppm"))
+          .orderBy("source")
       })
 }

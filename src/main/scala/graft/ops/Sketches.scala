@@ -132,6 +132,102 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("_h"))).as("kmv"))
 
+  // ===== Deterministic HyperLogLog (mergeable cardinality) =====
+
+  /** Deterministic HLL register table: per group, at most `m = 2^p`
+    * rows `(bucket, r)` where `bucket` is the low `p` bits of
+    * [[graft.Pipeline.wordHash60]] and `r` the max leading-zero rank
+    * (`rho`) of the remaining `60-p` bits — Flajolet et al.'s
+    * HyperLogLog with the engine-portable hash recipe instead of an
+    * opaque register blob, so two engines sharing the recipe exchange
+    * and merge register tables, and the DuckDB oracle replays them
+    * bit-for-bit (the same argument as [[kmvSketch]]'s docstring,
+    * which rejects only the BUILT-IN HLL++'s unreplayable layout).
+    *
+    * Why have both: at equal summary bytes the register table is the
+    * denser estimator (m 6-bit ranks vs k 60-bit order statistics —
+    * standard error `1.04/sqrt(m)` vs `~1/sqrt(k-2)` per summary
+    * long), and HLL merges by plain per-bucket MAX ([[hllMerge]] — an
+    * aggregate, no distinct/re-min pass), which is also what makes
+    * the streaming maintainer trivial state. KMV keeps the jobs HLL
+    * cannot do: the [[kmvOverlap]] set algebra needs the hashes
+    * themselves.
+    *
+    * Scale shape: one map-side-combinable `(group, bucket) -> max`
+    * aggregate over the scan projection; values never travel, the
+    * exchange carries <= m rows per group.
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                p: Int = 6): DataFrame =
+    hllCells(df, groupCols.map(col), valueCol, p)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("_rho")).cast(LongType).as("r"))
+
+  /** Scan-side (bucket, rho) projection shared VERBATIM by the batch
+    * sketch and the streaming maintainer: appends `bucket` (low `p`
+    * hash bits) and `_rho` (leading-zero rank of the remaining
+    * `60-p` bits, in [1, 61-p]) to the kept columns.
+    */
+  private[graft] def hllCells(df: DataFrame, keep: Seq[org.apache.spark.sql.Column],
+                              valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8], got $p")
+    val m = 1L << p
+    df.select((keep :+
+        wordHash60(col(valueCol).cast(StringType)).as("_h")): _*)
+      .withColumn("bucket", col("_h") % m)
+      .withColumn("_rest", expr(s"_h div ${m}L"))
+      // rho = leading zeros of the (60-p)-bit rest + 1: 61-p-bitlen
+      // for rest >= 1 (bitlen via bin-length), 61-p when every bit is 0
+      .withColumn("_rho", when(col("_rest") === 0L, lit(61L - p))
+        .otherwise(lit(61L - p) - length(bin(col("_rest")))))
+      .drop("_h", "_rest")
+  }
+
+  /** Merge per-shard register tables into one per group: per-bucket
+    * MAX — exactly the register table of the unioned inputs (max of
+    * maxes), one bounded aggregate.
+    */
+  def hllMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).cast(LongType).as("r"))
+
+  /** Distinct-count estimate from a register table: the RAW HyperLogLog
+    * estimator `alpha_m * m^2 / sum_j 2^(-r_j)` (absent buckets enter
+    * at r = 0), computed in exact integer arithmetic — the harmonic
+    * sum is scaled by 2^60 (every term `2^(60-r)` is an exact long,
+    * summed as DECIMAL(38,0); the alpha constants are the published
+    * rationals) and the final `div` floors identically on every
+    * engine. DELIBERATELY no small/large-range correction: linear
+    * counting needs `ln` (engine-varying libm floors); below ~2.5m
+    * distinct, use the register count itself or [[kmvSketch]] (exact
+    * under k) — the production split a 100 TB audit wants anyway.
+    * Output: groupCols + (n_buckets, est_distinct).
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8], got $p")
+    val m = 1L << p
+    // alpha_m as published: 16 -> 0.673, 32 -> 0.697, 64 -> 0.709,
+    // m >= 128 -> 0.7213/(1 + 1.079/m) = 7213 m / (10000 m + 10790)
+    val (aNum, aDen) = p match {
+      case 4 => (673L, 1000L)
+      case 5 => (697L, 1000L)
+      case 6 => (709L, 1000L)
+      case _ => (7213L * m, 10000L * m + 10790L)
+    }
+    sketch
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_buckets"),
+        sum(expr("CAST(shiftleft(1L, CAST(60 - r AS INT)) AS DECIMAL(38,0))"))
+          .as("_s"))
+      .withColumn("_denom", expr(
+        s"_s + CAST(($m - n_buckets) AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))"))
+      .withColumn("est_distinct", expr(
+        s"CAST(CAST($aNum AS DECIMAL(38,0)) * $m * $m * CAST(${1L << 60} AS DECIMAL(38,0))" +
+          s" div (CAST($aDen AS DECIMAL(38,0)) * _denom) AS BIGINT)"))
+      .drop("_s", "_denom")
+  }
+
   // ===== Bloom filter (mergeable membership) =====
 
   /** BLOOM membership sketch: per group, a `bits`-wide bitmap stored as

@@ -854,6 +854,47 @@ object Streams {
       }
   }
 
+  case class HllCell(group: String, bucket: Long, r: Long)
+  case class HllCellState(r: Long)
+
+  /** Streaming HyperLogLog maintenance: the per-group register table
+    * ([[graft.ops.Sketches.hllSketch]]) kept up to date ON ARRIVAL —
+    * each micro-batch projects (bucket, rho) by the shared scan-side
+    * recipe ([[graft.ops.Sketches.hllCells]], verbatim the batch
+    * sketch's) and MAXES it into per-(group, bucket) registers,
+    * emitting a register's new value whenever it grows. Registers only
+    * grow, so "latest emission per (group, bucket)" IS the batch
+    * register table of everything seen — feed it to [[graft.ops
+    * .Sketches.hllEstimate]] for a live distinct count, or max-merge
+    * with batch shards via [[graft.ops.Sketches.hllMerge]]. State is
+    * bounded by groups x 2^p 6-bit ranks (stored as longs) — the
+    * cheapest maintainer in the family (max beats the histogram's
+    * sums: a saturated register never re-emits). Input columns:
+    * (`groupCol`, `valueCol`).
+    */
+  def streamingHllSketch(values: DataFrame, groupCol: String,
+                         valueCol: String, p: Int = 6): Dataset[HllCell] = {
+    import values.sparkSession.implicits._
+    graft.ops.Sketches
+      .hllCells(values, Seq(col(groupCol).cast("string").as("g")),
+        valueCol, p)
+      .select(col("g"), col("bucket"), col("_rho"))
+      .as[(String, Long, Long)]
+      .groupByKey { case (g, b, _) => (g, b) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[HllCellState]) =>
+          val prior = state.getOption.map(_.r).getOrElse(0L)
+          val next = rows.foldLeft(prior) { case (acc, (_, _, r)) =>
+            math.max(acc, r) }
+          if (next != prior) {
+            state.update(HllCellState(next))
+            Iterator.single(HllCell(key._1, key._2, next))
+          } else Iterator.empty
+      }
+  }
+
   case class UrlFarmReport(url_pattern: String, n_urls: Long,
                            n_bodies: Long, alias_ppm: Long,
                            saturated: Boolean)

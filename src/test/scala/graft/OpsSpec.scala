@@ -2527,6 +2527,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hllSketch registers merge by max and estimate within HLL error") {
+    import spark.implicits._
+    val n = 3000
+    val vals = (0 until n).map(i => (i % 2, s"value_$i")).toDF("shard", "v")
+    // register table shape: bucket < m, 1 <= r <= 61-p
+    val sk = graft.ops.Sketches.hllSketch(vals, Seq("shard"), "v", p = 6)
+    val regs = sk.select("bucket", "r").as[(Long, Long)].collect()
+    assert(regs.forall { case (b, r) => b >= 0 && b < 64 && r >= 1 && r <= 55 })
+    assert(sk.groupBy("shard").count().as[(Int, Long)].collect()
+      .forall(_._2 <= 64))
+    // merge of the two shard sketches == the sketch of everything
+    val merged = graft.ops.Sketches
+      .hllMerge(sk.drop("shard").withColumn("g", lit(1)), Seq("g"))
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    val direct = graft.ops.Sketches
+      .hllSketch(vals.withColumn("g", lit(1)), Seq("g"), "v", p = 6)
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    assert(merged == direct)
+    // raw estimator within 4 standard errors (1.04/sqrt(64) ~ 13%)
+    val est = graft.ops.Sketches
+      .hllEstimate(graft.ops.Sketches
+        .hllSketch(vals.withColumn("g", lit(1)), Seq("g"), "v", p = 6),
+        Seq("g"), p = 6)
+      .select("est_distinct").as[Long].head()
+    assert(math.abs(est - n) < n * 0.52, s"est $est vs exact $n")
+  }
+
   test("personalizedPageRank concentrates teleport mass on the seeds") {
     import spark.implicits._
     // 3-cycle 1->2->3->1, all out-degrees 1; seeds {1} (99 is absent

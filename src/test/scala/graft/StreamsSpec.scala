@@ -1010,6 +1010,45 @@ class StreamsSpec extends AnyFunSuite {
       "stream-maintained histogram must equal the batch sketch exactly")
   }
 
+  test("streaming hll sketch equals the batch registers across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    // registers only grow: latest emission per (group, bucket) = current
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    def start() = Streams.streamingHllSketch(
+        in.toDF().toDF("g", "v"), "g", "v", p = 6)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest.put((r.getString(0), r.getLong(1)), r.getLong(2)))
+      }
+      .outputMode("append").start()
+    val vals1 = (0 until 40).map(i => ("a", s"tok_$i")) :+ ("b" -> "x")
+    val vals2 = (30 until 70).map(i => ("a", s"tok_$i")) :+ ("b" -> "y")
+    val q1 = start()
+    try {
+      in.addData(vals1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: a register reset would forget the earlier maxima
+    val q2 = start()
+    try {
+      in.addData(vals2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch = graft.ops.Sketches.hllSketch(
+        (vals1 ++ vals2).toDF("g", "v"), Seq("g"), "v", p = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(latest.asScala.toMap == batch,
+      "stream-maintained registers must equal the batch sketch exactly")
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1370,7 +1370,7 @@ object DomainQueries {
         .select(col("l_suppkey"), col("n").cast("long").as("n"),
           col("total").cast("long").as("total"))
         .orderBy("l_suppkey"))
-  ) :+ q217 :+ q218 :+ q219 :+ q221
+  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222
 
   // q217's boundary derivation as SQL, per dimension: the q209
   // histogram + CDF walk (global, no source grouping), distinct
@@ -1447,11 +1447,14 @@ object DomainQueries {
     * oracle replays model build, both fallbacks, and the integer
     * bit-length log.
     */
-  private lazy val q218: QueryDef =
-    QueryDef("q218_ref_surprisal",
-      Some("""
-        WITH ref AS (SELECT text FROM documents
-                     WHERE lang = 'en' AND source IN ('src0', 'src1', 'src2')),
+  // The q218 reference-model chain as shared CTEs (through the per-doc
+  // score `sc`), reused verbatim by q222's banding so the two oracles
+  // cannot drift.
+  // lazy: `val all` above forces q218/q222 during object init, before
+  // a plain val this far down the file would have been assigned
+  private lazy val RefSurprisalCtes = """
+        ref AS (SELECT text FROM documents
+                WHERE lang = 'en' AND source IN ('src0', 'src1', 'src2')),
         rw AS (SELECT string_split(text, ' ') AS w FROM ref
                WHERE len(string_split(text, ' ')) >= 2),
         rp AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM rw),
@@ -1476,12 +1479,19 @@ object DomainQueries {
                      WHEN ut.u IS NOT NULL THEN 4 + length(bin(tot.tot // ut.u)) - 1
                      ELSE 8 + length(bin(tot.tot)) - 1 END AS bits
               FROM tf LEFT JOIN bt USING (bg)
-                      LEFT JOIN ut ON ut.t = tf.r CROSS JOIN tot)
-        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_pairs,
-               CAST(SUM(tf * bits) AS BIGINT) AS bits,
-               (1000 * CAST(SUM(tf * bits) AS BIGINT)) // CAST(SUM(tf) AS BIGINT)
-                 AS mean_millibits
-        FROM j GROUP BY doc_id ORDER BY doc_id"""),
+                      LEFT JOIN ut ON ut.t = tf.r CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_pairs,
+                 CAST(SUM(tf * bits) AS BIGINT) AS bits,
+                 (1000 * CAST(SUM(tf * bits) AS BIGINT)) // CAST(SUM(tf) AS BIGINT)
+                   AS mean_millibits
+               FROM j GROUP BY doc_id)"""
+
+  private lazy val q218: QueryDef =
+    QueryDef("q218_ref_surprisal",
+      Some(s"""
+        WITH $RefSurprisalCtes
+        SELECT doc_id, n_pairs, bits, mean_millibits
+        FROM sc ORDER BY doc_id"""),
       (s, d) => {
         val docs = Tables.documents(s, d)
         val ref = docs
@@ -1609,5 +1619,50 @@ object DomainQueries {
             expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct")
               .as("err_ppm"))
           .orderBy("source")
+      })
+
+  /** CCNet head/middle/tail banding
+    * ([[ops.TextStats.referenceSurprisal]] +
+    * [[ops.Ranking.stratifiedQuantileBuckets]]): the q218 scores cut
+    * into PER-LANGUAGE thirds under the (score, id) total order — the
+    * paper's actual output shape (keep the head, sample the middle,
+    * drop the tail, per language so one language's scale doesn't
+    * swallow another's head). The per-stratum rank rides the
+    * hierarchical prefix-sum scaffold — a per-lang ntile window would
+    * hash a third of the corpus to one task. Oracle replays the shared
+    * q218 CTEs, the stratified rank, and the integer third-cut.
+    */
+  private lazy val q222: QueryDef =
+    QueryDef("q222_ccnet_bands",
+      Some(s"""
+        WITH $RefSurprisalCtes,
+        sl AS (SELECT sc.doc_id, d.lang, sc.mean_millibits
+               FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+        r AS (SELECT doc_id, lang, mean_millibits,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY mean_millibits, doc_id) - 1 AS rk,
+                COUNT(*) OVER (PARTITION BY lang) AS nl
+              FROM sl)
+        SELECT doc_id, lang, mean_millibits,
+               CASE (rk * 3) // nl + 1 WHEN 1 THEN 'head'
+                    WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+        FROM r ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2"))
+          .select("text")
+        val scored = graft.ops.TextStats
+          .referenceSurprisal(docs, ref, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "mean_millibits")
+        graft.ops.Ranking
+          .stratifiedQuantileBuckets(scored, Seq("lang"),
+            "mean_millibits", "doc_id", k = 3)
+          .select(col("doc_id"), col("lang"), col("mean_millibits"),
+            expr("CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+              "ELSE 'tail' END").as("band"))
+          .orderBy("doc_id")
       })
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale-safe GLOBAL ordering: assign each row its 1-based position in
   * a total order over the whole corpus — the curriculum-learning /
@@ -127,6 +128,35 @@ object Ranking {
     globalRowNumber(df, Seq(col(valueCol), col(idCol)), "_rank", chunks)
       .withColumn("bucket", expr(s"((_rank - 1) * $k) div ${n}L + 1"))
       .drop("_rank")
+  }
+
+  /** PER-STRATUM equi-width quantile bucketing: [[quantileBuckets]]
+    * with the rank and the size both computed WITHIN each stratum —
+    * `bucket = (before * k) div n_stratum + 1` where `before` is the
+    * stratum-local exclusive prefix count under the global
+    * (`valueCol`, `idCol`) order. The CCNet-style per-language banding
+    * assignment (head/middle/tail thirds of a quality score, per
+    * lang), exact and engine-portable where a per-stratum `ntile`
+    * window would hash a whole stratum — potentially a third of a
+    * 100 TB corpus — to ONE task. Ranks ride the hierarchical
+    * prefix-sum scaffold with `strata` keys; stratum sizes are one
+    * bounded aggregate broadcast back. Same leak note as
+    * [[quantileBuckets]]: the scaffold's cache is released at session
+    * end / clearCache (one-shot-job convention).
+    */
+  def stratifiedQuantileBuckets(df: DataFrame, strata: Seq[String],
+                                valueCol: String, idCol: String,
+                                k: Int, chunks: Int = 0): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    val (pref, _) = Hierarchical.prefixSum(df,
+      Seq(col(valueCol), col(idCol)), strata, lit(1L), "_before", chunks)
+    // stratum sizes over the scaffold's cached slices (no second
+    // evaluation of the input lineage); strata-bounded frame
+    val counts = pref.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("_n"))
+    pref.join(broadcast(counts), strata)
+      .withColumn("bucket", expr(s"(_before * $k) div _n + 1"))
+      .drop("_before", "_n")
   }
 
   /** EXACT permille quantiles of `valueCol` under the total order

@@ -2527,6 +2527,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedQuantileBuckets cuts thirds within each stratum") {
+    import spark.implicits._
+    // stratum a: 5 rows -> (rk*3) div 5 + 1 = [1,1,2,2,3] in value order
+    // stratum b: 3 rows -> one per bucket
+    val df = Seq(("a", 50L, 5L), ("a", 10L, 1L), ("a", 30L, 3L),
+      ("a", 20L, 2L), ("a", 40L, 4L),
+      ("b", 9L, 10L), ("b", 7L, 11L), ("b", 8L, 12L))
+      .toDF("g", "v", "id")
+    val out = graft.ops.Ranking
+      .stratifiedQuantileBuckets(df, Seq("g"), "v", "id", k = 3)
+      .select("g", "id", "bucket").as[(String, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out == Map(("a", 1L) -> 1L, ("a", 2L) -> 1L, ("a", 3L) -> 2L,
+      ("a", 4L) -> 2L, ("a", 5L) -> 3L,
+      ("b", 11L) -> 1L, ("b", 12L) -> 2L, ("b", 10L) -> 3L))
+  }
+
   test("hllSketch registers merge by max and estimate within HLL error") {
     import spark.implicits._
     val n = 3000

@@ -422,42 +422,66 @@ object TextStats {
   def referenceSurprisal(docs: DataFrame, ref: DataFrame, idCol: String,
                          textCol: String, backoffBits: Int = 4,
                          oovBits: Int = 8): DataFrame = {
-    val w = words(col(textCol))
-    def pairs(df: DataFrame, extra: Seq[Column]): DataFrame = df
-      .filter(size(w) >= 2)
-      .select(extra :+ explode(zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => struct(concat(a, lit(" "), b).as("bg"), a.as("l"),
-          b.as("r")))).as("p"): _*)
-      .select(extra.map(c => c) :+ col("p.bg").as("bg") :+
-        col("p.l").as("l") :+ col("p.r").as("r"): _*)
-    // reference model: token counts + total (the unigram/<unk> side)
-    val refToks = ref.select(explode(w).as("t"))
-    val ut = refToks.groupBy("t").agg(count(lit(1)).cast(LongType).as("u"))
-    val tot = refToks.agg(count(lit(1)).cast(LongType).as("tot"))
-    // bigram table with the context count on the row — one broadcast
-    // probe instead of a second left-token join against the corpus
-    val bt = pairs(ref, Nil)
-      .groupBy("l", "bg").agg(count(lit(1)).cast(LongType).as("b"))
-      .withColumn("cl", sum(col("b")).over(Window.partitionBy("l")))
-      .select("bg", "b", "cl")
-    val tf = pairs(docs, Seq(col(idCol)))
+    val (bt, ut, tot) = referenceModel(ref, textCol)
+    val tf = refPairs(docs, Seq(col(idCol)), textCol)
       .groupBy(col(idCol), col("bg"), col("r"))
       .agg(count(lit(1)).as("tf"))
-    val bits = when(col("b").isNotNull,
-        length(bin(expr("cl div b"))) - 1)
-      .when(col("u").isNotNull,
-        lit(backoffBits) + length(bin(expr("tot div u"))) - 1)
-      .otherwise(lit(oovBits) + length(bin(col("tot"))) - 1)
     tf
       .join(broadcast(bt), Seq("bg"), "left")
       .join(broadcast(ut.withColumnRenamed("t", "r")), Seq("r"), "left")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).cast(LongType).as("n_pairs"),
-        sum(col("tf") * bits).cast(LongType).as("bits"))
+        sum(col("tf") * pairBits(backoffBits, oovBits)).cast(LongType)
+          .as("bits"))
       .withColumn("mean_millibits", expr("(1000 * bits) div n_pairs"))
   }
+
+  /** [[referenceSurprisal]]'s model build, shared VERBATIM with the
+    * streaming gate: (bigram table with context counts on the row,
+    * unigram vocab, one-row total) — all three bounded by the
+    * reference.
+    */
+  private[graft] def referenceModel(ref: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val w = words(col(textCol))
+    val refToks = ref.select(explode(w).as("t"))
+    val ut = refToks.groupBy("t").agg(count(lit(1)).cast(LongType).as("u"))
+    val tot = refToks.agg(count(lit(1)).cast(LongType).as("tot"))
+    // bigram table with the context count on the row — one broadcast
+    // probe instead of a second left-token join against the corpus
+    val bt = refPairs(ref, Nil, textCol)
+      .groupBy("l", "bg").agg(count(lit(1)).cast(LongType).as("b"))
+      .withColumn("cl", sum(col("b")).over(Window.partitionBy("l")))
+      .select("bg", "b", "cl")
+    (bt, ut, tot)
+  }
+
+  /** Adjacent-pair projector shared by model build and scoring:
+    * appends (bg "a b", l, r) per pair via two shifted slices zipped
+    * in the scan — never a position join. Rows with < 2 tokens drop.
+    */
+  private[graft] def refPairs(df: DataFrame, extra: Seq[Column],
+                              textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    df.filter(size(w) >= 2)
+      .select(extra :+ explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(concat(a, lit(" "), b).as("bg"), a.as("l"),
+          b.as("r")))).as("p"): _*)
+      .select(extra.map(c => c) :+ col("p.bg").as("bg") :+
+        col("p.l").as("l") :+ col("p.r").as("r"): _*)
+  }
+
+  /** The per-pair bit charge over the joined model columns (b, cl, u,
+    * tot) — the scoring rule itself, shared by batch and streaming.
+    */
+  private[graft] def pairBits(backoffBits: Int, oovBits: Int): Column =
+    when(col("b").isNotNull,
+        length(bin(expr("cl div b"))) - 1)
+      .when(col("u").isNotNull,
+        lit(backoffBits) + length(bin(expr("tot div u"))) - 1)
+      .otherwise(lit(oovBits) + length(bin(col("tot"))) - 1)
 
   /** Per-document duplicated-n-gram fraction: the share of a document's
     * DISTINCT word n-grams that also appear in at least one other

@@ -854,6 +854,49 @@ object Streams {
       }
   }
 
+  /** Streaming CCNet-style quality gate: arriving docs scored against
+    * the STATIC reference bigram model
+    * ([[graft.ops.TextStats.referenceModel]] — the exact frames the
+    * batch [[graft.ops.TextStats.referenceSurprisal]] builds, so
+    * stream and batch scores cannot drift) and gated on a FIXED
+    * mean-millibits threshold — the production pattern: thresholds
+    * come from a batch banding calibration (q222), the stream applies
+    * them on arrival. Per-pair charges ride three stream-static
+    * broadcast probes (bigram/unigram/total — the one-row total joins
+    * on a constant key: stream-static CROSS isn't in Spark's support
+    * matrix, a constant-key equi join is); the per-doc fold is a
+    * watermarked tumbling-window aggregate, state bounded by the
+    * horizon. Docs with < 2 tokens carry no pairs and get no verdict
+    * (route them by length rules upstream). Expects columns
+    * (ts, `idCol`, `textCol`).
+    */
+  def streamingSurprisalGate(docs: DataFrame, ref: DataFrame,
+                             maxMeanMillibits: Long,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             windowMinutes: Int = 5,
+                             horizonMinutes: Int = 10,
+                             backoffBits: Int = 4,
+                             oovBits: Int = 8): DataFrame = {
+    import graft.ops.TextStats
+    val (bt, ut, tot) = TextStats.referenceModel(ref, textCol)
+    TextStats.refPairs(
+        docs.withWatermark("ts", s"$horizonMinutes minutes"),
+        Seq(col("ts"), col(idCol)), textCol)
+      .withColumn("_k", lit(1))
+      .join(broadcast(bt), Seq("bg"), "left")
+      .join(broadcast(ut.withColumnRenamed("t", "r")), Seq("r"), "left")
+      .join(broadcast(tot.withColumn("_k", lit(1))), Seq("_k"))
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(TextStats.pairBits(backoffBits, oovBits)).cast("long")
+          .as("bits"))
+      .withColumn("mean_millibits", expr("(1000 * bits) div n_pairs"))
+      .withColumn("keep", col("mean_millibits") <= maxMeanMillibits)
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("n_pairs"), col("bits"), col("mean_millibits"), col("keep"))
+  }
+
   case class HllCell(group: String, bucket: Long, r: Long)
   case class HllCellState(r: Long)
 

@@ -1010,6 +1010,34 @@ class StreamsSpec extends AnyFunSuite {
       "stream-maintained histogram must equal the batch sketch exactly")
   }
 
+  test("streaming surprisal gate scores with the batch model and gates on the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the OpsSpec reference: tot=6, u(a)=3 u(b)=2 u(c)=1; cl(a)=3 cl(b)=1
+    val ref = Seq("a b a c", "a b").toDF("text")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.streamingSurprisalGate(df, ref, maxMeanMillibits = 1000L)
+      .writeStream
+      .format("memory").queryName("surprisal_gate").outputMode("update")
+      .start()
+    try {
+      in.addData((ts(0), 1L, "a b a c"), (ts(1), 2L, "c c"),
+        (ts(2), 3L, "a z"), (ts(3), 4L, "solo"))
+      q.processAllAvailable()
+      val rows = spark.table("surprisal_gate")
+        .select("doc_id", "n_pairs", "bits", "mean_millibits", "keep")
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      // identical to the batch scorer's hand-computed values (OpsSpec)
+      assert(rows == Map(
+        1L -> ((3L, 1L, 333L, true)),     // head: kept
+        2L -> ((1L, 6L, 6000L, false)),   // backoff-priced: dropped
+        3L -> ((1L, 10L, 10000L, false)))) // OOV-priced: dropped
+      // doc 4 has one token: no pairs, no verdict (routed upstream)
+    } finally q.stop()
+  }
+
   test("streaming hll sketch equals the batch registers across a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1370,7 +1370,7 @@ object DomainQueries {
         .select(col("l_suppkey"), col("n").cast("long").as("n"),
           col("total").cast("long").as("total"))
         .orderBy("l_suppkey"))
-  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222
+  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222 :+ q223
 
   // q217's boundary derivation as SQL, per dimension: the q209
   // histogram + CDF walk (global, no source grouping), distinct
@@ -1665,4 +1665,40 @@ object DomainQueries {
               "ELSE 'tail' END").as("band"))
           .orderBy("doc_id")
       })
+
+  /** Small-file compaction audit ([[ops.Layout.compactionPlan]]): the
+    * documents table as a file inventory (one row per file, bytes =
+    * n_chars), packed into ~4 KB merge groups under the deterministic
+    * (bytes, path) contiguous cut; files already at target keep
+    * group_id -1. The report a table owner reads BEFORE paying a
+    * 100 TB rewrite: files-per-group, bytes-per-group. Oracle replays
+    * the prefix-sum cut as one window (the scaffold's semantics, not
+    * its shape).
+    */
+  private lazy val q223: QueryDef =
+    QueryDef("q223_compaction_plan",
+      Some("""
+        WITH f AS (SELECT 'docs/' || CAST(doc_id AS VARCHAR) AS path,
+                          CAST(n_chars AS BIGINT) AS bytes
+                   FROM documents),
+        s AS (SELECT path, bytes,
+                CAST(COALESCE(SUM(bytes) OVER (ORDER BY bytes, path
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM f WHERE bytes < 4096),
+        g AS (SELECT cb // 4096 AS group_id, bytes FROM s
+              UNION ALL
+              SELECT -1 AS group_id, bytes FROM f WHERE bytes >= 4096)
+        SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS bytes
+        FROM g GROUP BY group_id ORDER BY group_id"""),
+      (s, d) => graft.ops.Layout.compactionPlan(
+          Tables.documents(s, d).select(
+            concat(lit("docs/"), col("doc_id").cast("string")).as("path"),
+            col("n_chars").cast("long").as("bytes")),
+          "path", "bytes", targetBytes = 4096L)
+        .groupBy("group_id")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("bytes")).cast("long").as("bytes"))
+        .orderBy("group_id"))
 }

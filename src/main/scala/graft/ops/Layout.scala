@@ -138,6 +138,39 @@ object Layout {
                     rowsPerFile: Long, chunks: Int = 0): DataFrame =
     sortFileStatsReleasable(df, dimCols, rowsPerFile, chunks)._1
 
+  /** SMALL-FILE compaction plan — the Delta/Iceberg OPTIMIZE
+    * bin-packing decision as a deterministic, auditable assignment:
+    * files under `targetBytes` pack into merge groups of ~target size
+    * (group = exclusive prefix-sum of bytes under the (bytes, path)
+    * total order, div target — contiguous cuts, so a group overshoots
+    * by at most one boundary file), files already at or above target
+    * keep `group_id = -1` (left as-is; rewriting them wins nothing).
+    * Returns the input with `group_id` appended — feed it to the
+    * writer as the repartition key, or aggregate it for the
+    * files-per-group / bytes-per-group audit BEFORE paying the
+    * rewrite.
+    *
+    * Scale shape: the inventory is table METADATA (one row per file —
+    * still 1e7+ rows for a 100 TB table of small files, the exact
+    * situation compaction exists to fix), and the global running sum
+    * rides [[Hierarchical.prefixSum]] (range slices + broadcast
+    * offsets, measure = bytes — never a single-task window over the
+    * whole inventory). Same cache-release convention as the other
+    * scaffold users.
+    */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+                     targetBytes: Long, chunks: Int = 0): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val small = files.filter(col(bytesCol) < targetBytes)
+    val (pref, _) = Hierarchical.prefixSum(small,
+      Seq(col(bytesCol), col(pathCol)), Nil, col(bytesCol), "_cb", chunks)
+    val packed = pref
+      .withColumn("group_id", expr(s"_cb div ${targetBytes}L")).drop("_cb")
+    packed.unionByName(
+      files.filter(col(bytesCol) >= targetBytes)
+        .withColumn("group_id", lit(-1L)))
+  }
+
   /** QUANTILE-BUCKET rank encoding for Z-order inputs — the missing
     * half of [[zorderKeyN]]'s contract ("dimension values must already
     * be bucketed/rank-encoded": interleaving RAW skewed values wastes

@@ -2527,6 +2527,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactionPlan packs small files to target and spares big ones") {
+    import spark.implicits._
+    // smalls in (bytes, path) order: cb = 0,1,3,6 -> groups 0,0,0,1
+    val files = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L),
+      ("e", 10L)).toDF("path", "bytes")
+    val out = graft.ops.Layout
+      .compactionPlan(files, "path", "bytes", targetBytes = 5L)
+      .select("path", "group_id").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 1L,
+      "e" -> -1L))
+  }
+
   test("stratifiedQuantileBuckets cuts thirds within each stratum") {
     import spark.implicits._
     // stratum a: 5 rows -> (rk*3) div 5 + 1 = [1,1,2,2,3] in value order

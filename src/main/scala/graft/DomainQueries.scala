@@ -1370,7 +1370,7 @@ object DomainQueries {
         .select(col("l_suppkey"), col("n").cast("long").as("n"),
           col("total").cast("long").as("total"))
         .orderBy("l_suppkey"))
-  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222 :+ q223
+  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222 :+ q223 :+ q224
 
   // q217's boundary derivation as SQL, per dimension: the q209
   // histogram + CDF walk (global, no source grouping), distinct
@@ -1701,4 +1701,52 @@ object DomainQueries {
         .agg(count(lit(1)).cast("long").as("n_files"),
           sum(col("bytes")).cast("long").as("bytes"))
         .orderBy("group_id"))
+
+  /** Histogram drift monitor ([[ops.Sketches.histDistance]]): per
+    * source, the total-variation distance in ppm between the length
+    * distributions of two md5-slot halves of the corpus (the
+    * snapshot-vs-snapshot stand-in; the slot split because raw doc_id
+    * PARITY is perfectly correlated with source in this testdata —
+    * source = doc_id mod 20 — which would leave every source with one
+    * empty half) — distribution drift answered from two 64-row
+    * mergeable summaries, never the corpora. TV instead of KL/PSI
+    * because it is bounded, handles empty buckets as plain share
+    * differences, and needs no `ln` (engine-varying libm). The oracle
+    * replays buckets, floor-ppm shares, and the half-sum.
+    */
+  private lazy val q224: QueryDef =
+    QueryDef("q224_hist_drift",
+      Some(s"""
+        WITH bkt AS (SELECT source,
+                       ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 2 AS half,
+                       CAST(len(list_filter([(1::BIGINT << bb) for bb in range(0, 63)],
+                              p -> p <= n_chars)) AS BIGINT) AS bucket
+                     FROM documents),
+        ha AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS na
+               FROM bkt WHERE half = 0 GROUP BY 1, 2),
+        hb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS nb
+               FROM bkt WHERE half = 1 GROUP BY 1, 2),
+        j AS (SELECT COALESCE(ha.source, hb.source) AS source,
+                     COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+              FROM ha FULL OUTER JOIN hb
+                ON ha.source = hb.source AND ha.bucket = hb.bucket),
+        t AS (SELECT source, na, nb,
+                     SUM(na) OVER (PARTITION BY source) AS ta,
+                     SUM(nb) OVER (PARTITION BY source) AS tb
+              FROM j)
+        SELECT source, CAST(MAX(ta) AS BIGINT) AS n_a,
+               CAST(MAX(tb) AS BIGINT) AS n_b,
+               CAST(SUM(abs((na * 1000000) // ta - (nb * 1000000) // tb)) // 2
+                 AS BIGINT) AS tv_ppm
+        FROM t WHERE ta > 0 AND tb > 0
+        GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        def half(i: Int) = graft.ops.Sketches.histSketch(
+          docs.filter(pmod(graft.Pipeline.wordHash32(
+            col("doc_id").cast("string")), lit(2L)) === i),
+          Seq("source"), "n_chars")
+        graft.ops.Sketches.histDistance(half(0), half(1), Seq("source"))
+          .orderBy("source")
+      })
 }

@@ -480,6 +480,46 @@ object Sketches {
     sketches.groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(sum(col("n")).cast(LongType).as("n"))
 
+  /** TOTAL-VARIATION distance between two per-group histogram sketches
+    * (same bucket recipe), in integer ppm:
+    * `tv_ppm = (sum_b |shareA(b) - shareB(b)|) div 2` with shares as
+    * floor-ppm (`(n_b * 1e6) div N`) — the distribution-DRIFT monitor
+    * the mergeable histograms exist to feed ("did the length / score /
+    * degree distribution move between snapshots or sources"), answered
+    * from two 64-row summaries without touching either corpus. TV is
+    * the natural bounded metric here (0 = identical, 1e6 = disjoint);
+    * KL/PSI need `ln` (engine-varying libm) and diverge on empty
+    * buckets, which TV handles as plain share differences. Groups
+    * present in only one frame are omitted (no distribution to compare
+    * against — surface those with an anti join upstream). Shape: one
+    * group-bucket full-outer join of two bounded frames + two
+    * group-bounded windows (<= 64 rows per partition by construction).
+    * Output: groupCols + (n_a, n_b, tv_ppm).
+    */
+  def histDistance(a: DataFrame, b: DataFrame,
+                   groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ka = a.select((groupCols.map(col) :+ col("bucket") :+
+      col("n").as("_na")): _*)
+    val kb = b.select((groupCols.map(col) :+ col("bucket") :+
+      col("n").as("_nb")): _*)
+    val keys = groupCols :+ "bucket"
+    val g = Window.partitionBy(groupCols.map(col): _*)
+    ka.join(kb, keys, "full_outer")
+      .withColumn("_ta", sum(coalesce(col("_na"), lit(0L))).over(g))
+      .withColumn("_tb", sum(coalesce(col("_nb"), lit(0L))).over(g))
+      // a group entirely absent from one side has total 0 there: drop
+      // (nothing to compare); the filter also guards the div
+      .filter(col("_ta") > 0L && col("_tb") > 0L)
+      .withColumn("_d", expr(
+        """abs((coalesce(_na, 0L) * 1000000L) div _ta
+             - (coalesce(_nb, 0L) * 1000000L) div _tb)"""))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("_ta")).cast(LongType).as("n_a"),
+        max(col("_tb")).cast(LongType).as("n_b"),
+        expr("CAST(sum(_d) div 2 AS BIGINT)").as("tv_ppm"))
+  }
+
   /** Quantile estimates from a histogram: for each requested ppm
     * quantile, the smallest bucket whose cumulative count reaches
     * `ceil(ppm * N / 1e6)` (the standard inverted-CDF reading), with

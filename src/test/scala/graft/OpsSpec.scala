@@ -2527,6 +2527,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("histDistance is floor-ppm total variation over bucket shares") {
+    import spark.implicits._
+    // g1: A {b1:3, b2:1} (shares 750000/250000), B {b1:1, b3:1}
+    // (500000/0/500000) -> sum|d| = 1e6 -> tv 500000
+    // g2: identical histograms -> 0; g3: only in A -> omitted
+    val a = Seq(("g1", 1L, 3L), ("g1", 2L, 1L), ("g2", 4L, 7L),
+      ("g3", 1L, 5L)).toDF("g", "bucket", "n")
+    val b = Seq(("g1", 1L, 1L), ("g1", 3L, 1L), ("g2", 4L, 7L))
+      .toDF("g", "bucket", "n")
+    val out = graft.ops.Sketches.histDistance(a, b, Seq("g"))
+      .select("g", "n_a", "n_b", "tv_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out == Map("g1" -> ((4L, 2L, 500000L)),
+      "g2" -> ((7L, 7L, 0L))))
+  }
+
   test("compactionPlan packs small files to target and spares big ones") {
     import spark.implicits._
     // smalls in (bytes, path) order: cb = 0,1,3,6 -> groups 0,0,0,1

@@ -1429,8 +1429,9 @@ object DomainQueries {
         val v = Tables.lineitem(s, d).select(
           expr("CAST(floor(l_extendedprice) AS BIGINT)").as("x"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("y"))
-        val (bx, _) = graft.ops.Layout.histQuantileBuckets(v, "x", 8)
-        val (bxy, _) = graft.ops.Layout.histQuantileBuckets(bx, "y", 8)
+        // one pass for both dimensions: shared (dim, bucket) sketch job
+        val (bxy, _) = graft.ops.Layout.histQuantileBucketsN(
+          v, Seq("x", "y"), 8)
         graft.ops.Layout.zorderFileStatsN(
             bxy.select(col("x_qb").as("xb"), col("y_qb").as("yb")),
             Seq("xb", "yb"), bits = 3, rowsPerFile = 4096L)

@@ -1370,7 +1370,7 @@ object DomainQueries {
         .select(col("l_suppkey"), col("n").cast("long").as("n"),
           col("total").cast("long").as("total"))
         .orderBy("l_suppkey"))
-  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222 :+ q223 :+ q224
+  ) :+ q217 :+ q218 :+ q219 :+ q221 :+ q222 :+ q223 :+ q224 :+ q225
 
   // q217's boundary derivation as SQL, per dimension: the q209
   // histogram + CDF walk (global, no source grouping), distinct
@@ -1749,5 +1749,64 @@ object DomainQueries {
           Seq("source"), "n_chars")
         graft.ops.Sketches.histDistance(half(0), half(1), Seq("source"))
           .orderBy("source")
+      })
+
+  /** Quality-ranked token-budget mix
+    * ([[ops.Sampling.targetMixTokensByPriority]] fed by
+    * [[ops.TextStats.referenceSurprisal]]): the q188 language token
+    * targets, but each language's quota is spent on its BEST-scoring
+    * documents first (reference-LM surprisal ascending, md5-slot + id
+    * tiebreak) — the actual pretraining-mix recipe: targets hold by
+    * token mass AND the budget goes quality-first within each
+    * stratum. Oracle replays the shared q218 CTEs, the feasible-volume
+    * quota math, and the priority-ordered token window.
+    */
+  private lazy val q225: QueryDef =
+    QueryDef("q225_quality_mix",
+      Some(s"""
+        WITH $RefSurprisalCtes,
+        base AS (SELECT sc.doc_id, d.lang,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                   sc.mean_millibits
+                 FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+        tgt AS (SELECT unnest(['en', 'zh', 'es', 'de', 'fr']) AS lang,
+                       unnest([500000, 150000, 150000, 100000, 100000]) AS ppm),
+        tok AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS toks
+                FROM base GROUP BY lang),
+        tsel AS (SELECT MIN(toks::HUGEINT * 1000000 // ppm) AS t
+                 FROM tok JOIN tgt USING (lang)),
+        qq AS (SELECT lang, CAST(tsel.t * ppm // 1000000 AS BIGINT) AS quota
+               FROM tgt CROSS JOIN tsel),
+        r AS (SELECT doc_id, lang, n_tok, mean_millibits,
+                CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                  ORDER BY mean_millibits,
+                           ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000,
+                           doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tb
+              FROM base)
+        SELECT r.doc_id, r.lang, r.n_tok, r.mean_millibits,
+               r.tb AS tok_before
+        FROM r JOIN qq ON r.lang = qq.lang AND r.tb < qq.quota
+        ORDER BY r.doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2"))
+          .select("text")
+        val base = graft.ops.TextStats
+          .referenceSurprisal(docs, ref, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+            "doc_id")
+          .select("doc_id", "lang", "n_tok", "mean_millibits")
+        graft.ops.Sampling.targetMixTokensByPriority(base, "doc_id",
+            "lang", "n_tok", "mean_millibits",
+            Seq(("en", 500000), ("zh", 150000), ("es", 150000),
+              ("de", 100000), ("fr", 100000)))
+          .select("doc_id", "lang", "n_tok", "mean_millibits",
+            "tok_before")
+          .orderBy("doc_id")
       })
 }

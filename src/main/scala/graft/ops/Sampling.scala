@@ -232,7 +232,34 @@ object Sampling {
   def targetMixTokensReleasable(df: DataFrame, idCol: String,
                                 strataCol: String, tokensCol: String,
                                 targets: Seq[(String, Int)],
-                                chunks: Int = 0): (DataFrame, () => Unit) = {
+                                chunks: Int = 0): (DataFrame, () => Unit) =
+    targetMixTokensCore(df, idCol, strataCol, tokensCol, targets, Nil,
+      chunks)
+
+  /** QUALITY-RANKED token-budget mix: [[targetMixTokensReleasable]]
+    * with the fill order led by `priorityCol` ASCENDING (best first —
+    * pass a surprisal/perplexity-shaped score directly) before the
+    * md5-slot + id tiebreak, so each stratum's token quota goes to its
+    * best-scoring documents instead of a uniform draw — the actual
+    * pretraining-mix recipe: language (or domain) targets hold by
+    * token mass AND the budget inside each stratum is spent
+    * quality-first. Ties within a score still land uniformly (the
+    * slot), so banded scores don't order by id. Same quota math,
+    * scaffold, and release contract as the uniform form.
+    */
+  def targetMixTokensByPriority(df: DataFrame, idCol: String,
+                                strataCol: String, tokensCol: String,
+                                priorityCol: String,
+                                targets: Seq[(String, Int)],
+                                chunks: Int = 0): DataFrame =
+    targetMixTokensCore(df, idCol, strataCol, tokensCol, targets,
+      Seq(col(priorityCol)), chunks)._1
+
+  private def targetMixTokensCore(df: DataFrame, idCol: String,
+                                  strataCol: String, tokensCol: String,
+                                  targets: Seq[(String, Int)],
+                                  sortPrefix: Seq[Column],
+                                  chunks: Int): (DataFrame, () => Unit) = {
     require(targets.nonEmpty, "targets must be non-empty")
     require(targets.map(_._2).forall(_ > 0),
       s"target ppm weights must be positive: $targets")
@@ -260,8 +287,8 @@ object Sampling {
     val (ranked, release) = Hierarchical.prefixSum(
       df.join(broadcast(quotaDf), col(strataCol) === col("_q_stratum"))
         .withColumn("_slot", slot),
-      Seq(col("_slot"), col(idCol)), Seq(strataCol), col(tokensCol),
-      "_tok_before", chunks)
+      sortPrefix ++ Seq(col("_slot"), col(idCol)), Seq(strataCol),
+      col(tokensCol), "_tok_before", chunks)
     val out = ranked.filter(col("_tok_before") < col("_quota"))
       .withColumn("tok_before", col("_tok_before"))
       .drop("_q_stratum", "_quota", "_slot", "_tok_before")

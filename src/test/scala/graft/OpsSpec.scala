@@ -2527,6 +2527,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("targetMixTokensByPriority spends each quota best-first") {
+    import spark.implicits._
+    // toks: a=30, b=20; 50/50 targets -> T = min(60, 40) = 40 ->
+    // quotas 20/20. Stratum a fills by priority asc: id2 (tb 0),
+    // id3 (tb 10); id1 (worst, tb 20) is over quota and drops.
+    val df = Seq((1L, "a", 10L, 5L), (2L, "a", 10L, 1L),
+      (3L, "a", 10L, 3L), (4L, "b", 10L, 1L), (5L, "b", 10L, 2L))
+      .toDF("id", "s", "tok", "prio")
+    val out = graft.ops.Sampling.targetMixTokensByPriority(
+        df, "id", "s", "tok", "prio",
+        Seq(("a", 500000), ("b", 500000)))
+      .select("id", "tok_before").as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 0L, 3L -> 10L, 4L -> 0L, 5L -> 10L))
+  }
+
   test("histDistance is floor-ppm total variation over bucket shares") {
     import spark.implicits._
     // g1: A {b1:3, b2:1} (shares 750000/250000), B {b1:1, b3:1}

@@ -433,6 +433,58 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.unset(GroupedTopK.MaxPartialGroupsKey)
   }
 
+  test("reference-LM scoring shuffles gram keys only on model-sized frames") {
+    // q218's contract: the CORPUS never shuffles on a gram key — the
+    // model probes are broadcasts, and the only corpus exchanges are
+    // doc-keyed. The model BUILD legitimately shuffles on gram keys,
+    // but over the reference frame; structurally, those exchanges
+    // carry no doc id anywhere in their output while every corpus-side
+    // exchange does.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Queries.byName("q218_ref_surprisal").build(spark, sf)
+        .queryExecution.executedPlan
+      // a sort-merge model probe would mean the corpus shuffled on the
+      // join (gram) key
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "q218 model probes must broadcast, not sort-merge")
+      val gramOnly = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter { e =>
+          e.outputPartitioning match {
+            case h: HashPartitioning =>
+              val keys = h.expressions.flatMap(_.collect {
+                case a: Attribute => a.name })
+              keys.nonEmpty && keys.forall(Set("bg", "l", "r", "t"))
+            case _ => false
+          }
+        }
+      gramOnly.foreach { e =>
+        assert(!e.output.exists(_.name.contains("doc_id")),
+          s"corpus-side exchange keyed on a bare gram key:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("trust-rank iterations probe the cached pre-partitioned edges") {
+    // q219's loop contract: the prepared edge frame persists
+    // repartitioned on src, so each of the 5 iterations probes the
+    // cache (an InMemoryTableScan) instead of re-deriving + re-shuffling
+    // the join chain that built the edges
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Queries.byName("q219_trust_rank").build(spark, sf)
+        .queryExecution.executedPlan
+      val ims = plan.collect { case s: InMemoryTableScanExec => s }
+      assert(ims.size >= 5,
+        s"expected >= 5 cached-frame probes (one per iteration), got ${ims.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pruning rule is OR-safe: optional-prefix pattern is untouched") {
     val wh = java.nio.file.Files.createTempDirectory("graft-prune2").toString + "/warehouse"
     val api = new wilayah.Api(spark, wh, "/root/reference/geojson")

@@ -897,6 +897,51 @@ object Streams {
         col("n_pairs"), col("bits"), col("mean_millibits"), col("keep"))
   }
 
+  case class PriSample(group: String, ids: Seq[Long], pris: Seq[Long])
+  case class PriSampleState(ids: Seq[Long], pris: Seq[Long])
+
+  /** Streaming uniform fixed-count sample: [[graft.ops.Sampling
+    * .prioritySample]] (k md5-priority winners per stratum — a uniform
+    * k-sample, since the hash is uniform on ids) maintained ON
+    * ARRIVAL: the priority column is computed scan-side with the
+    * batch recipe VERBATIM, and per-group state keeps the k smallest
+    * (pri, id) pairs — the classic bounded-state reservoir shape, but
+    * deterministic: after any prefix of the stream the sample equals
+    * the batch sample of everything seen (spec-enforced), regardless
+    * of arrival order, restarts, or replays. Emits the whole sample on
+    * change; latest emission per group is current. State: k pairs per
+    * group. The "live uniform audit sample per source" a monitoring
+    * job wants without re-scanning the corpus.
+    */
+  def streamingPrioritySample(docs: DataFrame, idCol: String,
+                              strataCol: String, k: Int)
+      : Dataset[PriSample] = {
+    require(k > 0, s"k must be positive, got $k")
+    import docs.sparkSession.implicits._
+    val slot = pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
+      lit(1000000L))
+    docs.select(col(strataCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        (slot * lit(1099511627776L) + pmod(col(idCol), lit(1099511627776L)))
+          .as("pri"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[PriSampleState]) =>
+          val prior = state.getOption
+            .map(s => s.pris.zip(s.ids)).getOrElse(Seq.empty)
+          val merged = (prior ++ rows.map { case (_, id, pri) =>
+              (pri, id) })
+            .distinct.sorted.take(k)
+          if (merged != prior) {
+            state.update(PriSampleState(merged.map(_._2), merged.map(_._1)))
+            Iterator.single(PriSample(g, merged.map(_._2), merged.map(_._1)))
+          } else Iterator.empty
+      }
+  }
+
   case class HllCell(group: String, bucket: Long, r: Long)
   case class HllCellState(r: Long)
 

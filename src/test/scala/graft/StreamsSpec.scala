@@ -1038,6 +1038,40 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming priority sample equals the batch sample across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-pri-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    def start() = Streams.streamingPrioritySample(
+        in.toDF().toDF("doc_id", "source"), "doc_id", "source", k = 4)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest.put(r.getString(0), r.getSeq[Long](1)))
+      }
+      .outputMode("append").start()
+    val batch1 = (1L to 12L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val batch2 = (13L to 24L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val q1 = start()
+    try { in.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart: a state reset would re-admit evicted high-priority ids
+    val q2 = start()
+    try { in.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
+    val expected = graft.ops.Sampling.prioritySample(
+        (batch1 ++ batch2).toDF("doc_id", "source"), "doc_id", "source",
+        k = 4)
+      .orderBy("source", "pri")
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).toSeq }
+    assert(latest.asScala.toMap == expected,
+      "stream-maintained sample must equal the batch prioritySample")
+  }
+
   test("streaming hll sketch equals the batch registers across a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -897,6 +897,72 @@ object Streams {
         col("n_pairs"), col("bits"), col("mean_millibits"), col("keep"))
   }
 
+  case class HistDrift(group: String, n_seen: Long, tv_ppm: Long)
+  case class HistDriftState(counts: Map[Long, Long])
+
+  /** Streaming distribution-drift alarm: per group, the live
+    * total-variation distance (integer ppm, [[graft.ops.Sketches
+    * .histDistance]]'s exact formula) between the arriving values'
+    * log-bucket histogram and a BASELINE sketch — "alert when today's
+    * length distribution moves off last snapshot's" computed on
+    * arrival, re-emitted whenever a bucket counter changes.
+    *
+    * The baseline is a histogram-sketch frame ((groupCol, bucket, n) —
+    * the q209/q224 shape) and is COLLECTED to the driver: it is a
+    * bounded summary by construction (<= 64 rows per monitored group,
+    * and the monitored dimension — source, domain class, pipeline
+    * stage — is bounded by design; the require makes the contract
+    * loud). Groups with no baseline row are scored against nothing and
+    * emit tv_ppm = -1 (distinct from genuine 0 drift) so a NEW source
+    * appearing mid-stream is visible, not silently dropped. Per-group
+    * state: <= 64 counters.
+    */
+  def streamingHistDrift(values: DataFrame, groupCol: String,
+                         valueCol: String, baseline: DataFrame,
+                         maxBaselineRows: Int = 100000)
+      : Dataset[HistDrift] = {
+    import values.sparkSession.implicits._
+    val base = baseline
+      .select(col(groupCol).cast("string"), col("bucket"), col("n"))
+      .collect()
+    require(base.length <= maxBaselineRows,
+      s"baseline has ${base.length} rows (> $maxBaselineRows): not a " +
+        "bounded summary — sketch it per group first")
+    val baseByGroup: Map[String, Map[Long, Long]] = base
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        graft.ops.Sketches.histBucket(valueCol).as("b"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)],
+         state: GroupState[HistDriftState]) =>
+          val prior = state.getOption.map(_.counts).getOrElse(Map.empty)
+          val cur = rows.foldLeft(prior) { case (acc, (_, b)) =>
+            acc.updated(b, acc.getOrElse(b, 0L) + 1L) }
+          if (cur == prior) Iterator.empty
+          else {
+            state.update(HistDriftState(cur))
+            val nSeen = cur.values.sum
+            val tv = baseByGroup.get(g) match {
+              case None => -1L
+              case Some(bl) =>
+                val tb = bl.values.sum
+                val buckets = (cur.keySet ++ bl.keySet).toSeq
+                buckets.map { b =>
+                  math.abs(cur.getOrElse(b, 0L) * 1000000L / nSeen -
+                    bl.getOrElse(b, 0L) * 1000000L / tb)
+                }.sum / 2
+            }
+            Iterator.single(HistDrift(g, nSeen, tv))
+          }
+      }
+  }
+
   case class PriSample(group: String, ids: Seq[Long], pris: Seq[Long])
   case class PriSampleState(ids: Seq[Long], pris: Seq[Long])
 

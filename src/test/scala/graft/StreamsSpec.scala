@@ -1038,6 +1038,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hist drift scores live TV against the baseline sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline a: values [1,1,5] -> buckets {1:2, 3:1}, total 3
+    val baseline = graft.ops.Sketches.histSketch(
+      Seq(("a", 1L), ("a", 1L), ("a", 5L)).toDF("g", "v"), Seq("g"), "v")
+    val in = MemoryStream[(String, Long)]
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val q = Streams.streamingHistDrift(
+        in.toDF().toDF("g", "v"), "g", "v", baseline)
+      .toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest.put(r.getString(0), (r.getLong(1), r.getLong(2))))
+      }
+      .outputMode("append").start()
+    try {
+      // a: [1, 9] -> {1:1, 4:1}, n=2. TV = (|500000-666666| +
+      // |0-333333| + |500000-0|) div 2 = 999999 div 2 = 499999.
+      // b has NO baseline row -> tv_ppm = -1, not silent
+      in.addData(("a", 1L), ("a", 9L), ("b", 1L))
+      q.processAllAvailable()
+      assert(latest.asScala.toMap ==
+        Map("a" -> ((2L, 499999L)), "b" -> ((1L, -1L))))
+      // batch cross-check: the same TV from the batch operator
+      val cur = graft.ops.Sketches.histSketch(
+        Seq(("a", 1L), ("a", 9L)).toDF("g", "v"), Seq("g"), "v")
+      val batchTv = graft.ops.Sketches
+        .histDistance(cur, baseline, Seq("g"))
+        .select("tv_ppm").as[Long].head()
+      assert(batchTv == 499999L)
+    } finally q.stop()
+  }
+
   test("streaming priority sample equals the batch sample across a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -165,20 +165,48 @@ object Scale100Gen {
   val Out = "/root/repo/target/sf100-bench"
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("32", "scale100-gen")
-    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
-    docs
-      .select(explode(expr("sequence(0, 999)")).as("rep"),
-        col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
-      .select(
-        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          x => concat(x, lit("_r"), col("rep").cast("string"))), " ")
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
-    println("wrote sf100 documents")
+    val sf = "/root/testdata/sf0.1"
+    def want(n: String) = args.isEmpty || args.contains(n)
+    if (want("documents")) {
+      Tables.documents(spark, sf)
+        .select(explode(expr("sequence(0, 999)")).as("rep"),
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .select(
+          (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            x => concat(x, lit("_r"), col("rep").cast("string"))), " ")
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+      println("wrote sf100 documents")
+    }
+    // trade tables at 1000x for the THIRD graph-family decade
+    // (q219/q125 class): keys shifted per replica like Scale10Gen,
+    // l_suppkey deliberately UNSHIFTED — 1000x supplier degree, the
+    // adversarial hub-skew shape at its deepest measured point
+    val off = 100000000L
+    if (want("lineitem")) {
+      Tables.lineitem(spark, sf)
+        .select(col("*"), explode(expr("sequence(0, 999)")).as("rep"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * off)
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * off)
+        .drop("rep")
+        .repartition(128)
+        .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+      println("wrote sf100 lineitem")
+    }
+    if (want("orders")) {
+      Tables.orders(spark, sf)
+        .select(col("*"), explode(expr("sequence(0, 999)")).as("rep"))
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * off)
+        .withColumn("o_custkey", col("o_custkey") + col("rep") * off)
+        .drop("rep")
+        .repartition(128)
+        .write.mode("overwrite").parquet(s"$Out/orders.parquet")
+      println("wrote sf100 orders")
+    }
     spark.stop()
   }
 }

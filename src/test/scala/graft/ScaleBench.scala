@@ -185,20 +185,24 @@ object Scale100Gen {
     // trade tables at 1000x for the THIRD graph-family decade
     // (q219/q125 class): keys shifted per replica like Scale10Gen,
     // l_suppkey deliberately UNSHIFTED — 1000x supplier degree, the
-    // adversarial hub-skew shape at its deepest measured point
+    // adversarial hub-skew shape at its deepest measured point.
+    // JOIN-KEY COLUMNS ONLY: the graph queries read nothing else
+    // (pruning makes the scan identical), and the full-width tables at
+    // 1000x (14 GB lineitem) left too little scratch for the sweep's
+    // shuffle spill on this box — the first attempt died on disk, not
+    // memory
     val off = 100000000L
     if (want("lineitem")) {
-      Tables.lineitem(spark, sf)
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
         .select(col("*"), explode(expr("sequence(0, 999)")).as("rep"))
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * off)
-        .withColumn("l_partkey", col("l_partkey") + col("rep") * off)
         .drop("rep")
         .repartition(128)
         .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
       println("wrote sf100 lineitem")
     }
     if (want("orders")) {
-      Tables.orders(spark, sf)
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
         .select(col("*"), explode(expr("sequence(0, 999)")).as("rep"))
         .withColumn("o_orderkey", col("o_orderkey") + col("rep") * off)
         .withColumn("o_custkey", col("o_custkey") + col("rep") * off)

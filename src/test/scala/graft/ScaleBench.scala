@@ -234,8 +234,18 @@ object Scale10Chain {
     for (dir <- dirs) {
       for (n <- names) {
         run(n, dir)
+        // shuffle files release only when the ContextCleaner sees
+        // their ShuffleDependency GC'd — a 64 GB heap defers that
+        // ~indefinitely, so big-input passes ACCUMULATE ~20 GB of
+        // spill each and exhausted the box twice (q219 sf100,
+        // PLANS.md round 12). A GC hint BETWEEN passes bounds scratch
+        // at ~one pass's spill; it runs outside the timed window.
+        System.gc(); Thread.sleep(2000)
         val xs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); run(n, dir); (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime(); run(n, dir)
+          val t = (System.nanoTime() - t0) / 1e9
+          System.gc(); Thread.sleep(2000)
+          t
         }.sorted
         println(f"""{"dir":"$dir","query":"$n","median_sec":${xs(1)}%.2f,"passes":[${xs.map(x => f"$x%.2f").mkString(",")}]}""")
         spark.catalog.clearCache()

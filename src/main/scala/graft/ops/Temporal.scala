@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) and point-in-time (PIT)
+  * temporal operators — the warehouse-side surface the reference's
+  * last-writer-wins MERGE (`server.js:368-375`, re-expressed as the
+  * q18 LWW window) stops short of: instead of keeping only the latest
+  * version of a key, keep EVERY version as a validity interval and
+  * answer "what was the state of key K at time T" joins.
+  *
+  * Scale shape: both builders are per-key windows — each key's change
+  * history sorts within one task, keys spread hash-uniformly across
+  * the shuffle. That is the standard (and correct) distribution for
+  * dimension builds: a dimension key's history is bounded by its
+  * change RATE, not by corpus size, so the per-task slice stays small
+  * at 100 TB fact volume. The PIT join is an EQUI-join on the key with
+  * the interval containment as a residual filter — SortMergeJoin /
+  * broadcast on the dimension side, never a range-only
+  * BroadcastNestedLoopJoin.
+  */
+object Temporal {
+
+  /** Compress an append-only change log into SCD2 validity intervals.
+    *
+    * Rows of `log` are (keys..., state, ts, tie); consecutive rows of
+    * a key with the SAME state collapse into one version (null-safe:
+    * a run of null states is one version). Output: keys..., `state`,
+    * `valid_from` (first ts of the run), `valid_to` (start of the next
+    * run, null for the open current version), `version` (1-based per
+    * key), `is_current`.
+    *
+    * `tieCol` must make (ts, tie) unique per key — determinism of the
+    * interval boundaries under equal timestamps is the caller's
+    * contract (the oracle replays the same order). The tie column is
+    * consumed and dropped from the output.
+    */
+  def scd2(log: DataFrame, keys: Seq[String], stateCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val changes = log
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      // null-safe change detection, with an explicit first-row marker:
+      // lag() returns null on the first row, so a key whose history
+      // STARTS with a null-state run would otherwise look like "no
+      // change" under <=> and lose its first version
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(stateCol)))
+      .drop("_prev", "_rn")
+    // the change rows keep (ts, tie) uniqueness, so the same order key
+    // is valid for the version window
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumnRenamed(tsCol, "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tieCol)
+  }
+
+  /** Point-in-time join: each fact row picks the dimension version
+    * whose [valid_from, valid_to) interval contains `factTsCol`
+    * (left join — facts before the key's first version keep null
+    * dimension columns). `dim` is an [[scd2]] output (or anything with
+    * `valid_from`/`valid_to`); intervals must partition time per key,
+    * which makes the match unique by construction.
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame,
+                  keys: Seq[String], factTsCol: String): DataFrame = {
+    val d = dim.columns.foldLeft(dim)((df, c) => df.withColumnRenamed(c, s"_d_$c"))
+    val keyCond = keys.map(k => facts(k) === d(s"_d_$k")).reduce(_ && _)
+    val cond = keyCond &&
+      d("_d_valid_from") <= facts(factTsCol) &&
+      (d("_d_valid_to").isNull || facts(factTsCol) < d("_d_valid_to"))
+    val joined = facts.join(d, cond, "left")
+    // strip the rename prefix, dropping the duplicated key columns
+    dim.columns.foldLeft(joined) { (df, c) =>
+      if (keys.contains(c)) df.drop(s"_d_$c")
+      else df.withColumnRenamed(s"_d_$c", c)
+    }
+  }
+
+  /** Merge a late-arriving batch of PARTIAL aggregates into a stored
+    * rollup without rescanning the base corpus: both sides carry the
+    * mergeable state (count + exact decimal sum per group), the merge
+    * is a re-aggregation of their union. At warehouse scale the stored
+    * side is dimension-sized (groups, not rows) and the late side is
+    * the delta — the cost of keeping a 100 TB rollup current is
+    * proportional to the groups the late data TOUCHES, never to the
+    * corpus. Inputs and output share the schema
+    * (groupCols..., n, sum_value); derived means are computed by the
+    * reader, keeping the stored state algebraic.
+    */
+  def mergeRollup(stored: DataFrame, late: DataFrame,
+                  groupCols: Seq[String]): DataFrame =
+    stored.unionByName(late)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_value")).cast(StateDecimal).as("sum_value"))
+
+  /** The rollup state's sum type is pinned so chained merges keep a
+    * FIXED schema (Spark widens a decimal sum's precision by 10 per
+    * aggregation — unpinned, every merge generation would drift). */
+  private val StateDecimal = org.apache.spark.sql.types.DecimalType(35, 6)
+
+  /** The partial-aggregate builder both rollup sides share: group
+    * counts + order-independent exact sums (decimal, the house
+    * float-determinism policy). */
+  def rollupState(rows: DataFrame, groupCols: Seq[String],
+                  valueCol: String): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast(StateDecimal).as("sum_value"))
+}

@@ -2712,4 +2712,76 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1L, true)), 2L -> ((1L, true)),
       3L -> ((0L, false)), 4L -> ((2L, true))))
   }
+
+  test("scd2 compresses state runs into validity intervals (null-safe)") {
+    import spark.implicits._
+    // key 1: a-a-b-a (run compression + re-entry = new version);
+    // key 2: null-null-x (null run is ONE version, null-safe compare);
+    // key 3: single event (one open version)
+    val log = Seq(
+      (1L, Some("a"), 10L, 1L), (1L, Some("a"), 20L, 2L),
+      (1L, Some("b"), 30L, 3L), (1L, Some("a"), 40L, 4L),
+      (2L, None, 10L, 5L), (2L, None, 20L, 6L), (2L, Some("x"), 30L, 7L),
+      (3L, Some("z"), 99L, 8L)
+    ).toDF("k", "state", "ts", "id")
+    val got = graft.ops.Temporal.scd2(log, Seq("k"), "state", "ts", "id")
+      .select("k", "version", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 1L, Some("a"), 10L, Some(30L), false),
+      (1L, 2L, Some("b"), 30L, Some(40L), false),
+      (1L, 3L, Some("a"), 40L, None, true),
+      (2L, 1L, None, 10L, Some(30L), false),
+      (2L, 2L, Some("x"), 30L, None, true),
+      (3L, 1L, Some("z"), 99L, None, true)))
+  }
+
+  test("pointInTime picks the containing version; pre-first facts keep null") {
+    import spark.implicits._
+    val dim = graft.ops.Temporal.scd2(
+      Seq((1L, "bronze", 10L, 1L), (1L, "gold", 30L, 2L))
+        .toDF("k", "tier", "ts", "id"),
+      Seq("k"), "tier", "ts", "id")
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 29L), (1L, 30L), (1L, 99L),
+      (2L, 50L)).toDF("k", "fts")
+    val got = graft.ops.Temporal.pointInTime(facts, dim, Seq("k"), "fts")
+      .select("k", "fts", "tier")
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, 5L) -> None,               // before the first version
+      (1L, 10L) -> Some("bronze"),    // valid_from inclusive
+      (1L, 29L) -> Some("bronze"),
+      (1L, 30L) -> Some("gold"),      // valid_to exclusive
+      (1L, 99L) -> Some("gold"),      // open current version
+      (2L, 50L) -> None))             // key with no dimension history
+    // intervals partition time -> the left join cannot duplicate facts
+    assert(graft.ops.Temporal.pointInTime(facts, dim, Seq("k"), "fts")
+      .count() == facts.count())
+  }
+
+  test("rollup merge equals the full recount and keeps a fixed state schema") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 7}", i.toDouble / 3.0, i.toLong)).toDF("g", "v", "id")
+    def st(p: org.apache.spark.sql.Column) = graft.ops.Temporal.rollupState(
+      rows.filter(p), Seq("g"), "v")
+    val merged = graft.ops.Temporal.mergeRollup(
+      st(col("id") % 3 =!= 0), st(col("id") % 3 === 0), Seq("g"))
+    // chained merge (a later late batch) must NOT drift the sum type —
+    // Spark widens decimal sums by 10 digits per aggregation unpinned
+    val again = graft.ops.Temporal.mergeRollup(merged,
+      st(col("id") < 0), Seq("g"))
+    assert(again.schema("sum_value").dataType ==
+      merged.schema("sum_value").dataType)
+    val full = graft.ops.Temporal.rollupState(rows, Seq("g"), "v")
+      .select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val got = again.select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == full) // decimal state: merge is EXACT, not approximate
+  }
 }

@@ -161,5 +161,96 @@ object WarehouseQueries {
           .orderBy("day", "event_type")
       })
 
-  val all: Seq[QueryDef] = Seq(q226, q227, q228)
+  /** k-anonymity audit ([[ops.Redact.kAnonymity]]): events rows under
+    * the quasi-identifier (event_type, day, value-band) — the tuple a
+    * linkage adversary could match against an external log — reported
+    * per event_type: rows, equivalence classes, and the classes/rows
+    * smaller than k=5 a release would re-identify. Two bounded
+    * aggregations (classes ≤ rows, report is type-sized); a hot QI
+    * tuple is a COUNT, not a buffer, so the audit is one shuffle at
+    * any corpus size. Value banding is floor(value/10) — IEEE double
+    * division + floor, identical in both engines.
+    */
+  private lazy val q229: QueryDef =
+    QueryDef("q229_k_anonymity",
+      Some("""
+        WITH q AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(FLOOR(value / 10) AS BIGINT) AS band
+                   FROM events),
+        c AS (SELECT event_type, day, band, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM q GROUP BY 1, 2, 3)
+        SELECT event_type, CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS risk_classes,
+               CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                 AS risk_rows,
+               CAST(MIN(sz) AS BIGINT) AS min_class
+        FROM c GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => graft.ops.Redact.kAnonymity(
+          events(s, d).select(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            floor(col("value") / 10).cast("long").as("band")),
+          Seq("event_type", "day", "band"), Seq("event_type"), k = 5L)
+        .orderBy("event_type"))
+
+  /** Peak-concurrency profile ([[ops.Events.concurrency]]): q54's
+    * 5-minute-gap sessions swept as half-open [start, end+1µs)
+    * intervals — +1/-1 boundary points, running delta sum in
+    * (t, delta, user, session) order (ends before starts at an equal
+    * instant), max per day. The running sum rides the hierarchical
+    * prefix-sum scaffold, never a single-task global window — the
+    * sweep that still works when the event log is 100 TB. Oracle
+    * replays sessions, points, and the one-window running sum.
+    */
+  private lazy val q230: QueryDef =
+    QueryDef("q230_concurrency_profile",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        g AS (SELECT user_id, event_id, tus,
+                CASE WHEN tus - LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > 300000000 THEN 1 ELSE 0 END
+                  AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (SELECT user_id, tus,
+                SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+        sess AS (SELECT user_id, sid, MIN(tus) AS start_us,
+                        MAX(tus) + 1 AS end_x
+                 FROM s GROUP BY user_id, sid),
+        pts AS (SELECT start_us AS t, CAST(1 AS BIGINT) AS delta, user_id, sid
+                FROM sess
+                UNION ALL
+                SELECT end_x, CAST(-1 AS BIGINT), user_id, sid FROM sess),
+        c AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id, sid
+                ROWS UNBOUNDED PRECEDING) AS conc
+              FROM pts)
+        SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+               CAST(MAX(conc) AS BIGINT) AS max_concurrency
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gap = col("tus") - lag("tus", 1).over(w)
+        val sess = events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("tus"))
+          .withColumn("new_session",
+            when(gap.isNull || gap > 300000000L, 1).otherwise(0))
+          .withColumn("sid", sum("new_session").over(cum).cast("long"))
+          .groupBy("user_id", "sid")
+          .agg(min("tus").as("start_us"), (max("tus") + 1).as("end_x"))
+        graft.ops.Events.concurrency(sess, "start_us", "end_x",
+            Seq("user_id", "sid"))
+          .select(date_format(timestamp_micros(col("t")), "yyyy-MM-dd")
+            .as("day"), col("concurrency"))
+          .groupBy("day")
+          .agg(max("concurrency").cast("long").as("max_concurrency"))
+          .orderBy("day")
+      })
+
+  val all: Seq[QueryDef] = Seq(q226, q227, q228, q229, q230)
 }

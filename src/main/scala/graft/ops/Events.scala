@@ -175,4 +175,43 @@ object Events {
       .drop("_mt")
       .withColumn("burst", expr(s"n * 1000000L >= ${factorPpm}L * med"))
   }
+
+  /** Sweep-line concurrency over HALF-OPEN intervals [start, end):
+    * each interval contributes a +1 point at `startCol` and a -1 point
+    * at `endCol` (exclusive — callers with inclusive last-instant
+    * intervals pass end+1); the running sum of deltas in
+    * (t, delta, tie...) order is the number of concurrently open
+    * intervals after each boundary. Ends sort before starts at an
+    * equal instant (delta -1 < +1), so back-to-back intervals never
+    * count as overlapping, and because every interval's start strictly
+    * precedes its end point in that order, the running count never
+    * goes negative.
+    *
+    * The global running sum rides [[Hierarchical.prefixSum]] — range
+    * slices + broadcast offsets, never a single-task global window
+    * (the WindowExec trap every naive sweep-line hits at scale).
+    * `tieCols` must make (t, delta, tie...) unique — determinism of
+    * the point order is the oracle contract. Output: the boundary
+    * points with `t`, `delta`, tie columns, and `concurrency` (the
+    * count in effect FROM this point until the next).
+    */
+  def concurrencyReleasable(intervals: DataFrame, startCol: String,
+                            endCol: String, tieCols: Seq[String],
+                            chunks: Int = 0): (DataFrame, () => Unit) = {
+    val ties = tieCols.map(col)
+    val pts = intervals
+      .select((col(startCol).as("t") +: lit(1L).as("delta") +: ties): _*)
+      .unionByName(intervals
+        .select((col(endCol).as("t") +: lit(-1L).as("delta") +: ties): _*))
+    val sort = col("t") +: col("delta") +: ties
+    val (pref, release) = Hierarchical.prefixSum(
+      pts, sort, Nil, col("delta"), "_before", chunks)
+    (pref.withColumn("concurrency", col("_before") + col("delta"))
+      .drop("_before"), release)
+  }
+
+  /** Handle-less [[concurrencyReleasable]] for one-shot jobs. */
+  def concurrency(intervals: DataFrame, startCol: String, endCol: String,
+                  tieCols: Seq[String], chunks: Int = 0): DataFrame =
+    concurrencyReleasable(intervals, startCol, endCol, tieCols, chunks)._1
 }

@@ -135,4 +135,36 @@ object Redact {
           " AS BIGINT)").as("n_hits"))
       .withColumn("flagged", org.apache.spark.sql.functions.col("n_hits") > 0L)
   }
+
+  /** k-anonymity audit: group rows by their quasi-identifier tuple
+    * (`qiCols` — the columns an adversary could link on), then report
+    * per `reportCols` (a prefix of the QI the reader slices by) how
+    * much of the data sits in equivalence classes smaller than `k` —
+    * the rows a release would re-identify. Two bounded aggregations:
+    * classes ≤ rows, and the report is reportCols-sized; nothing
+    * holds a per-class state beyond a count, so the audit is one
+    * shuffle on the QI tuple at any corpus size (skewed QI tuples are
+    * FINE here — a hot class is a count, not a buffer).
+    *
+    * Output per report group: n_rows, n_classes, risk_classes (size
+    * < k), risk_rows, min_class (the worst class).
+    */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame, qiCols: Seq[String],
+                 reportCols: Seq[String], k: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"k < 2 makes every class safe by definition, got $k")
+    require(reportCols.forall(qiCols.contains),
+      s"reportCols must be a subset of qiCols ($reportCols vs $qiCols)")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("_sz"))
+    classes.groupBy(reportCols.map(col): _*)
+      .agg(
+        sum(col("_sz")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_classes"),
+        sum(when(col("_sz") < k, 1L).otherwise(0L)).cast("long")
+          .as("risk_classes"),
+        sum(when(col("_sz") < k, col("_sz")).otherwise(0L)).cast("long")
+          .as("risk_rows"),
+        min(col("_sz")).cast("long").as("min_class"))
+  }
 }

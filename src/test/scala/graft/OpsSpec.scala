@@ -2784,4 +2784,44 @@ class OpsSpec extends AnyFunSuite {
       .toMap
     assert(got == full) // decimal state: merge is EXACT, not approximate
   }
+
+  test("sweep-line concurrency: overlap counts, back-to-back does not") {
+    import spark.implicits._
+    // a/b overlap on [5,10); c starts exactly where b ends (no overlap);
+    // d is a 1-tick interval inside nothing
+    val iv = Seq(("a", 0L, 10L), ("b", 5L, 15L), ("c", 15L, 20L),
+      ("d", 50L, 51L)).toDF("id", "lo", "hi")
+    val got = graft.ops.Events.concurrency(iv, "lo", "hi", Seq("id"))
+      .select("t", "delta", "concurrency")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L),    // a opens
+      (5L, 1L, 2L),    // b opens: overlap
+      (10L, -1L, 1L),  // a closes
+      (15L, -1L, 0L),  // b closes BEFORE c opens at the same instant
+      (15L, 1L, 1L),   // c opens: never concurrent with b
+      (20L, -1L, 0L),
+      (50L, 1L, 1L),
+      (51L, -1L, 0L)))
+    assert(got.forall(_._3 >= 0L)) // the order makes negatives impossible
+  }
+
+  test("kAnonymity counts risk classes and rows below k") {
+    import spark.implicits._
+    // QI (g, band): class (x,1) has 3 rows, (x,2) has 1, (y,1) has 5
+    val rows = (Seq.fill(3)(("x", 1L)) ++ Seq(("x", 2L)) ++
+      Seq.fill(5)(("y", 1L))).toDF("g", "band")
+    val got = graft.ops.Redact.kAnonymity(rows, Seq("g", "band"),
+        Seq("g"), k = 5L)
+      .select("g", "n_rows", "n_classes", "risk_classes", "risk_rows",
+        "min_class")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      "x" -> ((4L, 2L, 2L, 4L, 1L)),   // both classes below k=5
+      "y" -> ((5L, 1L, 0L, 0L, 5L))))  // exactly k is safe
+    intercept[IllegalArgumentException] {
+      graft.ops.Redact.kAnonymity(rows, Seq("g"), Seq("band"), 5L)
+    }
+  }
 }

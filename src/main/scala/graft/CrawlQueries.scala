@@ -1075,6 +1075,62 @@ object CrawlQueries {
         graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 3)
           .select(col("node").as("host"), col("pr"))
           .orderBy("host")
+      }),
+
+    // Per-host triangle counts ([[ops.Graph.triangleCounts]]) over the
+    // q172 outlink host graph read undirected — the local clustering
+    // signal link-farm screens key on (spam rings are triangle-dense).
+    // Degree-ordered orientation bounds every wedge fan-out by
+    // O(sqrt(E)) regardless of hub degree, so the enumeration cannot
+    // go quadratic on the hub host; each triangle counts exactly once
+    // at its lowest-ordered vertex. The oracle replays the edge
+    // extraction, the orientation, the wedge join, and the closure.
+    QueryDef("q231_host_triangles",
+      Some(s"""
+        WITH u AS (SELECT doc_id, source, $SynthUrlSql AS url,
+                          $LinkHtmlSql AS html
+                   FROM documents),
+        x AS (SELECT $HostSql AS src, unnest(regexp_extract_all(html,
+                '${graft.ops.Web.sqlPatternLit(graft.ops.Web.HrefRegex)}', 1)) AS href
+              FROM u),
+        r AS (SELECT src,
+                CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN lower(regexp_extract(href, '${graft.ops.Web.HostRegex}', 1))
+                     ELSE src END AS dst
+              FROM x),
+        e AS (SELECT DISTINCT src, dst FROM r
+              WHERE src <> '' AND dst <> '' AND src <> dst),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        o AS (SELECT CASE WHEN af THEN a ELSE b END AS u,
+                     CASE WHEN af THEN b ELSE a END AS v,
+                     CASE WHEN af THEN db ELSE da END AS dv
+              FROM (SELECT und.a, und.b, x.deg AS da, y.deg AS db,
+                      (x.deg < y.deg OR (x.deg = y.deg AND und.a < und.b)) AS af
+                    FROM und JOIN deg x ON und.a = x.node
+                             JOIN deg y ON und.b = y.node)),
+        wdg AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+                FROM o o1 JOIN o o2 ON o1.u = o2.u
+                WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        tri AS (SELECT wdg.u, wdg.v1, wdg.v2
+                FROM wdg JOIN o ON o.u = wdg.v1 AND o.v = wdg.v2),
+        nn AS (SELECT u AS node FROM tri
+               UNION ALL SELECT v1 FROM tri
+               UNION ALL SELECT v2 FROM tri)
+        SELECT node AS host, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM nn GROUP BY node ORDER BY host"""),
+      (s, d) => {
+        val pages = spread(documents(s, d))
+          .withColumn("url", expr(SynthUrlSql))
+          .withColumn("html", expr(LinkHtmlSql))
+        graft.ops.Graph.triangleCounts(
+            graft.ops.Web.outlinkHostEdges(pages, "url", "html"))
+          .select(col("node").as("host"), col("n_tri"))
+          .orderBy("host")
       })
   )
 }

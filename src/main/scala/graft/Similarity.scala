@@ -120,6 +120,63 @@ object Similarity {
     graft.plans.GroupedTopK.perKey(scored, Seq("anchor_id"), "cosine", k)
   }
 
+  /** Matryoshka prefix-dimension retrieval audit: for a SAMPLE of
+    * query vectors, compare exact cosine top-k under the FULL
+    * dimensionality against top-k under only the first `prefixDims`
+    * coordinates — the measurement that decides whether an MRL-style
+    * truncated index (store/search d'=16, re-rank survivors at d=64)
+    * is safe for a corpus: per-query overlap of the two top-k sets.
+    *
+    * Exact-by-design: this is the AUDIT that calibrates the
+    * approximate path, so it brute-forces sample × corpus (the sample
+    * is tens-to-hundreds of queries — broadcast; the corpus side
+    * streams through the fused native cosine twice per pair, one
+    * scoring pass shared by both rankings via the persisted frame).
+    * At 100 TB you run it on a corpus slice — the audit's validity
+    * comes from the query sample, not from scanning every vector.
+    *
+    * Output per query: n_common (|topk_full ∩ topk_prefix|) and
+    * recall_ppm = n_common * 1e6 div k. Ties at the k boundary break
+    * by score only (GroupedTopK heap) — same contract as [[knnJoin]].
+    */
+  def prefixRecallReleasable(df: DataFrame, idCol: String, vecCol: String,
+                             queryPred: Column, prefixDims: Int,
+                             k: Int = 5): (DataFrame, () => Unit) = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    val corpus = df.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("_v"))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("_qv"), col("_v")).as("_cos_full"),
+        cosineSim(slice(col("_qv"), 1, prefixDims),
+          slice(col("_v"), 1, prefixDims)).as("_cos_pre"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def top(orderCol: String) = graft.plans.GroupedTopK
+      .perKey(scored, Seq("query_id"), orderCol, k)
+      .select("query_id", "corpus_id")
+    val common = top("_cos_full").intersect(top("_cos_pre"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    // left join from the query list: a query whose sets are DISJOINT
+    // must still report 0, not vanish
+    val out = q.select(col("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("recall_ppm",
+        expr(s"n_common * 1000000L div ${k.toLong}L"))
+    (out, () => { scored.unpersist(); () })
+  }
+
+  /** Handle-less [[prefixRecallReleasable]] for one-shot jobs. */
+  def prefixRecall(df: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, prefixDims: Int,
+                   k: Int = 5): DataFrame =
+    prefixRecallReleasable(df, idCol, vecCol, queryPred, prefixDims, k)._1
+
   /** Farthest-point (k-center greedy) diversity sample: starting from
     * `seedId`, repeatedly pick the vector with the SMALLEST maximum
     * cosine to any already-selected center — the classic 2-approximate

@@ -252,5 +252,112 @@ object WarehouseQueries {
           .orderBy("day")
       })
 
-  val all: Seq[QueryDef] = Seq(q226, q227, q228, q229, q230)
+  /** Blocked Fellegi–Sunter record linkage ([[ops.Linkage
+    * .fellegiSunter]]): customers × suppliers blocked on
+    * (nation, balance band) — the blocking bounds pair volume exactly
+    * like an LSH band join — scored by three integer milli-log-odds
+    * field rules (balance proximity, key-suffix congruence, balance
+    * sign), banded match/possible/non_match at 2500/500. Output is the
+    * band census a linkage review reads first. All-integer scores:
+    * order-independent, engine-exact.
+    */
+  private lazy val q232: QueryDef =
+    QueryDef("q232_linkage_scores",
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nation,
+                     CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bal_band,
+                     c_custkey, c_acctbal
+                   FROM customer),
+        sup AS (SELECT s_nationkey AS nation,
+                  CAST(FLOOR(s_acctbal / 500) AS BIGINT) AS bal_band,
+                  s_suppkey, s_acctbal
+                FROM supplier),
+        p AS (SELECT CAST(
+                (CASE WHEN abs(c_acctbal - s_acctbal) < 50 THEN 2000 ELSE -700 END)
+              + (CASE WHEN c_custkey % 10 = s_suppkey % 10 THEN 1500 ELSE -500 END)
+              + (CASE WHEN (c_acctbal >= 0) = (s_acctbal >= 0) THEN 400 ELSE -400 END)
+                AS BIGINT) AS score
+              FROM c JOIN sup ON c.nation = sup.nation
+                             AND c.bal_band = sup.bal_band)
+        SELECT CASE WHEN score >= 2500 THEN 'match'
+                    WHEN score >= 500 THEN 'possible'
+                    ELSE 'non_match' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MIN(score) AS min_score, MAX(score) AS max_score
+        FROM p GROUP BY 1 ORDER BY 1"""),
+      (s, d) => {
+        def side(df: DataFrame, nk: String, bal: String) = df
+          .withColumn("nation", col(nk))
+          .withColumn("bal_band", floor(col(bal) / 500).cast("long"))
+        val cust = side(customer(s, d), "c_nationkey", "c_acctbal")
+          .select("nation", "bal_band", "c_custkey", "c_acctbal")
+        val supp = side(supplier(s, d), "s_nationkey", "s_acctbal")
+          .select("nation", "bal_band", "s_suppkey", "s_acctbal")
+        import graft.ops.Linkage.FieldRule
+        graft.ops.Linkage.fellegiSunter(cust, supp,
+            Seq("nation", "bal_band"),
+            Seq(
+              FieldRule(abs(col("c_acctbal") - col("s_acctbal")) < 50,
+                2000L, -700L),
+              FieldRule(col("c_custkey") % 10 === col("s_suppkey") % 10,
+                1500L, -500L),
+              FieldRule((col("c_acctbal") >= 0) === (col("s_acctbal") >= 0),
+                400L, -400L)),
+            upper = 2500L, lower = 500L)
+          .groupBy("band")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            min("score").as("min_score"), max("score").as("max_score"))
+          .orderBy("band")
+      })
+
+  // DuckDB cosine over DOUBLE[] slices [1, dims]: left-fold dot
+  // products (0.0 seed) — the same fold order as the fused native
+  // kernel, so results are bit-identical (see PipelineQueries.cosSql).
+  private def dotSql(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String, dims: Int): String =
+    s"${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
+
+  /** Matryoshka prefix-dimension retrieval audit
+    * ([[Similarity.prefixRecall]]): for the vec_id % 10 = 0 query
+    * sample, exact cosine top-5 under all 64 dims vs top-5 under the
+    * first 16 — the per-query overlap that decides whether a
+    * truncated-dimension index with full-dim re-rank is safe. The
+    * oracle replays both rankings as windows with the id tiebreak;
+    * the engine's bounded heaps agree because this corpus has no
+    * score ties at the k boundary (q50's contract).
+    */
+  private lazy val q233: QueryDef =
+    QueryDef("q233_matryoshka_recall",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM t
+              WHERE vec_id % 10 = 0),
+        p AS (SELECT query_id, vec_id AS corpus_id,
+                ${cosSql("qv", "v", 64)} AS cf,
+                ${cosSql("qv", "v", 16)} AS cp
+              FROM q JOIN t ON t.vec_id <> q.query_id),
+        rf AS (SELECT query_id, corpus_id FROM (
+                 SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cf DESC, corpus_id) AS rn
+                 FROM p) WHERE rn <= 5),
+        rp AS (SELECT query_id, corpus_id FROM (
+                 SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cp DESC, corpus_id) AS rn
+                 FROM p) WHERE rn <= 5),
+        cm AS (SELECT rf.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM rf JOIN rp ON rf.query_id = rp.query_id
+                              AND rf.corpus_id = rp.corpus_id
+               GROUP BY rf.query_id)
+        SELECT q.query_id, COALESCE(cm.n_common, 0) AS n_common,
+               COALESCE(cm.n_common, 0) * 1000000 // 5 AS recall_ppm
+        FROM q LEFT JOIN cm ON q.query_id = cm.query_id
+        ORDER BY q.query_id"""),
+      (s, d) => Similarity.prefixRecall(embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") % 10 === 0, prefixDims = 16, k = 5)
+        .orderBy("query_id"))
+
+  val all: Seq[QueryDef] =
+    Seq(q226, q227, q228, q229, q230, q232, q233)
 }

@@ -377,4 +377,61 @@ object Graph {
         iterCaches.foreach(_.unpersist()); ()
       })
   }
+
+  /** Exact per-node triangle counts over an edge list `(src, dst)`
+    * read as an UNDIRECTED simple graph (direction dropped, self-loops
+    * and duplicate edges removed) — the local clustering signal behind
+    * link-farm detection (spam rings are triangle-dense; editorial
+    * link neighborhoods are sparse) and community scaffolding.
+    *
+    * Degree-ordered orientation (Ortmann/Schank — the standard
+    * distributed formulation): orient every undirected edge from its
+    * lower endpoint to its higher under the total order
+    * (degree, node). Each node's ORIENTED out-degree is then bounded
+    * by O(sqrt(E)) regardless of raw hub degree — a celebrity node
+    * with 1e7 followers contributes wedges only through its few
+    * higher-ordered neighbors, so the wedge join cannot quadratically
+    * explode on hubs (the failure mode of a naive neighbor self-join).
+    * Every triangle {u,v,w} is enumerated EXACTLY once, as the wedge
+    * at its lowest-ordered vertex closed by the oriented (v, w) edge.
+    *
+    * Shape at scale: two node-keyed joins to attach degrees, one
+    * wedge self-join keyed on the lowest vertex (bounded per key by
+    * the orientation), one pair-keyed closure join against the
+    * oriented edge list, one final explode + count. All equi-joins,
+    * no windows, no collects. Tie-breaking inside the order is the
+    * node id itself — deterministic across engines.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
+    val o1 = o.select(col("u"), col("v").as("v1"), col("deg_v").as("dv1"))
+    val o2 = o.select(col("u"), col("v").as("v2"), col("deg_v").as("dv2"))
+    val wedges = o1.join(o2, "u")
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    // the closure edge (v1, v2) is oriented v1 -> v2 BY CONSTRUCTION:
+    // the wedge filter and the orientation use the same total order
+    val tri = wedges.join(
+      o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).cast(LongType).as("n_tri"))
+  }
 }

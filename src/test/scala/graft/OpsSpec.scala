@@ -2824,4 +2824,64 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Redact.kAnonymity(rows, Seq("g"), Seq("band"), 5L)
     }
   }
+
+  test("triangleCounts: K4 has 3 per node; direction/dups/self-loops ignored") {
+    import spark.implicits._
+    // K4 on a,b,c,d (each node in C(3,2)=3 triangles) with noise the
+    // undirected-simple reading must absorb: a reversed duplicate, an
+    // exact duplicate, a self-loop, and a triangle-free tail e-f
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"),
+      ("b", "a"),           // reverse duplicate of (a,b)
+      ("a", "c"),           // exact duplicate
+      ("d", "d"),           // self-loop
+      ("d", "e"), ("e", "f") // tail: e,f in no triangle
+    ).toDF("src", "dst")
+    val got = graft.ops.Graph.triangleCounts(edges)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // total triangles = sum / 3 = 4 (each counted once per vertex)
+    assert(got.values.sum == 12L)
+  }
+
+  test("fellegiSunter scores blocked pairs; NULL fields disagree") {
+    import spark.implicits._
+    import graft.ops.Linkage.FieldRule
+    val left = Seq((1L, Some("x"), 10L), (1L, None, 20L), (2L, Some("y"), 30L))
+      .toDF("blk", "lv", "lid")
+    val right = Seq((1L, "x", 11L), (2L, "z", 31L), (3L, "x", 99L))
+      .toDF("blk", "rv", "rid")
+    val got = graft.ops.Linkage.fellegiSunter(left, right, Seq("blk"),
+        Seq(FieldRule(col("lv") === col("rv"), 1000L, -1000L),
+          FieldRule(abs(col("lid") - col("rid")) <= 1, 500L, -500L)),
+        upper = 1500L, lower = -500L)
+      .select("lid", "rid", "score", "band")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      (10L, 11L) -> ((1500L, "match")),      // both rules agree
+      (20L, 11L) -> ((-1500L, "non_match")), // NULL lv = disagreement
+      (30L, 31L) -> ((-500L, "possible"))))  // value differs, id close
+    // blk=3 right row pairs with nothing: blocking pruned it
+    assert(!got.keySet.exists(_._2 == 99L))
+  }
+
+  test("prefixRecall: prefix-dim ranking divergence is measured per query") {
+    import spark.implicits._
+    // q1=(1,0,0,0): full top-1 is a (cos .8) but the 2-dim prefix
+    // prefers b (prefix cos .9, full cos .40 — mass hidden in dim 3);
+    // q2=(0,1,0,0): c is identical, so both rankings agree
+    val rows = Seq(
+      (1L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.43589f, 2f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (200L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.prefixRecall(rows, "vec_id", "embedding",
+        col("vec_id") >= 100L, prefixDims = 2, k = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(100L -> ((0L, 0L)), 200L -> ((1L, 1000000L))))
+  }
 }

@@ -1463,4 +1463,67 @@ object Streams {
           next
       }
   }
+
+  case class Scd2Emit(key: String, version: Long, state: Option[String],
+                      valid_from: Long, valid_to: Option[Long],
+                      is_current: Boolean)
+  case class Scd2Open(state: Option[String], validFrom: Long,
+                      version: Long, lastTs: Long)
+
+  /** Streaming SCD2 maintenance: the per-key validity-interval
+    * dimension ([[graft.ops.Temporal.scd2]]) kept current ON ARRIVAL.
+    * Each micro-batch's rows fold into the key's open version in
+    * (ts, tie) order: an equal state extends it, a distinct state
+    * closes it (emitting the finished interval) and opens the next
+    * version (emitted with `is_current = true`, `valid_to` null).
+    * "Latest emission per (key, version)" IS the SCD2 table — the
+    * whole-row emission contract of the sketch maintainers.
+    *
+    * Semantics = the batch operator over everything seen, PROVIDED
+    * arrivals respect per-key event-time order across micro-batches
+    * (within a batch, rows are sorted before folding). A row older
+    * than the open version's last accepted (ts, tie) cannot be
+    * retro-folded without rewriting closed history — the honest
+    * streaming limit — so it is DROPPED; production feeds route such
+    * stragglers to a batch back-fill that recomputes the key from the
+    * log ([[graft.ops.Temporal.scd2]] is that back-fill). State is one
+    * open version per key (four fields) — no growth, no timeout
+    * needed. Input columns: (`keyCol`, `stateCol`, `tsCol` epoch-micros
+    * long, `tieCol` long).
+    */
+  def streamingScd2(log: DataFrame, keyCol: String, stateCol: String,
+                    tsCol: String, tieCol: String): Dataset[Scd2Emit] = {
+    import log.sparkSession.implicits._
+    log
+      .select(col(keyCol).cast("string").as("k"),
+        col(stateCol).cast("string").as("s"),
+        col(tsCol).cast("long").as("t"), col(tieCol).cast("long").as("i"))
+      .as[(String, Option[String], Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Option[String], Long, Long)],
+         st: GroupState[Scd2Open]) =>
+          var cur = st.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Emit]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, s, t, _) =>
+            cur match {
+              case None =>
+                cur = Some(Scd2Open(s, t, 1L, t))
+                out += Scd2Emit(key, 1L, s, t, None, is_current = true)
+              case Some(c) if t < c.lastTs => // straggler: batch back-fill
+              case Some(c) if c.state == s => // same state: extend
+                cur = Some(c.copy(lastTs = t))
+              case Some(c) =>
+                out += Scd2Emit(key, c.version, c.state, c.validFrom,
+                  Some(t), is_current = false)
+                cur = Some(Scd2Open(s, t, c.version + 1L, t))
+                out += Scd2Emit(key, c.version + 1L, s, t, None,
+                  is_current = true)
+            }
+          }
+          cur.foreach(st.update)
+          out.iterator
+      }
+  }
 }

@@ -1272,4 +1272,59 @@ class StreamsSpec extends AnyFunSuite {
         s"advice for $k")
     }
   }
+
+  test("streaming SCD2 equals the batch intervals across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+    val in = MemoryStream[(String, String, Long, Long)]
+    // latest emission per (key, version) IS the SCD2 table
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), (Option[String], Long, Option[Long], Boolean)]()
+    def start() = Streams.streamingScd2(
+        in.toDF().toDF("k", "s", "t", "i"), "k", "s", "t", "i")
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put((r.getString(0), r.getLong(1)),
+            (Option(r.getString(2)), r.getLong(3),
+             if (r.isNullAt(4)) None else Some(r.getLong(4)),
+             r.getBoolean(5)))
+        }
+      }
+      .outputMode("append").start()
+    // batch 1 (out of order WITHIN the batch — the fold sorts):
+    // u1 a@10 a@20 b@30 ; u2 x@5
+    val b1 = Seq(("u1", "b", 30L, 3L), ("u1", "a", 10L, 1L),
+      ("u1", "a", 20L, 2L), ("u2", "x", 5L, 4L))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(latest.get(("u1", 1L)) == ((Some("a"), 10L, Some(30L), false)))
+    assert(latest.get(("u1", 2L)) == ((Some("b"), 30L, None, true)))
+    // restart: the open versions must be RECOVERED — a reset would
+    // restart u1 at version 1 and corrupt the table
+    // batch 2: u1 a@40 (re-entry = version 3), u2 x@50 (extend, no new
+    // version), plus a STRAGGLER u1 c@25 that must be dropped (older
+    // than the open version's last accepted ts)
+    val b2 = Seq(("u1", "a", 40L, 5L), ("u2", "x", 50L, 6L),
+      ("u1", "c", 25L, 7L))
+    val q2 = start()
+    try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(latest.get(("u1", 2L)) == ((Some("b"), 30L, Some(40L), false)))
+    assert(latest.get(("u1", 3L)) == ((Some("a"), 40L, None, true)))
+    assert(latest.get(("u2", 1L)) == ((Some("x"), 5L, None, true)))
+    // batch equality on the ACCEPTED rows (all but the straggler):
+    // the latest-per-(key,version) table = Temporal.scd2 of the log
+    val accepted = (b1 ++ b2).filterNot(_ == (("u1", "c", 25L, 7L)))
+    val batch = graft.ops.Temporal.scd2(
+        accepted.toDF("k", "s", "t", "i"), Seq("k"), "s", "t", "i")
+      .select("k", "version", "s", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Option[String], Long, Option[Long], Boolean)]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(latest.asScala.toMap == batch,
+      "streaming SCD2 must equal the batch operator over accepted rows")
+  }
 }

@@ -319,10 +319,13 @@ object WarehouseQueries {
     s"${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
 
   /** Matryoshka prefix-dimension retrieval audit
-    * ([[Similarity.prefixRecall]]): for the vec_id % 10 = 0 query
-    * sample, exact cosine top-5 under all 64 dims vs top-5 under the
-    * first 16 — the per-query overlap that decides whether a
-    * truncated-dimension index with full-dim re-rank is safe. The
+    * ([[Similarity.prefixRecall]]): for a FIXED query panel
+    * (vec_id % 10 = 0 AND vec_id < 500 — at most 50 queries at ANY
+    * corpus scale, so the broadcast side cannot grow with SF; an
+    * audit's validity comes from the panel, not from sampling a
+    * corpus fraction), exact cosine top-5 under all 64 dims vs top-5
+    * under the first 16 — the per-query overlap that decides whether
+    * a truncated-dimension index with full-dim re-rank is safe. The
     * oracle replays both rankings as windows with the id tiebreak;
     * the engine's bounded heaps agree because this corpus has no
     * score ties at the k boundary (q50's contract).
@@ -333,7 +336,7 @@ object WarehouseQueries {
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM t
-              WHERE vec_id % 10 = 0),
+              WHERE vec_id % 10 = 0 AND vec_id < 500),
         p AS (SELECT query_id, vec_id AS corpus_id,
                 ${cosSql("qv", "v", 64)} AS cf,
                 ${cosSql("qv", "v", 16)} AS cp
@@ -355,7 +358,8 @@ object WarehouseQueries {
         FROM q LEFT JOIN cm ON q.query_id = cm.query_id
         ORDER BY q.query_id"""),
       (s, d) => Similarity.prefixRecall(embeddings(s, d), "vec_id",
-          "embedding", col("vec_id") % 10 === 0, prefixDims = 16, k = 5)
+          "embedding", col("vec_id") % 10 === 0 && col("vec_id") < 500,
+          prefixDims = 16, k = 5)
         .orderBy("query_id"))
 
   val all: Seq[QueryDef] =

@@ -199,10 +199,16 @@ object Events {
                             endCol: String, tieCols: Seq[String],
                             chunks: Int = 0): (DataFrame, () => Unit) = {
     val ties = tieCols.map(col)
+    // explode, not union: a union of two projections plans the
+    // interval-producing subtree TWICE (audited on q230 — the whole
+    // sessionization ran per branch); one explode is a single pass
     val pts = intervals
-      .select((col(startCol).as("t") +: lit(1L).as("delta") +: ties): _*)
-      .unionByName(intervals
-        .select((col(endCol).as("t") +: lit(-1L).as("delta") +: ties): _*))
+      .select(explode(array(
+        struct(col(startCol).cast("long").as("t") +:
+          lit(1L).as("delta") +: ties: _*),
+        struct(col(endCol).cast("long").as("t") +:
+          lit(-1L).as("delta") +: ties: _*))).as("_p"))
+      .select(col("_p.*"))
     val sort = col("t") +: col("delta") +: ties
     val (pref, release) = Hierarchical.prefixSum(
       pts, sort, Nil, col("delta"), "_before", chunks)

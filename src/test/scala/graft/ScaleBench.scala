@@ -145,6 +145,37 @@ object Scale10Gen {
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
         .withColumn("o_custkey", col("o_custkey") + lit(i * off))
     }.reduce(_ unionAll _))
+    // round 13: events at 100x users (temporal/warehouse family
+    // q226-q230 — per-user history length is PRESERVED, the user
+    // dimension scales; written back as raw nanos longs like ScaleGen
+    // so Tables.events' LongType branch reads it), embeddings at 100x
+    // (q233's corpus side; per-(rep, dim) sign flips decorrelate
+    // cross-replica cosines, exactly ScaleGen.signs as a column
+    // expression), customer at 100x with supplier copied once (q232's
+    // blocked pair volume grows 100x on the customer side)
+    val ev13 = Tables.events(spark, sf).drop("ts")
+      .withColumnRenamed("ts_ns", "ts")
+    write("events", ev13
+      .select(col("*"), explode(expr("sequence(0, 99)")).as("rep"))
+      .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+      .withColumn("event_id", col("event_id") + col("rep") * off)
+      .drop("rep").repartition(32))
+    write("embeddings", Tables.embeddings(spark, sf)
+      .select(col("*"), explode(expr("sequence(0, 99)")).as("rep"))
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        zip_with(col("embedding"), expr("sequence(0, 63)"),
+          (x, dIdx) => (x * when(
+            expr("rep").cast("long").*(lit(64L)).+(dIdx.cast("long"))
+              .*(lit(2654435761L)).bitwiseAND(lit(128L)) === 0L,
+            lit(1.0d)).otherwise(lit(-1.0d))).cast("float"))
+          .as("embedding"),
+        col("label")).repartition(16))
+    write("customer", Tables.customer(spark, sf)
+      .select(col("*"), explode(expr("sequence(0, 99)")).as("rep"))
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * off)
+      .drop("rep").repartition(8))
+    write("supplier", Tables.supplier(spark, sf))
     spark.stop()
   }
 }

@@ -220,4 +220,40 @@ object Events {
   def concurrency(intervals: DataFrame, startCol: String, endCol: String,
                   tieCols: Seq[String], chunks: Int = 0): DataFrame =
     concurrencyReleasable(intervals, startCol, endCol, tieCols, chunks)._1
+
+  /** Last-touch attribution: each `convType` conversion is credited to
+    * the user's most recent `touchTypes` event STRICTLY before it
+    * (ties at an equal instant go to the earlier `tieCol`) and within
+    * `windowUs`; conversions with no qualifying touch attribute to
+    * 'organic'. One per-user window pass over the interleaved stream —
+    * the running "last touch" is `last(..., ignoreNulls)` over the
+    * unbounded-preceding frame, so no self-join, no per-conversion
+    * probe; work is user-partitioned and linear in events.
+    *
+    * Output: the conversion rows with `attributed` (touch type or
+    * 'organic') and `touch_us` (null for organic).
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           typeCol: String, usCol: String, tieCol: String,
+                           convType: String, touchTypes: Seq[String],
+                           windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    val w = Window.partitionBy(userCol).orderBy(col(usCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("_touch", last(
+        when(col(typeCol).isin(touchTypes: _*),
+          struct(col(usCol).as("us"), col(typeCol).as("ty"))),
+        ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("attributed",
+        when(col("_touch").isNotNull &&
+          col("_touch.us") >= col(usCol) - windowUs, col("_touch.ty"))
+          .otherwise(lit("organic")))
+      .withColumn("touch_us",
+        when(col("attributed") =!= "organic", col("_touch.us")))
+      .drop("_touch")
+  }
 }

@@ -166,4 +166,47 @@ object Search {
       .orderBy(col("rrf_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /** NDCG@k discount table in micro-units: round(1e6 / log2(i + 1))
+    * for ranks 1..k, precomputed ONCE driver-side and interpolated as
+    * literals into both the plan and the oracle SQL — the standard
+    * trick for keeping ranking-quality evaluation off runtime libm
+    * (log2(3) differs in the last ulp across engines; a frozen integer
+    * table cannot). */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    (1 to k).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+  }
+
+  /** NDCG@k over a ranked retrieval: `ranked` carries one row per
+    * (query, result) with `rankCol` (1-based) and an integer `gainCol`
+    * (graded relevance). DCG = sum of gain_i * discount_micro(i);
+    * IDCG re-ranks the SAME k results by (gain desc, rank asc — the
+    * deterministic tie) — the standard "ideal ordering of what was
+    * retrieved" normalization. All-integer arithmetic; queries whose
+    * retrieved set has zero total gain report ndcg_ppm = 0 (defined,
+    * not NULL). Per-query windows are k-bounded — the frame is
+    * queries × k rows, never corpus-sized.
+    */
+  def ndcgAtK(ranked: DataFrame, queryCols: Seq[String], rankCol: String,
+              gainCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val disc = ndcgDiscountsMicro(k)
+    val discExpr = expr(
+      s"element_at(array(${disc.mkString("L,")}L), CAST($rankCol AS INT))")
+    val ideal = Window.partitionBy(queryCols.map(col): _*)
+      .orderBy(col(gainCol).desc, col(rankCol))
+    ranked
+      .filter(col(rankCol) <= k)
+      .withColumn("_dg", col(gainCol).cast("long") * discExpr)
+      .withColumn("_irank", row_number().over(ideal))
+      .withColumn("_idg", col(gainCol).cast("long") * expr(
+        s"element_at(array(${disc.mkString("L,")}L), _irank)"))
+      .groupBy(queryCols.map(col): _*)
+      .agg(sum("_dg").cast("long").as("dcg_micro"),
+        sum("_idg").cast("long").as("idcg_micro"))
+      .withColumn("ndcg_ppm", expr(
+        "CASE WHEN idcg_micro = 0 THEN 0L" +
+          " ELSE (dcg_micro * 1000000L) div idcg_micro END"))
+  }
 }

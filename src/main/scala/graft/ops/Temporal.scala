@@ -114,4 +114,35 @@ object Temporal {
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(25, 6)))
           .cast(StateDecimal).as("sum_value"))
+
+  /** Incremental JOIN-view maintenance (the classic delta identity):
+    * with both sides of an INNER equi-join receiving late batches,
+    * the stored rollup's increment is
+    *
+    *   Δ(L ⋈ R) = (ΔL ⋈ R_old) ∪ (L_old ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+    *
+    * returned here as mergeable rollup state ([[rollupState]] shape)
+    * ready for [[mergeRollup]] into the stored rollup. At warehouse
+    * scale every term joins a DELTA (small by definition) against a
+    * base or another delta — the base never re-joins the base, which
+    * is the entire point: keeping a 100 TB join rollup current costs
+    * delta-proportional work. Broadcast the delta side when it fits;
+    * the equi-join shape leaves that choice to the planner/AQE.
+    *
+    * Inner-join append-only semantics (no retractions): rows only
+    * arrive, never update or delete — the matching assumption of the
+    * monotone aggregates in [[rollupState]] (COUNT/SUM of appends).
+    */
+  def joinRollupDelta(leftOld: DataFrame, leftDelta: DataFrame,
+                      rightOld: DataFrame, rightDelta: DataFrame,
+                      joinKeys: Seq[String], groupCols: Seq[String],
+                      valueCol: String): DataFrame = {
+    def term(l: DataFrame, r: DataFrame) = l.join(r, joinKeys)
+      .select((groupCols :+ valueCol).map(col): _*)
+    rollupState(
+      term(leftDelta, rightOld)
+        .unionByName(term(leftOld, rightDelta))
+        .unionByName(term(leftDelta, rightDelta)),
+      groupCols, valueCol)
+  }
 }

@@ -362,6 +362,215 @@ object WarehouseQueries {
           prefixDims = 16, k = 5)
         .orderBy("query_id"))
 
+  // Oracle mirror of Pipeline.wordHash60 (shared recipe; see
+  // DomainQueries.hash60Sql).
+  private def hash60Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), hx, 1)) - 1 for hx in range(1, 16)],
+                    (a, b) -> a*16 + b)"""
+
+  /** Optimizer-statistics panel ([[ops.Stats.columnStats]]): the
+    * ANALYZE TABLE numbers for four orders columns — rows, nulls,
+    * average string width (milli-chars), and distinct-count estimate
+    * from the deterministic HLL registers (p=6; the q221 recipe, so
+    * the oracle replays the ESTIMATE bit-for-bit, not just the exact
+    * count). Integer/varchar columns only: a double's string
+    * rendering is engine-specific and would poison both width and
+    * hash. One melt pass + two bounded aggregates.
+    */
+  private lazy val q234: QueryDef =
+    QueryDef("q234_column_stats",
+      Some(s"""
+        WITH m AS (
+          SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS value FROM orders
+          UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+          UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders),
+        h AS (SELECT DISTINCT col_name, ${hash60Sql("value")} AS h FROM m
+              WHERE value IS NOT NULL),
+        b AS (SELECT col_name, h % 64 AS bucket,
+                     CASE WHEN h // 64 = 0 THEN 55
+                          ELSE 55 - length(bin(h // 64)) END AS rho
+              FROM h),
+        reg AS (SELECT col_name, bucket, CAST(MAX(rho) AS BIGINT) AS r
+                FROM b GROUP BY col_name, bucket),
+        e AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                     SUM(1::HUGEINT * (1::BIGINT << CAST(60 - r AS INT))) AS s
+              FROM reg GROUP BY col_name),
+        est AS (SELECT col_name,
+                  CASE WHEN n_buckets * 4 <= 64 THEN n_buckets
+                       ELSE CAST((709::HUGEINT * 64 * 64 * (1::BIGINT << 60))
+                            // (1000::HUGEINT *
+                                (s + (64 - n_buckets)::HUGEINT * (1::BIGINT << 60)))
+                            AS BIGINT) END AS est_distinct
+                FROM e),
+        base AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   CASE WHEN COUNT(value) = 0 THEN 0
+                        ELSE (SUM(CASE WHEN value IS NULL THEN 0
+                                       ELSE length(value) END) * 1000)
+                             // COUNT(value) END AS avg_len_milli
+                 FROM m GROUP BY col_name)
+        SELECT base.col_name, n_rows, n_nulls,
+               CAST(avg_len_milli AS BIGINT) AS avg_len_milli,
+               COALESCE(est.est_distinct, 0) AS ndv_est
+        FROM base LEFT JOIN est ON base.col_name = est.col_name
+        ORDER BY base.col_name"""),
+      (s, d) => graft.ops.Stats.columnStats(orders(s, d),
+          Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"),
+          p = 6)
+        .orderBy("col_name"))
+
+  /** Incremental JOIN-view maintenance ([[ops.Temporal
+    * .joinRollupDelta]] + [[ops.Temporal.mergeRollup]]): the
+    * orders ⋈ lineitem revenue rollup absorbs late batches on BOTH
+    * sides via the delta identity Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR —
+    * the base never re-joins the base. Deltas are independent slices
+    * (orders: orderkey % 7; lineitem: (orderkey + linenumber) % 5) so
+    * all three delta terms are non-empty. The oracle is the semantic
+    * claim: stored + increment == the full-join recount.
+    */
+  private lazy val q235: QueryDef =
+    QueryDef("q235_join_ivm",
+      Some(s"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               ${dsumSql("l_extendedprice")} AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      (s, d) => {
+        val o = orders(s, d).select("o_orderkey", "o_orderpriority")
+        val l = lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+        val dOPred = col("o_orderkey") % 7 === 0
+        val dLPred = (col("o_orderkey") + col("l_linenumber")) % 5 === 0
+        val (oOld, dO) = (o.filter(!dOPred), o.filter(dOPred))
+        val (lOld, dL) = (l.filter(!dLPred), l.filter(dLPred))
+        val stored = graft.ops.Temporal.rollupState(
+          oOld.join(lOld, "o_orderkey")
+            .select("o_orderpriority", "l_extendedprice"),
+          Seq("o_orderpriority"), "l_extendedprice")
+        val inc = graft.ops.Temporal.joinRollupDelta(oOld, dO, lOld, dL,
+          Seq("o_orderkey"), Seq("o_orderpriority"), "l_extendedprice")
+        graft.ops.Temporal.mergeRollup(stored, inc, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n"),
+            col("sum_value").cast(DoubleType).as("revenue"))
+          .orderBy("o_orderpriority")
+      })
+
+  /** Last-touch attribution ([[ops.Events.lastTouchAttribution]]):
+    * each purchase credits the user's most recent click/view strictly
+    * before it and within 1 hour, else 'organic' — one per-user window
+    * pass over the interleaved stream (the running last-touch is
+    * `last(..., ignoreNulls)`; no self-join, no per-conversion probe).
+    * Output is the revenue-by-channel census. Oracle replays the
+    * window with DuckDB's IGNORE NULLS.
+    */
+  private lazy val q236: QueryDef =
+    QueryDef("q236_last_touch",
+      Some(s"""
+        WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS tus,
+                          event_id
+                   FROM events),
+        t AS (SELECT *,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                  THEN tus END IGNORE NULLS)
+                  OVER w AS touch_us,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END IGNORE NULLS)
+                  OVER w AS touch_ty
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        c AS (SELECT CASE WHEN touch_us IS NOT NULL
+                            AND touch_us >= tus - 3600000000
+                          THEN touch_ty ELSE 'organic' END AS attributed,
+                     value
+              FROM t WHERE event_type = 'purchase')
+        SELECT attributed, CAST(COUNT(*) AS BIGINT) AS n,
+               ${dsumSql("value")} AS total_value
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      (s, d) => graft.ops.Events.lastTouchAttribution(
+          events(s, d).select(col("user_id"), col("event_type"),
+            col("value"), expr("ts_ns div 1000").as("tus"), col("event_id")),
+          "user_id", "event_type", "tus", "event_id",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          windowUs = 3600000000L)
+        .groupBy("attributed")
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("attributed"))
+
+  // NDCG@10 micro-discount table, frozen driver-side and interpolated
+  // into BOTH plans (no runtime libm — log2(3) differs in the last ulp
+  // across engines; a literal table cannot).
+  private val NdcgDisc = graft.ops.Search.ndcgDiscountsMicro(10)
+
+  /** Retrieval-quality evaluation ([[ops.Search.ndcgAtK]]): three
+    * fixed two-term query panels; retrieval ranks by the FIRST term's
+    * occurrence count (top-10 via GroupedTopK on the composite
+    * score*1e12 - doc_id key — deterministic under the rampant integer
+    * ties a count score produces), graded relevance = number of panel
+    * terms present (0-2), NDCG@10 against the ideal reordering of the
+    * retrieved set. All-integer: the log2 discounts are a frozen
+    * micro-unit literal table shared with the oracle.
+    */
+  private lazy val q237: QueryDef =
+    QueryDef("q237_ndcg_at_k",
+      Some(s"""
+        WITH qs AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'join', 'hash'),
+                      (CAST(2 AS BIGINT), 'scan', 'filter'),
+                      (CAST(3 AS BIGINT), 'sort', 'merge')) v(query_id, t1, t2)),
+        s AS (SELECT query_id, doc_id,
+                CAST(len(list_filter(string_split(text, ' '), w -> w = t1))
+                  AS BIGINT) AS score,
+                CAST((CASE WHEN list_contains(string_split(text, ' '), t1)
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(string_split(text, ' '), t2)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS gain
+              FROM documents CROSS JOIN qs),
+        r AS (SELECT query_id, gain, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+              FROM s),
+        k AS (SELECT query_id, gain, rnk FROM r WHERE rnk <= 10),
+        i AS (SELECT query_id, gain, rnk, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY gain DESC, rnk) AS irank
+              FROM k),
+        d AS (SELECT query_id,
+                CAST(SUM(gain * ([${NdcgDisc.mkString(",")}])[rnk]) AS BIGINT)
+                  AS dcg_micro,
+                CAST(SUM(gain * ([${NdcgDisc.mkString(",")}])[irank]) AS BIGINT)
+                  AS idcg_micro
+              FROM i GROUP BY query_id)
+        SELECT query_id, dcg_micro, idcg_micro,
+               CASE WHEN idcg_micro = 0 THEN 0
+                    ELSE (dcg_micro * 1000000) // idcg_micro END AS ndcg_ppm
+        FROM d ORDER BY query_id"""),
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq((1L, "join", "hash"), (2L, "scan", "filter"),
+          (3L, "sort", "merge")).toDF("query_id", "t1", "t2")
+        val words = split(col("text"), " ")
+        val scored = spread(documents(s, d)).crossJoin(broadcast(qs))
+          .select(col("query_id"), col("doc_id"),
+            size(filter(words, w => w === col("t1"))).cast("long")
+              .as("score"),
+            (when(array_contains(words, col("t1")), 1L).otherwise(0L) +
+             when(array_contains(words, col("t2")), 1L).otherwise(0L))
+              .as("gain"))
+          .withColumn("_key",
+            col("score") * 1000000000000L - col("doc_id"))
+        val top = graft.plans.GroupedTopK.perKey(scored, Seq("query_id"),
+          "_key", 10)
+        val ranked = top.withColumn("rnk",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id").orderBy(col("_key").desc)))
+        graft.ops.Search.ndcgAtK(ranked, Seq("query_id"), "rnk", "gain",
+            k = 10)
+          .orderBy("query_id")
+      })
+
   val all: Seq[QueryDef] =
-    Seq(q226, q227, q228, q229, q230, q232, q233)
+    Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237)
 }

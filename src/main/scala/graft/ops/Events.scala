@@ -222,10 +222,12 @@ object Events {
     concurrencyReleasable(intervals, startCol, endCol, tieCols, chunks)._1
 
   /** Last-touch attribution: each `convType` conversion is credited to
-    * the user's most recent `touchTypes` event STRICTLY before it
-    * (ties at an equal instant go to the earlier `tieCol`) and within
-    * `windowUs`; conversions with no qualifying touch attribute to
-    * 'organic'. One per-user window pass over the interleaved stream —
+    * the user's most recent `touchTypes` event PRECEDING it in the
+    * (ts, tie) total order — a same-instant touch with an earlier tie
+    * counts (the tie is the log sequence, so "preceding row" IS the
+    * causal order the log recorded) — and within `windowUs`;
+    * conversions with no qualifying touch attribute to 'organic'. One
+    * per-user window pass over the interleaved stream —
     * the running "last touch" is `last(..., ignoreNulls)` over the
     * unbounded-preceding frame, so no self-join, no per-conversion
     * probe; work is user-partitioned and linear in events.

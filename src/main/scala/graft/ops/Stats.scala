@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** Per-column statistics panel: `(column, n_rows, n_nulls,
+  /** Per-column statistics panel: `(col_name, n_rows, n_nulls,
     * avg_len_milli, ndv_est)` — width in milli-chars of the string
     * form (integer, engine-exact), ndv from the deterministic HLL
     * registers (estimate; a column with no non-null values reports 0).
+    *
+    * Small-range rule: when few registers are occupied
+    * (n_buckets * 4 <= m) the raw harmonic estimator is grossly biased
+    * high (hllEstimate deliberately ships no ln-based linear counting),
+    * but in that regime occupied-register count ~= the true distinct
+    * count (collisions are rare at n << m) — so low-cardinality
+    * columns (status flags, priorities) report their near-exact ndv
+    * instead of a 15x overestimate. Integer rule, oracle-replayable.
     */
   def columnStats(df: DataFrame, cols: Seq[String], p: Int = 6): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     val entries = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    val melted = df.select(explode(map(entries: _*)).as(Seq("column", "value")))
-    val base = melted.groupBy("column").agg(
+    val melted = df.select(explode(map(entries: _*)).as(Seq("col_name", "value")))
+    val base = melted.groupBy("col_name").agg(
       count(lit(1)).cast("long").as("n_rows"),
       sum(when(col("value").isNull, 1L).otherwise(0L)).cast("long")
         .as("n_nulls"),
@@ -37,13 +45,16 @@ object Stats {
       .withColumn("avg_len_milli",
         expr("CASE WHEN _nn = 0 THEN 0L ELSE (_len * 1000L) div _nn END"))
       .drop("_len", "_nn")
+    val m = 1L << p
     val ndv = Sketches.hllEstimate(
         Sketches.hllSketch(melted.filter(col("value").isNotNull),
-          Seq("column"), "value", p),
-        Seq("column"), p)
-      .select(col("column").as("_c"), col("est_distinct"))
-    base.join(ndv, col("column") === col("_c"), "left")
-      .select(col("column"), col("n_rows"), col("n_nulls"),
+          Seq("col_name"), "value", p),
+        Seq("col_name"), p)
+      .select(col("col_name").as("_c"),
+        when(col("n_buckets") * 4 <= m, col("n_buckets"))
+          .otherwise(col("est_distinct")).as("est_distinct"))
+    base.join(ndv, col("col_name") === col("_c"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("avg_len_milli"),
         coalesce(col("est_distinct"), lit(0L)).as("ndv_est"))
   }

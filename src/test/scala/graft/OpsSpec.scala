@@ -2884,4 +2884,95 @@ class OpsSpec extends AnyFunSuite {
       .toMap
     assert(got == Map(100L -> ((0L, 0L)), 200L -> ((1L, 1000000L))))
   }
+
+  test("columnStats: rows, nulls, width, ndv estimate per column") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some("aa"), 1L), (Some("aa"), 2L), (None, 3L), (Some("bbbb"), 3L)
+    ).toDF("s", "k")
+    val got = graft.ops.Stats.columnStats(rows, Seq("s", "k"))
+      .select("col_name", "n_rows", "n_nulls", "avg_len_milli", "ndv_est")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (sN, sNull, sLen, sNdv) = got("s")
+    assert((sN, sNull, sLen) == ((4L, 1L, (8L * 1000L) / 3L)))
+    // small-range rule: occupied registers, not the biased raw
+    // harmonic estimate (46 for n=2 before the rule)
+    assert(sNdv >= 1L && sNdv <= 2L)   // 2 exact, 1 under a collision
+    val (kN, kNull, kLen, kNdv) = got("k")
+    assert((kN, kNull, kLen) == ((4L, 0L, 1000L)))
+    assert(kNdv >= 2L && kNdv <= 3L)   // 3 exact
+  }
+
+  test("joinRollupDelta: stored + increment equals the full-join recount") {
+    import spark.implicits._
+    val left = Seq((1L, "p1"), (2L, "p1"), (3L, "p2"), (4L, "p2"))
+      .toDF("k", "grp")
+    val right = Seq((1L, 1.5), (1L, 2.5), (2L, 4.0), (3L, 8.0), (4L, 0.5))
+      .toDF("k", "v")
+    val dlPred = col("k") % 2 === 0
+    val drPred = col("v") > 2.0
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Temporal.rollupState(df, Seq("grp"), "v")
+    val stored = roll(left.filter(!dlPred).join(right.filter(!drPred), "k")
+      .select("grp", "v"))
+    val inc = graft.ops.Temporal.joinRollupDelta(
+      left.filter(!dlPred), left.filter(dlPred),
+      right.filter(!drPred), right.filter(drPred),
+      Seq("k"), Seq("grp"), "v")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("n"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val merged = shape(graft.ops.Temporal.mergeRollup(stored, inc, Seq("grp")))
+    val full = shape(roll(left.join(right, "k").select("grp", "v")))
+    assert(merged == full)
+    assert(full == Map("p1" -> ((3L, 8.0)), "p2" -> ((2L, 8.5))))
+  }
+
+  test("lastTouchAttribution: window, strict-before, and organic cases") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click@10, buy@20 (within 100) -> click
+      (1L, "click", 10L, 1L, 0.0), (1L, "buy", 20L, 2L, 5.0),
+      // u1: view@200, buy@400 (gap 200 > window 100) -> organic
+      (1L, "view", 200L, 3L, 0.0), (1L, "buy", 400L, 4L, 7.0),
+      // u2: same-instant touch with an EARLIER tie precedes the
+      // conversion in the (ts, tie) log order, so it counts
+      (2L, "click", 50L, 5L, 0.0), (2L, "buy", 50L, 6L, 1.0),
+      // u3: no touches at all
+      (3L, "buy", 99L, 7L, 2.0)
+    ).toDF("u", "ty", "us", "id", "value")
+    val got = graft.ops.Events.lastTouchAttribution(ev, "u", "ty", "us",
+        "id", convType = "buy", touchTypes = Seq("click", "view"),
+        windowUs = 100L)
+      .select("u", "us", "attributed")
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, 20L) -> "click", (1L, 400L) -> "organic",
+      (2L, 50L) -> "click", (3L, 99L) -> "organic"))
+  }
+
+  test("ndcgAtK: perfect order scores 1e6 ppm; inverted order less") {
+    import spark.implicits._
+    val disc = graft.ops.Search.ndcgDiscountsMicro(3)
+    // q1: gains already descending (2,1,0) -> NDCG = 1.0
+    // q2: gains inverted (0,1,2) -> hand-computed ratio
+    // q3: all-zero gains -> defined 0
+    val ranked = Seq(
+      (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 0L),
+      (2L, 1L, 0L), (2L, 2L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 0L), (3L, 2L, 0L), (3L, 3L, 0L)
+    ).toDF("q", "rnk", "gain")
+    val got = graft.ops.Search.ndcgAtK(ranked, Seq("q"), "rnk", "gain", 3)
+      .select("q", "dcg_micro", "idcg_micro", "ndcg_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ideal = 2L * disc(0) + 1L * disc(1)
+    val invDcg = 1L * disc(1) + 2L * disc(2)
+    assert(got(1L) == ((ideal, ideal, 1000000L)))
+    assert(got(2L) == ((invDcg, ideal, invDcg * 1000000L / ideal)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
 }

@@ -416,7 +416,10 @@ object WarehouseQueries {
                COALESCE(est.est_distinct, 0) AS ndv_est
         FROM base LEFT JOIN est ON base.col_name = est.col_name
         ORDER BY base.col_name"""),
-      (s, d) => graft.ops.Stats.columnStats(orders(s, d),
+      // spread(): the testdata parquet is a single split — without it
+      // the melt+md5 pass pins to ONE task (audited: sf0.1 ran slower
+      // than the 10x replica set, which has many files)
+      (s, d) => graft.ops.Stats.columnStats(spread(orders(s, d)),
           Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"),
           p = 6)
         .orderBy("col_name"))

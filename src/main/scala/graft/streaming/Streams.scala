@@ -1491,6 +1491,63 @@ object Streams {
     * needed. Input columns: (`keyCol`, `stateCol`, `tsCol` epoch-micros
     * long, `tieCol` long).
     */
+  case class TouchEmit(user: String, conv_us: Long, attributed: String,
+                       touch_us: Option[Long], value: Double)
+  case class TouchState(us: Long, ty: String)
+
+  /** Streaming last-touch attribution: the batch operator
+    * ([[graft.ops.Events.lastTouchAttribution]]) ON ARRIVAL — per-user
+    * state is ONE (ts, type) pair (the most recent touch), bounded by
+    * the user dimension with no growth and no timeout; each arriving
+    * conversion is credited immediately against it ('organic' when the
+    * touch is absent or older than `windowUs`). Same ordering contract
+    * as [[streamingScd2]]: rows fold in (ts, tie) order within a
+    * micro-batch and arrivals must respect per-key event-time order
+    * across batches (a stale row older than the held touch only
+    * refreshes state if newer — conversions always emit).
+    *
+    * Input columns: (`userCol`, `typeCol`, `usCol` epoch-micros long,
+    * `tieCol` long, `valueCol` double).
+    */
+  def streamingLastTouch(events: DataFrame, userCol: String,
+                         typeCol: String, usCol: String, tieCol: String,
+                         valueCol: String, convType: String,
+                         touchTypes: Seq[String], windowUs: Long)
+      : Dataset[TouchEmit] = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    import events.sparkSession.implicits._
+    val touchSet = touchTypes.toSet
+    events
+      .select(col(userCol).cast("string").as("u"),
+        col(typeCol).cast("string").as("ty"),
+        col(usCol).cast("long").as("t"), col(tieCol).cast("long").as("i"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: String,
+         rows: Iterator[(String, String, Long, Long, Double)],
+         st: GroupState[TouchState]) =>
+          var cur = st.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[TouchEmit]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach {
+            case (_, ty, t, _, v) =>
+              if (touchSet.contains(ty)) {
+                if (cur.forall(_.us <= t)) cur = Some(TouchState(t, ty))
+              } else if (ty == convType) {
+                val hit = cur.filter(_.us >= t - windowUs)
+                out += TouchEmit(user, t,
+                  hit.map(_.ty).getOrElse("organic"), hit.map(_.us), v)
+              }
+          }
+          cur.foreach(st.update)
+          out.iterator
+      }
+  }
+
   def streamingScd2(log: DataFrame, keyCol: String, stateCol: String,
                     tsCol: String, tieCol: String): Dataset[Scd2Emit] = {
     import log.sparkSession.implicits._

@@ -1327,4 +1327,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(latest.asScala.toMap == batch,
       "streaming SCD2 must equal the batch operator over accepted rows")
   }
+
+  test("streaming last-touch attribution equals batch across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-touch-ckpt").toString
+    val in = MemoryStream[(String, String, Long, Long, Double)]
+    val got = new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), (String, Option[Long], Double)]()
+    def start() = Streams.streamingLastTouch(
+        in.toDF().toDF("u", "ty", "t", "i", "v"), "u", "ty", "t", "i", "v",
+        convType = "buy", touchTypes = Seq("click", "view"), windowUs = 100L)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          got.put((r.getString(0), r.getLong(1)),
+            (r.getString(2),
+             if (r.isNullAt(3)) None else Some(r.getLong(3)),
+             r.getDouble(4)))
+        }
+      }
+      .outputMode("append").start()
+    // batch 1: u1 click@10 buy@20 (credited), view@200 (held in state)
+    val b1 = Seq(("u1", "click", 10L, 1L, 0.0), ("u1", "buy", 20L, 2L, 5.0),
+      ("u1", "view", 200L, 3L, 0.0))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(got.get(("u1", 20L)) == (("click", Some(10L), 5.0)))
+    // restart: the held view@200 must be RECOVERED — batch 2's buy@250
+    // is only creditable through state written before the restart
+    val b2 = Seq(("u1", "buy", 250L, 4L, 7.0),  // view@200, gap 50 <= 100
+      ("u1", "buy", 400L, 5L, 9.0),             // gap 200 -> organic
+      ("u2", "buy", 50L, 6L, 1.0))              // no touches ever
+    val q2 = start()
+    try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(got.get(("u1", 250L)) == (("view", Some(200L), 7.0)))
+    assert(got.get(("u1", 400L)) == (("organic", None, 9.0)))
+    assert(got.get(("u2", 50L)) == (("organic", None, 1.0)))
+    // equality with the batch operator over the full ordered log
+    val batch = graft.ops.Events.lastTouchAttribution(
+        (b1 ++ b2).toDF("u", "ty", "t", "i", "v"), "u", "ty", "t", "i",
+        convType = "buy", touchTypes = Seq("click", "view"),
+        windowUs = 100L)
+      .select("u", "t", "attributed", "touch_us", "v")
+      .as[(String, Long, String, Option[Long], Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.asScala.toMap == batch,
+      "streaming attribution must equal the batch operator")
+  }
 }

@@ -227,6 +227,57 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "sig_lo", "sig_hi")
   }
 
+  /** One stub-decoded audio frame: index + energy (0-255). */
+  case class AudioFrame(doc_id: Long, frame_idx: Int, energy: Int)
+
+  /** Audio frame energies via the stub codec: `nFrames` fixed-rate
+    * frames per payload, frame i's "energy" = the byte at
+    * `(i*37) mod len` (the [[frameSignatures]] sampling recipe; empty
+    * payloads read 0). A real deployment swaps the body for an RMS
+    * over PCM windows — the partition-wise decode, the (doc, frame,
+    * energy) fan-out schema, and the co-partitioning with the source
+    * doc are the real contract, exactly like the image stubs.
+    */
+  def audioFrameEnergies(ds: Dataset[MediaDoc],
+                         nFrames: Int = 48): Dataset[AudioFrame] = {
+    import ds.sparkSession.implicits._
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val b = m.content
+        (0 until nFrames).iterator.map { i =>
+          val e = if (b.length == 0) 0 else b((i * 37) % b.length) & 0xFF
+          AudioFrame(m.doc_id, i, e)
+        }
+      }
+    }
+  }
+
+  /** Voice-activity summary over [[audioFrameEnergies]] output: per
+    * doc, frame count, voiced fraction (ppm, energy >= threshold), and
+    * SEGMENT count (maximal voiced runs — the number a VAD splitter
+    * would cut the clip into). The run detection is one per-doc window
+    * over the frame index — bounded by frames-per-clip, never
+    * corpus-sized. The speech-ratio gate audio curation runs before
+    * paying for transcription.
+    */
+  def vadSegments(frames: DataFrame, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("_voiced", col("energy") >= threshold)
+      .withColumn("_seg_start",
+        when(col("_voiced") &&
+          !coalesce(lag("_voiced", 1).over(w), lit(false)), 1L)
+          .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        expr("CAST(sum(CASE WHEN _voiced THEN 1 ELSE 0 END) * 1000000L" +
+          " div count(1) AS BIGINT)").as("voiced_ppm"),
+        sum("_seg_start").cast("long").as("n_segments"))
+  }
+
   /** Video near-dup by FRAME VOTE: two videos pair when at least
     * `minShared` sampled frame positions carry the identical frame
     * dHash — re-encodes and localized edits keep most frames'

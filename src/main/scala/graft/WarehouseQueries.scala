@@ -574,6 +574,49 @@ object WarehouseQueries {
           .orderBy("query_id")
       })
 
+  /** Audio VAD summary ([[Multimodal.audioFrameEnergies]] +
+    * [[Multimodal.vadSegments]]): documents' bytes as stub audio
+    * payloads — 48 fixed-rate frames per clip, frame energy = the
+    * sampled byte (the frameSignatures recipe; a real deployment swaps
+    * RMS-over-PCM into the same partition-wise decode), voiced at
+    * energy >= 64 (ASCII letters are "speech", spaces "silence"),
+    * per-clip voiced ppm + maximal-voiced-run segment count — the
+    * speech-ratio gate audio curation runs BEFORE paying for
+    * transcription. Oracle replays the byte sampling (ascii/substr,
+    * the q35/q151 ASCII-payload contract) and the run detection.
+    */
+  private lazy val q238: QueryDef =
+    QueryDef("q238_audio_vad",
+      Some("""
+        WITH f AS (SELECT doc_id, i,
+                     CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0
+                          ELSE ascii(substr(text,
+                            ((i*37) % octet_length(CAST(text AS BLOB))) + 1,
+                            1)) END AS energy
+                   FROM documents
+                   CROSS JOIN (SELECT unnest(range(0, 48)) AS i)),
+        v AS (SELECT doc_id, i, energy >= 64 AS voiced FROM f),
+        s AS (SELECT doc_id, voiced,
+                CASE WHEN voiced AND NOT COALESCE(LAG(voiced) OVER w, false)
+                     THEN 1 ELSE 0 END AS seg_start
+              FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS BIGINT) AS voiced_ppm,
+               CAST(SUM(seg_start) AS BIGINT) AS n_segments
+        FROM s GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = spread(documents(s, d))
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[Multimodal.MediaDoc]
+        Multimodal.vadSegments(
+            Multimodal.audioFrameEnergies(media, nFrames = 48).toDF(),
+            threshold = 64)
+          .orderBy("doc_id")
+      })
+
   val all: Seq[QueryDef] =
-    Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237)
+    Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237,
+      q238)
 }

@@ -2975,4 +2975,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((invDcg, ideal, invDcg * 1000000L / ideal)))
     assert(got(3L) == ((0L, 0L, 0L)))
   }
+
+  test("audio VAD: stub energies, voiced ppm, and segment runs") {
+    import spark.implicits._
+    // 'a'=97 voiced, ' '=32 silent at threshold 64. With nFrames=4 and
+    // the (i*37) mod len sampling over len=4: indices 0,1,2,3 -> the
+    // payload "a ab" reads a,' ',a,b = voiced,silent,voiced,voiced ->
+    // 2 segments, 3/4 voiced
+    val media = Seq(
+      graft.Multimodal.MediaDoc(1L, "a ab".getBytes("UTF-8")),
+      graft.Multimodal.MediaDoc(2L, "    ".getBytes("UTF-8")), // all silent
+      graft.Multimodal.MediaDoc(3L, Array.emptyByteArray)      // empty clip
+    ).toDS()
+    val got = graft.Multimodal.vadSegments(
+        graft.Multimodal.audioFrameEnergies(media, nFrames = 4).toDF(),
+        threshold = 64)
+      .select("doc_id", "n_frames", "voiced_ppm", "n_segments")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((4L, 750000L, 2L)),
+      2L -> ((4L, 0L, 0L)),
+      3L -> ((4L, 0L, 0L))))
+  }
 }

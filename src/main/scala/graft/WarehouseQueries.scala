@@ -616,7 +616,223 @@ object WarehouseQueries {
           .orderBy("doc_id")
       })
 
+  /** MRR + MAP@10 ([[ops.Search.mapMrrAtK]]) over the q237 retrieval
+    * with binary relevance (any panel term present): the other two
+    * standard ranking metrics, completing the evaluation family
+    * (NDCG grades ORDER quality of graded gains; MRR the first hit;
+    * MAP the precision mass). All-integer ppm; per-query frames
+    * k-bounded. Oracle replays retrieval, running precision, and
+    * both floors.
+    */
+  private lazy val q239: QueryDef =
+    QueryDef("q239_map_mrr",
+      Some("""
+        WITH qs AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'join', 'hash'),
+                      (CAST(2 AS BIGINT), 'scan', 'filter'),
+                      (CAST(3 AS BIGINT), 'sort', 'merge')) v(query_id, t1, t2)),
+        s AS (SELECT query_id, doc_id,
+                CAST(len(list_filter(string_split(text, ' '), w -> w = t1))
+                  AS BIGINT) AS score,
+                (list_contains(string_split(text, ' '), t1)
+                 OR list_contains(string_split(text, ' '), t2)) AS rel
+              FROM documents CROSS JOIN qs),
+        r AS (SELECT query_id, rel, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+              FROM s),
+        k AS (SELECT query_id, rel, rnk,
+                SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY query_id ORDER BY rnk
+                  ROWS UNBOUNDED PRECEDING) AS reln
+              FROM r WHERE rnk <= 10),
+        a AS (SELECT query_id,
+                CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+                MIN(CASE WHEN rel THEN rnk END) AS first_rel,
+                SUM(CASE WHEN rel THEN (reln * 1000000) // rnk END) AS psum
+              FROM k GROUP BY query_id)
+        SELECT query_id, n_rel,
+               CAST(CASE WHEN first_rel IS NULL THEN 0
+                         ELSE 1000000 // first_rel END AS BIGINT) AS mrr_ppm,
+               CAST(CASE WHEN n_rel = 0 THEN 0
+                         ELSE psum // n_rel END AS BIGINT) AS ap_ppm
+        FROM a ORDER BY query_id"""),
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq((1L, "join", "hash"), (2L, "scan", "filter"),
+          (3L, "sort", "merge")).toDF("query_id", "t1", "t2")
+        val words = split(col("text"), " ")
+        val scored = spread(documents(s, d)).crossJoin(broadcast(qs))
+          .select(col("query_id"), col("doc_id"),
+            size(filter(words, w => w === col("t1"))).cast("long")
+              .as("score"),
+            (array_contains(words, col("t1")) ||
+             array_contains(words, col("t2"))).as("rel"))
+          .withColumn("_key",
+            col("score") * 1000000000000L - col("doc_id"))
+        val top = graft.plans.GroupedTopK.perKey(scored, Seq("query_id"),
+          "_key", 10)
+        val ranked = top.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("_key").desc)))
+        graft.ops.Search.mapMrrAtK(ranked, Seq("query_id"), "rnk", "rel",
+            k = 10)
+          .select("query_id", "n_rel", "mrr_ppm", "ap_ppm")
+          .orderBy("query_id")
+      })
+
+  /** Bounded SCD2 back-fill ([[ops.Temporal.scd2Backfill]]): the
+    * event_id % 97 = 0 slice plays the stragglers the streaming
+    * maintainer dropped; the stored dimension (built without them)
+    * absorbs the correction by replaying ONLY the touched users'
+    * change logs — untouched keys pass through verbatim. The oracle
+    * is the full rebuild over everything (the q226 recipe), so the
+    * row asserts the back-fill identity: bounded correction == full
+    * recompute.
+    */
+  private lazy val q240: QueryDef =
+    QueryDef("q240_scd2_backfill",
+      Some(s"""
+        WITH el AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+                           event_id
+                    FROM events),
+        $Scd2Ctes
+        SELECT user_id, version, state, valid_from_us, valid_to_us,
+               valid_to_us IS NULL AS is_current
+        FROM vs ORDER BY user_id, version"""),
+      (s, d) => {
+        val logAll = events(s, d).select(col("user_id"),
+          col("event_type").as("state"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        val stragglers = logAll.filter(col("event_id") % 97 === 0)
+        val log = logAll.filter(col("event_id") % 97 =!= 0)
+        val stored = graft.ops.Temporal.scd2(log, Seq("user_id"), "state",
+          "ts_us", "event_id")
+        graft.ops.Temporal.scd2Backfill(stored, log, stragglers,
+            Seq("user_id"), "state", "ts_us", "event_id")
+          .select(col("user_id"), col("version"), col("state"),
+            col("valid_from").as("valid_from_us"),
+            col("valid_to").as("valid_to_us"), col("is_current"))
+          .orderBy("user_id", "version")
+      })
+
+  /** Optimizer join-cardinality estimate ([[ops.Stats
+    * .joinCardinality]]): the System R containment formula
+    * |L⋈R| ≈ |L|·|R| / max(ndv_L, ndv_R) read off the deterministic
+    * stats panel, next to the ACTUAL join count and the signed error
+    * — the one-row report that decides join order before a 100 TB
+    * plan runs. The oracle replays both HLL panels, the formula, and
+    * the true count.
+    */
+  private lazy val q241: QueryDef =
+    QueryDef("q241_join_cardinality",
+      Some(s"""
+        WITH lm AS (SELECT CAST(o_custkey AS VARCHAR) AS value FROM orders),
+        rm AS (SELECT CAST(c_custkey AS VARCHAR) AS value FROM customer),
+        lh AS (SELECT DISTINCT ${hash60Sql("value")} AS h FROM lm),
+        rh AS (SELECT DISTINCT ${hash60Sql("value")} AS h FROM rm),
+        lreg AS (SELECT h % 64 AS bucket,
+                   MAX(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS r
+                 FROM lh GROUP BY 1),
+        rreg AS (SELECT h % 64 AS bucket,
+                   MAX(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS r
+                 FROM rh GROUP BY 1),
+        le AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                 SUM(1::HUGEINT * (1::BIGINT << CAST(60 - r AS INT))) AS s
+               FROM lreg),
+        re AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                 SUM(1::HUGEINT * (1::BIGINT << CAST(60 - r AS INT))) AS s
+               FROM rreg),
+        lest AS (SELECT CASE WHEN nb * 4 <= 64 THEN nb
+                   ELSE CAST((709::HUGEINT * 64 * 64 * (1::BIGINT << 60))
+                        // (1000::HUGEINT * (s + (64 - nb)::HUGEINT * (1::BIGINT << 60)))
+                        AS BIGINT) END AS ndv FROM le),
+        rest AS (SELECT CASE WHEN nb * 4 <= 64 THEN nb
+                   ELSE CAST((709::HUGEINT * 64 * 64 * (1::BIGINT << 60))
+                        // (1000::HUGEINT * (s + (64 - nb)::HUGEINT * (1::BIGINT << 60)))
+                        AS BIGINT) END AS ndv FROM re),
+        nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT nl.n AS n_left, nr.n AS n_right,
+               lest.ndv AS ndv_left, rest.ndv AS ndv_right,
+               CAST(CASE WHEN greatest(lest.ndv, rest.ndv) = 0 THEN 0
+                    ELSE (nl.n * nr.n) // greatest(lest.ndv, rest.ndv) END
+                 AS BIGINT) AS est_rows,
+               act.actual AS actual_rows,
+               CAST(((CASE WHEN greatest(lest.ndv, rest.ndv) = 0 THEN 0
+                      ELSE (nl.n * nr.n) // greatest(lest.ndv, rest.ndv) END)
+                     - act.actual) * 1000000 // act.actual AS BIGINT)
+                 AS err_ppm
+        FROM nl, nr, lest, rest, act"""),
+      (s, d) => {
+        val est = graft.ops.Stats.joinCardinality(
+          spread(orders(s, d)), "o_custkey",
+          customer(s, d), "c_custkey", p = 6)
+        val actual = orders(s, d)
+          .join(customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).cast("long").as("actual_rows"))
+        est.crossJoin(actual)
+          .withColumn("err_ppm",
+            expr("((est_rows - actual_rows) * 1000000L) div actual_rows"))
+      })
+
+  /** Linear multi-touch attribution ([[ops.Events
+    * .multiTouchAttribution]]): q236's last-touch census next to the
+    * model marketers actually argue about — every click/view whose
+    * next conversion is within the hour shares that conversion's
+    * value equally (floor division in micro-units, remainder
+    * unassigned by contract; organic conversions keep full value).
+    * One reversed per-user window pins touches to conversions — no
+    * self-join. Output: per channel, credit count + value mass.
+    */
+  private lazy val q242: QueryDef =
+    QueryDef("q242_multi_touch",
+      Some("""
+        WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS tus,
+                          event_id
+                   FROM events),
+        t AS (SELECT *,
+                last_value(CASE WHEN event_type = 'purchase'
+                  THEN tus END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS next_conv
+              FROM e),
+        tc AS (SELECT user_id, event_type AS ty, tus, next_conv
+               FROM t
+               WHERE event_type IN ('click', 'view')
+                 AND next_conv IS NOT NULL
+                 AND next_conv - tus <= 3600000000),
+        sz AS (SELECT user_id, ty, next_conv,
+                 COUNT(*) OVER (PARTITION BY user_id, next_conv) AS n
+               FROM tc),
+        cv AS (SELECT user_id, tus AS conv_us,
+                 CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+                   AS v_micro
+               FROM e WHERE event_type = 'purchase'),
+        cr AS (SELECT COALESCE(sz.ty, 'organic') AS attributed,
+                 CASE WHEN sz.n IS NULL THEN cv.v_micro
+                      ELSE cv.v_micro // sz.n END AS credit_micro
+               FROM cv LEFT JOIN sz
+                 ON cv.user_id = sz.user_id AND cv.conv_us = sz.next_conv)
+        SELECT attributed, CAST(COUNT(*) AS BIGINT) AS n_credits,
+               CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+        FROM cr GROUP BY 1 ORDER BY 1"""),
+      (s, d) => graft.ops.Events.multiTouchAttribution(
+          events(s, d).select(col("user_id"), col("event_type"),
+            col("value"), expr("ts_ns div 1000").as("tus"), col("event_id")),
+          "user_id", "event_type", "tus", "event_id", "value",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          windowUs = 3600000000L)
+        .groupBy("attributed")
+        .agg(count(lit(1)).cast("long").as("n_credits"),
+          sum("credit_micro").cast("long").as("credit_micro"))
+        .orderBy("attributed"))
+
   val all: Seq[QueryDef] =
     Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237,
-      q238)
+      q238, q239, q240, q241, q242)
 }

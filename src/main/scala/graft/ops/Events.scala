@@ -235,6 +235,68 @@ object Events {
     * Output: the conversion rows with `attributed` (touch type or
     * 'organic') and `touch_us` (null for organic).
     */
+  /** Linear multi-touch attribution: every touch PRECEDING a
+    * conversion (same (ts, tie) order contract as
+    * [[lastTouchAttribution]]) whose NEXT conversion is that one and
+    * within `windowUs` shares the conversion's value equally —
+    * `credit_micro = value*1e6 div n_touches` per touch (the floor
+    * remainder, < n_touches micro-units, stays unassigned:
+    * deterministic, documented). Conversions with no touches credit
+    * 'organic' in full.
+    *
+    * Shape: one REVERSED per-user window pins each touch to its next
+    * conversion (nearest following in the (ts, tie) order — no
+    * self-join, no per-conversion probe), one per-conversion count
+    * window sizes the split, one user-keyed equi-join fetches the
+    * conversion value. Everything shuffles on the user key only.
+    *
+    * Output: one row per credit — (user, conv_us, attributed,
+    * touch_us null for organic, credit_micro).
+    */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+                            typeCol: String, usCol: String, tieCol: String,
+                            valueCol: String, convType: String,
+                            touchTypes: Seq[String],
+                            windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    // nearest FOLLOWING conversion = last over the descending order's
+    // preceding frame
+    val wDesc = Window.partitionBy(userCol)
+      .orderBy(col(usCol).desc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touches = events
+      .withColumn("_next_conv", last(
+        when(col(typeCol) === convType, col(usCol)),
+        ignoreNulls = true).over(wDesc))
+      .filter(col(typeCol).isin(touchTypes: _*) &&
+        col("_next_conv").isNotNull &&
+        col("_next_conv") - col(usCol) <= windowUs)
+      .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
+        col(usCol).as("_tus"), col("_next_conv"))
+    val perConv = Window.partitionBy("_u", "_next_conv")
+    val sized = touches.withColumn("_n", count(lit(1)).over(perConv))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user"), col(usCol).as("conv_us"),
+        col(valueCol).as("_v"))
+    val credited = convs.join(sized,
+        col("user") === col("_u") && col("conv_us") === col("_next_conv"),
+        "left")
+      .withColumn("attributed", coalesce(col("_ty"), lit("organic")))
+      .withColumn("touch_us", col("_tus"))
+      // value -> micro through DECIMAL(25,6): a double->bigint cast
+      // truncates in Spark but rounds in DuckDB; the decimal hop is
+      // exact and identical on both engines (the house dsum policy)
+      .withColumn("_v_micro",
+        expr("CAST(CAST(_v AS DECIMAL(25,6)) * 1000000 AS BIGINT)"))
+      .withColumn("credit_micro", when(col("_n").isNull, col("_v_micro"))
+        .otherwise(expr("_v_micro div _n")))
+      .drop("_v_micro")
+      .select("user", "conv_us", "attributed", "touch_us", "credit_micro")
+    credited
+  }
+
   def lastTouchAttribution(events: DataFrame, userCol: String,
                            typeCol: String, usCol: String, tieCol: String,
                            convType: String, touchTypes: Seq[String],

@@ -209,4 +209,37 @@ object Search {
         "CASE WHEN idcg_micro = 0 THEN 0L" +
           " ELSE (dcg_micro * 1000000L) div idcg_micro END"))
   }
+
+  /** MRR and MAP@k over a ranked retrieval with BINARY relevance
+    * (`relCol` boolean): per query, `mrr_ppm` = 1e6 div (rank of the
+    * first relevant result), `ap_ppm` = the mean of precision@i over
+    * the relevant positions i <= k (the "AP of the retrieved set"
+    * variant — denominator is the relevant count IN the top-k, so a
+    * query that retrieved nothing relevant reports a defined 0, and
+    * no external total-relevant count is needed). All-integer
+    * (precision@i in ppm floors per position, the mean floors once);
+    * per-query frames are k-bounded like [[ndcgAtK]].
+    */
+  def mapMrrAtK(ranked: DataFrame, queryCols: Seq[String], rankCol: String,
+                relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(queryCols.map(col): _*)
+      .orderBy(col(rankCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .filter(col(rankCol) <= k)
+      .withColumn("_relN", sum(when(col(relCol), 1L).otherwise(0L)).over(w))
+      .withColumn("_prec_ppm", when(col(relCol),
+        expr(s"(_relN * 1000000L) div $rankCol")))
+      .groupBy(queryCols.map(col): _*)
+      .agg(
+        sum(when(col(relCol), 1L).otherwise(0L)).cast("long").as("n_rel"),
+        min(when(col(relCol), col(rankCol))).cast("long").as("_first"),
+        sum(col("_prec_ppm")).cast("long").as("_prec_sum"))
+      .withColumn("mrr_ppm", expr(
+        "CASE WHEN _first IS NULL THEN 0L ELSE 1000000L div _first END"))
+      .withColumn("ap_ppm", expr(
+        "CASE WHEN n_rel = 0 THEN 0L ELSE _prec_sum div n_rel END"))
+      .drop("_first", "_prec_sum")
+  }
 }

@@ -58,4 +58,28 @@ object Stats {
         col("avg_len_milli"),
         coalesce(col("est_distinct"), lit(0L)).as("ndv_est"))
   }
+
+  /** Textbook equi-join cardinality estimate from the stats panel:
+    * `|L ⋈ R on k| ≈ |L| * |R| / max(ndv_L(k), ndv_R(k))` — the
+    * containment-of-value-sets assumption every cost-based optimizer
+    * starts from (System R). Inputs are ONE-ROW frames; the estimate
+    * is exactly what a planner would read off [[columnStats]] before
+    * choosing join order and broadcast sides. Output: one row
+    * `(n_left, n_right, ndv_left, ndv_right, est_rows)` — integer
+    * arithmetic, oracle-replayable because the ndv comes from the
+    * deterministic HLL panel.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      p: Int = 6): DataFrame = {
+    def side(df: DataFrame, key: String, nOut: String, dOut: String) =
+      columnStats(df, Seq(key), p)
+        .select(col("n_rows").as(nOut), col("ndv_est").as(dOut))
+    side(left, leftKey, "n_left", "ndv_left")
+      .crossJoin(side(right, rightKey, "n_right", "ndv_right"))
+      .withColumn("est_rows", expr(
+        "CASE WHEN greatest(ndv_left, ndv_right) = 0 THEN 0L" +
+          " ELSE (n_left * n_right) div greatest(ndv_left, ndv_right) END"))
+      .select("n_left", "n_right", "ndv_left", "ndv_right", "est_rows")
+  }
 }

@@ -115,6 +115,30 @@ object Temporal {
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(25, 6)))
           .cast(StateDecimal).as("sum_value"))
 
+  /** Bounded SCD2 back-fill: absorb STRAGGLERS (rows the streaming
+    * maintainer dropped as older than the open version —
+    * [[graft.streaming.Streams.streamingScd2]]'s documented limit)
+    * by recomputing ONLY the keys the stragglers touch. Untouched
+    * keys keep their stored dimension rows verbatim (anti join);
+    * affected keys replay [[scd2]] over their full change-log slice
+    * plus the stragglers (semi join bounds the replay input). The
+    * result equals a full rebuild over log ∪ stragglers, at a cost
+    * proportional to the CORRECTED keys — the partition-scoped-merge
+    * discipline (Store.mergeWritePartitions) applied to the temporal
+    * dimension.
+    */
+  def scd2Backfill(storedDim: DataFrame, log: DataFrame,
+                   stragglers: DataFrame, keys: Seq[String],
+                   stateCol: String, tsCol: String,
+                   tieCol: String): DataFrame = {
+    val affected = stragglers.select(keys.map(col): _*).distinct()
+    val untouched = storedDim.join(affected, keys, "left_anti")
+    val rebuilt = scd2(
+      log.unionByName(stragglers).join(affected, keys, "left_semi"),
+      keys, stateCol, tsCol, tieCol)
+    untouched.unionByName(rebuilt)
+  }
+
   /** Incremental JOIN-view maintenance (the classic delta identity):
     * with both sides of an INNER equi-join receiving late batches,
     * the stored rollup's increment is

@@ -2998,4 +2998,78 @@ class OpsSpec extends AnyFunSuite {
       2L -> ((4L, 0L, 0L)),
       3L -> ((4L, 0L, 0L))))
   }
+
+  test("mapMrrAtK: first-hit reciprocal and precision mass; no-hit is 0") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 1L, false), (1L, 2L, true), (1L, 3L, false), (1L, 4L, true),
+      (1L, 5L, false),
+      (2L, 1L, false), (2L, 2L, false)
+    ).toDF("q", "rnk", "rel")
+    val got = graft.ops.Search.mapMrrAtK(ranked, Seq("q"), "rnk", "rel", 5)
+      .select("q", "n_rel", "mrr_ppm", "ap_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // q1: hits at 2 and 4 -> MRR 1/2; AP = (1/2 + 2/4)/2 = 1/2
+    assert(got(1L) == ((2L, 500000L, 500000L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
+  test("scd2Backfill: bounded correction equals the full rebuild") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 30L, 3L),   // key 1 misses b@20
+      (2L, "x", 10L, 4L), (2L, "y", 20L, 5L)    // key 2 untouched
+    ).toDF("k", "state", "ts", "id")
+    val stragglers = Seq((1L, "c", 20L, 2L)).toDF("k", "state", "ts", "id")
+    val stored = graft.ops.Temporal.scd2(log, Seq("k"), "state", "ts", "id")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "version", "state", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val filled = shape(graft.ops.Temporal.scd2Backfill(stored, log,
+      stragglers, Seq("k"), "state", "ts", "id"))
+    val full = shape(graft.ops.Temporal.scd2(
+      log.unionByName(stragglers), Seq("k"), "state", "ts", "id"))
+    assert(filled == full)
+    // the straggler split key 1's single a->b transition into a->c->b
+    assert(filled.filter(_._1 == 1L).map(_._3) == Seq("a", "c", "b"))
+  }
+
+  test("joinCardinality reads the containment formula off the stats panel") {
+    import spark.implicits._
+    // left: 6 rows over 3 keys; right: 3 rows over 3 keys (dim) ->
+    // small-range ndv is exact, est = 6*3/3 = 6 = the true join size
+    val left = Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("k")
+    val right = Seq(1L, 2L, 3L).toDF("j")
+    val r = graft.ops.Stats.joinCardinality(left, "k", right, "j")
+      .select("n_left", "n_right", "ndv_left", "ndv_right", "est_rows")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert((r._1, r._2) == ((6L, 3L)))
+    assert(r._3 >= 2L && r._3 <= 3L && r._4 >= 2L && r._4 <= 3L)
+    assert(r._5 == (6L * 3L) / math.max(r._3, r._4))
+  }
+
+  test("multiTouchAttribution splits credit; window and organic rules hold") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click@10 + view@20 share buy@30 (value 3.0 -> 1.5 each)
+      (1L, "click", 10L, 1L, 0.0), (1L, "view", 20L, 2L, 0.0),
+      (1L, "buy", 30L, 3L, 3.0),
+      // u1: click@100 too old for buy@300 (window 100) -> organic
+      (1L, "click", 100L, 4L, 0.0), (1L, "buy", 300L, 5L, 7.0),
+      // u2: no touches -> organic
+      (2L, "buy", 50L, 6L, 1.0)
+    ).toDF("u", "ty", "us", "id", "v")
+    val got = graft.ops.Events.multiTouchAttribution(ev, "u", "ty", "us",
+        "id", "v", convType = "buy", touchTypes = Seq("click", "view"),
+        windowUs = 100L)
+      .select("user", "conv_us", "attributed", "credit_micro")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 30L, "click", 1500000L), (1L, 30L, "view", 1500000L),
+      (1L, 300L, "organic", 7000000L),
+      (2L, 50L, "organic", 1000000L)))
+  }
 }

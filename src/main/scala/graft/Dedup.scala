@@ -1514,4 +1514,37 @@ object Dedup {
     val assigned = v.drop("_b").join(best, Seq(idCol), "left").persist(Disk)
     pruneClusters(assigned, idCol, threshold, maxClusterSize)
   }
+
+  /** Fuzzy VOCABULARY join (FastSS, Bocek et al. 2007): all pairs of
+    * distinct words at Levenshtein distance <= 1, found by
+    * deletion-neighborhood blocking — every word emits itself plus its
+    * |w| delete-one variants, and any ED<=1 pair provably shares a
+    * variant, so the candidate search is an EQUI-join on the variant
+    * key, never all-pairs. A cheap exact `levenshtein` verify on the
+    * survivors removes the (rare) same-variant ED-2 false candidates
+    * (e.g. 'ab'/'ba' share 'a' via different deletions).
+    *
+    * Scale shape: the input is a VOCABULARY (distinct words — already
+    * sublinear in corpus tokens); the blocked volume is sum over
+    * variants of df^2, bounded in practice by word length x vocab.
+    * Short words make hot variant keys (every 1-char word shares the
+    * empty variant — correctly, since all 1-char pairs ARE ED 1); for
+    * web-scale vocabularies apply the df-cap discipline on the variant
+    * key first (Skew.hotKeyReport). The typo-normalization /
+    * query-expansion primitive next to the shingle family.
+    */
+  def editOnePairs(words: DataFrame, wordCol: String): DataFrame = {
+    val w = words.select(col(wordCol).cast("string").as("w")).distinct()
+    val variants = w.select(col("w"), explode(concat(
+      array(col("w")),
+      expr("transform(sequence(1, length(w)), i -> " +
+        "concat(substring(w, 1, i-1), substring(w, i+1, length(w)-i)))")))
+      .as("v"))
+    variants.select(col("w").as("a"), col("v"))
+      .join(variants.select(col("w").as("b"), col("v")), "v")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast(LongType))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -832,7 +832,111 @@ object WarehouseQueries {
           sum("credit_micro").cast("long").as("credit_micro"))
         .orderBy("attributed"))
 
+  /** FastSS fuzzy vocabulary join ([[Dedup.editOnePairs]]): all
+    * distinct-word pairs at Levenshtein <= 1 via deletion-neighborhood
+    * blocking — an equi-join on the delete-one variant key, never
+    * all-pairs, with an exact levenshtein verify on survivors. Two
+    * planted typo words exercise both the insert/delete ('merge' /
+    * 'mergee') and substitute ('linkqge') shapes against the natural
+    * vocabulary. The typo-normalization primitive next to the shingle
+    * family; vocabulary-sized by construction.
+    */
+  private lazy val q243: QueryDef =
+    QueryDef("q243_fuzzy_vocab_join",
+      Some("""
+        WITH corpus AS (
+          SELECT text FROM documents
+          UNION ALL SELECT 'linkage linkqge mergee'),
+        wv AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+               FROM corpus),
+        v AS (SELECT w, unnest(list_concat([w],
+                [substr(w, 1, i-1) || substr(w, i+1, length(w)-i)
+                 for i in range(1, length(w)+1)])) AS v
+              FROM wv),
+        p AS (SELECT DISTINCT x.w AS a, y.w AS b
+              FROM v x JOIN v y ON x.v = y.v AND x.w < y.w)
+        SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+        FROM p WHERE levenshtein(a, b) <= 1 ORDER BY a, b"""),
+      (s, d) => {
+        import s.implicits._
+        val corpus = spread(documents(s, d)).select("text")
+          .unionAll(Seq("linkage linkqge mergee").toDF("text"))
+        Dedup.editOnePairs(
+            corpus.select(explode(split(col("text"), " ")).as("w")), "w")
+          .orderBy("a", "b")
+      })
+
+  /** Native session windows (`session_window`, SURVEY §2.10's built-in
+    * sessionizer): Spark's own gap-merge operator next to the q54
+    * hand-rolled recipe — the two differ EXACTLY at the gap boundary
+    * (session_window separates at gap >= 5 min where q54's `>` keeps
+    * them together), so the oracle replays the NATIVE semantics
+    * (new session on diff >= gap; window end = last event + gap).
+    * Same scale class: one user-keyed exchange.
+    */
+  private lazy val q244: QueryDef =
+    QueryDef("q244_native_session_window",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        g AS (SELECT user_id, tus,
+                CASE WHEN tus - LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w >= 300000000 THEN 1 ELSE 0 END
+                  AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (SELECT user_id, tus,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY tus
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, MIN(tus) AS start_us,
+               MAX(tus) + 300000000 AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 minutes").as("sw"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .select(col("user_id"), expr("unix_micros(sw.start)").as("start_us"),
+          expr("unix_micros(sw.end)").as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us"))
+
+  /** Sorted-neighborhood blocking ([[ops.Linkage.sortedNeighborhood]]):
+    * customers ordered by (balance, key), candidate pairs = rows
+    * within 4 positions — the blocking that catches CLOSE-but-unequal
+    * values hash blocks never co-locate (q232's complement). Census
+    * per rank gap: pairs, same-nation pairs, balance-within-1 pairs.
+    * The global position rides the prefix-sum scaffold; the
+    * neighborhood is an equi-join on pos+gap, volume exactly n*(w-1).
+    */
+  private lazy val q245: QueryDef =
+    QueryDef("q245_sorted_neighborhood",
+      Some("""
+        WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                     ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS pos
+                   FROM customer),
+        p AS (SELECT g.gap, a.c_nationkey AS an, b.c_nationkey AS bn,
+                     a.c_acctbal AS ab, b.c_acctbal AS bb
+              FROM r a CROSS JOIN (SELECT unnest([1, 2, 3]) AS gap) g
+              JOIN r b ON b.pos = a.pos + g.gap)
+        SELECT CAST(gap AS BIGINT) AS gap,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN an = bn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_same_nation,
+               CAST(SUM(CASE WHEN abs(ab - bb) < 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_close
+        FROM p GROUP BY gap ORDER BY gap"""),
+      (s, d) => graft.ops.Linkage.sortedNeighborhood(
+          spread(customer(s, d))
+            .select("c_custkey", "c_nationkey", "c_acctbal"),
+          Seq(col("c_acctbal"), col("c_custkey")), w = 4)
+        .groupBy(col("gap"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(when(col("a_c_nationkey") === col("b_c_nationkey"), 1L)
+            .otherwise(0L)).cast("long").as("n_same_nation"),
+          sum(when(abs(col("a_c_acctbal") - col("b_c_acctbal")) < 1, 1L)
+            .otherwise(0L)).cast("long").as("n_close"))
+        .orderBy("gap"))
+
   val all: Seq[QueryDef] =
     Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237,
-      q238, q239, q240, q241, q242)
+      q238, q239, q240, q241, q242, q243, q244, q245)
 }

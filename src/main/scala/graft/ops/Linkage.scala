@@ -54,4 +54,35 @@ object Linkage {
           .when(col("score") >= lower, "possible")
           .otherwise("non_match"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández/Stolfo): sort the
+    * registry by a fuzzy key (here: the caller's `sort` columns — a
+    * phonetic code, a normalized name, a balance), then candidate
+    * pairs are rows within `w` positions of each other — the blocking
+    * that catches what HASH blocks miss (values that are CLOSE but not
+    * equal land in adjacent positions, never in the same hash bucket).
+    *
+    * Scale shape: the global position comes from the hierarchical
+    * prefix-sum scaffold (range slices + broadcast offsets — never a
+    * single-task rank window); the neighborhood expands as an explode
+    * of gap = 1..w-1 joined back on `pos + gap = pos` — an EQUI-join,
+    * volume exactly n*(w-1). Output: every input column prefixed `a_`
+    * / `b_`, plus `gap`. Pair it with [[fellegiSunter]]-style scoring
+    * on the survivors.
+    */
+  def sortedNeighborhood(df: DataFrame, sort: Seq[Column],
+                         w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 rows, got $w")
+    val pos = Ranking.globalRowNumber(df, sort, "_pos")
+    def side(p: String) = df.columns.foldLeft(pos) {
+      (d, c) => d.withColumnRenamed(c, s"$p$c")
+    }
+    val a = side("a_").withColumn("_gap",
+        explode(expr(s"sequence(1L, ${w - 1}L)")))
+      .withColumn("_probe", col("_pos") + col("_gap"))
+    a.join(side("b_").withColumnRenamed("_pos", "_probe"), "_probe")
+      .select(df.columns.map(c => col(s"a_$c")) ++
+        df.columns.map(c => col(s"b_$c")) :+
+        col("_gap").as("gap"): _*)
+  }
 }

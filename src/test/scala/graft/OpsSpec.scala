@@ -3072,4 +3072,36 @@ class OpsSpec extends AnyFunSuite {
       (1L, 300L, "organic", 7000000L),
       (2L, 50L, "organic", 1000000L)))
   }
+
+  test("editOnePairs: deletion blocking finds ED<=1; verify kills ED-2") {
+    import spark.implicits._
+    // 'ab'/'ba' share deletion variants 'a' AND 'b' but are ED 2 —
+    // the exact verify must reject them
+    val words = Seq("cat", "cats", "bat", "dog", "at", "ab", "ba", "cat")
+      .toDF("w")
+    val got = graft.Dedup.editOnePairs(words, "w")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("at", "bat", 1L), ("at", "cat", 1L), ("bat", "cat", 1L),
+      ("cat", "cats", 1L),
+      ("ab", "at", 1L),   // substitute b -> t
+      ("ba", "bat", 1L))) // insert t
+    assert(!got.exists(p => p._1 == "ab" && p._2 == "ba")) // ED 2 rejected
+  }
+
+  test("sortedNeighborhood pairs rows within w positions of the sort order") {
+    import spark.implicits._
+    // balances 10,11,50,51: hash-blocking on floor(bal/10) would
+    // never pair 11 with 10? it would — but never 11 with 50; the
+    // SORT order pairs adjacent values regardless of bucket edges
+    val rows = Seq((1L, 10.0), (2L, 11.0), (3L, 50.0), (4L, 51.0))
+      .toDF("id", "bal")
+    val got = graft.ops.Linkage.sortedNeighborhood(rows,
+        Seq(col("bal"), col("id")), w = 3)
+      .select("a_id", "b_id", "gap")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),  // adjacent
+      (1L, 3L, 2L), (2L, 4L, 2L)))               // distance 2
+  }
 }

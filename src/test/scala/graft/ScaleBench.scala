@@ -242,6 +242,25 @@ object Scale100Gen {
         .write.mode("overwrite").parquet(s"$Out/orders.parquet")
       println("wrote sf100 orders")
     }
+    // round 13: events at 1000x users for the temporal-warehouse
+    // family's third decade (q226 per-key windows, q229 QI-count
+    // shuffle, q236 single window pass). Same recipe as Scale10Gen's
+    // events (ts written back as raw nanos longs; per-user history
+    // preserved, the user dimension scales); projected to the five
+    // columns those queries read so the 100M-row table stays ~4 GB —
+    // the full-width lesson from the lineitem attempt applied upfront.
+    if (want("events")) {
+      Tables.events(spark, sf).drop("ts")
+        .withColumnRenamed("ts_ns", "ts")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+        .select(col("*"), explode(expr("sequence(0, 999)")).as("rep"))
+        .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+        .withColumn("event_id", col("event_id") + col("rep") * off)
+        .drop("rep")
+        .repartition(128)
+        .write.mode("overwrite").parquet(s"$Out/events.parquet")
+      println("wrote sf100 events")
+    }
     spark.stop()
   }
 }

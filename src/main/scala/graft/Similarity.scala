@@ -171,6 +171,39 @@ object Similarity {
     (out, () => { scored.unpersist(); () })
   }
 
+  /** kNN label vote (the classifier-quality audit of an embedding
+    * space): for each query in a FIXED panel (the [[prefixRecall]]
+    * broadcast contract — the panel must not grow with SF), the
+    * majority label among its exact cosine top-k neighbours (self
+    * excluded; vote ties to the SMALLEST label), next to the query's
+    * own label — leave-one-out accuracy over the panel, the standard
+    * "is this embedding space label-coherent" check run before
+    * trusting it for dedup/sampling. Exact by design (it CALIBRATES
+    * the approximate path); top-k ties break by score only (the
+    * [[knnJoin]] heap contract — this corpus has no boundary ties).
+    */
+  def knnLabelVote(df: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queryPred: Column,
+                   k: Int = 5): DataFrame = {
+    val corpus = df.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("_v"), col(labelCol).cast("long").as("_nl"))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"),
+        col(labelCol).cast("long").as("true_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("true_label"), col("corpus_id"),
+        col("_nl"), cosineSim(col("_qv"), col("_v")).as("_cos"))
+    graft.plans.GroupedTopK.perKey(scored, Seq("query_id"), "_cos", k)
+      .groupBy("query_id", "true_label", "_nl")
+      .agg(count(lit(1)).cast("long").as("_votes"))
+      .groupBy("query_id", "true_label")
+      .agg(max(struct(col("_votes"), (-col("_nl")).as("_neg"))).as("_best"))
+      .select(col("query_id"), col("true_label"),
+        (-col("_best._neg")).as("predicted"),
+        col("_best._votes").as("votes"))
+  }
+
   /** Handle-less [[prefixRecallReleasable]] for one-shot jobs. */
   def prefixRecall(df: DataFrame, idCol: String, vecCol: String,
                    queryPred: Column, prefixDims: Int,

@@ -936,7 +936,155 @@ object WarehouseQueries {
             .otherwise(0L)).cast("long").as("n_close"))
         .orderBy("gap"))
 
+  private def asDbl(c: Column): Column = transform(c, _.cast("double"))
+
+  /** kNN label-vote accuracy ([[Similarity.knnLabelVote]]): the fixed
+    * q233 query panel, exact cosine top-5 neighbours, majority label
+    * (ties to the smallest) vs the query's OWN label — leave-one-out
+    * accuracy per true class, the "is this embedding space
+    * label-coherent" audit run before trusting it for dedup or
+    * sampling decisions. Oracle replays ranking, vote, and the
+    * (votes desc, label) argmax.
+    */
+  private lazy val q246: QueryDef =
+    QueryDef("q246_knn_label_accuracy",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          CAST(label AS BIGINT) AS lab
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, lab AS tlab FROM t
+              WHERE vec_id % 10 = 0 AND vec_id < 500),
+        p AS (SELECT qid, tlab, t.vec_id AS cid, t.lab AS nl,
+                ${cosSql("qv", "v", 64)} AS c
+              FROM q JOIN t ON t.vec_id <> q.qid),
+        r AS (SELECT qid, tlab, nl, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY c DESC, cid) AS rn
+              FROM p),
+        vts AS (SELECT qid, tlab, nl, CAST(COUNT(*) AS BIGINT) AS votes
+                FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        w AS (SELECT qid, tlab, nl AS pred, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY votes DESC, nl) AS wr
+              FROM vts)
+        SELECT tlab AS true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN pred = tlab THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               CAST(SUM(CASE WHEN pred = tlab THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS BIGINT) AS acc_ppm
+        FROM w WHERE wr = 1 GROUP BY tlab ORDER BY true_label"""),
+      (s, d) => Similarity.knnLabelVote(embeddings(s, d), "vec_id",
+          "embedding", "label",
+          col("vec_id") % 10 === 0 && col("vec_id") < 500, k = 5)
+        .groupBy(col("true_label"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(when(col("predicted") === col("true_label"), 1L)
+            .otherwise(0L)).cast("long").as("n_correct"))
+        .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n_queries"))
+        .orderBy("true_label"))
+
+  /** Cluster-purity audit ([[ops.Stats.clusterPurity]]) over the q77
+    * nearest-centroid assignment (centroids = vec_id % 101): per cell,
+    * the dominant label's share — the label-agreement gate before
+    * unsupervised cells drive sampling. Two bounded aggregations over
+    * the (cell, label) contingency. Oracle replays assignment,
+    * contingency, and the (n desc, label) argmax.
+    */
+  private lazy val q247: QueryDef =
+    QueryDef("q247_cluster_purity",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          CAST(label AS BIGINT) AS lab
+                   FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t
+              WHERE vec_id % 101 = 0),
+        p AS (SELECT t.vec_id, t.lab, centroid_id,
+                ${cosSql("v", "cv", 64)} AS cos
+              FROM t CROSS JOIN c),
+        r AS (SELECT vec_id, lab, centroid_id, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+              FROM p),
+        cells AS (SELECT centroid_id, lab, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM r WHERE rn = 1 GROUP BY 1, 2),
+        best AS (SELECT centroid_id, lab, n, ROW_NUMBER() OVER (
+                   PARTITION BY centroid_id ORDER BY n DESC, lab) AS br,
+                 SUM(n) OVER (PARTITION BY centroid_id) AS tot
+                 FROM cells)
+        SELECT centroid_id, CAST(tot AS BIGINT) AS n, lab AS top_label,
+               n AS top_n, CAST((n * 1000000) // tot AS BIGINT) AS purity_ppm
+        FROM best WHERE br = 1 ORDER BY centroid_id"""),
+      (s, d) => {
+        val t = spread(embeddings(s, d)).select(col("vec_id"),
+          asDbl(col("embedding")).as("v"), col("label").cast("long")
+            .as("lab"))
+        val cent = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            asDbl(col("embedding")).as("cv"))
+        val assigned = t.crossJoin(broadcast(cent))
+          .groupBy(col("vec_id"), col("lab"))
+          .agg(max(struct(
+            graft.plans.VectorExpressions.cosineSim(col("v"), col("cv"))
+              .as("_cos"),
+            (-col("centroid_id")).as("_neg"))).as("_b"))
+          .select(col("lab"), (-col("_b._neg")).as("centroid_id"))
+        graft.ops.Stats.clusterPurity(assigned, "centroid_id", "lab")
+          .orderBy("centroid_id")
+      })
+
+  /** Language-ID confusion matrix ([[ops.Stats.confusionMatrix]] over
+    * the q32 scorer): (true lang, predicted) cells with counts and the
+    * row-normalized recall decomposition in ppm — the evaluation
+    * staple behind every "is the langid gate safe for language X"
+    * decision. The scorer and its first-wins tie order are shared
+    * verbatim with q32 (PipelineQueries.LangProfiles).
+    */
+  private lazy val q248: QueryDef =
+    QueryDef("q248_langid_confusion",
+      Some {
+        val profiles = PipelineQueries.LangProfiles
+        val scores = profiles.map { case (l, bgs) =>
+          val sum = bgs.map(bg =>
+            s"(length(text) - length(replace(text, '$bg', '')))")
+            .mkString(" + ")
+          s"($sum) AS s_$l"
+        }.mkString(", ")
+        val langs = profiles.map(_._1)
+        val cases = langs.init.map { l =>
+          val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (SELECT lang, $scores FROM documents),
+        cls AS (SELECT lang AS true_class,
+                  CASE $cases ELSE '${langs.last}' END AS predicted
+                FROM scored),
+        cells AS (SELECT true_class, predicted,
+                    CAST(COUNT(*) AS BIGINT) AS n
+                  FROM cls GROUP BY 1, 2)
+        SELECT true_class, predicted, n,
+               CAST((n * 1000000) // SUM(n) OVER (PARTITION BY true_class)
+                 AS BIGINT) AS row_ppm
+        FROM cells ORDER BY true_class, predicted"""
+      },
+      (s, d) => {
+        val profiles = PipelineQueries.LangProfiles
+        val langs = profiles.map(_._1)
+        val scored = spread(documents(s, d)).select(
+          col("lang") +: profiles.map { case (l, bgs) =>
+            bgs.map(Pipeline.occurrences2x(col("text"), _)).reduce(_ + _)
+              .as(s"s_$l")
+          }: _*)
+        val pred = langs.init.foldRight(lit(langs.last)) { (l, e) =>
+          val geAll = langs.filter(_ != l)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          when(geAll, lit(l)).otherwise(e)
+        }
+        graft.ops.Stats.confusionMatrix(
+            scored.select(col("lang"), pred.as("predicted")),
+            "lang", "predicted")
+          .orderBy("true_class", "predicted")
+      })
+
   val all: Seq[QueryDef] =
     Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237,
-      q238, q239, q240, q241, q242, q243, q244, q245)
+      q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
 }

@@ -69,6 +69,40 @@ object Stats {
     * arithmetic, oracle-replayable because the ndv comes from the
     * deterministic HLL panel.
     */
+  /** Cluster-purity audit: per cluster, the dominant label's share —
+    * the label-agreement number a curation team reads before trusting
+    * unsupervised cells (topic buckets, SemDeDup groups, IVF cells)
+    * for sampling decisions. Ties go to the SMALLEST label (integer
+    * struct-max, deterministic). Two bounded aggregations over the
+    * (cluster, label) contingency — cells ≤ rows, never a matrix
+    * materialized per row. Output per cluster: n, top_label, top_n,
+    * purity_ppm.
+    */
+  def clusterPurity(assigned: DataFrame, clusterCol: String,
+                    labelCol: String): DataFrame =
+    assigned.groupBy(col(clusterCol), col(labelCol).cast("long").as("_lab"))
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .groupBy(col(clusterCol))
+      .agg(sum("_n").cast("long").as("n"),
+        max(struct(col("_n"), (-col("_lab")).as("_neg"))).as("_best"))
+      .select(col(clusterCol), col("n"),
+        (-col("_best._neg")).as("top_label"),
+        col("_best._n").as("top_n"),
+        expr("(_best._n * 1000000L) div n").as("purity_ppm"))
+
+  /** Classifier confusion matrix: (true, predicted) cells with counts
+    * and the row-normalized share (recall decomposition) in ppm — the
+    * evaluation staple for the language-ID / quality-model gates. One
+    * bounded aggregation + a classes-sized window.
+    */
+  def confusionMatrix(df: DataFrame, trueCol: String,
+                      predCol: String): DataFrame =
+    df.groupBy(col(trueCol).as("true_class"),
+        col(predCol).as("predicted"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("row_ppm",
+        expr("(n * 1000000L) div sum(n) OVER (PARTITION BY true_class)"))
+
   def joinCardinality(left: DataFrame, leftKey: String,
                       right: DataFrame, rightKey: String,
                       p: Int = 6): DataFrame = {

@@ -3104,4 +3104,50 @@ class OpsSpec extends AnyFunSuite {
       (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),  // adjacent
       (1L, 3L, 2L), (2L, 4L, 2L)))               // distance 2
   }
+
+  test("knnLabelVote: majority of exact neighbours; vote ties to smaller label") {
+    import spark.implicits._
+    // query 100 (label 9) sits in a cluster of two label-1 and one
+    // label-2 vectors -> k=3 vote predicts 1 (majority); query 200 has
+    // one label-3 and one label-4 equally near -> k=2 tie -> 3
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f), 1), (2L, Seq(0.99f, 0.1f, 0f), 1),
+      (3L, Seq(0.98f, 0.15f, 0f), 2),
+      (10L, Seq(0f, 1f, 0f), 3), (11L, Seq(0f, 1f, 0.01f), 4),
+      (100L, Seq(0.995f, 0.05f, 0f), 9),
+      (200L, Seq(0f, 0.9999f, 0.005f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelVote(rows, "vec_id", "embedding",
+        "label", col("vec_id") >= 100L, k = 3)
+      .select("query_id", "true_label", "predicted", "votes")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(100L)._1 == 1L && got(100L)._2 == 2L)
+    // 200's 3 nearest: 11 (lab 4), 10 (lab 3), and 3 (lab 2 — its
+    // 0.15 second coordinate beats every remaining vector) — the vote
+    // is 1-1-1 and ties resolve to the SMALLEST label, 2
+    assert(got(200L)._1 == 2L && got(200L)._2 == 1L)
+  }
+
+  test("clusterPurity and confusionMatrix on hand contingencies") {
+    import spark.implicits._
+    val assigned = (Seq.fill(3)((10L, 7L)) ++ Seq((10L, 8L)) ++
+      Seq.fill(2)((20L, 5L)) ++ Seq.fill(2)((20L, 4L)))
+      .toDF("cell", "lab")
+    val pur = graft.ops.Stats.clusterPurity(assigned, "cell", "lab")
+      .select("cell", "n", "top_label", "top_n", "purity_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(pur(10L) == ((4L, 7L, 3L, 750000L)))
+    assert(pur(20L) == ((4L, 4L, 2L, 500000L))) // tie -> smaller label
+    val cls = Seq(("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de")).toDF("t", "p")
+    val cm = graft.ops.Stats.confusionMatrix(cls, "t", "p")
+      .select("true_class", "predicted", "n", "row_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(cm(("en", "en")) == ((2L, 666666L)))
+    assert(cm(("en", "de")) == ((1L, 333333L)))
+    assert(cm(("de", "de")) == ((1L, 1000000L)))
+  }
 }

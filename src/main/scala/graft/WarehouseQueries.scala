@@ -1084,7 +1084,79 @@ object WarehouseQueries {
           .orderBy("true_class", "predicted")
       })
 
+  /** TPC-H Q3 shape (shipping-priority report): segment-filtered
+    * customers ⋈ undelivered orders ⋈ post-cutoff lineitems, revenue
+    * per order, top 10 — the canonical selective star join whose plan
+    * must push BOTH date filters into the scans and broadcast the
+    * filtered customer side, finishing in TakeOrderedAndProject
+    * (never a global sort). Revenue through the exact-decimal house
+    * sum; the LIMIT boundary is tiebroken by orderkey in both engines.
+    */
+  private lazy val q249: QueryDef =
+    QueryDef("q249_shipping_priority",
+      Some(s"""
+        SELECT l_orderkey,
+               ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      (s, d) => {
+        val cutoff = to_timestamp(lit("1998-06-01 00:00:00"))
+        customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(orders(s, d).filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(lineitem(s, d).filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .select("l_orderkey", "revenue", "order_date")
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      })
+
+  /** TPC-H Q10 shape (returned-item report): customers ranked by
+    * revenue lost to returns in one quarter — a 4-table star
+    * (customer ⋈ orders ⋈ lineitem ⋈ nation) with the quarter and
+    * return-flag filters pushed into the scans, top 20 by exact
+    * revenue. The other canonical reporting join next to q249.
+    */
+  private lazy val q250: QueryDef =
+    QueryDef("q250_returned_items",
+      Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      (s, d) => customer(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1999-04-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20))
+
   val all: Seq[QueryDef] =
     Seq(q226, q227, q228, q229, q230, q232, q233, q234, q235, q236, q237,
-      q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
+      q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248,
+      q249, q250)
 }

@@ -1491,6 +1491,61 @@ object Streams {
     * needed. Input columns: (`keyCol`, `stateCol`, `tsCol` epoch-micros
     * long, `tieCol` long).
     */
+  /** Streaming rollup maintenance: keep a STORED parquet rollup
+    * ([[graft.ops.Temporal.rollupState]] shape) current as rows
+    * arrive — each micro-batch folds in via
+    * [[graft.ops.Temporal.mergeRollup]], so the stream and batch
+    * rollups share the merge code verbatim (the ingestStream
+    * discipline: foreachBatch reuses batch DataFrame code, stream and
+    * batch cannot drift).
+    *
+    * EXACTLY-ONCE under replays: merge is NOT idempotent (a replayed
+    * batch would double-count), so the store carries a sidecar
+    * `_applied` parquet holding the last applied batch id; a replayed
+    * foreachBatch invocation (same or lower id after a crash between
+    * sink commit and checkpoint commit) is skipped. The swap order is
+    * rollup-then-sidecar: a crash BETWEEN the two writes leaves
+    * (new rollup, old id) and the replay re-merges — so the sidecar
+    * commit is the linearization point and the rollup write must be
+    * re-runnable, which overwrite-from-persisted-frame is.
+    *
+    * The stored frame is groups-sized (dimension, not corpus), so the
+    * read-merge-overwrite cycle per batch is bounded by the GROUP
+    * count — the same cost argument as the batch operator (q228).
+    */
+  def rollupStream(rows: DataFrame, groupCols: Seq[String],
+                   valueCol: String, storePath: String,
+                   checkpointDir: String): StreamingQuery = {
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sidecar = s"$storePath/_applied"
+        val data = s"$storePath/data"
+        val applied =
+          try spark.read.parquet(sidecar)
+            .agg(max(col("batch_id"))).head().getLong(0)
+          catch { case _: Throwable => -1L }
+        if (batchId > applied) {
+          val late = graft.ops.Temporal.rollupState(batch, groupCols,
+            valueCol)
+          val merged = (
+            try graft.ops.Temporal.mergeRollup(
+              spark.read.parquet(data), late, groupCols)
+            catch { case _: Throwable => late } // first batch: no store
+          ).persist()
+          merged.count() // materialize BEFORE overwriting the input
+          merged.write.mode("overwrite").parquet(data)
+          merged.unpersist()
+          import spark.implicits._
+          Seq(batchId).toDF("batch_id")
+            .write.mode("overwrite").parquet(sidecar)
+        }
+      }
+      .start()
+  }
+
   case class TouchEmit(user: String, conv_us: Long, attributed: String,
                        touch_us: Option[Long], value: Double)
   case class TouchState(us: Long, ty: String)

@@ -1377,4 +1377,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.asScala.toMap == batch,
       "streaming attribution must equal the batch operator")
   }
+
+  test("streaming rollup store equals the full recount across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-rollup-ckpt").toString
+    val store = Files.createTempDirectory("graft-rollup-store").toString
+    val in = MemoryStream[(String, Double)]
+    def start() = Streams.rollupStream(
+      in.toDF().toDF("g", "v"), Seq("g"), "v", store, ckpt)
+    val b1 = Seq(("a", 1.5), ("a", 2.5), ("b", 4.0))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    def stored() = spark.read.parquet(s"$store/data")
+      .select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stored() == Map("a" -> ((2L, 4.0)), "b" -> ((1L, 4.0))))
+    // restart: the second batch must MERGE into the recovered store,
+    // and the sidecar batch-id fence must not skip it
+    val b2 = Seq(("b", 6.0), ("c", 0.5))
+    val q2 = start()
+    try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val full = graft.ops.Temporal.rollupState(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), "v")
+      .select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stored() == full,
+      "stored rollup must equal the batch recount of everything seen")
+    // replay fence: re-applying an ALREADY-APPLIED batch id must be a
+    // no-op (merge is not idempotent; the sidecar is the guard)
+    val applied = spark.read.parquet(s"$store/_applied")
+      .agg(org.apache.spark.sql.functions.max(col("batch_id")))
+      .head().getLong(0)
+    assert(applied >= 1L)
+  }
 }

@@ -796,20 +796,26 @@ object WarehouseQueries {
                    FROM events),
         t AS (SELECT *,
                 last_value(CASE WHEN event_type = 'purchase'
-                  THEN tus END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  AS next_conv
-              FROM e),
-        tc AS (SELECT user_id, event_type AS ty, tus, next_conv
+                  THEN tus END IGNORE NULLS) OVER wd AS next_conv,
+                -- the pinned conversion's TIE rides the same window, so
+                -- same-instant conversions stay distinct pin targets
+                -- (mirrors the operator's (us, tie) struct)
+                last_value(CASE WHEN event_type = 'purchase'
+                  THEN event_id END IGNORE NULLS) OVER wd AS next_conv_id
+              FROM e
+              WINDOW wd AS (PARTITION BY user_id
+                            ORDER BY tus DESC, event_id DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        tc AS (SELECT user_id, event_type AS ty, tus, next_conv, next_conv_id
                FROM t
                WHERE event_type IN ('click', 'view')
                  AND next_conv IS NOT NULL
                  AND next_conv - tus <= 3600000000),
-        sz AS (SELECT user_id, ty, next_conv,
-                 COUNT(*) OVER (PARTITION BY user_id, next_conv) AS n
+        sz AS (SELECT user_id, ty, next_conv, next_conv_id,
+                 COUNT(*) OVER (PARTITION BY user_id, next_conv, next_conv_id)
+                   AS n
                FROM tc),
-        cv AS (SELECT user_id, tus AS conv_us,
+        cv AS (SELECT user_id, tus AS conv_us, event_id AS conv_id,
                  CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)
                    AS v_micro
                FROM e WHERE event_type = 'purchase'),
@@ -817,7 +823,8 @@ object WarehouseQueries {
                  CASE WHEN sz.n IS NULL THEN cv.v_micro
                       ELSE cv.v_micro // sz.n END AS credit_micro
                FROM cv LEFT JOIN sz
-                 ON cv.user_id = sz.user_id AND cv.conv_us = sz.next_conv)
+                 ON cv.user_id = sz.user_id AND cv.conv_us = sz.next_conv
+                   AND cv.conv_id = sz.next_conv_id)
         SELECT attributed, CAST(COUNT(*) AS BIGINT) AS n_credits,
                CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         FROM cr GROUP BY 1 ORDER BY 1"""),
@@ -878,13 +885,13 @@ object WarehouseQueries {
     QueryDef("q244_native_session_window",
       Some("""
         WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
-        g AS (SELECT user_id, tus,
+        g AS (SELECT user_id, tus, event_id,
                 CASE WHEN tus - LAG(tus) OVER w IS NULL
                        OR tus - LAG(tus) OVER w >= 300000000 THEN 1 ELSE 0 END
                   AS ns
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
         s AS (SELECT user_id, tus,
-                SUM(ns) OVER (PARTITION BY user_id ORDER BY tus
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
                   ROWS UNBOUNDED PRECEDING) AS sid
               FROM g)
         SELECT user_id, MIN(tus) AS start_us,

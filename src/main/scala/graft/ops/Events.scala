@@ -221,20 +221,6 @@ object Events {
                   tieCols: Seq[String], chunks: Int = 0): DataFrame =
     concurrencyReleasable(intervals, startCol, endCol, tieCols, chunks)._1
 
-  /** Last-touch attribution: each `convType` conversion is credited to
-    * the user's most recent `touchTypes` event PRECEDING it in the
-    * (ts, tie) total order — a same-instant touch with an earlier tie
-    * counts (the tie is the log sequence, so "preceding row" IS the
-    * causal order the log recorded) — and within `windowUs`;
-    * conversions with no qualifying touch attribute to 'organic'. One
-    * per-user window pass over the interleaved stream —
-    * the running "last touch" is `last(..., ignoreNulls)` over the
-    * unbounded-preceding frame, so no self-join, no per-conversion
-    * probe; work is user-partitioned and linear in events.
-    *
-    * Output: the conversion rows with `attributed` (touch type or
-    * 'organic') and `touch_us` (null for organic).
-    */
   /** Linear multi-touch attribution: every touch PRECEDING a
     * conversion (same (ts, tie) order contract as
     * [[lastTouchAttribution]]) whose NEXT conversion is that one and
@@ -266,22 +252,29 @@ object Events {
     val wDesc = Window.partitionBy(userCol)
       .orderBy(col(usCol).desc, col(tieCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the pinned conversion carries its TIE alongside its timestamp:
+    // two same-instant conversions of one user are distinct pin
+    // targets, so each touch joins exactly one conversion and the
+    // per-conversion split counts only its own touches
     val touches = events
       .withColumn("_next_conv", last(
-        when(col(typeCol) === convType, col(usCol)),
+        when(col(typeCol) === convType,
+          struct(col(usCol).as("us"), col(tieCol).as("tie"))),
         ignoreNulls = true).over(wDesc))
       .filter(col(typeCol).isin(touchTypes: _*) &&
         col("_next_conv").isNotNull &&
-        col("_next_conv") - col(usCol) <= windowUs)
+        col("_next_conv.us") - col(usCol) <= windowUs)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(usCol).as("_tus"), col("_next_conv"))
     val perConv = Window.partitionBy("_u", "_next_conv")
     val sized = touches.withColumn("_n", count(lit(1)).over(perConv))
     val convs = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("user"), col(usCol).as("conv_us"),
-        col(valueCol).as("_v"))
+        col(tieCol).as("_ctie"), col(valueCol).as("_v"))
     val credited = convs.join(sized,
-        col("user") === col("_u") && col("conv_us") === col("_next_conv"),
+        col("user") === col("_u") &&
+          col("conv_us") === col("_next_conv.us") &&
+          col("_ctie") === col("_next_conv.tie"),
         "left")
       .withColumn("attributed", coalesce(col("_ty"), lit("organic")))
       .withColumn("touch_us", col("_tus"))
@@ -292,11 +285,25 @@ object Events {
         expr("CAST(CAST(_v AS DECIMAL(25,6)) * 1000000 AS BIGINT)"))
       .withColumn("credit_micro", when(col("_n").isNull, col("_v_micro"))
         .otherwise(expr("_v_micro div _n")))
-      .drop("_v_micro")
+      .drop("_v_micro", "_ctie")
       .select("user", "conv_us", "attributed", "touch_us", "credit_micro")
     credited
   }
 
+  /** Last-touch attribution: each `convType` conversion is credited to
+    * the user's most recent `touchTypes` event PRECEDING it in the
+    * (ts, tie) total order — a same-instant touch with an earlier tie
+    * counts (the tie is the log sequence, so "preceding row" IS the
+    * causal order the log recorded) — and within `windowUs`;
+    * conversions with no qualifying touch attribute to 'organic'. One
+    * per-user window pass over the interleaved stream —
+    * the running "last touch" is `last(..., ignoreNulls)` over the
+    * unbounded-preceding frame, so no self-join, no per-conversion
+    * probe; work is user-partitioned and linear in events.
+    *
+    * Output: the conversion rows with `attributed` (touch type or
+    * 'organic') and `touch_us` (null for organic).
+    */
   def lastTouchAttribution(events: DataFrame, userCol: String,
                            typeCol: String, usCol: String, tieCol: String,
                            convType: String, touchTypes: Seq[String],

@@ -139,6 +139,42 @@ object Temporal {
     untouched.unionByName(rebuilt)
   }
 
+  /** The composed straggler-repair facade closing the streaming SCD2
+    * loop ([[graft.streaming.Streams.streamingScd2]] documents the
+    * drop; this routes it): detect out-of-order arrivals -> bounded
+    * [[scd2Backfill]] -> a dimension equal to the full rebuild.
+    *
+    * `log` is the COMPLETE arrival log with `arrivalCol` recording
+    * per-key arrival order (a monotone ingest sequence — offset,
+    * batch id + row number). Detection re-derives the maintainer's
+    * drop rule batch-agnostically: a row is flagged when some EARLIER
+    * arrival of its key carried a later (ts, tie). This
+    * over-approximates (a row the maintainer saved by within-batch
+    * sorting is flagged too), which is harmless by construction — the
+    * back-fill recomputes every affected key from its full log slice,
+    * so extra flags only widen the bounded rebuild, never change the
+    * answer. Cost stays proportional to keys with out-of-order
+    * arrivals; the detection window is per-key in-task (the
+    * dimension-build distribution argument at the top of this file).
+    */
+  def scd2Repair(storedDim: DataFrame, log: DataFrame, keys: Seq[String],
+                 stateCol: String, tsCol: String, tieCol: String,
+                 arrivalCol: String): DataFrame = {
+    val prior = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = log.withColumn("_max_prior",
+      max(struct(col(tsCol), col(tieCol))).over(prior))
+    val isStraggler = col("_max_prior").isNotNull &&
+      struct(col(tsCol), col(tieCol)) < col("_max_prior")
+    val stragglers = flagged.filter(isStraggler)
+      .drop("_max_prior", arrivalCol)
+    val absorbed = flagged.filter(!isStraggler)
+      .drop("_max_prior", arrivalCol)
+    scd2Backfill(storedDim, absorbed, stragglers, keys, stateCol, tsCol,
+      tieCol)
+  }
+
   /** Incremental JOIN-view maintenance (the classic delta identity):
     * with both sides of an INNER equi-join receiving late batches,
     * the stored rollup's increment is

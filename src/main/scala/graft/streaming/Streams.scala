@@ -1470,27 +1470,6 @@ object Streams {
   case class Scd2Open(state: Option[String], validFrom: Long,
                       version: Long, lastTs: Long)
 
-  /** Streaming SCD2 maintenance: the per-key validity-interval
-    * dimension ([[graft.ops.Temporal.scd2]]) kept current ON ARRIVAL.
-    * Each micro-batch's rows fold into the key's open version in
-    * (ts, tie) order: an equal state extends it, a distinct state
-    * closes it (emitting the finished interval) and opens the next
-    * version (emitted with `is_current = true`, `valid_to` null).
-    * "Latest emission per (key, version)" IS the SCD2 table — the
-    * whole-row emission contract of the sketch maintainers.
-    *
-    * Semantics = the batch operator over everything seen, PROVIDED
-    * arrivals respect per-key event-time order across micro-batches
-    * (within a batch, rows are sorted before folding). A row older
-    * than the open version's last accepted (ts, tie) cannot be
-    * retro-folded without rewriting closed history — the honest
-    * streaming limit — so it is DROPPED; production feeds route such
-    * stragglers to a batch back-fill that recomputes the key from the
-    * log ([[graft.ops.Temporal.scd2]] is that back-fill). State is one
-    * open version per key (four fields) — no growth, no timeout
-    * needed. Input columns: (`keyCol`, `stateCol`, `tsCol` epoch-micros
-    * long, `tieCol` long).
-    */
   /** Streaming rollup maintenance: keep a STORED parquet rollup
     * ([[graft.ops.Temporal.rollupState]] shape) current as rows
     * arrive — each micro-batch folds in via
@@ -1499,19 +1478,36 @@ object Streams {
     * discipline: foreachBatch reuses batch DataFrame code, stream and
     * batch cannot drift).
     *
-    * EXACTLY-ONCE under replays: merge is NOT idempotent (a replayed
-    * batch would double-count), so the store carries a sidecar
-    * `_applied` parquet holding the last applied batch id; a replayed
-    * foreachBatch invocation (same or lower id after a crash between
-    * sink commit and checkpoint commit) is skipped. The swap order is
-    * rollup-then-sidecar: a crash BETWEEN the two writes leaves
-    * (new rollup, old id) and the replay re-merges — so the sidecar
-    * commit is the linearization point and the rollup write must be
-    * re-runnable, which overwrite-from-persisted-frame is.
+    * EXACTLY-ONCE under replays, via a VERSIONED store: merge is NOT
+    * idempotent (a replayed batch would double-count), so each batch
+    * writes its merged rollup to a FRESH directory
+    * `data/v-<batchId>` — never overwriting the readable version —
+    * and the directory's `_SUCCESS` marker (a single atomic file
+    * create, written last by Spark's commit protocol) IS the commit
+    * point. "Applied" = the max batch id with a `_SUCCESS`-marked
+    * version; there is no separate sidecar to get out of sync. The
+    * crash windows:
+    *
+    *   - crash MID-WRITE of `v-<b>`: no `_SUCCESS`, so the version is
+    *     invisible; the replay re-reads the previous committed version
+    *     and overwrite-writes `v-<b>` (cleaning the partial leftover).
+    *   - crash AFTER `_SUCCESS`, BEFORE the checkpoint commit: the
+    *     replayed invocation sees `batchId <= applied` and no-ops —
+    *     replay is idempotent by construction.
+    *   - crash DURING GC of older versions: GC deletes each version's
+    *     `_SUCCESS` first, so a half-deleted version can never read as
+    *     committed; the newest committed version is untouched (GC only
+    *     runs after it commits) and the next batch's GC finishes the
+    *     sweep.
+    *
+    * A read failure on a COMMITTED version (corrupt/missing files
+    * under an intact `_SUCCESS`) propagates and fails the batch — the
+    * checkpoint retries rather than silently restarting from empty
+    * (store loss must be loud, never absorbed as "first batch").
     *
     * The stored frame is groups-sized (dimension, not corpus), so the
-    * read-merge-overwrite cycle per batch is bounded by the GROUP
-    * count — the same cost argument as the batch operator (q228).
+    * read-merge-write cycle per batch is bounded by the GROUP count —
+    * the same cost argument as the batch operator (q228).
     */
   def rollupStream(rows: DataFrame, groupCols: Seq[String],
                    valueCol: String, storePath: String,
@@ -1520,30 +1516,71 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val sidecar = s"$storePath/_applied"
-        val data = s"$storePath/data"
-        val applied =
-          try spark.read.parquet(sidecar)
-            .agg(max(col("batch_id"))).head().getLong(0)
-          catch { case _: Throwable => -1L }
-        if (batchId > applied) {
-          val late = graft.ops.Temporal.rollupState(batch, groupCols,
-            valueCol)
-          val merged = (
-            try graft.ops.Temporal.mergeRollup(
-              spark.read.parquet(data), late, groupCols)
-            catch { case _: Throwable => late } // first batch: no store
-          ).persist()
-          merged.count() // materialize BEFORE overwriting the input
-          merged.write.mode("overwrite").parquet(data)
-          merged.unpersist()
-          import spark.implicits._
-          Seq(batchId).toDF("batch_id")
-            .write.mode("overwrite").parquet(sidecar)
-        }
+        applyRollupBatch(batch, batchId, groupCols, valueCol, storePath)
       }
       .start()
+  }
+
+  /** One micro-batch of [[rollupStream]], factored out so the restart
+    * specs can drive the crash windows directly (a replayed batch id,
+    * a torn uncommitted version dir, a corrupted committed version).
+    */
+  def applyRollupBatch(batch: DataFrame, batchId: Long,
+                       groupCols: Seq[String], valueCol: String,
+                       storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val applied = committedRollupVersions(spark, storePath)
+      .maxOption.getOrElse(-1L)
+    if (batchId > applied) {
+      val late = graft.ops.Temporal.rollupState(batch, groupCols, valueCol)
+      val merged =
+        if (applied < 0) late // explicit first-batch: no committed store
+        else graft.ops.Temporal.mergeRollup(
+          spark.read.parquet(s"$storePath/data/v-$applied"), late, groupCols)
+      // overwrite cleans a torn leftover from a crashed prior attempt
+      // at THIS version; `_SUCCESS` lands last = the commit point
+      merged.write.mode("overwrite").parquet(s"$storePath/data/v-$batchId")
+      gcRollupVersions(spark, storePath, keepFrom = batchId)
+    }
+  }
+
+  /** Batch ids of `_SUCCESS`-marked (committed) rollup versions. */
+  def committedRollupVersions(spark: SparkSession,
+                              storePath: String): Seq[Long] = {
+    val dataPath = new org.apache.hadoop.fs.Path(s"$storePath/data")
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dataPath)) Seq.empty
+    else fs.listStatus(dataPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v-").toLong)
+  }
+
+  /** The current committed rollup (the version the store's readers
+    * see). Fails loudly when the store has no committed version.
+    */
+  def readRollupStore(spark: SparkSession, storePath: String): DataFrame = {
+    val applied = committedRollupVersions(spark, storePath).maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"no committed rollup version under $storePath/data"))
+    spark.read.parquet(s"$storePath/data/v-$applied")
+  }
+
+  /** Drop committed versions older than `keepFrom`. `_SUCCESS` is
+    * deleted FIRST so a crash mid-GC can never leave a half-deleted
+    * directory that still reads as committed.
+    */
+  private def gcRollupVersions(spark: SparkSession, storePath: String,
+                               keepFrom: Long): Unit = {
+    val dataPath = new org.apache.hadoop.fs.Path(s"$storePath/data")
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    committedRollupVersions(spark, storePath).filter(_ < keepFrom)
+      .foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(dataPath, s"v-$v")
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+        fs.delete(dir, true)
+      }
   }
 
   case class TouchEmit(user: String, conv_us: Long, attributed: String,
@@ -1603,6 +1640,29 @@ object Streams {
       }
   }
 
+  /** Streaming SCD2 maintenance: the per-key validity-interval
+    * dimension ([[graft.ops.Temporal.scd2]]) kept current ON ARRIVAL.
+    * Each micro-batch's rows fold into the key's open version in
+    * (ts, tie) order: an equal state extends it, a distinct state
+    * closes it (emitting the finished interval) and opens the next
+    * version (emitted with `is_current = true`, `valid_to` null).
+    * "Latest emission per (key, version)" IS the SCD2 table — the
+    * whole-row emission contract of the sketch maintainers.
+    *
+    * Semantics = the batch operator over everything seen, PROVIDED
+    * arrivals respect per-key event-time order across micro-batches
+    * (within a batch, rows are sorted before folding). A row older
+    * than the open version's last accepted (ts, tie) cannot be
+    * retro-folded without rewriting closed history — the honest
+    * streaming limit — so it is DROPPED; production feeds route such
+    * stragglers to a batch back-fill that recomputes the key from the
+    * log ([[graft.ops.Temporal.scd2Backfill]] is that back-fill, and
+    * [[graft.ops.Temporal.scd2Repair]] is the composed facade:
+    * detect stragglers -> bounded back-fill -> dimension equal to the
+    * full rebuild). State is one open version per key (four fields) —
+    * no growth, no timeout needed. Input columns: (`keyCol`,
+    * `stateCol`, `tsCol` epoch-micros long, `tieCol` long).
+    */
   def streamingScd2(log: DataFrame, keyCol: String, stateCol: String,
                     tsCol: String, tieCol: String): Dataset[Scd2Emit] = {
     import log.sparkSession.implicits._

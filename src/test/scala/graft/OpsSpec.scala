@@ -3037,6 +3037,37 @@ class OpsSpec extends AnyFunSuite {
     assert(filled.filter(_._1 == 1L).map(_._3) == Seq("a", "c", "b"))
   }
 
+  test("scd2Repair: detect stragglers from the arrival log, repair equals rebuild") {
+    import spark.implicits._
+    // arrival order (`seq`) disagrees with event time for key 1: c@20
+    // ARRIVES after b@30 was already absorbed — the streaming
+    // maintainer drops it; the facade must find it and back-fill.
+    // key 2 arrives in order and must keep its stored rows verbatim.
+    val log = Seq(
+      (1L, "a", 10L, 1L, 100L), (1L, "b", 30L, 3L, 101L),
+      (1L, "c", 20L, 2L, 102L), // the straggler
+      (2L, "x", 10L, 4L, 103L), (2L, "y", 20L, 5L, 104L)
+    ).toDF("k", "state", "ts", "id", "seq")
+    // the stored dim is what the stream built: everything EXCEPT the
+    // dropped straggler
+    val absorbed = log.filter(col("seq") =!= 102L)
+      .drop("seq")
+    val stored = graft.ops.Temporal.scd2(absorbed, Seq("k"), "state",
+      "ts", "id")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "version", "state", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val repaired = shape(graft.ops.Temporal.scd2Repair(stored, log,
+      Seq("k"), "state", "ts", "id", "seq"))
+    val full = shape(graft.ops.Temporal.scd2(log.drop("seq"), Seq("k"),
+      "state", "ts", "id"))
+    assert(repaired == full,
+      "repaired dimension must equal the full rebuild")
+    assert(repaired.filter(_._1 == 1L).map(_._3) == Seq("a", "c", "b"))
+  }
+
   test("joinCardinality reads the containment formula off the stats panel") {
     import spark.implicits._
     // left: 6 rows over 3 keys; right: 3 rows over 3 keys (dim) ->
@@ -3071,6 +3102,28 @@ class OpsSpec extends AnyFunSuite {
       (1L, 30L, "click", 1500000L), (1L, 30L, "view", 1500000L),
       (1L, 300L, "organic", 7000000L),
       (2L, 50L, "organic", 1000000L)))
+  }
+
+  test("multiTouchAttribution: same-instant conversions stay distinct pin targets") {
+    import spark.implicits._
+    // u1 converts TWICE at us=30 (ties 3 and 4) — the reason tieCol
+    // exists. The click pins to exactly ONE of them (the nearest in
+    // the (us, tie) order: tie 3); the other is organic; total credit
+    // equals total value, nothing double-counted.
+    val ev = Seq(
+      (1L, "click", 10L, 1L, 0.0),
+      (1L, "buy", 30L, 3L, 2.0), (1L, "buy", 30L, 4L, 5.0)
+    ).toDF("u", "ty", "us", "id", "v")
+    val got = graft.ops.Events.multiTouchAttribution(ev, "u", "ty", "us",
+        "id", "v", convType = "buy", touchTypes = Seq("click", "view"),
+        windowUs = 100L)
+      .select("user", "conv_us", "attributed", "credit_micro")
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._4)
+    assert(got.map(_._4).sum == 7000000L,
+      "credit mass must equal the conversion value mass exactly")
+    assert(got == Seq(
+      (1L, 30L, "click", 2000000L),   // pinned to the tie-3 conversion
+      (1L, 30L, "organic", 5000000L)))
   }
 
   test("editOnePairs: deletion blocking finds ED<=1; verify kills ED-2") {

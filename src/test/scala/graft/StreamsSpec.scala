@@ -1389,13 +1389,13 @@ class StreamsSpec extends AnyFunSuite {
     val b1 = Seq(("a", 1.5), ("a", 2.5), ("b", 4.0))
     val q1 = start()
     try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
-    def stored() = spark.read.parquet(s"$store/data")
+    def stored() = Streams.readRollupStore(spark, store)
       .select(col("g"), col("n"), col("sum_value").cast("double"))
       .as[(String, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(stored() == Map("a" -> ((2L, 4.0)), "b" -> ((1L, 4.0))))
     // restart: the second batch must MERGE into the recovered store,
-    // and the sidecar batch-id fence must not skip it
+    // and the committed-version fence must not skip it
     val b2 = Seq(("b", 6.0), ("c", 0.5))
     val q2 = start()
     try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
@@ -1406,11 +1406,57 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(stored() == full,
       "stored rollup must equal the batch recount of everything seen")
-    // replay fence: re-applying an ALREADY-APPLIED batch id must be a
-    // no-op (merge is not idempotent; the sidecar is the guard)
-    val applied = spark.read.parquet(s"$store/_applied")
-      .agg(org.apache.spark.sql.functions.max(col("batch_id")))
-      .head().getLong(0)
-    assert(applied >= 1L)
+    // the fence state: exactly one committed version survives (older
+    // versions GC'd), and its id advanced past the first batch
+    val committed = Streams.committedRollupVersions(spark, store)
+    assert(committed.length == 1 && committed.head >= 1L)
+  }
+
+  test("rollup store survives every crash window exactly-once") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-rollup-crash").toString
+    def apply(rows: Seq[(String, Double)], id: Long) =
+      Streams.applyRollupBatch(rows.toDF("g", "v"), id, Seq("g"), "v", store)
+    def stored() = Streams.readRollupStore(spark, store)
+      .select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val b0 = Seq(("a", 1.0), ("b", 2.0))
+    val b1 = Seq(("a", 3.0), ("c", 5.0))
+    def recount(batches: Seq[(String, Double)]*) =
+      graft.ops.Temporal.rollupState(
+          batches.flatten.toDF("g", "v"), Seq("g"), "v")
+        .select(col("g"), col("n"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    apply(b0, 0L)
+    assert(stored() == recount(b0))
+    // window 1 — crash AFTER the version committed but BEFORE the
+    // checkpoint commit: the engine replays the same batch id; the
+    // fence must no-op (merge is not idempotent)
+    apply(b0, 0L)
+    assert(stored() == recount(b0), "replayed batch must not double-count")
+    // window 2 — crash MID-WRITE of the next version: a torn v-1 dir
+    // exists WITHOUT _SUCCESS; the replay must ignore it, merge from
+    // v-0, and overwrite the leftover
+    val torn = s"$store/data/v-1"
+    Seq(("x", 9.9)).toDF("g", "v").write.parquet(torn)
+    Files.delete(Paths.get(torn, "_SUCCESS"))
+    assert(Streams.committedRollupVersions(spark, store) == Seq(0L),
+      "a torn version must not read as committed")
+    apply(b1, 1L)
+    assert(stored() == recount(b0, b1),
+      "recovery from a torn write must equal the full recount")
+    assert(Streams.committedRollupVersions(spark, store) == Seq(1L),
+      "the superseded version must be GC'd after commit")
+    // window 3 — store LOSS must be loud, never absorbed as "first
+    // batch": corrupt the committed version (data files gone, marker
+    // intact) and the next batch must fail, not reset history
+    Files.list(Paths.get(s"$store/data/v-1")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach(Files.delete)
+    intercept[Exception] { apply(Seq(("d", 1.0)), 2L) }
+    assert(Streams.committedRollupVersions(spark, store) == Seq(1L),
+      "a failed batch must leave the committed pointer untouched")
   }
 }

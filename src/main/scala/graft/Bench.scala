@@ -56,7 +56,13 @@ object Bench {
     // iteration: one pass, no top-up); the >=5 floor binds the
     // default/official configuration
     val samplesFloor = envPasses.fold(minSamples)(p => math.max(1, p))
+    // SPARK_GRAFT_BENCH_ONLY=q93_epoch_mix,q101_... runs a subset in
+    // isolation — the solo-reproduction tool for diagnosing in-suite
+    // neighborhood effects (JIT/code-cache/GC) on individual medians.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = Queries.all.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name)))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val byName = scala.collection.mutable.LinkedHashMap(
       names.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
@@ -138,11 +144,26 @@ object Bench {
     // attributable in the machine line's `remeasured` map; a reader
     // sees "first median X under spread, quiet-box retry said Y" and
     // judges the weather, the number itself stays one rule.
+    // Round-14 widening (the q93/q101 lesson): the 50% intra-run
+    // spread trigger missed BOTH round-13 regressions — q101 held 40%
+    // spread, and q93 was measured inside a ~10 s local pressure
+    // window (its bracketing probes were the run's two highest at
+    // 3.5-5x the probe median) with only 5% spread because the
+    // pressure spanned all passes. So re-measure on EITHER signal:
+    // spread >= 40%, or a bracketing probe over 2x the run's probe
+    // median (probe i precedes query i; probe i+1 follows it). A
+    // false positive costs one warmup + samplesFloor passes.
+    val probeMedAll = median(probeTimes.toSeq)
+    def localPressure(i: Int): Boolean = probeMedAll > 0 && {
+      val bracket = Seq(probeTimes.lift(i), probeTimes.lift(i + 1)).flatten
+      bracket.nonEmpty && bracket.max > 2 * probeMedAll
+    }
     val remeasured =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    names.filterNot(q => failed(q.name)).foreach { q =>
+    names.zipWithIndex.filterNot { case (q, _) => failed(q.name) }
+      .foreach { case (q, i) =>
       val first = byName(q.name).toSeq
-      if (median(first) > 0.2 && spreadOf(first) >= 0.5) {
+      if (median(first) > 0.2 && (spreadOf(first) >= 0.4 || localPressure(i))) {
         run(q) // fresh warmup (codegen long evicted, caches cleared)
         val retry = (1 to samplesFloor).map { _ =>
           val t0 = System.nanoTime(); run(q); (System.nanoTime() - t0) / 1e9
@@ -245,7 +266,9 @@ object Bench {
     // medians survived). Write the full detail to a repo file that gets
     // committed each round, so the NEXT round can always diff complete
     // per-query medians via git history regardless of stdout capture.
-    try {
+    // a filtered (solo-reproduction) run must never overwrite the
+    // full-suite history record the cross-round diff gate reads
+    try if (only.isEmpty) {
       java.nio.file.Files.createDirectories(historyDir)
       // probe_times preserves the full weather series in run order, so
       // a contended window is attributable to the queries measured

@@ -24,6 +24,14 @@ echo "[pre-snapshot] 2/2 oracle gate at $SF_DIR..."
 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR/verify"
 python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR/verify"
 
+echo "[pre-snapshot] 3/3 cross-round bench median diff (informational)..."
+# round-13 verdict item 3: the in-run spread gates cannot see a clean
+# cross-round regression (q93 slipped both); diff the new bench record
+# against the last committed one and PRINT any query >1.5x its prior
+# median with low spread. Informational — weather still needs a human
+# read — but the table must be in every pre-snapshot log.
+python3 tools/bench_diff.py bench_history/detail_sf0.1.json || true
+
 echo "[pre-snapshot] green: suite + oracle both pass."
 if [[ $# -ge 1 ]]; then
   git add -u

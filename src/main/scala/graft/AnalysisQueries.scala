@@ -258,7 +258,8 @@ object AnalysisQueries {
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         tb AS (SELECT vec_id, v, ${bucketOf("v")} AS b FROM t),
-        c AS (SELECT vec_id AS cid, v AS cv, ${bucketOf("v")} AS cb FROM t WHERE vec_id % 101 = 0),
+        c AS (SELECT vec_id AS cid, v AS cv, ${bucketOf("v")} AS cb FROM t
+              WHERE vec_id % 101 = 0 AND vec_id < 10100),
         cp AS (SELECT cid, cv, unnest([xor(cb, 0), xor(cb, 1), xor(cb, 2), xor(cb, 4), xor(cb, 8)]) AS probe FROM c),
         cand AS (SELECT tb.vec_id, cid, ${cosOf("v", "cv")} AS cosine
                  FROM tb JOIN cp ON tb.b = cp.probe),
@@ -275,7 +276,8 @@ object AnalysisQueries {
         WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         ORDER BY vec_id"""),
       (s, d) => {
-        val cents = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+        val cents = embeddings(s, d)
+          .filter(col("vec_id") % 101 === 0 && col("vec_id") < 10100)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         Dedup.semanticBlocked(spread(embeddings(s, d)), "vec_id", "embedding",
             cents, "cid", "cv", threshold = 0.4, planes = 4)

@@ -59,6 +59,46 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
+  /** The image-decode SEAM: bytes -> the 9x8 grayscale grid (72 values
+    * 0-255, row-major: entry r*9+c) that dHash compares. Implementations
+    * must be Serializable (they ship to executors inside the
+    * mapPartitions closure). [[StubImageDecoder]] is the default;
+    * a real deployment passes an ImageIO/libjpeg-backed instance and
+    * NOTHING else changes — proven by the swap-in spec, which drives
+    * [[perceptualHash]] with a plain-JVM PGM decoder.
+    */
+  trait ImageDecoder extends Serializable {
+    def gray9x8(bytes: Array[Byte]): Array[Int]
+  }
+
+  /** The deterministic stub: "pixel" k = byte at `(k*37) mod len`
+    * (37 coprime to typical lengths spreads the 72 samples over the
+    * payload; empty payloads read 0). Oracle-replayable.
+    */
+  object StubImageDecoder extends ImageDecoder {
+    def gray9x8(b: Array[Byte]): Array[Int] =
+      Array.tabulate(72)(k =>
+        if (b.length == 0) 0 else b((k * 37) % b.length) & 0xFF)
+  }
+
+  /** The audio-decode SEAM: bytes -> `nFrames` fixed-rate frame
+    * energies (0-255). [[StubAudioDecoder]] is the default; a real
+    * deployment passes a PCM/RMS implementation — the swap-in spec
+    * drives [[audioFrameEnergies]] with a plain-JVM WAV decoder.
+    */
+  trait AudioDecoder extends Serializable {
+    def frameEnergies(bytes: Array[Byte], nFrames: Int): Array[Int]
+  }
+
+  /** The deterministic stub: frame i's "energy" = byte at
+    * `(i*37) mod len` (empty payloads read 0). Oracle-replayable.
+    */
+  object StubAudioDecoder extends AudioDecoder {
+    def frameEnergies(b: Array[Byte], nFrames: Int): Array[Int] =
+      Array.tabulate(nFrames)(i =>
+        if (b.length == 0) 0 else b((i * 37) % b.length) & 0xFF)
+  }
+
   /** One sampled frame of a media document. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
 
@@ -90,8 +130,9 @@ object Multimodal {
     * deterministic stub (no codec here): "pixel" k is the byte at
     * offset (k*37) mod byte_len (37 is coprime to typical lengths, so
     * the 72 samples spread over the payload; a single-byte edit
-    * perturbs at most 2 bits). Real deployments replace the sampling
-    * with an actual decode+resize; everything downstream — the
+    * perturbs at most 2 bits). Real deployments pass an
+    * [[ImageDecoder]] doing an actual decode+resize (the swap-in spec
+    * does, with a plain-JVM PGM parser); everything downstream — the
     * (lo, hi) 32-bit split that avoids 64-bit signed folds in the
     * oracle, the pigeonhole blocking, the hamming verify — is the real
     * contract, shared verbatim with [[graft.Pipeline.simhash64Pairs]].
@@ -101,21 +142,20 @@ object Multimodal {
     * <= 3 via the 4x16-bit chunk equi-join — never an all-pairs
     * comparison. Empty payloads hash to (0, 0).
     */
-  def perceptualHash(ds: Dataset[MediaDoc]): DataFrame = {
+  def perceptualHash(ds: Dataset[MediaDoc],
+                     decoder: ImageDecoder = StubImageDecoder): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition codec init would go here (shared with decode)
       it.map { m =>
-        val b = m.content
-        def px(k: Int): Int =
-          if (b.length == 0) 0 else b((k * 37) % b.length) & 0xFF
+        val g = decoder.gray9x8(m.content)
         var lo = 0L
         var hi = 0L
         var bit = 0
         while (bit < 64) {
           val r = bit / 8
           val c = bit % 8
-          if (px(r * 9 + c) > px(r * 9 + c + 1)) {
+          if (g(r * 9 + c) > g(r * 9 + c + 1)) {
             if (bit < 32) lo |= 1L << bit
             else hi |= 1L << (bit - 32)
           }
@@ -230,25 +270,26 @@ object Multimodal {
   /** One stub-decoded audio frame: index + energy (0-255). */
   case class AudioFrame(doc_id: Long, frame_idx: Int, energy: Int)
 
-  /** Audio frame energies via the stub codec: `nFrames` fixed-rate
-    * frames per payload, frame i's "energy" = the byte at
+  /** Audio frame energies through the [[AudioDecoder]] seam:
+    * `nFrames` fixed-rate frames per payload. The default
+    * [[StubAudioDecoder]] reads frame i's "energy" as the byte at
     * `(i*37) mod len` (the [[frameSignatures]] sampling recipe; empty
-    * payloads read 0). A real deployment swaps the body for an RMS
-    * over PCM windows — the partition-wise decode, the (doc, frame,
-    * energy) fan-out schema, and the co-partitioning with the source
-    * doc are the real contract, exactly like the image stubs.
+    * payloads read 0); a real deployment passes an RMS-over-PCM
+    * decoder instead (the swap-in spec does, with a plain-JVM WAV
+    * parser) — the partition-wise decode, the (doc, frame, energy)
+    * fan-out schema, and the co-partitioning with the source doc are
+    * the contract and do not change.
     */
-  def audioFrameEnergies(ds: Dataset[MediaDoc],
-                         nFrames: Int = 48): Dataset[AudioFrame] = {
+  def audioFrameEnergies(ds: Dataset[MediaDoc], nFrames: Int = 48,
+                         decoder: AudioDecoder = StubAudioDecoder)
+      : Dataset[AudioFrame] = {
     import ds.sparkSession.implicits._
     require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     ds.mapPartitions { it =>
+      // per-partition codec init would go here
       it.flatMap { m =>
-        val b = m.content
-        (0 until nFrames).iterator.map { i =>
-          val e = if (b.length == 0) 0 else b((i * 37) % b.length) & 0xFF
-          AudioFrame(m.doc_id, i, e)
-        }
+        val es = decoder.frameEnergies(m.content, nFrames)
+        (0 until nFrames).iterator.map(i => AudioFrame(m.doc_id, i, es(i)))
       }
     }
   }

@@ -1053,14 +1053,16 @@ object PipelineQueries {
 
     // Centroid assignment (the k-means E-step / IVF coarse-quantizer
     // training primitive): every vector joins the SMALL broadcast
-    // centroid set (deterministically seeded: vec_id % 101 = 0) and
+    // centroid set (deterministically seeded: vec_id % 101 = 0, PINNED
+    // to vec_id < 10100 so the broadcast side cannot grow with SF) and
     // keeps its argmax-cosine centroid, centroid-id tiebreak. At scale
     // the centroid table is always broadcast-sized (k << n), so the
     // assignment is a map-only pass.
     QueryDef("q77_centroid_assign",
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t WHERE vec_id % 101 = 0),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t
+              WHERE vec_id % 101 = 0 AND vec_id < 10100),
         p AS (SELECT t.vec_id, centroid_id, ${cosSql("v", "cv")} AS cosine
               FROM t CROSS JOIN c),
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1070,7 +1072,8 @@ object PipelineQueries {
       (s, d) => {
         val t = spread(embeddings(s, d))
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val cent = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+        val cent = embeddings(s, d)
+          .filter(col("vec_id") % 101 === 0 && col("vec_id") < 10100)
           .select(col("vec_id").as("centroid_id"),
             asDouble(col("embedding")).as("cv"))
         t.crossJoin(broadcast(cent))
@@ -1424,7 +1427,7 @@ object PipelineQueries {
         .orderBy("event_type")),
 
     // SemDeDup ([[Dedup.semantic]]): nearest-centroid assignment
-    // (deterministically seeded centroids: vec_id % 101 = 0, as q77)
+    // (deterministically seeded centroids: the q77 pinned panel)
     // blocks the within-cluster pair pruning; survivors keep their
     // cluster tag. Threshold 0.4 sits 5e-4 above the densest
     // in-cluster pair below it and 0.07 below the max (measured) —
@@ -1432,7 +1435,8 @@ object PipelineQueries {
     QueryDef("q90_semantic_dedup",
       Some(s"""
         WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t WHERE vec_id % 101 = 0),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM t
+              WHERE vec_id % 101 = 0 AND vec_id < 10100),
         p AS (SELECT t.vec_id, centroid_id, ${cosSql("v", "cv")} AS cosine
               FROM t CROSS JOIN c),
         r AS (SELECT vec_id, centroid_id FROM
@@ -1447,7 +1451,8 @@ object PipelineQueries {
         WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         ORDER BY vec_id"""),
       (s, d) => {
-        val cents = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+        val cents = embeddings(s, d)
+          .filter(col("vec_id") % 101 === 0 && col("vec_id") < 10100)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         Dedup.semantic(spread(embeddings(s, d)), "vec_id", "embedding",
             cents, "centroid_id", "cv", threshold = 0.4)

@@ -5,9 +5,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query-name filter (local use)
+    // optional trailing args: query-name filter, comma- or
+    // space-separated (local use)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args.drop(2).flatMap(_.split(",")).map(_.trim)
+          .filter(_.nonEmpty).toSet)
+      else None
     val spark = Sessions.fromEnv("graft-verify")
     new java.io.File(outDir).mkdirs()
     // dump queries 4 at a time: each writes its own directory, and the

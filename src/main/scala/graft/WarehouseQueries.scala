@@ -989,7 +989,8 @@ object WarehouseQueries {
         .orderBy("true_label"))
 
   /** Cluster-purity audit ([[ops.Stats.clusterPurity]]) over the q77
-    * nearest-centroid assignment (centroids = vec_id % 101): per cell,
+    * nearest-centroid assignment (the q77 pinned <=100-centroid
+    * panel): per cell,
     * the dominant label's share — the label-agreement gate before
     * unsupervised cells drive sampling. Two bounded aggregations over
     * the (cell, label) contingency. Oracle replays assignment,
@@ -1002,7 +1003,7 @@ object WarehouseQueries {
                           CAST(label AS BIGINT) AS lab
                    FROM embeddings),
         c AS (SELECT vec_id AS centroid_id, v AS cv FROM t
-              WHERE vec_id % 101 = 0),
+              WHERE vec_id % 101 = 0 AND vec_id < 10100),
         p AS (SELECT t.vec_id, t.lab, centroid_id,
                 ${cosSql("v", "cv", 64)} AS cos
               FROM t CROSS JOIN c),
@@ -1022,7 +1023,8 @@ object WarehouseQueries {
         val t = spread(embeddings(s, d)).select(col("vec_id"),
           asDbl(col("embedding")).as("v"), col("label").cast("long")
             .as("lab"))
-        val cent = embeddings(s, d).filter(col("vec_id") % 101 === 0)
+        val cent = embeddings(s, d)
+          .filter(col("vec_id") % 101 === 0 && col("vec_id") < 10100)
           .select(col("vec_id").as("centroid_id"),
             asDbl(col("embedding")).as("cv"))
         val assigned = t.crossJoin(broadcast(cent))

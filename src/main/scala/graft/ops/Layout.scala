@@ -171,6 +171,187 @@ object Layout {
         .withColumn("group_id", lit(-1L)))
   }
 
+  /** Result of one [[compactTable]] pass. */
+  case class CompactionResult(groups_rewritten: Long, files_before: Long,
+                              files_after: Long)
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** EXECUTE a [[compactionPlan]] pass over a parquet table DIRECTORY:
+    * merge-groups of small files are rewritten into ~`targetBytes`
+    * files, files at/above target (and single-file groups — rewriting
+    * one file into one file wins nothing) are carried over by RENAME,
+    * and the whole new table commits via an atomic directory swap.
+    *
+    * Commit protocol (the rollupStream exactly-once discipline applied
+    * to the batch layout family):
+    *
+    *   1. stage: merged outputs Spark-written into `<table>._staged`
+    *      as `compact-<token>-g<id>.parquet`
+    *      (token fresh per pass — a prior pass's outputs may be this
+    *      pass's keepers, and their names must never collide); then a `_KEEPERS` manifest (the
+    *      carried-over file names) is written BEFORE any keeper moves,
+    *      and keepers RENAME into the stage — metadata ops, so the
+    *      bytes rewritten are proportional to the SMALL-file volume
+    *      only (the OPTIMIZE cost contract; at 100 TB the keepers are
+    *      most of the bytes and must never be copied).
+    *   2. commit: `rename(table, <table>._backup)`,
+    *      `rename(staged, table)`, delete backup — two atomic
+    *      metadata ops around the swap instant.
+    *
+    * [[recoverTable]] runs on entry and completes or rolls back every
+    * crash window (torn stage, half-moved keepers, between the two
+    * renames, un-deleted backup), so a re-run after ANY mid-compaction
+    * crash reads either the old table or the new one, never a mix —
+    * the idempotence spec kills inside each window and re-runs.
+    * Re-running a COMPLETED pass converges: once every small group
+    * has one file, the pass is a no-op (fixpoint).
+    *
+    * The table is briefly unreadable between the two commit renames —
+    * the maintenance-window model. Live-reader isolation needs a
+    * version-pointer indirection instead (the
+    * [[graft.streaming.Streams.readRollupStore]] pattern); the swap is
+    * what the plain-directory contract can make atomic.
+    *
+    * `maxGroups` bounds one pass (driver-side group assembly and
+    * rewrite volume) — production compacts a 1e7-file inventory
+    * incrementally, a bounded slice per pass, each pass leaving the
+    * table committed and readable. Group rewrites are independent
+    * single-output jobs, submitted 4 at a time.
+    */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String, targetBytes: Long,
+                   maxGroups: Int = Int.MaxValue): CompactionResult = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverTable(spark, tablePath)
+    val staged = new Path(table.getParent, table.getName + "._staged")
+    val backup = new Path(table.getParent, table.getName + "._backup")
+    val inv = fs.listStatus(table).toSeq
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map(st => (st.getPath.getName, st.getLen))
+    val plan = compactionPlan(inv.toDF("path", "bytes"), "path", "bytes",
+        targetBytes)
+      .select(col("path"), col("group_id"))
+      .as[(String, Long)].collect()
+    val merge = plan.filter(_._2 >= 0).groupBy(_._2).toSeq
+      .sortBy(_._1).take(maxGroups)
+      .map { case (g, fsOfG) => g -> fsOfG.map(_._1).sorted.toSeq }
+      .filter(_._2.length >= 2)
+    if (merge.isEmpty)
+      return CompactionResult(0L, inv.length.toLong, inv.length.toLong)
+    val merged = merge.map(_._2).flatten.toSet
+    val keepers = inv.map(_._1).filterNot(merged.contains)
+    // per-pass token in the output names: a keeper carried over from a
+    // PREVIOUS pass may itself be named compact-...; an un-tokenized
+    // output name would collide with it in the stage, the keeper
+    // rename would no-op, and the swap would silently drop its rows
+    // (caught by the re-run spec)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    fs.delete(staged, true)
+    fs.mkdirs(staged)
+    // group rewrites: independent jobs, 4 in flight (the Verify pool
+    // shape); each group is ~targetBytes, so coalesce(1) is one
+    // bounded streaming write task
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val jobs = merge.map { case (g, names) =>
+      scala.concurrent.Future {
+        val tmp = new Path(staged, s"_g$g")
+        spark.read.parquet(names.map(n => new Path(table, n).toString): _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(p => p.getName.startsWith("part-")).get
+        require(fs.rename(part,
+          new Path(staged, s"compact-$token-g$g.parquet")),
+          s"stage rename failed for group $g")
+        fs.delete(tmp, true)
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    // keeper manifest FIRST (write-once), then the metadata-only moves
+    // — recovery replays the manifest to put half-moved keepers back
+    writeLines(fs, new Path(staged, "_KEEPERS"), keepers)
+    keepers.foreach(n => require(
+      fs.rename(new Path(table, n), new Path(staged, n)),
+      s"keeper rename failed: $n"))
+    // the swap: two atomic renames; recovery covers the window between
+    require(fs.rename(table, backup), s"swap rename failed: $table")
+    require(fs.rename(staged, table), s"swap rename failed: $staged")
+    fs.delete(backup, true)
+    fs.delete(new Path(table, "_KEEPERS"), false)
+    val after = fs.listStatus(table).count(st =>
+      st.isFile && isDataFile(st.getPath.getName))
+    CompactionResult(merge.length.toLong, inv.length.toLong, after.toLong)
+  }
+
+  /** Crash recovery for [[compactTable]] — idempotent, called on every
+    * entry. Decision table over which of (table, staged, backup)
+    * exist: a stage with the table still present rolls BACK (manifest
+    * keepers move home, stage deleted); a completed stage with the
+    * table renamed away rolls FORWARD (finish the swap); a surviving
+    * backup after the swap is deleted.
+    */
+  def recoverTable(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(table.getParent, table.getName + "._staged")
+    val backup = new Path(table.getParent, table.getName + "._backup")
+    val keepersMarker = new Path(staged, "_KEEPERS")
+    if (fs.exists(table)) {
+      if (fs.exists(staged)) {
+        // staging (or the keeper moves) crashed: manifest keepers go
+        // home, the torn stage is discarded
+        if (fs.exists(keepersMarker))
+          readLines(fs, keepersMarker).foreach { n =>
+            if (fs.exists(new Path(staged, n)))
+              fs.rename(new Path(staged, n), new Path(table, n))
+          }
+        fs.delete(staged, true)
+      }
+      // crash after the swap completed but before backup cleanup
+      if (fs.exists(backup)) fs.delete(backup, true)
+      fs.delete(new Path(table, "_KEEPERS"), false)
+    } else if (fs.exists(staged) && fs.exists(backup)) {
+      // crash between the two swap renames: the stage is complete by
+      // construction (renames only follow a finished stage) — finish
+      require(fs.rename(staged, table), s"recovery rename failed: $staged")
+      fs.delete(backup, true)
+      fs.delete(new Path(table, "_KEEPERS"), false)
+    } else if (fs.exists(backup)) {
+      // table and stage both gone with a backup left: not a state this
+      // protocol produces — refuse to guess (the backup alone lacks
+      // the keepers once they moved to the stage)
+      throw new IllegalStateException(
+        s"unrecoverable compaction state: only $backup exists")
+    }
+  }
+
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path,
+                         lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** QUANTILE-BUCKET rank encoding for Z-order inputs — the missing
     * half of [[zorderKeyN]]'s contract ("dimension values must already
     * be bucketed/rank-encoded": interleaving RAW skewed values wastes

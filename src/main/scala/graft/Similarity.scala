@@ -53,6 +53,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** PRODUCT-QUANTIZATION code assignment (Jégou et al., PAMI'11 — the
+    * IVF+PQ building block [[ivfTopK]] stops short of): split each
+    * `dims`-dim vector into `m` contiguous subvectors and give every
+    * (vector, subspace) its argmin-L2 code from that subspace's
+    * codebook. Storage drops from dims floats to m small codes — the
+    * memory step that makes billion-vector ANN fit.
+    *
+    * Shape at scale: ONE explode to (id, sub, subvector) rows, one
+    * broadcast equi-join on the subspace index (the codebook is
+    * m x k rows — fixed, never grows with the corpus), one grouped
+    * argmin. L2 is an index-ordered `zip_with`/`aggregate` fold, so
+    * the oracle replays identical doubles; ties break to the SMALLER
+    * code id (struct-min, deterministic). `codebook` columns:
+    * (`codeCol`, `subCol`, `cvecCol`); output: (id, sub_idx, code).
+    */
+  def pqAssign(vectors: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, codeCol: String, subCol: String,
+               cvecCol: String, m: Int, dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must split evenly into m ($m) subvectors")
+    val sub = dims / m
+    val exploded = vectors
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1})," +
+          s" s -> struct(s AS sub_idx, slice(_v, s * $sub + 1, $sub) AS sv))"))
+        .as("_e"))
+      .select(col(idCol), col("_e.sub_idx"), col("_e.sv"))
+    val cb = broadcast(codebook.select(col(codeCol).as("_code"),
+      col(subCol).cast("int").as("sub_idx"),
+      asDouble(col(cvecCol)).as("_cv")))
+    exploded.join(cb, "sub_idx")
+      .withColumn("_d2", expr(
+        "aggregate(zip_with(sv, _cv, (x, y) -> (x - y) * (x - y))," +
+          " 0.0D, (acc, e) -> acc + e)"))
+      .groupBy(col(idCol), col("sub_idx"))
+      .agg(min(struct(col("_d2"), col("_code"))).as("_best"))
+      .select(col(idCol), col("sub_idx"), col("_best._code").as("code"))
+  }
+
   /** k-NN JOIN: approximate top-k neighbours for EVERY query vector at
     * once — the batch form of ANN a retrieval pipeline needs. RHP
     * buckets block the pair space (equi-join, never cartesian), the

@@ -221,6 +221,36 @@ object Events {
                   tieCols: Seq[String], chunks: Int = 0): DataFrame =
     concurrencyReleasable(intervals, startCol, endCol, tieCols, chunks)._1
 
+  /** Out-of-order ARRIVAL census — the operational gauge behind
+    * [[graft.ops.Temporal.scd2Repair]]'s straggler path and every
+    * streaming watermark decision: per key, how many rows arrived
+    * AFTER a later-event-time row had already arrived (the rows a
+    * streaming maintainer drops or a watermark must cover), and how
+    * late the worst one was. Detection is the same batch-agnostic rule
+    * scd2Repair uses: a row is late iff some earlier arrival of its
+    * key carried a later (ts, tie). One per-key window in arrival
+    * order (in-task, bounded by the key's history) + one bounded
+    * aggregate. Output per key: `(key..., n_rows, n_late,
+    * max_lateness)` in the ts column's units.
+    */
+  def latenessCensus(log: DataFrame, keys: Seq[String], tsCol: String,
+                     tieCol: String, arrivalCol: String): DataFrame = {
+    val prior = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    log
+      .withColumn("_max_prior",
+        max(struct(col(tsCol), col(tieCol))).over(prior))
+      .withColumn("_late", col("_max_prior").isNotNull &&
+        struct(col(tsCol), col(tieCol)) < col("_max_prior"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("_late"), 1L).otherwise(0L)).cast("long").as("n_late"),
+        coalesce(max(when(col("_late"),
+          col("_max_prior")(tsCol) - col(tsCol))), lit(0L))
+          .cast("long").as("max_lateness"))
+  }
+
   /** Linear multi-touch attribution: every touch PRECEDING a
     * conversion (same (ts, tie) order contract as
     * [[lastTouchAttribution]]) whose NEXT conversion is that one and

@@ -402,6 +402,90 @@ object Graph {
     * no windows, no collects. Tie-breaking inside the order is the
     * node id itself — deterministic across engines.
     */
+  /** Connected components by ALTERNATING STARS (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * two-phase min-label contraction whose round count is
+    * O(log n) on ANY graph shape, the complement to label propagation
+    * ([[graft.Dedup.clusters]]) whose round count is the graph
+    * DIAMETER: on a path-shaped duplicate chain of length 1e6,
+    * propagation needs 1e6 rounds, alternating stars ~20.
+    *
+    * large-star: every node's LARGER neighbors re-attach to the
+    * minimum of its closed neighborhood; small-star (over the
+    * canonical hi->lo edge list): every node's smaller neighbors and
+    * the node itself attach to the neighborhood minimum. Each phase is
+    * one grouped-min plus one equi-join on the node key — no windows,
+    * no collects; the edge list strictly contracts toward a star
+    * forest. Convergence = the round is a fixpoint, checked with a
+    * BOUNDED aggregate (edge count + xxhash64 sum — driver-side only,
+    * so engine-internal hashing is fine), never a full diff.
+    *
+    * Output: `(node, component)` for every node on an edge, component
+    * = the minimum node id of its component (roots map to themselves).
+    */
+  def starComponents(edges: DataFrame, maxIters: Int = 20,
+                     onConverged: Int => Unit = _ => ()): DataFrame = {
+    def canonical(df: DataFrame) = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(cur.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min("y").as("_my"))
+        .select(col("x"), least(col("_my"), col("x")).as("m"))
+      sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // canonical u > v throughout, so the group minimum is over the
+      // smaller endpoints and the emitted edges stay canonical
+      val mins = cur.groupBy("u").agg(min("v").as("m"))
+      val joined = cur.join(mins, "u")
+      joined.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).cast(LongType),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // localCheckpoint per round (the Dedup.clusters discipline): the
+    // loop's lineage otherwise DEEPENS by two grouped joins per round
+    // and Catalyst re-analyzes the whole tree every iteration — the
+    // q171 plan-explosion failure mode. The checkpoint is eager, so
+    // sig() reads materialized blocks, not a replay.
+    var cur = canonical(
+      edges.select(col(edges.columns(0)).as("u"),
+        col(edges.columns(1)).as("v"))).localCheckpoint()
+    var curSig = sig(cur)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = sig(next)
+      converged = nextSig == curSig
+      cur = next
+      curSig = nextSig
+      it += 1
+    }
+    onConverged(it)
+    // the converged edge list is a materialized checkpoint: the result
+    // reads it twice (node set + parent join) without replay
+    val nodes = cur.select(col("u").as("node"))
+      .unionAll(cur.select(col("v").as("node"))).distinct()
+    nodes
+      .join(cur.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("component"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

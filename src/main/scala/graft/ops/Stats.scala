@@ -59,16 +59,6 @@ object Stats {
         coalesce(col("est_distinct"), lit(0L)).as("ndv_est"))
   }
 
-  /** Textbook equi-join cardinality estimate from the stats panel:
-    * `|L ⋈ R on k| ≈ |L| * |R| / max(ndv_L(k), ndv_R(k))` — the
-    * containment-of-value-sets assumption every cost-based optimizer
-    * starts from (System R). Inputs are ONE-ROW frames; the estimate
-    * is exactly what a planner would read off [[columnStats]] before
-    * choosing join order and broadcast sides. Output: one row
-    * `(n_left, n_right, ndv_left, ndv_right, est_rows)` — integer
-    * arithmetic, oracle-replayable because the ndv comes from the
-    * deterministic HLL panel.
-    */
   /** Cluster-purity audit: per cluster, the dominant label's share —
     * the label-agreement number a curation team reads before trusting
     * unsupervised cells (topic buckets, SemDeDup groups, IVF cells)
@@ -103,6 +93,16 @@ object Stats {
       .withColumn("row_ppm",
         expr("(n * 1000000L) div sum(n) OVER (PARTITION BY true_class)"))
 
+  /** Textbook equi-join cardinality estimate from the stats panel:
+    * `|L ⋈ R on k| ≈ |L| * |R| / max(ndv_L(k), ndv_R(k))` — the
+    * containment-of-value-sets assumption every cost-based optimizer
+    * starts from (System R). Inputs are ONE-ROW frames; the estimate
+    * is exactly what a planner would read off [[columnStats]] before
+    * choosing join order and broadcast sides. Output: one row
+    * `(n_left, n_right, ndv_left, ndv_right, est_rows)` — integer
+    * arithmetic, oracle-replayable because the ndv comes from the
+    * deterministic HLL panel.
+    */
   def joinCardinality(left: DataFrame, leftKey: String,
                       right: DataFrame, rightKey: String,
                       p: Int = 6): DataFrame = {
@@ -115,5 +115,123 @@ object Stats {
         "CASE WHEN greatest(ndv_left, ndv_right) = 0 THEN 0L" +
           " ELSE (n_left * n_right) div greatest(ndv_left, ndv_right) END"))
       .select("n_left", "n_right", "ndv_left", "ndv_right", "est_rows")
+  }
+
+  /** ROC AUC by the rank-sum (Mann-Whitney) identity with midrank tie
+    * handling, in exact integer arithmetic: group the scored rows by
+    * DISTINCT SCORE (the only exchange that can be corpus-sized), take
+    * the exclusive prefix sum of negative counts under ascending score
+    * on the [[Hierarchical.prefixSum]] scaffold (range slices +
+    * broadcast offsets, never one global window task), and fold
+    *
+    *   AUC = sum_s n_pos(s) * (negBelow(s) + n_neg(s)/2) / (P*N)
+    *
+    * carried in HALF-units so ties stay integer. Output one row:
+    * `(n_pos, n_neg, auc_ppm)` (floor; 0 when either class is empty).
+    * Returns the result plus the scaffold's cache-release handle.
+    */
+  def aucRocReleasable(scored: DataFrame, labelCol: String,
+                       scoreCol: String,
+                       chunks: Int = 0): (DataFrame, () => Unit) = {
+    val byScore = scored.groupBy(col(scoreCol).as("_s"))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("_pos"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("_neg"))
+    val (pref, release) = Hierarchical.prefixSum(byScore,
+      Seq(col("_s")), Nil, col("_neg"), "_neg_below", chunks)
+    val out = pref
+      .agg(sum("_pos").cast("long").as("n_pos"),
+        sum("_neg").cast("long").as("n_neg"),
+        sum(expr("_pos * (2 * _neg_below + _neg)")).cast("long").as("_num2"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0L" +
+          " ELSE (_num2 * 1000000L) div (2 * n_pos * n_neg) END"))
+      .drop("_num2")
+    (out, release)
+  }
+
+  /** Handle-less [[aucRocReleasable]] for one-shot jobs. */
+  def aucRoc(scored: DataFrame, labelCol: String, scoreCol: String,
+             chunks: Int = 0): DataFrame =
+    aucRocReleasable(scored, labelCol, scoreCol, chunks)._1
+
+  /** Calibration (reliability) bins for a probabilistic classifier:
+    * bucket the predicted probability into `bins` equal slices, report
+    * per bucket the count, mean prediction, observed positive rate,
+    * and |gap| — plus the expected-calibration-error over the run
+    * (count-weighted mean gap; a window over the BINS-sized frame,
+    * bounded by construction). Predictions ride the exact
+    * DECIMAL(25,6) micro hop (the house double policy), so both
+    * engines fold identical integers. One bounded aggregation.
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String,
+                      probCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    scored
+      .select(
+        least(lit(bins - 1).cast("long"),
+          floor(col(probCol) * lit(bins)).cast("long")).as("bin"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("_y"),
+        expr(s"CAST(CAST($probCol AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+          .as("_p_micro"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("_y").cast("long").as("n_pos"),
+        expr("sum(_p_micro) div count(1)").as("mean_pred_ppm"))
+      .withColumn("obs_ppm", expr("(n_pos * 1000000L) div n"))
+      .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("obs_ppm")))
+      .withColumn("ece_ppm",
+        expr("sum(n * gap_ppm) OVER () div sum(n) OVER ()"))
+  }
+
+  /** Chi-square independence audit of two categorical columns (is the
+    * corpus mix of A independent of B — lang vs source, split vs
+    * label?): per contingency cell, observed count, expected count
+    * under independence (row x col / N, in milli-units), and the
+    * cell's chi-square contribution in micro-units —
+    * `(1000*n - e_milli)^2 * 1000 div e_milli`, exact integer with a
+    * DECIMAL(38,0) intermediate so 100x-scale counts cannot overflow.
+    * Cells are bounded by |A|x|B| (category dimensions, not corpus);
+    * the margins are two windows over that bounded frame.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("_ra", expr("sum(n) OVER (PARTITION BY a)"))
+      .withColumn("_cb", expr("sum(n) OVER (PARTITION BY b)"))
+      .withColumn("_tot", expr("sum(n) OVER ()"))
+      .withColumn("expected_milli", expr("(_ra * _cb * 1000L) div _tot"))
+      .withColumn("chi2_micro", expr(
+        "CAST((CAST(1000 * n - expected_milli AS DECIMAL(38,0))" +
+          " * (1000 * n - expected_milli) * 1000)" +
+          " div expected_milli AS BIGINT)"))
+      .drop("_ra", "_cb", "_tot")
+
+  /** Benford first-significant-digit screen over a positive numeric
+    * column — the fraud/synthetic-data smell test. The digit is read
+    * from the INTEGER STRING of the exact micro-value (doubles hop
+    * through DECIMAL(25,6); integer rendering is engine-identical,
+    * unlike float formatting or log10), so both engines bucket every
+    * row identically. Output per digit 1-9: count, observed ppm,
+    * Benford's expected ppm (floor(log10(1+1/d) * 1e6) literals), and
+    * |deviation|. One bounded aggregation.
+    */
+  def benfordScreen(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L,
+      9 -> 45757L)
+    val expectedCase = expected.toSeq.sorted
+      .map { case (d, p) => s"WHEN $d THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    df.filter(col(valueCol) > 0)
+      .select(expr(
+        s"CAST(substr(CAST(CAST(CAST($valueCol AS DECIMAL(25,6))" +
+          " * 1000000 AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("observed_ppm",
+        expr("(n * 1000000L) div sum(n) OVER ()"))
+      .withColumn("expected_ppm", expr(expectedCase))
+      .withColumn("dev_ppm", abs(col("observed_ppm") - col("expected_ppm")))
   }
 }

@@ -115,6 +115,32 @@ object Temporal {
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(25, 6)))
           .cast(StateDecimal).as("sum_value"))
 
+  /** RETRACTION-AWARE [[rollupState]]: rows carry a multiplicity
+    * (`signCol`, +1 insert / -1 delete — the CDC change-stream shape),
+    * so `n` is the NET live count and `sum_value` the net sum. The
+    * output schema matches [[rollupState]] exactly, which means
+    * [[mergeRollup]] merges signed and unsigned states verbatim —
+    * deletes flow through the same incremental-maintenance path as
+    * appends, closing [[joinRollupDelta]]'s documented append-only
+    * limit for the base-rollup case. Run [[compactRollup]] after a
+    * merge to drop fully-retracted groups.
+    */
+  def rollupStateSigned(rows: DataFrame, groupCols: Seq[String],
+                        valueCol: String, signCol: String): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(signCol).cast("long")).cast("long").as("n"),
+        sum((col(signCol) * col(valueCol))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast(StateDecimal).as("sum_value"))
+
+  /** Drop fully-retracted groups (net count zero) from a rollup
+    * state — the compaction that keeps a signed rollup's stored size
+    * proportional to LIVE groups. Kept separate from the merge: a
+    * group passing through zero mid-stream must still merge exactly.
+    */
+  def compactRollup(state: DataFrame): DataFrame =
+    state.filter(col("n") =!= 0L)
+
   /** Bounded SCD2 back-fill: absorb STRAGGLERS (rows the streaming
     * maintainer dropped as older than the open version —
     * [[graft.streaming.Streams.streamingScd2]]'s documented limit)

@@ -3203,4 +3203,166 @@ class OpsSpec extends AnyFunSuite {
     assert(cm(("en", "de")) == ((1L, 333333L)))
     assert(cm(("de", "de")) == ((1L, 1000000L)))
   }
+
+  test("prefixFilterJoin is LOSSLESS: equals the brute-force Jaccard join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),       // jac 4/6 = 0.667
+      (3L, "a b c d e"),                          // dup of 1 -> 1.0
+      (4L, "x y z"), (5L, "x y w"),               // jac 2/4 = 0.5
+      (6L, "q")).toDF("id", "text")
+    val toks = docs.select(col("id"),
+      explode(split(col("text"), " ")).as("tok"))
+    def run(tNum: Int, tDen: Int) =
+      graft.ops.SetSim.prefixFilterJoin(toks, "id", "tok", tNum, tDen)
+        .select("a_id", "b_id", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force over all pairs at each threshold
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    def brute(tNum: Int, tDen: Int) = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if inter * tDen >= union * tNum
+    } yield (a, b, inter.toLong, union.toLong)).toSet
+    for ((n, dn) <- Seq((6, 10), (1, 2), (9, 10), (1, 1)))
+      assert(run(n, dn) == brute(n, dn), s"threshold $n/$dn")
+  }
+
+  test("starComponents: chains and cliques resolve in logarithmic rounds") {
+    import spark.implicits._
+    // one 64-node chain (diameter 63 — label propagation would need 63
+    // rounds), one triangle, one isolated edge
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L),
+      (200L, 201L))).toDF("u", "v")
+    var rounds = -1
+    val got = graft.ops.Graph.starComponents(edges,
+        onConverged = r => rounds = r)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 63L).forall(got(_) == 0L), "chain collapses to its head")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(rounds <= 10, s"star contraction must be logarithmic, took $rounds")
+  }
+
+  test("aucRoc: midrank tie handling matches the hand-computed value") {
+    import spark.implicits._
+    // scores: pos {3, 2}, neg {2, 1}. Pairs: (3,2)+, (3,1)+, (2,1)+,
+    // (2,2) tie=0.5 -> AUC = 3.5/4 = 0.875
+    val scored = Seq((1, 3.0), (1, 2.0), (0, 2.0), (0, 1.0))
+      .toDF("y", "s")
+    val r = graft.ops.Stats.aucRoc(scored, "y", "s")
+      .select("n_pos", "n_neg", "auc_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((2L, 2L, 875000L)))
+    // degenerate: single class reports 0 instead of dividing by zero
+    val one = graft.ops.Stats.aucRoc(
+        Seq((1, 1.0), (1, 2.0)).toDF("y", "s"), "y", "s")
+      .select("auc_ppm").as[Long].head()
+    assert(one == 0L)
+  }
+
+  test("calibrationBins: deciles, gaps, and the weighted ECE") {
+    import spark.implicits._
+    val scored = Seq(
+      (1, 0.95), (1, 0.95), (0, 0.95), (1, 0.95),   // bin 9: pred .95, obs .75
+      (0, 0.05), (0, 0.05),                          // bin 0: pred .05, obs 0
+      (1, 1.0))                                      // p = 1.0 clamps to bin 9
+      .toDF("y", "p")
+    val rows = graft.ops.Stats.calibrationBins(scored, "y", "p", 10)
+      .select("bin", "n", "n_pos", "mean_pred_ppm", "obs_ppm", "gap_ppm",
+        "ece_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(0L)._2 == 2L && rows(0L)._5 == 0L && rows(0L)._6 == 50000L)
+    assert(rows(9L)._2 == 5L && rows(9L)._3 == 4L)
+    // bin 9: mean pred (4*.95 + 1.0)/5 = .96, obs .8 -> gap 160000
+    assert(rows(9L)._4 == 960000L && rows(9L)._6 == 160000L)
+    // ECE = (2*50000 + 5*160000) / 7 = 128571
+    assert(rows.values.head._7 == 128571L)
+  }
+
+  test("signed rollup: retractions merge through the unchanged path") {
+    import spark.implicits._
+    val stored = graft.ops.Temporal.rollupStateSigned(
+      Seq(("a", 1L, 2.5), ("a", 1L, 1.5), ("b", 1L, 4.0))
+        .toDF("g", "sgn", "v"), Seq("g"), "v", "sgn")
+    val delta = graft.ops.Temporal.rollupStateSigned(
+      Seq(("a", -1L, 2.5), ("b", -1L, 4.0), ("b", 1L, 6.0), ("c", 1L, 9.0))
+        .toDF("g", "sgn", "v"), Seq("g"), "v", "sgn")
+    val merged = graft.ops.Temporal.compactRollup(
+        graft.ops.Temporal.mergeRollup(stored, delta, Seq("g")))
+      .select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a: +2 -1 = 1 row, 4.0 - 2.5 = 1.5; b passes THROUGH zero and
+    // back: +1 -1 +1 = 1, 4 - 4 + 6 = 6; c is insert-only
+    assert(merged == Map("a" -> ((1L, 1.5)), "b" -> ((1L, 6.0)),
+      "c" -> ((1L, 9.0))))
+    // a group retracted to exactly zero disappears after compaction
+    val gone = graft.ops.Temporal.compactRollup(
+      graft.ops.Temporal.mergeRollup(stored,
+        graft.ops.Temporal.rollupStateSigned(
+          Seq(("b", -1L, 4.0)).toDF("g", "sgn", "v"), Seq("g"), "v",
+          "sgn"), Seq("g")))
+    assert(!gone.select("g").as[String].collect().contains("b"))
+  }
+
+  test("latenessCensus counts out-of-order arrivals and worst lateness") {
+    import spark.implicits._
+    // arrival order: ts 10, 30, 20(late by 10), 5(late by 25), key 2 clean
+    val log = Seq(
+      (1L, 10L, 1L, 100L), (1L, 30L, 2L, 101L), (1L, 20L, 3L, 102L),
+      (1L, 5L, 4L, 103L), (2L, 7L, 5L, 104L), (2L, 9L, 6L, 105L)
+    ).toDF("k", "ts", "tie", "arr")
+    val got = graft.ops.Events.latenessCensus(log, Seq("k"), "ts", "tie",
+        "arr")
+      .select("k", "n_rows", "n_late", "max_lateness")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 2L, 25L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+  }
+
+  test("pqAssign: codebook members map to themselves; ties to smaller code") {
+    import spark.implicits._
+    val cb = Seq(
+      (0L, 0, Seq(1.0, 0.0)), (0L, 1, Seq(0.0, 1.0)),
+      (7L, 0, Seq(0.0, 1.0)), (7L, 1, Seq(1.0, 0.0))
+    ).toDF("code", "sub", "cv")
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 1.0)),  // = code 0 in both subspaces
+      (11L, Seq(0.0, 1.0, 1.0, 0.0)),  // = code 7 in both subspaces
+      (12L, Seq(0.5, 0.5, 0.5, 0.5))   // equidistant -> smaller code 0
+    ).toDF("id", "v")
+    val got = graft.Similarity.pqAssign(vecs, "id", "v", cb, "code",
+        "sub", "cv", m = 2, dims = 4)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((10L, 0) -> 0L, (10L, 1) -> 0L,
+      (11L, 0) -> 7L, (11L, 1) -> 7L, (12L, 0) -> 0L, (12L, 1) -> 0L))
+  }
+
+  test("chiSquareCells and benfordScreen: exact integer audits") {
+    import spark.implicits._
+    // independent 2x2 (all margins equal) -> expected = observed,
+    // chi2 contributions all zero
+    val indep = Seq(("en", "s1"), ("en", "s2"), ("de", "s1"), ("de", "s2"))
+      .toDF("l", "s")
+    val cells = graft.ops.Stats.chiSquareCells(indep, "l", "s")
+      .select("n", "expected_milli", "chi2_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(cells.forall(c => c._1 == 1L && c._2 == 1000L && c._3 == 0L))
+    // Benford: first significant digit via the micro-string — 0.5
+    // reads 5, 123.4 reads 1, 0.007 reads 7; zero/negative drop
+    val b = graft.ops.Stats.benfordScreen(
+        Seq(0.5, 123.4, 0.007, 55.0, -3.0, 0.0).toDF("v"), "v")
+      .select("digit", "n", "expected_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(b == Map(5L -> ((2L, 79181L)), 1L -> ((1L, 301029L)),
+      7L -> ((1L, 57991L))))
+  }
 }

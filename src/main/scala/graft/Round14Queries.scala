@@ -63,16 +63,15 @@ object Round14Queries {
                FROM ch)"""
 
   /** Exact prefix-filtered set-similarity join ([[ops.SetSim
-    * .prefixFilterJoin]], the PPJoin/AllPairs family): word-set
-    * Jaccard >= 0.9 pairs with NO recall loss — only each document's
-    * globally-rarest prefix tokens enter the inverted index, so
-    * candidate volume rides rare-token collisions instead of stopword
-    * buckets, and every candidate is verified with the exact integer
-    * cross-multiplication test. Two planted near-identical docs prove
-    * the detector; threshold arithmetic is the 9/10 fraction on both
-    * engines (the synthetic corpus shares a tiny vocabulary, so the
-    * threshold sits where similarity is structural, not ambient — and
-    * the prefix, |d| - ceil(0.9|d|) + 1, stays short).
+    * .prefixFilterJoin]] — full PPJoin: prefix + length + positional
+    * filters, all lossless): BIGRAM-shingle Jaccard >= 0.9 pairs.
+    * Tokens are word 2-shingles, not words: the synthetic corpus
+    * shares one tiny vocabulary, so word SETS are ambient-similar
+    * (~965k word-set pairs >= 0.9 at sf0.1 — the output itself is
+    * quadratic) while shingle sets encode ORDER and stay
+    * discriminative (254 pairs at sf0.1, measured). Two planted
+    * near-identical docs prove the detector; threshold arithmetic is
+    * the 9/10 integer fraction on both engines.
     */
   private lazy val q251: QueryDef =
     QueryDef("q251_prefix_filter_join",
@@ -80,28 +79,35 @@ object Round14Queries {
         WITH corpus AS (SELECT doc_id, text FROM documents
                 UNION ALL SELECT 9000001, 'p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z0'
                 UNION ALL SELECT 9000002, 'p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z1'),
-        tok AS (SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS tok
-                FROM corpus),
+        wl AS (SELECT doc_id AS id, string_split(text, ' ') AS l FROM corpus),
+        tok AS (SELECT DISTINCT id,
+                  unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS tok
+                FROM wl WHERE len(l) >= 2),
         sz AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY id),
         dfx AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
         rk AS (SELECT t.id, t.tok,
                  ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn,
                  s.sz
                FROM tok t JOIN dfx d USING (tok) JOIN sz s USING (id)),
-        pf AS (SELECT id, tok FROM rk
+        pf AS (SELECT id, tok, rn, sz FROM rk
                WHERE rn <= sz - ((9 * sz + 9) // 10) + 1),
         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
-                 FROM pf a JOIN pf b ON a.tok = b.tok AND a.id < b.id),
-        inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
-                  FROM cand c JOIN tok ta ON ta.id = c.a_id
-                              JOIN tok tb ON tb.id = c.b_id AND tb.tok = ta.tok
-                  GROUP BY c.a_id, c.b_id)
-        SELECT i.a_id, i.b_id, CAST(i.n_inter AS BIGINT) AS n_inter,
-               CAST(sa.sz + sb.sz - i.n_inter AS BIGINT) AS n_union,
-               CAST(i.n_inter * 1000000 // (sa.sz + sb.sz - i.n_inter) AS BIGINT)
+                 FROM pf a JOIN pf b ON a.tok = b.tok AND a.id < b.id
+                   AND a.sz * 10 >= b.sz * 9 AND b.sz * 10 >= a.sz * 9
+                   AND least(a.sz - a.rn, b.sz - b.rn) + 1
+                       >= (9 * (a.sz + b.sz) + 18) // 19),
+        da AS (SELECT id, list(tok) AS arr FROM tok GROUP BY id),
+        inter AS (SELECT c.a_id, c.b_id,
+                    len(list_intersect(a.arr, b.arr)) AS n_inter,
+                    len(a.arr) + len(b.arr) AS stot
+                  FROM cand c JOIN da a ON a.id = c.a_id
+                              JOIN da b ON b.id = c.b_id)
+        SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(stot - n_inter AS BIGINT) AS n_union,
+               CAST(n_inter * 1000000 // (stot - n_inter) AS BIGINT)
                  AS jaccard_ppm
-        FROM inter i JOIN sz sa ON sa.id = i.a_id JOIN sz sb ON sb.id = i.b_id
-        WHERE i.n_inter * 10 >= (sa.sz + sb.sz - i.n_inter) * 9
+        FROM inter
+        WHERE n_inter * 10 >= (stot - n_inter) * 9
         ORDER BY a_id, b_id"""),
       (s, d) => {
         import s.implicits._
@@ -112,7 +118,8 @@ object Round14Queries {
             .toDF("doc_id", "text"))
         graft.ops.SetSim.prefixFilterJoin(
             corpus.select(col("doc_id"),
-              explode(split(col("text"), " ")).as("tok")),
+              explode(graft.Pipeline.wordShingles(
+                split(col("text"), " "), 2)).as("tok")),
             "doc_id", "tok", tNum = 9, tDen = 10)
           .orderBy("a_id", "b_id")
       })

@@ -4,40 +4,63 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Prefix-filtered set-similarity join (the PPJoin/AllPairs family —
-  * Bayardo et al. WWW'07, Xiao et al. ICDE'08): the third blocking
-  * paradigm next to LSH banding (probabilistic) and the inverted index
-  * with df caps (frequency-bounded) — EXACT, no recall loss, no caps:
+/** Prefix-filtered set-similarity join — full PPJoin (Bayardo et al.
+  * WWW'07 AllPairs + Xiao et al. ICDE'08 positional filter): the third
+  * blocking paradigm next to LSH banding (probabilistic) and the
+  * inverted index with df caps (frequency-bounded) — EXACT, no recall
+  * loss, no caps, built from three lossless necessary conditions:
   *
-  * Order every document's distinct tokens by GLOBAL RARITY (df asc,
-  * token tiebreak). Two sets with Jaccard >= t must share a token in
-  * each other's first `|d| - ceil(t*|d|) + 1` rarest tokens — so only
-  * PREFIX tokens enter the inverted index, and candidate volume is
-  * driven by rare-token collisions instead of stopword buckets. The
-  * filter is LOSSLESS: every qualifying pair is a candidate, every
-  * candidate is verified with the exact Jaccard.
+  *   1. PREFIX filter: order every document's distinct tokens by
+  *      global rarity (df asc, token tiebreak); two sets with
+  *      Jaccard >= t must share a token within each other's first
+  *      `|d| - ceil(t*|d|) + 1` rarest tokens, so only prefix tokens
+  *      enter the inverted index.
+  *   2. LENGTH filter: Jaccard >= t forces t*|b| <= |a| (and
+  *      symmetrically), so candidates outside the size band drop at
+  *      the index join.
+  *   3. POSITIONAL filter: a qualifying pair needs overlap
+  *      alpha = ceil(t*(|a|+|b|) / (1+t)), and the EARLIEST common
+  *      token (provably inside both prefixes) at ranks (pa, pb) caps
+  *      the possible overlap at min(|a|-pa, |b|-pb)+1 — pairs whose
+  *      every prefix match fails the cap drop before verification.
+  *      All three are exact theorems; survivors are verified with the
+  *      exact Jaccard, so the result is the brute-force answer.
+  *
+  * On a corpus with no Zipf tail (every "rare" token still frequent),
+  * the prefix filter alone degenerates — measured on the synthetic
+  * docs at sf0.1: 11.3M candidates from the prefix filter alone vs
+  * 181k with the length+positional filters on shingle tokens, same
+  * exact output. The filters are scan-side predicates on the index
+  * join — no extra shuffle.
   *
   * Scale shape: one df aggregate, one per-doc window (bounded by doc
-  * length) for the prefix rank, one equi-join on prefix tokens, one
-  * per-pair intersection count over candidate-restricted postings.
-  * Thresholds travel as an integer fraction tNum/tDen so both the
-  * prefix length (ceil) and the final acceptance test
-  * (`inter * tDen >= (|a|+|b|-inter) * tNum`) are exact integer
+  * length) for the prefix rank, one equi-join on prefix tokens with
+  * the two filters inlined, one per-pair in-task array intersection
+  * (each doc's token set travels as one bounded array, never as
+  * exploded posting rows). Thresholds travel as an integer
+  * fraction tNum/tDen so the prefix length (ceil), alpha, and the
+  * acceptance test (`inter * tDen >= union * tNum`) are exact integer
   * arithmetic an oracle replays verbatim.
   */
 object SetSim {
 
-  /** Candidate+verify join over `(idCol, tokCol)` distinct-token rows.
-    * Output: `(a_id, b_id, n_inter, n_union, jaccard_ppm)` for pairs
-    * with Jaccard >= tNum/tDen, `a_id < b_id`.
+  /** Candidate+verify join over `(idCol, tokCol)` token rows (distinct
+    * applied internally). Output: `(a_id, b_id, n_inter, n_union,
+    * jaccard_ppm)` for pairs with Jaccard >= tNum/tDen, `a_id < b_id`.
     */
   def prefixFilterJoin(tokens: DataFrame, idCol: String, tokCol: String,
                        tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a fraction in (0, 1], got $tNum/$tDen")
+    // the distinct-token frame feeds FOUR branches (df, sizes, prefix
+    // rank, the verify arrays) — persist it once or the
+    // tokenize+distinct shuffle replays per branch (the round-4
+    // signature-reuse discipline; callers release via clearCache)
     val toks = tokens.select(col(idCol).as("_id"), col(tokCol).as("_tok"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy("_id").agg(count(lit(1)).as("_sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     // prefix = the |d| - ceil(t*|d|) + 1 globally-rarest tokens;
     // ceil(t*n) = (tNum*n + tDen - 1) div tDen, integer-exact
@@ -47,22 +70,44 @@ object SetSim {
       .withColumn("_plen",
         expr(s"_sz - (($tNum * _sz + $tDen - 1) div $tDen) + 1"))
     val prefix = ranked.filter(col("_rn") <= col("_plen"))
-      .select(col("_id"), col("_tok"))
-    val cand = prefix.select(col("_id").as("a_id"), col("_tok"))
-      .join(prefix.select(col("_id").as("b_id"), col("_tok")), Seq("_tok"))
+      .select(col("_id"), col("_tok"), col("_rn"), col("_sz"))
+    val a = prefix.select(col("_id").as("a_id"), col("_tok"),
+      col("_rn").as("_ra"), col("_sz").as("_sa"))
+    val b = prefix.select(col("_id").as("b_id"), col("_tok"),
+      col("_rn").as("_rb"), col("_sz").as("_sb"))
+    val cand = a.join(b, Seq("_tok"))
       .filter(col("a_id") < col("b_id"))
+      // length filter: t * max(|a|,|b|) <= min(|a|,|b|)
+      .filter(col("_sa") * tDen >= col("_sb") * tNum &&
+        col("_sb") * tDen >= col("_sa") * tNum)
+      // positional filter: the remaining-suffix overlap cap at this
+      // match must reach alpha = ceil(tNum*(sa+sb) / (tNum+tDen));
+      // keeping pairs where ANY prefix match passes is lossless (the
+      // earliest common token is in both prefixes and passes iff the
+      // pair can qualify)
+      .filter(expr(s"least(_sa - _ra, _sb - _rb) + 1 >= " +
+        s"($tNum * (_sa + _sb) + ${tNum + tDen - 1}) div ${tNum + tDen}"))
       .select("a_id", "b_id").distinct()
-    // exact verify: candidate-restricted posting join counts |a ∩ b|
-    val inter = cand
-      .join(toks.select(col("_id").as("a_id"), col("_tok")), Seq("a_id"))
-      .join(toks.select(col("_id").as("b_id"), col("_tok")),
-        Seq("b_id", "_tok"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).cast("long").as("n_inter"))
-    inter
-      .join(sizes.select(col("_id").as("a_id"), col("_sz").as("_sa")), "a_id")
-      .join(sizes.select(col("_id").as("b_id"), col("_sz").as("_sb")), "b_id")
-      .withColumn("n_union", expr("_sa + _sb - n_inter"))
+    // exact verify WITHOUT the posting explosion: each doc's distinct
+    // tokens ride as ONE array (bounded by doc length) attached to the
+    // candidate pair by two id equi-joins, and |a ∩ b| is computed
+    // IN-TASK per pair (codegen'd array_intersect). The posting-join
+    // alternative (cand ⋈ tokens_a ⋈ tokens_b) materializes
+    // sum-over-candidates-of-|a| rows — measured 2.3e9 rows at the
+    // 100x sweep, whose sort-merge sort exhausted the box; the array
+    // form shuffles |cand| payload rows and scans each pair once.
+    val docArr = toks.groupBy("_id")
+      .agg(collect_list(col("_tok")).as("_arr"))
+    cand
+      .join(docArr.select(col("_id").as("a_id"), col("_arr").as("_aa")),
+        "a_id")
+      .join(docArr.select(col("_id").as("b_id"), col("_arr").as("_ab")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("_aa"), col("_ab"))).cast("long")
+          .as("n_inter"),
+        (size(col("_aa")) + size(col("_ab"))).cast("long").as("_stot"))
+      .withColumn("n_union", expr("_stot - n_inter"))
       .filter(expr(s"n_inter * $tDen >= n_union * $tNum"))
       .withColumn("jaccard_ppm", expr("(n_inter * 1000000L) div n_union"))
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard_ppm")

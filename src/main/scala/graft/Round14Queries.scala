@@ -31,6 +31,12 @@ object Round14Queries {
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
                     (a, b) -> a*16 + b)"""
 
+  // Oracle mirror of Pipeline.wordHash60 (first 15 md5 hex digits) —
+  // the integer join-key narrowing recipe (round 8; q140's key).
+  private def hash60Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 16)],
+                    (a, b) -> a*16 + b)"""
+
   // Index-ordered IEEE folds matching plans.VectorExpressions.cosineSim.
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
@@ -69,20 +75,24 @@ object Round14Queries {
     * shares one tiny vocabulary, so word SETS are ambient-similar
     * (~965k word-set pairs >= 0.9 at sf0.1 — the output itself is
     * quadratic) while shingle sets encode ORDER and stay
-    * discriminative (254 pairs at sf0.1, measured). Two planted
+    * discriminative (254 pairs at sf0.1, measured). Shingles ride as 60-bit
+    * md5 keys (the round-8 join-key-narrowing recipe: long joins and
+    * long-array intersects, ~2x the string form; collision odds at
+    * 25M distinct shingles are ~3e-4 — the q140 argument). Two planted
     * near-identical docs prove the detector; threshold arithmetic is
     * the 9/10 integer fraction on both engines.
     */
   private lazy val q251: QueryDef =
     QueryDef("q251_prefix_filter_join",
-      Some("""
+      Some(s"""
         WITH corpus AS (SELECT doc_id, text FROM documents
                 UNION ALL SELECT 9000001, 'p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z0'
                 UNION ALL SELECT 9000002, 'p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z1'),
         wl AS (SELECT doc_id AS id, string_split(text, ' ') AS l FROM corpus),
-        tok AS (SELECT DISTINCT id,
-                  unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS tok
-                FROM wl WHERE len(l) >= 2),
+        tk AS (SELECT id,
+                 unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS sh
+               FROM wl WHERE len(l) >= 2),
+        tok AS (SELECT DISTINCT id, ${hash60Sql("sh")} AS tok FROM tk),
         sz AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY id),
         dfx AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
         rk AS (SELECT t.id, t.tok,
@@ -117,9 +127,12 @@ object Round14Queries {
             (9000002L, "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z1"))
             .toDF("doc_id", "text"))
         graft.ops.SetSim.prefixFilterJoin(
-            corpus.select(col("doc_id"),
-              explode(graft.Pipeline.wordShingles(
-                split(col("text"), " "), 2)).as("tok")),
+            corpus
+              .select(col("doc_id"),
+                explode(graft.Pipeline.wordShingles(
+                  split(col("text"), " "), 2)).as("_sh"))
+              .select(col("doc_id"),
+                graft.Pipeline.wordHash60(col("_sh")).as("tok")),
             "doc_id", "tok", tNum = 9, tDen = 10)
           .orderBy("a_id", "b_id")
       })

@@ -548,6 +548,102 @@ object Round14Queries {
           expr("sum(chi2_micro) OVER ()").cast("long"))
         .orderBy("a", "b"))
 
+  /** One-vs-rest MULTI-CLASS AUC ([[ops.Stats.aucRocByGroup]]): every
+    * class's rank-sum AUC in ONE scaffold pass — the rows fan out to
+    * (class, y = label==class) pairs, the distinct-(class, score)
+    * counts range-partition by score with classes as prefix-sum
+    * strata, so 10 classes cost one exchange, not 10 jobs. The macro
+    * average rides a classes-sized window. Score is the q253 anchor
+    * cosine; a good score for parity classes is a poor one for
+    * others, which is exactly what the per-class panel shows.
+    */
+  private lazy val q262: QueryDef =
+    QueryDef("q262_macro_auc",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          CAST(label AS BIGINT) AS lab
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM t WHERE vec_id = 0),
+        sc AS (SELECT lab, ${cosSql("v", "qv")} AS s FROM t CROSS JOIN q),
+        f AS (SELECT cls.cls, CASE WHEN lab = cls.cls THEN 1 ELSE 0 END AS y,
+                     s
+              FROM sc CROSS JOIN (SELECT unnest(range(0, 10)) AS cls) cls),
+        g AS (SELECT cls, s, SUM(y) AS pos,
+                     SUM(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS neg
+              FROM f GROUP BY cls, s),
+        c AS (SELECT *, COALESCE(SUM(neg) OVER (PARTITION BY cls ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS neg_below FROM g),
+        a AS (SELECT CAST(cls AS BIGINT) AS class,
+                CAST(SUM(pos) AS BIGINT) AS n_pos,
+                CAST(SUM(neg) AS BIGINT) AS n_neg,
+                CAST(SUM(pos * (2 * neg_below + neg)) * 1000000
+                  // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_ppm
+              FROM c GROUP BY cls)
+        SELECT class, n_pos, n_neg, auc_ppm,
+               CAST(SUM(auc_ppm) OVER () // COUNT(*) OVER () AS BIGINT)
+                 AS macro_auc_ppm
+        FROM a ORDER BY class"""),
+      (s, d) => {
+        val t = spread(embeddings(s, d)).select(col("vec_id"),
+          graft.Pipeline.asDouble(col("embedding")).as("v"),
+          col("label").cast("long").as("lab"))
+        val q = embeddings(s, d).filter(col("vec_id") === 0)
+          .select(graft.Pipeline.asDouble(col("embedding")).as("qv"))
+        val fanned = t.crossJoin(broadcast(q))
+          .select(col("lab"),
+            graft.plans.VectorExpressions.cosineSim(col("v"), col("qv"))
+              .as("s"))
+          .select(explode(expr("sequence(0L, 9L)")).as("class"),
+            col("lab"), col("s"))
+          .select(col("class"),
+            when(col("lab") === col("class"), 1).otherwise(0).as("y"),
+            col("s"))
+        graft.ops.Stats.aucRocByGroup(fanned, Seq("class"), "y", "s")
+          .withColumn("macro_auc_ppm",
+            expr("sum(auc_ppm) OVER () div count(1) OVER ()"))
+          .orderBy("class")
+      })
+
+  /** FORWARD as-of join — q41's mirror: each purchase picks the NEXT
+    * click at-or-after it (the follow-up-action probe: time-to-next-
+    * touch, abandonment windows). Same one-pass shape: tag both
+    * streams, one user-keyed shuffle, `last(_, ignoreNulls)` over the
+    * DESCENDING time order — no range explosion, no per-row probe; at
+    * an equal instant the click sorts first in the scan so `>=` is
+    * honored. Oracle = DuckDB's native forward ASOF. The carried value
+    * is the click's own timestamp, so ties produce identical output.
+    */
+  private lazy val q263: QueryDef =
+    QueryDef("q263_asof_forward",
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.ts AS next_click_ts
+        FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+        ORDER BY p.event_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            lit(0).as("is_p"), lit(null).cast(LongType).as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast(TimestampType).as("click_ts"),
+            lit(1).as("is_p"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("is_p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("next_click_ts",
+            last("click_ts", ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1 && col("next_click_ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("next_click_ts"))
+          .orderBy("event_id")
+      })
+
   val all: Seq[QueryDef] = Seq(q251, q252, q253, q254, q255, q256, q257,
-    q258, q259, q260, q261)
+    q258, q259, q260, q261, q262, q263)
 }

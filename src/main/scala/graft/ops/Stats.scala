@@ -133,12 +133,34 @@ object Stats {
   def aucRocReleasable(scored: DataFrame, labelCol: String,
                        scoreCol: String,
                        chunks: Int = 0): (DataFrame, () => Unit) = {
-    val byScore = scored.groupBy(col(scoreCol).as("_s"))
+    val (out, release) =
+      aucRocByGroupReleasable(scored, Nil, labelCol, scoreCol, chunks)
+    (out.select("n_pos", "n_neg", "auc_ppm"), release)
+  }
+
+  /** Handle-less [[aucRocReleasable]] for one-shot jobs. */
+  def aucRoc(scored: DataFrame, labelCol: String, scoreCol: String,
+             chunks: Int = 0): DataFrame =
+    aucRocReleasable(scored, labelCol, scoreCol, chunks)._1
+
+  /** GROUPED [[aucRocReleasable]] — one AUC per `groupCols` tuple
+    * (per-class one-vs-rest, per-segment, per-model-version), all
+    * classes in ONE scaffold pass: the distinct-(group, score) counts
+    * range-partition by score with the groups as prefix-sum STRATA
+    * (each stratum's running negative count composes from per-slice
+    * locals + broadcast offsets — no per-group job, no per-group
+    * window task). Output: groupCols..., n_pos, n_neg, auc_ppm.
+    */
+  def aucRocByGroupReleasable(scored: DataFrame, groupCols: Seq[String],
+                              labelCol: String, scoreCol: String,
+                              chunks: Int = 0): (DataFrame, () => Unit) = {
+    val keys = groupCols.map(col) :+ col(scoreCol).as("_s")
+    val byScore = scored.groupBy(keys: _*)
       .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("_pos"),
         sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("_neg"))
     val (pref, release) = Hierarchical.prefixSum(byScore,
-      Seq(col("_s")), Nil, col("_neg"), "_neg_below", chunks)
-    val out = pref
+      Seq(col("_s")), groupCols, col("_neg"), "_neg_below", chunks)
+    val agg = pref.groupBy(groupCols.map(col): _*)
       .agg(sum("_pos").cast("long").as("n_pos"),
         sum("_neg").cast("long").as("n_neg"),
         sum(expr("_pos * (2 * _neg_below + _neg)")).cast("long").as("_num2"))
@@ -146,13 +168,15 @@ object Stats {
         "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0L" +
           " ELSE (_num2 * 1000000L) div (2 * n_pos * n_neg) END"))
       .drop("_num2")
-    (out, release)
+    (agg, release)
   }
 
-  /** Handle-less [[aucRocReleasable]] for one-shot jobs. */
-  def aucRoc(scored: DataFrame, labelCol: String, scoreCol: String,
-             chunks: Int = 0): DataFrame =
-    aucRocReleasable(scored, labelCol, scoreCol, chunks)._1
+  /** Handle-less [[aucRocByGroupReleasable]] for one-shot jobs. */
+  def aucRocByGroup(scored: DataFrame, groupCols: Seq[String],
+                    labelCol: String, scoreCol: String,
+                    chunks: Int = 0): DataFrame =
+    aucRocByGroupReleasable(scored, groupCols, labelCol, scoreCol,
+      chunks)._1
 
   /** Calibration (reliability) bins for a probabilistic classifier:
     * bucket the predicted probability into `bins` equal slices, report

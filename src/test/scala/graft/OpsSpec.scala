@@ -3262,6 +3262,15 @@ class OpsSpec extends AnyFunSuite {
         Seq((1, 1.0), (1, 2.0)).toDF("y", "s"), "y", "s")
       .select("auc_ppm").as[Long].head()
     assert(one == 0L)
+    // grouped: two strata in ONE scaffold pass — a perfect separator
+    // (AUC 1) next to a perfect inverter (AUC 0), plus the tie stratum
+    val grouped = graft.ops.Stats.aucRocByGroup(
+        Seq(("g1", 1, 9.0), ("g1", 0, 1.0),
+          ("g2", 1, 1.0), ("g2", 0, 9.0),
+          ("g3", 1, 3.0), ("g3", 1, 2.0), ("g3", 0, 2.0), ("g3", 0, 1.0))
+          .toDF("g", "y", "s"), Seq("g"), "y", "s")
+      .select("g", "auc_ppm").as[(String, Long)].collect().toMap
+    assert(grouped == Map("g1" -> 1000000L, "g2" -> 0L, "g3" -> 875000L))
   }
 
   test("calibrationBins: deciles, gaps, and the weighted ECE") {

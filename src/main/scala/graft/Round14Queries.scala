@@ -537,7 +537,7 @@ object Round14Queries {
               FROM m),
         y AS (SELECT *, CAST(((1000 * n - expected_milli)::HUGEINT
                 * (1000 * n - expected_milli) * 1000)
-                // expected_milli AS BIGINT) AS chi2_micro
+                // GREATEST(expected_milli, 1) AS BIGINT) AS chi2_micro
               FROM x)
         SELECT a, b, n, expected_milli, chi2_micro,
                CAST(SUM(chi2_micro) OVER () AS BIGINT) AS chi2_total_micro

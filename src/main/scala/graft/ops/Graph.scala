@@ -424,7 +424,8 @@ object Graph {
     * = the minimum node id of its component (roots map to themselves).
     */
   def starComponents(edges: DataFrame, maxIters: Int = 20,
-                     onConverged: Int => Unit = _ => ()): DataFrame = {
+                     onConverged: (Int, Boolean) => Unit = (_, _) => ())
+      : DataFrame = {
     def canonical(df: DataFrame) = df
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -474,7 +475,15 @@ object Graph {
       curSig = nextSig
       it += 1
     }
-    onConverged(it)
+    onConverged(it, converged)
+    // a non-star-forest edge list would make the parent join below
+    // emit MULTIPLE (node, component) rows with non-minimal labels —
+    // silently wrong output. Fail loudly instead: convergence is a
+    // fixed point, so one more identical round is free when it was
+    // reached, and maxIters=20 covers graphs of diameter 2^20.
+    require(converged,
+      s"starComponents did not converge within $maxIters rounds " +
+        "(edge-list fixed point not reached); raise maxIters")
     // the converged edge list is a materialized checkpoint: the result
     // reads it twice (node set + parent join) without replay
     val nodes = cur.select(col("u").as("node"))

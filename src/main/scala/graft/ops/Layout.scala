@@ -237,10 +237,13 @@ object Layout {
         targetBytes)
       .select(col("path"), col("group_id"))
       .as[(String, Long)].collect()
+    // no-op (single-file) groups are dropped BEFORE the maxGroups
+    // budget is applied — a bounded pass spends its whole budget on
+    // real merges even when the plan's prefix is all singletons
     val merge = plan.filter(_._2 >= 0).groupBy(_._2).toSeq
-      .sortBy(_._1).take(maxGroups)
       .map { case (g, fsOfG) => g -> fsOfG.map(_._1).sorted.toSeq }
       .filter(_._2.length >= 2)
+      .sortBy(_._1).take(maxGroups)
     if (merge.isEmpty)
       return CompactionResult(0L, inv.length.toLong, inv.length.toLong)
     val merged = merge.map(_._2).flatten.toSet
@@ -257,25 +260,30 @@ object Layout {
     // shape); each group is ~targetBytes, so coalesce(1) is one
     // bounded streaming write task
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val jobs = merge.map { case (g, names) =>
-      scala.concurrent.Future {
-        val tmp = new Path(staged, s"_g$g")
-        spark.read.parquet(names.map(n => new Path(table, n).toString): _*)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(p => p.getName.startsWith("part-")).get
-        require(fs.rename(part,
-          new Path(staged, s"compact-$token-g$g.parquet")),
-          s"stage rename failed for group $g")
-        fs.delete(tmp, true)
+    // shutdown in finally: a failed group-rewrite Future makes
+    // Await.result throw, and an unconditional shutdown is what keeps
+    // a long-lived session from leaking a 4-thread executor per
+    // failed pass
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val jobs = merge.map { case (g, names) =>
+        scala.concurrent.Future {
+          val tmp = new Path(staged, s"_g$g")
+          spark.read.parquet(names.map(n => new Path(table, n).toString): _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(p => p.getName.startsWith("part-")).get
+          require(fs.rename(part,
+            new Path(staged, s"compact-$token-g$g.parquet")),
+            s"stage rename failed for group $g")
+          fs.delete(tmp, true)
+        }
       }
-    }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     // keeper manifest FIRST (write-once), then the metadata-only moves
     // — recovery replays the manifest to put half-moved keepers back
     writeLines(fs, new Path(staged, "_KEEPERS"), keepers)

@@ -47,15 +47,30 @@ object SetSim {
   /** Candidate+verify join over `(idCol, tokCol)` token rows (distinct
     * applied internally). Output: `(a_id, b_id, n_inter, n_union,
     * jaccard_ppm)` for pairs with Jaccard >= tNum/tDen, `a_id < b_id`.
+    *
+    * Handle-less one-shot form: the two internal persists (the
+    * corpus-sized distinct-token frame and the per-doc sizes) stay
+    * cached until the session's `clearCache()`. Long-lived sessions
+    * should use [[prefixFilterJoinReleasable]].
     */
   def prefixFilterJoin(tokens: DataFrame, idCol: String, tokCol: String,
-                       tNum: Int, tDen: Int): DataFrame = {
+                       tNum: Int, tDen: Int): DataFrame =
+    prefixFilterJoinReleasable(tokens, idCol, tokCol, tNum, tDen)._1
+
+  /** [[prefixFilterJoin]] plus a release handle that unpersists the
+    * two internal caches (the house *Releasable pattern —
+    * `Hierarchical.prefixSum`, `Stats.aucRocReleasable`). Call the
+    * handle after the result is consumed/materialized.
+    */
+  def prefixFilterJoinReleasable(tokens: DataFrame, idCol: String,
+                                 tokCol: String, tNum: Int, tDen: Int)
+      : (DataFrame, () => Unit) = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a fraction in (0, 1], got $tNum/$tDen")
     // the distinct-token frame feeds FOUR branches (df, sizes, prefix
     // rank, the verify arrays) — persist it once or the
     // tokenize+distinct shuffle replays per branch (the round-4
-    // signature-reuse discipline; callers release via clearCache)
+    // signature-reuse discipline; the returned handle unpersists both)
     val toks = tokens.select(col(idCol).as("_id"), col(tokCol).as("_tok"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,7 +113,7 @@ object SetSim {
     // form shuffles |cand| payload rows and scans each pair once.
     val docArr = toks.groupBy("_id")
       .agg(collect_list(col("_tok")).as("_arr"))
-    cand
+    val out = cand
       .join(docArr.select(col("_id").as("a_id"), col("_arr").as("_aa")),
         "a_id")
       .join(docArr.select(col("_id").as("b_id"), col("_arr").as("_ab")),
@@ -111,5 +126,6 @@ object SetSim {
       .filter(expr(s"n_inter * $tDen >= n_union * $tNum"))
       .withColumn("jaccard_ppm", expr("(n_inter * 1000000L) div n_union"))
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard_ppm")
+    (out, () => { toks.unpersist(); sizes.unpersist(); () })
   }
 }

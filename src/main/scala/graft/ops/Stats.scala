@@ -225,10 +225,13 @@ object Stats {
       .withColumn("_cb", expr("sum(n) OVER (PARTITION BY b)"))
       .withColumn("_tot", expr("sum(n) OVER ()"))
       .withColumn("expected_milli", expr("(_ra * _cb * 1000L) div _tot"))
+      // divisor guard: two rare margins in a huge corpus can floor
+      // expected_milli to 0 (ra*cb*1000 < tot) — greatest(·, 1) keeps
+      // the division defined; the oracle applies the SAME guard
       .withColumn("chi2_micro", expr(
         "CAST((CAST(1000 * n - expected_milli AS DECIMAL(38,0))" +
           " * (1000 * n - expected_milli) * 1000)" +
-          " div expected_milli AS BIGINT)"))
+          " div greatest(expected_milli, 1L) AS BIGINT)"))
       .drop("_ra", "_cb", "_tot")
 
   /** Benford first-significant-digit screen over a positive numeric

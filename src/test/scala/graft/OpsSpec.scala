@@ -3228,6 +3228,19 @@ class OpsSpec extends AnyFunSuite {
     } yield (a, b, inter.toLong, union.toLong)).toSet
     for ((n, dn) <- Seq((6, 10), (1, 2), (9, 10), (1, 1)))
       assert(run(n, dn) == brute(n, dn), s"threshold $n/$dn")
+    // releasable form: same rows, and the handle drops BOTH internal
+    // caches (long-lived sessions must not rely on clearCache). Clear
+    // first: the handle-less runs above cached the SAME logical plans
+    // and CacheManager dedupes, which would skew the count.
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (rel, release) = graft.ops.SetSim.prefixFilterJoinReleasable(
+      toks, "id", "tok", 1, 2)
+    assert(rel.select("a_id", "b_id", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet == brute(1, 2))
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() must unpersist both internal caches")
   }
 
   test("starComponents: chains and cliques resolve in logarithmic rounds") {
@@ -3238,13 +3251,21 @@ class OpsSpec extends AnyFunSuite {
     val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L),
       (200L, 201L))).toDF("u", "v")
     var rounds = -1
+    var conv = false
     val got = graft.ops.Graph.starComponents(edges,
-        onConverged = r => rounds = r)
+        onConverged = (r, c) => { rounds = r; conv = c })
       .as[(Long, Long)].collect().toMap
+    assert(conv, "callback must report convergence")
     assert((0L to 63L).forall(got(_) == 0L), "chain collapses to its head")
     assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
     assert(got(200L) == 200L && got(201L) == 200L)
     assert(rounds <= 10, s"star contraction must be logarithmic, took $rounds")
+    // a too-small round budget must FAIL LOUDLY, never return a
+    // non-star-forest labeling (the silent-wrong-output failure mode)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.starComponents(edges, maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("aucRoc: midrank tie handling matches the hand-computed value") {
@@ -3364,6 +3385,19 @@ class OpsSpec extends AnyFunSuite {
       .select("n", "expected_milli", "chi2_micro")
       .as[(Long, Long, Long)].collect()
     assert(cells.forall(c => c._1 == 1L && c._2 == 1000L && c._3 == 0L))
+    // divisor guard: two rare margins in a large corpus floor
+    // expected_milli to 0 (ra*cb*1000 < tot) — must yield a defined
+    // chi2_micro, not null. 1 ("z","r") cell among 2001 rows:
+    // 1*1*1000 div 2001 = 0 -> guarded divisor 1.
+    val rare = ((1 to 1000).map(_ => ("en", "s1")) ++
+      (1 to 1000).map(_ => ("de", "s2")) ++ Seq(("z", "r")))
+      .toDF("l", "s")
+    val zc = graft.ops.Stats.chiSquareCells(rare, "l", "s")
+      .filter(col("a") === "z")
+      .select("expected_milli", "chi2_micro")
+      .as[(Long, Long)].head()
+    assert(zc._1 == 0L && zc._2 == 1000000000L,
+      s"guarded zero-expected cell, got $zc")
     // Benford: first significant digit via the micro-string — 0.5
     // reads 5, 123.4 reads 1, 0.007 reads 7; zero/negative drop
     val b = graft.ops.Stats.benfordScreen(

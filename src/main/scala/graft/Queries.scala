@@ -40,7 +40,8 @@ object Queries {
 
   val all: Seq[QueryDef] = core ++ extra ++ advanced ++ PipelineQueries.all ++
     AnalysisQueries.all ++ CurationQueries.all ++ CrawlQueries.all ++
-    DomainQueries.all ++ WarehouseQueries.all ++ Round14Queries.all
+    DomainQueries.all ++ WarehouseQueries.all ++ Round14Queries.all ++
+    Round15Queries.all
 
   private lazy val core: Seq[QueryDef] = Seq(
 

@@ -128,4 +128,95 @@ object SetSim {
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard_ppm")
     (out, () => { toks.unpersist(); sizes.unpersist(); () })
   }
+
+  /** WEIGHTED prefix-filtered set-similarity join — the tf-idf/cosine
+    * companion of [[prefixFilterJoin]] and the form retrieval
+    * pipelines actually run: weighted Jaccard
+    * `W(a ∩ b) / W(a ∪ b) >= tNum/tDen` over per-token weights
+    * (idf-style: GLOBAL per token — `wCol` must be functionally
+    * dependent on `tokCol`; positive integers, e.g. ppm-scaled idf,
+    * so every bound below is exact integer arithmetic an oracle
+    * replays). All three filters generalize losslessly:
+    *
+    *   1. WEIGHTED PREFIX: rank each doc's tokens in the canonical
+    *      global order (weight desc = rarest first, token tiebreak);
+    *      a qualifying pair needs `W(a ∩ b) >= t * W(a)` (union >=
+    *      either side), and if the pair shares no token among a's
+    *      ranks with suffix weight `suf_a(r) >= t * W(a)`, its whole
+    *      overlap fits in a suffix lighter than that bound — so only
+    *      those ranks enter the index. Rarest-first ranking makes the
+    *      prefix both short and selective (heavy rare tokens burn
+    *      suffix weight fastest).
+    *   2. WEIGHTED LENGTH: `min(W_a, W_b) >= t * max(W_a, W_b)`.
+    *   3. WEIGHTED POSITIONAL: `J >= t  <=>  I * (tNum + tDen) >=
+    *      tNum * (W_a + W_b)` (I = intersection weight), and at the
+    *      EARLIEST common token the overlap is capped by the lighter
+    *      remaining suffix, `min(suf_a, suf_b)` — a pair survives iff
+    *      some shared prefix token passes, and the earliest one
+    *      passes whenever the pair can qualify.
+    *
+    * Verify without a posting explosion (the q251 discipline): each
+    * doc's tokens travel as ONE array of (token, weight) structs;
+    * the intersection weight folds in-task over the pair
+    * (`aggregate(filter(...))`, codegen'd HOFs), so the join shuffles
+    * |candidates| rows, never sum-of-|doc| posting rows.
+    */
+  def weightedPrefixFilterJoin(tokens: DataFrame, idCol: String,
+                               tokCol: String, wCol: String,
+                               tNum: Int, tDen: Int): DataFrame =
+    weightedPrefixFilterJoinReleasable(
+      tokens, idCol, tokCol, wCol, tNum, tDen)._1
+
+  /** [[weightedPrefixFilterJoin]] plus the cache-release handle. */
+  def weightedPrefixFilterJoinReleasable(tokens: DataFrame, idCol: String,
+                                         tokCol: String, wCol: String,
+                                         tNum: Int, tDen: Int)
+      : (DataFrame, () => Unit) = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a fraction in (0, 1], got $tNum/$tDen")
+    val toks = tokens.select(col(idCol).as("_id"), col(tokCol).as("_tok"),
+        col(wCol).cast("long").as("_w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = toks.groupBy("_id").agg(sum("_w").as("_tw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical rank: weight desc (idf-rarest first), token tiebreak;
+    // suffix weight INCLUDES the current token
+    val ranked = toks.join(totals, "_id")
+      .withColumn("_cum", sum("_w").over(
+        Window.partitionBy("_id").orderBy(col("_w").desc, col("_tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_suf", col("_tw") - col("_cum") + col("_w"))
+    // weighted prefix: ranks whose suffix weight still reaches t*W(a)
+    val prefix = ranked
+      .filter(col("_suf") * tDen >= col("_tw") * tNum)
+      .select(col("_id"), col("_tok"), col("_suf"), col("_tw"))
+    val a = prefix.select(col("_id").as("a_id"), col("_tok"),
+      col("_suf").as("_fa"), col("_tw").as("_wa"))
+    val b = prefix.select(col("_id").as("b_id"), col("_tok"),
+      col("_suf").as("_fb"), col("_tw").as("_wb"))
+    val cand = a.join(b, Seq("_tok"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("_wa") * tDen >= col("_wb") * tNum &&
+        col("_wb") * tDen >= col("_wa") * tNum)
+      .filter(expr(s"least(_fa, _fb) * ${tNum + tDen} >= " +
+        s"$tNum * (_wa + _wb)"))
+      .select("a_id", "b_id", "_wa", "_wb").distinct()
+    val docArr = toks.groupBy("_id")
+      .agg(collect_list(struct(col("_tok"), col("_w"))).as("_sarr"))
+    val out = cand
+      .join(docArr.select(col("_id").as("a_id"), col("_sarr").as("_sa")),
+        "a_id")
+      .join(docArr.select(col("_id").as("b_id"), col("_sarr").as("_sb")),
+        "b_id")
+      .withColumn("_tb", expr("transform(_sb, x -> x._tok)"))
+      .withColumn("w_inter", expr(
+        "aggregate(filter(_sa, x -> array_contains(_tb, x._tok)), " +
+          "0L, (acc, x) -> acc + x._w)"))
+      .withColumn("w_union", col("_wa") + col("_wb") - col("w_inter"))
+      .filter(expr(s"w_inter * $tDen >= w_union * $tNum"))
+      .withColumn("wjaccard_ppm", expr("(w_inter * 1000000L) div w_union"))
+      .select("a_id", "b_id", "w_inter", "w_union", "wjaccard_ppm")
+    (out, () => { toks.unpersist(); totals.unpersist(); () })
+  }
 }

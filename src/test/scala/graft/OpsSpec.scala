@@ -3408,4 +3408,70 @@ class OpsSpec extends AnyFunSuite {
     assert(b == Map(5L -> ((2L, 79181L)), 1L -> ((1L, 301029L)),
       7L -> ((1L, 57991L))))
   }
+
+  test("duplicatedSpans: maximal spans, intra-doc repeats, maxOcc policy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 c1 c2 c3 c4 c5 x3"),   // shared run at pos 3..7
+      (2L, "y1 c1 c2 c3 c4 c5 y2 y3"),   // same run at pos 2..6
+      (3L, "p q r z1 p q r"),            // INTRA-doc repeat, 2 islands
+      (4L, "w1 w2")                      // shorter than l: no windows
+    ).toDF("doc_id", "text")
+    val got = graft.ops.SpanDedup
+      .duplicatedSpans(docs, "doc_id", "text", l = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1: windows at 3,4,5 merge -> [3, 8); doc2: [2, 7);
+    // doc3: "p q r" at 1 and 5, gap at 4 -> [1, 4) and [5, 8)
+    assert(got == Set((1L, 3L, 8L, 5L), (2L, 2L, 7L, 5L),
+      (3L, 1L, 4L, 3L), (3L, 5L, 8L, 3L)))
+    // maxOcc policy knob: the c1..c3 window occurs twice; a third
+    // occurrence pushes it past maxOcc=2 and out of the report, while
+    // windows still at occ 2 stay
+    val docs3 = docs.unionAll(Seq((5L, "z9 c1 c2 c3 z8")).toDF("doc_id", "text"))
+    val capped = graft.ops.SpanDedup
+      .duplicatedSpans(docs3, "doc_id", "text", l = 3, maxOcc = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // "c1 c2 c3" now occ=3 -> dropped; "c2 c3 c4"/"c3 c4 c5" remain
+    // occ=2: doc1 span shrinks to [4, 8), doc2 to [3, 7), doc5 none
+    assert(capped == Set((1L, 4L, 8L, 4L), (2L, 3L, 7L, 4L),
+      (3L, 1L, 4L, 3L), (3L, 5L, 8L, 3L)))
+  }
+
+  test("weightedPrefixFilterJoin is LOSSLESS: equals brute-force weighted Jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "a b c d e"), (4L, "x y z"), (5L, "x y w"), (6L, "q"))
+      .toDF("id", "text")
+    val toks = docs.select(col("id"),
+      explode(split(col("text"), " ")).as("tok")).distinct()
+    // idf-style global integer weights: 1e6 div df, floor 1
+    val w = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), greatest(expr("1000000L div df"), lit(1L)).as("wt"))
+    val weighted = toks.join(w, "tok").select("id", "tok", "wt")
+    val wMap = w.as[(String, Long)].collect().toMap
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    def brute(tNum: Int, tDen: Int) = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).toSeq.map(wMap).sum
+      u = (sets(a) | sets(b)).toSeq.map(wMap).sum
+      if i * tDen >= u * tNum
+    } yield (a, b, i, u)).toSet
+    for ((n, dn) <- Seq((1, 2), (7, 10), (9, 10), (1, 1))) {
+      val got = graft.ops.SetSim.weightedPrefixFilterJoin(
+          weighted, "id", "tok", "wt", n, dn)
+        .select("a_id", "b_id", "w_inter", "w_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute(n, dn), s"threshold $n/$dn")
+    }
+    // releasable handle drops both internal caches
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (rel, release) = graft.ops.SetSim.weightedPrefixFilterJoinReleasable(
+      weighted, "id", "tok", "wt", 1, 2)
+    rel.collect()
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
 }

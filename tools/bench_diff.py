@@ -68,6 +68,12 @@ def main() -> int:
     prev_probe = float(prev.get("probe_median_sec") or 0) or None
     weather = (cur_probe / prev_probe) if cur_probe and prev_probe else 1.0
 
+    def adj_median(rec):
+        # detail entries are [median, spread_pct, n, probe_adj_median]
+        # since round 15; older records lack the 4th element, so fall
+        # back to the raw median (factor 1)
+        return float(rec[3]) if len(rec) > 3 else float(rec[0])
+
     regress, improve = [], []
     for name, cur_rec in sorted(cur_q.items()):
         prev_rec = prev_q.get(name)
@@ -78,7 +84,12 @@ def main() -> int:
         if max(cur_med, prev_med) < args.min_sec or prev_med <= 0:
             continue
         raw = cur_med / prev_med
-        adj = raw / weather
+        # probe-adjusted ratio: per-query local-pressure correction
+        # (the bracketing-probe scaling baked into each record) plus
+        # the run-level probe weather between the two records
+        prev_adj = adj_median(prev_rec)
+        adj = (adj_median(cur_rec) / prev_adj / weather
+               if prev_adj > 0 else raw / weather)
         if adj >= args.thresh and cur_spread <= args.spread_max:
             regress.append((name, prev_med, cur_med, raw, adj, cur_spread))
         elif adj <= 1.0 / args.thresh:

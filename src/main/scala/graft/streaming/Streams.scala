@@ -1527,12 +1527,56 @@ object Streams {
     */
   def applyRollupBatch(batch: DataFrame, batchId: Long,
                        groupCols: Seq[String], valueCol: String,
-                       storePath: String): Unit = {
-    val spark = batch.sparkSession
+                       storePath: String): Unit =
+    applyRollupVersioned(batch.sparkSession, batchId, groupCols, storePath,
+      graft.ops.Temporal.rollupState(batch, groupCols, valueCol))
+
+  /** RETRACTION-AWARE [[rollupStream]]: micro-batches are CDC change
+    * streams carrying `signCol` (+1 insert / -1 delete), folded via
+    * [[graft.ops.Temporal.rollupStateSigned]] — upstream corrections
+    * flow through the SAME versioned exactly-once store as appends
+    * (identical commit protocol, crash windows, and fence; only the
+    * per-batch partial-aggregate builder differs). A group whose
+    * inserts are fully retracted stays stored with net-zero counts —
+    * compaction ([[graft.ops.Temporal.compactRollup]]) is the
+    * reader's policy, never the merge's, because a group passing
+    * through zero mid-stream must keep merging exactly.
+    */
+  def rollupStreamSigned(rows: DataFrame, groupCols: Seq[String],
+                         valueCol: String, signCol: String,
+                         storePath: String,
+                         checkpointDir: String): StreamingQuery = {
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatchSigned(batch, batchId, groupCols, valueCol,
+          signCol, storePath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[rollupStreamSigned]] (spec seam, like
+    * [[applyRollupBatch]]). */
+  def applyRollupBatchSigned(batch: DataFrame, batchId: Long,
+                             groupCols: Seq[String], valueCol: String,
+                             signCol: String, storePath: String): Unit =
+    applyRollupVersioned(batch.sparkSession, batchId, groupCols, storePath,
+      graft.ops.Temporal.rollupStateSigned(batch, groupCols, valueCol,
+        signCol))
+
+  /** The shared versioned-store commit protocol (fence -> merge ->
+    * fresh `v-<batchId>` dir -> `_SUCCESS` commit point -> GC): both
+    * rollup streams apply it verbatim so the signed path cannot drift
+    * from the adversarially-tested unsigned one.
+    */
+  private def applyRollupVersioned(spark: SparkSession, batchId: Long,
+                                   groupCols: Seq[String],
+                                   storePath: String,
+                                   late: => DataFrame): Unit = {
     val applied = committedRollupVersions(spark, storePath)
       .maxOption.getOrElse(-1L)
     if (batchId > applied) {
-      val late = graft.ops.Temporal.rollupState(batch, groupCols, valueCol)
       val merged =
         if (applied < 0) late // explicit first-batch: no committed store
         else graft.ops.Temporal.mergeRollup(

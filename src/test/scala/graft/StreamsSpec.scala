@@ -1459,4 +1459,60 @@ class StreamsSpec extends AnyFunSuite {
     assert(Streams.committedRollupVersions(spark, store) == Seq(1L),
       "a failed batch must leave the committed pointer untouched")
   }
+
+  test("signed rollup stream: retractions replay across crash windows " +
+      "and equal the batch recount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-srollup-ckpt").toString
+    val store = Files.createTempDirectory("graft-srollup-store").toString
+    val in = MemoryStream[(String, Double, Int)]
+    def start() = Streams.rollupStreamSigned(
+      in.toDF().toDF("g", "v", "sgn"), Seq("g"), "v", "sgn", store, ckpt)
+    def stored() = Streams.readRollupStore(spark, store)
+      .select(col("g"), col("n"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def recount(batches: Seq[(String, Double, Int)]*) =
+      graft.ops.Temporal.rollupStateSigned(
+          batches.flatten.toDF("g", "v", "sgn"), Seq("g"), "v", "sgn")
+        .select(col("g"), col("n"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch 0: inserts only; batch 1 (after restart): a CORRECTION
+    // batch — retract one of a's rows, retract b entirely, insert c
+    val b0 = Seq(("a", 1.5, 1), ("a", 2.5, 1), ("b", 4.0, 1))
+    val b1 = Seq(("a", 2.5, -1), ("b", 4.0, -1), ("c", 7.0, 1))
+    val q1 = start()
+    try { in.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(stored() == recount(b0))
+    val q2 = start()
+    try { in.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(stored() == recount(b0, b1),
+      "retractions must flow through the restart like appends")
+    // fully-retracted group stays stored at net zero (compaction is
+    // the reader's policy, not the merge's)
+    assert(stored()("b") == ((0L, 0.0)))
+    assert(graft.ops.Temporal.compactRollup(
+        Streams.readRollupStore(spark, store))
+      .select("g").as[String].collect().toSet == Set("a", "c"))
+    // crash windows on the spec seam: a REPLAYED retraction batch must
+    // no-op (un-fenced it would double-retract and flip signs)
+    def apply(rows: Seq[(String, Double, Int)], id: Long) =
+      Streams.applyRollupBatchSigned(
+        rows.toDF("g", "v", "sgn"), id, Seq("g"), "v", "sgn", store)
+    val replayId = Streams.committedRollupVersions(spark, store).max
+    apply(b1, replayId)
+    assert(stored() == recount(b0, b1),
+      "replayed retraction batch must not double-retract")
+    // torn write of the NEXT version (crash mid-write, no _SUCCESS):
+    // replay must ignore it, merge from the committed version
+    val torn = s"$store/data/v-${replayId + 1}"
+    Seq(("x", 9.9, 1)).toDF("g", "v", "sgn").write.parquet(torn)
+    Files.delete(Paths.get(torn, "_SUCCESS"))
+    val b2 = Seq(("c", 7.0, -1), ("d", 1.0, 1))
+    apply(b2, replayId + 1)
+    assert(stored() == recount(b0, b1, b2),
+      "recovery from a torn retraction write must equal the recount")
+  }
 }

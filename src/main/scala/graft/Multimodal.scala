@@ -99,6 +99,58 @@ object Multimodal {
         if (b.length == 0) 0 else b((i * 37) % b.length) & 0xFF)
   }
 
+  /** The video-decode SEAM: bytes -> one 9x8 grayscale grid (72
+    * values 0-255, the [[ImageDecoder]] grid shape) PER FRAME, in
+    * frame order. [[StubVideoDecoder]] is the default; a real
+    * deployment passes an ffmpeg/container-demux implementation and
+    * the frame-dHash + frame-vote pipeline downstream does not change
+    * — proven by the swap-in spec, which drives [[frameSignatures]]
+    * and [[frameVoteNearDup]] with a plain-JVM concatenated-PGM
+    * parser.
+    */
+  trait VideoDecoder extends Serializable {
+    def frames(bytes: Array[Byte]): Iterator[Array[Int]]
+  }
+
+  /** The deterministic stub: frame count from [[FakeCodec.decode]],
+    * the payload split into equal byte slices, frame i's "pixel" k =
+    * slice byte at `(k*37) mod sliceLen` (empty slices read 0).
+    * Oracle-replayable — q163's oracle replays exactly this.
+    */
+  object StubVideoDecoder extends VideoDecoder {
+    def frames(b: Array[Byte]): Iterator[Array[Int]] = {
+      val (_, _, nFrames) = FakeCodec.decode(b)
+      val sliceLen = b.length / nFrames
+      (0 until nFrames).iterator.map { i =>
+        Array.tabulate(72)(k =>
+          if (sliceLen == 0) 0
+          else b(i * sliceLen + (k * 37) % sliceLen) & 0xFF)
+      }
+    }
+  }
+
+  /** Classic dHash bit fold over a 9x8 grayscale grid: bit (r*8+c) =
+    * 1 iff pixel(r,c) > pixel(r,c+1), split (lo, hi) 32/32 so the
+    * oracle never folds 64-bit signed values. Shared by
+    * [[perceptualHash]] (whole image) and [[frameSignatures]]
+    * (per video frame).
+    */
+  private def dhash64(g: Array[Int]): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var bit = 0
+    while (bit < 64) {
+      val r = bit / 8
+      val c = bit % 8
+      if (g(r * 9 + c) > g(r * 9 + c + 1)) {
+        if (bit < 32) lo |= 1L << bit
+        else hi |= 1L << (bit - 32)
+      }
+      bit += 1
+    }
+    (lo, hi)
+  }
+
   /** One sampled frame of a media document. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
 
@@ -148,19 +200,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       // per-partition codec init would go here (shared with decode)
       it.map { m =>
-        val g = decoder.gray9x8(m.content)
-        var lo = 0L
-        var hi = 0L
-        var bit = 0
-        while (bit < 64) {
-          val r = bit / 8
-          val c = bit % 8
-          if (g(r * 9 + c) > g(r * 9 + c + 1)) {
-            if (bit < 32) lo |= 1L << bit
-            else hi |= 1L << (bit - 32)
-          }
-          bit += 1
-        }
+        val (lo, hi) = dhash64(decoder.gray9x8(m.content))
         (m.doc_id, lo, hi)
       }
     }.toDF("doc_id", "simhash_lo", "simhash_hi")
@@ -238,30 +278,16 @@ object Multimodal {
     * Output: `(doc_id, frame_idx, sig_lo, sig_hi)`, one row per
     * sampled (every `every`-th) frame.
     */
-  def frameSignatures(ds: Dataset[MediaDoc], every: Int = 2): DataFrame = {
+  def frameSignatures(ds: Dataset[MediaDoc], every: Int = 2,
+                      decoder: VideoDecoder = StubVideoDecoder): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      // per-partition codec init would go here
       it.flatMap { m =>
-        val b = m.content
-        val (_, _, nFrames) = FakeCodec.decode(b)
-        val sliceLen = b.length / nFrames
-        (0 until nFrames by every).iterator.map { i =>
-          def px(k: Int): Int =
-            if (sliceLen == 0) 0
-            else b(i * sliceLen + (k * 37) % sliceLen) & 0xFF
-          var lo = 0L
-          var hi = 0L
-          var bit = 0
-          while (bit < 64) {
-            val r = bit / 8
-            val c = bit % 8
-            if (px(r * 9 + c) > px(r * 9 + c + 1)) {
-              if (bit < 32) lo |= 1L << bit
-              else hi |= 1L << (bit - 32)
-            }
-            bit += 1
-          }
-          (m.doc_id, i, lo, hi)
+        decoder.frames(m.content).zipWithIndex.collect {
+          case (g, i) if i % every == 0 =>
+            val (lo, hi) = dhash64(g)
+            (m.doc_id, i, lo, hi)
         }
       }
     }.toDF("doc_id", "frame_idx", "sig_lo", "sig_hi")

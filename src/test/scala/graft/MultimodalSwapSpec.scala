@@ -141,4 +141,75 @@ class MultimodalSwapSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].head()
     assert(vad == ((7L, 8L, 500000L, 1L)))
   }
+
+  /** Real "video container": frames stored back-to-back, each a
+    * complete binary PGM — parsed frame by frame through the
+    * [[Multimodal.VideoDecoder]] seam (each raster nearest-neighbor
+    * downsampled to dHash's 9x8 grid, the PgmDecoder recipe).
+    */
+  object ConcatPgmVideoDecoder extends Multimodal.VideoDecoder {
+    def frames(bytes: Array[Byte]): Iterator[Array[Int]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var i = 0
+      while (i < bytes.length) {
+        def token(): String = {
+          while (bytes(i).toChar.isWhitespace) i += 1
+          val s = i
+          while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+          new String(bytes, s, i - s, "US-ASCII")
+        }
+        require(token() == "P5", "not a binary PGM frame")
+        val w = token().toInt
+        val h = token().toInt
+        require(token().toInt == 255, "only 8-bit PGM supported")
+        i += 1 // the single whitespace byte before the raster
+        val raster = i
+        out += Array.tabulate(72) { k =>
+          val r = k / 9
+          val c = k % 9
+          bytes(raster + (r * h / 8) * w + (c * w / 9)) & 0xFF
+        }
+        i = raster + w * h
+      }
+      out.iterator
+    }
+  }
+
+  test("frameSignatures + frameVoteNearDup accept a real concatenated-PGM " +
+      "video decoder unchanged") {
+    import spark.implicits._
+    // four distinct 18x16 frames with distinct dHash signatures
+    val stripes3 = pgm(18, 16, (x, _) => if (x % 3 == 0) 255 else 0)
+    val darkenG = pgm(18, 16, (x, _) => 255 - x * 14)
+    val brightenG = pgm(18, 16, (x, _) => x * 14)
+    // stripe period 2 would vanish under the 9x8 sample (x = 2c is
+    // always even); period 4 alternates per sampled column
+    val stripes2 = pgm(18, 16, (x, _) => ((x / 2) % 2) * 255)
+    // A and B share frames 0 and 1 (re-encoded copy with a swapped
+    // final scene); C is unrelated at every index
+    val vidA = stripes3 ++ darkenG ++ brightenG
+    val vidB = stripes3 ++ darkenG ++ stripes2
+    val vidC = darkenG ++ brightenG ++ stripes3
+    val media = Seq(Multimodal.MediaDoc(1L, vidA),
+      Multimodal.MediaDoc(2L, vidB), Multimodal.MediaDoc(3L, vidC)).toDS()
+    val sigs = Multimodal.frameSignatures(media, every = 1,
+      ConcatPgmVideoDecoder)
+    // the real decode reached the bit loop: A's gradient frames land
+    // the known all-zero / all-one signatures at their indexes
+    val aSigs = sigs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(aSigs(1) == ((0xFFFFFFFFL, 0xFFFFFFFFL)), "darken frame = all ones")
+    assert(aSigs(2) == ((0L, 0L)), "brighten frame = all zeros")
+    // the SAME downstream frame-vote operator (q163's) consumes them
+    val pairs = Multimodal.frameVoteNearDup(sigs, "doc_id", minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2L)),
+      s"only the re-encoded copy shares >= 2 frames, got $pairs")
+    // and the swapped decoder genuinely diverges from the stub on the
+    // same bytes (the stub slices raw bytes, headers included)
+    val stub = Multimodal.frameSignatures(media, every = 1)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(stub != sigs.as[(Long, Int, Long, Long)].collect().toSet)
+  }
 }

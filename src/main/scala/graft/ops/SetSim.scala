@@ -202,17 +202,33 @@ object SetSim {
       .filter(expr(s"least(_fa, _fb) * ${tNum + tDen} >= " +
         s"$tNum * (_wa + _wb)"))
       .select("a_id", "b_id", "_wa", "_wb").distinct()
+    // verify payload: one token-SORTED (tok, w) struct array per doc.
+    // For long tokens (the hash-narrowed production form) the
+    // intersection weight is the native merge kernel
+    // (plans.WeightedIntersect, O(|a|+|b|), whole-stage codegen);
+    // generic token types fall back to the HOF fold — correct but
+    // interpreted and O(|a|*|b|), measured 32-cores-for-minutes on
+    // the sf10 sweep, which is exactly why the kernel exists.
     val docArr = toks.groupBy("_id")
-      .agg(collect_list(struct(col("_tok"), col("_w"))).as("_sarr"))
-    val out = cand
+      .agg(sort_array(collect_list(struct(col("_tok"), col("_w"))))
+        .as("_sarr"))
+    val tokIsLong = toks.schema("_tok").dataType ==
+      org.apache.spark.sql.types.LongType
+    val joined = cand
       .join(docArr.select(col("_id").as("a_id"), col("_sarr").as("_sa")),
         "a_id")
       .join(docArr.select(col("_id").as("b_id"), col("_sarr").as("_sb")),
         "b_id")
-      .withColumn("_tb", expr("transform(_sb, x -> x._tok)"))
-      .withColumn("w_inter", expr(
-        "aggregate(filter(_sa, x -> array_contains(_tb, x._tok)), " +
-          "0L, (acc, x) -> acc + x._w)"))
+    val out = (if (tokIsLong)
+        joined.withColumn("w_inter",
+          graft.plans.SetSimExpressions.weightedIntersect(
+            col("_sa"), col("_sb")))
+      else
+        joined
+          .withColumn("_tb", expr("transform(_sb, x -> x._tok)"))
+          .withColumn("w_inter", expr(
+            "aggregate(filter(_sa, x -> array_contains(_tb, x._tok)), " +
+              "0L, (acc, x) -> acc + x._w)")))
       .withColumn("w_union", col("_wa") + col("_wb") - col("w_inter"))
       .filter(expr(s"w_inter * $tDen >= w_union * $tNum"))
       .withColumn("wjaccard_ppm", expr("(w_inter * 1000000L) div w_union"))

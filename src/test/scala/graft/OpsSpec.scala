@@ -3459,11 +3459,22 @@ class OpsSpec extends AnyFunSuite {
       if i * tDen >= u * tNum
     } yield (a, b, i, u)).toSet
     for ((n, dn) <- Seq((1, 2), (7, 10), (9, 10), (1, 1))) {
+      // string tokens: the generic HOF verify path
       val got = graft.ops.SetSim.weightedPrefixFilterJoin(
           weighted, "id", "tok", "wt", n, dn)
         .select("a_id", "b_id", "w_inter", "w_union")
         .as[(Long, Long, Long, Long)].collect().toSet
-      assert(got == brute(n, dn), s"threshold $n/$dn")
+      assert(got == brute(n, dn), s"threshold $n/$dn (HOF path)")
+      // long tokens: the native merge-kernel verify path. hash60 is
+      // injective on this vocabulary, so dfs/weights are unchanged
+      // and the result must equal the same brute force.
+      val gotL = graft.ops.SetSim.weightedPrefixFilterJoin(
+          weighted.select(col("id"),
+            graft.Pipeline.wordHash60(col("tok")).as("tok"), col("wt")),
+          "id", "tok", "wt", n, dn)
+        .select("a_id", "b_id", "w_inter", "w_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotL == brute(n, dn), s"threshold $n/$dn (kernel path)")
     }
     // releasable handle drops both internal caches
     spark.catalog.clearCache()

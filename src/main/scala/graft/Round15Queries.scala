@@ -23,21 +23,14 @@ object Round15Queries {
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 16)],
                     (a, b) -> a*16 + b)"""
 
-  /** ExactSubstr span-level dedup ([[ops.SpanDedup.duplicatedSpans]]):
-    * maximal token spans covered by a corpus-duplicated 8-token
-    * window, merged per document. Two planted docs share a 12-token
-    * run embedded at DIFFERENT offsets in different surroundings —
-    * document-level dedup scores them low (4/16 words differ plus
-    * order), span-level flags exactly the copied run: [3,15) and
-    * [4,16). The oracle replays window hashes, corpus-wide counts,
-    * and the gaps-and-islands merge verbatim.
-    */
-  private lazy val q264: QueryDef =
-    QueryDef("q264_exact_substr_spans",
-      Some(s"""
-        WITH corpus AS (SELECT doc_id, text FROM documents
-                UNION ALL SELECT 9100001, 'a0 a1 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db a2 a3'
-                UNION ALL SELECT 9100002, 'b0 b1 b2 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db b3'),
+  // Shared q264/q266/q267 oracle scaffolding: the planted-copy corpus
+  // (source travels for q267's profile; wl/spq ignore it) and the
+  // span pipeline — window hashes, corpus-wide counts, islands.
+  private val CorpusCte = """
+        corpus AS (SELECT doc_id, text, source FROM documents
+                UNION ALL SELECT 9100001, 'a0 a1 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db a2 a3', 'planted'
+                UNION ALL SELECT 9100002, 'b0 b1 b2 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db b3', 'planted')"""
+  private def spanCtes: String = s"""
         wl AS (SELECT doc_id AS id, string_split(text, ' ') AS l FROM corpus),
         pp AS (SELECT id, l, unnest(range(1, len(l) - 6)) AS pos
                FROM wl WHERE len(l) >= 8),
@@ -53,21 +46,141 @@ object Round15Queries {
                FROM du),
         il AS (SELECT id, pos,
                  SUM(f) OVER (PARTITION BY id ORDER BY pos) AS island
-               FROM fl)
-        SELECT id AS doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-               CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
-               CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
-        FROM il GROUP BY id, island
+               FROM fl),
+        spq AS (SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                  CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+                FROM il GROUP BY id, island)"""
+
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    spread(documents(s, d)).select("doc_id", "text", "source")
+      .unionAll(Seq(
+        (9100001L, "a0 a1 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db a2 a3",
+          "planted"),
+        (9100002L, "b0 b1 b2 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db b3",
+          "planted"))
+        .toDF("doc_id", "text", "source"))
+  }
+
+  /** ExactSubstr span-level dedup ([[ops.SpanDedup.duplicatedSpans]]):
+    * maximal token spans covered by a corpus-duplicated 8-token
+    * window, merged per document. Two planted docs share a 12-token
+    * run embedded at DIFFERENT offsets in different surroundings —
+    * document-level dedup scores them low (4/16 words differ plus
+    * order), span-level flags exactly the copied run: [3,15) and
+    * [4,16). The oracle replays window hashes, corpus-wide counts,
+    * and the gaps-and-islands merge verbatim.
+    */
+  private lazy val q264: QueryDef =
+    QueryDef("q264_exact_substr_spans",
+      Some(s"""
+        WITH $CorpusCte, $spanCtes
+        SELECT id AS doc_id, span_start, span_end,
+               span_end - span_start AS span_tokens
+        FROM spq
         ORDER BY doc_id, span_start"""),
+      (s, d) =>
+        graft.ops.SpanDedup.duplicatedSpans(plantedCorpus(s, d),
+            "doc_id", "text", l = 8)
+          .orderBy("doc_id", "span_start"))
+
+  /** ExactSubstr REMOVAL — the composition Lee et al. actually run:
+    * cut every corpus-duplicated span out of the text and re-emit the
+    * cleaned corpus (plus how much was cut). Engine shape: q264's
+    * spans collected per doc (few per doc) joined back on doc_id, one
+    * scan-side token filter against the bounded span list — no second
+    * corpus shuffle. The oracle takes the INDEPENDENT route (position
+    * fan-out, cover anti-join, ordered string_agg), so the two
+    * formulations check each other.
+    */
+  private lazy val q266: QueryDef =
+    QueryDef("q266_exact_substr_removal",
+      Some(s"""
+        WITH $CorpusCte, $spanCtes,
+        tp AS (SELECT id, unnest(range(1, len(l) + 1)) AS pos, l FROM wl),
+        tp2 AS (SELECT id, pos, l[pos] AS t FROM tp),
+        cov AS (SELECT DISTINCT t.id, t.pos FROM tp2 t JOIN spq s
+                ON s.id = t.id AND t.pos >= s.span_start
+                   AND t.pos < s.span_end),
+        kept AS (SELECT t.id, t.pos, t.t FROM tp2 t
+                 LEFT JOIN cov c ON c.id = t.id AND c.pos = t.pos
+                 WHERE c.pos IS NULL),
+        agg AS (SELECT id, COUNT(*) AS n_kept,
+                  string_agg(t, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY id)
+        SELECT w.id AS doc_id, CAST(len(w.l) AS BIGINT) AS n_tokens,
+               CAST(len(w.l) - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS n_removed_tokens,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM wl w LEFT JOIN agg a ON a.id = w.id
+        ORDER BY doc_id"""),
       (s, d) => {
-        import s.implicits._
-        val corpus = spread(documents(s, d)).select("doc_id", "text")
-          .unionAll(Seq(
-            (9100001L, "a0 a1 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db a2 a3"),
-            (9100002L, "b0 b1 b2 d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 da db b3"))
-            .toDF("doc_id", "text"))
-        graft.ops.SpanDedup.duplicatedSpans(corpus, "doc_id", "text", l = 8)
-          .orderBy("doc_id", "span_start")
+        val corpus = plantedCorpus(s, d)
+        val spans = graft.ops.SpanDedup.duplicatedSpans(corpus,
+          "doc_id", "text", l = 8)
+        val spanArr = spans.groupBy("doc_id")
+          .agg(collect_list(struct(col("span_start"), col("span_end")))
+            .as("_spans"))
+        corpus.join(spanArr, Seq("doc_id"), "left")
+          .withColumn("_l", split(col("text"), " "))
+          .withColumn("_kept", expr(
+            "filter(transform(_l, (x, i) -> " +
+              "struct(x AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+              "s -> _spans IS NULL OR NOT exists(_spans, " +
+              "sp -> s.p >= sp.span_start AND s.p < sp.span_end))"))
+          .select(col("doc_id"),
+            size(col("_l")).cast("long").as("n_tokens"),
+            (size(col("_l")) - size(col("_kept"))).cast("long")
+              .as("n_removed_tokens"),
+            array_join(expr("transform(_kept, s -> s.t)"), " ")
+              .as("clean_text"))
+          .orderBy("doc_id")
+      })
+
+  /** Span-duplication PROFILE by source — the curation dashboard
+    * number behind the q266 cut: per source, docs, flagged docs,
+    * token totals, duplicated-token ppm. One bounded aggregate over
+    * q264's spans joined to the corpus dimension row.
+    */
+  private lazy val q267: QueryDef =
+    QueryDef("q267_span_dup_profile",
+      Some(s"""
+        WITH $CorpusCte, $spanCtes,
+        ds AS (SELECT id, SUM(span_end - span_start) AS dup_tokens
+               FROM spq GROUP BY id),
+        dt AS (SELECT w.id, len(w.l) AS n_tokens,
+                 COALESCE(ds.dup_tokens, 0) AS dup_tokens
+               FROM wl w LEFT JOIN ds ON ds.id = w.id)
+        SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN dt.dup_tokens > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_docs_flagged,
+               CAST(SUM(dt.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(dt.dup_tokens) AS BIGINT) AS n_dup_tokens,
+               CAST(SUM(dt.dup_tokens) * 1000000 // SUM(dt.n_tokens)
+                 AS BIGINT) AS dup_ppm
+        FROM dt JOIN corpus c ON c.doc_id = dt.id
+        GROUP BY c.source
+        ORDER BY c.source"""),
+      (s, d) => {
+        val corpus = plantedCorpus(s, d)
+        val perDoc = graft.ops.SpanDedup.duplicatedSpans(corpus,
+            "doc_id", "text", l = 8)
+          .groupBy("doc_id")
+          .agg(sum(col("span_end") - col("span_start")).as("_dup"))
+        corpus
+          .withColumn("_nt", size(split(col("text"), " ")).cast("long"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("_dup", coalesce(col("_dup"), lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("_dup") > 0, 1).otherwise(0)).cast("long")
+              .as("n_docs_flagged"),
+            sum(col("_nt")).cast("long").as("n_tokens"),
+            sum(col("_dup")).cast("long").as("n_dup_tokens"))
+          .withColumn("dup_ppm",
+            expr("n_dup_tokens * 1000000L div n_tokens"))
+          .orderBy("source")
       })
 
   /** Weighted set-similarity join ([[ops.SetSim
@@ -132,5 +245,5 @@ object Round15Queries {
           .orderBy("a_id", "b_id")
       })
 
-  val all: Seq[QueryDef] = Seq(q264, q265)
+  val all: Seq[QueryDef] = Seq(q264, q265, q266, q267)
 }

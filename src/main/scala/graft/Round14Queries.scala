@@ -99,11 +99,14 @@ object Round14Queries {
                  ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn,
                  s.sz
                FROM tok t JOIN dfx d USING (tok) JOIN sz s USING (id)),
-        pf AS (SELECT id, tok, rn, sz FROM rk
-               WHERE rn <= sz - ((9 * sz + 9) // 10) + 1),
+        pfh AS (SELECT id, tok, rn, sz FROM rk
+                WHERE rn <= sz - ((9 * sz + 9) // 10) + 1),
+        pfl AS (SELECT id, tok, rn, sz FROM rk
+                WHERE rn <= sz - ((18 * sz + 18) // 19) + 1),
         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
-                 FROM pf a JOIN pf b ON a.tok = b.tok AND a.id < b.id
-                   AND a.sz * 10 >= b.sz * 9 AND b.sz * 10 >= a.sz * 9
+                 FROM pfl a JOIN pfh b ON a.tok = b.tok
+                   AND (a.sz < b.sz OR (a.sz = b.sz AND a.id < b.id))
+                   AND a.sz * 10 >= b.sz * 9
                    AND least(a.sz - a.rn, b.sz - b.rn) + 1
                        >= (9 * (a.sz + b.sz) + 18) // 19),
         da AS (SELECT id, list(tok) AS arr FROM tok GROUP BY id),
@@ -112,7 +115,8 @@ object Round14Queries {
                     len(a.arr) + len(b.arr) AS stot
                   FROM cand c JOIN da a ON a.id = c.a_id
                               JOIN da b ON b.id = c.b_id)
-        SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+        SELECT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id,
+               CAST(n_inter AS BIGINT) AS n_inter,
                CAST(stot - n_inter AS BIGINT) AS n_union,
                CAST(n_inter * 1000000 // (stot - n_inter) AS BIGINT)
                  AS jaccard_ppm

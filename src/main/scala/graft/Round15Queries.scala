@@ -184,22 +184,33 @@ object Round15Queries {
       })
 
   /** Weighted set-similarity join ([[ops.SetSim
-    * .weightedPrefixFilterJoin]]): idf-weighted Jaccard >= 4/5 over
+    * .weightedPrefixFilterJoin]]): idf-weighted Jaccard >= 9/10 over
     * bigram-shingle tokens, weights `greatest(1e6 div df, 1)` ppm —
     * rare shared shingles dominate, ambient vocabulary fades, which
     * is why retrieval dedup weights its tokens. The oracle is the
     * BRUTE-FORCE posting join (every pair sharing >= 1 token, exact
     * weighted intersection/union) — a stronger check than replaying
     * the filters: the engine's prefix + length + positional pruning
-    * must reproduce the unfiltered answer exactly. The q251 planted
-    * near-dups score 9/11 weighted (0.818) and witness the output.
+    * must reproduce the unfiltered answer exactly. Threshold 9/10
+    * (q251's bar): idf weighting makes ONE differing word expensive
+    * (a unique bigram carries maximal weight), so the planted 40-word
+    * copy pair differing only in its last word scores 38 shared
+    * df=2 bigrams x 5e5 over (that + 2 unique df=1 bigrams x 1e6) =
+    * 19e6/21e6 = 0.9047 — just over the bar — while q251's 20-word
+    * plants (0.9 UNWEIGHTED) score only 0.818 weighted and fall
+    * under it: the weighted and unweighted joins genuinely rank
+    * pairs differently, which is the point. A 4/5 threshold was
+    * measured first and kept as a PLANS.md negative result: on this
+    * no-Zipf-tail corpus the 0.8-bar prefixes hold ~20% of every
+    * doc's weight and the candidate join degenerates (221 s at
+    * sf10).
     */
   private lazy val q265: QueryDef =
     QueryDef("q265_weighted_setsim_join",
       Some(s"""
         WITH corpus AS (SELECT doc_id, text FROM documents
-                UNION ALL SELECT 9000001, 'p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z0'
-                UNION ALL SELECT 9000002, 'p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z1'),
+                UNION ALL SELECT 9000001, 'q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 q30 q31 q32 q33 q34 q35 q36 q37 q38 y0'
+                UNION ALL SELECT 9000002, 'q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 q30 q31 q32 q33 q34 q35 q36 q37 q38 y1'),
         wl AS (SELECT doc_id AS id, string_split(text, ' ') AS l FROM corpus),
         tk AS (SELECT id,
                  unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS sh
@@ -220,14 +231,14 @@ object Round15Queries {
         SELECT a_id, b_id, CAST(w_inter AS BIGINT) AS w_inter,
                CAST(w_union AS BIGINT) AS w_union,
                CAST(w_inter * 1000000 // w_union AS BIGINT) AS wjaccard_ppm
-        FROM j WHERE w_inter * 5 >= w_union * 4
+        FROM j WHERE w_inter * 10 >= w_union * 9
         ORDER BY a_id, b_id"""),
       (s, d) => {
         import s.implicits._
         val corpus = spread(documents(s, d)).select("doc_id", "text")
           .unionAll(Seq(
-            (9000001L, "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z0"),
-            (9000002L, "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd pe pf pg ph pi z1"))
+            (9000001L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 q30 q31 q32 q33 q34 q35 q36 q37 q38 y0"),
+            (9000002L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 q30 q31 q32 q33 q34 q35 q36 q37 q38 y1"))
             .toDF("doc_id", "text"))
         // distinct bigram shingles as 60-bit keys (wordShingles
         // already distincts per doc, so df below is doc frequency)
@@ -241,7 +252,7 @@ object Round15Queries {
           .select(col("tok"),
             greatest(expr("1000000L div df"), lit(1L)).as("wt"))
         graft.ops.SetSim.weightedPrefixFilterJoin(
-            toks.join(w, "tok"), "doc_id", "tok", "wt", tNum = 4, tDen = 5)
+            toks.join(w, "tok"), "doc_id", "tok", "wt", tNum = 9, tDen = 10)
           .orderBy("a_id", "b_id")
       })
 

@@ -84,17 +84,32 @@ object SetSim {
         Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))))
       .withColumn("_plen",
         expr(s"_sz - (($tNum * _sz + $tDen - 1) div $tDen) + 1"))
-    val prefix = ranked.filter(col("_rn") <= col("_plen"))
-      .select(col("_id"), col("_tok"), col("_rn"), col("_sz"))
-    val a = prefix.select(col("_id").as("a_id"), col("_tok"),
-      col("_rn").as("_ra"), col("_sz").as("_sa"))
-    val b = prefix.select(col("_id").as("b_id"), col("_tok"),
-      col("_rn").as("_rb"), col("_sz").as("_sb"))
-    val cand = a.join(b, Seq("_tok"))
-      .filter(col("a_id") < col("b_id"))
-      // length filter: t * max(|a|,|b|) <= min(|a|,|b|)
-      .filter(col("_sa") * tDen >= col("_sb") * tNum &&
-        col("_sb") * tDen >= col("_sa") * tNum)
+    // ASYMMETRIC probe/index prefixes (AllPairs indexing-prefix
+    // optimization; same role argument as the weighted variant): the
+    // pair's LIGHT member (smaller set, id tiebreak) probes with the
+    // TIGHTER prefix |d| - ceil(2t/(1+t)*|d|) + 1 — the partner is at
+    // least as large, so required overlap alpha >= 2t/(1+t)*|d_L| and
+    // a light doc whose remaining suffix is shorter cannot qualify.
+    // The HEAVY member indexes with the classic t-bound prefix. Both
+    // are prefixes of the same global rarity order, so a qualifying
+    // pair's earliest common token is provably inside both. At
+    // t = 9/10 the probe prefix is ~|d|/19 vs ~|d|/10 — candidate
+    // volume (sum over tokens of light x heavy holders) roughly
+    // halves; measured numbers in PLANS.md.
+    val heavy = ranked.filter(col("_rn") <= col("_plen"))
+      .select(col("_id").as("b_id"), col("_tok"),
+        col("_rn").as("_rb"), col("_sz").as("_sb"))
+    val light = ranked
+      .filter(col("_rn") <= expr(
+        s"_sz - ((2 * $tNum * _sz + ${tNum + tDen} - 1) div ${tNum + tDen}) + 1"))
+      .select(col("_id").as("a_id"), col("_tok"),
+        col("_rn").as("_ra"), col("_sz").as("_sa"))
+    val cand = light.join(heavy, Seq("_tok"))
+      // canonical role order: light strictly before heavy
+      .filter(col("_sa") < col("_sb") ||
+        (col("_sa") === col("_sb") && col("a_id") < col("b_id")))
+      // length filter (one direction suffices: |a| <= |b| by role)
+      .filter(col("_sa") * tDen >= col("_sb") * tNum)
       // positional filter: the remaining-suffix overlap cap at this
       // match must reach alpha = ceil(tNum*(sa+sb) / (tNum+tDen));
       // keeping pairs where ANY prefix match passes is lossless (the
@@ -125,7 +140,11 @@ object SetSim {
       .withColumn("n_union", expr("_stot - n_inter"))
       .filter(expr(s"n_inter * $tDen >= n_union * $tNum"))
       .withColumn("jaccard_ppm", expr("(n_inter * 1000000L) div n_union"))
-      .select("a_id", "b_id", "n_inter", "n_union", "jaccard_ppm")
+      // pairs carried (light, heavy) roles internally; the OUTPUT
+      // contract stays a_id < b_id
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("n_inter"), col("n_union"), col("jaccard_ppm"))
     (out, () => { toks.unpersist(); sizes.unpersist(); () })
   }
 

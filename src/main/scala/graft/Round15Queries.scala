@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-15 batch (q264+): the two set-text dedup modalities the
@@ -256,5 +257,258 @@ object Round15Queries {
           .orderBy("a_id", "b_id")
       })
 
-  val all: Seq[QueryDef] = Seq(q264, q265, q266, q267)
+  // Index-ordered IEEE folds matching plans.VectorExpressions.cosineSim
+  // (Round14Queries' helpers, repeated privately here).
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** IVF+PQ (IVFADC) search ([[Similarity.ivfPqTopK]]): q52's coarse
+    * probe COMPOSED with q257's product quantization — candidates in
+    * the 2 probed cells are ranked through their 4 PQ codes against a
+    * broadcast asymmetric-distance table, never a full-vector scan.
+    * Cells, query, and nProbe are exactly q52's, so its measured
+    * ~0.013 centroid-ranking margin at the probe boundary carries
+    * over (centroid means only pick WHICH cells are probed); the ADC
+    * distances themselves are micro-long floors of index-ordered
+    * folds — exact in both engines. Codebook = the pinned <=100-row
+    * panel (q257's, absolute id bounds).
+    */
+  private lazy val q268: QueryDef =
+    QueryDef("q268_ivfpq_search",
+      Some(s"""
+        WITH t AS (SELECT vec_id, vec_id % 8 AS cell,
+                          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT cell, list(m ORDER BY d) AS cv FROM (
+                   SELECT cell, d, avg(x) AS m FROM (
+                     SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS d FROM t) u
+                   GROUP BY cell, d) g
+                 GROUP BY cell),
+        q AS (SELECT v AS qv FROM t WHERE vec_id = 0),
+        pc AS (SELECT cent.cell FROM cent CROSS JOIN q
+               ORDER BY ${cosSql("qv", "cv")} DESC, cent.cell LIMIT 2),
+        cb AS (SELECT vec_id AS code, v AS cvec FROM t
+               WHERE vec_id % 101 = 0 AND vec_id < 10100),
+        subs AS (SELECT unnest([0, 1, 2, 3]) AS sub_idx),
+        dt AS (SELECT sub_idx, code,
+                 CAST(floor(list_reduce(list_transform(range(1, 17),
+                     i -> (qs[i] - cs[i]) * (qs[i] - cs[i])), (x, y) -> x + y)
+                   * 1000000.0) AS BIGINT) AS d2_micro
+               FROM (SELECT sub_idx, code,
+                       list_slice(qv, sub_idx * 16 + 1, sub_idx * 16 + 16) AS qs,
+                       list_slice(cvec, sub_idx * 16 + 1, sub_idx * 16 + 16) AS cs
+                     FROM cb CROSS JOIN subs CROSS JOIN q)),
+        cand AS (SELECT t.vec_id, t.v FROM t JOIN pc ON t.cell = pc.cell
+                 WHERE t.vec_id <> 0),
+        sv AS (SELECT vec_id, sub_idx,
+                 list_slice(v, sub_idx * 16 + 1, sub_idx * 16 + 16) AS s
+               FROM cand CROSS JOIN subs),
+        cbs AS (SELECT code, sub_idx,
+                  list_slice(cvec, sub_idx * 16 + 1, sub_idx * 16 + 16) AS cs
+                FROM cb CROSS JOIN subs),
+        dist AS (SELECT sv.vec_id, sv.sub_idx, cbs.code,
+                   list_reduce(list_transform(range(1, 17),
+                     i -> (sv.s[i] - cbs.cs[i]) * (sv.s[i] - cbs.cs[i])),
+                     (x, y) -> x + y) AS d2
+                 FROM sv JOIN cbs USING (sub_idx)),
+        r AS (SELECT vec_id, sub_idx, code, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, sub_idx ORDER BY d2, code) AS rn
+              FROM dist)
+        SELECT r.vec_id, CAST(SUM(dt.d2_micro) AS BIGINT) AS adc_d2_micro
+        FROM r JOIN dt ON r.sub_idx = dt.sub_idx AND r.code = dt.code
+        WHERE rn = 1
+        GROUP BY r.vec_id
+        ORDER BY adc_d2_micro, vec_id LIMIT 10"""),
+      (s, d) => {
+        val e = spread(embeddings(s, d)).withColumn("cell", col("vec_id") % 8)
+        val cb = embeddings(s, d)
+          .filter(col("vec_id") % 101 === 0 && col("vec_id") < 10100)
+          .select(col("vec_id").as("code"),
+            explode(expr(
+              "transform(sequence(0, 3)," +
+                " x -> struct(x AS sub_idx," +
+                " slice(embedding, x * 16 + 1, 16) AS cs))")).as("_e"))
+          .select(col("code"), col("_e.sub_idx"), col("_e.cs"))
+        graft.Similarity.ivfPqTopK(e, "vec_id", "embedding", "cell",
+            graft.Similarity.ivfIndex(e, "embedding", "cell"),
+            cb, "code", "sub_idx", "cs", m = 4, dims = 64,
+            queryId = 0L, k = 10, nProbe = 2)
+          .orderBy("adc_d2_micro", "vec_id")
+      })
+
+  /** Inter-annotator agreement ([[ops.Stats.cohenKappa]]): Cohen's
+    * kappa between the stored gold `lang` and the q32 n-gram
+    * language-ID heuristic — the chance-corrected score a labeling
+    * pipeline reports instead of raw accuracy (a rater that always
+    * answers the majority class gets high po but kappa ~ 0). All
+    * counts exact; ppm floors over DECIMAL(38,0)/HUGEINT so the 6M-row
+    * sweep can't overflow. One row out.
+    */
+  private lazy val q269: QueryDef =
+    QueryDef("q269_annotator_agreement",
+      Some {
+        val profiles = PipelineQueries.LangProfiles
+        val scores = profiles.map { case (l, bgs) =>
+          val sum = bgs.map(bg =>
+            s"(length(text) - length(replace(text, '$bg', '')))").mkString(" + ")
+          s"($sum) AS s_$l"
+        }.mkString(", ")
+        val langs = profiles.map(_._1)
+        val cases = langs.init.map { l =>
+          val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (SELECT lang, $scores FROM documents),
+        p AS (SELECT lang AS a, CASE $cases ELSE '${langs.last}' END AS b
+              FROM scored),
+        base AS (SELECT COUNT(*) AS n_items,
+                        SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+                 FROM p),
+        ra AS (SELECT a AS l, COUNT(*) AS na FROM p GROUP BY a),
+        rb AS (SELECT b AS l, COUNT(*) AS nb FROM p GROUP BY b),
+        pe AS (SELECT COALESCE(SUM(na::HUGEINT * nb), 0) AS pe_num
+               FROM ra JOIN rb USING (l))
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST(n_agree AS BIGINT) AS n_agree,
+               CAST(n_agree::HUGEINT * 1000000
+                 // GREATEST(n_items, 1) AS BIGINT) AS po_ppm,
+               CAST(pe_num * 1000000
+                 // GREATEST(n_items::HUGEINT * n_items, 1) AS BIGINT) AS pe_ppm,
+               CAST((n_items::HUGEINT * n_agree - pe_num) * 1000000
+                 // GREATEST(n_items::HUGEINT * n_items - pe_num, 1) AS BIGINT)
+                 AS kappa_ppm
+        FROM base CROSS JOIN pe"""
+      },
+      (s, d) => {
+        val profiles = PipelineQueries.LangProfiles
+        val langs = profiles.map(_._1)
+        // q32's scorer verbatim: per-language bigram occurrence sums,
+        // argmax with >=-all tie preference in profile order
+        val scored = documents(s, d).select(
+          col("lang") +: profiles.map { case (l, bgs) =>
+            bgs.map(graft.Pipeline.occurrences2x(col("text"), _))
+              .reduce(_ + _).as(s"s_$l")
+          }: _*)
+        val predicted = langs.init.foldLeft(Option.empty[
+            org.apache.spark.sql.Column]) { (acc, l) =>
+          val geAll = langs.filter(_ != l)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          Some(acc.fold(when(geAll, l))(_.when(geAll, l)))
+        }.get.otherwise(langs.last)
+        graft.ops.Stats.cohenKappa(
+          scored.withColumn("predicted", predicted), "lang", "predicted")
+      })
+
+  // q270's graph, shared by engine and oracle: within each source the
+  // doc_id-consecutive CHAIN (thin organic links — peels at k=3) plus
+  // a 6-CLIQUE over the source's 6 smallest doc_ids (the dense
+  // farm-like cluster the core keeps). Peeling converges in 2 rounds
+  // on this family at EVERY scale (the chain dies in round 1, the
+  // clique is stable) — the oracle unrolls 4 for slack.
+  private val KCoreK = 3
+  private def kcoreEdgeCtes: String = """
+        base AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY doc_id) AS rn
+                 FROM documents),
+        chain AS (SELECT b1.doc_id AS u, b2.doc_id AS v
+                  FROM base b1 JOIN base b2
+                    ON b1.source = b2.source AND b2.rn = b1.rn + 1),
+        clique AS (SELECT b1.doc_id AS u, b2.doc_id AS v
+                   FROM base b1 JOIN base b2
+                     ON b1.source = b2.source AND b1.rn < b2.rn
+                    AND b2.rn <= 6),
+        und AS (SELECT DISTINCT u AS a, v AS b FROM
+                  (SELECT u, v FROM chain UNION ALL SELECT u, v FROM clique)
+                WHERE u <> v),
+        e0 AS (SELECT a AS x, b AS y FROM und
+               UNION ALL SELECT b AS x, a AS y FROM und)"""
+  private def kcorePeelCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val p = i - 1
+      s"""
+        n$i AS (SELECT x AS node FROM e$p GROUP BY x
+                HAVING COUNT(*) >= $KCoreK),
+        e$i AS (SELECT e$p.x, e$p.y FROM e$p
+                JOIN n$i p ON e$p.x = p.node
+                JOIN n$i m ON e$p.y = m.node)"""
+    }.mkString(",")
+
+  /** k-core decomposition ([[ops.Graph.kCore]], k=3) over the
+    * chain+clique graph: every chain-only node peels in round one
+    * (degree <= 2 after dedup with the clique edges), the per-source
+    * 6-cliques survive with their within-core degrees — the density
+    * screen that separates mutually-linked farms from thin organic
+    * chains. Engine peels to the measured fixed point (fail-loud cap,
+    * the starComponents discipline); the oracle unrolls 4 rounds — 2
+    * more than the family ever needs, and extra rounds are no-ops at
+    * a fixed point, so the two agree exactly.
+    */
+  private lazy val q270: QueryDef =
+    QueryDef("q270_kcore",
+      Some(s"""
+        WITH $kcoreEdgeCtes, ${kcorePeelCtes(4)}
+        SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM e4 GROUP BY x ORDER BY node"""),
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val base = spread(documents(s, d)).select("source", "doc_id")
+          .withColumn("rn", row_number().over(w))
+        val chain = base
+          .withColumn("_nxt", lead("doc_id", 1).over(w))
+          .filter(col("_nxt").isNotNull)
+          .select(col("doc_id").as("u"), col("_nxt").as("v"))
+        val six = base.filter(col("rn") <= 6)
+        val clique = six.as("b1").join(six.as("b2"),
+            col("b1.source") === col("b2.source") &&
+              col("b1.rn") < col("b2.rn"))
+          .select(col("b1.doc_id").as("u"), col("b2.doc_id").as("v"))
+        graft.ops.Graph.kCore(chain.unionAll(clique), k = KCoreK,
+            maxIters = 10)
+          .orderBy("node")
+      })
+
+  /** Adamic–Adar link prediction ([[ops.Graph.adamicAdar]]) over the
+    * bipartite order–part graph (parts offset into their own id
+    * space): two orders sharing RARE parts outrank two sharing
+    * commodity parts — the co-purchase "related orders" ranking.
+    * Middles are degree-capped at 64 (the df-cap discipline; the cap
+    * is replayed verbatim by the oracle), contributions are
+    * floor(1e6/ln(deg)) micro-longs summed order-free, and the output
+    * is the global top-100 by (score, u, v) — TakeOrderedAndProject,
+    * no full sort.
+    */
+  private lazy val q271: QueryDef =
+    QueryDef("q271_adamic_adar",
+      Some("""
+        WITH und AS (SELECT DISTINCT l_orderkey AS a,
+                       l_partkey + 1000000000000 AS b FROM lineitem),
+        sym AS (SELECT a AS w, b AS n FROM und
+                UNION ALL SELECT b AS w, a AS n FROM und),
+        deg AS (SELECT w, COUNT(*) AS deg FROM sym GROUP BY w),
+        mids AS (SELECT sym.w, sym.n,
+                   CAST(floor(1000000.0 / ln(deg.deg)) AS BIGINT) AS c
+                 FROM sym JOIN deg ON sym.w = deg.w
+                 WHERE deg.deg BETWEEN 2 AND 64),
+        wedges AS (SELECT w1.n AS u, w2.n AS v, w1.c
+                   FROM mids w1 JOIN mids w2 ON w1.w = w2.w
+                   WHERE w1.n < w2.n),
+        scored AS (SELECT u, v, CAST(SUM(c) AS BIGINT) AS aa_micro,
+                          CAST(COUNT(*) AS BIGINT) AS common_neighbors
+                   FROM wedges GROUP BY u, v),
+        nonadj AS (SELECT scored.* FROM scored
+                   LEFT JOIN und ON und.a = scored.u AND und.b = scored.v
+                   WHERE und.a IS NULL)
+        SELECT u, v, aa_micro, common_neighbors
+        FROM nonadj ORDER BY aa_micro DESC, u, v LIMIT 100"""),
+      (s, d) => {
+        val edges = lineitem(s, d).select(col("l_orderkey").as("u"),
+          (col("l_partkey") + lit(1000000000000L)).as("v"))
+        graft.ops.Graph.adamicAdar(edges, maxDegree = 64, topK = 100)
+          .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      })
+
+  val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
+    q271)
 }

@@ -345,6 +345,67 @@ object Similarity {
     ivfTopK(df, idCol, vecCol, cellCol, ivfIndex(df, vecCol, cellCol),
       queryId, k, nProbe)
 
+  /** IVF+PQ (IVFADC) search — the two scale steps COMPOSED, the
+    * billion-vector serving shape (Jégou et al., TPAMI 2011): the IVF
+    * coarse quantizer prunes the corpus to `nProbe` cells, and
+    * candidates are scored against the query through their PRODUCT-
+    * QUANTIZED codes only — per-subspace asymmetric distances looked
+    * up in an m x |codebook| table built ONCE per query, never a full
+    *-vector scan of the probed cells.
+    *
+    * Integer-exact ranking: each (sub, code) table entry is
+    * `floor(L2^2 * 1e6)` of an index-ordered fold (bit-identical
+    * across engines), and a candidate's ADC distance is the SUM OF m
+    * LONGS — order-free. Ties break to the smaller id.
+    *
+    * Shape at scale: centroid ranking is |cells| rows x one broadcast
+    * query; the distance table is m x k rows (fixed — broadcast); the
+    * only corpus-sized work is the probed cells' code rows through
+    * one broadcast join + one grouped sum. Codes here are derived
+    * in-plan via [[pqAssign]] ON THE PROBED CELLS ONLY (this demo
+    * plan owns no storage); a production corpus stores codes once and
+    * the probe reads 4 bytes/vector instead of 256.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                cellCol: String, centroids: DataFrame, codebook: DataFrame,
+                codeCol: String, subCol: String, cvecCol: String,
+                m: Int, dims: Int, queryId: Long, k: Int,
+                nProbe: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must split evenly into m ($m) subvectors")
+    val sub = dims / m
+    val base = df.select(col(idCol), col(cellCol).as("_cell"),
+      asDouble(col(vecCol)).as("_v"))
+    val q = base.filter(col(idCol) === queryId).select(col("_v").as("_qv"))
+    val probedCells = centroids
+      .select(col("cell").as("_cell"), col("centroid").as("_centroid"))
+      .crossJoin(broadcast(q))
+      .select(col("_cell"), cosineSim(col("_qv"), col("_centroid")).as("_cc"))
+      .orderBy(col("_cc").desc, col("_cell")).limit(nProbe)
+      .select("_cell")
+    // asymmetric distance table: query subvector -> every codebook
+    // entry, micro-long floors of the index-ordered L2^2 fold
+    val dt = broadcast(codebook
+      .select(col(codeCol).as("code"), col(subCol).cast("int").as("sub_idx"),
+        asDouble(col(cvecCol)).as("_cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("_qs", expr(s"slice(_qv, sub_idx * $sub + 1, $sub)"))
+      .withColumn("_d2_micro", expr(
+        "CAST(floor(aggregate(zip_with(_qs, _cv, (x, y) -> (x - y) * (x - y))," +
+          " 0.0D, (acc, e) -> acc + e) * 1000000.0D) AS BIGINT)"))
+      .select("sub_idx", "code", "_d2_micro"))
+    val candidates = base.filter(col(idCol) =!= queryId)
+      .join(broadcast(probedCells), "_cell")
+      .select(col(idCol), col("_v").as(vecCol))
+    val codes = pqAssign(candidates, idCol, vecCol, codebook, codeCol,
+      subCol, cvecCol, m, dims)
+    codes.join(dt, Seq("sub_idx", "code"))
+      .groupBy(col(idCol))
+      .agg(sum("_d2_micro").as("adc_d2_micro"))
+      .orderBy(col("adc_d2_micro").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Result of [[kmeansFit]]: final assignments (`idCol`, `cluster_id`,
     * `cosine`), the centroid matrix (the model — k x dims, driver-side
     * by design: it IS what a clustering job publishes), and the

@@ -527,4 +527,112 @@ object Graph {
       .groupBy("node")
       .agg(count(lit(1)).cast(LongType).as("n_tri"))
   }
+
+  /** k-CORE decomposition (membership form): the maximal subgraph in
+    * which every node has degree >= k, by iterative peeling — the
+    * density screen link-spam / community pipelines run on host
+    * graphs (a page farm's mutual-link cluster survives high k; thin
+    * organic link chains do not). Returns the surviving nodes with
+    * their WITHIN-CORE degree `(node, core_degree)`.
+    *
+    * Scale shape per round: one node-keyed count over the live edge
+    * list + two semi-joins back onto it (both on node keys — the
+    * co-partitioned loop discipline of [[pageRank]]), with a
+    * `localCheckpoint` per round so lineage stays flat (the q171
+    * lesson; the peeling loop is convergence-driven like
+    * [[starComponents]], not fixed-count). Convergence = the live
+    * edge count stops shrinking — peeling is monotone, so an equal
+    * count IS the fixed point. Like starComponents, a truncated peel
+    * would be silently wrong (nodes kept whose support already
+    * left), so non-convergence within `maxIters` fails loudly.
+    *
+    * Round count is data-dependent (a bare chain at k=2 peels one
+    * node per round from each end — O(n) rounds); size `maxIters` to
+    * the graph family, and keep cascade-shaped graphs on
+    * [[starComponents]]-style log-round operators instead.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 30,
+            onConverged: (Int, Boolean) => Unit = (_, _) => ())
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var cur = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    var curCnt = cur.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val alive = cur.groupBy("x").agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("x").as("node"))
+      val next = cur
+        .join(alive.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(alive.select(col("node").as("y")), Seq("y"), "left_semi")
+        .select("x", "y").localCheckpoint()
+      val nextCnt = next.count()
+      converged = nextCnt == curCnt
+      cur = next
+      curCnt = nextCnt
+      it += 1
+      if (curCnt == 0L) converged = true // empty core: fixed point
+    }
+    onConverged(it, converged)
+    require(converged,
+      s"kCore(k=$k) did not converge within $maxIters peeling rounds; " +
+        "raise maxIters (cascade-shaped graphs peel O(n) rounds)")
+    cur.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).cast(LongType).as("core_degree"))
+  }
+
+  /** Adamic–Adar link prediction over an undirected edge list: for
+    * every NON-adjacent pair (u, v) sharing at least one neighbour,
+    * `score(u, v) = sum over common neighbours w of 1 / ln(deg(w))`
+    * — rare shared neighbours count more than hubs. The missing-edge
+    * ranking behind "related hosts" / entity-resolution candidate
+    * generation on link graphs.
+    *
+    * Integer-exact: each wedge contributes `floor(1e6 / ln(deg_w))`
+    * micro-units (deg is an integer count, so the double `ln` and the
+    * floor are bit-identical across engines), and the score is a SUM
+    * OF LONGS — order-free, portable.
+    *
+    * Scale shape: wedge fan-out through a middle node w is deg(w)^2,
+    * so hyper-hubs are EXCLUDED as middles by `maxDegree` (the df-cap
+    * discipline of the inverted-index joins): a hub's per-wedge
+    * contribution 1/ln(deg) is the smallest in the graph while its
+    * wedge count is the largest — the cap removes the worst
+    * cost/signal rows first. Scores are therefore a documented
+    * LOWER BOUND when the cap binds; degrees themselves are computed
+    * on the FULL graph before capping, so retained contributions are
+    * exact. Output: global top `topK` by (score desc, u, v) —
+    * a TakeOrderedAndProject, never a full sort.
+    */
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 64,
+                 topK: Int = 100): DataFrame = {
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).cast(LongType).as("deg"))
+    val mids = sym.join(
+        deg.filter(col("deg") >= 2 && col("deg") <= maxDegree), Seq("w"))
+      .withColumn("_c", floor(lit(1000000.0d) / log(col("deg").cast("double")))
+        .cast(LongType))
+    val w1 = mids.select(col("w"), col("n").as("u"), col("_c"))
+    val w2 = mids.select(col("w"), col("n").as("v"))
+    val wedges = w1.join(w2, "w").filter(col("u") < col("v"))
+    val scored = wedges.groupBy("u", "v").agg(
+      sum("_c").as("aa_micro"),
+      count(lit(1)).cast(LongType).as("common_neighbors"))
+    scored
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(topK)
+  }
 }

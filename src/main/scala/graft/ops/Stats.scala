@@ -261,4 +261,52 @@ object Stats {
       .withColumn("expected_ppm", expr(expectedCase))
       .withColumn("dev_ppm", abs(col("observed_ppm") - col("expected_ppm")))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * over the same items (gold labels vs a model, or two annotators):
+    * the screen a labeling pipeline runs before trusting its raters.
+    * `kappa = (po - pe) / (1 - pe)` with `po` the observed agreement
+    * rate and `pe` the chance rate `sum_l p_A(l) * p_B(l)`.
+    *
+    * ALL-INTEGER: po and pe are ratios of exact counts, so kappa is
+    * the integer rational `(n * n_agree - peNum) / (n^2 - peNum)`
+    * with `peNum = sum_l rowCount_l * colCount_l` — the ppm outputs
+    * are exact floors over DECIMAL(38,0) (n^2 * 1e6 overflows LONG
+    * past n ~ 3M rows). Degenerate zero-variance input (both raters
+    * constant on the same label) makes the denominator 0; kappa is
+    * undefined there and reported as 0 — the `greatest(den, 1)`
+    * guard, same discipline as [[chiSquareCells]].
+    *
+    * Shape at scale: one count aggregate over the scan + two
+    * label-marginal panels (|labels| rows each) joined broadcast —
+    * nothing corpus-squared, one row out.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pairs = df.select(col(aCol).cast("string").as("_a"),
+      col(bCol).cast("string").as("_b"))
+    val base = pairs.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).cast("long")
+        .as("n_agree"))
+    val ra = pairs.groupBy(col("_a").as("_l"))
+      .agg(count(lit(1)).cast("long").as("_na"))
+    val rb = pairs.groupBy(col("_b").as("_l"))
+      .agg(count(lit(1)).cast("long").as("_nb"))
+    val pe = ra.join(rb, "_l")
+      .agg(coalesce(sum(expr("CAST(_na AS DECIMAL(38,0)) * _nb")),
+        lit(java.math.BigDecimal.ZERO)).as("_pe_num"))
+    base.crossJoin(broadcast(pe))
+      .withColumn("po_ppm",
+        expr("CAST(CAST(n_agree AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_items, 1L) AS BIGINT)"))
+      .withColumn("pe_ppm",
+        expr("CAST(_pe_num * 1000000 div greatest(" +
+          "CAST(n_items AS DECIMAL(38,0)) * n_items, 1) AS BIGINT)"))
+      .withColumn("kappa_ppm",
+        expr("CAST((CAST(n_items AS DECIMAL(38,0)) * n_agree - _pe_num)" +
+          " * 1000000 div greatest(" +
+          "CAST(n_items AS DECIMAL(38,0)) * n_items - _pe_num, 1)" +
+          " AS BIGINT)"))
+      .select("n_items", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
+  }
 }

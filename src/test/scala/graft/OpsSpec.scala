@@ -3485,4 +3485,169 @@ class OpsSpec extends AnyFunSuite {
     release()
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
+
+  test("kCore: peels cascades exactly, keeps within-core degrees, " +
+      "fails loudly on a too-small round budget") {
+    import spark.implicits._
+    // K5 clique (5-node, degree 4) + a 3-node tail hanging off node 0
+    // + a separate triangle. k=3: tail and triangle (degree <= 2) all
+    // peel in round one; the clique survives with its internal degree
+    // 4 — node 0's tail edge is gone, so its WITHIN-CORE degree is 4
+    // like everyone else's.
+    val clique = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    val tail = Seq((0L, 100L), (100L, 101L), (101L, 102L))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = (clique ++ tail ++ tri).toDF("u", "v")
+    var rounds = -1
+    var conv = false
+    val got = graft.ops.Graph.kCore(edges, k = 3, maxIters = 10,
+        onConverged = (r, c) => { rounds = r; conv = c })
+      .as[(Long, Long)].collect().toMap
+    assert(conv, "callback must report convergence")
+    assert(got == (0L until 5L).map(_ -> 4L).toMap)
+    // cascade shape: k=2 on a 5-node path peels ONE layer per round
+    // from each end (300/304, then 301/303, then 302) — the
+    // data-dependent round count the scaladoc warns about
+    val path = Seq((300L, 301L), (301L, 302L), (302L, 303L), (303L, 304L))
+    var cascadeRounds = -1
+    val core2 = graft.ops.Graph.kCore((path ++ tri).toDF("u", "v"),
+        k = 2, maxIters = 10,
+        onConverged = (r, _) => { cascadeRounds = r })
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Seq(200L, 201L, 202L).map(_ -> 2L).toMap)
+    assert(cascadeRounds >= 3,
+      s"path must cascade over rounds, took $cascadeRounds")
+    // duplicate/reversed/self-loop edges do not inflate degrees
+    val noisy = (clique ++ clique.map(_.swap) ++ Seq((0L, 0L))).toDF("u", "v")
+    val got2 = graft.ops.Graph.kCore(noisy, k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == (0L until 5L).map(_ -> 4L).toMap)
+    // k above the max degree: empty core converges (never throws)
+    assert(graft.ops.Graph.kCore(edges, k = 10).count() == 0L)
+    // truncated peel = silently-wrong membership -> must fail loudly
+    // (maxIters=1: the first round still shrinks, no fixed point seen)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.kCore(edges, k = 3, maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("adamicAdar: scores match the textbook formula; adjacent pairs " +
+      "and over-cap middles excluded") {
+    import spark.implicits._
+    // path 1-2-3-4 plus hub 9 linked to {1, 3, 5}:
+    //   (1,3): middles {2 (deg 2), 9 (deg 3)}
+    //   (2,4): middle {3} (deg 3)
+    //   (1,5)/(3,5): middle {9} (deg 3)
+    //   (1,4): none (distance 3). (1,2) adjacent -> excluded.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (9L, 1L), (9L, 3L), (9L, 5L)).toDF("u", "v")
+    def c(d: Long) = math.floor(1e6 / math.log(d.toDouble)).toLong
+    val got = graft.ops.Graph.adamicAdar(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // expectations computed by hand over the graph above; degrees:
+    // 1 -> {2, 9} (2), 2 -> {1, 3} (2), 3 -> {2, 4, 9} (3),
+    // 4 -> {3} (1), 5 -> {9} (1), 9 -> {1, 3, 5} (3)
+    val expect = Set(
+      (1L, 3L, c(2) + c(3), 2L), // middles: 2 (deg 2), 9 (deg 3)
+      (2L, 4L, c(3), 1L),        // middle: 3 (deg 3)
+      (1L, 5L, c(3), 1L),        // middle: 9
+      (3L, 5L, c(3), 1L),        // middle: 9
+      (2L, 9L, c(2) + c(3), 2L), // middles: 1 (deg 2), 3 (deg 3)
+      (4L, 9L, c(3), 1L))        // middle: 3
+    assert(got == expect)
+    // degree cap: with maxDegree = 2 the hub 9 and node 3 stop being
+    // middles; only deg-2 middles remain
+    val capped = graft.ops.Graph.adamicAdar(edges, maxDegree = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set(
+      (1L, 3L, c(2), 1L),        // middle 2 only
+      (2L, 9L, c(2), 1L)))       // middle 1 only
+    // topK truncates deterministically by (score desc, u, v)
+    val top2 = graft.ops.Graph.adamicAdar(edges, topK = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top2 == expect.toSeq.sortBy(t => (-t._3, t._1, t._2)).take(2))
+  }
+
+  test("cohenKappa: hand-computed kappa, chance-only raters near 0, " +
+      "and the zero-variance guard") {
+    import spark.implicits._
+    // 2x2 contingency: yy=45, yn=15, ny=10, nn=30 -> n=100, agree=75,
+    // A: 60 yes / 40 no; B: 55 yes / 45 no.
+    // pe = (60*55 + 40*45)/10000 = 0.51; kappa = 0.24/0.49
+    val rows = Seq.fill(45)(("y", "y")) ++ Seq.fill(15)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(30)(("n", "n"))
+    val df = rows.toDF("a", "b")
+    val r = graft.ops.Stats.cohenKappa(df, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (n, agree, po, pe, kappa) = r
+    assert(n == 100L && agree == 75L && po == 750000L)
+    assert(pe == 510000L)
+    // exact integer rational: (100*75 - 5100) * 1e6 div (10000 - 5100)
+    assert(kappa == (100L * 75L - 5100L) * 1000000L / (10000L - 5100L))
+    // both raters constant on the same label: kappa undefined -> 0
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val k0 = graft.ops.Stats.cohenKappa(const, "a", "b")
+      .select("kappa_ppm").as[Long].head()
+    assert(k0 == 0L)
+    // systematic disagreement: negative kappa survives the floor
+    val neg = (Seq.fill(9)(("y", "n")) ++ Seq.fill(9)(("n", "y")) ++
+      Seq.fill(1)(("y", "y")) ++ Seq.fill(1)(("n", "n"))).toDF("a", "b")
+    val kn = graft.ops.Stats.cohenKappa(neg, "a", "b")
+      .select("kappa_ppm").as[Long].head()
+    assert(kn < 0L, s"expected negative kappa, got $kn")
+  }
+
+  test("ivfPqTopK: ADC ranking equals the brute-force replay on a " +
+      "separable corpus") {
+    import spark.implicits._
+    // 3 cells of 8-dim vectors; codebook = 4 pinned corpus vectors.
+    // m=2 subspaces of 4 dims. Deterministic integer-ish values.
+    def vec(seed: Long): Seq[Float] =
+      (0 until 8).map(d => (((seed * 31 + d * 7) % 13) - 6).toFloat)
+    val corpus = (0L until 24L).map(i => (i, vec(i), i % 3))
+      .toDF("vec_id", "embedding", "cell")
+    val cb = (0L until 4L).map { c =>
+      (c, vec(c * 5 + 1))
+    }.toDF("code", "cv").select(col("code"),
+      explode(expr("transform(sequence(0, 1)," +
+        " x -> struct(x AS sub_idx, slice(cv, x * 4 + 1, 4) AS cs))"))
+        .as("_e"))
+      .select(col("code"), col("_e.sub_idx"), col("_e.cs"))
+    val centroids = graft.Similarity.ivfIndex(corpus, "embedding", "cell")
+    val got = graft.Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        "cell", centroids, cb, "code", "sub_idx", "cs",
+        m = 2, dims = 8, queryId = 0L, k = 5, nProbe = 2)
+      .as[(Long, Long)].collect().toSeq
+    // brute-force replay in Scala: same probed cells, same PQ argmin,
+    // same micro-floor ADC
+    val cbv = (0L until 4L).map(c => c -> vec(c * 5 + 1).map(_.toDouble))
+      .toMap
+    val qv = vec(0).map(_.toDouble)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellCent = (0L until 3L).map { cell =>
+      val members = (0L until 24L).filter(_ % 3 == cell)
+        .map(i => vec(i).map(_.toDouble))
+      cell -> (0 until 8).map(d => members.map(_(d)).sum / members.size)
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probed = cellCent.toSeq.sortBy { case (c, v) => (-cos(qv, v), c) }
+      .take(2).map(_._1).toSet
+    val expect = (1L until 24L).filter(i => probed.contains(i % 3)).map { i =>
+      val v = vec(i).map(_.toDouble)
+      val adc = (0 until 2).map { s =>
+        val sv = v.slice(s * 4, s * 4 + 4)
+        val best = (0L until 4L).minBy(c =>
+          (d2(sv, cbv(c).slice(s * 4, s * 4 + 4)), c))
+        val qs = qv.slice(s * 4, s * 4 + 4)
+        math.floor(d2(qs, cbv(best).slice(s * 4, s * 4 + 4)) * 1e6).toLong
+      }.sum
+      (i, adc)
+    }.sortBy { case (i, adc) => (adc, i) }.take(5)
+    assert(got == expect)
+  }
 }

@@ -509,6 +509,134 @@ object Round15Queries {
           .orderBy(col("aa_micro").desc, col("u"), col("v"))
       })
 
+  /** Keyless point-in-interval join ([[ops.Events
+    * .intervalJoinBucketed]]): every 211th event opens a 7-minute
+    * audit window; count ALL events falling inside each window. With
+    * no equi key Spark plans this as a BroadcastNestedLoopJoin —
+    * points x windows, the quadratic cliff — so the operator
+    * time-buckets both sides (10-minute buckets >= the window length,
+    * so each window covers <= 2 buckets) and the match becomes an
+    * equi-join on bucket id + a residual containment filter. The
+    * oracle runs the naive non-equi join DuckDB is happy to do at
+    * oracle SF. Zero-match windows are kept (left join back).
+    */
+  private lazy val q272: QueryDef =
+    QueryDef("q272_interval_join",
+      Some("""
+        WITH el AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        iv AS (SELECT event_id AS iv_id, ts_us AS s_us,
+                      ts_us + 420000000 AS e_us
+               FROM el WHERE event_id % 211 = 0)
+        SELECT iv.iv_id, CAST(iv.s_us AS BIGINT) AS s_us,
+               CAST(COUNT(el.ts_us) AS BIGINT) AS n_inside
+        FROM iv LEFT JOIN el
+          ON el.ts_us >= iv.s_us AND el.ts_us < iv.e_us
+        GROUP BY iv.iv_id, iv.s_us ORDER BY iv_id"""),
+      (s, d) => {
+        val el = events(s, d).select(col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"))
+        val iv = el.filter(col("event_id") % 211 === 0)
+          .select(col("event_id").as("iv_id"), col("ts_us").as("s_us"),
+            (col("ts_us") + lit(420000000L)).as("e_us"))
+        val counts = graft.ops.Events.intervalJoinBucketed(
+            el.select(col("ts_us").as("p_us")), "p_us",
+            iv, "s_us", "e_us", bucketWidth = 600000000L)
+          .groupBy("iv_id").agg(count(lit(1)).as("_n"))
+        iv.join(counts, Seq("iv_id"), "left")
+          .select(col("iv_id"), col("s_us"),
+            coalesce(col("_n"), lit(0L)).as("n_inside"))
+          .orderBy("iv_id")
+      })
+
+  /** Krippendorff's alpha ([[ops.Stats.krippendorffAlpha]]) over a
+    * 3-rater panel WITH missing ratings — the agreement shape real
+    * annotation projects have (q269's Cohen kappa requires exactly 2
+    * complete raters): gold `lang` rates everything, the q32 bigram
+    * heuristic skips doc_id % 3 = 0, and a first-half-of-text variant
+    * of the same heuristic skips doc_id % 5 = 0 — so items carry 1-3
+    * ratings and the single-rated (doc_id % 15 = 0) are unpairable
+    * and excluded per the definition. All-integer coincidence math
+    * (K = 2520 item-weight scaling), ppm floors, one row out.
+    */
+  private lazy val q273: QueryDef =
+    QueryDef("q273_krippendorff_alpha",
+      Some {
+        val profiles = PipelineQueries.LangProfiles
+        def scoresOver(e: String): String = profiles.map { case (l, bgs) =>
+          val sum = bgs.map(bg =>
+            s"(length($e) - length(replace($e, '$bg', '')))").mkString(" + ")
+          s"($sum) AS s_$l"
+        }.mkString(", ")
+        val langs = profiles.map(_._1)
+        val cases = langs.init.map { l =>
+          val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH r1 AS (SELECT doc_id, lang AS label FROM documents),
+        s2 AS (SELECT doc_id, ${scoresOver("text")} FROM documents
+               WHERE doc_id % 3 <> 0),
+        r2 AS (SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS label
+               FROM s2),
+        s3 AS (SELECT doc_id,
+                 ${scoresOver("substr(text, 1, length(text) // 2)")}
+               FROM documents WHERE doc_id % 5 <> 0),
+        r3 AS (SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS label
+               FROM s3),
+        ratings AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                    UNION ALL SELECT * FROM r3),
+        pil AS (SELECT doc_id AS u, label AS c, COUNT(*) AS nuc
+                FROM ratings GROUP BY 1, 2),
+        pi AS (SELECT u, SUM(nuc) AS m, SUM(nuc * nuc) AS sq
+               FROM pil GROUP BY u HAVING SUM(nuc) >= 2),
+        doa AS (SELECT COALESCE(SUM((m * m - sq) * (2520 // (m - 1))), 0)::HUGEINT
+                    AS do_scaled,
+                  COALESCE(SUM(m), 0) AS n, COUNT(*) AS n_items FROM pi),
+        lt AS (SELECT COALESCE(SUM(nc::HUGEINT * nc), 0) AS sq_tot FROM (
+                 SELECT c, SUM(nuc) AS nc FROM pil JOIN pi USING (u)
+                 GROUP BY c))
+        SELECT CAST(n AS BIGINT) AS n_ratings,
+               CAST(n_items AS BIGINT) AS n_items,
+               CAST(do_scaled * 1000000
+                 // GREATEST(2520 * n::HUGEINT, 1) AS BIGINT) AS do_ppm,
+               CAST((n::HUGEINT * n - sq_tot) * 1000000
+                 // GREATEST(n::HUGEINT * (n - 1), 1) AS BIGINT) AS de_ppm,
+               CAST((2520 * (n::HUGEINT * n - sq_tot) - (n - 1) * do_scaled)
+                 * 1000000
+                 // GREATEST(2520 * (n::HUGEINT * n - sq_tot), 1) AS BIGINT)
+                 AS alpha_ppm
+        FROM doa CROSS JOIN lt"""
+      },
+      (s, d) => {
+        val profiles = PipelineQueries.LangProfiles
+        val langs = profiles.map(_._1)
+        def predictedOver(textCol: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column = {
+          val scores = profiles.map { case (l, bgs) =>
+            l -> bgs.map(graft.Pipeline.occurrences2x(textCol, _))
+              .reduce(_ + _)
+          }.toMap
+          langs.init.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            (acc, l) =>
+              val geAll = langs.filter(_ != l)
+                .map(o => scores(l) >= scores(o)).reduce(_ && _)
+              Some(acc.fold(when(geAll, l))(_.when(geAll, l)))
+          }.get.otherwise(langs.last)
+        }
+        val docs = documents(s, d)
+        val r1 = docs.select(col("doc_id"), lit("gold").as("rater"),
+          col("lang").as("label"))
+        val r2 = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), lit("bigram").as("rater"),
+            predictedOver(col("text")).as("label"))
+        val r3 = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), lit("half").as("rater"),
+            predictedOver(expr("substring(text, 1, length(text) div 2)"))
+              .as("label"))
+        graft.ops.Stats.krippendorffAlpha(
+          r1.unionAll(r2).unionAll(r3), "doc_id", "rater", "label")
+      })
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
-    q271)
+    q271, q272, q273)
 }

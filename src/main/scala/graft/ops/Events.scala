@@ -357,4 +357,41 @@ object Events {
         when(col("attributed") =!= "organic", col("_touch.us")))
       .drop("_touch")
   }
+
+  /** Point-in-interval join WITHOUT an equi key — "which events fall
+    * inside any audit/maintenance/incident window", the lookup shape
+    * that Spark otherwise plans as a BroadcastNestedLoopJoin (every
+    * point compared against every interval — the quadratic cliff a
+    * 100 TB event log cannot pay, and the non-equi cousin of the
+    * residual-filter trick [[graft.ops.Temporal]] uses when a key
+    * exists).
+    *
+    * The fix is TIME BUCKETING: intervals explode to the
+    * `bucketWidth`-sized buckets they overlap (`(end-1) div w -
+    * start div w + 1` rows each — pick the width near the typical
+    * interval length so that is 1-2), points map to exactly one
+    * bucket, and the match becomes an EQUI-join on the bucket id
+    * with the containment `start <= p < end` as a residual filter —
+    * hash-partitionable, AQE-skew-splittable, never quadratic.
+    *
+    * Inner join; output = interval columns + point columns (names
+    * must be disjoint). Values must be non-negative longs (epoch
+    * micros — integer `div` bucketing is boundary-exact there, no
+    * float rounding). Empty intervals (`end <= start`) match
+    * nothing and are dropped up front.
+    */
+  def intervalJoinBucketed(points: DataFrame, pointCol: String,
+                           intervals: DataFrame, startCol: String,
+                           endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_bucket", explode(expr(
+        s"sequence($startCol div ${bucketWidth}L," +
+          s" ($endCol - 1L) div ${bucketWidth}L)")))
+    points
+      .withColumn("_bucket", expr(s"$pointCol div ${bucketWidth}L"))
+      .join(iv, Seq("_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bucket")
+  }
 }

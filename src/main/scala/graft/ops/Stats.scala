@@ -309,4 +309,66 @@ object Stats {
           " AS BIGINT)"))
       .select("n_items", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
   }
+
+  /** Krippendorff's alpha (nominal data) — the agreement coefficient
+    * for the REAL labeling-pipeline shape [[cohenKappa]] can't handle:
+    * any number of raters, with MISSING ratings (each item rated by
+    * whatever subset showed up). Input is one row per rating
+    * `(item, rater, label)`; items with fewer than 2 ratings are
+    * unpairable and excluded, per the definition.
+    *
+    * `alpha = 1 - D_o/D_e` over the coincidence matrix:
+    * `D_o ∝ sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)` (within-item
+    * ordered disagreeing pairs, weighted so each item contributes its
+    * pairable mass once) and `D_e ∝ (n^2 - sum_c n_c^2) / (n - 1)`.
+    *
+    * ALL-INTEGER: the per-item weight `1/(m_u - 1)` is the one
+    * non-integer in the definition, so contributions are scaled by
+    * K = 2520 = lcm(1..9) — exact for up to 10 ratings per item
+    * (enforced with a loud scan-side assert; raise K if a corpus
+    * legitimately has more raters). Everything else is counts, and
+    * the ppm floors ride DECIMAL(38,0) — no overflow at corpus scale
+    * and bit-identical in both engines.
+    *
+    * Shape at scale: one (item, label) count, one item panel, one
+    * label panel — bounded aggregates, one row out:
+    * `(n_ratings, n_items, do_ppm, de_ppm, alpha_ppm)`.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        raterCol: String, labelCol: String): DataFrame = {
+    val perItemLabel = ratings
+      .groupBy(col(itemCol).as("_u"), col(labelCol).cast("string").as("_c"))
+      .agg(count(lit(1)).cast("long").as("_nuc"))
+    val perItem = perItemLabel.groupBy("_u").agg(
+        sum("_nuc").as("_m"),
+        sum(expr("_nuc * _nuc")).as("_sq"))
+      .filter(expr(
+        "assert_true(_m <= 10, 'krippendorffAlpha: more than 10 " +
+          "ratings on one item; raise the K = 2520 scaling') IS NULL"))
+      .filter(col("_m") >= 2)
+    val doAgg = perItem.agg(
+      coalesce(sum(expr(
+        "CAST((_m * _m - _sq) * (2520L div (_m - 1)) AS DECIMAL(38,0))")),
+        lit(java.math.BigDecimal.ZERO)).as("_do_scaled"),
+      coalesce(sum("_m"), lit(0L)).cast("long").as("n_ratings"),
+      count(lit(1)).cast("long").as("n_items"))
+    val labelTotals = perItemLabel
+      .join(perItem.select("_u"), Seq("_u"), "left_semi")
+      .groupBy("_c").agg(sum("_nuc").as("_nc"))
+      .agg(coalesce(sum(expr("CAST(_nc AS DECIMAL(38,0)) * _nc")),
+        lit(java.math.BigDecimal.ZERO)).as("_sq_tot"))
+    doAgg.crossJoin(broadcast(labelTotals))
+      .withColumn("_spair", expr(
+        "CAST(n_ratings AS DECIMAL(38,0)) * n_ratings - _sq_tot"))
+      .withColumn("do_ppm", expr(
+        "CAST(_do_scaled * 1000000 div greatest(" +
+          "2520 * CAST(n_ratings AS DECIMAL(38,0)), 1) AS BIGINT)"))
+      .withColumn("de_ppm", expr(
+        "CAST(_spair * 1000000 div greatest(" +
+          "CAST(n_ratings AS DECIMAL(38,0)) * (n_ratings - 1), 1) AS BIGINT)"))
+      .withColumn("alpha_ppm", expr(
+        "CAST((2520 * _spair - (n_ratings - 1) * _do_scaled) * 1000000" +
+          " div greatest(2520 * _spair, 1) AS BIGINT)"))
+      .select("n_ratings", "n_items", "do_ppm", "de_ppm", "alpha_ppm")
+  }
 }

@@ -3598,6 +3598,77 @@ class OpsSpec extends AnyFunSuite {
     assert(kn < 0L, s"expected negative kappa, got $kn")
   }
 
+  test("intervalJoinBucketed: containment semantics exact across " +
+      "bucket boundaries; no nested-loop join in the plan") {
+    import spark.implicits._
+    val points = Seq(0L, 5L, 9L, 10L, 15L, 19L, 20L, 99L, 100L, 250L)
+      .map(p => (p, s"p$p")).toDF("t", "tag")
+    // [5, 15): spans buckets 0 and 1 at width 10; [10, 20): aligned;
+    // [0, 100): LONG interval covering 10 buckets; [40, 40): empty;
+    // [98, 102): boundary straddle
+    val iv = Seq((1L, 5L, 15L), (2L, 10L, 20L), (3L, 0L, 100L),
+      (4L, 40L, 40L), (5L, 98L, 102L)).toDF("iv", "s", "e")
+    val joined = graft.ops.Events.intervalJoinBucketed(
+      points, "t", iv, "s", "e", bucketWidth = 10L)
+    val got = joined.select("iv", "t").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (i, s, e) <- Seq((1L, 5L, 15L), (2L, 10L, 20L), (3L, 0L, 100L),
+        (4L, 40L, 40L), (5L, 98L, 102L))
+      p <- Seq(0L, 5L, 9L, 10L, 15L, 19L, 20L, 99L, 100L, 250L)
+      if p >= s && p < e
+    } yield (i, p)).toSet
+    assert(got == expect)
+    // the whole point of the operator: the physical plan must be a
+    // bucket EQUI-join, never BroadcastNestedLoopJoin
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "bucketed interval join must not plan a nested loop")
+    // zero bucketWidth rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Events.intervalJoinBucketed(points, "t", iv, "s", "e", 0L)
+    }
+  }
+
+  test("krippendorffAlpha: pinned reference value with missing " +
+      "ratings; degenerate and overflow guards") {
+    import spark.implicits._
+    // independently computed (sequential Python replay): 6 items, 3
+    // raters with gaps; item 5 single-rated -> excluded. n=13,
+    // do_ppm=307692, de_ppm=756410, alpha_ppm=593220
+    val ratings = Seq(
+      (1L, "A", "a"), (1L, "B", "a"), (1L, "C", "a"),
+      (2L, "A", "b"), (2L, "B", "b"),
+      (3L, "A", "b"), (3L, "B", "c"), (3L, "C", "b"),
+      (4L, "A", "a"), (4L, "C", "a"),
+      (5L, "B", "d"),
+      (6L, "A", "c"), (6L, "B", "c"), (6L, "C", "d"))
+      .toDF("item", "rater", "label")
+    val r = graft.ops.Stats.krippendorffAlpha(ratings, "item", "rater",
+        "label")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((13L, 5L, 307692L, 756410L, 593220L)))
+    // perfect agreement -> alpha = 1.0 exactly
+    val perfect = Seq((1L, "A", "x"), (1L, "B", "x"),
+      (2L, "A", "y"), (2L, "B", "y")).toDF("item", "rater", "label")
+    val p = graft.ops.Stats.krippendorffAlpha(perfect, "item", "rater",
+        "label").select("alpha_ppm").as[Long].head()
+    assert(p == 1000000L)
+    // nothing pairable -> zeros, no division blowup
+    val lonely = Seq((1L, "A", "x"), (2L, "B", "y"))
+      .toDF("item", "rater", "label")
+    val z = graft.ops.Stats.krippendorffAlpha(lonely, "item", "rater",
+        "label").as[(Long, Long, Long, Long, Long)].head()
+    assert(z == ((0L, 0L, 0L, 0L, 0L)))
+    // > 10 ratings on one item breaks the K=2520 exactness -> loud
+    val crowd = (0 until 11).map(i => (1L, s"r$i", "x"))
+      .toDF("item", "rater", "label")
+    val ex = intercept[Exception] {
+      graft.ops.Stats.krippendorffAlpha(crowd, "item", "rater", "label")
+        .collect()
+    }
+    assert(ex.getMessage.contains("krippendorffAlpha"))
+  }
+
   test("ivfPqTopK: ADC ranking equals the brute-force replay on a " +
       "separable corpus") {
     import spark.implicits._

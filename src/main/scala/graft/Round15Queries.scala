@@ -637,6 +637,282 @@ object Round15Queries {
           r1.unionAll(r2).unionAll(r3), "doc_id", "rater", "label")
       })
 
+  // ---- second round-15 batch (q274+): graph/eval/sampling widening —
+  // modularity scoring, Duffield priority sampling, integer power-
+  // iteration PCA, deterministic walk corpora, isotonic calibration.
+
+  // Oracle mirror of Pipeline.wordHash32 (first 8 md5 hex digits).
+  private def hash32Sql(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 9)],
+                    (a, b) -> a*16 + b)"""
+
+  // Engine mirror of kcoreEdgeCtes' chain+clique document graph (the
+  // shared synthetic graph of q270/q274/q277).
+  private def chainCliqueEdges(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val base = spread(documents(s, d)).select("source", "doc_id")
+      .withColumn("rn", row_number().over(w))
+    val chain = base
+      .withColumn("_nxt", lead("doc_id", 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .select(col("doc_id").as("u"), col("_nxt").as("v"))
+    val six = base.filter(col("rn") <= 6)
+    val clique = six.as("b1").join(six.as("b2"),
+        col("b1.source") === col("b2.source") &&
+          col("b1.rn") < col("b2.rn"))
+      .select(col("b1.doc_id").as("u"), col("b2.doc_id").as("v"))
+    chain.unionAll(clique)
+  }
+
+  /** Newman modularity ([[ops.Graph.modularity]]) of the `lang`
+    * partition over the chain+clique document graph: chain edges cross
+    * languages (consecutive doc_ids within a source mix langs), clique
+    * edges mostly do too — so the per-community contributions measure
+    * a REAL mixed labeling, not a degenerate all-internal one. The
+    * audit companion to the community producers (q252's star
+    * components, q84's label propagation): one number per labeling,
+    * comparable across labelings and across corpus growth. Integer
+    * ppm over DECIMAL(38,0)/HUGEINT; truncating division matches
+    * (both engines truncate toward zero on negatives).
+    */
+  private lazy val q274: QueryDef =
+    QueryDef("q274_graph_modularity",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        lab AS (SELECT und.a, und.b, da.lang AS ca, db.lang AS cb
+                FROM und JOIN documents da ON da.doc_id = und.a
+                         JOIN documents db ON db.doc_id = und.b),
+        mm AS (SELECT COUNT(*) AS m FROM lab),
+        inte AS (SELECT ca AS community, COUNT(*) AS internal_edges
+                 FROM lab WHERE ca = cb GROUP BY 1),
+        dg AS (SELECT node, community, COUNT(*) AS deg FROM (
+                 SELECT a AS node, ca AS community FROM lab
+                 UNION ALL SELECT b, cb FROM lab) GROUP BY 1, 2),
+        pc AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                      CAST(SUM(deg) AS BIGINT) AS degree_sum
+               FROM dg GROUP BY 1)
+        SELECT pc.community AS community, n_nodes,
+               CAST(COALESCE(internal_edges, 0) AS BIGINT) AS internal_edges,
+               degree_sum, CAST(mm.m AS BIGINT) AS m_edges,
+               CAST((4 * mm.m::HUGEINT * COALESCE(internal_edges, 0)
+                     - degree_sum::HUGEINT * degree_sum) * 1000000
+                 // (4 * mm.m::HUGEINT * mm.m) AS BIGINT)
+                 AS contribution_ppm
+        FROM pc CROSS JOIN mm LEFT JOIN inte ON inte.community = pc.community
+        ORDER BY pc.community"""),
+      (s, d) => graft.ops.Graph.modularity(
+          chainCliqueEdges(s, d),
+          documents(s, d).select("doc_id", "lang"), "doc_id", "lang")
+        .orderBy("community"))
+
+  /** Duffield–Lund–Thorup priority sampling
+    * ([[ops.Sampling.priorityWeighted]]): fixed-size (k=100)
+    * token-count-weighted sample without replacement with the
+    * tau-clamped unbiased subset-sum estimator — the principled
+    * "sample k docs proportional to length, then estimate any
+    * subset's token mass from the sample alone". Cross-engine exact:
+    * priority `w * 2^32 / (hash32(id) + 1)` is ONE IEEE division of
+    * exactly-representable integers; tau is the (k+1)-th priority off
+    * the bounded TakeOrderedAndProject frame.
+    */
+  private lazy val q275: QueryDef =
+    QueryDef("q275_weighted_priority_sample",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        f AS (SELECT * FROM t WHERE n_tokens >= 1),
+        p AS (SELECT doc_id, n_tokens,
+                CAST(n_tokens * 4294967296 AS DOUBLE)
+                  / CAST(${hash32Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                  AS pri
+              FROM f),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
+              FROM p),
+        tau AS (SELECT MAX(CASE WHEN rn = 101 THEN pri END) AS tau
+                FROM r WHERE rn <= 101)
+        SELECT doc_id, n_tokens, pri,
+               GREATEST(CAST(n_tokens AS DOUBLE),
+                 COALESCE(tau, CAST(n_tokens AS DOUBLE))) AS w_est
+        FROM r CROSS JOIN tau WHERE rn <= 100
+        ORDER BY pri DESC, doc_id"""),
+      (s, d) => {
+        val t = spread(documents(s, d)).select(col("doc_id"),
+            size(graft.Pipeline.words(col("text"))).cast("long")
+              .as("n_tokens"))
+          .filter(col("n_tokens") >= 1)
+        graft.ops.Sampling.priorityWeighted(t, "doc_id", "n_tokens",
+            k = 100)
+          .orderBy(col("pri").desc, col("doc_id"))
+      })
+
+  // q276's fixed-iteration integer power-iteration trajectory,
+  // unrolled for the oracle (each block = one G'v multiply, one
+  // corrected integer sqrt, one renormalize — HUGEINT throughout,
+  // truncating division like the engine's BigInt).
+  private def pcaIterCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""
+        u$t AS MATERIALIZED (SELECT g.i, SUM(g.gp * $prev.v) AS u
+                FROM gp g JOIN $prev ON g.j = $prev.i GROUP BY g.i),
+        n$t AS (SELECT SUM(u * u) AS n2,
+                  CAST(floor(sqrt(CAST(SUM(u * u) AS DOUBLE))) AS HUGEINT)
+                    AS s0
+                FROM u$t),
+        s$t AS (SELECT GREATEST(list_max(list_filter(
+                  [s0 - 2, s0 - 1, s0, s0 + 1, s0 + 2],
+                  t -> t * t <= n2)), 1) AS nrm FROM n$t),
+        v$t AS (SELECT i, u * 1000000 // nrm AS v
+                FROM u$t CROSS JOIN s$t)"""
+    }.mkString(",")
+
+  /** Top principal direction of the embedding second-moment matrix
+    * ([[Similarity.topPrincipalComponent]]): milli-quantized
+    * components, one distributed DECIMAL gram pass, then 12
+    * all-integer power iterations on the bounded 64x64 panel —
+    * anisotropy audit (`ev_ppm` = top-eigenvalue share of trace) and
+    * the first step of whitening. The oracle replays the exact
+    * integer trajectory, including the corrected floor-sqrt
+    * normalizer, so convergence is irrelevant to correctness.
+    */
+  private lazy val q276: QueryDef = {
+    val dims = 64
+    val iters = 12
+    val v0 = (BigInt(1000000) / Similarity.isqrtPortable(BigInt(dims)))
+      .toString
+    QueryDef("q276_top_principal_component",
+      Some(s"""
+        WITH x AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                     e -> CAST(floor(e * 1000) AS HUGEINT)) AS xq
+                   FROM embeddings),
+        flat AS (SELECT xq, unnest(range(0, $dims)) AS i FROM x),
+        idx AS (SELECT unnest(range(0, $dims)) AS i),
+        cells AS MATERIALIZED (SELECT f.i AS i, j.i AS j,
+                    COALESCE(SUM(f.xq[f.i + 1] * f.xq[j.i + 1]), 0) AS g
+                  FROM flat f CROSS JOIN idx j
+                  GROUP BY 1, 2),
+        gs AS (SELECT GREATEST(MAX(abs(g)) // 1000000, 1) AS gsc
+               FROM cells),
+        gp AS MATERIALIZED (SELECT i, j, g // gsc AS gp
+               FROM cells CROSS JOIN gs),
+        v0 AS (SELECT i, $v0::HUGEINT AS v FROM idx),
+        ${pcaIterCtes(iters)},
+        sg AS (SELECT CASE WHEN (SELECT v FROM v$iters WHERE v <> 0
+                                 ORDER BY i LIMIT 1) < 0
+                           THEN -1 ELSE 1 END AS s),
+        vf AS (SELECT i, v * s AS v FROM v$iters CROSS JOIN sg),
+        nm AS (SELECT SUM(vi.v * c.g * vj.v) AS num
+               FROM cells c JOIN vf vi ON vi.i = c.i
+                            JOIN vf vj ON vj.i = c.j),
+        dn AS (SELECT GREATEST(SUM(v * v), 1) AS den FROM vf),
+        tr AS (SELECT GREATEST(SUM(g), 1) AS trace FROM cells
+               WHERE i = j)
+        SELECT CAST(i AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS v_micro,
+               CAST(num // den AS BIGINT) AS lambda_micro,
+               CAST(num * 1000000 // (den * trace) AS BIGINT) AS ev_ppm
+        FROM vf CROSS JOIN nm CROSS JOIN dn CROSS JOIN tr
+        ORDER BY dim_idx"""),
+      (s, d) => graft.Similarity.topPrincipalComponent(
+          spread(embeddings(s, d)), "embedding", dims = dims,
+          iters = iters)
+        .orderBy("dim_idx"))
+  }
+
+  // q277's per-step oracle blocks: join the frontier to the symmetric
+  // adjacency, rank candidates by (md5 draw, neighbor id), keep rank 1.
+  private def walkStepCtes(steps: Int): String =
+    (1 to steps).map { t =>
+      val prev =
+        if (t == 1) "(SELECT walk_id, walk_id AS node FROM w0)"
+        else s"p${t - 1}"
+      s"""
+        h$t AS (SELECT pr.walk_id, e0.y AS node,
+                  ${hash32Sql(s"CONCAT(pr.walk_id, '_', $t, '_', e0.y)")} AS h
+                FROM $prev pr JOIN e0 ON e0.x = pr.node),
+        p$t AS (SELECT walk_id, node FROM h$t
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id
+                  ORDER BY h, node) = 1)"""
+    }.mkString(",")
+
+  /** Deterministic random-walk corpus ([[ops.Graph
+    * .deterministicWalks]]): one 4-step walk from every node of the
+    * chain+clique graph, next hop = argmin over neighbors of a fresh
+    * md5 draw keyed (walk, step, neighbor) — the DeepWalk/node2vec
+    * input corpus, replayable bit-identically across engines, runs,
+    * and retries (a re-run after partial failure regenerates the SAME
+    * corpus). Each step is one node-keyed equi-join + a
+    * min(struct(hash, neighbor)) partial-combinable aggregate.
+    */
+  private lazy val q277: QueryDef =
+    QueryDef("q277_deterministic_walks",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        w0 AS (SELECT DISTINCT x AS walk_id FROM e0),
+        ${walkStepCtes(4)}
+        SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM w0
+        UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM p1
+        UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM p2
+        UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM p3
+        UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM p4
+        ORDER BY walk_id, step"""),
+      (s, d) => graft.ops.Graph.deterministicWalks(
+          chainCliqueEdges(s, d), steps = 4)
+        .orderBy("walk_id", "step"))
+
+  /** Isotonic (PAV) score calibration ([[ops.Stats
+    * .isotonicCalibration]]) over q254's scored frame at 50 bins: the
+    * best MONOTONE map from predicted score to observed positive
+    * rate, micro-exact via the minimax representation (floor commutes
+    * with min/max, so `fitted_micro` IS the floored true PAV fit).
+    * Where q254 reports per-bin gaps, this produces the correction a
+    * serving layer actually applies. One corpus pass; everything
+    * after runs on the bounded 50-row bin panel.
+    */
+  private lazy val q278: QueryDef =
+    QueryDef("q278_isotonic_calibration",
+      Some(s"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          CAST(label AS BIGINT) % 2 AS y
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM t WHERE vec_id = 0),
+        sc AS (SELECT y, (${cosSql("v", "qv")} + 1) / 2 AS p
+               FROM t CROSS JOIN q),
+        b AS (SELECT LEAST(49, CAST(FLOOR(p * 50) AS BIGINT)) AS bin, y
+              FROM sc),
+        g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS n_pos
+              FROM b GROUP BY bin),
+        pre AS (SELECT *, SUM(n) OVER (ORDER BY bin) AS cn,
+                       SUM(n_pos) OVER (ORDER BY bin) AS cp FROM g),
+        pairs AS (SELECT j.bin AS jb, k.bin AS kb,
+                    (k.cp - (j.cp - j.n_pos)) * 1000000
+                      // (k.cn - (j.cn - j.n)) AS mm
+                  FROM pre j JOIN pre k ON j.bin <= k.bin),
+        tri AS (SELECT i.bin AS ib, p.jb, p.mm FROM g i
+                JOIN pairs p ON p.jb <= i.bin AND i.bin <= p.kb),
+        mn AS (SELECT ib, jb, MIN(mm) AS mn FROM tri GROUP BY 1, 2),
+        fit AS (SELECT ib AS bin, MAX(mn) AS fitted_micro FROM mn
+                GROUP BY 1)
+        SELECT g.bin, g.n, g.n_pos,
+               CAST(g.n_pos * 1000000 // g.n AS BIGINT) AS raw_micro,
+               CAST(fitted_micro AS BIGINT) AS fitted_micro
+        FROM g JOIN fit USING (bin) ORDER BY bin"""),
+      (s, d) => {
+        val t = spread(embeddings(s, d)).select(col("vec_id"),
+          graft.Pipeline.asDouble(col("embedding")).as("v"),
+          (col("label").cast("long") % 2).as("y"))
+        val q = embeddings(s, d).filter(col("vec_id") === 0)
+          .select(graft.Pipeline.asDouble(col("embedding")).as("qv"))
+        val scored = t.crossJoin(broadcast(q))
+          .select(col("y"),
+            ((graft.plans.VectorExpressions.cosineSim(col("v"), col("qv"))
+              + 1) / 2).as("p"))
+        graft.ops.Stats.isotonicCalibration(scored, "y", "p", bins = 50)
+          .orderBy("bin")
+      })
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273)
+    q271, q272, q273, q274, q275, q276, q277, q278)
 }

@@ -620,4 +620,109 @@ object Similarity {
       .withColumn("fingerprint", Pipeline.canonicalFingerprint(w))
       .withColumn("rolling_hash", Pipeline.rollingHash(w))
   }
+
+  /** Mirror of the oracle's integer square root recipe: `s0 =
+    * floor(sqrt(double(n)))`, then the largest `t` in `[s0-2, s0+2]`
+    * with `t*t <= n`. For the magnitudes this file produces
+    * (n <= ~1e30) the true floor-sqrt always lands in that window
+    * (double sqrt is correctly rounded; the cast of n loses at most
+    * ~1e-16 relative) — enforced LOUDLY against the exact
+    * `BigInteger.sqrt`, so a violated assumption is a thrown error,
+    * never a silent engine/oracle divergence.
+    */
+  private[graft] def isqrtPortable(n: BigInt): BigInt = {
+    require(n >= 0, s"isqrt of negative: $n")
+    val exact = BigInt(n.bigInteger.sqrt())
+    val s0 = BigInt(math.floor(math.sqrt(n.toDouble)).toLong)
+    require((exact - s0).abs <= 2,
+      s"isqrt correction window exceeded: n=$n exact=$exact s0=$s0 — " +
+        "the oracle's +-2 recipe no longer covers this magnitude")
+    exact
+  }
+
+  /** Top principal direction of the corpus second-moment matrix
+    * `G = sum over rows of x x^T` (uncentered PCA — the dominant
+    * direction of embedding mass: anisotropy audits, the first step of
+    * whitening, "is the corpus collapsing toward one direction" drift
+    * checks) by FIXED-iteration power iteration, all-integer.
+    *
+    * Numerics (every step exact and engine-portable, the integer
+    * PageRank discipline): components quantize to milli-units
+    * (`floor(x*1000)` — float->double is exact, so the floor is
+    * bit-identical everywhere); `G_int = 1e6 * G_true` accumulates as
+    * order-free integer sums; iterations run on a PRE-SCALED
+    * `G' = G_int div max(1, maxabs(G_int) div 1e6)` so products stay
+    * far from overflow; each iterate renormalizes to `||v|| ~ 1e6`
+    * via [[isqrtPortable]]; truncating division matches the oracle's
+    * `//` on negatives (both toward zero). Power iteration converges
+    * to the top eigendirection at rate (lambda2/lambda1)^iters; with
+    * FIXED iters the output is deterministic whether or not it has
+    * converged — engine and oracle replay the same trajectory, and
+    * `lambda_micro` is the Rayleigh estimate of wherever it stopped.
+    *
+    * Scale shape: ONE distributed pass builds the gram — explode to
+    * (i, x_i, vec) rows (N*d), then `dims` partial-combinable
+    * DECIMAL(38,0) sums per component row (N*d^2 multiplies total: the
+    * honest cost of any exact PCA pass) reduce to a BOUNDED d x d
+    * panel. The d x d eigen-solve is driver-side on that bounded panel
+    * (the [[kmeansFit]] bounded-collect discipline); nothing
+    * corpus-sized leaves the cluster.
+    *
+    * Output: `dims` rows `(dim_idx, v_micro)` — the unit direction in
+    * micro-units, sign-canonicalized (first nonzero component
+    * positive) — plus the replicated `lambda_micro` (top-eigenvalue
+    * Rayleigh estimate of G_true, micro-units; grows with corpus size
+    * — it is a SUM moment, not a mean) and `ev_ppm` (lambda as ppm of
+    * trace — the explained-share number an anisotropy audit reads).
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String, dims: Int,
+                            iters: Int = 12): DataFrame = {
+    require(dims >= 2 && dims <= 256,
+      s"dims must be in [2, 256] (bounded d x d panel), got $dims")
+    require(iters >= 1 && iters <= 60, s"iters must be in [1, 60], got $iters")
+    val spark = df.sparkSession
+    val xq = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(1000)).cast("long"))
+    val exploded = df.select(xq.as("_xq"))
+      .select(posexplode(col("_xq")).as(Seq("_i", "_xi")), col("_xq"))
+    val gramAggs = (0 until dims).map(j =>
+      sum((col("_xq")(j) * col("_xi"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as(s"_g$j"))
+    val gramRows = exploded.groupBy("_i")
+      .agg(gramAggs.head, gramAggs.tail: _*)
+      .collect()
+    require(gramRows.nonEmpty, "topPrincipalComponent: empty corpus")
+    val g = Array.ofDim[BigInt](dims, dims)
+    gramRows.foreach { r =>
+      val i = r.getInt(0)
+      require(i < dims, s"vector longer than dims=$dims (component $i)")
+      (0 until dims).foreach { j =>
+        g(i)(j) = Option(r.getDecimal(j + 1))
+          .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+      }
+    }
+    val gScale = (g.flatten.map(_.abs).max / BigInt(1000000)).max(BigInt(1))
+    val gp = g.map(_.map(_ / gScale))
+    val v0 = BigInt(1000000) / isqrtPortable(BigInt(dims))
+    var v = Array.fill(dims)(v0)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => gp(i)(j) * v(j)).sum)
+      val nrm = isqrtPortable(u.map(x => x * x).sum).max(BigInt(1))
+      v = u.map(_ * BigInt(1000000) / nrm)
+    }
+    val sign = v.find(_ != 0).map(_.signum).getOrElse(1)
+    if (sign < 0) v = v.map(-_)
+    val num = (for (i <- 0 until dims; j <- 0 until dims)
+      yield v(i) * g(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum.max(BigInt(1))
+    val trace = (0 until dims).map(i => g(i)(i)).sum.max(BigInt(1))
+    val lambdaMicro = (num / den).toLong
+    val evPpm = (num * BigInt(1000000) / (den * trace)).toLong
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, x.toLong, lambdaMicro, evPpm) }
+      .toSeq.toDF("dim_idx", "v_micro", "lambda_micro", "ev_ppm")
+  }
 }

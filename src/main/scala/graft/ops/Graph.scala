@@ -635,4 +635,152 @@ object Graph {
       .orderBy(col("aa_micro").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Newman modularity of a GIVEN node partition — the quality score
+    * that turns "we labeled communities" into a number: for each
+    * community c, `Q_c = e_c/m - (d_c/2m)^2` (fraction of edges inside
+    * c minus the fraction a degree-preserving random graph would put
+    * there); `Q = sum_c Q_c`. The audit companion to the community
+    * PRODUCERS ([[starComponents]], label propagation): score a
+    * labeling, compare two labelings, or track drift as the graph
+    * grows.
+    *
+    * ALL-INTEGER: per-community contribution
+    * `(4*m*e_c - d_c^2) * 1e6 div (4*m^2)` in DECIMAL(38,0)
+    * (d_c <= 2m and m is bounded by the edge count, so 38 digits hold
+    * to ~1e9 edges; ppm floor, order-free). Nodes in `communities`
+    * with no edges contribute degree 0 (harmless); edge endpoints
+    * MISSING from `communities` fail loudly — a silent drop would
+    * misreport e_c and d_c.
+    *
+    * Scale shape: one distinct over the edge list, two node-keyed
+    * equi-joins onto the labeling (co-partitioned on the node key),
+    * then bounded per-community aggregates — nothing corpus-squared,
+    * no windows.
+    *
+    * Input: `edges` (2 cols, undirected; dups/self-loops dropped),
+    * `communities` (nodeCol, communityCol). Output: one row per
+    * community — `community, n_nodes, internal_edges, degree_sum,
+    * contribution_ppm` — plus exact global `m` replicated for the
+    * reader's Q = sum(contribution_ppm).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame,
+                 nodeCol: String, communityCol: String): DataFrame =
+    modularityReleasable(edges, communities, nodeCol, communityCol)._1
+
+  /** [[modularity]] plus the house *Releasable cache handle for the
+    * internal labeled-edge persist (three consumers: the m+guard
+    * aggregate, internal-edge counts, degree sums).
+    */
+  def modularityReleasable(edges: DataFrame, communities: DataFrame,
+                           nodeCol: String, communityCol: String)
+      : (DataFrame, () => Unit) = {
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val labels = communities
+      .select(col(nodeCol).as("_node"), col(communityCol).as("community"))
+    // Label both endpoints; an unlabeled endpoint surfaces as a NULL
+    // community and trips the loud guard below (a silent drop would
+    // misreport e_c and d_c). One bounded action covers m + the guard.
+    val labeled = und
+      .join(labels.select(col("_node").as("a"),
+        col("community").as("_ca")), Seq("a"), "left")
+      .join(labels.select(col("_node").as("b"),
+        col("community").as("_cb")), Seq("b"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = labeled.agg(
+      count(lit(1)).as("_m"),
+      sum(when(col("_ca").isNull || col("_cb").isNull, 1L)
+        .otherwise(0L)).as("_missing")).head()
+    val m = head.getLong(0)
+    val missing = head.getLong(1)
+    require(m > 0, "modularity needs at least one non-loop edge")
+    require(missing == 0,
+      s"modularity: $missing edge endpoint(s) missing from communities")
+    val internal = labeled.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community"))
+      .agg(count(lit(1)).cast(LongType).as("internal_edges"))
+    val deg = labeled
+      .select(col("a").as("_node"), col("_ca").as("community"))
+      .unionAll(labeled.select(col("b").as("_node"),
+        col("_cb").as("community")))
+      .groupBy("_node", "community")
+      .agg(count(lit(1)).cast(LongType).as("_deg"))
+    val perC = deg.groupBy("community").agg(
+      count(lit(1)).cast(LongType).as("n_nodes"),
+      sum("_deg").cast(LongType).as("degree_sum"))
+    val out = perC.join(internal, Seq("community"), "left")
+      .withColumn("internal_edges",
+        coalesce(col("internal_edges"), lit(0L)))
+      .withColumn("m_edges", lit(m))
+      .withColumn("contribution_ppm", expr(
+        "CAST((4 * CAST(m_edges AS DECIMAL(38,0)) * internal_edges" +
+          " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum) * 1000000" +
+          " div (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)" +
+          " AS BIGINT)"))
+      .select("community", "n_nodes", "internal_edges", "degree_sum",
+        "m_edges", "contribution_ppm")
+    (out, () => { labeled.unpersist(); () })
+  }
+
+  /** Deterministic random-walk corpus (DeepWalk/node2vec input): one
+    * length-`steps` walk per start node over the SYMMETRIZED edge
+    * list, where the "random" neighbor at step t of walk w is
+    * `argmin over neighbors n of md5(w || '_' || t || '_' || n)` —
+    * a fresh uniform draw per (walk, step) that every engine, retry,
+    * and re-run replays bit-identically (the md5-slot determinism
+    * discipline). Walks stop early only at isolated nodes (the
+    * symmetric neighbor set is never empty otherwise).
+    *
+    * Scale shape: each step is ONE node-keyed equi-join (frontier
+    * onto the adjacency, both keyed on the current node) followed by
+    * a per-walk `min(struct(hash, neighbor))` — a partial-combinable
+    * aggregate (map-side combine), never a sort, with the neighbor id
+    * as tiebreak so the choice is total even under hash collisions.
+    * Volume per step is the sum of frontier degrees. `steps` is small
+    * and fixed — the output is a training corpus, not a fixed point.
+    *
+    * Output: `(walk_id, step, node)` long format, step 0 = the start.
+    */
+  def deterministicWalks(edges: DataFrame, steps: Int): DataFrame =
+    deterministicWalksReleasable(edges, steps)._1
+
+  /** [[deterministicWalks]] plus the house *Releasable handle for the
+    * adjacency cache (`steps` consumers — one join per step).
+    */
+  def deterministicWalksReleasable(edges: DataFrame, steps: Int)
+      : (DataFrame, () => Unit) = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("_cur"), col("b").as("_nbr"))
+      .unionAll(und.select(col("b").as("_cur"), col("a").as("_nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val starts = adj.select(col("_cur").as("walk_id")).distinct()
+      .withColumn("step", lit(0L))
+      .withColumn("node", col("walk_id"))
+    var frontier = starts
+    val hops = Seq.newBuilder[DataFrame]
+    hops += starts
+    for (t <- 1 to steps) {
+      val cand = frontier.select(col("walk_id"), col("node").as("_cur"))
+        .join(adj, Seq("_cur"))
+        .withColumn("_h", graft.Pipeline.wordHash32(
+          concat_ws("_", col("walk_id"), lit(t), col("_nbr"))))
+      // localCheckpoint: each hop feeds BOTH the next join and the
+      // final union — without it the union re-derives hop t (steps-t)
+      // times (the q171 doubled-lineage lesson)
+      frontier = cand.groupBy("walk_id")
+        .agg(min(struct(col("_h"), col("_nbr"))).as("_pick"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("_pick._nbr").as("node"))
+        .localCheckpoint()
+      hops += frontier
+    }
+    (hops.result().reduce(_ unionAll _), () => { adj.unpersist(); () })
+  }
 }

@@ -613,4 +613,64 @@ object Sampling {
         pmod(graft.Pipeline.wordHash32(col(idCol).cast("string")),
           lit(1000000L)) < col("weight_ppm"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup 2007): a fixed-size
+    * WEIGHT-BIASED sample without replacement that supports unbiased
+    * subset-sum estimation — the principled form of "sample k docs
+    * proportional to token count". Each row draws priority
+    * `q = w / u` with `u ~ U(0,1]`; the k largest priorities are the
+    * sample, `tau` is the (k+1)-th largest, and `w_est = max(w, tau)`
+    * is the Horvitz–Thompson-style estimator: for ANY subset S,
+    * `E[sum of w_est over sampled members of S] = sum of w over S`.
+    * Unlike [[weighted]] (Bernoulli, random size) the size is exactly
+    * k; unlike [[prioritySample]] (unweighted) heavy rows are
+    * preferentially kept but still estimable.
+    *
+    * Cross-engine exact: `u = (md5-hash32(id) + 1) / 2^32` so
+    * `q = w * 2^32 / (h + 1)` — one IEEE double division of exactly
+    * representable integers (w * 2^32 stays under 2^53 for w < 2^21;
+    * loudly enforced), bit-identical in any engine. Ties are broken
+    * by id, so the sample is unique even under hash collisions.
+    *
+    * Scale shape: priorities are scan-side; the global top-(k+1) is a
+    * TakeOrderedAndProject (per-partition top-k, merge on one
+    * bounded frame) — never a full sort; tau and the final filter
+    * operate on the bounded (k+1)-row frame.
+    *
+    * Output: the k sampled rows with `pri` (the priority draw) and
+    * `w_est` (tau-clamped weight estimate, DOUBLE).
+    */
+  def priorityWeighted(df: DataFrame, idCol: String, weightCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    Seq("pri", "w_est").foreach(c => require(!df.columns.contains(c),
+      s"input already carries a '$c' column — rename it before " +
+        "priorityWeighted"))
+    val wOk = when(col(weightCol).cast("long").between(1L, (1L << 21) - 1),
+      col(weightCol).cast("long"))
+      .otherwise(raise_error(lit("priorityWeighted: weights must be " +
+        "integers in [1, 2^21) for exact double arithmetic")))
+    val withPri = df.withColumn("pri",
+      (wOk * lit(4294967296L)).cast("double") /
+        (graft.Pipeline.wordHash32(col(idCol).cast("string")) + lit(1L))
+          .cast("double"))
+    // top-(k+1): k sample rows + the threshold row that defines tau
+    val top = withPri
+      .orderBy(col("pri").desc, col(idCol))
+      .limit(k + 1)
+    // bounded (k+1)-row frame: the unpartitioned window is a non-issue
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pri").desc, col(idCol))
+    top
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_tau", min(when(col("_rn") === k + 1, col("pri")))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("_rn") <= k)
+      .withColumn("w_est",
+        greatest(col(weightCol).cast("double"),
+          coalesce(col("_tau"), col(weightCol).cast("double"))))
+      .drop("_rn", "_tau")
+  }
 }

@@ -207,6 +207,78 @@ object Stats {
         expr("sum(n * gap_ppm) OVER () div sum(n) OVER ()"))
   }
 
+  /** Isotonic (monotone) calibration — the pool-adjacent-violators fit
+    * over [[calibrationBins]]'s score bins: the best monotone
+    * non-decreasing approximation of observed positive rate as a
+    * function of predicted score, THE standard score-calibration map
+    * (Zadrozny & Elkan 2002). Where raw bin rates zig-zag from noise,
+    * adjacent bins pool; the fitted curve is what a serving layer
+    * applies to turn scores into probabilities.
+    *
+    * PAV is sequential, so the distributed form uses the minimax
+    * representation instead: over the B observed bins (weighted by
+    * bin count), `fit(i) = max over j<=i of (min over k>=i of
+    * weighted-mean(pos rate over bins j..k))`. Micro-exact: means are
+    * `1e6 * pos div n` integer floors, and floor commutes with min
+    * and max, so `fitted_micro = floor(1e6 * true PAV fit)` — exact,
+    * order-free, engine-portable, no transcendentals.
+    *
+    * Scale shape: ONE corpus pass bins scores (map-side combinable
+    * count/sum per bin); everything after operates on the BOUNDED
+    * <= `bins`-row frame. The B^2 interval means and the B^3 minimax
+    * enumeration are EQUI-joins over exploded bin sequences (never a
+    * nested-loop range join — the PlansSpec boundedness guard's
+    * contract), so the plan is hash joins over bounded panels.
+    * B = 10-100 in practice; capped at 512 (B^3 ~ 1.3e8 enumerated
+    * rows, all panel-local).
+    *
+    * Output per observed bin: `bin, n, n_pos, raw_micro,
+    * fitted_micro` — fitted is monotone non-decreasing in `bin`.
+    */
+  def isotonicCalibration(scored: DataFrame, labelCol: String,
+                          probCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 512,
+      s"bins must be in [2, 512] (the bounded-panel contract), got $bins")
+    val g = scored
+      .select(
+        least(lit(bins - 1).cast("long"),
+          floor(col(probCol) * lit(bins)).cast("long")).as("bin"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("_y").cast("long").as("n_pos"))
+    // bounded (<= bins rows) from here on: unpartitioned windows and
+    // non-equi broadcast joins are the right plan, not a smell
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val pre = g
+      .withColumn("_cn", sum("n").over(w))
+      .withColumn("_cp", sum("n_pos").over(w))
+    val jSide = pre.select(col("bin").as("_j"),
+      (col("_cn") - col("n")).as("_cnb"),
+      (col("_cp") - col("n_pos")).as("_cpb"))
+    val kSide = pre.select(col("bin").as("_k"),
+      col("_cn").as("_cnk"), col("_cp").as("_cpk"))
+    // range conditions as explode + EQUI-join: sequence(0, k) fans a
+    // k-row candidate list per pair and the inner join keeps observed
+    // bins — a broadcast HASH join on bounded panels, never a BNLJ
+    val pairs = kSide
+      .withColumn("_j", explode(expr("sequence(0L, _k)")))
+      .join(broadcast(jSide), Seq("_j"))
+      .select(col("_j"), col("_k"),
+        expr("(_cpk - _cpb) * 1000000L div (_cnk - _cnb)")
+          .as("_mean_micro"))
+    val tri = pairs
+      .withColumn("_i", explode(expr("sequence(_j, _k)")))
+      .join(broadcast(g.select(col("bin").as("_i"))), Seq("_i"))
+    val fit = tri.groupBy("_i", "_j").agg(min("_mean_micro").as("_mn"))
+      .groupBy("_i").agg(max("_mn").as("fitted_micro"))
+    g.join(fit, col("bin") === col("_i"))
+      .withColumn("raw_micro", expr("n_pos * 1000000L div n"))
+      .select("bin", "n", "n_pos", "raw_micro", "fitted_micro")
+  }
+
   /** Chi-square independence audit of two categorical columns (is the
     * corpus mix of A independent of B — lang vs source, split vs
     * label?): per contingency cell, observed count, expected count

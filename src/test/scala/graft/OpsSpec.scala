@@ -3721,4 +3721,182 @@ class OpsSpec extends AnyFunSuite {
     }.sortBy { case (i, adc) => (adc, i) }.take(5)
     assert(got == expect)
   }
+
+  test("modularity: two triangles + bridge, communities = the triangles") {
+    import spark.implicits._
+    // classic: m = 7 edges, each triangle community has e_c = 3,
+    // d_c = 7 -> contribution = (4*7*3 - 49) * 1e6 div (4*49) = 178571
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val comm = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("node", "c")
+    val got = graft.ops.Graph.modularity(edges, comm, "node", "c")
+      .orderBy("community")
+      .select("community", "n_nodes", "internal_edges", "degree_sum",
+        "m_edges", "contribution_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 3L, 7L, 7L, 178571L),
+      ("b", 3L, 3L, 7L, 7L, 178571L)))
+    // Q = 0.357142 — the textbook value for this graph
+    assert(got.map(_._6).sum == 357142L)
+  }
+
+  test("modularity fails loudly on an unlabeled edge endpoint") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    val comm = Seq((1L, "a")).toDF("node", "c")
+    val e = intercept[Exception] {
+      graft.ops.Graph.modularity(edges, comm, "node", "c").collect()
+    }
+    assert(e.getMessage.contains("missing from communities"))
+  }
+
+  test("priorityWeighted: k rows matching the brute-force top-k; tau-clamped estimator") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, 1L + (i * 7) % 100))
+    val df = rows.toDF("id", "w")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x")
+        .mkString, 16)
+    val pris = rows.map { case (i, w) =>
+      (i, w, (w * 4294967296L).toDouble / (h32(i.toString) + 1L).toDouble)
+    }.sortBy { case (i, _, p) => (-p, i) }
+    val k = 10
+    val tau = pris(k)._3 // (k+1)-th largest priority
+    val expect = pris.take(k)
+      .map { case (i, w, p) => (i, w, p, math.max(w.toDouble, tau)) }
+    val got = graft.ops.Sampling.priorityWeighted(df, "id", "w", k)
+      .orderBy(col("pri").desc, col("id"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == expect)
+    // unbiasedness machinery sanity: every estimate >= its weight
+    assert(got.forall { case (_, w, _, est) => est >= w })
+  }
+
+  test("priorityWeighted: corpus smaller than k returns all rows with w_est = w") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 9L)).toDF("id", "w")
+    val got = graft.ops.Sampling.priorityWeighted(df, "id", "w", k = 10)
+      .select("id", "w", "w_est")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 5L, 5.0), (2L, 9L, 9.0)))
+  }
+
+  test("priorityWeighted rejects out-of-range weights loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      graft.ops.Sampling.priorityWeighted(df, "id", "w", k = 1).collect()
+    }
+    assert(e.getMessage.contains("weights must be"))
+  }
+
+  test("isotonicCalibration: PAV pools the violating bins; micro-exact") {
+    import spark.implicits._
+    // bins at rates [1/2, 0/2, 2/2]: the 0.5 -> 0.0 violation pools
+    // bins 0+1 to 1/4 = 250000 micro; bin 2 stays at 1000000
+    val scored = Seq(
+      (0.05, 1L), (0.08, 0L),  // bin 0: 1/2
+      (0.45, 0L), (0.48, 0L),  // bin 1: 0/2
+      (0.95, 1L), (0.98, 1L)   // bin 2 (clamped 9): 2/2
+    ).toDF("p", "y")
+    val got = graft.ops.Stats.isotonicCalibration(scored, "y", "p",
+        bins = 10)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "raw_micro", "fitted_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 500000L, 250000L),
+      (4L, 2L, 0L, 0L, 250000L),
+      (9L, 2L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("isotonicCalibration output is monotone and mass-preserving on real scores") {
+    import spark.implicits._
+    val scored = (1L to 400L).map { i =>
+      val p = ((i * 37) % 100).toDouble / 100.0
+      // noisy-but-correlated labels: higher p more likely positive
+      val y = if ((i * 13) % 100 < (p * 80).toLong + 10) 1L else 0L
+      (p, y)
+    }.toDF("p", "y")
+    val got = graft.ops.Stats.isotonicCalibration(scored, "y", "p",
+        bins = 20)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "fitted_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._4) == got.map(_._4).sorted) // monotone
+    // PAV preserves the weighted mean: sum n*fit within 1 micro-unit
+    // per bin of floor error of sum n*raw
+    val fitMass = got.map(r => r._2 * r._4).sum
+    val rawMass = got.map(r => r._3 * 1000000L).sum
+    assert(math.abs(fitMass - rawMass) <= got.size * 1000000L)
+  }
+
+  test("deterministicWalks: argmin-hash steps on a path graph, exact replay") {
+    import spark.implicits._
+    // path 1-2-3: node 1's only neighbor is 2; from 2 the draw picks
+    // between 1 and 3 — replay the md5 argmin here and expect exactly it
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x")
+        .mkString, 16)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    def walk(start: Long, steps: Int): Seq[(Long, Long, Long)] = {
+      var cur = start
+      (0 to steps).map { t =>
+        if (t > 0) cur = adj(cur).minBy(n => (h32(s"${start}_${t}_$n"), n))
+        (start, t.toLong, cur)
+      }
+    }
+    val expect = (1L to 3L).flatMap(walk(_, 3)).toSet
+    val got = graft.ops.Graph.deterministicWalks(edges, steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // every consecutive hop is an edge
+    val byWalk = got.groupBy(_._1).values
+    byWalk.foreach { rows =>
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"non-edge hop $a -> $b")
+      }
+    }
+  }
+
+  test("topPrincipalComponent recovers a planted dominant direction") {
+    import spark.implicits._
+    // 30 vectors along +-e1 (norm 10) + 6 small e2 vectors: the top
+    // direction is e1 regardless of signs; sign canonicalization
+    // makes v[0] positive
+    val rows = (1 to 30).map { i =>
+      val s = if (i % 2 == 0) 10f else -10f
+      (i.toLong, Seq(s, 0f, 0f, 0f))
+    } ++ (31 to 36).map(i => (i.toLong, Seq(0f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.topPrincipalComponent(df, "embedding",
+        dims = 4, iters = 12)
+      .orderBy("dim_idx")
+      .select("dim_idx", "v_micro", "lambda_micro", "ev_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 4)
+    val v = got.map(_._2)
+    assert(v(0) > 990000L, s"dominant component should be ~1e6: $v")
+    assert(v.tail.forall(x => math.abs(x) < 20000L), s"minor: $v")
+    // lambda ~ 30 vectors * (10^2) * 1e6 micro = 3e9; trace adds the
+    // 6 e2 vectors -> ev ~ 3000/3006
+    assert(got.head._3 > 2900000000L && got.head._3 < 3100000000L)
+    assert(got.head._4 > 990000L)
+  }
+
+  test("isqrtPortable equals exact floor sqrt across magnitudes") {
+    val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
+      BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),
+      BigInt(10).pow(18), BigInt(10).pow(24) + 12345,
+      BigInt(10).pow(30) - 1)
+    cases.foreach { n =>
+      val s = Similarity.isqrtPortable(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
 }

@@ -291,13 +291,18 @@ object Scale10Chain {
         // PLANS.md round 12). A GC hint BETWEEN passes bounds scratch
         // at ~one pass's spill; it runs outside the timed window.
         System.gc(); Thread.sleep(2000)
-        val xs = (1 to 3).map { _ =>
+        // SPARK_GRAFT_SCALE_PASSES trims the timed passes (default 3)
+        // for decades where per-pass shuffle spill accumulates against
+        // the box's scratch (the q219-at-1000x disk lesson)
+        val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES")
+          .map(_.toInt).getOrElse(3)
+        val xs = (1 to passes).map { _ =>
           val t0 = System.nanoTime(); run(n, dir)
           val t = (System.nanoTime() - t0) / 1e9
           System.gc(); Thread.sleep(2000)
           t
         }.sorted
-        println(f"""{"dir":"$dir","query":"$n","median_sec":${xs(1)}%.2f,"passes":[${xs.map(x => f"$x%.2f").mkString(",")}]}""")
+        println(f"""{"dir":"$dir","query":"$n","median_sec":${xs(xs.size / 2)}%.2f,"passes":[${xs.map(x => f"$x%.2f").mkString(",")}]}""")
         spark.catalog.clearCache()
       }
     }

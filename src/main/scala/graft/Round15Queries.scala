@@ -913,6 +913,144 @@ object Round15Queries {
           .orderBy("bin")
       })
 
+  /** Rank-biased overlap ([[ops.Ranking.rankBiasedOverlap]],
+    * p = 9/10, depth 20) between two document rankings — "length
+    * order" (token count) vs "vocabulary order" (distinct tokens):
+    * the top-weighted agreement score a retrieval change gates on.
+    * Integer-exact via precomputed `9^(d-1) * 10^(20-d) * lcm/d`
+    * coefficients inlined as literals in BOTH engines; the engine
+    * computes on the <= 20-row intersection (explode + equi-group,
+    * no range join), the oracle replays the same coefficient sum.
+    */
+  private lazy val q279: QueryDef = {
+    val depth = 20
+    val lcm = (1 to depth).map(BigInt(_)).reduce((x, y) => x * y / x.gcd(y))
+    val coef = (1 to depth).map(d =>
+      BigInt(9).pow(d - 1) * BigInt(10).pow(depth - d) * (lcm / d))
+    val denTimesPden = (BigInt(10).pow(depth - 1) * lcm * 10).toString
+    val coefCases = coef.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN ${c}::HUGEINT" }
+      .mkString(" ")
+    QueryDef("q279_rank_biased_overlap",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                     len(string_split(text, ' ')) AS nt,
+                     len(list_distinct(string_split(text, ' '))) AS nd
+                   FROM documents),
+        ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id)
+                 AS r FROM t QUALIFY r <= $depth),
+        rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY nd DESC, doc_id)
+                 AS r FROM t QUALIFY r <= $depth),
+        cm AS (SELECT GREATEST(ra.r, rb.r) AS m FROM ra
+               JOIN rb ON ra.doc_id = rb.doc_id),
+        ds AS (SELECT unnest(range(1, ${depth + 1})) AS d),
+        ov AS (SELECT ds.d, COALESCE(COUNT(cm.m), 0) AS overlap
+               FROM ds LEFT JOIN cm ON cm.m <= ds.d GROUP BY ds.d),
+        nm AS (SELECT COALESCE(SUM((CASE d $coefCases END) * overlap),
+                 0::HUGEINT) AS num FROM ov)
+        SELECT CAST(ov.d AS BIGINT) AS d, CAST(overlap AS BIGINT)
+                 AS overlap,
+               CAST(num * 1000000 // ${denTimesPden}::HUGEINT AS BIGINT)
+                 AS rbo_ppm
+        FROM ov CROSS JOIN nm ORDER BY d"""),
+      (s, d) => {
+        val w = graft.Pipeline.words(col("text"))
+        val t = spread(documents(s, d)).select(col("doc_id"),
+          size(w).as("nt"), size(array_distinct(w)).as("nd"))
+        def ranked(by: String) = t
+          .orderBy(col(by).desc, col("doc_id"))
+          .limit(depth)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col(by).desc, col("doc_id"))))
+        graft.ops.Ranking.rankBiasedOverlap(
+            ranked("nt"), ranked("nd"), "doc_id", "r",
+            depth = depth, pNum = 9, pDen = 10)
+          .orderBy("d")
+      })
+  }
+
+  /** Gini concentration + Lorenz deciles
+    * ([[ops.Stats.giniConcentration]]) of token mass over documents —
+    * the corpus-inequality audit behind mix design and shard balance.
+    * Rank rides the hierarchical prefix-sum scaffold; the oracle
+    * replays the exact rank form with a plain window.
+    */
+  private lazy val q280: QueryDef =
+    QueryDef("q280_gini_token_concentration",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+                   FROM documents),
+        r AS (SELECT doc_id, w,
+                ROW_NUMBER() OVER (ORDER BY w, doc_id) AS rk FROM t),
+        tot AS (SELECT COUNT(*) AS n, SUM(w)::HUGEINT AS tw,
+                       SUM(rk::HUGEINT * w) AS srw FROM r),
+        g AS (SELECT CAST((2 * srw - (n + 1) * tw) * 1000000
+                // GREATEST(n::HUGEINT * tw, 1) AS BIGINT) AS gini_ppm,
+                n, tw FROM tot),
+        dc AS (SELECT ((rk - 1) * 10) // g.n AS decile,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(w) AS BIGINT) AS decile_weight
+               FROM r CROSS JOIN g GROUP BY 1)
+        SELECT dc.decile, dc.n_docs, dc.decile_weight,
+               CAST(SUM(dc.decile_weight::HUGEINT) OVER (ORDER BY dc.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000 // GREATEST(g.tw, 1) AS BIGINT)
+                 AS cum_weight_ppm,
+               g.gini_ppm
+        FROM dc CROSS JOIN g ORDER BY decile"""),
+      (s, d) => {
+        val t = spread(documents(s, d)).select(col("doc_id"),
+          size(graft.Pipeline.words(col("text"))).cast("long").as("w"))
+        graft.ops.Stats.giniConcentration(t, "doc_id", "w")
+          .orderBy("decile")
+      })
+
+  /** Poisson bootstrap ([[ops.Stats.poissonBootstrap]], B = 32) of
+    * mean tokens/doc — deterministic md5 multiplicities against the
+    * exact Poisson(1) CDF ppm thresholds, one exploded scan, variance
+    * of the mean off the bounded 32-row panel: the error bar a
+    * 100 TB metrics job attaches without a second pass.
+    */
+  private lazy val q281: QueryDef = {
+    val th = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    QueryDef("q281_poisson_bootstrap",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                   FROM documents),
+        bs AS (SELECT unnest(range(0, 32)) AS b),
+        e AS (SELECT bs.b, t.doc_id, t.v,
+                ${hash32Sql("'bs_' || bs.b || '_' || t.doc_id")}
+                  % 1000000 AS slot
+              FROM t CROSS JOIN bs),
+        m AS (SELECT b, v,
+                len(list_filter([${th.mkString(", ")}],
+                  x -> slot >= x)) AS mult
+              FROM e),
+        per AS (SELECT b AS resample, CAST(SUM(mult) AS BIGINT) AS n_eff,
+                  SUM(mult::HUGEINT * v) AS sv
+                FROM m GROUP BY b),
+        pm AS (SELECT resample, n_eff,
+                 CAST(sv * 1000000 // GREATEST(n_eff, 1) AS BIGINT)
+                   AS mean_ppm
+               FROM per),
+        vr AS (SELECT CAST((32 * SUM(mean_ppm::HUGEINT * mean_ppm)
+                 - SUM(mean_ppm::HUGEINT) * SUM(mean_ppm))
+                 // ${32L * 31L} AS BIGINT) AS var_ppm2 FROM pm)
+        SELECT CAST(resample AS BIGINT) AS resample, n_eff, mean_ppm,
+               var_ppm2
+        FROM pm CROSS JOIN vr ORDER BY resample"""),
+      (s, d) => {
+        val t = spread(documents(s, d)).select(col("doc_id"),
+          size(graft.Pipeline.words(col("text"))).cast("long").as("v"))
+        graft.ops.Stats.poissonBootstrap(t, "doc_id", "v",
+            resamples = 32)
+          .orderBy("resample")
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q275, q276, q277, q278)
+    q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281)
 }

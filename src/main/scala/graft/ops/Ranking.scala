@@ -190,4 +190,69 @@ object Ranking {
       .select(col("permille"), col("rank"), col(valueCol).as("value"))
       .orderBy("permille")
   }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated at
+    * `depth`: the top-weighted ranking-agreement score —
+    * `RBO@D = (1-p) * sum over d=1..D of p^(d-1) * |A_1..d ∩ B_1..d| / d`
+    * — retrieval-drift audits ("did the reranker change what users
+    * see?"), A/B ranking comparisons, regression gates on search
+    * changes. Top-weighted where Kendall/Spearman treat all positions
+    * equally; handles non-conjoint lists (items in only one ranking)
+    * natively, which rank correlations cannot.
+    *
+    * ALL-INTEGER: `p = pNum/pDen` rational; every term is scaled by
+    * the common denominator `pDen^(D-1) * lcm(1..D)` so the sum is a
+    * DECIMAL(38,0) of exact integer coefficients (precomputed; the
+    * bound `pDen^(D-1)*lcm <= 1e28` is enforced loudly — p = 9/10,
+    * D = 20 sits well inside), and `rbo_ppm` is one exact floor.
+    *
+    * Scale shape: inputs are ALREADY-RANKED frames (the producers are
+    * TakeOrderedAndProject / GroupedTopK top-k jobs); everything here
+    * runs on the <= depth-row intersection — one equi-join, one
+    * explode over (m..D), bounded aggregates. Output: one row per
+    * depth d (`d`, `overlap` = |A_1..d ∩ B_1..d|) with the final
+    * `rbo_ppm` replicated.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                        rankCol: String, depth: Int,
+                        pNum: Int, pDen: Int): DataFrame = {
+    require(depth >= 1 && depth <= 64, s"depth must be in [1, 64], got $depth")
+    require(pNum >= 1 && pNum < pDen,
+      s"p must be a fraction in (0, 1), got $pNum/$pDen")
+    val lcm = (1 to depth).map(BigInt(_)).reduce((x, y) => x * y / x.gcd(y))
+    val den = BigInt(pDen).pow(depth - 1) * lcm
+    require(den <= BigInt(10).pow(28),
+      s"pDen^(depth-1)*lcm(1..depth) = $den exceeds the DECIMAL(38,0) " +
+        "headroom — lower depth or pDen")
+    val coef = (1 to depth).map(d =>
+      BigInt(pNum).pow(d - 1) * BigInt(pDen).pow(depth - d) * (lcm / d))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val depths = coef.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toString) }
+      .toDF("d", "_cs")
+      .withColumn("_c", col("_cs").cast("decimal(38,0)")).drop("_cs")
+    val aj = a.select(col(idCol).as("_id"), col(rankCol).as("_ra"))
+      .filter(col("_ra") <= depth)
+    val bj = b.select(col(idCol).as("_id"), col(rankCol).as("_rb"))
+      .filter(col("_rb") <= depth)
+    val common = aj.join(bj, "_id")
+      .select(greatest(col("_ra"), col("_rb")).cast(LongType).as("_m"))
+    // an id first co-present at depth m contributes to every
+    // overlap@d with d >= m: explode + equi-group, never a range join
+    val ov = common
+      .withColumn("d", explode(expr(s"sequence(_m, ${depth}L)")))
+      .groupBy("d").agg(count(lit(1)).cast(LongType).as("overlap"))
+    val full = depths.join(ov, Seq("d"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+    val rbo = full.agg(
+      coalesce(sum(expr("_c * overlap")),
+        lit(0).cast("decimal(38,0)")).as("_num"))
+      .select(expr(s"CAST(_num * ${pDen - pNum} * 1000000 " +
+        s"div CAST('${den * pDen}' AS DECIMAL(38,0)) AS BIGINT)")
+        .as("rbo_ppm"))
+    full.select(col("d"), col("overlap"))
+      .crossJoin(broadcast(rbo))
+      .orderBy("d")
+  }
 }

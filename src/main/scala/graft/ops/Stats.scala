@@ -279,6 +279,116 @@ object Stats {
       .select("bin", "n", "n_pos", "raw_micro", "fitted_micro")
   }
 
+  /** Gini concentration + Lorenz deciles of an integer mass column —
+    * "what share of corpus tokens lives in the heaviest documents":
+    * the inequality audit behind mix design (a corpus where 5% of docs
+    * carry 80% of tokens trains differently than a flat one) and
+    * shard balance. `gini_ppm` uses the exact rank form
+    * `G = (2 * sum(rank*w) - (n+1) * W) / (n * W)` over the ascending
+    * (w, id) total order; the 10 Lorenz rows give cumulative mass at
+    * each docs-decile boundary.
+    *
+    * ALL-INTEGER (ppm floors over DECIMAL(38,0)); the global rank
+    * rides [[Ranking.globalRowNumberReleasable]]'s hierarchical
+    * scaffold (range slices + broadcast offsets — never a
+    * single-task window), deciles are one bounded groupBy, and the
+    * cumulative window runs on the 10-row panel.
+    */
+  def giniConcentration(df: DataFrame, idCol: String,
+                        weightCol: String): DataFrame =
+    giniConcentrationReleasable(df, idCol, weightCol)._1
+
+  /** [[giniConcentration]] plus the house *Releasable handle (the
+    * scaffold's boundary cache + the ranked frame feeding both the
+    * totals aggregate and the decile rollup).
+    */
+  def giniConcentrationReleasable(df: DataFrame, idCol: String,
+                                  weightCol: String)
+      : (DataFrame, () => Unit) = {
+    val base = df.select(col(idCol).as("_id"),
+      col(weightCol).cast("long").as("_w"))
+    val (ranked0, releaseRank) = Ranking.globalRowNumberReleasable(
+      base, Seq(col("_w"), col("_id")), "_r")
+    val ranked = ranked0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranked.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_w").cast("decimal(38,0)")).as("_tw"),
+      sum(col("_r").cast("decimal(38,0)") * col("_w")).as("_srw"))
+      .withColumn("gini_ppm", expr(
+        "CAST((2 * _srw - (_n + 1) * _tw) * 1000000" +
+          " div greatest(_n * _tw, 1) AS BIGINT)"))
+    val deciles = ranked.crossJoin(broadcast(totals))
+      .withColumn("decile", expr("((_r - 1) * 10) div _n"))
+      .groupBy("decile").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_w")).cast("long").as("decile_weight"),
+        first("_tw").as("_tw"), first("gini_ppm").as("gini_ppm"))
+    // 10-row panel from here: the unpartitioned window is a non-issue
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val out = deciles
+      .withColumn("_cum", sum(col("decile_weight").cast("decimal(38,0)"))
+        .over(cumW))
+      .withColumn("cum_weight_ppm", expr(
+        "CAST(_cum * 1000000 div greatest(_tw, 1) AS BIGINT)"))
+      .select("decile", "n_docs", "decile_weight", "cum_weight_ppm",
+        "gini_ppm")
+    (out, () => { ranked.unpersist(); releaseRank() })
+  }
+
+  /** Poisson bootstrap (the distributed bootstrap — per-resample
+    * multiplicities are independent Poisson(1) draws, the standard
+    * approximation of multinomial resampling when n is large) of a
+    * mean: `resamples` deterministic resamples of `valueCol`, each
+    * row's multiplicity in resample b read off a fresh md5 slot
+    * against the EXACT Poisson(1) CDF ppm thresholds — every engine,
+    * run, and retry draws the same bootstrap. Output: one row per
+    * resample (`n_eff`, `mean_ppm`) with the across-resample variance
+    * of the mean (`var_ppm2` — the error bar a metrics dashboard
+    * needs) replicated.
+    *
+    * Scale shape: ONE scan exploded x resamples (map-side, partial-
+    * combinable sums; the honest cost of B resamples is B passes of
+    * arithmetic, NOT B shuffles — one groupBy on the resample id),
+    * then the variance runs on the bounded B-row panel. All-integer.
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       resamples: Int): DataFrame = {
+    require(resamples >= 2 && resamples <= 256,
+      s"resamples must be in [2, 256], got $resamples")
+    // floor(1e6 * P(Poisson(1) <= k)) for k = 0..9: multiplicity =
+    // #{thresholds <= slot}, capped at 10 (P(>10) < 1e-8)
+    val th = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    val thArr = th.mkString("array(", "L, ", "L)")
+    val per = df
+      .select(col(idCol).cast("string").as("_id"),
+        col(valueCol).cast("long").as("_v"))
+      .withColumn("_b", explode(expr(s"sequence(0, ${resamples - 1})")))
+      .withColumn("_slot", pmod(graft.Pipeline.wordHash32(
+        concat_ws("_", lit("bs"), col("_b"), col("_id"))),
+        lit(1000000L)))
+      .withColumn("_m",
+        expr(s"size(filter($thArr, t -> _slot >= t))").cast("long"))
+      .groupBy(col("_b").cast("long").as("resample"))
+      .agg(sum("_m").cast("long").as("n_eff"),
+        sum((col("_m") * col("_v")).cast("decimal(38,0)")).as("_sv"))
+      .withColumn("mean_ppm", expr(
+        "CAST(_sv * 1000000 div greatest(n_eff, 1L) AS BIGINT)"))
+    val b = resamples
+    val varF = per.agg(
+      sum(col("mean_ppm").cast("decimal(38,0)")).as("_s1"),
+      sum((col("mean_ppm").cast("decimal(38,0)") * col("mean_ppm")))
+        .as("_s2"))
+      .select(expr(s"CAST(($b * _s2 - _s1 * _s1)" +
+        s" div (${b.toLong * (b - 1)}) AS BIGINT)").as("var_ppm2"))
+    per.select("resample", "n_eff", "mean_ppm")
+      .crossJoin(broadcast(varF))
+      .orderBy("resample")
+  }
+
   /** Chi-square independence audit of two categorical columns (is the
     * corpus mix of A independent of B — lang vs source, split vs
     * label?): per contingency cell, observed count, expected count

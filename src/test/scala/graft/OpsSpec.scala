@@ -3889,6 +3889,85 @@ class OpsSpec extends AnyFunSuite {
     assert(got.head._4 > 990000L)
   }
 
+  test("rankBiasedOverlap: identical, disjoint, and hand-computed partial lists") {
+    import spark.implicits._
+    def ranks(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("id", "r")
+    // identical lists at p=1/2, D=3: RBO = 1 - p^D = 7/8
+    val same = graft.ops.Ranking.rankBiasedOverlap(
+        ranks(Seq(1L, 2L, 3L)), ranks(Seq(1L, 2L, 3L)), "id", "r",
+        depth = 3, pNum = 1, pDen = 2)
+      .select("d", "overlap", "rbo_ppm")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(same == Seq((1L, 1L, 875000L), (2L, 2L, 875000L),
+      (3L, 3L, 875000L)))
+    // disjoint lists: 0
+    val disj = graft.ops.Ranking.rankBiasedOverlap(
+        ranks(Seq(1L, 2L)), ranks(Seq(8L, 9L)), "id", "r",
+        depth = 2, pNum = 1, pDen = 2)
+      .select("rbo_ppm").as[Long].collect().toSeq
+    assert(disj.forall(_ == 0L))
+    // A=[x,y], B=[y,z] at p=1/2, D=2: (1/2)*(0 + (1/2)*(1/2)) = 1/8
+    val part = graft.ops.Ranking.rankBiasedOverlap(
+        ranks(Seq(10L, 20L)), ranks(Seq(20L, 30L)), "id", "r",
+        depth = 2, pNum = 1, pDen = 2)
+      .select("d", "overlap", "rbo_ppm")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(part == Seq((1L, 0L, 125000L), (2L, 1L, 125000L)))
+  }
+
+  test("giniConcentration: flat corpus scores 0; concentrated mass scores high") {
+    import spark.implicits._
+    val flat = (1L to 40L).map((_, 100L)).toDF("id", "w")
+    val g0 = graft.ops.Stats.giniConcentration(flat, "id", "w")
+      .select("gini_ppm").as[Long].collect()
+    assert(g0.forall(_ == 0L))
+    // 3 zero-weight docs + one carrying all mass: G = (2*4*10 -
+    // 5*10) / (4*10) = 0.75
+    val skew = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L))
+      .toDF("id", "w")
+    val rows = graft.ops.Stats.giniConcentration(skew, "id", "w")
+      .orderBy("decile")
+      .select("decile", "n_docs", "decile_weight", "cum_weight_ppm",
+        "gini_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.forall(_._5 == 750000L))
+    assert(rows.last._4 == 1000000L) // Lorenz curve ends at 100%
+    assert(rows.map(_._4) == rows.map(_._4).sorted) // monotone
+  }
+
+  test("poissonBootstrap: exact JVM replay of multiplicities, means, variance") {
+    import spark.implicits._
+    val rows = (1L to 25L).map(i => (i, 10L + i % 7))
+    val df = rows.toDF("id", "v")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x")
+        .mkString, 16)
+    val th = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    val b = 8
+    val expect = (0 until b).map { bi =>
+      val ms = rows.map { case (id, v) =>
+        val slot = h32(s"bs_${bi}_$id") % 1000000L
+        (th.count(slot >= _).toLong, v)
+      }
+      val nEff = ms.map(_._1).sum
+      val sv = ms.map { case (m, v) => m * v }.sum
+      (bi.toLong, nEff, sv * 1000000L / math.max(nEff, 1L))
+    }
+    val s1 = expect.map(_._3).map(BigInt(_)).sum
+    val s2 = expect.map(_._3).map(x => BigInt(x) * x).sum
+    val expectVar = ((BigInt(b) * s2 - s1 * s1) /
+      BigInt(b.toLong * (b - 1))).toLong
+    val got = graft.ops.Stats.poissonBootstrap(df, "id", "v", b)
+      .orderBy("resample")
+      .select("resample", "n_eff", "mean_ppm", "var_ppm2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == expect)
+    assert(got.forall(_._4 == expectVar))
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

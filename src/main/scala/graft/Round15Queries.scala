@@ -1051,6 +1051,271 @@ object Round15Queries {
       })
   }
 
+  // ---- third round-15 batch (q282+): distribution drift, monotone
+  // association, neighborhood density — the audit trio between the
+  // eval family (AUC/kappa/calibration) and the graph family.
+
+  /** Two-sample KS drift gate ([[ops.Stats.ksTwoSample]]): the exact
+    * integer KS distance between the `n_chars` distributions of two
+    * languages — "did this slice's length distribution move?". The
+    * cumulative windows ride the distinct-VALUE frame (bounded by the
+    * length domain, not the corpus); the max row is picked by the
+    * deterministic (D desc, value asc) order on that bounded frame.
+    */
+  private lazy val q282: QueryDef =
+    QueryDef("q282_ks_two_sample",
+      Some("""
+        WITH sel AS (SELECT n_chars AS v, lang = 'en' AS isa
+                     FROM documents WHERE lang IN ('en', 'zh')),
+        pv AS (SELECT v, COUNT(*) FILTER (isa) AS ca,
+                      COUNT(*) FILTER (NOT isa) AS cb
+               FROM sel GROUP BY v),
+        ec AS (SELECT v,
+                 SUM(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cuma,
+                 SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumb,
+                 SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+               FROM pv),
+        dd AS (SELECT v, na, nb,
+                 abs(cuma * nb - cumb * na) AS dnum FROM ec)
+        SELECT v AS at_value, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(dnum::HUGEINT * 1000000
+                 // GREATEST(na::HUGEINT * nb, 1) AS BIGINT) AS d_ppm
+        FROM dd ORDER BY dnum DESC, v LIMIT 1"""),
+      (s, d) => graft.ops.Stats.ksTwoSample(
+        spread(documents(s, d)), "n_chars", "lang", "en", "zh"))
+
+  /** Spearman rank correlation ([[ops.Stats.spearmanCorr]]) between
+    * quantity and extended price over lineitem — heavy ties on the
+    * 50-value quantity side exercise the doubled-average-rank tie
+    * correction; price hops through DECIMAL(25,6) cents so both
+    * engines bucket identically. The oracle replays the doubled
+    * ranks, the six HUGEINT moment sums, and the per-factor corrected
+    * floor-sqrt verbatim.
+    */
+  private lazy val q283: QueryDef =
+    QueryDef("q283_spearman_corr",
+      Some("""
+        WITH base AS (SELECT CAST(l_quantity AS HUGEINT) AS x,
+                        CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+                          AS HUGEINT) AS y,
+                        l_orderkey AS ok, l_linenumber AS ln
+                      FROM lineitem),
+        px AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, ok, ln) AS pos
+               FROM base),
+        rx AS (SELECT x AS val, MIN(pos)::HUGEINT + MAX(pos) AS r2
+               FROM px GROUP BY x),
+        py AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y, ok, ln) AS pos
+               FROM base),
+        ry AS (SELECT y AS val, MIN(pos)::HUGEINT + MAX(pos) AS r2
+               FROM py GROUP BY y),
+        j AS (SELECT rx.r2 AS rxv, ry.r2 AS ryv
+              FROM base JOIN rx ON base.x = rx.val
+                        JOIN ry ON base.y = ry.val),
+        ag AS (SELECT COUNT(*)::HUGEINT AS n, SUM(rxv) AS sx,
+                      SUM(ryv) AS sy, SUM(rxv * ryv) AS sxy,
+                      SUM(rxv * rxv) AS sxx, SUM(ryv * ryv) AS syy
+               FROM j),
+        nm AS (SELECT n, n * sxy - sx * sy AS num,
+                      n * sxx - sx * sx AS a, n * syy - sy * sy AS b
+               FROM ag),
+        s0 AS (SELECT *,
+                 CAST(floor(sqrt(CAST(a AS DOUBLE))) AS HUGEINT) AS sa0,
+                 CAST(floor(sqrt(CAST(b AS DOUBLE))) AS HUGEINT) AS sb0
+               FROM nm),
+        sq AS (SELECT n, num,
+                 GREATEST(list_max(list_filter(
+                     [sa0 - 2, sa0 - 1, sa0, sa0 + 1, sa0 + 2],
+                     t -> t * t <= a)) *
+                   list_max(list_filter(
+                     [sb0 - 2, sb0 - 1, sb0, sb0 + 1, sb0 + 2],
+                     t -> t * t <= b)), 1) AS den
+               FROM s0)
+        SELECT CAST(n AS BIGINT) AS n_items,
+               CAST(num * 1000000 // den AS BIGINT) AS rho_ppm
+        FROM sq"""),
+      (s, d) => graft.ops.Stats.spearmanCorr(
+        lineitem(s, d).select(col("l_quantity"),
+          (col("l_extendedprice").cast("decimal(25,6)") * 100)
+            .cast("long").as("price_cents"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_quantity", "price_cents",
+        Seq("l_orderkey", "l_linenumber")))
+
+  /** Local clustering coefficient ([[ops.Graph
+    * .clusteringCoefficient]]) over the chain+clique graph: clique
+    * interiors score 1e6, chain nodes 0, the chain-clique boundary
+    * nodes the partial values — the farm-vs-organic density audit per
+    * node, companion to q270's core membership. The oracle runs the
+    * naive symmetric wedge-closure count (fine at oracle SF); the
+    * engine enumerates each triangle once from its lowest-degree
+    * corner.
+    */
+  private lazy val q284: QueryDef =
+    QueryDef("q284_clustering_coefficient",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        deg AS (SELECT x AS node, COUNT(*) AS degree FROM e0 GROUP BY x),
+        tr AS (SELECT e1.x AS node, COUNT(*) AS n_tri
+               FROM e0 e1 JOIN e0 e2 ON e1.x = e2.x AND e1.y < e2.y
+               JOIN und ON und.a = e1.y AND und.b = e2.y
+               GROUP BY e1.x)
+        SELECT deg.node AS node, CAST(degree AS BIGINT) AS degree,
+               CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(CASE WHEN degree >= 2
+                 THEN COALESCE(n_tri, 0)::HUGEINT * 2000000
+                   // (degree::HUGEINT * (degree - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_ppm
+        FROM deg LEFT JOIN tr ON tr.node = deg.node
+        ORDER BY node"""),
+      (s, d) => graft.ops.Graph.clusteringCoefficient(
+          chainCliqueEdges(s, d))
+        .orderBy("node"))
+
+  /** Neyman variance-optimal stratified allocation + deterministic
+    * draw ([[ops.Sampling.neymanAllocation]], budget 200 over `lang`
+    * strata by `n_chars` variance): the eval-set sizing form — budget
+    * goes where the metric is noisy, not uniformly. Integer sd via the
+    * corrected floor-sqrt, largest-remainder quota assignment, md5
+    * rank draw through the per-stratum scaffold; the oracle replays
+    * every step including the remainder tiebreaks.
+    */
+  private lazy val q285: QueryDef =
+    QueryDef("q285_neyman_allocation",
+      Some(s"""
+        WITH base AS (SELECT lang AS stratum, doc_id AS id,
+                        n_chars AS value FROM documents),
+        pn AS (SELECT stratum, COUNT(*)::HUGEINT AS nh,
+                      SUM(value::HUGEINT) AS sv,
+                      SUM(value::HUGEINT * value) AS svv
+               FROM base GROUP BY stratum),
+        va AS (SELECT stratum, nh,
+                 (nh * svv - sv * sv) * 1000000 // (nh * nh) AS ah
+               FROM pn),
+        sd0 AS (SELECT *, CAST(floor(sqrt(CAST(ah AS DOUBLE)))
+                  AS HUGEINT) AS s0 FROM va),
+        sd AS (SELECT stratum, nh,
+                 list_max(list_filter([s0-2, s0-1, s0, s0+1, s0+2],
+                   t -> t * t <= ah)) AS sdm
+               FROM sd0),
+        wv AS (SELECT stratum, nh, sdm,
+                 CASE WHEN (SELECT SUM(nh * sdm) FROM sd) > 0
+                   THEN nh * sdm ELSE nh END AS w
+               FROM sd),
+        tw AS (SELECT GREATEST(SUM(w), 1) AS totw FROM wv),
+        fl AS (SELECT stratum, nh, sdm, (200 * w) // totw AS f,
+                      (200 * w) % totw AS rem
+               FROM wv CROSS JOIN tw),
+        lo AS (SELECT 200 - SUM(f) AS leftover FROM fl),
+        rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum)
+                 AS rr FROM fl),
+        qt AS (SELECT stratum, CAST(nh AS BIGINT) AS n_stratum,
+                 CAST(sdm AS BIGINT) AS sd_milli,
+                 CAST(LEAST(f + CASE WHEN rr <= leftover THEN 1 ELSE 0
+                   END, nh) AS BIGINT) AS alloc_n
+               FROM rk CROSS JOIN lo),
+        sl AS (SELECT stratum, id, value,
+                 ${hash32Sql("'ney_' || id")} % 1000000 AS slot
+               FROM base),
+        rked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                   ORDER BY slot, id) AS rn FROM sl)
+        SELECT r.stratum, r.id, r.value, q.n_stratum, q.sd_milli,
+               q.alloc_n
+        FROM rked r JOIN qt q USING (stratum)
+        WHERE r.rn <= q.alloc_n ORDER BY stratum, id"""),
+      (s, d) => graft.ops.Sampling.neymanAllocation(
+          spread(documents(s, d)), "doc_id", "lang", "n_chars", n = 200)
+        .orderBy("stratum", "id"))
+
+  // Luby-MIS oracle: one round = draws -> live-neighbor min -> winners
+  // -> removal -> shrunken node/edge sets. l/le are MATERIALIZED (the
+  // q276 inlining lesson: each is referenced by the next round
+  // twice+). Extra rounds past drain are no-ops on empty sets.
+  private def lubyRoundCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
+      val p = t - 1
+      s"""
+        d$t AS (SELECT node,
+                  ${hash32Sql(s"'mis_' || node || '_' || $t")}::HUGEINT
+                    * 4294967296 + node AS k
+                FROM l$p),
+        nm$t AS (SELECT le.x AS node, MIN(d.k) AS mn
+                 FROM le$p le JOIN d$t d ON le.y = d.node GROUP BY le.x),
+        w$t AS MATERIALIZED (SELECT d.node FROM d$t d
+                 LEFT JOIN nm$t nm ON d.node = nm.node
+                 WHERE nm.mn IS NULL OR d.k < nm.mn),
+        r$t AS (SELECT node FROM w$t
+                UNION SELECT le.y FROM le$p le
+                      JOIN w$t w ON le.x = w.node),
+        l$t AS MATERIALIZED (SELECT node FROM l$p
+                EXCEPT SELECT node FROM r$t),
+        le$t AS MATERIALIZED (SELECT le.x, le.y FROM le$p le
+                 JOIN l$t a ON le.x = a.node
+                 JOIN l$t b ON le.y = b.node)"""
+    }.mkString(",")
+
+  /** Luby maximal independent set
+    * ([[ops.Graph.maximalIndependentSet]]) over the chain+clique
+    * graph — deterministic md5 draws, log-round drain, fail-loud on
+    * truncation: the diversity-selection primitive ("maximal set of
+    * mutually-non-adjacent docs"). Engine runs to drain; the oracle
+    * unrolls a measured-plus-slack round count (the md5-replayed
+    * drain takes 3 rounds at oracle SF; 8 are unrolled, and extra
+    * rounds are no-ops on empty sets — the q270 discipline). Spec
+    * verifies independence AND maximality directly.
+    */
+  private lazy val q286: QueryDef = {
+    val oracleRounds = 8
+    QueryDef("q286_luby_mis",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        l0 AS (SELECT DISTINCT x AS node FROM e0),
+        le0 AS (SELECT x, y FROM e0),
+        ${lubyRoundCtes(oracleRounds)}
+        SELECT node, round FROM (${(1 to oracleRounds).map(t =>
+          s"SELECT node, CAST($t AS BIGINT) AS round FROM w$t")
+          .mkString(" UNION ALL ")})
+        ORDER BY node"""),
+      (s, d) => graft.ops.Graph.maximalIndependentSet(
+          chainCliqueEdges(s, d), maxIters = 25)
+        .orderBy("node"))
+  }
+
+  /** Robust per-language location/scale ([[ops.Stats.robustStats]]):
+    * exact lower median and MAD of `n_chars` per lang — the
+    * outlier-proof quality panel. Two per-stratum scaffold passes;
+    * the oracle runs the naive per-stratum windows (fine at oracle
+    * SF).
+    */
+  private lazy val q287: QueryDef =
+    QueryDef("q287_robust_stats",
+      Some("""
+        WITH base AS (SELECT lang AS stratum, n_chars AS v, doc_id AS id
+                      FROM documents),
+        r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                 ORDER BY v, id) AS rn,
+                 COUNT(*) OVER (PARTITION BY stratum) AS n FROM base),
+        med AS (SELECT stratum, CAST(n AS BIGINT) AS n_rows,
+                       CAST(v AS BIGINT) AS median
+                FROM r1 WHERE rn = (n + 1) // 2),
+        dv AS (SELECT b.stratum, abs(b.v - m.median) AS d, b.id
+               FROM base b JOIN med m USING (stratum)),
+        r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                 ORDER BY d, id) AS rn,
+                 COUNT(*) OVER (PARTITION BY stratum) AS n FROM dv),
+        mad AS (SELECT stratum, CAST(d AS BIGINT) AS mad
+                FROM r2 WHERE rn = (n + 1) // 2)
+        SELECT med.stratum, n_rows, median, mad
+        FROM med JOIN mad USING (stratum) ORDER BY stratum"""),
+      (s, d) => graft.ops.Stats.robustStats(
+          spread(documents(s, d)), "lang", "n_chars", "doc_id")
+        .orderBy("stratum"))
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281)
+    q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
+    q282, q283, q284, q285, q286, q287)
 }

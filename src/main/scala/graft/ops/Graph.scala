@@ -783,4 +783,117 @@ object Graph {
     }
     (hops.result().reduce(_ unionAll _), () => { adj.unpersist(); () })
   }
+
+  /** Local clustering coefficient per node — `2 * triangles /
+    * (deg * (deg - 1))` in ppm — plus the inputs (`degree`, `n_tri`):
+    * the neighborhood-density audit that separates clique-like link
+    * farms (coeff -> 1e6) from chain/star organic linkage (coeff ->
+    * 0), read alongside [[kCore]]'s density screen and
+    * [[modularity]]'s labeling score. Degree-1 nodes have no defined
+    * coefficient and report 0 over their (degree, n_tri) facts.
+    *
+    * Shape at scale: [[triangleCounts]]'s degree-oriented enumeration
+    * (each triangle found exactly once from its lowest-degree corner
+    * — wedge volume is sum of SQUARED ORIENTED degrees, the bound
+    * that keeps hub wedges from exploding) plus one node-keyed degree
+    * aggregate and a left join back; all integer, DECIMAL(38,0) on
+    * the ppm product so 100x-degree hubs cannot overflow.
+    */
+  /** Luby's maximal independent set with DETERMINISTIC md5 draws —
+    * the log-round symmetry breaker behind distributed scheduling and
+    * diversity selection ("pick a maximal set of mutually-non-similar
+    * documents from a similarity graph" = MIS on that graph). Each
+    * round every LIVE node draws `key = hash32(node, round) * 2^32 +
+    * node` (a total order — node id breaks hash ties) and enters the
+    * MIS iff its key beats every live neighbor's; winners and their
+    * neighbors leave the graph. Expected O(log E) rounds (Luby 1986);
+    * the md5 draws make the run bit-replayable across engines, runs,
+    * and retries.
+    *
+    * Shape at scale per round: one node-keyed equi-join (draws onto
+    * the live symmetric edge list) + a partial-combinable min
+    * aggregate + two semi/anti-joins — the co-partitioned loop
+    * discipline of [[pageRank]], with a `localCheckpoint` per round
+    * (the q171 lineage lesson). A truncated run would emit an
+    * INDEPENDENT set that is not MAXIMAL (silently wrong for the
+    * diversity use), so non-convergence within `maxIters` fails
+    * loudly — the [[starComponents]] discipline.
+    *
+    * Node ids must be non-negative and < 2^32 for the key packing
+    * (loudly enforced). Returns `(node, round)` — MIS members with
+    * the round that admitted them.
+    */
+  def maximalIndependentSet(edges: DataFrame, maxIters: Int = 25,
+      onConverged: (Int, Boolean) => Unit = (_, _) => ()): DataFrame = {
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def keyOf(node: org.apache.spark.sql.Column, round: Int)
+        : org.apache.spark.sql.Column = {
+      val ok = when(node >= 0 && node < lit(4294967296L), node)
+        .otherwise(raise_error(lit(
+          "maximalIndependentSet: node ids must be in [0, 2^32)")))
+      graft.Pipeline.wordHash32(concat_ws("_", lit("mis"), node,
+        lit(round))).cast("decimal(38,0)") * lit(4294967296L) + ok
+    }
+    var live = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    var liveEdges = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    val mis = Seq.newBuilder[DataFrame]
+    var it = 0
+    var done = live.isEmpty
+    while (it < maxIters && !done) {
+      it += 1
+      val draws = live.withColumn("_k", keyOf(col("node"), it))
+      val nbrMin = liveEdges
+        .join(draws.select(col("node").as("y"), col("_k").as("_nk")), "y")
+        .groupBy(col("x").as("node")).agg(min("_nk").as("_mn"))
+      val winners = draws.join(nbrMin, Seq("node"), "left")
+        .filter(col("_mn").isNull || col("_k") < col("_mn"))
+        .select(col("node"), lit(it.toLong).as("round"))
+        .localCheckpoint()
+      mis += winners
+      val removed = winners.select("node")
+        .unionAll(liveEdges
+          .join(winners.select(col("node").as("x")), Seq("x"), "left_semi")
+          .select(col("y").as("node")))
+        .distinct()
+      live = live.join(removed, Seq("node"), "left_anti").localCheckpoint()
+      liveEdges = liveEdges
+        .join(live.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(live.select(col("node").as("y")), Seq("y"), "left_semi")
+        .localCheckpoint()
+      done = live.isEmpty
+    }
+    onConverged(it, done)
+    require(done,
+      s"maximalIndependentSet did not drain within $maxIters rounds " +
+        "(the set would be independent but not maximal); raise maxIters")
+    mis.result().reduce(_ unionAll _)
+  }
+
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
+    val tri = triangleCounts(und.select(col("a").as("src"),
+      col("b").as("dst")))
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coeff_ppm", expr(
+        "CASE WHEN degree >= 2 THEN CAST(" +
+          "CAST(n_tri AS DECIMAL(38,0)) * 2000000" +
+          " div (degree * CAST(degree - 1 AS DECIMAL(38,0))) AS BIGINT)" +
+          " ELSE 0L END"))
+  }
 }

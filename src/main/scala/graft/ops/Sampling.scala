@@ -673,4 +673,83 @@ object Sampling {
           coalesce(col("_tau"), col(weightCol).cast("double"))))
       .drop("_rn", "_tau")
   }
+
+  /** Neyman (variance-optimal) stratified allocation + draw: split a
+    * fixed budget of `n` samples across strata proportionally to
+    * `N_h * sd_h` — the allocation that minimizes the variance of the
+    * stratified estimator for a fixed budget (a uniform-rate sample
+    * wastes budget on low-variance strata; this is the form survey
+    * methodology and eval-set sizing actually prescribe) — then draw
+    * each stratum's quota deterministically by md5 rank.
+    *
+    * ALL-INTEGER and engine-portable: per-stratum population variance
+    * in micro-units `a_h = (N*Svv - Sv^2) * 1e6 div N^2` (DECIMAL(38,0)
+    * sums), `sd_milli = isqrt(a_h)` via
+    * [[graft.Similarity.isqrtPortable]] (the oracle replays the
+    * corrected floor-sqrt window), weights `w_h = N_h * sd_milli_h`,
+    * floor shares `n * w_h div W` with the leftover distributed by
+    * LARGEST REMAINDER (`n * w_h mod W` desc, stratum asc — exact,
+    * deterministic). If every stratum has zero variance (W = 0) the
+    * weights fall back to `N_h` (proportional allocation). A quota is
+    * finally capped at `N_h` (a tiny high-variance stratum can be
+    * over-allocated; the budget then UNDER-fills rather than silently
+    * shifting mass — reallocation is the caller's policy).
+    *
+    * Shape at scale: one grouped three-sum aggregate to the
+    * strata-bounded panel, the sqrt/remainder math on the COLLECTED
+    * panel (the kmeansFit bounded-collect discipline), and the draw
+    * via the per-stratum hierarchical prefix-sum scaffold (never a
+    * per-stratum window sort) against the broadcast quota map.
+    *
+    * Output: the sampled rows `(stratum, id, value)` plus the
+    * stratum's `n_stratum`, `sd_milli`, `alloc_n` audit columns.
+    */
+  def neymanAllocation(df: DataFrame, idCol: String, strataCol: String,
+                       valueCol: String, n: Int): DataFrame = {
+    require(n > 0, s"budget must be positive, got $n")
+    val spark = df.sparkSession
+    val base = df.select(col(strataCol).cast("string").as("stratum"),
+      col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("value"))
+    val panel = base.groupBy("stratum").agg(
+      count(lit(1)).cast("long").as("_n"),
+      sum(col("value").cast("decimal(38,0)")).as("_sv"),
+      sum(col("value").cast("decimal(38,0)") * col("value")).as("_svv"))
+      .collect()
+    val stats = panel.map { r =>
+      val nh = BigInt(r.getLong(1))
+      val sv = BigInt(r.getDecimal(2).toBigInteger)
+      val svv = BigInt(r.getDecimal(3).toBigInteger)
+      val aH = ((nh * svv - sv * sv) * 1000000) / (nh * nh)
+      (r.getString(0), nh, graft.Similarity.isqrtPortable(aH))
+    }.sortBy(_._1)
+    val wByVar = stats.map { case (s, nh, sd) => (s, nh, sd, nh * sd) }
+    val useVar = wByVar.map(_._4).sum > 0
+    val weights = if (useVar) wByVar
+      else wByVar.map { case (s, nh, sd, _) => (s, nh, sd, nh) }
+    val totW = weights.map(_._4).sum.max(BigInt(1))
+    val floors = weights.map { case (s, nh, sd, w) =>
+      (s, nh, sd, (BigInt(n) * w / totW), BigInt(n) * w % totW)
+    }
+    val leftover = (BigInt(n) - floors.map(_._4).sum).toInt
+    val bump = floors.sortBy { case (s, _, _, _, rem) => (-rem, s) }
+      .take(leftover).map(_._1).toSet
+    val quota = floors.map { case (s, nh, sd, f, _) =>
+      val q = (f + (if (bump(s)) 1 else 0)).min(nh)
+      (s, nh.toLong, sd.toLong, q.toLong)
+    }
+    import spark.implicits._
+    val quotaDf = quota.toSeq
+      .toDF("stratum", "n_stratum", "sd_milli", "alloc_n")
+    // stratum-local md5 rank via the scaffold; ids break hash ties
+    val slot = pmod(graft.Pipeline.wordHash32(
+      concat_ws("_", lit("ney"), col("id"))), lit(1000000L))
+    val (pref, _) = Hierarchical.prefixSum(
+      base.withColumn("_slot", slot),
+      Seq(col("_slot"), col("id")), Seq("stratum"), lit(1L), "_before", 0)
+    pref.join(broadcast(quotaDf), Seq("stratum"))
+      .filter(col("_before") + 1 <= col("alloc_n"))
+      .select("stratum", "id", "value", "n_stratum", "sd_milli",
+        "alloc_n")
+  }
 }

@@ -553,4 +553,161 @@ object Stats {
           " div greatest(2520 * _spair, 1) AS BIGINT)"))
       .select("n_ratings", "n_items", "do_ppm", "de_ppm", "alpha_ppm")
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the distributions
+    * of an integer metric in two groups — the drift gate a corpus
+    * refresh runs ("did this crawl's length distribution move vs the
+    * last one?") and the sharpest distribution-free two-sample test.
+    * `D = max over values of |F_A(v) - F_B(v)|`, computed EXACTLY as
+    * the integer `max |cumA * nB - cumB * nA|` (common denominator
+    * nA*nB — no float ECDFs to diverge between engines); output is the
+    * one row `(at_value, n_a, n_b, d_ppm)` with `at_value` the
+    * smallest value attaining the max (deterministic tiebreak) and
+    * `d_ppm = floor(1e6 * D)`.
+    *
+    * Shape at scale: one grouped count over the scan (map-side
+    * combine), then the cumulative windows ride the distinct-VALUE
+    * frame — bounded by the metric's DOMAIN (document lengths, score
+    * buckets), not the corpus, the same contract as
+    * [[chiSquareCells]]'s category-bounded margins. A genuinely
+    * continuous metric should be quantized before calling (the KS
+    * statistic of the quantized metric is what the gate then tests).
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, s"groups must differ, got '$groupA' twice")
+    val w = org.apache.spark.sql.expressions.Window
+    val perValue = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("_v"),
+        (col(groupCol) === groupA).as("_isA"))
+      .groupBy("_v")
+      .agg(count(when(col("_isA"), 1)).cast("long").as("_ca"),
+        count(when(!col("_isA"), 1)).cast("long").as("_cb"))
+    val cum = w.orderBy("_v").rowsBetween(w.unboundedPreceding, w.currentRow)
+    perValue
+      .withColumn("_cuma", sum("_ca").over(cum))
+      .withColumn("_cumb", sum("_cb").over(cum))
+      .withColumn("_na", expr("sum(_ca) OVER ()"))
+      .withColumn("_nb", expr("sum(_cb) OVER ()"))
+      .withColumn("_dnum",
+        abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
+      .orderBy(col("_dnum").desc, col("_v"))
+      .limit(1)
+      .select(col("_v").as("at_value"),
+        col("_na").cast("long").as("n_a"),
+        col("_nb").cast("long").as("n_b"),
+        expr("CAST(CAST(_dnum AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(CAST(_na AS DECIMAL(38,0)) * _nb, 1) AS BIGINT)")
+          .as("d_ppm"))
+  }
+
+  /** Spearman rank correlation (tie-corrected: Pearson over AVERAGE
+    * ranks) between two numeric columns — the monotone-association
+    * audit ("does quality score track document length?") that is
+    * outlier-robust where Pearson is not. ALL-INTEGER and
+    * engine-portable: each column's rows get their DOUBLED average
+    * rank (ranks in a tie group are consecutive under the
+    * (value, id...) total order, so `min(pos) + max(pos)` IS twice
+    * the average rank — integral, no halves), the six moment sums
+    * accumulate as DECIMAL(38,0), and
+    * `rho_ppm = num * 1e6 div (isqrt(A) * isqrt(B))` with
+    * `num = n*Sxy - Sx*Sy`, `A = n*Sxx - Sx^2`, `B = n*Syy - Sy^2`
+    * and the floor-sqrt taken PER FACTOR — `isqrt(A*B)` would need
+    * ~n^6 headroom and overflow HUGEINT past n ~ 1e6, while each
+    * factor alone (~4n^4) holds to n ~ 7e8. The per-factor floors
+    * UNDERESTIMATE the denominator by a relative ~2/sqrt(A) — about
+    * 1e-9 at corpus scale (sub-ppm; |rho_ppm| can exceed 1e6 by that
+    * much, and visibly at toy n) — but the definition is shared
+    * EXACTLY by both engines, via [[graft.Similarity.isqrtPortable]]
+    * and the oracle's corrected floor-sqrt window, so the compare is
+    * bit-strict.
+    *
+    * Shape at scale: two hierarchical-scaffold rankings (never a
+    * single-task window), per-value doubled ranks via groupBy +
+    * join-back (the q264 lesson: min/max-over-window would buffer a
+    * hyper-tied value's rows in one task; the groupBy ships only
+    * (value, min, max)), one six-sum aggregate, and the final math on
+    * the collected ONE-ROW panel (the kmeansFit bounded-collect
+    * discipline).
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String,
+                   idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty, "idCols must provide a rank tiebreak")
+    val spark = df.sparkSession
+    val ids = idCols.map(col)
+    val base = df.select(col(xCol).cast("long").as("_x") +:
+      col(yCol).cast("long").as("_y") +: ids: _*)
+    def doubledRanks(v: String): DataFrame =
+      Ranking.globalRowNumber(base, col(v) +: ids, "_pos")
+        .groupBy(col(v).as("_val"))
+        .agg((min("_pos") + max("_pos")).as("_r2"))
+    val withRanks = base
+      .join(doubledRanks("_x").withColumnRenamed("_r2", "_rx"),
+        col("_x") === col("_val")).drop("_val")
+      .join(doubledRanks("_y").withColumnRenamed("_r2", "_ry"),
+        col("_y") === col("_val")).drop("_val")
+    val row = withRanks.agg(
+      count(lit(1)).cast("long").as("n"),
+      coalesce(sum(col("_rx").cast("decimal(38,0)")), lit(0)).as("sx"),
+      coalesce(sum(col("_ry").cast("decimal(38,0)")), lit(0)).as("sy"),
+      coalesce(sum(col("_rx").cast("decimal(38,0)") * col("_ry")),
+        lit(0)).as("sxy"),
+      coalesce(sum(col("_rx").cast("decimal(38,0)") * col("_rx")),
+        lit(0)).as("sxx"),
+      coalesce(sum(col("_ry").cast("decimal(38,0)") * col("_ry")),
+        lit(0)).as("syy")).first()
+    val n = BigInt(row.getLong(0))
+    def dec(i: Int): BigInt = BigInt(row.getDecimal(i).toBigInteger)
+    val (sx, sy, sxy, sxx, syy) = (dec(1), dec(2), dec(3), dec(4), dec(5))
+    val num = n * sxy - sx * sy
+    val a = n * sxx - sx * sx
+    val b = n * syy - sy * sy
+    val den = (graft.Similarity.isqrtPortable(a) *
+      graft.Similarity.isqrtPortable(b)).max(BigInt(1))
+    // BigInt / truncates toward zero — matching the oracle's HUGEINT //
+    val rho = (num * 1000000) / den
+    import spark.implicits._
+    Seq((row.getLong(0), rho.toLong)).toDF("n_items", "rho_ppm")
+  }
+
+  /** Robust per-stratum location/scale: EXACT lower median and MAD
+    * (median absolute deviation, unscaled) of an integer metric —
+    * the outlier-proof quality panel ("median length and spread per
+    * language") where mean/stddev are dragged by a single pathological
+    * document. "Lower median" = the value at rank `(n+1) div 2` under
+    * the (value, id) total order — a value the corpus actually
+    * contains, exact and engine-portable (no midpoint averaging to
+    * disagree on).
+    *
+    * Shape at scale: TWO per-stratum hierarchical prefix-sum scaffold
+    * passes (rank by value, then rank by |value - median|) — never a
+    * per-stratum window sort, which would hash a whole stratum
+    * (potentially a third of the corpus) to one task — each followed
+    * by a rank-keyed filter against the broadcast strata-bounded
+    * panel. Output: `(stratum, n_rows, median, mad)`.
+    */
+  def robustStats(df: DataFrame, strataCol: String, valueCol: String,
+                  idCol: String): DataFrame = {
+    val base = df.select(col(strataCol).cast("string").as("stratum"),
+      col(valueCol).cast("long").as("_v"),
+      col(idCol).cast("long").as("_id"))
+    def medianOf(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val (pref, _) = Hierarchical.prefixSum(in,
+        Seq(col(vCol), col("_id")), Seq("stratum"), lit(1L), "_before", 0)
+      val counts = pref.groupBy("stratum")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+      pref.join(broadcast(counts), Seq("stratum"))
+        .filter(col("_before") + 1 === expr("(n_rows + 1) div 2"))
+        .select(col("stratum"), col("n_rows"), col(vCol).as(out))
+    }
+    val med = medianOf(base, "_v", "median")
+    val dev = base.join(broadcast(med.select("stratum", "median")),
+        Seq("stratum"))
+      .withColumn("_d", abs(col("_v") - col("median")))
+    medianOf(dev, "_d", "mad")
+      .drop("n_rows")
+      .join(broadcast(med), Seq("stratum"))
+      .select("stratum", "n_rows", "median", "mad")
+  }
 }

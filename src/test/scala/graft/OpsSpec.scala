@@ -3968,6 +3968,164 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(_._4 == expectVar))
   }
 
+  test("ksTwoSample: hand ECDFs, deterministic argmax, identical = 0") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("b", _)) ++
+      Seq(99L).map(("other", _))).toDF("g", "v")
+    // F_a - F_b = 0.5 first attained at v = 2 (then held at 3 and 4);
+    // the 'other' group must be ignored
+    val r = graft.ops.Stats.ksTwoSample(df, "v", "g", "a", "b")
+      .select("at_value", "n_a", "n_b", "d_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 4L, 4L, 500000L)))
+    val same = (Seq(1L, 2L, 2L, 7L).map(("a", _)) ++
+      Seq(1L, 2L, 2L, 7L).map(("b", _))).toDF("g", "v")
+    val r0 = graft.ops.Stats.ksTwoSample(same, "v", "g", "a", "b")
+      .select("at_value", "d_ppm").as[(Long, Long)].collect().toSeq
+    assert(r0 == Seq((1L, 0L)))
+  }
+
+  test("spearmanCorr: exact BigInt replay; monotone/anti/tied cases") {
+    import spark.implicits._
+    def replay(rows: Seq[(Long, Long)]): (Long, Long) = {
+      val n = rows.size
+      def r2(vs: Seq[Long]): Map[Long, BigInt] = {
+        val sorted = vs.zipWithIndex.sortBy(identity)
+          .zipWithIndex.map { case ((v, _), p) => (v, BigInt(p + 1)) }
+        sorted.groupBy(_._1).map { case (v, ps) =>
+          v -> (ps.map(_._2).min + ps.map(_._2).max)
+        }
+      }
+      val rx = r2(rows.map(_._1)); val ry = r2(rows.map(_._2))
+      val pairs = rows.map { case (x, y) => (rx(x), ry(y)) }
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val a = n * sxx - sx * sx; val b = n * syy - sy * sy
+      val den = (Similarity.isqrtPortable(a) *
+        Similarity.isqrtPortable(b)).max(BigInt(1))
+      (n.toLong, ((num * 1000000) / den).toLong)
+    }
+    def run(rows: Seq[(Long, Long)]): (Long, Long) = {
+      val df = rows.zipWithIndex.map { case ((x, y), i) =>
+        (x, y, i.toLong)
+      }.toDF("x", "y", "id")
+      val r = graft.ops.Stats.spearmanCorr(df, "x", "y", Seq("id"))
+        .select("n_items", "rho_ppm").as[(Long, Long)].head()
+      r
+    }
+    // strictly monotone (y = x^2 order-preserving), no ties
+    val mono = (1L to 100L).map(x => (x, x * x))
+    val gm = run(mono)
+    assert(gm == replay(mono))
+    assert(math.abs(gm._2 - 1000000L) <= 500,
+      s"monotone rho ${gm._2} (per-factor floor-sqrt slack at n=100)")
+    // strictly anti-monotone
+    val anti = (1L to 100L).map(x => (x, 1000L - x))
+    val ga = run(anti)
+    assert(ga == replay(anti))
+    assert(math.abs(ga._2 + 1000000L) <= 500)
+    // heavy ties on x (3 values), independent-ish y: exact replay only
+    val tied = (1L to 60L).map(i => (i % 3, (i * 37) % 41))
+    assert(run(tied) == replay(tied))
+  }
+
+  test("clusteringCoefficient: triangle + pendant; duplicate edges dedup") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 on node 3; reversed + repeated
+    // edges must not change anything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (4L, 3L)).toDF("src", "dst")
+    val got = graft.ops.Graph.clusteringCoefficient(edges)
+      .orderBy("node")
+      .select("node", "degree", "n_tri", "coeff_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),
+      (4L, 1L, 0L, 0L)))
+  }
+
+  test("neymanAllocation: quotas follow N_h * sd_h; caps; determinism") {
+    import spark.implicits._
+    // stratum a: constant (sd 0, 40 rows); b: high variance (20 rows);
+    // c: tiny but spread (4 rows) — budget must concentrate on b, cap c
+    val rows = (1L to 40L).map(i => ("a", i, 100L)) ++
+      (1L to 20L).map(i => ("b", 100L + i, if (i % 2 == 0) 0L else 1000L)) ++
+      (1L to 4L).map(i => ("c", 200L + i, i * 500L))
+    val df = rows.toDF("s", "id", "v")
+    val got = graft.ops.Sampling.neymanAllocation(df, "id", "s", "v", 12)
+      .select("stratum", "id", "n_stratum", "sd_milli", "alloc_n")
+      .collect()
+    val byStratum = got.groupBy(_.getString(0))
+    // zero-variance stratum draws nothing unless remainders bump it
+    val allocs = got.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(allocs.getOrElse("a", 0L) <= 1L)
+    assert(allocs("b") >= 8L) // 20 * sd(~500k milli) dominates
+    assert(allocs.get("c").forall(_ <= 4L)) // capped at N_c
+    // sampled count per stratum == its quota
+    byStratum.foreach { case (s, rs) =>
+      assert(rs.length == rs.head.getLong(4), s"stratum $s")
+    }
+    // deterministic: same input -> same sample ids
+    val again = graft.ops.Sampling.neymanAllocation(df, "id", "s", "v", 12)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == got.map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus triangle 10-11-12 plus isolated edge 20-21
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))).toDF("src", "dst")
+    var rounds = 0
+    val mis = graft.ops.Graph.maximalIndependentSet(edges,
+        onConverged = (r, ok) => { rounds = r; assert(ok) })
+      .select("node").as[Long].collect().toSet
+    val adj = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+    // independent: no edge inside the set
+    adj.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside MIS") }
+    // maximal: every non-member has a member neighbor
+    val nodes = adj.flatMap(e => Seq(e._1, e._2)).toSet
+    (nodes -- mis).foreach { n =>
+      val nbrs = adj.collect { case (a, b) if a == n => b
+                               case (a, b) if b == n => a }
+      assert(nbrs.exists(mis), s"non-member $n has no MIS neighbor")
+    }
+    // triangle contributes exactly 1, isolated edge exactly 1
+    assert(Seq(10L, 11L, 12L).count(mis) == 1)
+    assert(Seq(20L, 21L).count(mis) == 1)
+    assert(rounds >= 1)
+    // truncation fails loudly
+    intercept[Exception] {
+      graft.ops.Graph.maximalIndependentSet(
+        (1L to 40L).sliding(2).map(p => (p(0), p(1))).toSeq
+          .toDF("src", "dst"), maxIters = 1).collect()
+    }
+  }
+
+  test("robustStats: exact lower median and MAD per stratum") {
+    import spark.implicits._
+    // odd stratum: 1,3,5,7,100 -> median 5, |d| = 4,2,0,2,95 -> mad 2
+    // even stratum: 10,20,30,40 -> lower median 20, |d| = 10,0,10,20
+    //   sorted 0,10,10,20 -> lower median (rank 2) = 10
+    val df = (Seq(1L, 3L, 5L, 7L, 100L).map(("odd", _)) ++
+      Seq(10L, 20L, 30L, 40L).map(("even", _)))
+      .zipWithIndex.map { case ((s, v), i) => (s, v, i.toLong) }
+      .toDF("s", "v", "id")
+    val got = graft.ops.Stats.robustStats(df, "s", "v", "id")
+      .orderBy("stratum")
+      .select("stratum", "n_rows", "median", "mad")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("even", 4L, 20L, 10L), ("odd", 5L, 5L, 2L)))
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

@@ -1315,7 +1315,122 @@ object Round15Queries {
           spread(documents(s, d)), "lang", "n_chars", "doc_id")
         .orderBy("stratum"))
 
+  // HyperBall oracle: one round = registers flow one hop (self UNION
+  // neighbor-join) into a per-(node, bucket) MAX; g{t} MATERIALIZED
+  // (each feeds round t+1 AND its own estimate — the q276 lesson).
+  private def hyperballRoundCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
+      val p = t - 1
+      s"""
+        g$t AS MATERIALIZED (SELECT node, bucket, MAX(r) AS r FROM (
+            SELECT node, bucket, r FROM g$p
+            UNION ALL
+            SELECT e.x AS node, g.bucket, g.r
+            FROM e0 e JOIN g$p g ON g.node = e.y
+          ) GROUP BY node, bucket)"""
+    }.mkString(",")
+
+  // q221's integer RAW HLL estimator with the linear-counting
+  // small-range branch (Graph.LcTable's precomputed literals — the
+  // SAME constants the engine inlines), per node, summed — one
+  // neighborhood-function row per radius.
+  private def hyperballNfSql(t: Int): String = {
+    val lc = graft.ops.Graph.LcTable.mkString("[", ", ", "]")
+    s"""
+        SELECT CAST($t AS BIGINT) AS radius,
+               CAST(SUM(CASE WHEN nb < 64 AND est < 160
+                 THEN ($lc)[CAST(64 - nb AS INT)]
+                 ELSE est END) AS BIGINT) AS reach_est FROM (
+          SELECT node, COUNT(*) AS nb,
+            CAST((709::HUGEINT * 64 * 64 * (1::BIGINT << 60))
+                 // (1000::HUGEINT *
+                     (SUM(1::HUGEINT * (1::BIGINT << CAST(60 - r AS INT)))
+                      + (64 - COUNT(*))::HUGEINT * (1::BIGINT << 60)))
+                 AS BIGINT) AS est
+          FROM g$t GROUP BY node)"""
+  }
+
+  /** HyperBall neighborhood function ([[ops.Graph.hyperBall]],
+    * radius 6, m = 64 registers) over the chain+clique graph:
+    * per-node deterministic-HLL balls merged one hop per round —
+    * reachability growth and the mean-distance-within-horizon audit
+    * without all-pairs BFS. Chains make N(t) grow ~linearly in t
+    * (each hop adds ~2 chain nodes per node), so the profile is a
+    * real growth curve, not an instant saturation. The oracle
+    * replays registers, merges, the integer RAW estimator, and the
+    * panel distance math verbatim.
+    */
+  private lazy val q288: QueryDef = {
+    val radius = 6
+    QueryDef("q288_hyperball_reach",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        nodes AS (SELECT DISTINCT x AS node FROM e0),
+        g0 AS MATERIALIZED (SELECT node, h % 64 AS bucket,
+                CAST(CASE WHEN h // 64 = 0 THEN 55
+                     ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS r
+              FROM (SELECT node,
+                      ${hash60Sql("CAST(node AS VARCHAR)")} AS h
+                    FROM nodes)),
+        ${hyperballRoundCtes(radius)},
+        nf AS (${(0 to radius).map(hyperballNfSql)
+          .mkString(" UNION ALL ")}),
+        pan AS (SELECT radius, reach_est,
+                  reach_est - LAG(reach_est) OVER (ORDER BY radius)
+                    AS gain
+                FROM nf),
+        av AS (SELECT CAST(SUM(radius * COALESCE(gain, 0)::HUGEINT)
+                 * 1000 // GREATEST(MAX(reach_est) - MIN(reach_est), 1)
+                 AS BIGINT) AS avg_distance_milli
+               FROM pan)
+        SELECT nf.radius, nf.reach_est, av.avg_distance_milli
+        FROM nf CROSS JOIN av ORDER BY radius"""),
+      (s, d) => graft.ops.Graph.hyperBall(
+          chainCliqueEdges(s, d), radius = radius, p = 6)
+        .orderBy("radius"))
+  }
+
+  /** Degree assortativity ([[ops.Graph.assortativity]]) of the
+    * chain+clique graph — hubs-link-hubs vs hub-and-spoke in one
+    * ppm number, the structural audit next to q284's density and
+    * q274's labeling score. Oracle replays the six HUGEINT moment
+    * sums and both corrected floor-sqrt windows (the q283
+    * denominator discipline).
+    */
+  private lazy val q289: QueryDef =
+    QueryDef("q289_degree_assortativity",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        deg AS (SELECT x AS node, COUNT(*)::HUGEINT AS deg
+                FROM e0 GROUP BY x),
+        pr AS (SELECT dx.deg AS x, dy.deg AS y FROM e0
+               JOIN deg dx ON dx.node = e0.x
+               JOIN deg dy ON dy.node = e0.y),
+        ag AS (SELECT COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                      SUM(y * y) AS syy
+               FROM pr),
+        nm AS (SELECT n, n * sxy - sx * sy AS num,
+                      n * sxx - sx * sx AS a, n * syy - sy * sy AS b
+               FROM ag),
+        s0 AS (SELECT *,
+                 CAST(floor(sqrt(CAST(a AS DOUBLE))) AS HUGEINT) AS sa0,
+                 CAST(floor(sqrt(CAST(b AS DOUBLE))) AS HUGEINT) AS sb0
+               FROM nm),
+        sq AS (SELECT n, num,
+                 GREATEST(list_max(list_filter(
+                     [sa0 - 2, sa0 - 1, sa0, sa0 + 1, sa0 + 2],
+                     t -> t * t <= a)) *
+                   list_max(list_filter(
+                     [sb0 - 2, sb0 - 1, sb0, sb0 + 1, sb0 + 2],
+                     t -> t * t <= b)), 1) AS den
+               FROM s0)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               CAST(num * 1000000 // den AS BIGINT) AS assortativity_ppm
+        FROM sq"""),
+      (s, d) => graft.ops.Graph.assortativity(chainCliqueEdges(s, d)))
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
-    q282, q283, q284, q285, q286, q287)
+    q282, q283, q284, q285, q286, q287, q288, q289)
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Distributed graph operators over an edge list — the link-analysis
   * half of a data-curation stack (source-authority weighting for mix
@@ -875,6 +875,161 @@ object Graph {
       s"maximalIndependentSet did not drain within $maxIters rounds " +
         "(the set would be independent but not maximal); raise maxIters")
     mis.result().reduce(_ unionAll _)
+  }
+
+  /** HyperBall (Boldi–Vigna 2013): the neighborhood function
+    * `N(t) = sum over nodes of |ball(node, t)|` estimated by one
+    * deterministic HLL register table per node, merged outward one
+    * hop per round — reachability growth, effective-diameter and
+    * mean-distance audits on graphs where exact all-pairs BFS is
+    * quadratic fantasy. Registers are [[Sketches.hllCells]]'
+    * md5-derived (bucket, rho) rows, so every engine/run/retry grows
+    * the SAME balls; merging is per-bucket MAX (exactly the register
+    * table of the union — the [[Sketches.hllMerge]] argument), so
+    * the REGISTERS are monotone by construction (the estimate is
+    * monotone within each estimator branch; a one-off wobble is
+    * possible exactly at the linear-counting/raw switch, identical in
+    * both engines). Estimates are
+    * [[Sketches.hllEstimate]]'s integer RAW estimator WITH the
+    * standard linear-counting small-range branch — the `ln` its
+    * docstring rejects (libm floors vary by engine) enters only as
+    * [[LcTable]]'s 64 precomputed literals, shared verbatim with the
+    * oracle, and both branch tests are exact-integer comparisons. The
+    * raw-only form put N(0) at ~45 per singleton node (measured at
+    * sf0.01: 22,640 for 500 nodes); with the branch N(0) counts
+    * nodes almost exactly.
+    *
+    * Shape at scale per round: registers flow over edges as ONE
+    * node-keyed equi-join (E * m rows — the honest HyperBall cost)
+    * into a partial-combinable (node, bucket) MAX, localCheckpoint
+    * per round; per-round totals are bounded aggregates. Fixed
+    * `radius` — the output declares the horizon, no convergence
+    * claim.
+    *
+    * Output: rows `(radius, reach_est, avg_distance_milli)` for
+    * t = 0..radius — `reach_est` the summed ball-size estimate,
+    * `avg_distance_milli` (replicated) the mean distance over pairs
+    * discovered within the horizon:
+    * `1000 * sum t*(N(t)-N(t-1)) div (N(radius)-N(0))`.
+    */
+  /** Small-range (linear-counting) correction table for [[hyperBall]]
+    * at m = 64: `LcTable(V-1) = floor(64 * ln(64 / V))` for V empty
+    * registers — PRECOMPUTED literals (the Benford-table pattern), so
+    * no runtime `ln` whose libm floor could differ between engines;
+    * the oracle interpolates the SAME constants. Standard HLL policy:
+    * use linear counting when V > 0 and the raw estimate < 5m/2 =
+    * 160 — both tests are on exact integers, so the switch is
+    * engine-identical.
+    */
+  private[graft] val LcTable: Seq[Long] = Seq(
+    266L, 221L, 195L, 177L, 163L, 151L, 141L, 133L, 125L, 118L, 112L,
+    107L, 102L, 97L, 92L, 88L, 84L, 81L, 77L, 74L, 71L, 68L, 65L, 62L,
+    60L, 57L, 55L, 52L, 50L, 48L, 46L, 44L, 42L, 40L, 38L, 36L, 35L,
+    33L, 31L, 30L, 28L, 26L, 25L, 23L, 22L, 21L, 19L, 18L, 17L, 15L,
+    14L, 13L, 12L, 10L, 9L, 8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L)
+
+  def hyperBall(edges: DataFrame, radius: Int = 6, p: Int = 6)
+      : DataFrame = {
+    require(radius >= 1 && radius <= 16,
+      s"radius must be in [1, 16], got $radius")
+    require(p == 6, "hyperBall's linear-counting table is built for " +
+      s"m = 64 (p = 6); got p = $p")
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    val nodes = sym.select(col("x").as("node")).distinct()
+    var regs = Sketches.hllCells(nodes, Seq(col("node")), "node", p)
+      .withColumnRenamed("_rho", "r")
+      .localCheckpoint()
+    val lcArr = LcTable.mkString("array(", "L, ", "L)")
+    def nf(t: Int, rg: DataFrame): DataFrame =
+      Sketches.hllEstimate(rg, Seq("node"), p)
+        .withColumn("_est", expr(
+          "CASE WHEN n_buckets < 64 AND est_distinct < 160" +
+            s" THEN element_at($lcArr, CAST(64 - n_buckets AS INT))" +
+            " ELSE est_distinct END"))
+        .agg(coalesce(sum("_est"), lit(0L)).cast(LongType)
+          .as("reach_est"))
+        .select(lit(t.toLong).as("radius"), col("reach_est"))
+    val profile = Seq.newBuilder[DataFrame]
+    profile += nf(0, regs)
+    for (t <- 1 to radius) {
+      val nbr = sym
+        .join(regs.select(col("node").as("y"), col("bucket"), col("r")),
+          "y")
+        .select(col("x").as("node"), col("bucket"), col("r"))
+      regs = regs.unionAll(nbr)
+        .groupBy("node", "bucket").agg(max("r").cast(LongType).as("r"))
+        .localCheckpoint()
+      profile += nf(t, regs)
+    }
+    val prof = profile.result().reduce(_ unionAll _)
+    // bounded (radius+1)-row panel; registers only grow under MAX, so
+    // the profile is monotone and the diffs are nonnegative
+    val panel = prof.orderBy("radius").collect()
+      .map(r => (r.getLong(0), BigInt(r.getLong(1))))
+    val gained = panel.sliding(2).collect {
+      case Array((_, prev), (t, cur)) => BigInt(t) * (cur - prev)
+    }.sum
+    val avgMilli = (gained * 1000 /
+      (panel.last._2 - panel.head._2).max(BigInt(1))).toLong
+    prof.withColumn("avg_distance_milli", lit(avgMilli))
+      .select("radius", "reach_est", "avg_distance_milli")
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the DIRECTED pair list of an undirected
+    * graph (each edge contributes (deg_u, deg_v) and (deg_v, deg_u))
+    * — do hubs link hubs (>0, social-graph shape) or leaves (<0,
+    * hub-and-spoke / star shape)? The one-number structural audit
+    * next to [[clusteringCoefficient]] and [[modularity]].
+    *
+    * ALL-INTEGER, the [[Stats.spearmanCorr]] denominator discipline:
+    * moment sums in DECIMAL(38,0), the final ratio on the collected
+    * ONE-ROW panel with PER-FACTOR floor-sqrt
+    * ([[graft.Similarity.isqrtPortable]]; sub-ppm slack at corpus
+    * scale, shared exactly with the oracle's corrected sqrt window).
+    * Shape: one degree aggregate + two node-keyed joins + one
+    * six-sum aggregate. Output: `(n_pairs, assortativity_ppm)`.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = sym.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).cast(LongType).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("node").as("x"), col("deg").as("_dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("_dy")), "y")
+    val row = pairs.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      coalesce(sum(col("_dx").cast(DecimalType(38, 0))), lit(0)).as("sx"),
+      coalesce(sum(col("_dy").cast(DecimalType(38, 0))), lit(0)).as("sy"),
+      coalesce(sum(col("_dx").cast(DecimalType(38, 0)) * col("_dy")),
+        lit(0)).as("sxy"),
+      coalesce(sum(col("_dx").cast(DecimalType(38, 0)) * col("_dx")),
+        lit(0)).as("sxx"),
+      coalesce(sum(col("_dy").cast(DecimalType(38, 0)) * col("_dy")),
+        lit(0)).as("syy")).first()
+    val n = BigInt(row.getLong(0))
+    def dec(i: Int): BigInt = BigInt(row.getDecimal(i).toBigInteger)
+    val (sx, sy, sxy, sxx, syy) = (dec(1), dec(2), dec(3), dec(4), dec(5))
+    val num = n * sxy - sx * sy
+    val den = (graft.Similarity.isqrtPortable(n * sxx - sx * sx) *
+      graft.Similarity.isqrtPortable(n * syy - sy * sy)).max(BigInt(1))
+    import spark.implicits._
+    Seq((row.getLong(0), ((num * 1000000) / den).toLong))
+      .toDF("n_pairs", "assortativity_ppm")
   }
 
   def clusteringCoefficient(edges: DataFrame): DataFrame = {

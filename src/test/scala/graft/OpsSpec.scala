@@ -4126,6 +4126,66 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("even", 4L, 20L, 10L), ("odd", 5L, 5L, 2L)))
   }
 
+  test("hyperBall: exact register/estimator replay on a path; monotone") {
+    import spark.implicits._
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val radius = 3
+    val got = graft.ops.Graph.hyperBall(edges, radius = radius, p = 6)
+      .orderBy("radius")
+      .select("radius", "reach_est", "avg_distance_milli")
+      .as[(Long, Long, Long)].collect().toSeq
+    // JVM replay: true balls via BFS, registers via the md5 recipe,
+    // the raw integer estimator, then the panel distance math
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x")
+        .mkString.take(15), 16)
+    val adj = (edgeSeq ++ edgeSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    def ball(n: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(n))((s, _) => s ++ s.flatMap(adj))
+    def est(members: Set[Long]): BigInt = {
+      val regs = members.groupMapReduce { v => h60(v.toString) % 64 } {
+        v =>
+          val rest = h60(v.toString) / 64
+          if (rest == 0) 55L
+          else 55L - java.lang.Long.toBinaryString(rest).length
+      }(math.max)
+      val s = regs.values.map(r => BigInt(1) << (60 - r.toInt)).sum +
+        BigInt(64 - regs.size) * (BigInt(1) << 60)
+      val raw = (BigInt(709) * 64 * 64 * (BigInt(1) << 60)) /
+        (BigInt(1000) * s)
+      if (regs.size < 64 && raw < 160)
+        BigInt(graft.ops.Graph.LcTable(64 - regs.size - 1))
+      else raw
+    }
+    val expectNf = (0 to radius).map(t =>
+      nodes.toSeq.map(n => est(ball(n, t))).sum)
+    val gained = (1 to radius)
+      .map(t => BigInt(t) * (expectNf(t) - expectNf(t - 1))).sum
+    val expectAvg = (gained * 1000 /
+      (expectNf(radius) - expectNf(0)).max(BigInt(1))).toLong
+    assert(got.map(_._2) == expectNf.map(_.toLong))
+    assert(got.map(_._1) == (0L to radius.toLong))
+    assert(got.forall(_._3 == expectAvg))
+    assert(got.map(_._2) == got.map(_._2).sorted) // monotone profile
+  }
+
+  test("assortativity: star = -1e6; regular graph reports 0") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = graft.ops.Graph.assortativity(star)
+      .select("n_pairs", "assortativity_ppm").as[(Long, Long)].head()
+    assert(s == ((6L, -1000000L)))
+    // 4-cycle: all degrees equal -> zero variance -> reported 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = graft.ops.Graph.assortativity(cyc)
+      .select("assortativity_ppm").as[Long].head()
+    assert(c == 0L)
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

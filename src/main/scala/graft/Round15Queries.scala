@@ -1332,23 +1332,27 @@ object Round15Queries {
 
   // q221's integer RAW HLL estimator with the linear-counting
   // small-range branch (Graph.LcTable's precomputed literals — the
-  // SAME constants the engine inlines), per node, summed — one
-  // neighborhood-function row per radius.
-  private def hyperballNfSql(t: Int): String = {
+  // SAME constants the engine inlines), as a per-node CTE `pe{t}`
+  // `(node, radius, est)` — q288 sums it per radius, q291 runs the
+  // harmonic window over it.
+  private def hyperballEstCte(t: Int): String = {
     val lc = graft.ops.Graph.LcTable.mkString("[", ", ", "]")
     s"""
-        SELECT CAST($t AS BIGINT) AS radius,
-               CAST(SUM(CASE WHEN nb < 64 AND est < 160
-                 THEN ($lc)[CAST(64 - nb AS INT)]
-                 ELSE est END) AS BIGINT) AS reach_est FROM (
+        pe$t AS (SELECT node, CAST($t AS BIGINT) AS radius,
+            CAST(CASE WHEN nb < 64 AND est < 160
+              THEN ($lc)[CAST(64 - nb AS INT)]
+              ELSE est END AS BIGINT) AS est FROM (
           SELECT node, COUNT(*) AS nb,
             CAST((709::HUGEINT * 64 * 64 * (1::BIGINT << 60))
                  // (1000::HUGEINT *
                      (SUM(1::HUGEINT * (1::BIGINT << CAST(60 - r AS INT)))
                       + (64 - COUNT(*))::HUGEINT * (1::BIGINT << 60)))
                  AS BIGINT) AS est
-          FROM g$t GROUP BY node)"""
+          FROM g$t GROUP BY node))"""
   }
+  private def hyperballNfSql(t: Int): String = s"""
+        SELECT radius, CAST(SUM(est) AS BIGINT) AS reach_est
+        FROM pe$t GROUP BY radius"""
 
   /** HyperBall neighborhood function ([[ops.Graph.hyperBall]],
     * radius 6, m = 64 registers) over the chain+clique graph:
@@ -1373,6 +1377,7 @@ object Round15Queries {
                       ${hash60Sql("CAST(node AS VARCHAR)")} AS h
                     FROM nodes)),
         ${hyperballRoundCtes(radius)},
+        ${(0 to radius).map(hyperballEstCte).mkString(",")},
         nf AS (${(0 to radius).map(hyperballNfSql)
           .mkString(" UNION ALL ")}),
         pan AS (SELECT radius, reach_est,
@@ -1430,7 +1435,101 @@ object Round15Queries {
         FROM sq"""),
       (s, d) => graft.ops.Graph.assortativity(chainCliqueEdges(s, d)))
 
+  /** AMS tug-of-war F2 sketch ([[ops.Sketches.amsF2Sketch]] -> merge
+    * -> estimate): per-source second moment of the token frequency
+    * vector — the self-join-size / groupBy-skew screen — via 60
+    * counters whose signs are the BITS of one 60-bit md5 per token
+    * (one md5 per row, the round-2 kernel lesson), built PER PARITY
+    * SHARD and merged by counter ADDITION (the q221 merge-exactness
+    * argument in the additive sketch), against the exact F2 with
+    * `err_ppm`. All integer; the oracle builds the one-shot counters
+    * directly, so hash equality proves the merge.
+    */
+  private lazy val q290: QueryDef =
+    QueryDef("q290_ams_f2",
+      Some(s"""
+        WITH t AS (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        hh AS (SELECT source, ${hash60Sql("'ams_' || w")} AS h FROM t),
+        e AS (SELECT source, h, unnest(range(0, 60)) AS c FROM hh),
+        sg AS (SELECT source, c,
+                 SUM(((h // (1::BIGINT << CAST(c AS INT))) % 2)
+                   * 2 - 1) AS s
+               FROM e GROUP BY source, c),
+        est AS (SELECT source,
+                  CAST(SUM(s::HUGEINT * s) // 60 AS BIGINT) AS f2_est
+                FROM sg GROUP BY source),
+        ex AS (SELECT source,
+                 CAST(SUM(f::HUGEINT * f) AS BIGINT) AS f2_exact
+               FROM (SELECT source, w, COUNT(*) AS f
+                     FROM t GROUP BY source, w)
+               GROUP BY source)
+        SELECT est.source, f2_est, f2_exact,
+               (abs(f2_est - f2_exact) * 1000000) // f2_exact AS err_ppm
+        FROM est JOIN ex USING (source) ORDER BY est.source"""),
+      (s, d) => {
+        val toks = spread(documents(s, d)).select(col("doc_id"),
+          col("source"),
+          explode(graft.Pipeline.words(col("text"))).as("w"))
+        val shards = toks.withColumn("_p", pmod(col("doc_id"), lit(2)))
+        val merged = graft.ops.Sketches.amsF2Merge(
+          graft.ops.Sketches.amsF2Sketch(shards, Seq("source", "_p"),
+            "w", counters = 60),
+          Seq("source"))
+        val est = graft.ops.Sketches.amsF2Estimate(merged,
+          Seq("source"), counters = 60)
+        val exact = toks.groupBy("source", "w")
+          .agg(count(lit(1)).cast("long").as("f"))
+          .groupBy("source")
+          .agg(sum(col("f").cast("decimal(38,0)") * col("f"))
+            .cast("long").as("f2_exact"))
+        est.join(exact, "source")
+          .withColumn("err_ppm", expr(
+            "(abs(f2_est - f2_exact) * 1000000) div f2_exact"))
+          .select("source", "f2_est", "f2_exact", "err_ppm")
+          .orderBy("source")
+      })
+
+  /** Harmonic centrality via HyperBall
+    * ([[ops.Graph.harmonicCentrality]], radius 6, top-100): each node
+    * discovered at distance t contributes 1000/t milli — closeness
+    * that needs no connectivity assumption. Clique members (2 hops to
+    * everything in their source's head) outrank chain interiors. The
+    * oracle reuses q288's register/estimator CTEs and replays the
+    * per-node lag window, the integer per-hop terms, and the
+    * (score desc, node) top-k.
+    */
+  private lazy val q291: QueryDef = {
+    val radius = 6
+    QueryDef("q291_harmonic_centrality",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        nodes AS (SELECT DISTINCT x AS node FROM e0),
+        g0 AS MATERIALIZED (SELECT node, h % 64 AS bucket,
+                CAST(CASE WHEN h // 64 = 0 THEN 55
+                     ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS r
+              FROM (SELECT node,
+                      ${hash60Sql("CAST(node AS VARCHAR)")} AS h
+                    FROM nodes)),
+        ${hyperballRoundCtes(radius)},
+        ${(0 to radius).map(hyperballEstCte).mkString(",")},
+        pp AS (${(0 to radius).map(t =>
+          s"SELECT node, radius, est FROM pe$t").mkString(" UNION ALL ")}),
+        gn AS (SELECT node, radius,
+                 est - LAG(est) OVER (PARTITION BY node ORDER BY radius)
+                   AS gain
+               FROM pp)
+        SELECT node, CAST(SUM((gain * 1000) // radius) AS BIGINT)
+                 AS harmonic_milli
+        FROM gn WHERE gain IS NOT NULL
+        GROUP BY node
+        ORDER BY harmonic_milli DESC, node LIMIT 100"""),
+      (s, d) => graft.ops.Graph.harmonicCentrality(
+        chainCliqueEdges(s, d), radius = radius, p = 6, topK = 100))
+  }
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
-    q282, q283, q284, q285, q286, q287, q288, q289)
+    q282, q283, q284, q285, q286, q287, q288, q289, q290, q291)
 }

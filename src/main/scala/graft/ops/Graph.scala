@@ -928,8 +928,14 @@ object Graph {
     33L, 31L, 30L, 28L, 26L, 25L, 23L, 22L, 21L, 19L, 18L, 17L, 15L,
     14L, 13L, 12L, 10L, 9L, 8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L)
 
-  def hyperBall(edges: DataFrame, radius: Int = 6, p: Int = 6)
-      : DataFrame = {
+  /** The HyperBall round loop shared by [[hyperBall]] and
+    * [[harmonicCentrality]]: per-node ball-size estimates at every
+    * radius 0..`radius` as rows `(node, radius, est)` — registers
+    * merged one hop per round, estimates through the integer RAW
+    * estimator with [[LcTable]]'s linear-counting branch.
+    */
+  private[graft] def hyperBallProfile(edges: DataFrame, radius: Int,
+                                      p: Int): DataFrame = {
     require(radius >= 1 && radius <= 16,
       s"radius must be in [1, 16], got $radius")
     require(p == 6, "hyperBall's linear-counting table is built for " +
@@ -949,13 +955,10 @@ object Graph {
     val lcArr = LcTable.mkString("array(", "L, ", "L)")
     def nf(t: Int, rg: DataFrame): DataFrame =
       Sketches.hllEstimate(rg, Seq("node"), p)
-        .withColumn("_est", expr(
+        .select(col("node"), lit(t.toLong).as("radius"), expr(
           "CASE WHEN n_buckets < 64 AND est_distinct < 160" +
             s" THEN element_at($lcArr, CAST(64 - n_buckets AS INT))" +
-            " ELSE est_distinct END"))
-        .agg(coalesce(sum("_est"), lit(0L)).cast(LongType)
-          .as("reach_est"))
-        .select(lit(t.toLong).as("radius"), col("reach_est"))
+            " ELSE est_distinct END").cast(LongType).as("est"))
     val profile = Seq.newBuilder[DataFrame]
     profile += nf(0, regs)
     for (t <- 1 to radius) {
@@ -968,9 +971,17 @@ object Graph {
         .localCheckpoint()
       profile += nf(t, regs)
     }
-    val prof = profile.result().reduce(_ unionAll _)
+    profile.result().reduce(_ unionAll _)
+  }
+
+  def hyperBall(edges: DataFrame, radius: Int = 6, p: Int = 6)
+      : DataFrame = {
+    val prof = hyperBallProfile(edges, radius, p)
+      .groupBy("radius")
+      .agg(coalesce(sum("est"), lit(0L)).cast(LongType).as("reach_est"))
     // bounded (radius+1)-row panel; registers only grow under MAX, so
-    // the profile is monotone and the diffs are nonnegative
+    // the profile is monotone up to the documented estimator-branch
+    // wobble
     val panel = prof.orderBy("radius").collect()
       .map(r => (r.getLong(0), BigInt(r.getLong(1))))
     val gained = panel.sliding(2).collect {
@@ -980,6 +991,38 @@ object Graph {
       (panel.last._2 - panel.head._2).max(BigInt(1))).toLong
     prof.withColumn("avg_distance_milli", lit(avgMilli))
       .select("radius", "reach_est", "avg_distance_milli")
+  }
+
+  /** Harmonic centrality, HyperBall-estimated (Boldi–Vigna's own
+    * headline application): per node
+    * `sum over t in 1..radius of (|ball(t)| - |ball(t-1)|) / t` —
+    * every node discovered at distance t contributes 1/t, so the
+    * score rewards being CLOSE to many nodes and needs no
+    * connectivity assumption (unreachable mass simply contributes 0,
+    * where closeness centrality degenerates). Truncated at `radius`
+    * (the output declares its horizon) and integer-exact in
+    * milli-units: per-hop terms are `(gain * 1000) div t`, summed
+    * order-free.
+    *
+    * Shape at scale: [[hyperBallProfile]]'s register rounds, then ONE
+    * window over the per-node (radius+1)-row partitions (bounded per
+    * node by construction) and a global top-k via
+    * TakeOrderedAndProject. Output: the `topK` rows
+    * `(node, harmonic_milli)` by (score desc, node).
+    */
+  def harmonicCentrality(edges: DataFrame, radius: Int = 6, p: Int = 6,
+                         topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("radius")
+    hyperBallProfile(edges, radius, p)
+      .withColumn("_gain", col("est") - lag("est", 1).over(w))
+      .filter(col("_gain").isNotNull)
+      .withColumn("_term", expr("(_gain * 1000) div radius"))
+      .groupBy("node")
+      .agg(sum("_term").cast(LongType).as("harmonic_milli"))
+      .orderBy(col("harmonic_milli").desc, col("node"))
+      .limit(topK)
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

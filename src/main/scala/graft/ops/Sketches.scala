@@ -634,4 +634,60 @@ object Sketches {
       .groupBy((groupCols.map(col) :+ col(probeCol)): _*)
       .agg(min(coalesce(col("_sn"), lit(0L))).cast(LongType).as("est_n"))
   }
+
+  // ===== AMS (tug-of-war) second-moment sketch =====
+
+  /** AMS F2 sketch (Alon–Matias–Szegedy): per group, `counters`
+    * signed sums `S_c = sum over rows of sign_c(value)` with
+    * `sign_c(v) = +-1` read off BIT c of the value's single 60-bit
+    * md5 hash — so `E[S_c^2] = F2 = sum over distinct values of
+    * frequency^2`, THE number behind self-join sizing, groupBy skew
+    * screening, and repeat-rate (Gini-Simpson) audits, in `counters`
+    * longs of mergeable state per group (sketches of shards ADD).
+    * Everything is exact integer given the hash recipe, so engines/
+    * shards/retries produce identical counters.
+    *
+    * ONE md5 per row, not one per (row, counter) — the round-2
+    * MinHash lesson (the kernel cost IS the md5 count): the 60 hash
+    * bits supply up to 60 independent-enough signs, and the explode
+    * multiplies only cheap shift/mask arithmetic. Scale shape: rows
+    * explode x `counters` map-side (the q281 bootstrap shape), ONE
+    * shuffle of group x counters partial sums.
+    */
+  def amsF2Sketch(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String, counters: Int = 60): DataFrame = {
+    require(counters >= 8 && counters <= 60,
+      s"counters must be in [8, 60] (one sign bit per 60-bit-hash " +
+        s"bit), got $counters")
+    df.select((groupCols.map(col) :+
+        wordHash60(concat(lit("ams_"),
+          col(valueCol).cast(StringType))).as("_h")): _*)
+      .withColumn("_c", explode(expr(s"sequence(0, ${counters - 1})")))
+      .withColumn("_sign", expr(
+        "((_h div shiftleft(1L, CAST(_c AS INT))) % 2) * 2 - 1")
+        .cast(LongType))
+      .groupBy((groupCols.map(col) :+ col("_c").cast(LongType)
+        .as("c")): _*)
+      .agg(sum("_sign").cast(LongType).as("s"))
+  }
+
+  /** Merge per-shard AMS sketches into one per group: counters ADD
+    * (the signed sum over the unioned rows) — one bounded aggregate,
+    * the same merge-exactness argument as [[hllMerge]].
+    */
+  def amsF2Merge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "c").map(col): _*)
+      .agg(sum(col("s")).cast(LongType).as("s"))
+
+  /** F2 estimate from an [[amsF2Sketch]]: the mean of the squared
+    * counters, `floor(sum S_c^2 / counters)` — exact integer over
+    * DECIMAL(38,0) (S_c is corpus-magnitude; its square needs the
+    * wide intermediate). Standard error ~ F2 * sqrt(2/counters).
+    * Output: groupCols + `f2_est`.
+    */
+  def amsF2Estimate(sketch: DataFrame, groupCols: Seq[String],
+                    counters: Int = 60): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"CAST(SUM(CAST(s AS DECIMAL(38,0)) * s)" +
+        s" div $counters AS BIGINT)").as("f2_est"))
 }

@@ -4186,6 +4186,80 @@ class OpsSpec extends AnyFunSuite {
     assert(c == 0L)
   }
 
+  test("amsF2: exact JVM sign replay; shard merge = one-shot; estimate") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, "g", s"tok${i % 7}"))
+    val df = rows.toDF("id", "g", "w")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x")
+        .mkString.take(15), 16)
+    val counters = 16
+    val expectS = (0 until counters).map { c =>
+      c.toLong -> rows.map { case (_, _, w) =>
+        ((h60(s"ams_$w") >> c) & 1L) * 2 - 1
+      }.sum
+    }.toMap
+    val oneShot = graft.ops.Sketches.amsF2Sketch(df, Seq("g"), "w",
+        counters)
+      .select("c", "s").as[(Long, Long)].collect().toMap
+    assert(oneShot == expectS)
+    // shard + merge equals the one-shot counters (sketches ADD)
+    val sharded = graft.ops.Sketches.amsF2Merge(
+      graft.ops.Sketches.amsF2Sketch(
+        df.withColumn("_p", pmod(col("id"), lit(3))),
+        Seq("g", "_p"), "w", counters),
+      Seq("g"))
+      .select("c", "s").as[(Long, Long)].collect().toMap
+    assert(sharded == expectS)
+    val est = graft.ops.Sketches.amsF2Estimate(
+      graft.ops.Sketches.amsF2Sketch(df, Seq("g"), "w", counters),
+      Seq("g"), counters)
+      .select("f2_est").as[Long].head()
+    val expectEst = (expectS.values.map(s => BigInt(s) * s).sum /
+      counters).toLong
+    assert(est == expectEst)
+  }
+
+  test("harmonicCentrality: exact replay on a path graph") {
+    import spark.implicits._
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val radius = 3
+    val got = graft.ops.Graph.harmonicCentrality(
+        edgeSeq.toDF("src", "dst"), radius = radius, p = 6, topK = 10)
+      .select("node", "harmonic_milli").as[(Long, Long)].collect().toSeq
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x")
+        .mkString.take(15), 16)
+    val adj = (edgeSeq ++ edgeSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(n: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(n))((s, _) => s ++ s.flatMap(adj))
+    def est(members: Set[Long]): BigInt = {
+      val regs = members.groupMapReduce { v => h60(v.toString) % 64 } {
+        v =>
+          val rest = h60(v.toString) / 64
+          if (rest == 0) 55L
+          else 55L - java.lang.Long.toBinaryString(rest).length
+      }(math.max)
+      val s = regs.values.map(r => BigInt(1) << (60 - r.toInt)).sum +
+        BigInt(64 - regs.size) * (BigInt(1) << 60)
+      val raw = (BigInt(709) * 64 * 64 * (BigInt(1) << 60)) /
+        (BigInt(1000) * s)
+      if (regs.size < 64 && raw < 160)
+        BigInt(graft.ops.Graph.LcTable(64 - regs.size - 1))
+      else raw
+    }
+    val expect = adj.keySet.toSeq.map { n =>
+      val h = (1 to radius).map { t =>
+        (est(ball(n, t)) - est(ball(n, t - 1))) * 1000 / BigInt(t)
+      }.sum
+      (n, h.toLong)
+    }.sortBy { case (n, h) => (-h, n) }
+    assert(got == expect)
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

@@ -1529,7 +1529,111 @@ object Round15Queries {
         chainCliqueEdges(s, d), radius = radius, p = 6, topK = 100))
   }
 
+  /** CUPED variance reduction ([[ops.Stats.cupedAdjust]]): revenue
+    * adjusted by pre-discount price as the covariate, variants =
+    * return flag — the A/B-metrics trick that shrinks confidence
+    * intervals by the covariate's explained variance. Metric and
+    * covariate are scaled to 1e-4-dollar integers — the product
+    * price * (1 - discount) has FOUR decimals, and a cents (*100)
+    * cast leaves a fraction DuckDB's DECIMAL->HUGEINT cast ROUNDS
+    * where Spark's decimal->long truncates (caught by the hash gate;
+    * *10000 makes the cast exact on both). One scan to a
+    * variant-bounded six-sum panel; theta, the floor pseudo-mean,
+    * and every adjusted moment expanded symbolically in BigInt; the
+    * oracle replays the identical HUGEINT panel algebra (milli
+    * theta keeps the squared moments inside HUGEINT at its SF —
+    * the engine's BigInt is unbounded).
+    */
+  private lazy val q292: QueryDef =
+    QueryDef("q292_cuped_adjust",
+      Some("""
+        WITH base AS (SELECT l_returnflag AS variant,
+                CAST(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6)) * 10000 AS HUGEINT) AS y,
+                CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 10000
+                  AS HUGEINT) AS x
+              FROM lineitem),
+        pv AS (SELECT variant, COUNT(*)::HUGEINT AS n, SUM(x) AS sx,
+                      SUM(y) AS sy, SUM(x * y) AS sxy,
+                      SUM(x * x) AS sxx, SUM(y * y) AS syy
+               FROM base GROUP BY variant),
+        gl AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+                      SUM(sxy) AS sxy, SUM(sxx) AS sxx
+               FROM pv),
+        th AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0::HUGEINT
+                 ELSE ((n * sxy - sx * sy) * 1000)
+                   // (n * sxx - sx * sx) END AS theta,
+                 sx // n AS xbar
+               FROM gl),
+        o AS (SELECT variant, n, theta,
+                (sy * 1000) // n AS mean_y_milli,
+                (sy * 1000 - theta * (sx - n * xbar)) // n
+                  AS mean_adj_milli,
+                syy * 1000000 - 2000 * theta * (sxy - xbar * sy)
+                  + theta * theta
+                    * (sxx - 2 * xbar * sx + n * xbar * xbar) AS sadj2,
+                sy * 1000 - theta * (sx - n * xbar) AS sadj,
+                (n * syy - sy * sy) * 1000000 AS varrawn
+              FROM pv CROSS JOIN th)
+        SELECT variant, CAST(n AS BIGINT) AS n_rows,
+               CAST(theta AS BIGINT) AS theta_milli,
+               CAST(mean_y_milli AS BIGINT) AS mean_y_milli,
+               CAST(mean_adj_milli AS BIGINT) AS mean_adj_milli,
+               CAST(CASE WHEN varrawn = 0 THEN 0
+                 ELSE ((varrawn - (n * sadj2 - sadj * sadj)) * 1000000)
+                   // varrawn END AS BIGINT) AS var_reduction_ppm
+        FROM o ORDER BY variant"""),
+      (s, d) => graft.ops.Stats.cupedAdjust(
+        lineitem(s, d).select(col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(25,6)").*(lit(10000)).cast("long")
+            .as("revenue_e4"),
+          col("l_extendedprice").cast("decimal(25,6)").*(lit(10000))
+            .cast("long").as("price_e4")),
+        "l_returnflag", "revenue_e4", "price_e4")
+        .orderBy("variant"))
+
+  /** Trimmed + winsorized means ([[ops.Stats.winsorizedMeans]], 5%
+    * each side) of `n_chars` per lang — the robust-location pair
+    * next to q287's median/MAD. One per-stratum scaffold ranking,
+    * rank-keyed boundary filters, one bounded aggregate; the oracle
+    * runs the naive per-stratum windows at its SF.
+    */
+  private lazy val q293: QueryDef =
+    QueryDef("q293_trimmed_means",
+      Some("""
+        WITH base AS (SELECT lang AS stratum, n_chars AS v, doc_id AS id
+                      FROM documents),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                ORDER BY v, id) AS rk,
+                COUNT(*) OVER (PARTITION BY stratum) AS n
+              FROM base),
+        k AS (SELECT *, (n * 50) // 1000 AS klo, (n * 50) // 1000 AS khi
+              FROM r),
+        lo AS (SELECT stratum, v AS lo_bound FROM k WHERE rk = klo + 1),
+        hi AS (SELECT stratum, v AS hi_bound FROM k WHERE rk = n - khi),
+        j AS (SELECT k.*, lo_bound, hi_bound FROM k
+              JOIN lo USING (stratum) JOIN hi USING (stratum))
+        SELECT stratum, CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MAX(lo_bound) AS BIGINT) AS lo_bound,
+               CAST(MAX(hi_bound) AS BIGINT) AS hi_bound,
+               CAST(SUM(CASE WHEN rk > klo AND rk <= n - khi
+                   THEN v::HUGEINT END) * 1000
+                 // GREATEST(SUM(CASE WHEN rk > klo AND rk <= n - khi
+                   THEN 1 ELSE 0 END), 1) AS BIGINT)
+                 AS trimmed_mean_milli,
+               CAST(SUM(GREATEST(LEAST(v, hi_bound),
+                   lo_bound)::HUGEINT) * 1000
+                 // GREATEST(COUNT(*), 1) AS BIGINT)
+                 AS winsorized_mean_milli
+        FROM j GROUP BY stratum ORDER BY stratum"""),
+      (s, d) => graft.ops.Stats.winsorizedMeans(
+          spread(documents(s, d)), "lang", "n_chars", "doc_id",
+          lowPermille = 50, highPermille = 50)
+        .orderBy("stratum"))
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
-    q282, q283, q284, q285, q286, q287, q288, q289, q290, q291)
+    q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
+    q293)
 }

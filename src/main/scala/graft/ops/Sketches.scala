@@ -655,20 +655,33 @@ object Sketches {
     * shuffle of group x counters partial sums.
     */
   def amsF2Sketch(df: DataFrame, groupCols: Seq[String],
-                  valueCol: String, counters: Int = 60): DataFrame = {
+                  valueCol: String, counters: Int = 60): DataFrame =
+    amsCells(df, groupCols.map(col), valueCol, counters)
+      .groupBy((groupCols.map(col) :+ col("_c").cast(LongType)
+        .as("c")): _*)
+      .agg(sum("_sign").cast(LongType).as("s"))
+
+  /** Scan-side (counter, sign) projection shared VERBATIM by the
+    * batch sketch and the streaming maintainer (the [[hllCells]]
+    * convention): appends `_c` (counter index) and `_sign` (+-1 from
+    * bit `_c` of the value's single 60-bit md5) to the kept columns —
+    * one row per (input row, counter), one md5 per input row.
+    */
+  private[graft] def amsCells(df: DataFrame,
+                              keep: Seq[org.apache.spark.sql.Column],
+                              valueCol: String, counters: Int)
+      : DataFrame = {
     require(counters >= 8 && counters <= 60,
       s"counters must be in [8, 60] (one sign bit per 60-bit-hash " +
         s"bit), got $counters")
-    df.select((groupCols.map(col) :+
+    df.select((keep :+
         wordHash60(concat(lit("ams_"),
           col(valueCol).cast(StringType))).as("_h")): _*)
       .withColumn("_c", explode(expr(s"sequence(0, ${counters - 1})")))
       .withColumn("_sign", expr(
         "((_h div shiftleft(1L, CAST(_c AS INT))) % 2) * 2 - 1")
         .cast(LongType))
-      .groupBy((groupCols.map(col) :+ col("_c").cast(LongType)
-        .as("c")): _*)
-      .agg(sum("_sign").cast(LongType).as("s"))
+      .drop("_h")
   }
 
   /** Merge per-shard AMS sketches into one per group: counters ADD

@@ -671,6 +671,80 @@ object Stats {
     Seq((row.getLong(0), rho.toLong)).toDF("n_items", "rho_ppm")
   }
 
+  /** CUPED variance reduction (Deng et al. 2013): adjust an
+    * experiment metric by a pre-exposure covariate —
+    * `Y' = Y - theta * (X - mean(X))`, `theta = cov(X, Y) / var(X)`
+    * pooled across variants — the standard trick that shrinks A/B
+    * confidence intervals by the covariate's explained variance
+    * without touching the treatment-effect estimate (the adjustment
+    * is mean-zero per large variant).
+    *
+    * ALL-INTEGER, one scan: per-variant six sums (n, Sx, Sy, Sxy,
+    * Sxx, Syy) as DECIMAL(38,0) to the variant-bounded panel; theta
+    * in MILLI units (ppm would square the adjusted second moment
+    * past HUGEINT at corpus magnitudes — the oracle's ceiling, and a
+    * theta quantization error delta costs reduction only ~delta^2)
+    * and the global floor pseudo-mean `xbar = Sx div n` off the
+    * pooled panel sums; per-variant adjusted mean and variance
+    * EXPANDED SYMBOLICALLY from the same six sums (milli-unit
+    * `adj = 1e3*Y - theta_milli*(X - xbar)` — no second pass over
+    * the data), all on the collected panel (the kmeansFit
+    * bounded-collect discipline) in BigInt with truncating division.
+    *
+    * Output per variant: `(variant, n_rows, theta_milli
+    * [replicated], mean_y_milli, mean_adj_milli,
+    * var_reduction_ppm)` — `var_reduction_ppm` = share of the raw
+    * metric variance the covariate removed in that variant.
+    */
+  def cupedAdjust(df: DataFrame, variantCol: String, metricCol: String,
+                  covariateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val panel = df.select(col(variantCol).cast("string").as("variant"),
+        col(metricCol).cast("long").as("_y"),
+        col(covariateCol).cast("long").as("_x"))
+      .groupBy("variant")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_x").cast("decimal(38,0)")).as("sx"),
+        sum(col("_y").cast("decimal(38,0)")).as("sy"),
+        sum(col("_x").cast("decimal(38,0)") * col("_y")).as("sxy"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("sxx"),
+        sum(col("_y").cast("decimal(38,0)") * col("_y")).as("syy"))
+      .collect()
+    case class S(v: String, n: BigInt, sx: BigInt, sy: BigInt,
+                 sxy: BigInt, sxx: BigInt, syy: BigInt)
+    val rows = panel.map { r =>
+      def d(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      S(r.getString(0), BigInt(r.getLong(1)), d(2), d(3), d(4), d(5),
+        d(6))
+    }
+    val (n, sx, sy, sxy, sxx) =
+      (rows.map(_.n).sum, rows.map(_.sx).sum, rows.map(_.sy).sum,
+        rows.map(_.sxy).sum, rows.map(_.sxx).sum)
+    require(n > 0, "cupedAdjust: empty input")
+    val varXn = n * sxx - sx * sx // n^2 * var(X)
+    val theta = if (varXn == 0) BigInt(0)
+      else ((n * sxy - sx * sy) * 1000) / varXn
+    val xbar = sx / n // floor pseudo-mean: a shared integer center
+    val out = rows.sortBy(_.v).map { s =>
+      // centered covariate moments for THIS variant, exact
+      val cx1 = s.sx - s.n * xbar // sum (x - xbar)
+      val cx2 = s.sxx - 2 * xbar * s.sx + s.n * xbar * xbar
+      val cxy = s.sxy - xbar * s.sy // sum (x - xbar) * y
+      val sAdj = s.sy * 1000 - theta * cx1
+      val sAdj2 = s.syy * 1000000 - 2000 * theta * cxy +
+        theta * theta * cx2
+      val varRawN = (s.n * s.syy - s.sy * s.sy) * 1000000
+      val varAdjN = s.n * sAdj2 - sAdj * sAdj
+      val vr = if (varRawN == 0) BigInt(0)
+        else ((varRawN - varAdjN) * 1000000) / varRawN
+      (s.v, s.n.toLong, theta.toLong,
+        (s.sy * 1000 / s.n).toLong, (sAdj / s.n).toLong, vr.toLong)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("variant", "n_rows", "theta_milli", "mean_y_milli",
+      "mean_adj_milli", "var_reduction_ppm")
+  }
+
   /** Robust per-stratum location/scale: EXACT lower median and MAD
     * (median absolute deviation, unscaled) of an integer metric —
     * the outlier-proof quality panel ("median length and spread per
@@ -709,5 +783,65 @@ object Stats {
       .drop("n_rows")
       .join(broadcast(med), Seq("stratum"))
       .select("stratum", "n_rows", "median", "mad")
+  }
+
+  /** Trimmed and winsorized means per stratum — the two standard
+    * outlier-resistant location estimates between the mean (fragile)
+    * and the median (throws information away): TRIM drops the bottom
+    * `lowPermille` and top `highPermille` of each stratum's rows
+    * under the (value, id) total order (`k_lo = n * lowPermille div
+    * 1000` rows cut exactly — integer, engine-portable, no
+    * percentile interpolation); WINSORIZE instead CLAMPS the cut
+    * rows to the surviving boundary values. Means are exact milli
+    * floors over DECIMAL(38,0).
+    *
+    * Shape at scale: ONE per-stratum scaffold ranking (never a
+    * per-stratum window sort), the strata-bounded count panel
+    * broadcast back, boundary values by two rank-keyed filters, then
+    * one bounded aggregate. Output per stratum: `(stratum, n_rows,
+    * lo_bound, hi_bound, trimmed_mean_milli,
+    * winsorized_mean_milli)`.
+    */
+  def winsorizedMeans(df: DataFrame, strataCol: String,
+                      valueCol: String, idCol: String,
+                      lowPermille: Int, highPermille: Int): DataFrame = {
+    require(lowPermille >= 0 && highPermille >= 0 &&
+      lowPermille + highPermille < 1000,
+      s"trim shares must be nonnegative and sum below 1000, got " +
+        s"$lowPermille/$highPermille")
+    val base = df.select(col(strataCol).cast("string").as("stratum"),
+      col(valueCol).cast("long").as("_v"),
+      col(idCol).cast("long").as("_id"))
+    val (pref, _) = Hierarchical.prefixSum(base,
+      Seq(col("_v"), col("_id")), Seq("stratum"), lit(1L), "_before", 0)
+    val counts = pref.groupBy("stratum")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("_klo", expr(s"n_rows * $lowPermille div 1000"))
+      .withColumn("_khi", expr(s"n_rows * $highPermille div 1000"))
+    val ranked = pref.join(broadcast(counts), Seq("stratum"))
+      .withColumn("_rank", col("_before") + 1)
+    // surviving boundary values: ranks k_lo + 1 and n - k_hi
+    val lo = ranked.filter(col("_rank") === col("_klo") + 1)
+      .select(col("stratum"), col("_v").as("lo_bound"))
+    val hi = ranked.filter(col("_rank") === col("n_rows") - col("_khi"))
+      .select(col("stratum"), col("_v").as("hi_bound"))
+    ranked
+      .join(broadcast(lo), Seq("stratum"))
+      .join(broadcast(hi), Seq("stratum"))
+      .withColumn("_kept",
+        col("_rank") > col("_klo") &&
+          col("_rank") <= col("n_rows") - col("_khi"))
+      .withColumn("_w",
+        greatest(least(col("_v"), col("hi_bound")), col("lo_bound")))
+      .groupBy("stratum")
+      .agg(first("n_rows").as("n_rows"),
+        first("lo_bound").as("lo_bound"),
+        first("hi_bound").as("hi_bound"),
+        expr("CAST(SUM(CASE WHEN _kept THEN CAST(_v AS DECIMAL(38,0))" +
+          " END) * 1000 div greatest(SUM(CASE WHEN _kept THEN 1L" +
+          " ELSE 0L END), 1) AS BIGINT)").as("trimmed_mean_milli"),
+        expr("CAST(SUM(CAST(_w AS DECIMAL(38,0))) * 1000" +
+          " div greatest(COUNT(*), 1) AS BIGINT)")
+          .as("winsorized_mean_milli"))
   }
 }

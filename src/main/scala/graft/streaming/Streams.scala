@@ -1049,6 +1049,48 @@ object Streams {
       }
   }
 
+  case class AmsCell(group: String, c: Long, s: Long)
+  case class AmsCellState(s: Long)
+
+  /** Streaming AMS F2 maintenance: the per-group tug-of-war counters
+    * ([[graft.ops.Sketches.amsF2Sketch]]) kept up to date ON ARRIVAL —
+    * each micro-batch projects (counter, sign) by the shared
+    * scan-side recipe ([[graft.ops.Sketches.amsCells]], verbatim the
+    * batch sketch's) and ADDS it into per-(group, counter) state,
+    * emitting a counter's new value whenever it changes. Counters
+    * ADD, so "latest emission per (group, counter)" IS the batch
+    * sketch of everything seen — feed it to
+    * [[graft.ops.Sketches.amsF2Estimate]] for a live self-join-size /
+    * skew estimate, or add-merge with batch shards via
+    * [[graft.ops.Sketches.amsF2Merge]]. State is bounded by
+    * groups x `counters` longs. A micro-batch whose signs cancel to
+    * zero leaves the counter (and the emission stream) untouched —
+    * absent state IS the zero counter. Input columns:
+    * (`groupCol`, `valueCol`).
+    */
+  def streamingAmsF2Sketch(values: DataFrame, groupCol: String,
+                           valueCol: String, counters: Int = 60)
+      : Dataset[AmsCell] = {
+    import values.sparkSession.implicits._
+    graft.ops.Sketches
+      .amsCells(values, Seq(col(groupCol).cast("string").as("g")),
+        valueCol, counters)
+      .select(col("g"), col("_c").cast("long"), col("_sign"))
+      .as[(String, Long, Long)]
+      .groupByKey { case (g, c, _) => (g, c) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[AmsCellState]) =>
+          val add = rows.map(_._3).sum
+          if (add != 0) {
+            val next = state.getOption.map(_.s).getOrElse(0L) + add
+            state.update(AmsCellState(next))
+            Iterator.single(AmsCell(key._1, key._2, next))
+          } else Iterator.empty
+      }
+  }
+
   case class UrlFarmReport(url_pattern: String, n_urls: Long,
                            n_bodies: Long, alias_ppm: Long,
                            saturated: Boolean)

@@ -4260,6 +4260,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("cupedAdjust: perfect covariate removes ~all variance; means preserved") {
+    import spark.implicits._
+    // y = 2x + variant shift: pooled theta -> 2000 milli, per-variant
+    // adjusted variance -> ~0, mean difference (a vs b) preserved
+    val rows = (1L to 50L).flatMap { i =>
+      Seq(("a", 2 * (i % 10) + 100, i % 10), ("b", 2 * (i % 10) + 110, i % 10))
+    }
+    val df = rows.toDF("v", "y", "x")
+    val got = graft.ops.Stats.cupedAdjust(df, "v", "y", "x")
+      .orderBy("variant")
+      .select("variant", "n_rows", "theta_milli", "mean_y_milli",
+        "mean_adj_milli", "var_reduction_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"))
+    assert(got.forall(_._3 == 2000L))
+    // adjustment is a shared shift: the a-vs-b mean gap survives
+    assert(got(1)._4 - got(0)._4 == 10000L)
+    assert(got(1)._5 - got(0)._5 == 10000L)
+    assert(got.forall(_._6 == 1000000L), s"full reduction, got $got")
+    // zero-variance covariate: theta 0, adjusted = raw
+    val flat = Seq(("a", 5L, 7L), ("a", 9L, 7L)).toDF("v", "y", "x")
+    val g0 = graft.ops.Stats.cupedAdjust(flat, "v", "y", "x")
+      .select("theta_milli", "mean_y_milli", "mean_adj_milli",
+        "var_reduction_ppm").as[(Long, Long, Long, Long)].head()
+    assert(g0 == ((0L, 7000L, 7000L, 0L)))
+  }
+
+  test("winsorizedMeans: hand strata; outlier clamped and trimmed") {
+    import spark.implicits._
+    // 10 rows 1..9 + 1000: 10% trim each side cuts rank 1 and keeps
+    // through rank 9 (klo = khi = 1): trimmed mean of 2..9 = 5.5;
+    // winsorized clamps 1000 -> 9 and 1 -> 2
+    val df = ((1L to 9L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => ("s", v, i.toLong) }.toDF("g", "v", "id")
+    val got = graft.ops.Stats.winsorizedMeans(df, "g", "v", "id",
+        lowPermille = 100, highPermille = 100)
+      .select("stratum", "n_rows", "lo_bound", "hi_bound",
+        "trimmed_mean_milli", "winsorized_mean_milli")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    val winSum = 2L + (2 to 9).sum + 9L // clamped ends
+    assert(got == (("s", 10L, 2L, 9L, 5500L, winSum * 100L)))
+    // zero trim: both means equal the exact mean
+    val g0 = graft.ops.Stats.winsorizedMeans(df, "g", "v", "id", 0, 0)
+      .select("trimmed_mean_milli", "winsorized_mean_milli")
+      .as[(Long, Long)].head()
+    val exact = ((1L to 9L).sum + 1000L) * 100L
+    assert(g0 == ((exact, exact)))
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

@@ -1147,6 +1147,48 @@ class StreamsSpec extends AnyFunSuite {
       "stream-maintained registers must equal the batch sketch exactly")
   }
 
+  test("streaming ams f2 counters equal the batch sketch across a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ams-ckpt").toString
+    val in = MemoryStream[(String, String)]
+    // counters ADD: latest emission per (group, counter) = current
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    def start() = Streams.streamingAmsF2Sketch(
+        in.toDF().toDF("g", "v"), "g", "v", counters = 16)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest.put((r.getString(0), r.getLong(1)), r.getLong(2)))
+      }
+      .outputMode("append").start()
+    val vals1 = (0 until 40).map(i => ("a", s"tok_${i % 9}")) :+
+      ("b" -> "x")
+    val vals2 = (0 until 30).map(i => ("a", s"tok_${i % 5}")) :+
+      ("b" -> "y")
+    val q1 = start()
+    try {
+      in.addData(vals1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: a counter reset would forget the earlier sums
+    val q2 = start()
+    try {
+      in.addData(vals2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch = graft.ops.Sketches.amsF2Sketch(
+        (vals1 ++ vals2).toDF("g", "v"), Seq("g"), "v", counters = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .filter(_._2 != 0L).toMap
+    // absent state IS the zero counter: compare on nonzero cells
+    assert(latest.asScala.toMap.filter(_._2 != 0L) == batch,
+      "stream-maintained counters must equal the batch sketch exactly")
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

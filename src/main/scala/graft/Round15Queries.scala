@@ -1632,8 +1632,159 @@ object Round15Queries {
           lowPermille = 50, highPermille = 50)
         .orderBy("stratum"))
 
+  /** Per-user CUSUM changepoint screen
+    * ([[ops.Events.cusumChangepoint]]): did a user's event value
+    * drift from the global reference mid-history — the corruption
+    * tripwire a per-arrival mean can't see. Exact prefix-sum
+    * identity (`E_t = P_t - min(0, running min of P)`), per-user
+    * ordered windows (the bounded-history events convention), argmax
+    * by one struct-min aggregate; the oracle replays the windows and
+    * picks the same (E desc, ts, id) row.
+    */
+  private lazy val q294: QueryDef = {
+    val (slack, threshold) = (500L, 600000L)
+    QueryDef("q294_cusum_changepoint",
+      Some(s"""
+        WITH el AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(25,6)) * 1000
+                        AS BIGINT) AS vm
+                    FROM events),
+        rf AS (SELECT SUM(vm::HUGEINT) // COUNT(*) AS ref FROM el),
+        dd AS (SELECT user_id, ts_us, event_id,
+                 vm - ref - $slack AS d
+               FROM el CROSS JOIN rf),
+        pp AS (SELECT *, SUM(d) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+               FROM dd),
+        ee AS (SELECT *, p - LEAST(0, MIN(p) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS e
+               FROM pp),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY e DESC, ts_us, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_events
+               FROM ee)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(e AS BIGINT) AS max_excursion_milli,
+               CAST(event_id AS BIGINT) AS at_event_id,
+               CAST(CASE WHEN e > $threshold THEN 1 ELSE 0 END
+                 AS BIGINT) AS flagged
+        FROM rk WHERE rn = 1 ORDER BY user_id"""),
+      (s, d) => {
+        val el = events(s, d).select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          col("value").cast("decimal(25,6)").*(lit(1000))
+            .cast("long").as("vm"))
+        val r = el.agg(sum(col("vm").cast("decimal(38,0)")),
+          count(lit(1))).first()
+        val ref = (BigInt(r.getDecimal(0).toBigInteger) /
+          BigInt(r.getLong(1))).toLong
+        graft.ops.Events.cusumChangepoint(el, "user_id", "ts_us",
+            "event_id", "vm", refMilli = ref, slackMilli = slack,
+            thresholdMilli = threshold)
+          .orderBy("user_id")
+      })
+  }
+
+  /** Purged time-series folds ([[ops.Temporal.purgedTimeFolds]],
+    * k = 5, 30-minute embargo): leakage-safe temporal eval
+    * assignment — contiguous time blocks plus an embargo zone around
+    * each boundary so straddling label windows can't leak. Exact
+    * integer block formula (no float edges); the oracle replays the
+    * boundary arithmetic inline.
+    */
+  private lazy val q295: QueryDef = {
+    val embargo = 1800000000L // 30 min in microseconds
+    QueryDef("q295_purged_time_folds",
+      Some(s"""
+        WITH el AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        mm AS (SELECT MIN(t) AS tmin,
+                      MAX(t) - MIN(t) + 1 AS span FROM el),
+        f AS (SELECT event_id, t, ((t - tmin) * 5) // span AS fold,
+                     tmin, span
+              FROM el CROSS JOIN mm),
+        b AS (SELECT *, tmin + (span * fold) // 5 AS ownb,
+                     tmin + (span * (fold + 1)) // 5 AS nextb
+              FROM f)
+        SELECT event_id, CAST(fold AS BIGINT) AS fold,
+               CAST(CASE WHEN (fold > 0 AND t - ownb < $embargo)
+                 OR (fold < 4 AND nextb - t <= $embargo)
+                 THEN 1 ELSE 0 END AS BIGINT) AS purged
+        FROM b ORDER BY event_id"""),
+      (s, d) => graft.ops.Temporal.purgedTimeFolds(
+          events(s, d).select(col("event_id"),
+            expr("ts_ns div 1000").as("ts_us")),
+          "event_id", "ts_us", k = 5, embargo = embargo)
+        .orderBy("event_id"))
+  }
+
+  /** SMD covariate-balance audit ([[ops.Stats.smdBalance]]): per
+    * covariate, the standardized mean difference between return
+    * flags A and R — the pre-analysis balance gate next to q292's
+    * CUPED adjustment (|SMD| > 0.1, i.e. 100 milli, is the
+    * conventional imbalance flag; the uniform-random testdata sits
+    * near 0 as a proper randomization should). Exact-integer unit
+    * choices (cents, milli-discount) avoid the q292 cast trap; the
+    * oracle replays the six sums, both variance floors, and the
+    * corrected floor-sqrt.
+    */
+  private lazy val q296: QueryDef =
+    QueryDef("q296_smd_balance",
+      Some("""
+        WITH base AS (SELECT l_returnflag AS v,
+                CAST(l_quantity AS HUGEINT) AS qty,
+                CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100
+                  AS HUGEINT) AS price_cents,
+                CAST(CAST(l_discount AS DECIMAL(25,6)) * 1000
+                  AS HUGEINT) AS disc_milli
+              FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        m AS (SELECT v = 'A' AS isa, 'qty' AS cov, qty AS val FROM base
+              UNION ALL SELECT v = 'A', 'price_cents', price_cents
+                FROM base
+              UNION ALL SELECT v = 'A', 'disc_milli', disc_milli
+                FROM base),
+        pn AS (SELECT cov,
+                 COUNT(*) FILTER (isa)::HUGEINT AS na,
+                 COUNT(*) FILTER (NOT isa)::HUGEINT AS nb,
+                 COALESCE(SUM(val) FILTER (isa), 0) AS sa,
+                 COALESCE(SUM(val) FILTER (NOT isa), 0) AS sb,
+                 COALESCE(SUM(val * val) FILTER (isa), 0) AS saa,
+                 COALESCE(SUM(val * val) FILTER (NOT isa), 0) AS sbb
+               FROM m GROUP BY cov),
+        vv AS (SELECT cov, na, nb, sa, sb,
+                 (na * saa - sa * sa) * 1000000 // (na * na) AS va6,
+                 (nb * sbb - sb * sb) * 1000000 // (nb * nb) AS vb6
+               FROM pn),
+        sd0 AS (SELECT *, (va6 + vb6) // 2 AS p6,
+                  CAST(floor(sqrt(CAST((va6 + vb6) // 2 AS DOUBLE)))
+                    AS HUGEINT) AS s0
+                FROM vv),
+        sd AS (SELECT *, list_max(list_filter(
+                 [s0 - 2, s0 - 1, s0, s0 + 1, s0 + 2],
+                 t -> t * t <= p6)) AS sdm
+               FROM sd0)
+        SELECT cov AS covariate, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(sa * 1000 // na AS BIGINT) AS mean_a_milli,
+               CAST(sb * 1000 // nb AS BIGINT) AS mean_b_milli,
+               CAST(sdm AS BIGINT) AS pooled_sd_milli,
+               CAST(((sa * nb - sb * na) * 1000 // (na * nb)) * 1000
+                 // GREATEST(sdm, 1) AS BIGINT) AS smd_milli
+        FROM sd ORDER BY covariate"""),
+      (s, d) => graft.ops.Stats.smdBalance(
+          lineitem(s, d).select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_extendedprice").cast("decimal(25,6)").*(lit(100))
+              .cast("long").as("price_cents"),
+            col("l_discount").cast("decimal(25,6)").*(lit(1000))
+              .cast("long").as("disc_milli")),
+          "l_returnflag", "A", "R",
+          Seq("disc_milli", "price_cents", "qty"))
+        .orderBy("covariate"))
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
     q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
-    q293)
+    q293, q294, q295, q296)
 }

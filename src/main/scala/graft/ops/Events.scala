@@ -394,4 +394,50 @@ object Events {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Per-key CUSUM changepoint screen (Page 1954): did this user's /
+    * source's metric DRIFT from the global reference at some point in
+    * its history — the upstream-corruption tripwire a per-arrival
+    * mean can't see (a shift halfway through averages out). Exact
+    * integer form via the prefix-sum identity: the classic recurrence
+    * `S_t = max(0, S_{t-1} + (x_t - ref - slack))` equals
+    * `E_t = P_t - min(0, min over s <= t of P_s)` with `P` the plain
+    * prefix sums of the deviations — so one per-key ordered window
+    * pass (per-key history is the bounded frame, the q256/q259
+    * events convention) computes every excursion, and the per-key
+    * max with its FIRST attaining event falls out of one
+    * `min(struct(-E, ts, id))` partial-combinable aggregate.
+    *
+    * `ref_milli` is the caller's reference level (typically the
+    * global mean in milli-units — pass it explicitly so the stream /
+    * holdout variant can pin last week's reference); `slackMilli`
+    * is the CUSUM allowance k (drift smaller than k per event is
+    * tolerated); `thresholdMilli` sets the `flagged` 0/1 output.
+    * Output per key: `(key, n_events, max_excursion_milli,
+    * at_event_id, flagged)`.
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueMilliCol: String,
+                       refMilli: Long, slackMilli: Long,
+                       thresholdMilli: Long): DataFrame = {
+    val ordered = Window.partitionBy("_k")
+      .orderBy(col("_ts"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("_k"), col(tsCol).cast(LongType).as("_ts"),
+        col(idCol).cast(LongType).as("_id"),
+        (col(valueMilliCol).cast(LongType) - lit(refMilli) -
+          lit(slackMilli)).as("_d"))
+      .withColumn("_p", sum("_d").over(ordered))
+      .withColumn("_e", col("_p") - least(lit(0L), min("_p").over(ordered)))
+      .groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        min(struct((-col("_e")).as("ne"), col("_ts"), col("_id")))
+          .as("_pick"))
+      .select(col(keyCol), col("n_events"),
+        (-col("_pick.ne")).cast(LongType).as("max_excursion_milli"),
+        col("_pick._id").cast(LongType).as("at_event_id"),
+        when(-col("_pick.ne") > thresholdMilli, 1L).otherwise(0L)
+          .as("flagged"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Optimizer-statistics collection — the ANALYZE TABLE surface a
   * warehouse runs before join planning: per-column row/null counts,
@@ -743,6 +744,70 @@ object Stats {
     import spark.implicits._
     out.toSeq.toDF("variant", "n_rows", "theta_milli", "mean_y_milli",
       "mean_adj_milli", "var_reduction_ppm")
+  }
+
+  /** Standardized mean difference (SMD) balance audit — per
+    * covariate, `(mean_A - mean_B) / pooled_sd` between two variants:
+    * the pre-analysis gate an experiment (or a matched/propensity
+    * cohort) runs BEFORE trusting its effect estimates; |SMD| > 0.1
+    * is the conventional imbalance flag. The audit companion to
+    * [[cupedAdjust]].
+    *
+    * ALL-INTEGER: covariates melt scan-side to (covariate, variant,
+    * value) rows (one pass, no per-column jobs — the columnStats
+    * shape), six conditional sums per covariate reduce to the
+    * |covariates|-bounded panel, and the ratio runs on the COLLECTED
+    * panel in BigInt: per-variant micro variance
+    * `(n*Svv - Sv^2) * 1e6 div n^2`, pooled halved, `sd_milli` via
+    * the corrected floor-sqrt, `smd_milli = meandiff_milli * 1000
+    * div max(sd_milli, 1)` — every floor shared exactly with the
+    * oracle. Output per covariate: `(covariate, n_a, n_b,
+    * mean_a_milli, mean_b_milli, pooled_sd_milli, smd_milli)`.
+    */
+  def smdBalance(df: DataFrame, variantCol: String, variantA: String,
+                 variantB: String, covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "smdBalance needs covariates")
+    require(variantA != variantB, "variants must differ")
+    val spark = df.sparkSession
+    val melted = df
+      .filter(col(variantCol).isin(variantA, variantB))
+      .select((col(variantCol) === variantA).as("_isA"),
+        explode(array(covariates.map(c =>
+          struct(lit(c).as("cov"), col(c).cast(LongType).as("v"))): _*))
+          .as("_m"))
+      .select(col("_isA"), col("_m.cov").as("cov"), col("_m.v").as("v"))
+    val panel = melted.groupBy("cov").agg(
+      count(when(col("_isA"), 1)).cast(LongType).as("na"),
+      count(when(!col("_isA"), 1)).cast(LongType).as("nb"),
+      coalesce(sum(when(col("_isA"), col("v")).cast(DecimalType(38, 0))),
+        lit(0)).as("sa"),
+      coalesce(sum(when(!col("_isA"), col("v")).cast(DecimalType(38, 0))),
+        lit(0)).as("sb"),
+      coalesce(sum((when(col("_isA"), col("v"))
+        .cast(DecimalType(38, 0)) * when(col("_isA"), col("v")))),
+        lit(0)).as("saa"),
+      coalesce(sum((when(!col("_isA"), col("v"))
+        .cast(DecimalType(38, 0)) * when(!col("_isA"), col("v")))),
+        lit(0)).as("sbb"))
+      .collect()
+    val out = panel.map { r =>
+      def d(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      val (na, nb) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)))
+      val (sa, sb, saa, sbb) = (d(3), d(4), d(5), d(6))
+      require(na > 0 && nb > 0,
+        s"smdBalance: variant missing for covariate ${r.getString(0)}")
+      val va6 = (na * saa - sa * sa) * 1000000 / (na * na)
+      val vb6 = (nb * sbb - sb * sb) * 1000000 / (nb * nb)
+      val sdMilli = graft.Similarity.isqrtPortable((va6 + vb6) / 2)
+      val meanDiffMilli = (sa * nb - sb * na) * 1000 / (na * nb)
+      (r.getString(0), na.toLong, nb.toLong,
+        (sa * 1000 / na).toLong, (sb * 1000 / nb).toLong,
+        sdMilli.toLong,
+        (meanDiffMilli * 1000 / sdMilli.max(BigInt(1))).toLong)
+    }.sortBy(_._1)
+    import spark.implicits._
+    out.toSeq.toDF("covariate", "n_a", "n_b", "mean_a_milli",
+      "mean_b_milli", "pooled_sd_milli", "smd_milli")
   }
 
   /** Robust per-stratum location/scale: EXACT lower median and MAD

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Slowly-changing-dimension (SCD type 2) and point-in-time (PIT)
   * temporal operators — the warehouse-side surface the reference's
@@ -230,5 +231,46 @@ object Temporal {
         .unionByName(term(leftOld, rightDelta))
         .unionByName(term(leftDelta, rightDelta)),
       groupCols, valueCol)
+  }
+
+  /** Purged time-series folds (the López de Prado purged-CV shape):
+    * K TIME-CONTIGUOUS folds for leakage-safe temporal evaluation —
+    * a random split leaks future into past; contiguous blocks fix
+    * that, and the EMBARGO purges rows within `embargo` time units
+    * of a fold boundary so label/feature windows that STRADDLE the
+    * boundary can't leak either.
+    *
+    * Exact integer assignment: `fold = (ts - tmin) * k div span`
+    * (span = tmax - tmin + 1; the same equi-width formula as
+    * quantileBuckets' rank form, engine-portable, no float edges);
+    * boundary j starts at `tmin + span * j div k`, and a row is
+    * `purged` when `ts - ownBoundary < embargo` (fold > 0) or
+    * `nextBoundary - ts <= embargo` (fold < k-1) — a row AT a
+    * boundary has distance 0 and purges on the after side. tmin/tmax
+    * are one bounded aggregate resolved to literals (the
+    * coverageThresholds convention). Output: input id column +
+    * `(fold, purged)` with purged as 0/1.
+    */
+  def purgedTimeFolds(df: DataFrame, idCol: String, tsCol: String,
+                      k: Int, embargo: Long): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    require(embargo >= 0, s"embargo must be nonnegative, got $embargo")
+    val r = df.agg(min(col(tsCol).cast(LongType)),
+      max(col(tsCol).cast(LongType))).first()
+    require(!r.isNullAt(0), "purgedTimeFolds: empty input")
+    val (tmin, tmax) = (r.getLong(0), r.getLong(1))
+    val span = tmax - tmin + 1
+    df.select(col(idCol), col(tsCol).cast(LongType).as("_ts"))
+      .withColumn("fold",
+        expr(s"((_ts - ${tmin}L) * $k) div ${span}L"))
+      .withColumn("_ownb",
+        expr(s"${tmin}L + (${span}L * fold) div $k"))
+      .withColumn("_nextb",
+        expr(s"${tmin}L + (${span}L * (fold + 1)) div $k"))
+      .withColumn("purged",
+        when((col("fold") > 0 && col("_ts") - col("_ownb") < embargo) ||
+          (col("fold") < k - 1 && col("_nextb") - col("_ts") <= embargo),
+          1L).otherwise(0L))
+      .select(col(idCol), col("fold"), col("purged"))
   }
 }

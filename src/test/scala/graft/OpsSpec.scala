@@ -4309,6 +4309,73 @@ class OpsSpec extends AnyFunSuite {
     assert(g0 == ((exact, exact)))
   }
 
+  test("cusumChangepoint: planted mid-history shift is found at its onset") {
+    import spark.implicits._
+    // user u: 20 events at ref, then 10 events shifted +100: the
+    // excursion grows from the shift onset; max at the last event,
+    // E = 10 * (100 - slack). user v: flat at ref -> excursion ~ 0.
+    val rows = (1L to 20L).map(i => ("u", i, i, 1000L)) ++
+      (21L to 30L).map(i => ("u", i, i, 1100L)) ++
+      (1L to 30L).map(i => ("v", 100 + i, 100 + i, 1000L))
+    val df = rows.toDF("k", "ts", "id", "vm")
+    val got = graft.ops.Events.cusumChangepoint(df, "k", "ts", "id",
+        "vm", refMilli = 1000L, slackMilli = 20L, thresholdMilli = 500L)
+      .orderBy("k")
+      .select("k", "n_events", "max_excursion_milli", "at_event_id",
+        "flagged")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // u: pre-shift drift = -20/event floors the running min at -400;
+    // post-shift each event adds +80: E_max = 10*80 + 0 - (-400)?
+    // No: P_30 = 20*(-20) + 10*80 = 400; min prefix = -400 (t=20);
+    // E = 400 - (-400) = 800 at id 30.
+    assert(got(0) == (("u", 30L, 800L, 30L, 1L)))
+    // v: every deviation is -20 -> P decreasing, E = 0, first at id 101
+    assert(got(1) == (("v", 30L, 0L, 101L, 0L)))
+  }
+
+  test("purgedTimeFolds: exact block edges; embargo zones; ends kept") {
+    import spark.implicits._
+    // ts 0..99, k = 4, span 100: folds are [0,25) [25,50) [50,75)
+    // [75,100); embargo 3 purges ts in [25,28) U [22,25) etc.
+    val df = (0L to 99L).map(t => (t, t)).toDF("id", "ts")
+    val got = graft.ops.Temporal.purgedTimeFolds(df, "id", "ts",
+        k = 4, embargo = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(0L) == ((0L, 0L)))   // corpus start: no boundary before
+    assert(got(24L) == ((0L, 1L)))  // within 3 below boundary 25
+    assert(got(22L) == ((0L, 1L)))  // 25 - 22 = 3 <= embargo
+    assert(got(21L) == ((0L, 0L)))
+    assert(got(25L) == ((1L, 1L)))  // at boundary: distance 0
+    assert(got(27L) == ((1L, 1L)))
+    assert(got(28L) == ((1L, 0L)))
+    assert(got(99L) == ((3L, 0L)))  // corpus end: no boundary after
+    assert(got.values.count(_._2 == 1L) == 6 * 3) // 3 boundaries x 6
+  }
+
+  test("smdBalance: constructed shift in one covariate; balanced other") {
+    import spark.implicits._
+    // cov1 shifted by +10 between variants with sd 2 -> |SMD| = 5;
+    // cov2 identical -> SMD = 0
+    val rows = (1L to 40L).map { i =>
+      val x = if (i % 2 == 0) 2L else -2L
+      ("a", 100L + x, 50L + (i % 5))
+    } ++ (1L to 40L).map { i =>
+      val x = if (i % 2 == 0) 2L else -2L
+      ("b", 110L + x, 50L + (i % 5))
+    }
+    val df = rows.toDF("v", "cov1", "cov2")
+    val got = graft.ops.Stats.smdBalance(df, "v", "a", "b",
+        Seq("cov1", "cov2"))
+      .orderBy("covariate")
+      .select("covariate", "mean_a_milli", "mean_b_milli",
+        "pooled_sd_milli", "smd_milli")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == (("cov1", 100000L, 110000L, 2000L, -5000L)))
+    assert(got(1)._5 == 0L)
+    assert(got(1)._2 == got(1)._3)
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

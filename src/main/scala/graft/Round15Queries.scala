@@ -1783,8 +1783,102 @@ object Round15Queries {
           Seq("disc_milli", "price_cents", "qty"))
         .orderBy("covariate"))
 
+  // Coverage-greedy oracle: k unrolled pick-and-cover rounds — each
+  // s{i} is the (gain desc, doc asc) top-1 over docs with uncovered
+  // bigrams, c{i} the covered set after it (MATERIALIZED: both feed
+  // the next round and the final union).
+  private def coverageRoundCtes(k: Int): String =
+    (1 to k).map { i =>
+      val p = i - 1
+      val excl =
+        if (i == 1) ""
+        else "AND t.doc NOT IN (" + (1 until i)
+          .map(j => s"SELECT doc FROM s$j").mkString(" UNION ALL ") + ")"
+      val anti =
+        if (i == 1) ""
+        else s"LEFT JOIN c$p ON t.tok = c$p.tok WHERE c$p.tok IS NULL "
+      val cover =
+        if (i == 1) s"SELECT DISTINCT t.tok FROM t JOIN s1 ON t.doc = s1.doc"
+        else s"SELECT tok FROM c$p UNION " +
+          s"SELECT t.tok FROM t JOIN s$i ON t.doc = s$i.doc"
+      s"""
+        m$i AS (SELECT t.doc, COUNT(*) AS g FROM t
+                $anti $excl
+                GROUP BY t.doc),
+        s$i AS MATERIALIZED (SELECT doc, g FROM m$i
+                ORDER BY g DESC, doc LIMIT 1),
+        c$i AS MATERIALIZED ($cover)"""
+    }.mkString(",")
+
+  /** Greedy max-coverage seed selection
+    * ([[ops.Sampling.coverageGreedy]], k = 6 over bigrams): the
+    * 1-1/e submodular classic — "pick k docs that together cover the
+    * most distinct bigrams". k anti-join+count+top-1 rounds, ties
+    * (gain desc, doc asc); the oracle unrolls the same six
+    * pick-and-cover rounds.
+    */
+  private lazy val q297: QueryDef = {
+    val k = 6
+    QueryDef("q297_coverage_greedy",
+      Some(s"""
+        WITH ws AS (SELECT doc_id AS doc, string_split(text, ' ') AS w
+                    FROM documents),
+        t AS (SELECT DISTINCT doc, tok FROM (
+                SELECT doc, unnest([w[i] || ' ' || w[i+1]
+                  for i in range(1, len(w))]) AS tok
+                FROM ws WHERE len(w) >= 2)),
+        ${coverageRoundCtes(k)}
+        SELECT * FROM (${(1 to k).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, CAST(doc AS BIGINT)" +
+            s" AS doc_id, CAST(g AS BIGINT) AS marginal_gain FROM s$i")
+          .mkString(" UNION ALL ")})
+        ORDER BY step"""),
+      (s, d) => {
+        val w = graft.Pipeline.words(col("text"))
+        val bigrams = spread(documents(s, d)).filter(size(w) >= 2)
+          .select(col("doc_id"),
+            explode(zip_with(
+              slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("tok"))
+        graft.ops.Sampling.coverageGreedy(bigrams, "doc_id", "tok",
+            k = k)
+          .orderBy("step")
+      })
+  }
+
+  /** Leave-one-out source influence ([[ops.Stats.looInfluence]]):
+    * per source, the corpus mean-tokens-per-doc with that source
+    * excluded and the delta — first-order mix attribution from ONE
+    * aggregate (pure panel algebra, no per-group re-scan).
+    */
+  private lazy val q298: QueryDef =
+    QueryDef("q298_loo_influence",
+      Some("""
+        WITH t AS (SELECT source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                   FROM documents),
+        g AS (SELECT source, COUNT(*)::HUGEINT AS n_rows,
+                     SUM(v::HUGEINT) AS s
+              FROM t GROUP BY source),
+        tt AS (SELECT SUM(n_rows) AS tn, SUM(s) AS ts FROM g)
+        SELECT source AS "group", CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(ts * 1000 // tn AS BIGINT) AS mean_all_milli,
+               CAST(CASE WHEN tn = n_rows THEN ts * 1000 // tn
+                 ELSE (ts - s) * 1000 // (tn - n_rows) END AS BIGINT)
+                 AS loo_mean_milli,
+               CAST(CASE WHEN tn = n_rows THEN ts * 1000 // tn
+                 ELSE (ts - s) * 1000 // (tn - n_rows) END
+                 - ts * 1000 // tn AS BIGINT) AS delta_milli
+        FROM g CROSS JOIN tt ORDER BY "group""""),
+      (s, d) => graft.ops.Stats.looInfluence(
+          spread(documents(s, d)).select(col("source"),
+            size(graft.Pipeline.words(col("text"))).cast("long")
+              .as("v")),
+          "source", "v")
+        .orderBy("group"))
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
     q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
-    q293, q294, q295, q296)
+    q293, q294, q295, q296, q297, q298)
 }

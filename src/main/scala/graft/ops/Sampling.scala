@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Training-data mixing operators: deterministic stratified sampling
   * and sequence packing — the two steps between a cleaned corpus and a
@@ -672,6 +673,63 @@ object Sampling {
         greatest(col(weightCol).cast("double"),
           coalesce(col("_tau"), col(weightCol).cast("double"))))
       .drop("_rn", "_tau")
+  }
+
+  /** Greedy max-coverage selection (the 1-1/e-approximate classic):
+    * pick `k` documents that together cover the most distinct tokens
+    * — THE shape of "choose a small seed corpus with maximal
+    * vocabulary/topic coverage" (facility-location/max-cover;
+    * submodular, so greedy is provably near-optimal and anything
+    * better is NP-hard). Deterministic: ties break (gain desc, doc
+    * asc), both engines replay the same k picks.
+    *
+    * Shape at scale: k rounds, each ONE anti-join of the token table
+    * against the covered set (equi-join on the token key — the
+    * covered side grows but stays a token TABLE, never a broadcast
+    * set) + one grouped count + a global top-1
+    * (TakeOrderedAndProject). k full passes is the honest cost of
+    * exact greedy — size k to the seed-set need, not the corpus.
+    * The k-row result accumulates driver-side (bounded by k).
+    *
+    * Input: (docCol, tokenCol) rows. Output: `(step, doc_id,
+    * marginal_gain)` — stops early if fewer than k docs have
+    * positive coverage remaining.
+    */
+  def coverageGreedy(tokens: DataFrame, docCol: String,
+                     tokenCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val t = tokens
+      .select(col(docCol).cast("long").as("doc"),
+        col(tokenCol).cast("string").as("tok"))
+      .distinct()
+      .localCheckpoint()
+    var covered: DataFrame = Seq.empty[String].toDF("tok")
+    var picked = Vector.empty[(Long, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val remaining =
+        if (picked.isEmpty) t
+        else t.filter(!col("doc").isin(picked.map(_._2): _*))
+      val top = remaining
+        .join(covered, Seq("tok"), "left_anti")
+        .groupBy("doc").agg(count(lit(1)).cast(LongType).as("g"))
+        .orderBy(col("g").desc, col("doc"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (doc, gain) = (top(0).getLong(0), top(0).getLong(1))
+        picked = picked :+ ((step.toLong, doc, gain))
+        covered = covered
+          .unionAll(t.filter(col("doc") === doc).select("tok"))
+          .distinct()
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    picked.toDF("step", "doc_id", "marginal_gain")
   }
 
   /** Neyman (variance-optimal) stratified allocation + draw: split a

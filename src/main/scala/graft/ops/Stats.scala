@@ -746,6 +746,39 @@ object Stats {
       "mean_adj_milli", "var_reduction_ppm")
   }
 
+  /** Leave-one-out group influence on a corpus mean: per group, the
+    * metric's mean with THAT group excluded and the delta vs the
+    * overall mean — "which source is dragging mean quality / length,
+    * and by how much would removing it move the corpus" answered
+    * from ONE aggregate (the LOO mean is pure panel algebra:
+    * `(S - S_h) / (N - N_h)`), no per-group re-scan. The first-order
+    * source-attribution audit a mix designer reads before touching
+    * weights.
+    *
+    * ALL-INTEGER milli floors over DECIMAL(38,0); a group that IS
+    * the whole corpus reports its own mean as the LOO mean (guarded
+    * divisor) with delta 0. Output per group: `(group, n_rows,
+    * mean_all_milli [replicated], loo_mean_milli, delta_milli)`.
+    */
+  def looInfluence(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy("group")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        sum(col("_v").cast(DecimalType(38, 0))).as("_s"))
+      .withColumn("_tn", expr("sum(n_rows) OVER ()"))
+      .withColumn("_ts", expr("sum(_s) OVER ()"))
+      .withColumn("mean_all_milli",
+        expr("CAST(_ts * 1000 div _tn AS BIGINT)"))
+      .withColumn("loo_mean_milli", expr(
+        "CAST(CASE WHEN _tn = n_rows THEN _ts * 1000 div _tn" +
+          " ELSE (_ts - _s) * 1000 div (_tn - n_rows) END AS BIGINT)"))
+      .withColumn("delta_milli",
+        col("loo_mean_milli") - col("mean_all_milli"))
+      .select("group", "n_rows", "mean_all_milli", "loo_mean_milli",
+        "delta_milli")
+
   /** Standardized mean difference (SMD) balance audit — per
     * covariate, `(mean_A - mean_B) / pooled_sd` between two variants:
     * the pre-analysis gate an experiment (or a matched/propensity

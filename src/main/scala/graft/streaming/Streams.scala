@@ -1091,6 +1091,63 @@ object Streams {
       }
   }
 
+  case class CusumReport(key: String, n_events: Long,
+                         max_excursion_milli: Long, at_event_id: Long,
+                         flagged: Boolean)
+  case class CusumState(p: Long, minp: Long, maxE: Long, atTs: Long,
+                        atId: Long, n: Long)
+
+  /** Streaming CUSUM changepoint screen — [[graft.ops.Events
+    * .cusumChangepoint]]'s per-key drift tripwire kept up to date ON
+    * ARRIVAL: per key, the running prefix sum `P`, its running min
+    * (floored at the empty prefix 0), and the max excursion with its
+    * FIRST attaining (ts, id) — exactly the batch operator's
+    * numbers, emitted whenever the key's report changes. The state
+    * is five longs per key.
+    *
+    * Ordering contract: within a micro-batch rows sort by (ts, id)
+    * before folding, but ACROSS batches the fold assumes per-key
+    * event-time monotone arrival — a straggler older than the
+    * already-folded prefix would need the full history to replay
+    * (the same documented limit as [[streamingScd2]]; route late
+    * data through the batch operator). Input columns:
+    * (`keyCol`, `tsCol`, `idCol`, `valueMilliCol`).
+    */
+  def streamingCusum(events: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, valueMilliCol: String,
+                     refMilli: Long, slackMilli: Long,
+                     thresholdMilli: Long): Dataset[CusumReport] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+        (col(valueMilliCol).cast("long") - lit(refMilli) -
+          lit(slackMilli)).as("d"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[CusumState]) =>
+          val prior = state.getOption
+            .getOrElse(CusumState(0L, 0L, -1L, 0L, 0L, 0L))
+          val next = rows.toSeq.sortBy { case (_, ts, id, _) => (ts, id) }
+            .foldLeft(prior) { case (s, (_, ts, id, d)) =>
+              val p = s.p + d
+              val minp = math.min(s.minp, p)
+              val e = p - math.min(0L, minp)
+              if (e > s.maxE) CusumState(p, minp, e, ts, id, s.n + 1)
+              else s.copy(p = p, minp = minp, n = s.n + 1)
+            }
+          if (next != prior) {
+            state.update(next)
+            Iterator.single(CusumReport(key, next.n,
+              math.max(next.maxE, 0L), next.atId,
+              next.maxE > thresholdMilli))
+          } else Iterator.empty
+      }
+  }
+
   case class UrlFarmReport(url_pattern: String, n_urls: Long,
                            n_bodies: Long, alias_ppm: Long,
                            saturated: Boolean)

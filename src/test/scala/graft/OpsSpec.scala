@@ -4376,6 +4376,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1)._2 == got(1)._3)
   }
 
+  test("coverageGreedy: hand corpus picks by marginal gain; early stop") {
+    import spark.implicits._
+    // doc 1 covers {a,b,c}; doc 2 {c,d}; doc 3 {a,b}; doc 4 {e}
+    // greedy: 1 (gain 3), then 2 (gain 1: d) vs 4 (gain 1: e) -> doc 2
+    // by id tiebreak? both gain 1 -> doc 2 wins (asc); then 4 (e);
+    // then 3 has gain 0 -> unselectable -> early stop at 3 picks
+    val toks = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "c"),
+      (2L, "d"), (3L, "a"), (3L, "b"), (4L, "e")).toDF("doc", "tok")
+    val got = graft.ops.Sampling.coverageGreedy(toks, "doc", "tok", 4)
+      .orderBy("step")
+      .select("step", "doc_id", "marginal_gain")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 2L, 1L), (3L, 4L, 1L)))
+  }
+
+  test("looInfluence: panel algebra; single-group guard") {
+    import spark.implicits._
+    // groups a: 2 rows of 10; b: 2 rows of 20 -> overall mean 15;
+    // LOO(a) = 20, LOO(b) = 10
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 20L), ("b", 20L))
+      .toDF("g", "v")
+    val got = graft.ops.Stats.looInfluence(df, "g", "v")
+      .orderBy("group")
+      .select("group", "n_rows", "mean_all_milli", "loo_mean_milli",
+        "delta_milli")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 15000L, 20000L, 5000L),
+      ("b", 2L, 15000L, 10000L, -5000L)))
+    val solo = graft.ops.Stats.looInfluence(
+        Seq(("x", 7L)).toDF("g", "v"), "g", "v")
+      .select("loo_mean_milli", "delta_milli").as[(Long, Long)].head()
+    assert(solo == ((7000L, 0L)))
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

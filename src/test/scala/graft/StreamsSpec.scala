@@ -1189,6 +1189,41 @@ class StreamsSpec extends AnyFunSuite {
       "stream-maintained counters must equal the batch sketch exactly")
   }
 
+  test("streaming cusum equals the batch operator under in-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Boolean)]()
+    val q = Streams.streamingCusum(
+        in.toDF().toDF("k", "ts", "id", "vm"), "k", "ts", "id", "vm",
+        refMilli = 1000L, slackMilli = 20L, thresholdMilli = 500L)
+      .toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      }
+      .outputMode("append").start()
+    // the q294 spec shape split across two in-order batches
+    val b1 = (1L to 20L).map(i => ("u", i, i, 1000L)) ++
+      (1L to 15L).map(i => ("v", 100 + i, 100 + i, 1000L))
+    val b2 = (21L to 30L).map(i => ("u", i, i, 1100L)) ++
+      (16L to 30L).map(i => ("v", 100 + i, 100 + i, 1000L))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.Events.cusumChangepoint(
+        (b1 ++ b2).toDF("k", "ts", "id", "vm"), "k", "ts", "id", "vm",
+        refMilli = 1000L, slackMilli = 20L, thresholdMilli = 500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4) == 1L))
+      .toMap
+    assert(latest.asScala.toMap == batch,
+      "stream-maintained CUSUM must equal the batch operator")
+  }
+
   test("streaming host-cap gate admits the first k arrivals per host") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1877,8 +1877,108 @@ object Round15Queries {
           "source", "v")
         .orderBy("group"))
 
+  /** Rendezvous-hash rebalance audit ([[ops.Layout.rendezvousMoves]],
+    * 16 -> 17 shards): measures HRW's minimal-movement promise on
+    * real keys — a key moves ONLY to the new shard (old weights
+    * never change), expected movement 1/17 vs the ~16/17 a `mod k`
+    * rehash would cost. One shared md5 family, scan-side argmax,
+    * two bounded aggregates; the oracle replays the array argmax
+    * with the same tiebreak.
+    */
+  private lazy val q299: QueryDef =
+    QueryDef("q299_rendezvous_moves",
+      Some(s"""
+        WITH ks AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents),
+        a AS (SELECT k, [${hash32Sql("'rv_' || s || '_' || k")}
+                for s in range(0, 17)] AS arr
+              FROM ks),
+        o AS (SELECT k,
+                list_min([s for s in range(0, 16)
+                  if arr[s+1] = list_max(arr[1:16])]) AS o_from,
+                list_min([s for s in range(0, 17)
+                  if arr[s+1] = list_max(arr[1:17])]) AS o_to
+              FROM a),
+        sm AS (SELECT COUNT(*) AS n_keys,
+                      COUNT(*) FILTER (o_from <> o_to) AS moved
+               FROM o),
+        sm2 AS (SELECT n_keys, moved,
+                  moved * 1000000 // GREATEST(n_keys, 1) AS moved_ppm,
+                  ${1000000L / 17} AS expected_ppm
+                FROM sm),
+        ps AS (SELECT shard, SUM(f) AS n_from, SUM(t) AS n_to FROM (
+                 SELECT o_from AS shard, 1 AS f, 0 AS t FROM o
+                 UNION ALL SELECT o_to, 0, 1 FROM o)
+               GROUP BY shard)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(n_from AS BIGINT) AS n_from,
+               CAST(n_to AS BIGINT) AS n_to,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(moved AS BIGINT) AS moved,
+               CAST(moved_ppm AS BIGINT) AS moved_ppm,
+               CAST(expected_ppm AS BIGINT) AS expected_ppm
+        FROM ps CROSS JOIN sm2 ORDER BY shard"""),
+      (s, d) => graft.ops.Layout.rendezvousMoves(
+          spread(documents(s, d)), "doc_id", fromShards = 16,
+          toShards = 17)
+        .orderBy("shard"))
+
+  /** Consistent-hash ring rebalance audit ([[ops.Layout.ringMoves]],
+    * 16 -> 17 shards, 8 vnodes each): the OTHER classic placement
+    * scheme, with the expected movement computed EXACTLY as the new
+    * shard's ring-arc share (geometry, not approximation). Both
+    * engines consume identical literal vnode arrays built from the
+    * shared wordHash60 recipe; the oracle replays the successor fold
+    * and the per-shard panel.
+    */
+  private lazy val q300: QueryDef = {
+    val (fromK, toK, v) = (16, 17, 8)
+    val (posF, ownF) = graft.ops.Layout.ringOf(fromK, v, "ring")
+    val (posT, ownT) = graft.ops.Layout.ringOf(toK, v, "ring")
+    def ownerSql(pos: Seq[Long], own: Seq[Long]): String =
+      s"([${own.mkString(", ")}])[" +
+        s"(len(list_filter([${pos.mkString(", ")}]," +
+        s" p -> p <= kp)) % ${pos.size}) + 1]"
+    val ring = BigInt(1) << 60
+    val arcs = posT.zip(ownT)
+    val newMass = arcs.indices.map { i =>
+      val start = if (i == 0) posT.last - ring else BigInt(posT(i - 1))
+      (BigInt(posT(i)) - start, ownT(i))
+    }.collect { case (len, owner) if owner >= fromK => len }.sum
+    val expectedPpm = (newMass * 1000000 / ring).toLong
+    QueryDef("q300_ring_moves",
+      Some(s"""
+        WITH ks AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents),
+        kp AS (SELECT k, ${hash60Sql("'ringk_' || k")} AS kp FROM ks),
+        o AS (SELECT k, ${ownerSql(posF, ownF)} AS o_from,
+                     ${ownerSql(posT, ownT)} AS o_to
+              FROM kp),
+        sm AS (SELECT COUNT(*) AS n_keys,
+                      COUNT(*) FILTER (o_from <> o_to) AS moved
+               FROM o),
+        sm2 AS (SELECT n_keys, moved,
+                  moved * 1000000 // GREATEST(n_keys, 1) AS moved_ppm,
+                  $expectedPpm AS expected_ppm
+                FROM sm),
+        ps AS (SELECT shard, SUM(f) AS n_from, SUM(t) AS n_to FROM (
+                 SELECT o_from AS shard, 1 AS f, 0 AS t FROM o
+                 UNION ALL SELECT o_to, 0, 1 FROM o)
+               GROUP BY shard)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(n_from AS BIGINT) AS n_from,
+               CAST(n_to AS BIGINT) AS n_to,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(moved AS BIGINT) AS moved,
+               CAST(moved_ppm AS BIGINT) AS moved_ppm,
+               CAST(expected_ppm AS BIGINT) AS expected_ppm
+        FROM ps CROSS JOIN sm2 ORDER BY shard"""),
+      (s, d) => graft.ops.Layout.ringMoves(
+          spread(documents(s, d)), "doc_id", fromShards = fromK,
+          toShards = toK, vnodesPerShard = v)
+        .orderBy("shard"))
+  }
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
     q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
-    q293, q294, q295, q296, q297, q298)
+    q293, q294, q295, q296, q297, q298, q299, q300)
 }

@@ -440,4 +440,139 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
     (stats, release)
   }
+
+  /** Rendezvous (highest-random-weight) placement rebalance audit:
+    * assign every key to the shard maximizing `hash32(seed, shard,
+    * key)` under `fromShards` and under `toShards` shards
+    * (fromShards < toShards), and measure the movement. HRW's
+    * guarantee — THE reason it (and its cousin consistent hashing)
+    * runs under every distributed cache/shard router — is that
+    * adding shards moves a key ONLY to a NEW shard (an old shard's
+    * weight never changes), so expected movement is
+    * `(to - from) / to`, not the ~100% a `mod k` rehash costs. This
+    * operator measures that promise on real keys before a resharding
+    * is executed.
+    *
+    * Exact + portable: ONE shared md5 hash family (`seed_s_key`),
+    * argmax ties to the smallest shard; everything is scan-side
+    * per-key arithmetic over a `toShards`-element array + two
+    * bounded aggregates (per-shard panel; the movement count rides
+    * the same pass). Output per shard: `(shard, n_from, n_to)` with
+    * the replicated `(n_keys, moved, moved_ppm, expected_ppm)`.
+    */
+  def rendezvousMoves(df: DataFrame, keyCol: String, fromShards: Int,
+                      toShards: Int, seed: String = "rv"): DataFrame = {
+    require(fromShards >= 1 && toShards > fromShards && toShards <= 64,
+      s"need 1 <= from < to <= 64, got $fromShards/$toShards")
+    val arr = s"transform(sequence(0, ${toShards - 1}), s -> " +
+      s"CAST(conv(substring(md5(concat('$seed', '_', s, '_', _k))," +
+      s" 1, 8), 16, 10) AS BIGINT))"
+    def owner(k: Int): String =
+      s"array_min(filter(sequence(0, ${k - 1}), s -> " +
+        s"element_at(_arr, s + 1) = " +
+        s"array_max(slice(_arr, 1, $k))))"
+    val assigned = df
+      .select(col(keyCol).cast("string").as("_k"))
+      .withColumn("_arr", expr(arr))
+      .withColumn("_of", expr(owner(fromShards)).cast("long"))
+      .withColumn("_ot", expr(owner(toShards)).cast("long"))
+    val summary = assigned.agg(
+      count(lit(1)).cast("long").as("n_keys"),
+      count(when(col("_of") =!= col("_ot"), 1)).cast("long").as("moved"))
+      .withColumn("moved_ppm",
+        expr("moved * 1000000L div greatest(n_keys, 1)"))
+      .withColumn("expected_ppm",
+        lit((toShards - fromShards).toLong * 1000000L / toShards))
+    val perShard = assigned
+      .select(explode(array(
+        struct(col("_of").as("shard"), lit(1L).as("f"), lit(0L).as("t")),
+        struct(col("_ot").as("shard"), lit(0L).as("f"), lit(1L).as("t"))))
+        .as("_e"))
+      .groupBy(col("_e.shard").as("shard"))
+      .agg(sum("_e.f").cast("long").as("n_from"),
+        sum("_e.t").cast("long").as("n_to"))
+    perShard.crossJoin(broadcast(summary))
+  }
+
+  /** The consistent-hash ring for [[ringMoves]]: vnode positions
+    * (60-bit md5 points) with aligned owners, sorted by position —
+    * computed driver-side from the SAME `wordHash60` recipe the
+    * column expressions use, so both engines consume identical
+    * literal arrays. Distinct positions are loudly enforced (a
+    * collision would make ownership order-dependent).
+    */
+  private[graft] def ringOf(shards: Int, vnodes: Int,
+                            seed: String): (Seq[Long], Seq[Long]) = {
+    val pts = for (s <- 0 until shards; v <- 0 until vnodes)
+      yield (graft.Pipeline.wordHash60Jvm(s"${seed}_${s}_$v"), s.toLong)
+    require(pts.map(_._1).distinct.size == pts.size,
+      "ring vnode position collision — change the seed")
+    val sorted = pts.sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** Consistent-hash ring rebalance audit — the companion of
+    * [[rendezvousMoves]] in the OTHER classic placement scheme: keys
+    * hash to a 60-bit ring position and belong to the next-clockwise
+    * virtual node; adding shards inserts vnodes that claim arcs ONLY
+    * from their ring predecessors, so keys move only TO new shards
+    * and the expected movement is the new shards' exact arc share
+    * (computed from the ring geometry, not an approximation — vnodes
+    * trade per-shard variance for ring-size state, and this operator
+    * measures the variance too, via the per-shard panel).
+    *
+    * The ring is a `shards * vnodesPerShard` literal array pair
+    * (bounded; built by [[ringOf]] and inlined identically into both
+    * engines); per key the successor lookup is ONE
+    * `size(filter(ring, p <= keyPos))` scan-side fold — no join, no
+    * broadcast frame. Output per shard: `(shard, n_from, n_to)` with
+    * replicated `(n_keys, moved, moved_ppm, expected_ppm)` —
+    * `expected_ppm` is the exact new-arc share of the ring.
+    */
+  def ringMoves(df: DataFrame, keyCol: String, fromShards: Int,
+                toShards: Int, vnodesPerShard: Int = 8,
+                seed: String = "ring"): DataFrame = {
+    require(fromShards >= 1 && toShards > fromShards && toShards <= 64,
+      s"need 1 <= from < to <= 64, got $fromShards/$toShards")
+    require(vnodesPerShard >= 1 && vnodesPerShard <= 64,
+      s"vnodesPerShard must be in [1, 64], got $vnodesPerShard")
+    val (posF, ownF) = ringOf(fromShards, vnodesPerShard, seed)
+    val (posT, ownT) = ringOf(toShards, vnodesPerShard, seed)
+    def ownerExpr(pos: Seq[Long], own: Seq[Long]): String = {
+      val pArr = pos.mkString("array(", "L, ", "L)")
+      val oArr = own.mkString("array(", "L, ", "L)")
+      s"element_at($oArr, (size(filter($pArr, p -> p <= _kp))" +
+        s" % ${pos.size}) + 1)"
+    }
+    // exact expected movement: the ring-arc mass owned by NEW shards
+    // in the target config, over the 2^60 ring
+    val ring = BigInt(1) << 60
+    val arcs = posT.zip(ownT)
+    val newMass = arcs.indices.map { i =>
+      val start = if (i == 0) posT.last - ring else BigInt(posT(i - 1))
+      (BigInt(posT(i)) - start, ownT(i))
+    }.collect { case (len, owner) if owner >= fromShards => len }.sum
+    val expectedPpm = (newMass * 1000000 / ring).toLong
+    val assigned = df
+      .select(col(keyCol).cast("string").as("_key"))
+      .withColumn("_kp",
+        graft.Pipeline.wordHash60(concat(lit("ringk_"), col("_key"))))
+      .withColumn("_of", expr(ownerExpr(posF, ownF)))
+      .withColumn("_ot", expr(ownerExpr(posT, ownT)))
+    val summary = assigned.agg(
+      count(lit(1)).cast("long").as("n_keys"),
+      count(when(col("_of") =!= col("_ot"), 1)).cast("long").as("moved"))
+      .withColumn("moved_ppm",
+        expr("moved * 1000000L div greatest(n_keys, 1)"))
+      .withColumn("expected_ppm", lit(expectedPpm))
+    val perShard = assigned
+      .select(explode(array(
+        struct(col("_of").as("shard"), lit(1L).as("f"), lit(0L).as("t")),
+        struct(col("_ot").as("shard"), lit(0L).as("f"), lit(1L).as("t"))))
+        .as("_e"))
+      .groupBy(col("_e.shard").as("shard"))
+      .agg(sum("_e.f").cast("long").as("n_from"),
+        sum("_e.t").cast("long").as("n_to"))
+    perShard.crossJoin(broadcast(summary))
+  }
 }

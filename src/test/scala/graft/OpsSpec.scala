@@ -4410,6 +4410,73 @@ class OpsSpec extends AnyFunSuite {
     assert(solo == ((7000L, 0L)))
   }
 
+  test("rendezvousMoves: JVM argmax replay; moves only to new shards") {
+    import spark.implicits._
+    val keys = (1L to 200L).map(_.toString)
+    val df = keys.toDF("k")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x")
+        .mkString, 16)
+    def owner(key: String, k: Int): Long =
+      (0 until k).map(s => (h32(s"rv_${s}_$key"), s))
+        .maxBy { case (h, s) => (h, -s) }._2.toLong
+    val expect = keys.map(key => (owner(key, 4), owner(key, 6)))
+    val rows = graft.ops.Layout.rendezvousMoves(df, "k", 4, 6)
+      .collect()
+    val (nKeys, moved, movedPpm, expPpm) = (rows.head.getLong(3),
+      rows.head.getLong(4), rows.head.getLong(5), rows.head.getLong(6))
+    assert(nKeys == 200L)
+    assert(moved == expect.count { case (a, b) => a != b })
+    assert(movedPpm == moved * 1000000L / 200L)
+    assert(expPpm == 2L * 1000000L / 6L)
+    // HRW invariant: a moved key lands ONLY on a NEW shard
+    assert(expect.forall { case (a, b) => a == b || b >= 4 })
+    // per-shard panel matches the replay
+    val byShard = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    (0L until 6L).foreach { s =>
+      val f = expect.count(_._1 == s).toLong
+      val t = expect.count(_._2 == s).toLong
+      if (f + t > 0) assert(byShard(s) == ((f, t)), s"shard $s")
+    }
+  }
+
+  test("ringMoves: JVM successor replay; moves only to new shards") {
+    import spark.implicits._
+    val keys = (1L to 200L).map(_.toString)
+    val df = keys.toDF("k")
+    def owner(kp: Long, pos: Seq[Long], own: Seq[Long]): Long = {
+      val idx = pos.count(_ <= kp)
+      own(idx % pos.size)
+    }
+    val (posF, ownF) = graft.ops.Layout.ringOf(3, 4, "ring")
+    val (posT, ownT) = graft.ops.Layout.ringOf(4, 4, "ring")
+    val expect = keys.map { k =>
+      val kp = Pipeline.wordHash60Jvm(s"ringk_$k")
+      (owner(kp, posF, ownF), owner(kp, posT, ownT))
+    }
+    val rows = graft.ops.Layout.ringMoves(df, "k", 3, 4,
+      vnodesPerShard = 4).collect()
+    assert(rows.head.getLong(3) == 200L)
+    assert(rows.head.getLong(4) ==
+      expect.count { case (a, b) => a != b })
+    // ring invariant: a moved key lands ONLY on a new shard
+    assert(expect.forall { case (a, b) => a == b || b >= 3 })
+    // the measured movement sits near the exact new-arc share
+    val expPpm = rows.head.getLong(6)
+    val movedPpm = rows.head.getLong(5)
+    assert(math.abs(movedPpm - expPpm) < 120000,
+      s"moved $movedPpm vs arc share $expPpm")
+    val byShard = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    (0L until 4L).foreach { s =>
+      val f = expect.count(_._1 == s).toLong
+      val t = expect.count(_._2 == s).toLong
+      if (f + t > 0) assert(byShard(s) == ((f, t)), s"shard $s")
+    }
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

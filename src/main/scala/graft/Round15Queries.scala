@@ -1241,7 +1241,7 @@ object Round15Queries {
       s"""
         d$t AS (SELECT node,
                   ${hash32Sql(s"'mis_' || node || '_' || $t")}::HUGEINT
-                    * 4294967296 + node AS k
+                    * 1099511627776 + node AS k
                 FROM l$p),
         nm$t AS (SELECT le.x AS node, MIN(d.k) AS mn
                  FROM le$p le JOIN d$t d ON le.y = d.node GROUP BY le.x),

@@ -819,8 +819,11 @@ object Graph {
     * diversity use), so non-convergence within `maxIters` fails
     * loudly — the [[starComponents]] discipline.
     *
-    * Node ids must be non-negative and < 2^32 for the key packing
-    * (loudly enforced). Returns `(node, round)` — MIS members with
+    * Node ids must be non-negative and < 2^40 for the key packing
+    * (loudly enforced — the 2^32 bound failed loud on the sf100
+    * replica ids, which is the guard doing its job; 2^40 covers
+    * thousand-replica id spaces and the packed key still fits
+    * DECIMAL(38,0)/HUGEINT). Returns `(node, round)` — MIS members with
     * the round that admitted them.
     */
   def maximalIndependentSet(edges: DataFrame, maxIters: Int = 25,
@@ -832,11 +835,11 @@ object Graph {
       .distinct()
     def keyOf(node: org.apache.spark.sql.Column, round: Int)
         : org.apache.spark.sql.Column = {
-      val ok = when(node >= 0 && node < lit(4294967296L), node)
+      val ok = when(node >= 0 && node < lit(1099511627776L), node)
         .otherwise(raise_error(lit(
-          "maximalIndependentSet: node ids must be in [0, 2^32)")))
+          "maximalIndependentSet: node ids must be in [0, 2^40)")))
       graft.Pipeline.wordHash32(concat_ws("_", lit("mis"), node,
-        lit(round))).cast("decimal(38,0)") * lit(4294967296L) + ok
+        lit(round))).cast("decimal(38,0)") * lit(1099511627776L) + ok
     }
     var live = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node"))).distinct()

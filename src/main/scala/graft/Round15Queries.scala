@@ -1977,8 +1977,48 @@ object Round15Queries {
         .orderBy("shard"))
   }
 
+  /** Effective diameter ([[ops.Graph.effectiveDiameter]], 90th
+    * permille at horizon 6): the radius covering 90% of the
+    * within-horizon reachable mass — HyperBall's headline statistic,
+    * with `saturated_ppm` exposing how close the horizon is to the
+    * fixed point (on the 1000x-growing chains it is a LOWER bound by
+    * construction, and says so). Shares q288's register rounds; the
+    * oracle reuses the same CTEs plus the integer threshold pick.
+    */
+  private lazy val q301: QueryDef = {
+    val radius = 6
+    QueryDef("q301_effective_diameter",
+      Some(s"""
+        WITH $kcoreEdgeCtes,
+        nodes AS (SELECT DISTINCT x AS node FROM e0),
+        g0 AS MATERIALIZED (SELECT node, h % 64 AS bucket,
+                CAST(CASE WHEN h // 64 = 0 THEN 55
+                     ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS r
+              FROM (SELECT node,
+                      ${hash60Sql("CAST(node AS VARCHAR)")} AS h
+                    FROM nodes)),
+        ${hyperballRoundCtes(radius)},
+        ${(0 to radius).map(hyperballEstCte).mkString(",")},
+        nf AS (${(0 to radius).map(hyperballNfSql)
+          .mkString(" UNION ALL ")}),
+        pan AS (SELECT radius, reach_est,
+                  MAX(reach_est) OVER () AS fin,
+                  LAG(reach_est) OVER (ORDER BY radius) AS prev
+                FROM nf)
+        SELECT CAST(MIN(CASE WHEN reach_est * 1000 >= fin * 900
+                 THEN radius END) AS BIGINT) AS effective_diameter,
+               CAST(MAX(radius) AS BIGINT) AS n_radius,
+               CAST(MAX(fin) AS BIGINT) AS reach_final,
+               CAST(MAX(CASE WHEN radius = $radius THEN prev END)
+                 * 1000000 // GREATEST(MAX(fin), 1) AS BIGINT)
+                 AS saturated_ppm
+        FROM pan"""),
+      (s, d) => graft.ops.Graph.effectiveDiameter(
+        chainCliqueEdges(s, d), radius = radius, permille = 900, p = 6))
+  }
+
   val all: Seq[QueryDef] = Seq(q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281,
     q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
-    q293, q294, q295, q296, q297, q298, q299, q300)
+    q293, q294, q295, q296, q297, q298, q299, q300, q301)
 }

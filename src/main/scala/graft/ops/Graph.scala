@@ -1028,6 +1028,42 @@ object Graph {
       .limit(topK)
   }
 
+  /** Effective diameter (the HyperBall headline statistic): the
+    * smallest radius t at which the estimated neighborhood function
+    * reaches `permille`/1000 of its value at the horizon —
+    * "90% of reachable pairs are within d hops", the number quoted
+    * for every web/social graph, without all-pairs BFS. Computed on
+    * [[hyperBallProfile]]'s bounded (radius+1)-row panel with exact
+    * integer threshold math (`N(t) * 1000 >= N(radius) * permille`).
+    * If the profile is still growing at the horizon the value is a
+    * LOWER bound — `saturated_ppm` (N(radius-1)/N(radius)) is
+    * emitted so the reader can see how close the horizon is to the
+    * fixed point. Output one row: `(effective_diameter, n_radius,
+    * reach_final, saturated_ppm)`.
+    */
+  def effectiveDiameter(edges: DataFrame, radius: Int = 6,
+                        permille: Int = 900, p: Int = 6): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000], got $permille")
+    val prof = hyperBallProfile(edges, radius, p)
+      .groupBy("radius")
+      .agg(coalesce(sum("est"), lit(0L)).cast(LongType).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("radius"))
+    // (radius+1)-row panel: the unpartitioned windows are a non-issue
+    prof
+      .withColumn("_final", expr("max(n) OVER ()"))
+      .withColumn("_prev", lag("n", 1).over(w))
+      .withColumn("_hit",
+        when(col("n") * 1000 >= col("_final") * permille, col("radius")))
+      .agg(min("_hit").cast(LongType).as("effective_diameter"),
+        max("radius").cast(LongType).as("n_radius"),
+        max("_final").cast(LongType).as("reach_final"),
+        expr("CAST(max(CASE WHEN radius = " + radius +
+          " THEN _prev END) * 1000000 div greatest(max(_final), 1)" +
+          " AS BIGINT)").as("saturated_ppm"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the DIRECTED pair list of an undirected
     * graph (each edge contributes (deg_u, deg_v) and (deg_v, deg_u))

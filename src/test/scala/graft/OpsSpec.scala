@@ -4477,6 +4477,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("effectiveDiameter: path graph threshold pick; saturation ppm") {
+    import spark.implicits._
+    // 5-node path, radius 3: from the hyperBall spec's replay, N(t)
+    // grows monotonically; the 90% threshold lands at some t <= 3 and
+    // the whole panel math is the same recipe — pin the row against
+    // a direct profile recomputation
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val prof = graft.ops.Graph.hyperBall(edges, radius = 3, p = 6)
+      .orderBy("radius")
+      .select("radius", "reach_est").as[(Long, Long)].collect()
+    val fin = prof.map(_._2).max
+    val expectEff = prof.collect {
+      case (t, n) if n * 1000 >= fin * 900 => t
+    }.min
+    val got = graft.ops.Graph.effectiveDiameter(edges, radius = 3,
+        permille = 900, p = 6)
+      .select("effective_diameter", "n_radius", "reach_final",
+        "saturated_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 == expectEff)
+    assert(got._2 == 3L && got._3 == fin)
+    assert(got._4 == prof(2)._2 * 1000000L / fin)
+  }
+
   test("isqrtPortable equals exact floor sqrt across magnitudes") {
     val cases = Seq[BigInt](BigInt(0), BigInt(1), BigInt(2), BigInt(3),
       BigInt(4), BigInt(99), BigInt(100), BigInt(1L << 52),

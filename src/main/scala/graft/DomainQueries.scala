@@ -1432,9 +1432,17 @@ object DomainQueries {
         // one pass for both dimensions: shared (dim, bucket) sketch job
         val (bxy, _) = graft.ops.Layout.histQuantileBucketsN(
           v, Seq("x", "y"), 8)
+        // materialize the 2-long-column encoded frame ONCE: the range
+        // exchange inside the audit computes its child twice (boundary
+        // sampling + the exchange itself), and without this the scan +
+        // bucket-HOF chain replays for each — measured as half the
+        // query's cost. The checkpoint is the narrow post-encoding
+        // extract (2 longs/row), the cheapest point to cut lineage.
+        val enc = bxy
+          .select(col("x_qb").as("xb"), col("y_qb").as("yb"))
+          .localCheckpoint()
         graft.ops.Layout.zorderFileStatsN(
-            bxy.select(col("x_qb").as("xb"), col("y_qb").as("yb")),
-            Seq("xb", "yb"), bits = 3, rowsPerFile = 4096L)
+            enc, Seq("xb", "yb"), bits = 3, rowsPerFile = 4096L)
           .orderBy("file_id")
       })
 

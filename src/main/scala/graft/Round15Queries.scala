@@ -1385,7 +1385,8 @@ object Round15Queries {
                     AS gain
                 FROM nf),
         av AS (SELECT CAST(SUM(radius * COALESCE(gain, 0)::HUGEINT)
-                 * 1000 // GREATEST(MAX(reach_est) - MIN(reach_est), 1)
+                 * 1000 // GREATEST(arg_max(reach_est, radius)
+                                      - arg_min(reach_est, radius), 1)
                  AS BIGINT) AS avg_distance_milli
                FROM pan)
         SELECT nf.radius, nf.reach_est, av.avg_distance_milli
@@ -1478,7 +1479,7 @@ object Round15Queries {
             "w", counters = 60),
           Seq("source"))
         val est = graft.ops.Sketches.amsF2Estimate(merged,
-          Seq("source"), counters = 60)
+          Seq("source"))
         val exact = toks.groupBy("source", "w")
           .agg(count(lit(1)).cast("long").as("f"))
           .groupBy("source")

@@ -784,21 +784,6 @@ object Graph {
     (hops.result().reduce(_ unionAll _), () => { adj.unpersist(); () })
   }
 
-  /** Local clustering coefficient per node — `2 * triangles /
-    * (deg * (deg - 1))` in ppm — plus the inputs (`degree`, `n_tri`):
-    * the neighborhood-density audit that separates clique-like link
-    * farms (coeff -> 1e6) from chain/star organic linkage (coeff ->
-    * 0), read alongside [[kCore]]'s density screen and
-    * [[modularity]]'s labeling score. Degree-1 nodes have no defined
-    * coefficient and report 0 over their (degree, n_tri) facts.
-    *
-    * Shape at scale: [[triangleCounts]]'s degree-oriented enumeration
-    * (each triangle found exactly once from its lowest-degree corner
-    * — wedge volume is sum of SQUARED ORIENTED degrees, the bound
-    * that keeps hub wedges from exploding) plus one node-keyed degree
-    * aggregate and a left join back; all integer, DECIMAL(38,0) on
-    * the ppm product so 100x-degree hubs cannot overflow.
-    */
   /** Luby's maximal independent set with DETERMINISTIC md5 draws —
     * the log-round symmetry breaker behind distributed scheduling and
     * diversity selection ("pick a maximal set of mutually-non-similar
@@ -877,7 +862,87 @@ object Graph {
     require(done,
       s"maximalIndependentSet did not drain within $maxIters rounds " +
         "(the set would be independent but not maximal); raise maxIters")
-    mis.result().reduce(_ unionAll _)
+    val rounds = mis.result()
+    // an edgeless input (empty edge list or all self-loops) has no
+    // live nodes, so the loop never ran: the MIS of the empty graph is
+    // empty, not an empty.reduce crash
+    if (rounds.isEmpty)
+      live.select(col("node"), lit(0L).as("round"))
+    else rounds.reduce(_ unionAll _)
+  }
+
+  /** Small-range (linear-counting) correction table for [[hyperBall]]
+    * at m = 2^p: `lcTable(p)(V-1) = floor(m * ln(m / V))` for V empty
+    * registers, V = 1..m — generated ONCE driver-side with
+    * StrictMath.log (bit-reproducible across JVMs, unlike
+    * platform-intrinsic Math.log) and interpolated as LITERALS into
+    * both the plan and the oracle SQL (the Benford-table pattern), so
+    * no RUNTIME `ln` whose libm floor could differ between engines
+    * ever executes; whatever floor the driver computes is by
+    * construction the floor both engines compare against. p = 6
+    * reproduces the round-15 hand-written 64-entry table verbatim
+    * (frozen as a spec assertion). Standard HLL policy applies the
+    * correction when V > 0 and the raw estimate < 5m/2 — both tests
+    * on exact integers, so the switch is engine-identical.
+    */
+  private[graft] def lcTable(p: Int): Seq[Long] = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val m = 1L << p
+    (1L to m).map(v =>
+      math.floor(m.toDouble * StrictMath.log(m.toDouble / v.toDouble))
+        .toLong)
+  }
+
+  /** The p = 6 table, kept named because the q286/q288/q301 oracle
+    * builders interpolate it into their SQL. */
+  private[graft] val LcTable: Seq[Long] = lcTable(6)
+
+  /** The HyperBall round loop shared by [[hyperBall]] and
+    * [[harmonicCentrality]]: per-node ball-size estimates at every
+    * radius 0..`radius` as rows `(node, radius, est)` — registers
+    * merged one hop per round, estimates through the integer RAW
+    * estimator with [[LcTable]]'s linear-counting branch.
+    */
+  private[graft] def hyperBallProfile(edges: DataFrame, radius: Int,
+                                      p: Int): DataFrame = {
+    require(radius >= 1 && radius <= 16,
+      s"radius must be in [1, 16], got $radius")
+    require(p >= 4 && p <= 12,
+      s"p must be in [4, 12] ([[lcTable]]'s generated range; register " +
+        s"cost is nodes * 2^p rows per round), got $p")
+    val m = 1L << p
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    val nodes = sym.select(col("x").as("node")).distinct()
+    var regs = Sketches.hllCells(nodes, Seq(col("node")), "node", p)
+      .withColumnRenamed("_rho", "r")
+      .localCheckpoint()
+    val lcArr = lcTable(p).mkString("array(", "L, ", "L)")
+    def nf(t: Int, rg: DataFrame): DataFrame =
+      Sketches.hllEstimate(rg, Seq("node"), p)
+        .select(col("node"), lit(t.toLong).as("radius"), expr(
+          s"CASE WHEN n_buckets < $m AND est_distinct < ${5 * m / 2}" +
+            s" THEN element_at($lcArr, CAST($m - n_buckets AS INT))" +
+            " ELSE est_distinct END").cast(LongType).as("est"))
+    val profile = Seq.newBuilder[DataFrame]
+    profile += nf(0, regs)
+    for (t <- 1 to radius) {
+      val nbr = sym
+        .join(regs.select(col("node").as("y"), col("bucket"), col("r")),
+          "y")
+        .select(col("x").as("node"), col("bucket"), col("r"))
+      regs = regs.unionAll(nbr)
+        .groupBy("node", "bucket").agg(max("r").cast(LongType).as("r"))
+        .localCheckpoint()
+      profile += nf(t, regs)
+    }
+    profile.result().reduce(_ unionAll _)
   }
 
   /** HyperBall (Boldi–Vigna 2013): the neighborhood function
@@ -915,68 +980,6 @@ object Graph {
     * discovered within the horizon:
     * `1000 * sum t*(N(t)-N(t-1)) div (N(radius)-N(0))`.
     */
-  /** Small-range (linear-counting) correction table for [[hyperBall]]
-    * at m = 64: `LcTable(V-1) = floor(64 * ln(64 / V))` for V empty
-    * registers — PRECOMPUTED literals (the Benford-table pattern), so
-    * no runtime `ln` whose libm floor could differ between engines;
-    * the oracle interpolates the SAME constants. Standard HLL policy:
-    * use linear counting when V > 0 and the raw estimate < 5m/2 =
-    * 160 — both tests are on exact integers, so the switch is
-    * engine-identical.
-    */
-  private[graft] val LcTable: Seq[Long] = Seq(
-    266L, 221L, 195L, 177L, 163L, 151L, 141L, 133L, 125L, 118L, 112L,
-    107L, 102L, 97L, 92L, 88L, 84L, 81L, 77L, 74L, 71L, 68L, 65L, 62L,
-    60L, 57L, 55L, 52L, 50L, 48L, 46L, 44L, 42L, 40L, 38L, 36L, 35L,
-    33L, 31L, 30L, 28L, 26L, 25L, 23L, 22L, 21L, 19L, 18L, 17L, 15L,
-    14L, 13L, 12L, 10L, 9L, 8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L)
-
-  /** The HyperBall round loop shared by [[hyperBall]] and
-    * [[harmonicCentrality]]: per-node ball-size estimates at every
-    * radius 0..`radius` as rows `(node, radius, est)` — registers
-    * merged one hop per round, estimates through the integer RAW
-    * estimator with [[LcTable]]'s linear-counting branch.
-    */
-  private[graft] def hyperBallProfile(edges: DataFrame, radius: Int,
-                                      p: Int): DataFrame = {
-    require(radius >= 1 && radius <= 16,
-      s"radius must be in [1, 16], got $radius")
-    require(p == 6, "hyperBall's linear-counting table is built for " +
-      s"m = 64 (p = 6); got p = $p")
-    val und = edges
-      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
-        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = und.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint()
-    val nodes = sym.select(col("x").as("node")).distinct()
-    var regs = Sketches.hllCells(nodes, Seq(col("node")), "node", p)
-      .withColumnRenamed("_rho", "r")
-      .localCheckpoint()
-    val lcArr = LcTable.mkString("array(", "L, ", "L)")
-    def nf(t: Int, rg: DataFrame): DataFrame =
-      Sketches.hllEstimate(rg, Seq("node"), p)
-        .select(col("node"), lit(t.toLong).as("radius"), expr(
-          "CASE WHEN n_buckets < 64 AND est_distinct < 160" +
-            s" THEN element_at($lcArr, CAST(64 - n_buckets AS INT))" +
-            " ELSE est_distinct END").cast(LongType).as("est"))
-    val profile = Seq.newBuilder[DataFrame]
-    profile += nf(0, regs)
-    for (t <- 1 to radius) {
-      val nbr = sym
-        .join(regs.select(col("node").as("y"), col("bucket"), col("r")),
-          "y")
-        .select(col("x").as("node"), col("bucket"), col("r"))
-      regs = regs.unionAll(nbr)
-        .groupBy("node", "bucket").agg(max("r").cast(LongType).as("r"))
-        .localCheckpoint()
-      profile += nf(t, regs)
-    }
-    profile.result().reduce(_ unionAll _)
-  }
-
   def hyperBall(edges: DataFrame, radius: Int = 6, p: Int = 6)
       : DataFrame = {
     val prof = hyperBallProfile(edges, radius, p)
@@ -987,6 +990,12 @@ object Graph {
     // wobble
     val panel = prof.orderBy("radius").collect()
       .map(r => (r.getLong(0), BigInt(r.getLong(1))))
+    // an edgeless input has no nodes, hence no profile rows: the
+    // neighborhood function of the empty graph is empty, not a crash
+    // (panel.last threw on this before round 16)
+    if (panel.isEmpty)
+      return prof.withColumn("avg_distance_milli", lit(0L))
+        .select("radius", "reach_est", "avg_distance_milli")
     val gained = panel.sliding(2).collect {
       case Array((_, prev), (t, cur)) => BigInt(t) * (cur - prev)
     }.sum
@@ -1114,6 +1123,21 @@ object Graph {
       .toDF("n_pairs", "assortativity_ppm")
   }
 
+  /** Local clustering coefficient per node — `2 * triangles /
+    * (deg * (deg - 1))` in ppm — plus the inputs (`degree`, `n_tri`):
+    * the neighborhood-density audit that separates clique-like link
+    * farms (coeff -> 1e6) from chain/star organic linkage (coeff ->
+    * 0), read alongside [[kCore]]'s density screen and
+    * [[modularity]]'s labeling score. Degree-1 nodes have no defined
+    * coefficient and report 0 over their (degree, n_tri) facts.
+    *
+    * Shape at scale: [[triangleCounts]]'s degree-oriented enumeration
+    * (each triangle found exactly once from its lowest-degree corner
+    * — wedge volume is sum of SQUARED ORIENTED degrees, the bound
+    * that keeps hub wedges from exploding) plus one node-keyed degree
+    * aggregate and a left join back; all integer, DECIMAL(38,0) on
+    * the ppm product so 100x-degree hubs cannot overflow.
+    */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),

@@ -170,7 +170,7 @@ object Sketches {
     */
   private[graft] def hllCells(df: DataFrame, keep: Seq[org.apache.spark.sql.Column],
                               valueCol: String, p: Int): DataFrame = {
-    require(p >= 4 && p <= 8, s"p must be in [4, 8], got $p")
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
     val m = 1L << p
     df.select((keep :+
         wordHash60(col(valueCol).cast(StringType)).as("_h")): _*)
@@ -205,7 +205,7 @@ object Sketches {
     */
   def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
                   p: Int = 6): DataFrame = {
-    require(p >= 4 && p <= 8, s"p must be in [4, 8], got $p")
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
     val m = 1L << p
     // alpha_m as published: 16 -> 0.673, 32 -> 0.697, 64 -> 0.709,
     // m >= 128 -> 0.7213/(1 + 1.079/m) = 7213 m / (10000 m + 10790)
@@ -467,13 +467,24 @@ object Sketches {
       .agg(count(lit(1)).cast(LongType).as("n"))
 
   /** The integer-pure bucket index of a non-negative long SQL
-    * expression: |{b in [0,62] : 2^b <= v}|. Shared by the sketch and
-    * any probe so the recipe cannot drift.
+    * expression: |{b in [0,62] : 2^b <= v}|, which for v >= 1 is
+    * exactly v's BIT LENGTH — computed as `length(bin(v))` (bin() is
+    * the codegen'd java.lang.Long.toBinaryString; its length is
+    * floor(log2 v) + 1 for v in [1, 2^63), matching the power-of-two
+    * count for the full [1, 2^62] histogram domain, and the 63-cap
+    * for v > 2^62 agrees too). v <= 0 clamps to bucket 0 as
+    * documented. Shared by the sketch and any probe so the recipe
+    * cannot drift.
+    *
+    * The earlier HOF form (filter over a materialized 63-element
+    * power-of-two array) was semantically identical but allocated
+    * three arrays PER ROW — measured as the dominant cost of q217's
+    * histogram stage on a single-row-group scan; the bit-length form
+    * is one string per row inside whole-stage codegen.
     */
   def histBucket(value: String): org.apache.spark.sql.Column =
-    expr(s"""CAST(size(filter(transform(sequence(0, 62),
-                b -> shiftleft(1L, b)), p -> p <= CAST($value AS BIGINT)))
-             AS BIGINT)""")
+    expr(s"""CASE WHEN CAST($value AS BIGINT) <= 0L THEN 0L
+             ELSE CAST(length(bin(CAST($value AS BIGINT))) AS BIGINT) END""")
 
   /** SUM-merge per-shard histograms into one per group. */
   def histMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
@@ -696,11 +707,17 @@ object Sketches {
     * counters, `floor(sum S_c^2 / counters)` — exact integer over
     * DECIMAL(38,0) (S_c is corpus-magnitude; its square needs the
     * wide intermediate). Standard error ~ F2 * sqrt(2/counters).
-    * Output: groupCols + `f2_est`.
+    *
+    * The divisor is the sketch's OWN counter count (`COUNT(*)` per
+    * group — a merged sketch carries exactly one row per counter), so
+    * a sketch built with non-default `counters` estimates correctly
+    * with no parameter to forget; the earlier caller-supplied divisor
+    * silently scaled `f2_est` by counters/60 when omitted. Output:
+    * groupCols + `f2_est`.
     */
-  def amsF2Estimate(sketch: DataFrame, groupCols: Seq[String],
-                    counters: Int = 60): DataFrame =
+  def amsF2Estimate(sketch: DataFrame,
+                    groupCols: Seq[String]): DataFrame =
     sketch.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"CAST(SUM(CAST(s AS DECIMAL(38,0)) * s)" +
-        s" div $counters AS BIGINT)").as("f2_est"))
+      .agg(expr("CAST(SUM(CAST(s AS DECIMAL(38,0)) * s)" +
+        " div COUNT(*) AS BIGINT)").as("f2_est"))
 }

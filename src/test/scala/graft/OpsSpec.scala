@@ -4214,7 +4214,7 @@ class OpsSpec extends AnyFunSuite {
     assert(sharded == expectS)
     val est = graft.ops.Sketches.amsF2Estimate(
       graft.ops.Sketches.amsF2Sketch(df, Seq("g"), "w", counters),
-      Seq("g"), counters)
+      Seq("g"))
       .select("f2_est").as[Long].head()
     val expectEst = (expectS.values.map(s => BigInt(s) * s).sum /
       counters).toLong
@@ -4510,6 +4510,119 @@ class OpsSpec extends AnyFunSuite {
     cases.foreach { n =>
       val s = Similarity.isqrtPortable(n)
       assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
+
+  // ===== round 16: generated LC tables, p-parameterized hyperBall,
+  // empty-graph guards, bounded rrfFuse =====
+
+  test("lcTable: p=6 reproduces the frozen round-15 literals; p=8 sane") {
+    val frozen = Seq(
+      266L, 221L, 195L, 177L, 163L, 151L, 141L, 133L, 125L, 118L, 112L,
+      107L, 102L, 97L, 92L, 88L, 84L, 81L, 77L, 74L, 71L, 68L, 65L, 62L,
+      60L, 57L, 55L, 52L, 50L, 48L, 46L, 44L, 42L, 40L, 38L, 36L, 35L,
+      33L, 31L, 30L, 28L, 26L, 25L, 23L, 22L, 21L, 19L, 18L, 17L, 15L,
+      14L, 13L, 12L, 10L, 9L, 8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L)
+    assert(graft.ops.Graph.lcTable(6) == frozen)
+    val t8 = graft.ops.Graph.lcTable(8)
+    assert(t8.length == 256)
+    assert(t8.head ==
+      math.floor(256.0 * StrictMath.log(256.0)).toLong)
+    assert(t8.last == 0L)
+    // strictly the m*ln(m/V) closed form at every V, and non-increasing
+    (1 to 256).foreach { v =>
+      assert(t8(v - 1) ==
+        math.floor(256.0 * StrictMath.log(256.0 / v)).toLong)
+    }
+    assert(t8 == t8.sorted(Ordering[Long].reverse))
+    intercept[IllegalArgumentException] { graft.ops.Graph.lcTable(3) }
+    intercept[IllegalArgumentException] { graft.ops.Graph.lcTable(13) }
+  }
+
+  test("hyperBall p=8: exact register/estimator replay on a path") {
+    import spark.implicits._
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val radius = 3
+    val got = graft.ops.Graph.hyperBall(
+        edgeSeq.toDF("src", "dst"), radius = radius, p = 8)
+      .orderBy("radius")
+      .select("radius", "reach_est", "avg_distance_milli")
+      .as[(Long, Long, Long)].collect().toSeq
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x")
+        .mkString.take(15), 16)
+    val adj = (edgeSeq ++ edgeSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    def ball(n: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(n))((s, _) => s ++ s.flatMap(adj))
+    // m = 256: bucket = h % 256, rho base 61 - 8 = 53, alpha =
+    // 7213m/(10000m + 10790), linear counting below 5m/2 = 640 —
+    // the published general-m constants hllEstimate implements
+    def est(members: Set[Long]): BigInt = {
+      val m = 256
+      val regs = members.groupMapReduce { v => h60(v.toString) % m } {
+        v =>
+          val rest = h60(v.toString) / m
+          if (rest == 0) 53L
+          else 53L - java.lang.Long.toBinaryString(rest).length
+      }(math.max)
+      val s = regs.values.map(r => BigInt(1) << (60 - r.toInt)).sum +
+        BigInt(m - regs.size) * (BigInt(1) << 60)
+      val raw = (BigInt(7213L * m) * m * m * (BigInt(1) << 60)) /
+        (BigInt(10000L * m + 10790L) * s)
+      if (regs.size < m && raw < 5 * m / 2)
+        BigInt(graft.ops.Graph.lcTable(8)(m - regs.size - 1))
+      else raw
+    }
+    val expectNf = (0 to radius).map(t =>
+      nodes.toSeq.map(n => est(ball(n, t))).sum)
+    val gained = (1 to radius)
+      .map(t => BigInt(t) * (expectNf(t) - expectNf(t - 1))).sum
+    val expectAvg = (gained * 1000 /
+      (expectNf(radius) - expectNf(0)).max(BigInt(1))).toLong
+    assert(got.map(_._2) == expectNf.map(_.toLong))
+    assert(got.forall(_._3 == expectAvg))
+    // at 5 nodes << m the LC branch should be pinning estimates to
+    // the EXACT ball sizes — the small-range win p=8 buys
+    val exactNf = (0 to radius).map(t =>
+      nodes.toSeq.map(n => BigInt(ball(n, t).size)).sum)
+    assert(expectNf == exactNf)
+  }
+
+  test("MIS + hyperBall: edgeless/self-loop-only graphs return empty, not crash") {
+    import spark.implicits._
+    val selfs = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    val mis = graft.ops.Graph.maximalIndependentSet(selfs)
+    assert(mis.columns.toSeq == Seq("node", "round"))
+    assert(mis.count() == 0L)
+    val hb = graft.ops.Graph.hyperBall(selfs, radius = 2)
+    assert(hb.columns.toSeq ==
+      Seq("radius", "reach_est", "avg_distance_milli"))
+    assert(hb.count() == 0L)
+    val ed = graft.ops.Graph.effectiveDiameter(selfs, radius = 2)
+    assert(ed.count() == 1L) // agg over empty: one all-null row, no crash
+  }
+
+  test("rrfFuse: corpus-sized inputs are cut to depth inside the operator") {
+    import spark.implicits._
+    // 5000-row "corpus" frames: scores descend with id
+    val big = spark.range(5000).select(col("id").as("doc_id"),
+      (lit(100000L) - col("id")).as("score"))
+    val out = graft.ops.Search.rrfFuse(big, big, "doc_id",
+        k = 10, kRrf = 60, depth = 50)
+      .select("doc_id", "rank_a", "rank_b", "rrf_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 10)
+    // all ranks come from within the depth cut
+    assert(out.forall { case (_, ra, rb, _) => ra <= 50 && rb <= 50 })
+    // identical inputs: top doc is id 0 with rank 1 both sides
+    assert(out.head == ((0L, 1L, 1L, 2 * (1000000L / 61))))
+    // fusing deeper than you return is the contract
+    intercept[IllegalArgumentException] {
+      graft.ops.Search.rrfFuse(big, big, "doc_id",
+        k = 100, kRrf = 60, depth = 50)
     }
   }
 }

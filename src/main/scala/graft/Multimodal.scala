@@ -379,4 +379,64 @@ object Multimodal {
       .agg(countDistinct(col("frame_idx")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** CROSS-CONTAINER video near-dup: [[frameVoteNearDup]]'s exact
+    * `(position, signature)` vote misses the two real-world mutations
+    * a video corpus is full of — re-encodes (a couple of dHash bits
+    * flip per frame) and trims/remuxes (the same frames sit at
+    * DIFFERENT positions). This variant is the banded-LSH analog over
+    * [[frameSignatures]] output: each frame's 64-bit signature splits
+    * into 4 sixteen-bit chunks (2 per half — the
+    * [[graft.Pipeline.simhash64Pairs]] pigeonhole: two signatures
+    * within Hamming distance <= 3 MUST agree on at least one chunk),
+    * candidate frame pairs meet POSITION-FREE on `(chunk_idx, chunk)`,
+    * survivors verify with the exact popcount distance <= `maxDist`,
+    * and a video pair reports when at least `minShared` DISTINCT
+    * a-side frames found a close partner.
+    *
+    * Scale shape: banding is a scan-side projection (4 posting rows
+    * per frame — never all frame pairs); chunk keys hotter than
+    * `maxChunkDf` drop from candidacy before the self-join (the q92
+    * df-cap discipline — black frames and title cards are the
+    * degenerate keys; a capped key contributes no votes, so the
+    * result is a documented LOWER bound there); the verify is
+    * scan-side bit_count on the joined rows, and the vote is one
+    * partial-combinable aggregate over the deduped matches. maxDist
+    * <= 3 is structural (the 4-chunk pigeonhole's guarantee).
+    * Output: `(a_id, b_id, n_close)` with `a_id < b_id`.
+    */
+  def frameBandNearDup(frames: DataFrame, idCol: String, maxDist: Int,
+                       minShared: Int, maxChunkDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-chunk pigeonhole banding covers distance <= 3, got $maxDist")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxChunkDf >= 1, s"maxChunkDf must be >= 1, got $maxChunkDf")
+    val chunked = frames.select(col(idCol).as("_vid"), col("frame_idx"),
+        col("sig_lo"), col("sig_hi"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", when(col("c") < 2,
+          expr("shiftright(sig_lo, c * 16) & 65535"))
+        .otherwise(expr("shiftright(sig_hi, (c - 2) * 16) & 65535")))
+    val ok = chunked.join(
+      chunked.groupBy("c", "chunk").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxChunkDf)
+        .select("c", "chunk"),
+      Seq("c", "chunk"))
+    val matches = ok.select(col("_vid").as("a_id"),
+        col("frame_idx").as("_fa"), col("sig_lo").as("_la"),
+        col("sig_hi").as("_ha"), col("c"), col("chunk"))
+      .join(ok.select(col("_vid").as("b_id"), col("frame_idx").as("_fb"),
+          col("sig_lo").as("_lb"), col("sig_hi").as("_hb"),
+          col("c"), col("chunk")),
+        Seq("c", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr(
+        s"bit_count(_la ^ _lb) + bit_count(_ha ^ _hb) <= $maxDist"))
+      .select("a_id", "b_id", "_fa", "_fb").distinct()
+    matches.groupBy("a_id", "b_id")
+      .agg(countDistinct(col("_fa")).cast(org.apache.spark.sql.types
+        .LongType).as("n_close"))
+      .filter(col("n_close") >= minShared)
+  }
 }

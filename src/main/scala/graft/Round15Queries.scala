@@ -20,7 +20,7 @@ object Round15Queries {
 
   // Oracle mirror of Pipeline.wordHash60 (first 15 md5 hex digits) —
   // the integer join-key narrowing recipe (q140/q251's key).
-  private def hash60Sql(e: String): String =
+  private[graft] def hash60Sql(e: String): String =
     s"""list_reduce([strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 for i in range(1, 16)],
                     (a, b) -> a*16 + b)"""
 
@@ -408,7 +408,7 @@ object Round15Queries {
   // on this family at EVERY scale (the chain dies in round 1, the
   // clique is stable) — the oracle unrolls 4 for slack.
   private val KCoreK = 3
-  private def kcoreEdgeCtes: String = """
+  private[graft] def kcoreEdgeCtes: String = """
         base AS (SELECT doc_id, source, ROW_NUMBER() OVER (
                    PARTITION BY source ORDER BY doc_id) AS rn
                  FROM documents),
@@ -648,7 +648,7 @@ object Round15Queries {
 
   // Engine mirror of kcoreEdgeCtes' chain+clique document graph (the
   // shared synthetic graph of q270/q274/q277).
-  private def chainCliqueEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def chainCliqueEdges(s: org.apache.spark.sql.SparkSession,
                                d: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val base = spread(documents(s, d)).select("source", "doc_id")

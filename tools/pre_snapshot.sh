@@ -31,6 +31,12 @@ echo "[pre-snapshot] 3/3 cross-round bench median diff (informational)..."
 # median with low spread. Informational — weather still needs a human
 # read — but the table must be in every pre-snapshot log.
 python3 tools/bench_diff.py bench_history/detail_sf0.1.json || true
+# round-15 verdict item 6: the sf1 suite record catches scale-sensitive
+# regressions the 0.1 suite cannot (q251's 60-bit-key win was found at
+# the next decade); diff it too whenever a committed record exists.
+if [[ -f bench_history/detail_sf1-bench.json ]]; then
+  python3 tools/bench_diff.py bench_history/detail_sf1-bench.json || true
+fi
 
 echo "[pre-snapshot] green: suite + oracle both pass."
 if [[ $# -ge 1 ]]; then

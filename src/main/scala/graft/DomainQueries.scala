@@ -1432,15 +1432,15 @@ object DomainQueries {
         // one pass for both dimensions: shared (dim, bucket) sketch job
         val (bxy, _) = graft.ops.Layout.histQuantileBucketsN(
           v, Seq("x", "y"), 8)
-        // materialize the 2-long-column encoded frame ONCE: the range
-        // exchange inside the audit computes its child twice (boundary
-        // sampling + the exchange itself), and without this the scan +
-        // bucket-HOF chain replays for each — measured as half the
-        // query's cost. The checkpoint is the narrow post-encoding
-        // extract (2 longs/row), the cheapest point to cut lineage.
+        // NO materialization before the audit's range exchange — the
+        // round-16 A/B: a localCheckpoint of this 2-long-column frame
+        // measured 1.79 -> 3.66 s at sf0.1 and 5.3 -> 12.4 s at sf1
+        // (the eager write + double read cost MORE than letting the
+        // boundary sampling and the exchange each recompute the cheap
+        // scan + bucket chain). The old 7.2 s record was the HOF-array
+        // histBucket, not the recompute.
         val enc = bxy
           .select(col("x_qb").as("xb"), col("y_qb").as("yb"))
-          .localCheckpoint()
         graft.ops.Layout.zorderFileStatsN(
             enc, Seq("xb", "yb"), bits = 3, rowsPerFile = 4096L)
           .orderBy("file_id")

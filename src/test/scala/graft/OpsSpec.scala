@@ -3231,15 +3231,22 @@ class OpsSpec extends AnyFunSuite {
     // releasable form: same rows, and the handle drops BOTH internal
     // caches (long-lived sessions must not rely on clearCache). Clear
     // first: the handle-less runs above cached the SAME logical plans
-    // and CacheManager dedupes, which would skew the count.
+    // and CacheManager dedupes, which would skew the count. Track KEY
+    // SETS, not counts: earlier tests' localCheckpoint RDDs sit in
+    // getPersistentRDDs until the async ContextCleaner collects them,
+    // and one vanishing between the snapshots failed this spec on a
+    // plain size compare (round-16 flake) — only the RDDs THIS call
+    // registered are the assertion's business.
     spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (rel, release) = graft.ops.SetSim.prefixFilterJoinReleasable(
       toks, "id", "tok", 1, 2)
     assert(rel.select("a_id", "b_id", "n_inter", "n_union")
       .as[(Long, Long, Long, Long)].collect().toSet == brute(1, 2))
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "the releasable form must register its caches")
     release()
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet & mine).isEmpty,
       "release() must unpersist both internal caches")
   }
 

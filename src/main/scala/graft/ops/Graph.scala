@@ -974,8 +974,10 @@ object Graph {
     * [[Sketches.hllEstimate]]'s integer RAW estimator WITH the
     * standard linear-counting small-range branch — the `ln` its
     * docstring rejects (libm floors vary by engine) enters only as
-    * [[LcTable]]'s 64 precomputed literals, shared verbatim with the
-    * oracle, and both branch tests are exact-integer comparisons. The
+    * [[lcTable]]'s per-p driver-side `StrictMath.log` literals
+    * (2^p entries, generated once for any p in [4, 12] and inlined
+    * identically into both engines — q302 runs p=8 with a 256-entry
+    * table), and both branch tests are exact-integer comparisons. The
     * raw-only form put N(0) at ~45 per singleton node (measured at
     * sf0.01: 22,640 for 500 nodes); with the branch N(0) counts
     * nodes almost exactly.

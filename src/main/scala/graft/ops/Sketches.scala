@@ -472,9 +472,13 @@ object Sketches {
     * the codegen'd java.lang.Long.toBinaryString; its length is
     * floor(log2 v) + 1 for v in [1, 2^63), matching the power-of-two
     * count for the full [1, 2^62] histogram domain, and the 63-cap
-    * for v > 2^62 agrees too). v <= 0 clamps to bucket 0 as
-    * documented. Shared by the sketch and any probe so the recipe
-    * cannot drift.
+    * for v > 2^62 agrees too). v <= 0 — and NULL — clamp to bucket 0
+    * as documented (the IS NULL arm is explicit because `null <= 0`
+    * is null, so without it the CASE would emit a NULL bucket that
+    * leaks through [[histSketch]] as a NULL-keyed group and never
+    * joins a probe key; the pre-round-16 HOF form dropped NULLs into
+    * bucket 0 and this form preserves that contract). Shared by the
+    * sketch and any probe so the recipe cannot drift.
     *
     * The earlier HOF form (filter over a materialized 63-element
     * power-of-two array) was semantically identical but allocated
@@ -483,7 +487,8 @@ object Sketches {
     * is one string per row inside whole-stage codegen.
     */
   def histBucket(value: String): org.apache.spark.sql.Column =
-    expr(s"""CASE WHEN CAST($value AS BIGINT) <= 0L THEN 0L
+    expr(s"""CASE WHEN CAST($value AS BIGINT) IS NULL
+                    OR CAST($value AS BIGINT) <= 0L THEN 0L
              ELSE CAST(length(bin(CAST($value AS BIGINT))) AS BIGINT) END""")
 
   /** SUM-merge per-shard histograms into one per group. */

@@ -67,6 +67,19 @@ def main() -> int:
     cur_probe = float(cur.get("probe_median_sec") or 0) or None
     prev_probe = float(prev.get("probe_median_sec") or 0) or None
     weather = (cur_probe / prev_probe) if cur_probe and prev_probe else 1.0
+    # shuffle-path weather (round-16 lesson: the scan probe is blind to
+    # shuffle-path slowdowns — the box ran its shuffle path ~2x slower
+    # than at the r15 record while the scan probe moved 3%). Entries
+    # since round 17 carry a 5th element: "x" = plan has an Exchange
+    # (judge against the shuffle probe), "s" = scan-only.
+    cur_shuf = float(cur.get("shuffle_probe_median_sec") or 0) or None
+    prev_shuf = float(prev.get("shuffle_probe_median_sec") or 0) or None
+    shuf_weather = (cur_shuf / prev_shuf) if cur_shuf and prev_shuf \
+        else weather
+
+    def weather_of(rec):
+        shape = rec[4] if len(rec) > 4 else None
+        return shuf_weather if shape == "x" else weather
 
     def adj_median(rec):
         # detail entries are [median, spread_pct, n, probe_adj_median]
@@ -87,17 +100,20 @@ def main() -> int:
         # probe-adjusted ratio: per-query local-pressure correction
         # (the bracketing-probe scaling baked into each record) plus
         # the run-level probe weather between the two records
+        w = weather_of(cur_rec)
         prev_adj = adj_median(prev_rec)
-        adj = (adj_median(cur_rec) / prev_adj / weather
-               if prev_adj > 0 else raw / weather)
+        adj = (adj_median(cur_rec) / prev_adj / w
+               if prev_adj > 0 else raw / w)
         if adj >= args.thresh and cur_spread <= args.spread_max:
             regress.append((name, prev_med, cur_med, raw, adj, cur_spread))
         elif adj <= 1.0 / args.thresh:
             improve.append((name, prev_med, cur_med, raw, adj, cur_spread))
 
+    shuf_note = (f", shuffle weather x{shuf_weather:.2f}"
+                 if cur_shuf and prev_shuf else "")
     print(f"[bench-diff] {args.detail} vs {args.ref} "
           f"({len(set(cur_q) & set(prev_q))} common queries, "
-          f"probe weather x{weather:.2f})")
+          f"probe weather x{weather:.2f}{shuf_note})")
     if not regress:
         print(f"[bench-diff] no regression >= {args.thresh}x "
               f"(probe-adjusted, spread <= {args.spread_max}%)")

@@ -40,8 +40,16 @@ object Layout {
     * The bits budget splits EVENLY across dimensions by design — an
     * uneven split is just a different bucketing of the inputs, which
     * callers own (dimension values must already be bucketed/
-    * rank-encoded into [0, 2^bits)). One codegen'd HOF per row; no
-    * shuffle, no UDF.
+    * rank-encoded into [0, 2^bits)). The interleave is UNROLLED into
+    * a flat bitwise-OR of N*bits shift terms — straight-line long
+    * arithmetic inside whole-stage codegen. The earlier form folded
+    * over `sequence(0, bits-1)` with a lambda, which materialized an
+    * array PER ROW on the hottest path in the layout family (the
+    * Z-key is computed once per row per PASS of the range exchange:
+    * the sampling pass and the shuffle pass each re-run the child
+    * plan, so the per-row cost is paid twice) — the same
+    * array-materializing-HOF cost that dominated q217's histogram
+    * stage. No shuffle, no UDF.
     */
   def zorderKeyN(dims: Seq[String], bits: Int): Column = {
     require(dims.length >= 2 && dims.length <= 4,
@@ -49,14 +57,12 @@ object Layout {
     val n = dims.length
     require(bits >= 1 && n * bits <= 62,
       s"need bits >= 1 and ${n} * bits <= 62, got bits = $bits")
-    // acc | d0_bit << (N*i) | d1_bit << (N*i + 1) | ...
-    val body = dims.zipWithIndex.map { case (d, j) =>
-      s"| shiftleft(shiftright(CAST(($d) AS BIGINT), i) & 1L, $n * i + $j)"
-    }.mkString("\n            ")
-    expr(
-      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-            acc
-            $body)""")
+    // d0_bit0 << 0 | d1_bit0 << 1 | ... | d0_bit1 << N | ...
+    val terms = for {
+      i <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield s"shiftleft(shiftright(CAST(($d) AS BIGINT), $i) & 1L, ${n * i + j})"
+    expr(terms.mkString("(", " | ", ")"))
   }
 
   /** Z-ORDER FILE-LAYOUT AUDIT: lay the frame out along the Morton

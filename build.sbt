@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g): local[32] runs 32 concurrent tasks against
+  // ~60% x 50% of the heap as execution memory — at 8g that is
+  // ~75 MB/task, and the round-17 profile showed the big aggregates
+  // (q271's 102M-row wedge agg: 3.2M-entry maps/task) spilling to
+  // sort fallback. Measured end-to-end at sf1: q271 107.5 s -> 76.8 s,
+  // q304 88.2 s -> 68.8 s. The box has 125 GiB; 32g leaves page cache
+  // headroom for the scan side.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -32,14 +32,20 @@ object Bench {
     // pressure/adjustment decision for a query reads the probe of ITS
     // shape — round 16 burned its adjudication budget proving that 8
     // "regressions" on shuffle-heavy queries were box weather the
-    // scan-shaped probe could not see. Classification inspects the
-    // plan string only (no job runs); it happens right after the
-    // query's own warmup, so any frames the build persists are the
-    // ones the timed passes use anyway.
-    def isShuffleShaped(q: QueryDef): Boolean =
-      try q.build(spark, sfDir).queryExecution.executedPlan.toString
-        .contains("Exchange")
-      catch { case scala.util.control.NonFatal(_) => true }
+    // scan-shaped probe could not see. Classification reads the plan
+    // of the WARMUP run's DataFrame (some builds run driver-side jobs
+    // eagerly — rebuilding just to classify would pay those twice);
+    // build failures classify as shuffle-shaped, the conservative
+    // default.
+    def warmupAndClassify(q: QueryDef): Boolean =
+      try {
+        val df = q.build(spark, sfDir)
+        val shuffled =
+          try df.queryExecution.executedPlan.toString.contains("Exchange")
+          catch { case scala.util.control.NonFatal(_) => true }
+        df.write.format("noop").mode("overwrite").save()
+        shuffled
+      } catch { case scala.util.control.NonFatal(_) => true }
 
     // Table-load warmup once (file listing, footer reads), then
     // QUERY-MAJOR measurement: per query — untimed warmup run, timed
@@ -147,8 +153,9 @@ object Bench {
     probe(timed = true)  // baseline point before the first query
     val shuffleShaped = scala.collection.mutable.Map.empty[String, Boolean]
     names.foreach { q =>
-      run(q) // untimed warmup (codegen/JIT + this query's caches)
-      shuffleShaped(q.name) = isShuffleShaped(q)
+      // untimed warmup (codegen/JIT + this query's caches) doubling as
+      // the plan-shape classification pass
+      shuffleShaped(q.name) = warmupAndClassify(q)
       def pass(): Unit = {
         val t0 = System.nanoTime()
         // a throwing query records near-zero seconds — report it, or a

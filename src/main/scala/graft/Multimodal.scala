@@ -345,6 +345,47 @@ object Multimodal {
         sum("_seg_start").cast("long").as("n_segments"))
   }
 
+  /** CONTOUR signatures over [[audioFrameEnergies]] output — the audio
+    * analog of [[frameSignatures]]: sliding 65-frame windows at
+    * `stride` produce one 64-bit signature each, bit k = 1 iff the
+    * energy RISES between window frames k and k+1. Comparing adjacent
+    * energies (the dHash trick in time) makes the signature invariant
+    * to uniform gain — a re-encode or volume normalization that scales
+    * every frame's RMS leaves every bit unchanged — while a localized
+    * edit flips only the bits whose comparisons touch the edited
+    * frames. Split (lo, hi) 32/32 like [[frameSignatures]], so
+    * [[frameBandNearDup]] consumes the output UNCHANGED: position-free
+    * banded matching then catches both re-encodes (Hamming <= 3) and
+    * trims/remuxes (same windows at shifted positions).
+    *
+    * Scale shape: one bounded per-doc aggregate (clips are the unit —
+    * the collected energy list is `nFrames` ints, never corpus-sized),
+    * then a scan-side window expansion of `(nFrames - 65) / stride + 1`
+    * rows per clip; docs shorter than 65 frames emit nothing. No
+    * corpus-sized shuffle beyond the per-doc groupBy.
+    */
+  def audioContourSignatures(frames: DataFrame, stride: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    frames.groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(" +
+        "struct(frame_idx, energy))), f -> f.energy)").as("_es"))
+      .filter(size(col("_es")) >= 65)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, CAST((size(_es) - 65)" +
+          s" div $stride AS INT)), w -> w * $stride)")).as("frame_idx"),
+        col("_es"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, k) -> acc | " +
+          "IF(element_at(_es, frame_idx + k + 2) > " +
+          "element_at(_es, frame_idx + k + 1), shiftleft(1L, k), 0L))")
+          .as("sig_lo"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, k) -> acc | " +
+          "IF(element_at(_es, frame_idx + k + 2) > " +
+          "element_at(_es, frame_idx + k + 1), shiftleft(1L, k - 32), 0L))")
+          .as("sig_hi"))
+  }
+
   /** Video near-dup by FRAME VOTE: two videos pair when at least
     * `minShared` sampled frame positions carry the identical frame
     * dHash — re-encodes and localized edits keep most frames'

@@ -53,23 +53,36 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
+  /** The position fan-out + L-token window hash shared VERBATIM by
+    * [[duplicatedSpans]] and the streaming twin
+    * ([[graft.streaming.Streams.streamingSpanDedup]]): pos ranges over
+    * 1..n-l+1 (1-based, matching the oracle's list slicing), `_h` is
+    * the md5-based 60-bit window key. `keep` carries extra columns
+    * (the streaming side's event-time) through the fan-out.
+    */
+  private[graft] def windowAnchors(docs: DataFrame, idCol: String,
+                                   textCol: String, l: Int,
+                                   keep: Seq[String] = Nil): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("_id") +: split(col(textCol), " ").as("_l") +:
+        keep.map(col): _*)
+      .filter(size(col("_l")) >= l)
+    toks
+      .select(col("_id") +:
+        explode(sequence(lit(1), size(col("_l")) - l + 1)).as("pos") +:
+        col("_l") +: keep.map(col): _*)
+      .select(col("_id") +: col("pos") +:
+        graft.Pipeline.wordHash60(
+          concat_ws(" ", slice(col("_l"), col("pos"), lit(l)))).as("_h") +:
+        keep.map(col): _*)
+  }
+
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       l: Int, minOcc: Long = 2L,
                       maxOcc: Long = Long.MaxValue): DataFrame = {
     require(l >= 2, s"window length must be >= 2, got $l")
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
-    val toks = docs
-      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_l"))
-      .filter(size(col("_l")) >= l)
-    // position fan-out + window hash: pos ranges over 1..n-l+1
-    // (1-based, matching the oracle's list slicing)
-    val anchors = toks
-      .select(col("_id"),
-        explode(sequence(lit(1), size(col("_l")) - l + 1)).as("pos"),
-        col("_l"))
-      .select(col("_id"), col("pos"),
-        graft.Pipeline.wordHash60(
-          concat_ws(" ", slice(col("_l"), col("pos"), lit(l)))).as("_h"))
+    val anchors = windowAnchors(docs, idCol, textCol, l)
     // corpus-wide occurrence count per window hash: groupBy (map-side
     // combine) + join back, NOT count-over-window — a window would
     // buffer a hyper-frequent anchor's whole partition in one task

@@ -619,6 +619,105 @@ object Streams {
       .dropDuplicatesWithinWatermark("_pd")
       .drop("_pd")
 
+  /** One maximal duplicated span of an arriving doc (the batch
+    * [[graft.ops.SpanDedup.duplicatedSpans]] row shape + event time).
+    */
+  case class SpanHit(id: Long, span_start: Long, span_end: Long,
+                     span_tokens: Long, ts: Timestamp)
+  // encoder-visible (non-private): the state serializer is codegen'd
+  case class SpanSeen(lastMs: Long)
+
+  /** Streaming SPAN-level dedup: for each arriving doc, emit the
+    * maximal token spans that occur at least `minOcc` times in a
+    * STATIC warehouse corpus — the streaming twin of
+    * [[graft.ops.SpanDedup.duplicatedSpans]] (q264/q266), completing
+    * the dedup-modality twin set (exact, LSH, prompt, contamination
+    * all have one). The window-hash anchor fan-out is
+    * [[graft.ops.SpanDedup.windowAnchors]], shared VERBATIM with the
+    * batch kernel, so the two paths cannot drift; occurrences are
+    * counted over the warehouse once (persisted — the static side
+    * re-plans every micro-batch), each arrival's anchors left-semi
+    * join the qualifying window set, and the per-doc gaps-and-islands
+    * merge runs in keyed state with the batch rule verbatim (a window
+    * at pos joins the running span iff pos <= previous end).
+    *
+    * BATCH/STREAM PARITY: replaying the warehouse itself as the
+    * arrival stream yields exactly the batch operator's span set —
+    * an arriving member's own windows are part of the warehouse
+    * count, so the occurrence numbers are identical (StreamsSpec
+    * proves set equality). A doc id is reported once within the
+    * watermark horizon (re-deliveries are suppressed by keyed state,
+    * evicted by event-time timeout).
+    *
+    * Input columns: (`idCol`: long, ts, `textCol`); output
+    * [[SpanHit]] rows. Returns the [[ContaminationMonitor]] handle —
+    * `close()` releases the cached warehouse window index.
+    */
+  def streamingSpanDedup(docs: DataFrame, warehouse: DataFrame,
+                         idCol: String, textCol: String, l: Int,
+                         minOcc: Long = 2L,
+                         maxOcc: Long = Long.MaxValue,
+                         horizonMinutes: Int = 10): ContaminationMonitor = {
+    import docs.sparkSession.implicits._
+    require(l >= 2, s"window length must be >= 2, got $l")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val occ = graft.ops.SpanDedup.windowAnchors(warehouse, idCol, textCol, l)
+      .groupBy("_h").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= minOcc && col("_occ") <= maxOcc)
+      .select("_h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val horizonMs = horizonMinutes * 60_000L
+    val hits = graft.ops.SpanDedup.windowAnchors(
+        docs.withWatermark("ts", s"$horizonMinutes minutes"),
+        idCol, textCol, l, keep = Seq("ts"))
+      .join(occ, Seq("_h"), "left_semi")
+      .select(col("_id").as("id"), col("pos"), col("ts"))
+      .as[(Long, Int, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (id: Long, rows: Iterator[(Long, Int, Timestamp)],
+         state: GroupState[SpanSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // this doc already reported within the horizon — a
+            // re-delivery emits nothing (the
+            // dropDuplicatesWithinWatermark discipline, in-state
+            // because the span merge needs the group anyway)
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val ts = rs.map(_._3).maxBy(_.getTime)
+            val positions = rs.map(_._2).distinct.sorted
+            // gaps-and-islands, the batch rule verbatim: sorted
+            // positions, a window extends the running span iff
+            // pos <= previous end (= last pos + l, since pos + l is
+            // monotone over sorted pos)
+            val out = Seq.newBuilder[SpanHit]
+            var start = -1
+            var end = -1
+            positions.foreach { p =>
+              if (start < 0) { start = p; end = p + l }
+              else if (p <= end) end = p + l
+              else {
+                out += SpanHit(id, start.toLong, end.toLong,
+                  (end - start).toLong, ts)
+                start = p; end = p + l
+              }
+            }
+            if (start >= 0)
+              out += SpanHit(id, start.toLong, end.toLong,
+                (end - start).toLong, ts)
+            state.update(SpanSeen(ts.getTime))
+            state.setTimeoutTimestamp(ts.getTime + horizonMs)
+            out.result().iterator
+          }
+      }
+    ContaminationMonitor(hits.toDF(), occ)
+  }
+
   case class BloomWord(group: String, word_idx: Long, bits: Long)
   case class BloomWordState(bits: Long)
 

@@ -212,4 +212,40 @@ class MultimodalSwapSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(stub != sigs.as[(Long, Int, Long, Long)].collect().toSet)
   }
+
+  test("audioContourSignatures + frameBandNearDup accept a real WAV " +
+      "decoder unchanged (gain-invariant re-encode + trim both caught)") {
+    import spark.implicits._
+    // 128 frames x 64 samples of a per-frame square wave; amplitudes
+    // 256*((k*7)%23+1) are multiples of 256, so the decoder's RMS/128
+    // scaling is EXACT (square-wave RMS = amplitude) and halving the
+    // gain keeps every strict energy comparison - the contour's
+    // gain-invariance claim, tested through real PCM, not the stub
+    def amp(k: Int): Short = (256 * ((k * 7) % 23 + 1)).toShort
+    val a = Array.tabulate[Short](128 * 64)(i =>
+      (if (i % 2 == 0) amp(i / 64) else (-amp(i / 64)).toShort))
+    val b = a.map(s => (s / 2).toShort)            // re-encode at half gain
+    val dRot = a.drop(8 * 64) ++ a.take(8 * 64)    // trim/rotate by 8 frames
+    val media = Seq(Multimodal.MediaDoc(1L, wav(a)),
+      Multimodal.MediaDoc(2L, wav(b)),
+      Multimodal.MediaDoc(3L, wav(dRot))).toDS()
+    val sigs = Multimodal.audioContourSignatures(
+      Multimodal.audioFrameEnergies(media, nFrames = 128, WavDecoder).toDF(),
+      stride = 8)
+    // 128 frames -> 8 windows (s = 0, 8, ..., 56) per clip
+    assert(sigs.groupBy("doc_id").count().as[(Long, Long)].collect()
+      .toSet == Set((1L, 8L), (2L, 8L), (3L, 8L)))
+    val pairs = Multimodal.frameBandNearDup(sigs, "doc_id",
+        maxDist = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // half-gain B matches A at all 8 positions; the 8-frame rotation D
+    // matches both at the 7 shifted alignments (position-free - the
+    // exact q163-style vote sees none of the D pairs)
+    assert(pairs == Set((1L, 2L, 8L), (1L, 3L, 7L), (2L, 3L, 7L)),
+      s"got $pairs")
+    val exactVote = Multimodal.frameVoteNearDup(sigs, "doc_id",
+        minShared = 2).as[(Long, Long, Long)].collect().toSet
+    assert(exactVote == Set((1L, 2L, 8L)),
+      s"same-position vote must miss the rotation, got $exactVote")
+  }
 }

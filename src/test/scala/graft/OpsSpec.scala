@@ -3576,6 +3576,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top2 == expect.toSeq.sortBy(t => (-t._3, t._1, t._2)).take(2))
   }
 
+  test("adamicAdar minCommonNeighbors gate: equals the exact output " +
+      "filtered to the floor (the endpoint prune is lossless)") {
+    import spark.implicits._
+    // the spec graph above plus a deg-1 tail (6-4) that can only ever
+    // make singleton wedges — the endpoint prune's target population
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (9L, 1L), (9L, 3L), (9L, 5L), (6L, 4L)).toDF("u", "v")
+    val exact = graft.ops.Graph.adamicAdar(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gated = graft.ops.Graph.adamicAdar(edges, minCommonNeighbors = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gated == exact.filter(_._4 >= 2L))
+    assert(gated.nonEmpty && gated.size < exact.size)
+    // floor 1 IS exact mode
+    val floor1 = graft.ops.Graph.adamicAdar(edges, minCommonNeighbors = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(floor1 == exact)
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.adamicAdar(edges, minCommonNeighbors = 0)
+    }
+  }
+
   test("cohenKappa: hand-computed kappa, chance-only raters near 0, " +
       "and the zero-variance guard") {
     import spark.implicits._

@@ -1592,4 +1592,57 @@ class StreamsSpec extends AnyFunSuite {
     assert(stored() == recount(b0, b1, b2),
       "recovery from a torn retraction write must equal the recount")
   }
+
+  test("streaming span dedup matches batch duplicatedSpans exactly " +
+      "(warehouse replayed as the arrival stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the OpsSpec fixture: shared runs, an intra-doc repeat (two
+    // islands), and a doc too short to window
+    val warehouse = Seq(
+      (1L, "x1 x2 c1 c2 c3 c4 c5 x3"),
+      (2L, "y1 c1 c2 c3 c4 c5 y2 y3"),
+      (3L, "p q r z1 p q r"),
+      (4L, "w1 w2")
+    ).toDF("doc_id", "text")
+    val batch = graft.ops.SpanDedup
+      .duplicatedSpans(warehouse, "doc_id", "text", l = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val monitor = Streams.streamingSpanDedup(
+      in.toDF().toDF("doc_id", "ts", "text"), warehouse,
+      "doc_id", "text", l = 3)
+    val q = monitor.hits
+      .writeStream.format("memory").queryName("span_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "x1 x2 c1 c2 c3 c4 c5 x3"),
+        (2L, ts(0), "y1 c1 c2 c3 c4 c5 y2 y3"),
+        (3L, ts(0), "p q r z1 p q r"),
+        (4L, ts(0), "w1 w2"))
+      q.processAllAvailable()
+      val got = spark.table("span_dedup")
+        .select("id", "span_start", "span_end", "span_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // an arriving member's own windows are in the warehouse count,
+      // so the stream set IS the batch set — the kernel is shared
+      assert(got == batch, s"stream $got vs batch $batch")
+      // a re-delivered doc within the horizon is not re-reported
+      in.addData((3L, ts(1), "p q r z1 p q r"))
+      q.processAllAvailable()
+      assert(spark.table("span_dedup").count() == batch.size.toLong)
+      // a NON-member arrival needs its span to occur minOcc times in
+      // the warehouse alone: the c1..c5 run occurs twice there
+      in.addData((9L, ts(2), "n1 c1 c2 c3 c4 c5 n2"))
+      q.processAllAvailable()
+      assert(spark.table("span_dedup")
+        .filter(col("id") === 9L)
+        .select("span_start", "span_end").as[(Long, Long)]
+        .collect().toSet == Set((2L, 7L)))
+      monitor.close()
+      assert(!monitor.testBuckets.storageLevel.useMemory)
+    } finally q.stop()
+  }
 }

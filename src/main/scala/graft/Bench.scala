@@ -392,7 +392,7 @@ object Bench {
         "\"" + short(k) + "\":[" + fmt(a) + "," + fmt(b) + "]" }
       .mkString("{", ",", "}")
     val machineLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_max":$passesMax,"max_rel_spread_pct":${math.round(maxSpread)},"worst_spread_query":"$worst","probe_median_sec":${fmt(probeMed)},"probe_drift_pct":${math.round(probeDrift * 100)},"probe_slow_frac_pct":${math.round(probeSlowFrac * 100)},"probe_vs_prev_pct":$probeVsPrevJson,"shuffle_probe_median_sec":${fmt(shufMed)},"shuffle_probe_slow_frac_pct":${math.round(shufSlowFrac * 100)},"shuffle_probe_vs_prev_pct":$shufVsPrevJson,"contended":$contended,"remeasured":$remeasuredJson,"failed":$failedJson}"""
-    val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct,n_passes,probe_adj_sec]":$detailJson}"""
+    val detailLine = s"""BENCH_DETAIL {"name_to_[median_sec,spread_pct,n_passes,probe_adj_sec,shape]":$detailJson}"""
     println(detailLine)
     println(machineLine)
     // Durable per-query record: the harness keeps only the last ~2 KB

@@ -362,11 +362,25 @@ object Multimodal {
     * the collected energy list is `nFrames` ints, never corpus-sized),
     * then a scan-side window expansion of `(nFrames - 65) / stride + 1`
     * rows per clip; docs shorter than 65 frames emit nothing. No
-    * corpus-sized shuffle beyond the per-doc groupBy.
+    * corpus-sized shuffle beyond the per-doc groupBy. Each signature
+    * half is an UNROLLED flat bitwise-OR of 32 compare-and-shift terms
+    * — straight-line long arithmetic inside whole-stage codegen,
+    * exactly the [[graft.ops.Layout.zorderKeyN]] fix: the earlier form
+    * folded `aggregate(sequence(...), ...)` with a lambda, which
+    * materialized a 32-element array PER WINDOW and paid the
+    * interpreted-lambda dispatch 64 times per window (measured on
+    * q305: the fold was the query's dominant term at sf1).
     */
   def audioContourSignatures(frames: DataFrame, stride: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // bit j of the half starting at `base`: energy rises between
+    // window frames (base+j) and (base+j+1) — 1-indexed element_at
+    def contourHalf(base: Int): String = (0 until 32).map { j =>
+      val k = base + j
+      s"shiftleft(IF(element_at(_es, frame_idx + ${k + 2}) > " +
+        s"element_at(_es, frame_idx + ${k + 1}), 1L, 0L), $j)"
+    }.mkString("(", " | ", ")")
     frames.groupBy("doc_id")
       .agg(expr("transform(sort_array(collect_list(" +
         "struct(frame_idx, energy))), f -> f.energy)").as("_es"))
@@ -376,14 +390,8 @@ object Multimodal {
           s" div $stride AS INT)), w -> w * $stride)")).as("frame_idx"),
         col("_es"))
       .select(col("doc_id"), col("frame_idx"),
-        expr("aggregate(sequence(0, 31), 0L, (acc, k) -> acc | " +
-          "IF(element_at(_es, frame_idx + k + 2) > " +
-          "element_at(_es, frame_idx + k + 1), shiftleft(1L, k), 0L))")
-          .as("sig_lo"),
-        expr("aggregate(sequence(32, 63), 0L, (acc, k) -> acc | " +
-          "IF(element_at(_es, frame_idx + k + 2) > " +
-          "element_at(_es, frame_idx + k + 1), shiftleft(1L, k - 32), 0L))")
-          .as("sig_hi"))
+        expr(contourHalf(0)).as("sig_lo"),
+        expr(contourHalf(32)).as("sig_hi"))
   }
 
   /** Video near-dup by FRAME VOTE: two videos pair when at least

@@ -371,7 +371,25 @@ object Multimodal {
     * interpreted-lambda dispatch 64 times per window (measured on
     * q305: the fold was the query's dominant term at sf1).
     */
-  def audioContourSignatures(frames: DataFrame, stride: Int = 8): DataFrame = {
+  def audioContourSignatures(frames: DataFrame, stride: Int = 8): DataFrame =
+    contourWindowSignatures(
+      frames.groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.expr(
+          "transform(sort_array(collect_list(" +
+            "struct(frame_idx, energy))), f -> f.energy)").as("_es")),
+      stride)
+
+  /** The contour-signature KERNEL shared verbatim by the batch path
+    * ([[audioContourSignatures]], which assembles `_es` with a per-doc
+    * groupBy) and the streaming twin
+    * ([[graft.streaming.Streams.streamingAudioBandCandidates]], where
+    * each arriving clip IS one row, so `_es` needs no stateful
+    * aggregate): input `(doc_id, _es: array<int>, carry...)`, output
+    * one `(doc_id, carry..., frame_idx, sig_lo, sig_hi)` row per
+    * 65-frame window at `stride`. Extra input columns (the stream's
+    * event-time `ts`) pass through untouched.
+    */
+  def contourWindowSignatures(withEs: DataFrame, stride: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     require(stride >= 1, s"stride must be >= 1, got $stride")
     // bit j of the half starting at `base`: energy rises between
@@ -381,17 +399,16 @@ object Multimodal {
       s"shiftleft(IF(element_at(_es, frame_idx + ${k + 2}) > " +
         s"element_at(_es, frame_idx + ${k + 1}), 1L, 0L), $j)"
     }.mkString("(", " | ", ")")
-    frames.groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(" +
-        "struct(frame_idx, energy))), f -> f.energy)").as("_es"))
+    val carry = withEs.columns.filter(c => c != "doc_id" && c != "_es")
+    withEs
       .filter(size(col("_es")) >= 65)
-      .select(col("doc_id"),
+      .select((col("doc_id") +: carry.map(col)) :+
         explode(expr(s"transform(sequence(0, CAST((size(_es) - 65)" +
-          s" div $stride AS INT)), w -> w * $stride)")).as("frame_idx"),
-        col("_es"))
-      .select(col("doc_id"), col("frame_idx"),
-        expr(contourHalf(0)).as("sig_lo"),
-        expr(contourHalf(32)).as("sig_hi"))
+          s" div $stride AS INT)), w -> w * $stride)")).as("frame_idx") :+
+        col("_es"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+ col("frame_idx") :+
+        expr(contourHalf(0)).as("sig_lo") :+
+        expr(contourHalf(32)).as("sig_hi"): _*)
   }
 
   /** Video near-dup by FRAME VOTE: two videos pair when at least
@@ -454,6 +471,23 @@ object Multimodal {
     * <= 3 is structural (the 4-chunk pigeonhole's guarantee).
     * Output: `(a_id, b_id, n_close)` with `a_id < b_id`.
     */
+  /** The 4x16-bit chunk split shared verbatim by [[frameBandNearDup]]
+    * and the streaming twin's bucket keys
+    * ([[graft.streaming.Streams.streamingAudioBandCandidates]]): adds
+    * `(c, chunk)` — chunk index 0-3 and that sixteen-bit slice of the
+    * 64-bit `(sig_lo, sig_hi)` signature — one row per chunk, all
+    * other columns passed through. The pigeonhole this banding rides:
+    * two signatures within Hamming distance <= 3 MUST agree on at
+    * least one chunk.
+    */
+  def sigChunks(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frames.withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", when(col("c") < 2,
+          expr("shiftright(sig_lo, c * 16) & 65535"))
+        .otherwise(expr("shiftright(sig_hi, (c - 2) * 16) & 65535")))
+  }
+
   def frameBandNearDup(frames: DataFrame, idCol: String, maxDist: Int,
                        minShared: Int, maxChunkDf: Int = 1000): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -461,12 +495,8 @@ object Multimodal {
       s"4-chunk pigeonhole banding covers distance <= 3, got $maxDist")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxChunkDf >= 1, s"maxChunkDf must be >= 1, got $maxChunkDf")
-    val chunked = frames.select(col(idCol).as("_vid"), col("frame_idx"),
-        col("sig_lo"), col("sig_hi"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", when(col("c") < 2,
-          expr("shiftright(sig_lo, c * 16) & 65535"))
-        .otherwise(expr("shiftright(sig_hi, (c - 2) * 16) & 65535")))
+    val chunked = sigChunks(frames.select(col(idCol).as("_vid"),
+      col("frame_idx"), col("sig_lo"), col("sig_hi")))
     val ok = chunked.join(
       chunked.groupBy("c", "chunk").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxChunkDf)

@@ -41,7 +41,8 @@ object Queries {
   val all: Seq[QueryDef] = core ++ extra ++ advanced ++ PipelineQueries.all ++
     AnalysisQueries.all ++ CurationQueries.all ++ CrawlQueries.all ++
     DomainQueries.all ++ WarehouseQueries.all ++ Round14Queries.all ++
-    Round15Queries.all ++ Round16Queries.all ++ Round17Queries.all
+    Round15Queries.all ++ Round16Queries.all ++ Round17Queries.all ++
+    Round18Queries.all
 
   private lazy val core: Seq[QueryDef] = Seq(
 

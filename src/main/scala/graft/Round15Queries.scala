@@ -505,7 +505,8 @@ object Round15Queries {
       (s, d) => {
         val edges = lineitem(s, d).select(col("l_orderkey").as("u"),
           (col("l_partkey") + lit(1000000000000L)).as("v"))
-        graft.ops.Graph.adamicAdar(edges, maxDegree = 64, topK = 100)
+        graft.ops.Graph.adamicAdar(edges, maxDegree = 64, topK = 100,
+            aggPartitions = 256)
           .orderBy(col("aa_micro").desc, col("u"), col("v"))
       })
 

@@ -56,7 +56,7 @@ object Round17Queries {
         val edges = lineitem(s, d).select(col("l_orderkey").as("u"),
           (col("l_partkey") + lit(1000000000000L)).as("v"))
         graft.ops.Graph.adamicAdar(edges, maxDegree = 64, topK = 100,
-            minCommonNeighbors = 2)
+            minCommonNeighbors = 2, aggPartitions = 256)
           .orderBy(col("aa_micro").desc, col("u"), col("v"))
       })
 

@@ -628,11 +628,26 @@ object Graph {
     * traffic in any real corpus and cannot reach a top-k score, so
     * the gate trades declared semantics (floor in the output
     * contract) for an exchange that carries only repeat pairs.
+    *
+    * Physical knobs (semantics-free): `aggPartitions` widens the
+    * wedge aggregation's hash exchange past the session default —
+    * per-task agg MAP SIZE, not exchange bytes, is the binding
+    * resource (the round-17 spill-to-sort profile); `countGate`
+    * switches gated mode to a two-pass plan that first counts 8-byte
+    * pair HASHES (a ~3x lighter exchange and map) and only aggregates
+    * the wedges of hashes that reach the floor — the scale path for
+    * the decade where the one-pass map no longer fits (collisions are
+    * dropped by the exact post-agg floor, so the result is
+    * bit-identical).
     */
   def adamicAdar(edges: DataFrame, maxDegree: Int = 64,
-                 topK: Int = 100, minCommonNeighbors: Int = 1): DataFrame = {
+                 topK: Int = 100, minCommonNeighbors: Int = 1,
+                 aggPartitions: Int = 0,
+                 countGate: Boolean = false): DataFrame = {
     require(minCommonNeighbors >= 1,
       s"minCommonNeighbors must be >= 1, got $minCommonNeighbors")
+    require(!countGate || minCommonNeighbors >= 2,
+      "countGate needs a floor >= 2 (at floor 1 it gates nothing)")
     val und = edges
       .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
         greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
@@ -647,13 +662,20 @@ object Graph {
     // endpoint prune (gated mode only): an endpoint n with
     // deg(n) < minCommonNeighbors cannot appear in any pair that
     // reaches the floor — drop it from the neighbor lists before the
-    // in-task pair generation, so singleton wedges never reach the
-    // (u, v) exchange at all
+    // in-task pair generation, so its wedges never reach the (u, v)
+    // exchange at all. Phrased as a LEFT ANTI join against the
+    // BELOW-floor node set (round-18): the below-floor complement is
+    // the small side (deg-1 leaves at floor 2 — ~2% of nodes on the
+    // order-part graph), so AQE broadcasts it; the round-17 left-semi
+    // against the ABOVE-floor set shuffled the whole mids frame
+    // against a 1.4M-row build side, which cost more than the
+    // singleton wedges it saved (q304 measured ABOVE q271 once the
+    // 32g heap un-spilled the aggregate).
     val mids =
       if (minCommonNeighbors <= 1) midsAll
       else midsAll.join(
-        deg.filter(col("deg") >= minCommonNeighbors)
-          .select(col("w").as("n")), Seq("n"))
+        deg.filter(col("deg") < minCommonNeighbors)
+          .select(col("w").as("n")), Seq("n"), "left_anti")
     // Wedge enumeration rides a BOUNDED per-middle neighbor list
     // (<= maxDegree entries by the cap above), pairs generated IN-TASK
     // from the sorted array (u < v by construction, <= maxDegree^2/2
@@ -661,18 +683,61 @@ object Graph {
     // self-join, whose build/probe shuffled the mids frame twice
     // (measured 1.7x on q271 solo at sf0.1). Map-side partial
     // aggregation then combines (u, v) wedge rows before the final
-    // exchange, which the join form could not (its wedge rows were
-    // born post-shuffle).
+    // exchange — a ~0.07% reduction on real graphs (the round-17
+    // profile: 99.93% of wedge pairs are singletons), which is why no
+    // pre-aggregation scheme can cut this exchange: the count IS the
+    // shuffle.
     val nbrs = mids.groupBy("w", "_c")
       .agg(sort_array(collect_list(col("n"))).as("_ns"))
-    val wedges = nbrs.select(col("_c"), explode(expr(
+    def wedgesOf(src: DataFrame): DataFrame = src.select(col("_c"), explode(expr(
       """flatten(transform(_ns, (x, i) ->
            transform(slice(_ns, i + 2, size(_ns) - i - 1),
              y -> struct(x AS u, y AS v))))""")).as("_p"))
       .select(col("_p.u").as("u"), col("_p.v").as("v"), col("_c"))
-    val scored = wedges.groupBy("u", "v").agg(
-      sum("_c").as("aa_micro"),
-      count(lit(1)).cast(LongType).as("common_neighbors"))
+    // `aggPartitions` widens the wedge aggregation's exchange beyond
+    // the session default: the (u, v) agg builds one hash map per
+    // partition over ~all-unique keys, so per-task map size — not
+    // exchange bytes — is the binding resource at scale (the
+    // spill-to-sort profile). An explicit hash repartition on the
+    // grouping keys satisfies the agg's required distribution, so
+    // EnsureRequirements inserts no second exchange.
+    def withAggParts(w: DataFrame): DataFrame =
+      if (aggPartitions > 0) w.repartition(aggPartitions, col("u"), col("v"))
+      else w
+    val scored =
+      if (!countGate) {
+        withAggParts(wedgesOf(nbrs)).groupBy("u", "v").agg(
+          sum("_c").as("aa_micro"),
+          count(lit(1)).cast(LongType).as("common_neighbors"))
+      } else {
+        // COUNT-GATE two-pass (the 100 TB shape): the exact one-pass
+        // agg must shuffle every (u, v, _c) wedge row and hold
+        // all-unique struct keys in its maps — the superlinear term
+        // at the third decade. Pass 1 shuffles only an 8-byte
+        // xxhash64(u, v) per wedge and counts per hash (long->long
+        // map entries, ~3x lighter); hashes reaching the floor —
+        // 0.07% of pairs on the round-17 profile — form a tiny frame
+        // the pass-2 semi-join broadcasts (AQE sizes it at runtime).
+        // Pass 2 re-enumerates wedges from the PERSISTED neighbor
+        // lists (in-task CPU, no shuffle — the lists are the bounded
+        // per-middle arrays, ~1.5% of wedge volume) and runs the
+        // exact (u, v) aggregate on the surviving sliver. Hash
+        // collisions only ADD candidates; the exact post-agg floor
+        // below drops them, so the gate stays lossless.
+        val nbrsP = nbrs.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hashed = wedgesOf(nbrsP).select(xxhash64(col("u"), col("v")).as("_h"))
+        val hot = (if (aggPartitions > 0)
+            hashed.repartition(aggPartitions, col("_h")) else hashed)
+          .groupBy("_h").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") >= minCommonNeighbors)
+          .select("_h")
+        wedgesOf(nbrsP)
+          .join(hot, xxhash64(col("u"), col("v")) === hot("_h"), "left_semi")
+          .groupBy("u", "v").agg(
+            sum("_c").as("aa_micro"),
+            count(lit(1)).cast(LongType).as("common_neighbors"))
+      }
     val gated =
       if (minCommonNeighbors <= 1) scored
       else scored.filter(col("common_neighbors") >= minCommonNeighbors)
@@ -680,6 +745,86 @@ object Graph {
       .join(und.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
       .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  /** SAMPLED Adamic–Adar — the 100 TB escape hatch the exact
+    * operator's linear wedge model cannot provide: keep each wedge
+    * `(w, u, v)` with deterministic probability `1 / sampleOneIn` and
+    * scale every retained contribution by `sampleOneIn`, giving the
+    * Horvitz–Thompson estimate
+    * `aa_micro_est = sampleOneIn * sum of kept floor(1e6/ln(deg_w))`.
+    * The exchange — THE cost at scale (round-17 profile: 99.93% of
+    * wedge pairs are singletons, so the count IS the shuffle) —
+    * shrinks by exactly `sampleOneIn`, because the keep decision is
+    * evaluated in-task on the generated wedge BEFORE it is shuffled.
+    *
+    * The draw is md5-slot deterministic and CROSS-ENGINE replayable:
+    * wedge `(w, u, v)` keeps iff `(h(w) + h(u) + h(v)) % sampleOneIn
+    * == 0` with `h = `[[graft.Pipeline.wordHash32]] (first 8 md5 hex
+    * digits as a long). One md5 per EDGE ENDPOINT (computed on the
+    * ~|E| mids rows and carried through the neighbor lists), never
+    * one per wedge — the md5-count-is-the-kernel-cost discipline; the
+    * per-wedge decision is three adds and a mod on already-hashed
+    * values. Hash sums of independent uniform 32-bit values are
+    * uniform mod small `sampleOneIn`, and wedges sharing a middle or
+    * an endpoint still differ in the third hash, so inclusions are
+    * pairwise near-independent.
+    *
+    * Estimator quality: unbiased for every pair
+    * (`E[aa_micro_est] = aa_micro`); variance per pair is
+    * `(sampleOneIn - 1) * sum of c_i^2 <= (sampleOneIn - 1) *
+    * aa_micro * max_i c_i` with `c_i <= floor(1e6/ln 2)` — relative
+    * standard error shrinks as `1/sqrt(common_neighbors)`, so the
+    * top-k (many-common-neighbor) pairs the ranking exists to find
+    * are exactly the well-estimated ones; singletons are noisy and
+    * that is the accepted trade. `sampleOneIn = 1` keeps every wedge:
+    * output equals [[adamicAdar]] exactly (OpsSpec pins both).
+    *
+    * Output: global top `topK` by `(aa_micro_est desc, u, v)` over
+    * NON-adjacent pairs, columns `(u, v, aa_micro_est,
+    * common_neighbors_est)` — the estimated-count column is the
+    * sample count scaled by `sampleOneIn`, NOT an exact count.
+    */
+  def adamicAdarSampled(edges: DataFrame, maxDegree: Int = 64,
+                        topK: Int = 100, sampleOneIn: Int = 10,
+                        aggPartitions: Int = 0): DataFrame = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val und = edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).cast(LongType).as("deg"))
+    val mids = sym.join(
+        deg.filter(col("deg") >= 2 && col("deg") <= maxDegree), Seq("w"))
+      .withColumn("_c", floor(lit(1000000.0d) / log(col("deg").cast("double")))
+        .cast(LongType))
+      .withColumn("_hn", graft.Pipeline.wordHash32(col("n").cast("string")))
+    val nbrs = mids.groupBy("w", "_c")
+      .agg(sort_array(collect_list(struct(col("n"), col("_hn")))).as("_ns"))
+      .withColumn("_hw", graft.Pipeline.wordHash32(col("w").cast("string")))
+    val kept = nbrs.select(col("_c"), col("_hw"), explode(expr(
+        """flatten(transform(_ns, (x, i) ->
+             transform(slice(_ns, i + 2, size(_ns) - i - 1),
+               y -> struct(x.n AS u, y.n AS v, x._hn AS hu, y._hn AS hv))))"""))
+        .as("_p"))
+      .filter(pmod(col("_hw") + col("_p.hu") + col("_p.hv"),
+        lit(sampleOneIn.toLong)) === 0)
+      .select(col("_p.u").as("u"), col("_p.v").as("v"), col("_c"))
+    // same spill physics as [[adamicAdar]]'s wedge agg, at 1/sampleOneIn
+    // the volume — widen the exchange once the kept-wedge count per
+    // session-default partition outgrows a few million map entries
+    val keptParts =
+      if (aggPartitions > 0) kept.repartition(aggPartitions, col("u"), col("v"))
+      else kept
+    keptParts.groupBy("u", "v").agg(
+        (sum("_c") * sampleOneIn).as("aa_micro_est"),
+        (count(lit(1)) * sampleOneIn).cast(LongType).as("common_neighbors_est"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_micro_est").desc, col("u"), col("v"))
       .limit(topK)
   }
 

@@ -718,6 +718,118 @@ object Streams {
     ContaminationMonitor(hits.toDF(), occ)
   }
 
+  /** A streaming banded audio near-dup candidate: window `a_frame_idx`
+    * of clip `a_id` verified within Hamming distance `maxDist` of
+    * window `b_frame_idx` of clip `b_id` (a_id < b_id), having met in
+    * chunk `c`. A pair agreeing on several chunks emits once per
+    * chunk — chain `.dropDuplicatesWithinWatermark` (or the batch
+    * distinct-then-vote) downstream when exact-once pairs matter.
+    */
+  case class AudioBandCandidate(a_id: Long, b_id: Long, a_frame_idx: Int,
+                                b_frame_idx: Int, c: Int, ts: Timestamp)
+  // encoder-visible (non-private): the state serializer is codegen'd
+  case class AudioBucketMember(id: Long, frame_idx: Int, lo: Long, hi: Long)
+  case class AudioBucketState(members: List[AudioBucketMember], lastMs: Long)
+
+  /** Streaming banded AUDIO near-dup candidates — the streaming twin
+    * of the q305 batch chain ([[graft.Multimodal.audioFrameEnergies]]
+    * -> [[graft.Multimodal.audioContourSignatures]] ->
+    * [[graft.Multimodal.frameBandNearDup]]), completing the modality
+    * symmetry (text has exact/LSH/span/prompt twins; audio now pairs
+    * its batch near-dup too). Kernels are shared VERBATIM so the two
+    * paths cannot drift: each arriving clip decodes per-row (a clip
+    * IS one row, so the batch path's per-doc groupBy needs no
+    * streaming aggregate), its 65-frame gain-invariant contour
+    * windows come from [[graft.Multimodal.contourWindowSignatures]],
+    * and the bucket keys from [[graft.Multimodal.sigChunks]] — the
+    * same 4x16-bit pigeonhole banding (distance <= 3 implies at least
+    * one agreeing chunk).
+    *
+    * Matching is the [[streamingLshCandidates]] bucket-state pattern:
+    * per `(c, chunk)` bucket, an arriving window verifies the EXACT
+    * popcount distance against each prior member (the batch verify,
+    * JVM-side) and emits a candidate per close pair on arrival. State
+    * is bounded per bucket at `maxBucket` members (a hot chunk — the
+    * silence key — stops absorbing instead of going quadratic; the
+    * batch path's `maxChunkDf` cap is the same df discipline) and
+    * evicted past the watermark horizon by event-time timeout.
+    *
+    * BATCH/STREAM PARITY: with neither cap binding, the distinct
+    * `(a_id, b_id, a_frame_idx, b_frame_idx)` set over any replay
+    * order equals the batch matches before the vote, so the batch
+    * vote applied to the stream output reproduces
+    * [[graft.Multimodal.frameBandNearDup]] exactly (StreamsSpec
+    * proves it on the q305 plant corpus).
+    *
+    * Input columns: (`idCol`: long, ts: timestamp, content: binary).
+    */
+  def streamingAudioBandCandidates(
+      clips: DataFrame,
+      idCol: String,
+      maxDist: Int,
+      nFrames: Int = 128,
+      stride: Int = 8,
+      horizonMinutes: Int = 10,
+      maxBucket: Int = 16,
+      decoder: graft.Multimodal.AudioDecoder = graft.Multimodal.StubAudioDecoder)
+      : Dataset[AudioBandCandidate] = {
+    import clips.sparkSession.implicits._
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-chunk pigeonhole banding covers distance <= 3, got $maxDist")
+    val horizonMs = horizonMinutes * 60_000L
+    val withEs = clips
+      .select(col(idCol).as("doc_id"), col("ts"), col("content"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .map { case (id, ts, bytes) =>
+        (id, ts, decoder.frameEnergies(bytes, nFrames))
+      }
+      .toDF("doc_id", "ts", "_es")
+      .withWatermark("ts", s"$horizonMinutes minutes")
+    graft.Multimodal.sigChunks(
+        graft.Multimodal.contourWindowSignatures(withEs, stride))
+      .select(col("doc_id"), col("ts"), col("frame_idx"),
+        col("sig_lo"), col("sig_hi"), col("c"), col("chunk"))
+      .as[(Long, Timestamp, Int, Long, Long, Int, Long)]
+      .groupByKey { case (_, _, _, _, _, c, chunk) => (c, chunk) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long),
+         rows: Iterator[(Long, Timestamp, Int, Long, Long, Int, Long)],
+         state: GroupState[AudioBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.toSeq.sortBy {
+              case (id, ts, fi, _, _, _, _) => (ts.getTime, id, fi)
+            }
+            var st = state.getOption.getOrElse(AudioBucketState(Nil, 0L))
+            val out = Seq.newBuilder[AudioBandCandidate]
+            arrivals.foreach { case (id, ts, fi, lo, hi, c, _) =>
+              st.members.foreach { m =>
+                // the batch verify, JVM-side: exact 64-bit popcount
+                if (m.id != id &&
+                    java.lang.Long.bitCount(m.lo ^ lo) +
+                      java.lang.Long.bitCount(m.hi ^ hi) <= maxDist) {
+                  if (id < m.id)
+                    out += AudioBandCandidate(id, m.id, fi, m.frame_idx, c, ts)
+                  else
+                    out += AudioBandCandidate(m.id, id, m.frame_idx, fi, c, ts)
+                }
+              }
+              val me = AudioBucketMember(id, fi, lo, hi)
+              if (st.members.length < maxBucket && !st.members.contains(me))
+                st = AudioBucketState(me :: st.members,
+                  math.max(st.lastMs, ts.getTime))
+              else st = st.copy(lastMs = math.max(st.lastMs, ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   case class BloomWord(group: String, word_idx: Long, bits: Long)
   case class BloomWordState(bits: Long)
 

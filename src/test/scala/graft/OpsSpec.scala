@@ -3596,6 +3596,60 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ops.Graph.adamicAdar(edges, minCommonNeighbors = 0)
     }
+    // physical knobs are semantics-free: the widened agg exchange and
+    // the two-pass count gate both reproduce the one-pass gated
+    // output bit-for-bit (the count gate's hash collisions can only
+    // ADD candidates, which the exact post-agg floor drops)
+    val widened = graft.ops.Graph.adamicAdar(edges,
+        minCommonNeighbors = 2, aggPartitions = 7)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(widened == gated)
+    val twoPass = graft.ops.Graph.adamicAdar(edges,
+        minCommonNeighbors = 2, countGate = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(twoPass == gated)
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.adamicAdar(edges, countGate = true) // floor 1
+    }
+  }
+
+  test("adamicAdarSampled: sampleOneIn=1 is the exact operator; the " +
+      "md5-slot draw and HT scaling replay JVM-side") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (9L, 1L), (9L, 3L), (9L, 5L), (6L, 4L)).toDF("u", "v")
+    val exact = graft.ops.Graph.adamicAdar(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // denom 1 keeps every wedge: identical to exact (columns renamed)
+    val all1 = graft.ops.Graph.adamicAdarSampled(edges, sampleOneIn = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(all1 == exact)
+    // denom 3: replay the draw JVM-side — first 8 md5 hex digits of
+    // the node id's decimal string, summed over (w, u, v), mod 3 —
+    // over a hand enumeration of the graph's wedges, then HT-scale
+    def h32(x: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16)
+    val adj = Map(1L -> Set(2L, 9L), 2L -> Set(1L, 3L),
+      3L -> Set(2L, 4L, 9L), 4L -> Set(3L, 6L), 5L -> Set(9L),
+      6L -> Set(4L), 9L -> Set(1L, 3L, 5L))
+    def c(d: Int) = math.floor(1e6 / math.log(d.toDouble)).toLong
+    val wedges = for {
+      (w, ns) <- adj.toSeq if ns.size >= 2 // maxDegree 64 never binds
+      u <- ns; v <- ns if u < v
+      if (h32(w) + h32(u) + h32(v)) % 3 == 0
+    } yield (u, v, c(adj(w).size))
+    val expect = wedges.groupBy(t => (t._1, t._2)).map { case ((u, v), ws) =>
+        (u, v, 3L * ws.map(_._3).sum, 3L * ws.size)
+      }.filterNot { case (u, v, _, _) => adj(u).contains(v) }.toSet
+    val got = graft.ops.Graph.adamicAdarSampled(edges, sampleOneIn = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < exact.size) // denom 3 really drops
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.adamicAdarSampled(edges, sampleOneIn = 0)
+    }
   }
 
   test("cohenKappa: hand-computed kappa, chance-only raters near 0, " +

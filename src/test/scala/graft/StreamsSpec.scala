@@ -1645,4 +1645,54 @@ class StreamsSpec extends AnyFunSuite {
       assert(!monitor.testBuckets.storageLevel.useMemory)
     } finally q.stop()
   }
+
+  test("streaming audio band candidates reproduce batch frameBandNearDup " +
+      "(contour + chunk kernels shared; batch vote applied to stream set)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q305 plant family: A; B = one-byte edit (re-encode-shaped —
+    // few contour bits move); D = A rotated 5 bytes (an 8-frame shift
+    // under the stub's (i*37) mod 97 walk — the trim plant, caught
+    // position-free); E unrelated
+    val a = ("silver drums echo across the midnight harbor while " +
+      "nine quiet sailors hum a slow farewell tunexxx").take(97)
+    val b = a.updated(40, 'Q')
+    val d = a.substring(5) + a.substring(0, 5)
+    val e = a.reverse.updated(7, 'z')
+    val clips = Seq(1L -> a, 2L -> b, 3L -> d, 4L -> e)
+      .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+    val sigs = graft.Multimodal.audioContourSignatures(
+      graft.Multimodal.audioFrameEnergies(
+        clips.map { case (i, bs) => graft.Multimodal.MediaDoc(i, bs) }.toDS(),
+        nFrames = 128).toDF(),
+      stride = 8)
+    val batch = graft.Multimodal
+      .frameBandNearDup(sigs, "doc_id", maxDist = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.map(t => (t._1, t._2)).contains((1L, 3L)),
+      s"plant family must pair, incl. the trim plant: $batch")
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val cands = Streams.streamingAudioBandCandidates(
+      in.toDF().toDF("doc_id", "ts", "content"), "doc_id",
+      maxDist = 3, maxBucket = 64)
+    val q = cands.writeStream.format("memory").queryName("audio_band")
+      .outputMode("append").start()
+    def streamVote(): Set[(Long, Long, Long)] = spark.table("audio_band")
+      .select("a_id", "b_id", "a_frame_idx", "b_frame_idx").distinct()
+      .groupBy("a_id", "b_id")
+      .agg(countDistinct(col("a_frame_idx")).cast("long").as("n_close"))
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      in.addData(clips.map { case (i, bs) => (i, ts(0), bs) }: _*)
+      q.processAllAvailable()
+      assert(streamVote() == batch, s"stream ${streamVote()} vs batch $batch")
+      // a re-delivered clip within the horizon re-verifies against the
+      // bucket members but mints no NEW distinct pair-frames: the
+      // voted set is unchanged (the distinct-then-vote is the batch
+      // closure, so re-deliveries are absorbed, not double-counted)
+      in.addData((2L, ts(1), b.getBytes("UTF-8")))
+      q.processAllAvailable()
+      assert(streamVote() == batch)
+    } finally q.stop()
+  }
 }

@@ -701,6 +701,37 @@ object Pipeline {
   def occurrences2x(text: Column, s: String): Column =
     length(text) - length(call_function("replace", text, lit(s), lit("")))
 
+  /** First-max-wins label argmax over `(label, score)` pairs — the
+    * single-evaluation form of the scorer CASE chain
+    * `CASE WHEN s_0 >= all-others THEN l_0 WHEN s_1 >= ... ELSE l_last`
+    * used by the language-ID family (q32/q248/q269/q273).
+    *
+    * Equivalence: the CASE's arm `i` fires iff `s_i` is >= every other
+    * score AND no earlier arm fired, i.e. the winner is the max score
+    * with ties broken toward the EARLIEST label; the ELSE arm (last
+    * label) is reached exactly when the last label's score strictly
+    * beats all earlier ones — also that argmax. `greatest` over
+    * `struct(score, -index)` picks the identical winner (struct
+    * comparison is lexicographic; `-index` prefers earlier labels on
+    * ties), so the two forms agree on every input.
+    *
+    * Why it exists (round-18): the CASE chain references every score
+    * expression O(labels) times, and with inlined scorers (sums of
+    * [[occurrences2x]] length-delta `replace`s) the q273 physical plan
+    * carried 960 replace() trees PER RATER ROW — expression-tree
+    * duplication whole-stage codegen's conditional-subexpression rules
+    * do not reliably collapse. Here each score expression appears
+    * exactly once.
+    */
+  def argmaxLabel(scored: Seq[(String, Column)]): Column = {
+    require(scored.size >= 2, "argmaxLabel needs >= 2 labels")
+    val best = greatest(scored.zipWithIndex.map { case ((_, s), i) =>
+      struct(s.as("s"), lit(-i).as("ni"))
+    }: _*)
+    element_at(array(scored.map(p => lit(p._1)): _*),
+      -best.getField("ni") + 1)
+  }
+
   val StopWords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 
   /** Count of stopword tokens (with multiplicity). */

@@ -392,11 +392,9 @@ object PipelineQueries {
           col("lang") +: LangProfiles.map { case (l, bgs) =>
             bgs.map(occurrences2x(col("text"), _)).reduce(_ + _).as(s"s_$l")
           }: _*)
-        val predicted = langs.init.foldLeft(Option.empty[Column]) { (acc, l) =>
-          val geAll = langs.filter(_ != l)
-            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-          Some(acc.fold(when(geAll, l))(_.when(geAll, l)))
-        }.get.otherwise(langs.last)
+        // argmax-struct form — same label, single score evaluation
+        // (see [[Pipeline.argmaxLabel]])
+        val predicted = Pipeline.argmaxLabel(langs.map(l => l -> col(s"s_$l")))
         scored.withColumn("predicted", predicted)
           .groupBy("predicted")
           .agg(count(lit(1)).as("n"),

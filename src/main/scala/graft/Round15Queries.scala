@@ -391,12 +391,10 @@ object Round15Queries {
             bgs.map(graft.Pipeline.occurrences2x(col("text"), _))
               .reduce(_ + _).as(s"s_$l")
           }: _*)
-        val predicted = langs.init.foldLeft(Option.empty[
-            org.apache.spark.sql.Column]) { (acc, l) =>
-          val geAll = langs.filter(_ != l)
-            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-          Some(acc.fold(when(geAll, l))(_.when(geAll, l)))
-        }.get.otherwise(langs.last)
+        // argmax-struct form — same label, single score evaluation
+        // (see [[graft.Pipeline.argmaxLabel]])
+        val predicted = graft.Pipeline.argmaxLabel(
+          langs.map(l => l -> col(s"s_$l")))
         graft.ops.Stats.cohenKappa(
           scored.withColumn("predicted", predicted), "lang", "predicted")
       })
@@ -611,19 +609,17 @@ object Round15Queries {
       (s, d) => {
         val profiles = PipelineQueries.LangProfiles
         val langs = profiles.map(_._1)
+        // argmax-struct form of the scorer CASE chain (round-18):
+        // provably the same label ([[graft.Pipeline.argmaxLabel]]),
+        // each bigram scorer evaluated ONCE per row instead of
+        // O(langs^2) CASE references (480 replace() trees per rater
+        // in the old physical plan)
         def predictedOver(textCol: org.apache.spark.sql.Column)
-            : org.apache.spark.sql.Column = {
-          val scores = profiles.map { case (l, bgs) =>
+            : org.apache.spark.sql.Column =
+          graft.Pipeline.argmaxLabel(profiles.map { case (l, bgs) =>
             l -> bgs.map(graft.Pipeline.occurrences2x(textCol, _))
               .reduce(_ + _)
-          }.toMap
-          langs.init.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-            (acc, l) =>
-              val geAll = langs.filter(_ != l)
-                .map(o => scores(l) >= scores(o)).reduce(_ && _)
-              Some(acc.fold(when(geAll, l))(_.when(geAll, l)))
-          }.get.otherwise(langs.last)
-        }
+          })
         val docs = documents(s, d)
         val r1 = docs.select(col("doc_id"), lit("gold").as("rater"),
           col("lang").as("label"))

@@ -55,8 +55,18 @@ object Round17Queries {
       (s, d) => {
         val edges = lineitem(s, d).select(col("l_orderkey").as("u"),
           (col("l_partkey") + lit(1000000000000L)).as("v"))
+        // aggPartitions is the WEDGE-DECADE knob (per-task agg maps at
+        // a few million entries once the one-pass map spills — the
+        // sf10 matrix in PLANS.md). A hard-coded 256 is a constant
+        // tuned for that decade: at sf0.1/sf1 it forces a non-AQE
+        // 256-partition exchange for no benefit (measured NEUTRAL at
+        // sf1, round-18 A/B at sf0.1 below). Default 0 = session
+        // shuffle partitions + AQE coalescing (scale-adaptive);
+        // production/sf10 runs export SPARK_GRAFT_AA_AGG_PARTS=256.
+        val aggParts = sys.env.get("SPARK_GRAFT_AA_AGG_PARTS")
+          .flatMap(_.toIntOption).getOrElse(0)
         graft.ops.Graph.adamicAdar(edges, maxDegree = 64, topK = 100,
-            minCommonNeighbors = 2, aggPartitions = 256)
+            minCommonNeighbors = 2, aggPartitions = aggParts)
           .orderBy(col("aa_micro").desc, col("u"), col("v"))
       })
 

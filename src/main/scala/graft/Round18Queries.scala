@@ -63,10 +63,17 @@ object Round18Queries {
         val edges = lineitem(s, d).select(col("l_orderkey").as("u"),
           (col("l_partkey") + lit(1000000000000L)).as("v"))
         // aggPartitions follows the sizing rule: kept-wedge volume is
-        // q271's / 3, so a third of q271/q304's 256-partition exchange
-        // keeps per-task agg maps at the same few-million-entry size
+        // q271's / 3, so at the wedge decade HALF of q304's exchange
+        // width keeps per-task agg maps at the same few-million-entry
+        // size — but that is a DECADE knob, not a local constant
+        // (round-18: a hard 128 bypasses AQE coalescing at small SFs).
+        // Default 0 = session shuffle partitions + AQE; sf10-class
+        // runs export SPARK_GRAFT_AA_AGG_PARTS (q309 uses half of it,
+        // mirroring the volume ratio).
+        val aggParts = sys.env.get("SPARK_GRAFT_AA_AGG_PARTS")
+          .flatMap(_.toIntOption).map(p => math.max(1, p / 2)).getOrElse(0)
         graft.ops.Graph.adamicAdarSampled(edges, maxDegree = 64,
-            topK = 100, sampleOneIn = 3, aggPartitions = 128)
+            topK = 100, sampleOneIn = 3, aggPartitions = aggParts)
           .orderBy(col("aa_micro_est").desc, col("u"), col("v"))
       })
 

@@ -1082,11 +1082,9 @@ object WarehouseQueries {
             bgs.map(Pipeline.occurrences2x(col("text"), _)).reduce(_ + _)
               .as(s"s_$l")
           }: _*)
-        val pred = langs.init.foldRight(lit(langs.last)) { (l, e) =>
-          val geAll = langs.filter(_ != l)
-            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-          when(geAll, lit(l)).otherwise(e)
-        }
+        // argmax-struct form — same label, single score evaluation
+        // (see [[graft.Pipeline.argmaxLabel]])
+        val pred = Pipeline.argmaxLabel(langs.map(l => l -> col(s"s_$l")))
         graft.ops.Stats.confusionMatrix(
             scored.select(col("lang"), pred.as("predicted")),
             "lang", "predicted")

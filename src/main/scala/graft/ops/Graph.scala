@@ -352,6 +352,15 @@ object Graph {
       val tot = raw.agg(coalesce(sum(col(rawCol)), lit(0L)))
         .head.getLong(0)
       val norm = math.max(tot / 1000000L, 1L)
+      // NO per-step localCheckpoint, deliberately — round-18 A/B
+      // (same box, same weather window, 3-pass solo): checkpointing
+      // each score frame to cap the 3.3 MB formatted plan measured
+      // q171 4.4 s -> 16.1 s in-suite (solo retry 3.1 -> 5.1 s). The
+      // 2 x iters eager materialization jobs cost more than the
+      // repeated analysis they save — the same verdict as the
+      // pageRank round-8 A/B. Plan growth stays bounded by the fixed
+      // iteration count; the literal normalizer (not a one-row
+      // broadcast) is what keeps it from exploding 4^iters.
       nodes.join(raw, Seq("node"), "left")
         .select(col("node"),
           expr(s"coalesce($rawCol, 0L) div ${norm}L").as(outCol))
@@ -509,10 +518,19 @@ object Graph {
       .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
     val aFirst = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    // LAZY persist (round-18): the oriented edge list is referenced
+    // THREE times below (both wedge sides + the closure probe), and
+    // Catalyst does not dedup common subtrees — uncached, the
+    // distinct + degree-agg + double-join derivation re-executed per
+    // reference (the q284 final plan carried 310 Exchange nodes).
+    // Lazy, so no eager job; one-shot callers (the bench clears per
+    // query) and [[clusteringCoefficient]] rely on session
+    // clearCache, the repo-wide convention for leak-mode graph ops.
     val o = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val o1 = o.select(col("u"), col("v").as("v1"), col("deg_v").as("dv1"))
     val o2 = o.select(col("u"), col("v").as("v2"), col("deg_v").as("dv2"))
     val wedges = o1.join(o2, "u")
@@ -1094,6 +1112,22 @@ object Graph {
     * radius 0..`radius` as rows `(node, radius, est)` — registers
     * merged one hop per round, estimates through the integer RAW
     * estimator with [[LcTable]]'s linear-counting branch.
+    *
+    * Round-18 shape change (semantics identical, measured on the
+    * row form first): the register table travels PACKED — one
+    * `array<int>` of length m per node (index = bucket, value = max
+    * rho, 0 = absent) instead of one row per (node, bucket). Per
+    * round the hop join then moves ONE m-byte buffer per directed
+    * edge (vs up to m rows at saturation), the merge is a node-keyed
+    * [[graft.plans.RegisterMax]] elementwise max (one agg-map entry
+    * per node instead of m — the spill-bound-aggregate lever), and
+    * the per-round estimate drops its `groupBy(node)` EXCHANGE
+    * entirely: [[graft.plans.HllRegisterEstimate]] reads the RAW+LC
+    * estimate off the packed array as a scalar projection, exact
+    * integer arithmetic unchanged. Elementwise max is the same
+    * per-bucket MAX regardless of row order/partitioning, so the
+    * registers — and every estimate — are bit-identical to the row
+    * form the oracle replays.
     */
   private[graft] def hyperBallProfile(edges: DataFrame, radius: Int,
                                       p: Int): DataFrame = {
@@ -1101,8 +1135,8 @@ object Graph {
       s"radius must be in [1, 16], got $radius")
     require(p >= 4 && p <= 12,
       s"p must be in [4, 12] ([[lcTable]]'s generated range; register " +
-        s"cost is nodes * 2^p rows per round), got $p")
-    val m = 1L << p
+        s"cost is nodes * 2^p BYTES per round), got $p")
+    val m = 1 << p
     val und = edges
       .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
         greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
@@ -1112,25 +1146,28 @@ object Graph {
       .unionAll(und.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
     val nodes = sym.select(col("x").as("node")).distinct()
+    val lc = lcTable(p)
+    // pack the single initial register (bucket, rho) into its slot;
+    // rho >= 1 by hllCells' construction, so 0 marks an absent bucket
     var regs = Sketches.hllCells(nodes, Seq(col("node")), "node", p)
-      .withColumnRenamed("_rho", "r")
+      .select(col("node"), expr(
+        s"transform(sequence(0, ${m - 1}), i -> " +
+          "IF(i = CAST(bucket AS INT), CAST(_rho AS INT), 0))").as("_rs"))
       .localCheckpoint()
-    val lcArr = lcTable(p).mkString("array(", "L, ", "L)")
     def nf(t: Int, rg: DataFrame): DataFrame =
-      Sketches.hllEstimate(rg, Seq("node"), p)
-        .select(col("node"), lit(t.toLong).as("radius"), expr(
-          s"CASE WHEN n_buckets < $m AND est_distinct < ${5 * m / 2}" +
-            s" THEN element_at($lcArr, CAST($m - n_buckets AS INT))" +
-            " ELSE est_distinct END").cast(LongType).as("est"))
+      rg.select(col("node"), lit(t.toLong).as("radius"),
+        graft.plans.HllRegisterExpressions.hllRegisterEst(col("_rs"), p, lc)
+          .as("est"))
     val profile = Seq.newBuilder[DataFrame]
     profile += nf(0, regs)
     for (t <- 1 to radius) {
       val nbr = sym
-        .join(regs.select(col("node").as("y"), col("bucket"), col("r")),
-          "y")
-        .select(col("x").as("node"), col("bucket"), col("r"))
+        .join(regs.select(col("node").as("y"), col("_rs")), "y")
+        .select(col("x").as("node"), col("_rs"))
       regs = regs.unionAll(nbr)
-        .groupBy("node", "bucket").agg(max("r").cast(LongType).as("r"))
+        .groupBy("node")
+        .agg(graft.plans.HllRegisterExpressions.registerMax(col("_rs"), m)
+          .as("_rs"))
         .localCheckpoint()
       profile += nf(t, regs)
     }
@@ -1333,11 +1370,15 @@ object Graph {
     * the ppm product so 100x-degree hubs cannot overflow.
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    // lazy persist: `und` feeds both the degree aggregate here and
+    // [[triangleCounts]]' whole derivation — uncached it re-executes
+    // the distinct per reference (see the triangleCounts note)
     val und = edges
       .select(least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
         greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
